@@ -1,0 +1,100 @@
+"""Portable deterministic hashing for dedup / fingerprinting operators.
+
+Design constraint: every hash here must be reproducible OUTSIDE Spark by
+any ANSI-SQL engine (the correctness oracle re-computes them), so we
+derive integers from md5 hex digests rather than engine-specific hash
+functions (Spark's xxhash64 and DuckDB's hash() disagree). Taking the
+first 15 hex chars = 60 bits keeps the value positive in a signed int64
+in every engine.
+
+This replaces the reference's reliance on opaque library internals
+(FAISS ids, Chroma HNSW, FTS5) with transparent, re-computable columns —
+the property that makes hash-based dedup auditable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits — always positive as int64.
+_HEX_PREFIX_LEN = 15
+
+
+def md5_hash64(col: Column, salt: int = 0) -> Column:
+    """60-bit non-negative int64 from ``md5(salt ':' value)``.
+
+    ``salt`` yields independent hash families for MinHash permutations
+    (hash_i(x) = md5_hash64(x, salt=i)).
+    """
+    salted = F.concat(F.lit(f"{salt}:"), col)
+    return F.conv(F.substring(F.md5(salted), 1, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+
+
+def md5_hash64_sql(expr: str, salt: int = 0) -> str:
+    """The ANSI-SQL twin of :func:`md5_hash64` (used to build oracles)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}:', {expr})), 1, "
+        f"{_HEX_PREFIX_LEN})) AS BIGINT)"
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature: array of ``num_hashes`` int64 minima.
+
+    For each hash family i, take min over shingles of hash_i(shingle).
+    Pr[sig_a[i] == sig_b[i]] ≈ Jaccard(a, b) — the standard MinHash
+    estimator (Broder 1997). Computed as ``array_min(transform(...))``
+    per family: no explode, no shuffle; signature generation is a pure
+    map over the corpus.
+    """
+    def hash_family(salt: int):
+        # single-arg lambda: a two-arg lambda would make pyspark pass the
+        # ARRAY INDEX as the second argument, silently replacing the salt
+        return lambda s: md5_hash64(s, salt=salt)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hash_family(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def simhash32(tokens: Column) -> Column:
+    """32-bit SimHash of a token array as an int64 column.
+
+    Charikar (2002): each token votes +1/-1 on each of 32 bit positions
+    according to its own hash's bits; the fingerprint sets bit b iff the
+    aggregate vote is positive. Near-duplicate docs differ in few bits.
+
+    Pure expression: one aggregate() pass over the token array computes
+    all 32 vote counters; no shuffle, no UDF.
+    """
+    # votes[b] = sum over tokens of (bit b of md5_hash64(token)) ? +1 : -1
+    def bit_votes(t: Column) -> Column:
+        h = md5_hash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(32)
+            ]
+        )
+
+    zero = F.array(*[F.lit(0)] * 32)
+    votes = F.aggregate(
+        tokens, zero, lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, v: a + v)
+    )
+    # fingerprint = sum of 2^b for every positive vote counter
+    powers = F.array(*[F.lit(2**b).cast("bigint") for b in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

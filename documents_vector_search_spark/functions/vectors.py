@@ -1,0 +1,52 @@
+"""Vector math over ``ARRAY<FLOAT/DOUBLE>`` columns as pure expressions.
+
+The reference's vector scoring happens inside FAISS (exact L2,
+main/indexes/indexers/faiss_indexer.py:30-31) and Chroma HNSW L2
+(main/indexes/indexers/chroma_indexer.py:147-157). Here the flat index
+IS the ``embeddings`` DataFrame and scoring is a Column expression, so
+Catalyst can push metadata filters *below* the distance computation and
+use TakeOrderedAndProject for distributed top-k — per-partition top-k +
+merge, which the single-node reference cannot do.
+
+At 100 TB these expressions scan embeddings with zero Python involvement.
+For even faster brute force, the same math can run in a vectorized numpy
+pandas UDF (see operators/knn.py), but the expression form is the
+correctness baseline and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i via zip_with + aggregate (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance — the reference's metric (IndexFlatL2)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """dot(a,b) / (|a| |b|); 0.0 when either norm is zero."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)

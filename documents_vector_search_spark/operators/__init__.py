@@ -1,0 +1,61 @@
+"""DataFrame-native operators: the engine's query surface.
+
+Search core (reference parity, SURVEY §2.5):
+    knn (Q1/Q2), bm25 (Q3/E4), rrf (Q4), group_hits (Q5/Q6), fetch (Q7)
+Build side (SURVEY §2.3/§2.4):
+    chunking (T1/T2/T4), embedding (E1)
+Training-data pipeline (north-star additions):
+    dedup, ann, text_analysis, multimodal
+"""
+
+from documents_vector_search_spark.operators.bm25 import (
+    bm25_topk,
+    build_doc_stats,
+    build_postings,
+)
+from documents_vector_search_spark.operators.chunking import (
+    assign_chunk_ids,
+    fixed_window_chunks,
+)
+from documents_vector_search_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from documents_vector_search_spark.operators.fetch import fetch_lines
+from documents_vector_search_spark.operators.group_hits import group_hits_by_document
+from documents_vector_search_spark.operators.knn import knn_cosine, knn_l2
+from documents_vector_search_spark.operators.rrf import rrf_fuse, with_rank
+from documents_vector_search_spark.operators.ann import ann_knn_l2
+from documents_vector_search_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+__all__ = [
+    "bm25_topk",
+    "build_doc_stats",
+    "build_postings",
+    "assign_chunk_ids",
+    "fixed_window_chunks",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "fetch_lines",
+    "group_hits_by_document",
+    "knn_cosine",
+    "knn_l2",
+    "rrf_fuse",
+    "with_rank",
+    "ann_knn_l2",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_counts",
+]

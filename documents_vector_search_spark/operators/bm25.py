@@ -1,0 +1,151 @@
+"""BM25 keyword search as DataFrame aggregations over a postings table.
+
+Spark-first re-expression of the reference's SQLite FTS5 index
+(build: main/indexes/indexers/sqllite_indexer.py:29-41; query with
+conjunctive match + ``ORDER BY bm25(documents) LIMIT k``:
+sqllite_indexer.py:60-93,145-150).
+
+Index representation (SURVEY §1.1 "Keyword index"):
+- ``postings(term, id, tf)``        — term frequency per document/chunk
+- ``doc_stats(id, dl)``             — document length in tokens
+- corpus stats (N, avgdl) + ``df`` per term — computed by aggregation
+
+Query semantics match FTS5's defaults: ALL query terms must be present
+(conjunctive AND), Okapi BM25 with k1=1.2, b=0.75, and the
+Lucene/FTS5-style IDF ``ln((N - df + 0.5) / (df + 0.5))``. FTS5 reports
+lower-is-better (negated) scores (sqllite_indexer.py:81 orders
+ascending); we report the standard higher-is-better score and order
+descending — a documented sign flip, with ties broken on id.
+
+Scale notes (100 TB):
+- The postings build is one explode + one groupBy — a single shuffle
+  keyed by (term, id); term stats are a map-side-combinable second agg.
+- Partition/bucket ``postings`` BY term: a query then touches only the
+  buckets of its (few) query terms, and the semi-join on query terms is
+  a broadcast of a tiny literal list.
+- The final top-k is TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.text import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, term, tf)`` postings from a document/chunk table (E4)."""
+    tokens = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    )
+    return tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def build_doc_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, dl)`` token counts per document."""
+    return docs.select(
+        F.col(id_col), F.size(tokenize(text_col)).alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    conjunctive: bool = True,
+    round_to: int | None = 6,
+    postings: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k: ``(id, score)`` descending, ties on id ascending.
+
+    Pass prebuilt ``postings``/``doc_stats`` to search an existing index;
+    otherwise they are derived from ``docs`` on the fly.
+    """
+    spark = docs.sparkSession
+    q_terms = _query_terms(query)
+    if not q_terms:
+        return docs.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    if postings is None:
+        postings = build_postings(docs, id_col, text_col)
+    if doc_stats is None:
+        doc_stats = build_doc_stats(docs, id_col, text_col)
+
+    n_terms = len(q_terms)
+    qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
+
+    # tiny literal term list → broadcast semi-join prunes postings first
+    matched = postings.join(F.broadcast(qt), "term")
+
+    term_df = (
+        matched.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    stats = doc_stats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    scored = (
+        matched.join(F.broadcast(term_df), "term")
+        .join(doc_stats, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+
+    agg = scored.groupBy(id_col).agg(
+        F.sum("term_score").alias("_score"),
+        F.count("*").alias("_matched_terms"),
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("_matched_terms") == n_terms)
+
+    # round BEFORE ordering so the (score, id) total order is
+    # engine-independent (SURVEY §7.4 scoring-parity risk)
+    score = (
+        F.round(F.col("_score"), round_to) if round_to is not None else F.col("_score")
+    )
+    return (
+        agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _query_terms(query: str) -> list[str]:
+    """Tokenize the query string with the SAME tokenizer as indexing,
+    dropping duplicate terms (FTS5's conjunctive match is per distinct
+    term). Driver-side twin of functions/text.py::tokenize."""
+    import re
+
+    terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t)
+    return list(seen)

@@ -1,0 +1,87 @@
+"""Exact k-nearest-neighbor search over an embeddings DataFrame.
+
+Spark-first re-expression of the reference's vector top-k:
+FAISS ``IndexIDMap(IndexFlatL2).search`` (main/indexes/indexers/
+faiss_indexer.py:30-31) and Chroma filtered HNSW query
+(main/indexes/indexers/chroma_indexer.py:52-73).
+
+The "flat index" is simply the embeddings table; a query is a distance
+expression + ``orderBy().limit(k)``, which Catalyst plans as
+TakeOrderedAndProject: each partition keeps only its local top-k and the
+driver merges k·num_partitions candidates — no global sort, no full
+shuffle. With a metadata predicate the filter is pushed below the
+distance computation into the Parquet scan (the reference's FAISS path
+cannot filter at all, faiss_indexer.py:33-34).
+
+Scale notes (100 TB):
+- Brute force is embarrassingly parallel and reads each row once; the
+  scan dominates. Column-prune to (id, vector) keeps I/O minimal.
+- Ties broken on id so results are a documented total order
+  (SURVEY §7.4 scoring-parity risk).
+- For sub-linear search use operators/ann.py (LSH bucket pruning) —
+  same API, probes a small fraction of partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.vectors import (
+    cosine_similarity,
+    l2_distance,
+)
+
+
+def _query_vector_lit(query_vector: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vector])
+
+
+def knn_l2(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact L2 top-k: ``(id, distance)`` ascending, ties on id.
+
+    ``round_to`` rounds the reported distance (not the ordering) for
+    stable cross-engine comparison.
+    """
+    dist = l2_distance(F.col(vector_col).cast("array<double>"), _query_vector_lit(query_vector))
+    if round_to is not None:
+        # round BEFORE ordering: the (score, id) total order is then
+        # reproducible by any engine regardless of last-ulp differences
+        dist = F.round(dist, round_to)
+    df = embeddings
+    if predicate is not None:
+        df = df.filter(predicate)
+    scored = df.select(F.col(id_col), dist.alias("distance"))
+    return scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_cosine(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: ``(id, similarity)`` descending, ties on id."""
+    sim = cosine_similarity(
+        F.col(vector_col).cast("array<double>"), _query_vector_lit(query_vector)
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    df = embeddings
+    if predicate is not None:
+        df = df.filter(predicate)
+    scored = df.select(F.col(id_col), sim.alias("similarity"))
+    return scored.orderBy(F.col("similarity").desc(), F.col(id_col).asc()).limit(k)

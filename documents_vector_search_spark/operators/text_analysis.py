@@ -1,0 +1,145 @@
+"""Text-analysis operators for training-data curation.
+
+North-star additions (BASELINE.json): language ID, quality scoring,
+token counting, document fingerprinting — each a pure Column expression
+pipeline over the ``documents`` table, so a 100 TB curation sweep is a
+single scan with zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.hashing import md5_hash64
+from documents_vector_search_spark.functions.text import tokenize, word_shingles
+
+# Tiny per-language stopword marker lists for the n-gram/stopword-ratio
+# language heuristic. Deliberately small and literal: the heuristic must
+# be auditable and oracle-reproducible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+}
+
+
+def _marker_ratio(tokens: Column, markers: list[str]) -> Column:
+    hits = F.size(
+        F.filter(tokens, lambda t: t.isin(markers))
+    )
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID by stopword-marker ratio.
+
+    ``(id, lang_guess, lang_score)`` — argmax over LANG_MARKERS with a
+    deterministic tie-break on language code; 'und' (undetermined) when
+    no marker hits at all.
+    """
+    tokens = tokenize(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                F.round(_marker_ratio(tokens, m), 6).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, m in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_max on struct: max by score, then by lang desc — instead sort
+    # by (score desc, lang asc) deterministically via sort + first element.
+    best = F.sort_array(scores, asc=False)[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features (all standard curation signals):
+    - n_chars, n_tokens, avg token length
+    - alpha_ratio: fraction of characters that are a-z (post-lower)
+    - stopword_ratio: english-marker ratio (proxy for naturalness)
+    Composite ``quality``: mean of three bounded sub-scores (length,
+    alpha, stopword) in [0, 1] — transparent and easily re-weighted.
+    """
+    tokens = tokenize(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(tokens)
+    avg_tok = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            tokens, F.lit(0), lambda acc, t: acc + F.length(t)
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = _marker_ratio(tokens, LANG_MARKERS["en"])
+
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+    quality = (length_score + alpha_ratio + stop_score) / 3
+
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens vs BPE-ish subword count estimate.
+
+    ``bpe_estimate`` counts word pieces after splitting words longer
+    than 4 chars into 4-char pieces — the cheap scan-time proxy for a
+    real tokenizer (a real BPE runs as a pandas UDF at the embedding
+    seam; counting must not cost a Python roundtrip at 100 TB).
+    """
+    ws_tokens = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != ""))
+    words = tokenize(text_col)
+    bpe = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    )
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.cast("bigint").alias("ws_tokens"),
+        bpe.alias("bpe_estimate"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style min-hash).
+
+    ``fp = min over shingles of hash(shingle)`` — robust to small edits
+    anywhere except around the minimal shingle; equal fingerprints are
+    strong near-dup evidence. One map-side pass, no shuffle.
+    """
+    shingles = word_shingles(tokenize(text_col), shingle_words)
+    fp = F.array_min(F.transform(shingles, lambda s: md5_hash64(s)))
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,923 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+This backs ``__spark_entry__.py``'s driver contract: each entry runs the
+engine's DataFrame implementation AND carries an equivalent ANSI-SQL
+oracle (DuckDB dialect) over the same parquet tables, so results can be
+hash-compared row-for-row.
+
+Determinism rules shared by engine and oracle (SURVEY §7.4):
+- scores are ROUNDED to 6 decimals BEFORE ordering; ties break on id —
+  a reproducible total order on any engine.
+- money/metric sums go through exact integer cents
+  (``floor(x*scale + 0.5)`` per row, summed as int64) so float summation
+  order can't perturb results.
+- every hash is md5-derived (functions/hashing.py) — engine-agnostic.
+- timestamps are returned as int64 epoch microseconds.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.hashing import md5_hash64_sql
+from documents_vector_search_spark.operators.ann import ann_knn_l2, bucket_of
+from documents_vector_search_spark.operators.bm25 import bm25_topk, build_postings
+from documents_vector_search_spark.operators.chunking import (
+    assign_chunk_ids,
+    fixed_window_chunks,
+)
+from documents_vector_search_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    random_hyperplanes,
+    simhash_fingerprints,
+    with_shingles,
+)
+from documents_vector_search_spark.functions.hashing import minhash_signature
+from documents_vector_search_spark.operators.fetch import fetch_lines
+from documents_vector_search_spark.operators.group_hits import group_hits_by_document
+from documents_vector_search_spark.operators.knn import knn_cosine, knn_l2
+from documents_vector_search_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+)
+from documents_vector_search_spark.operators.rrf import rrf_fuse
+from documents_vector_search_spark.operators.text_analysis import (
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+from documents_vector_search_spark.plans.filter_compiler import (
+    compile_filter,
+    filter_to_sql,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic workload parameters
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+BM25_QUERY = "hash join"
+BM25_TERMS = [t for t in re.split(r"[^a-z0-9]+", BM25_QUERY.lower()) if t]
+
+
+def _det_unit_vector(dim: int, seed: int) -> list[float]:
+    rng = random.Random(seed)
+    v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    n = sum(x * x for x in v) ** 0.5
+    return [round(x / n, 6) for x in v]
+
+
+QUERY_VEC = _det_unit_vector(EMBED_DIM, 7)
+
+NEARDUP_PLANES = random_hyperplanes(EMBED_DIM, 8, seed=42)
+ANN_PLANES = random_hyperplanes(EMBED_DIM, 4, seed=42)
+ANN_PROBES = sorted(
+    {bucket_of(QUERY_VEC, ANN_PLANES)}
+    | {bucket_of(QUERY_VEC, ANN_PLANES) ^ (1 << j) for j in range(4)}
+)
+
+DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
+EVENT_FILTER = (
+    'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
+    'or event_type = "signup"'
+)
+
+# ---------------------------------------------------------------------------
+# SQL fragments (DuckDB dialect) mirroring functions/ and operators/
+# ---------------------------------------------------------------------------
+
+
+def _toks_sql(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    )
+
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return f"sqrt(list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    cases = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_vec_sql(p)}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"({cases})::BIGINT"
+
+
+def _bm25_ctes(terms: list[str], id_col: str = "doc_id", table: str = "documents") -> str:
+    """CTE chain computing BM25 (k1=1.2, b=0.75, conjunctive) — the SQL
+    twin of operators/bm25.py."""
+    values = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+toks AS (SELECT {id_col}, {_toks_sql()} AS toks FROM {table}),
+doc_stats AS (SELECT {id_col}, len(toks)::BIGINT AS dl FROM toks),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+postings AS (SELECT {id_col}, unnest(toks) AS term FROM toks),
+tf AS (SELECT {id_col}, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+qterms AS (SELECT * FROM (VALUES {values}) AS q(term)),
+matched AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+term_df AS (SELECT term, count(DISTINCT {id_col})::BIGINT AS df FROM matched GROUP BY 1),
+scored AS (
+  SELECT m.{id_col},
+         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * (1.2 + 1))
+           / (m.tf + 1.2 * (1 - 0.75 + 0.75 * ds.dl / c.avgdl)) AS term_score
+  FROM matched m
+  JOIN term_df d USING (term)
+  JOIN doc_stats ds USING ({id_col})
+  CROSS JOIN corpus c
+),
+bm25 AS (
+  SELECT {id_col}, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY {id_col} HAVING count(*) = {len(terms)}
+)"""
+
+
+def _minhash_cols_sql(num_hashes: int = 8) -> str:
+    return ", ".join(
+        f"list_min(list_transform(shingles, s -> {md5_hash64_sql('s', i)})) AS m{i}"
+        for i in range(num_hashes)
+    )
+
+
+# ---------------------------------------------------------------------------
+# table loader
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events loader: the driver's parquet stores TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects — read nanos as int64
+    (legacy conf) and truncate to microsecond timestamps (matching
+    DuckDB's nanos→micros truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _cents(col, scale: int = 100):
+    """Exact integer units: floor(x*scale + 0.5) — deterministic in any
+    IEEE-754 engine, so sums are order-independent int64 arithmetic."""
+    return F.floor(col * scale + F.lit(0.5)).cast("bigint")
+
+
+# ===========================================================================
+# queries — engine side
+# ===========================================================================
+
+
+def q_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: BM25 postings build — (doc_id, term, tf)."""
+    return build_postings(_t(spark, sf_dir, "documents"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: BM25 top-10 for a conjunctive 2-term query."""
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, 10)
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: exact L2 top-10 against a fixed query vector."""
+    return knn_l2(_t(spark, sf_dir, "embeddings"), QUERY_VEC, 10)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 variant: exact cosine top-10."""
+    return knn_cosine(_t(spark, sf_dir, "embeddings"), QUERY_VEC, 10)
+
+
+def q_knn_l2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: filtered exact kNN (label predicate pushed below distance)."""
+    return knn_l2(
+        _t(spark, sf_dir, "embeddings"),
+        QUERY_VEC,
+        10,
+        predicate=F.col("label").isin([1, 3, 5]),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: L2 top-10 pruned to the query's SRP-LSH bucket + neighbors."""
+    return ann_knn_l2(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, 10, n_planes=4, multiprobe_bits=1
+    )
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    vec_list = knn_cosine(emb, QUERY_VEC, 50).select(
+        F.col("vec_id").alias("doc_id"),
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("similarity").desc(), F.col("vec_id").asc())
+            )
+            - 1
+        ).alias("rank"),
+    )
+    bm_list = bm25_topk(docs, BM25_QUERY, 50).select(
+        F.col("doc_id"),
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            )
+            - 1
+        ).alias("rank"),
+    )
+    return rrf_fuse([vec_list, bm_list], k=20, rrf_k=60)
+
+
+def q_group_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/Q6: group top-50 cosine hits by label, first-hit rank order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    hits = knn_cosine(emb, QUERY_VEC, 50)
+    ranked = hits.select(
+        F.col("vec_id"),
+        F.col("similarity").alias("score"),
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("similarity").desc(), F.col("vec_id").asc())
+            )
+            - 1
+        ).alias("rank"),
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    grouped = group_hits_by_document(
+        ranked, max_documents=None, doc_col="label", chunk_col="vec_id"
+    )
+    return grouped.select(
+        F.col("label"),
+        F.col("doc_rank").cast("bigint").alias("doc_rank"),
+        F.array_join(
+            F.transform(F.col("matched_chunks"), lambda c: c.cast("string")), ","
+        ).alias("matched_chunks"),
+        F.col("best_score"),
+        F.col("n_chunks"),
+    )
+
+
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T4: overlapping fixed-window chunks + global chunk ids."""
+    chunks = fixed_window_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=120, overlap=20
+    )
+    return assign_chunk_ids(chunks).select(
+        F.col("doc_id"),
+        F.col("chunk_number").cast("bigint").alias("chunk_number"),
+        F.col("chunk_text"),
+        F.col("chunk_id"),
+    )
+
+
+def q_fetch_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: point fetch with clamped line slice."""
+    return fetch_lines(
+        _t(spark, sf_dir, "documents"), doc_id=42, start_line=1, end_line=3
+    )
+
+
+def q_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: metadata filter mini-language on documents (typed compare)."""
+    pred = compile_filter(DOC_FILTER, field_types={"n_chars": "bigint"})
+    return _t(spark, sf_dir, "documents").filter(pred).select("doc_id", "lang", "n_chars")
+
+
+def q_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 on events: timestamp + double typed comparisons."""
+    pred = compile_filter(
+        EVENT_FILTER, field_types={"ts": "timestamp", "value": "double"}
+    )
+    ev = _events(spark, sf_dir).filter(pred)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: delete-then-reinsert merge of an update batch (doc_id%7==0)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED: "), F.upper(F.substring("text", 1, 50))).alias("text"),
+    )
+    merged = docs.join(updates, "doc_id", "left_anti").unionByName(updates)
+    return merged.select("doc_id", F.md5("text").alias("text_hash"))
+
+
+def q_watermark_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/U1: watermark aggregate — max modified time per source."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("watermark_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with canonical member."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) as a portable joined string."""
+    sh = with_shingles(_t(spark, sf_dir, "documents"))
+    return sh.select(
+        "doc_id",
+        F.concat_ws(
+            "_",
+            F.transform(
+                minhash_signature(F.col("shingles"), 8), lambda x: x.cast("string")
+            ),
+        ).alias("signature"),
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (8 hashes, 4 bands, jaccard>=0.8)."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=8, bands=4
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints per document."""
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (bounded input: doc_id < 200)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH buckets."""
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, seed=42
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic by stopword-marker ratio."""
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/alpha/stopword features + composite."""
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish subword estimate."""
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (min-shingle) document fingerprints."""
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (exact integer-cents arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_c"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("base_c"),
+        F.sum(_cents(disc_price)).alias("disc_c"),
+        F.sum(_cents(charge)).alias("charge_c"),
+        F.sum(_cents(F.col("l_discount"), 1_000_000)).alias("disc_u"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qty_c") / 100.0).alias("sum_qty"),
+        (F.col("base_c") / 100.0).alias("sum_base_price"),
+        (F.col("disc_c") / 100.0).alias("sum_disc_price"),
+        (F.col("charge_c") / 100.0).alias("sum_charge"),
+        F.round(F.col("qty_c") / 100.0 / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("base_c") / 100.0 / F.col("count_order"), 6).alias("avg_price"),
+        F.round(F.col("disc_u") / 1_000_000.0 / F.col("count_order"), 6).alias(
+            "avg_disc"
+        ),
+        F.col("count_order"),
+    )
+
+
+def q_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: revenue per (mktsegment, nation) — dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_mktsegment", "n_name")
+        .agg(F.sum(revenue_c).alias("rev_c"), F.count("*").alias("n_lines"))
+        .select(
+            "c_mktsegment",
+            "n_name",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            "n_lines",
+        )
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window aggregate (batch twin of the streaming
+    window; Structured Streaming uses F.window over the same plan)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(F.col("value"), 1_000_000)).alias("sum_u"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("w").alias("window_start_us"),
+            "n_events",
+            (F.col("sum_u") / 1_000_000.0).alias("sum_value"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user."""
+    ev = _events(spark, sf_dir)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(order)
+    is_new = F.when(
+        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "event_id", "ts", is_new.alias("is_new"))
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("is_new").over(running).cast("bigint").alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → mapInPandas feature extract."""
+    media = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+# ===========================================================================
+# oracle SQL (DuckDB dialect, tables pre-registered as views)
+# ===========================================================================
+
+
+def _oracles() -> dict[str, str]:
+    toks = _toks_sql()
+    en = LANG_MARKERS["en"]
+    en_list = "[" + ", ".join(f"'{w}'" for w in en) + "]"
+
+    lang_scores = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{lang}' AS lang,
+  round(CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, t -> list_contains([{', '.join(f"'{w}'" for w in markers)}], t)))::DOUBLE / len(toks)
+    ELSE 0.0 END, 6) AS score FROM tok"""
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+
+    simhash_votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_index, concat(m{2*b}, '_', m{2*b+1}) AS band_value FROM sig"
+        for b in range(4)
+    )
+
+    cos_lr = _cos_sql("l.v", "r.v")
+
+    return {
+        "postings_build": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+GROUP BY doc_id, term
+""",
+        "bm25_topk": f"""
+WITH {_bm25_ctes(BM25_TERMS)}
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "knn_l2": f"""
+SELECT vec_id, round({_l2_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+        "knn_cosine": f"""
+SELECT vec_id, round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS similarity
+FROM embeddings ORDER BY similarity DESC, vec_id ASC LIMIT 10
+""",
+        "knn_l2_filtered": f"""
+SELECT vec_id, round({_l2_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM embeddings WHERE label IN (1, 3, 5)
+ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+        "ann_lsh": f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]", ANN_PLANES)} AS bucket
+  FROM embeddings
+)
+SELECT vec_id, round({_l2_sql("v", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM b WHERE bucket IN ({", ".join(str(p) for p in ANN_PROBES)})
+ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+        "rrf_hybrid": f"""
+WITH {_bm25_ctes(BM25_TERMS)},
+bm_top AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 50),
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS rank FROM bm_top
+),
+knn_top AS (
+  SELECT vec_id AS doc_id,
+         round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS similarity
+  FROM embeddings ORDER BY similarity DESC, vec_id LIMIT 50
+),
+knn_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY similarity DESC, doc_id) - 1 AS rank FROM knn_top
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + rank + 1) AS c FROM knn_ranked
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank + 1) AS c FROM bm_ranked
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score
+FROM contribs GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "group_hits": f"""
+WITH knn_top AS (
+  SELECT vec_id,
+         round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS score
+  FROM embeddings ORDER BY score DESC, vec_id LIMIT 50
+),
+ranked AS (
+  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) - 1 AS rank
+  FROM knn_top
+),
+lab AS (
+  SELECT r.vec_id, r.rank, r.score, e.label FROM ranked r JOIN embeddings e USING (vec_id)
+)
+SELECT label, min(rank)::BIGINT AS doc_rank,
+       string_agg(vec_id::VARCHAR, ',' ORDER BY rank) AS matched_chunks,
+       max(score) AS best_score, count(*)::BIGINT AS n_chunks
+FROM lab GROUP BY label
+""",
+        "chunk_split": """
+WITH base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+n AS (
+  SELECT doc_id, text,
+         1 + CAST(ceil(greatest(len - 120, 0) / 100.0) AS INT) AS n_chunks
+  FROM base
+),
+e AS (SELECT doc_id, text, unnest(range(n_chunks)) AS chunk_number FROM n)
+SELECT doc_id, chunk_number::BIGINT AS chunk_number,
+       substr(text, (chunk_number * 100 + 1)::INT, 120) AS chunk_text,
+       (row_number() OVER (ORDER BY doc_id, chunk_number) - 1)::BIGINT AS chunk_id
+FROM e
+""",
+        "fetch_slice": """
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents WHERE doc_id = 42)
+SELECT doc_id, 1 AS start_line,
+       least(3, len(lines))::INT AS end_line,
+       len(lines)::INT AS total_lines,
+       array_to_string(lines[1:least(3, len(lines))], chr(10)) AS text_slice
+FROM d
+""",
+        "filter_docs": f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {filter_to_sql(DOC_FILTER, {"n_chars": "BIGINT"})}
+""",
+        "filter_events": f"""
+SELECT event_id, event_type, epoch_us(ts) AS ts_us, round(value, 6) AS value
+FROM events
+WHERE {filter_to_sql(EVENT_FILTER, {"ts": "TIMESTAMP", "value": "DOUBLE"})}
+""",
+        "incremental_merge": """
+WITH updates AS (
+  SELECT doc_id, concat('UPDATED: ', upper(substr(text, 1, 50))) AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+merged AS (
+  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+  UNION ALL
+  SELECT doc_id, text FROM updates
+)
+SELECT doc_id, md5(text) AS text_hash FROM merged
+""",
+        "watermark_max": """
+SELECT event_type, epoch_us(max(ts)) AS watermark_us, count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
+""",
+        "dedup_exact": f"""
+SELECT {md5_hash64_sql("text")} AS content_hash,
+       min(doc_id) AS canonical_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+""",
+        "minhash_sig": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+sig AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM sh)
+SELECT doc_id,
+       concat(m0,'_',m1,'_',m2,'_',m3,'_',m4,'_',m5,'_',m6,'_',m7) AS signature
+FROM sig
+""",
+        "dedup_minhash": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM sh),
+banded AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_index = r.band_index AND l.band_value = r.band_value
+   AND l.doc_id < r.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
+         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
+  FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM v WHERE inter / (na + nb - inter) >= 0.8
+""",
+        "dedup_simhash": f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+h AS (SELECT doc_id, {md5_hash64_sql("term")} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+    {simhash_votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes)
+SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""",
+        "dedup_ngram": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+sizes AS (SELECT doc_id, len(shingles)::BIGINT AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS inter
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+v AS (
+  SELECT id_a, id_b, inter, sa.n_sh AS na, sb.n_sh AS nb
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM v WHERE inter / (na + nb - inter) >= 0.5
+""",
+        "embedding_neardup": f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)} AS bucket
+  FROM embeddings
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {cos_lr} >= 0.3
+""",
+        "lang_id": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+scores AS (
+{lang_scores}
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
+       score AS lang_score
+FROM best WHERE rn = 1
+""",
+        "quality": f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0
+      THEN list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)
+      ELSE 0.0 END AS avg_tok,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+      ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, t -> list_contains({en_list}, t)))::DOUBLE / len(toks)
+      ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(avg_tok, 6) AS avg_token_len,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round((least(n_tokens / 100.0, 1.0) + alpha_ratio + least(stop_ratio * 5, 1.0)) / 3, 6) AS quality
+FROM m
+""",
+        "token_counts": f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+  coalesce(list_sum(list_transform({toks}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)::BIGINT AS bpe_estimate
+FROM documents
+""",
+        "fingerprint": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-2, 1)+1),
+                i -> array_to_string(toks[i:i+2], ' ')) AS shingles FROM tok)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> {md5_hash64_sql("s")})) AS fingerprint
+FROM sh
+""",
+        "tpch_q1": """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS base_c,
+    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS disc_c,
+    CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT) AS charge_c,
+    CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc_u
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(qty_c) AS BIGINT) AS qty_c, CAST(sum(base_c) AS BIGINT) AS base_c,
+    CAST(sum(disc_c) AS BIGINT) AS disc_c, CAST(sum(charge_c) AS BIGINT) AS charge_c,
+    CAST(sum(disc_u) AS BIGINT) AS disc_u, count(*)::BIGINT AS count_order
+  FROM f GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+  qty_c / 100.0 AS sum_qty, base_c / 100.0 AS sum_base_price,
+  disc_c / 100.0 AS sum_disc_price, charge_c / 100.0 AS sum_charge,
+  round(qty_c / 100.0 / count_order, 6) AS avg_qty,
+  round(base_c / 100.0 / count_order, 6) AS avg_price,
+  round(disc_u / 1000000.0 / count_order, 6) AS avg_disc,
+  count_order
+FROM agg
+""",
+        "revenue_join": """
+SELECT c_mktsegment, n_name,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+  count(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+        "events_window": """
+SELECT event_type, epoch_us(date_trunc('day', ts)) AS window_start_us,
+  count(*)::BIGINT AS n_events,
+  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us
+FROM s GROUP BY 1, 2
+""",
+        "multimodal": """
+SELECT doc_id AS id, 'text/plain' AS media_type,
+  strlen(text)::BIGINT AS byte_len, sha256(text) AS sha256,
+  (strlen(text) % 1920)::INT AS width,
+  ((strlen(text) * 7 + coalesce(ascii(substr(text, 1, 1)), 0)) % 1080)::INT AS height,
+  1::INT AS n_frames
+FROM documents
+""",
+    }
+
+
+# ===========================================================================
+# public registry
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "postings_build": q_postings_build,
+        "bm25_topk": q_bm25_topk,
+        "knn_l2": q_knn_l2,
+        "knn_cosine": q_knn_cosine,
+        "knn_l2_filtered": q_knn_l2_filtered,
+        "ann_lsh": q_ann_lsh,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_hits": q_group_hits,
+        "chunk_split": q_chunk_split,
+        "fetch_slice": q_fetch_slice,
+        "filter_docs": q_filter_docs,
+        "filter_events": q_filter_events,
+        "incremental_merge": q_incremental_merge,
+        "watermark_max": q_watermark_max,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "tpch_q1": q_tpch_q1,
+        "revenue_join": q_revenue_join,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "multimodal": q_multimodal,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracles()
