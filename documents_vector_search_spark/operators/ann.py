@@ -63,10 +63,16 @@ def ann_knn_l2(
     planes = random_hyperplanes(dim, n_planes, seed)
     q_bucket = bucket_of(query_vector, planes)
 
+    # probe every bucket within Hamming distance <= multiprobe_bits
+    from itertools import combinations
+
     probe = {q_bucket}
-    if multiprobe_bits >= 1:
-        for j in range(n_planes):
-            probe.add(q_bucket ^ (1 << j))
+    for radius in range(1, min(multiprobe_bits, n_planes) + 1):
+        for bits in combinations(range(n_planes), radius):
+            flipped = q_bucket
+            for j in bits:
+                flipped ^= 1 << j
+            probe.add(flipped)
     probes = sorted(probe)
 
     vec = F.col(vector_col).cast("array<double>")

@@ -1,0 +1,197 @@
+"""Dedup family, ANN, text analysis, multimodal plumbing, embedding seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.ann import ann_knn_l2, bucket_of
+from documents_vector_search_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    random_hyperplanes,
+    simhash_fingerprints,
+)
+from documents_vector_search_spark.operators.embedding import (
+    hash_embedding_expr,
+    make_embedder_udf,
+)
+from documents_vector_search_spark.operators.knn import knn_l2
+from documents_vector_search_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+)
+from documents_vector_search_spark.operators.text_analysis import (
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("dog", "cat")),  # near dup
+        (4, "completely different text about spark query planning engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_groups(self, dup_docs):
+        got = {r.canonical_id: r.dup_count for r in exact_dedup(dup_docs).collect()}
+        assert got[1] == 2  # docs 1+2 share a hash, canonical = min id
+        assert got[3] == 1 and got[4] == 1
+
+
+class TestMinHashLSH:
+    def test_finds_planted_near_dup(self, dup_docs):
+        pairs = minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert got[(1, 2)] == 1.0  # exact dup
+        assert (1, 3) in got or (2, 3) in got  # near dup found via bands
+        assert all(a < b for a, b in got)  # canonical pair direction
+
+    def test_no_false_pairs_at_high_threshold(self, dup_docs):
+        pairs = minhash_lsh_pairs(dup_docs, threshold=0.999).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+class TestSimHash:
+    def test_identical_text_identical_fingerprint(self, dup_docs):
+        fp = {r.doc_id: r.simhash for r in simhash_fingerprints(dup_docs).collect()}
+        assert fp[1] == fp[2]
+        ham_near = bin(fp[1] ^ fp[3]).count("1")
+        ham_far = bin(fp[1] ^ fp[4]).count("1")
+        assert ham_near < ham_far
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, dup_docs):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(dup_docs, threshold=0.4).collect()
+        }
+        assert got[(1, 2)] == 1.0
+        assert 0.4 <= got[(1, 3)] < 1.0
+        assert (1, 4) not in got
+
+
+class TestEmbeddingNearDup:
+    def test_planted_duplicate_vector(self, spark):
+        base = [float(i % 7 - 3) for i in range(16)]
+        near = list(base)
+        near[0] += 0.01
+        far = [float((i * 3) % 5 - 2) for i in range(16)]
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+        )
+        pairs = embedding_neardup_pairs(df, threshold=0.99, n_planes=2).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+class TestANN:
+    def test_bucket_of_matches_expression(self, spark):
+        planes = random_hyperplanes(8, 3, seed=1)
+        vecs = [[float(j == i) - 0.3 for j in range(8)] for i in range(8)]
+        df = spark.createDataFrame(
+            list(enumerate(vecs)), ["vec_id", "embedding"]
+        )
+        from documents_vector_search_spark.operators.dedup import hyperplane_bucket
+
+        got = df.select(
+            "vec_id",
+            hyperplane_bucket(F.col("embedding").cast("array<double>"), planes).alias(
+                "b"
+            ),
+        ).collect()
+        for r in got:
+            assert r.b == bucket_of(vecs[r.vec_id], planes)
+
+    def test_ann_subset_of_exact_with_full_probe(self, embeddings_df):
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        # multiprobe over ALL 2^2 buckets == exact search
+        ann = ann_knn_l2(
+            embeddings_df, QUERY_VEC, 5, n_planes=2, multiprobe_bits=2
+        )
+        exact = knn_l2(embeddings_df, QUERY_VEC, 5)
+        ann_ids = [r.vec_id for r in ann.collect()]
+        exact_ids = [r.vec_id for r in exact.collect()]
+        # with radius-2 multiprobe on 2 planes every bucket is probed
+        assert ann_ids == exact_ids
+
+
+class TestTextAnalysis:
+    def test_language_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of the house"),
+                (2, "el perro y la casa de la ciudad"),
+                (3, "xyzzy qwerty asdf"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r.lang_guess for r in language_id(df).collect()}
+        assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+    def test_quality_bounds_and_features(self, tiny_docs):
+        rows = quality_score(tiny_docs).collect()
+        for r in rows:
+            assert 0.0 <= r.quality <= 1.0
+            assert 0.0 <= r.alpha_ratio <= 1.0
+        empty = [r for r in rows if r.doc_id == 5][0]
+        assert empty.n_tokens == 0 and empty.quality == 0.0
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta  gamma"), (2, "internationalization")],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: (r.ws_tokens, r.bpe_estimate) for r in token_counts(df).collect()}
+        assert got[1] == (3, 2 + 1 + 2)  # ceil(5/4)+ceil(4/4)+ceil(5/4)
+        assert got[2] == (1, 5)  # ceil(20/4)
+
+
+class TestMultimodal:
+    def test_feature_extraction_roundtrip(self, tiny_docs):
+        media = attach_binary_payload(tiny_docs)
+        feats = {r.id: r for r in extract_media_features(media).collect()}
+        assert len(feats) == 5
+        r = feats[1]
+        assert r.byte_len == len("the quick brown fox jumps over the lazy dog")
+        assert r.media_type == "text/plain"
+        assert len(r.sha256) == 64
+        assert feats[5].byte_len == 0  # empty doc
+
+    def test_custom_decoder_injection(self, tiny_docs):
+        media = attach_binary_payload(tiny_docs)
+        got = extract_media_features(
+            media, decoder=lambda mt, payload: (640, 480, 42)
+        ).first()
+        assert (got.width, got.height, got.n_frames) == (640, 480, 42)
+
+
+class TestEmbedding:
+    def test_hash_embedding_deterministic_unit_norm(self, spark):
+        df = spark.createDataFrame([("abc",), ("abc",), ("xyz",)], ["t"])
+        rows = df.select(hash_embedding_expr(F.col("t"), 8).alias("v")).collect()
+        assert rows[0].v == rows[1].v
+        assert rows[0].v != rows[2].v
+        norm = sum(x * x for x in rows[0].v) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-9)
+
+    def test_embedder_udf_with_injected_model(self, spark):
+        class FakeModel:
+            def encode(self, texts):
+                return [[float(len(t)), 1.0] for t in texts]
+
+        udf = make_embedder_udf("fake-model", loader=lambda name: FakeModel())
+        df = spark.createDataFrame([("ab",), ("abcd",)], ["t"])
+        got = [r.v for r in df.select(udf(F.col("t")).alias("v")).collect()]
+        assert got == [[2.0, 1.0], [4.0, 1.0]]

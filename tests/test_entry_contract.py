@@ -1,0 +1,28 @@
+"""Driver-contract smoke: entry() runs; queries()/oracle_sql() aligned."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_ranked_documents(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert {"doc_id", "rrf_score"} <= set(df.columns)
+
+
+def test_every_query_has_oracle():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) == set(oracles)
+    assert len(qs) >= 25
+
+
+def test_queries_execute_at_smoke_scale(spark, sf_dir):
+    # one representative per operator family (full parity is dev/compare.py)
+    qs = entrymod.queries()
+    for name in ["bm25_topk", "knn_l2", "rrf_hybrid", "dedup_minhash", "sessionize"]:
+        df = qs[name](spark, sf_dir)
+        assert df.count() >= 0

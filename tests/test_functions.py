@@ -1,0 +1,103 @@
+"""functions/: tokenizer, shingles, portable hashing, vector math."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.hashing import (
+    md5_hash64,
+    md5_hash64_sql,
+    minhash_signature,
+    simhash32,
+)
+from documents_vector_search_spark.functions.text import tokenize, word_shingles
+from documents_vector_search_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+class TestTokenize:
+    def test_basic(self, spark):
+        got = one(spark, tokenize(F.lit("The fast, FAST join!")))
+        assert got == ["the", "fast", "fast", "join"]
+
+    def test_empty_and_separators_only(self, spark):
+        assert one(spark, tokenize(F.lit(""))) == []
+        assert one(spark, tokenize(F.lit("..., !!"))) == []
+
+    def test_digits_kept(self, spark):
+        assert one(spark, tokenize(F.lit("a1 b2-c3"))) == ["a1", "b2", "c3"]
+
+
+class TestShingles:
+    def test_standard(self, spark):
+        got = one(spark, word_shingles(F.array(*[F.lit(x) for x in "abcd"]), 3))
+        assert got == ["a b c", "b c d"]
+
+    def test_short_doc_single_shingle(self, spark):
+        got = one(spark, word_shingles(F.array(F.lit("a"), F.lit("b")), 3))
+        assert got == ["a b"]
+
+
+class TestHashing:
+    def test_matches_duckdb(self, spark):
+        for value, salt in [("hello world", 0), ("hello world", 3), ("", 1)]:
+            spark_h = one(spark, md5_hash64(F.lit(value), salt))
+            duck_h = duckdb.sql(
+                f"SELECT {md5_hash64_sql(repr(value), salt)}"
+            ).fetchone()[0]
+            assert spark_h == duck_h
+
+    def test_nonnegative_int64(self, spark):
+        h = one(spark, md5_hash64(F.lit("x")))
+        assert 0 <= h < 2**60
+
+    def test_minhash_estimates_jaccard(self, spark):
+        # identical arrays → identical signatures
+        arr = F.array(*[F.lit(f"sh{i}") for i in range(20)])
+        sig1 = one(spark, minhash_signature(arr, 8))
+        sig2 = one(spark, minhash_signature(arr, 8))
+        assert sig1 == sig2
+        # disjoint arrays → (almost surely) different signatures
+        other = F.array(*[F.lit(f"zz{i}") for i in range(20)])
+        sig3 = one(spark, minhash_signature(other, 8))
+        assert sig1 != sig3
+
+    def test_simhash_similar_docs_close(self, spark):
+        a = one(spark, simhash32(tokenize(F.lit("the quick brown fox jumps"))))
+        b = one(spark, simhash32(tokenize(F.lit("the quick brown fox leaps"))))
+        c = one(spark, simhash32(tokenize(F.lit("entirely different content here"))))
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+    def test_simhash_empty_is_zero(self, spark):
+        assert one(spark, simhash32(tokenize(F.lit("")))) == 0
+
+
+class TestVectors:
+    def test_dot_l2_cosine(self, spark):
+        a = F.array(F.lit(1.0), F.lit(2.0), F.lit(2.0))
+        b = F.array(F.lit(2.0), F.lit(0.0), F.lit(1.0))
+        assert one(spark, dot_product(a, b)) == pytest.approx(4.0)
+        assert one(spark, l2_norm(a)) == pytest.approx(3.0)
+        assert one(spark, l2_distance(a, b)) == pytest.approx(math.sqrt(1 + 4 + 1))
+        assert one(spark, cosine_similarity(a, b)) == pytest.approx(
+            4.0 / (3.0 * math.sqrt(5))
+        )
+
+    def test_cosine_zero_vector_guard(self, spark):
+        z = F.array(F.lit(0.0), F.lit(0.0))
+        a = F.array(F.lit(1.0), F.lit(0.0))
+        assert one(spark, cosine_similarity(z, a)) == 0.0

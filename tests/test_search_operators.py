@@ -1,0 +1,201 @@
+"""Search core: BM25, kNN, RRF, group-hits, fetch, chunking.
+
+Hand-computed expectations on tiny inputs + metamorphic properties on
+the synthetic corpus (top-k ⊆ top-(k+1); single-list RRF preserves
+order — fixing the reference's no-ranking-tests gap, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.bm25 import (
+    K1,
+    B,
+    bm25_topk,
+    build_doc_stats,
+    build_postings,
+)
+from documents_vector_search_spark.operators.chunking import (
+    assign_chunk_ids,
+    fixed_window_chunks,
+)
+from documents_vector_search_spark.operators.fetch import fetch_lines
+from documents_vector_search_spark.operators.group_hits import group_hits_by_document
+from documents_vector_search_spark.operators.knn import knn_cosine, knn_l2
+from documents_vector_search_spark.operators.rrf import rrf_fuse
+from documents_vector_search_spark.registry import QUERY_VEC
+
+
+class TestBM25:
+    def test_postings_and_doc_stats(self, tiny_docs):
+        postings = build_postings(tiny_docs).collect()
+        tf = {(r.doc_id, r.term): r.tf for r in postings}
+        assert tf[(1, "the")] == 2  # "the quick ... the lazy"
+        assert tf[(3, "join")] == 2
+        dl = {r.doc_id: r.dl for r in build_doc_stats(tiny_docs).collect()}
+        assert dl[1] == 9 and dl[3] == 8 and dl[5] == 0
+
+    def test_hand_computed_score(self, tiny_docs):
+        # query "join": only doc 3 matches; verify the exact okapi value
+        got = bm25_topk(tiny_docs, "join", 5).collect()
+        assert [r.doc_id for r in got] == [3]
+        n_docs, df_t, tf, dl = 5, 1, 2, 8
+        avgdl = (9 + 9 + 8 + 6 + 0) / 5
+        idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5))
+        expected = idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+        assert got[0].score == pytest.approx(round(expected, 6))
+
+    def test_conjunctive_all_terms_required(self, tiny_docs):
+        # "quick pasta" co-occurs nowhere
+        assert bm25_topk(tiny_docs, "quick pasta", 5).count() == 0
+
+    def test_empty_query(self, tiny_docs):
+        assert bm25_topk(tiny_docs, "", 5).count() == 0
+
+    def test_prebuilt_index_same_result(self, tiny_docs):
+        postings = build_postings(tiny_docs)
+        stats = build_doc_stats(tiny_docs)
+        a = bm25_topk(tiny_docs, "quick fox", 5).collect()
+        b = bm25_topk(
+            tiny_docs, "quick fox", 5, postings=postings, doc_stats=stats
+        ).collect()
+        assert a == b
+
+
+class TestKNN:
+    def test_exact_match_first(self, spark):
+        rows = [(i, [float(i), 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = knn_l2(df, [3.0, 0.0], 3).collect()
+        assert got[0].vec_id == 3 and got[0].distance == 0.0
+        assert [r.vec_id for r in got] == [3, 2, 4]  # tie 2/4 broken by id
+
+    def test_cosine_ignores_magnitude(self, spark):
+        df = spark.createDataFrame(
+            [(1, [10.0, 0.0]), (2, [0.1, 0.0]), (3, [0.0, 5.0])],
+            ["vec_id", "embedding"],
+        )
+        got = knn_cosine(df, [1.0, 0.0], 3).collect()
+        assert {got[0].vec_id, got[1].vec_id} == {1, 2}
+        assert got[0].similarity == got[1].similarity == 1.0
+
+    def test_topk_is_prefix_of_topk_plus_1(self, embeddings_df):
+        k5 = [r.vec_id for r in knn_l2(embeddings_df, QUERY_VEC, 5).collect()]
+        k6 = [r.vec_id for r in knn_l2(embeddings_df, QUERY_VEC, 6).collect()]
+        assert k6[:5] == k5
+
+    def test_filter_pushdown_respected(self, embeddings_df):
+        got = knn_l2(
+            embeddings_df, QUERY_VEC, 5, predicate=F.col("label") == 2
+        ).collect()
+        labels = {
+            r.label
+            for r in embeddings_df.filter(
+                F.col("vec_id").isin([g.vec_id for g in got])
+            ).collect()
+        }
+        assert labels == {2}
+
+
+class TestRRF:
+    def test_hand_computed_fusion(self, spark):
+        l1 = spark.createDataFrame([(10, 0), (20, 1)], ["doc_id", "rank"])
+        l2 = spark.createDataFrame([(20, 0), (30, 1)], ["doc_id", "rank"])
+        got = {r.doc_id: r.rrf_score for r in rrf_fuse([l1, l2], 10, rrf_k=60).collect()}
+        assert got[20] == pytest.approx(round(1 / 61 + 1 / 62, 6))
+        assert got[10] == pytest.approx(round(1 / 61, 6))
+        assert got[30] == pytest.approx(round(1 / 62, 6))
+
+    def test_single_list_preserves_order(self, spark):
+        lst = spark.createDataFrame(
+            [(i * 7, i) for i in range(5)], ["doc_id", "rank"]
+        )
+        got = [r.doc_id for r in rrf_fuse([lst], 5).collect()]
+        assert got == [0, 7, 14, 21, 28]
+
+    def test_identical_lists_fuse_to_same_order(self, spark):
+        lst = spark.createDataFrame(
+            [(3, 0), (1, 1), (2, 2)], ["doc_id", "rank"]
+        )
+        got = [r.doc_id for r in rrf_fuse([lst, lst], 3).collect()]
+        assert got == [3, 1, 2]
+
+
+class TestGroupHits:
+    def test_first_hit_determines_doc_order(self, spark):
+        hits = spark.createDataFrame(
+            [("B", 100, 0, 0.9), ("A", 101, 1, 0.8), ("B", 102, 2, 0.7), ("A", 103, 3, 0.6)],
+            ["doc_id", "chunk_id", "rank", "score"],
+        )
+        got = group_hits_by_document(hits).collect()
+        assert [r.doc_id for r in got] == ["B", "A"]
+        assert got[0].matched_chunks == [100, 102]
+        assert got[0].best_score == pytest.approx(0.9)
+        assert got[1].n_chunks == 2
+
+    def test_max_documents_truncation(self, spark):
+        hits = spark.createDataFrame(
+            [(c, i, i, 1.0 - i / 10) for i, c in enumerate("ABCD")],
+            ["doc_id", "chunk_id", "rank", "score"],
+        )
+        got = group_hits_by_document(hits, max_documents=2).collect()
+        assert [r.doc_id for r in got] == ["A", "B"]
+
+
+class TestFetch:
+    def test_line_slice(self, spark):
+        df = spark.createDataFrame([(1, "l1\nl2\nl3\nl4")], ["doc_id", "text"])
+        r = fetch_lines(df, 1, 2, 3).first()
+        assert (r.start_line, r.end_line, r.total_lines) == (2, 3, 4)
+        assert r.text_slice == "l2\nl3"
+
+    def test_clamping(self, spark):
+        df = spark.createDataFrame([(1, "l1\nl2")], ["doc_id", "text"])
+        r = fetch_lines(df, 1, -5, 100).first()
+        assert (r.start_line, r.end_line) == (1, 2)
+        assert r.text_slice == "l1\nl2"
+
+    def test_missing_doc_empty(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        assert fetch_lines(df, 999).count() == 0
+
+
+class TestChunking:
+    def test_exact_window_math(self, spark):
+        df = spark.createDataFrame([(1, "a" * 250)], ["doc_id", "text"])
+        got = fixed_window_chunks(df, chunk_size=100, overlap=20).collect()
+        # stride 80: chunks at 1, 81, 161, 241 → lengths 100,100,90,10
+        assert len(got) == 3  # 1 + ceil((250-100)/80) = 1 + 2
+        assert [len(r.chunk_text) for r in got] == [100, 100, 90]
+
+    def test_short_and_empty_docs_get_one_chunk(self, spark):
+        df = spark.createDataFrame([(1, "short"), (2, "")], ["doc_id", "text"])
+        got = fixed_window_chunks(df, 100, 20).collect()
+        assert len(got) == 2
+
+    def test_overlap_content(self, spark):
+        df = spark.createDataFrame(
+            [(1, "0123456789" * 3)], ["doc_id", "text"]
+        )
+        got = {
+            r.chunk_number: r.chunk_text
+            for r in fixed_window_chunks(df, chunk_size=10, overlap=5).collect()
+        }
+        assert got[0] == "0123456789"
+        assert got[1] == "5678901234"  # 5-char overlap with chunk 0
+
+    def test_chunk_ids_contiguous_with_offset(self, spark):
+        df = spark.createDataFrame(
+            [(2, "x" * 150), (1, "y" * 150)], ["doc_id", "text"]
+        )
+        chunks = assign_chunk_ids(
+            fixed_window_chunks(df, 100, 0), offset=7
+        ).collect()
+        ids = sorted(r.chunk_id for r in chunks)
+        assert ids == [7, 8, 9, 10]
+        by_key = {(r.doc_id, r.chunk_number): r.chunk_id for r in chunks}
+        assert by_key[(1, 0)] == 7  # ordered by (doc_id, chunk_number)
