@@ -1,0 +1,67 @@
+"""Collection handle: paths, table IO, create/open/destroy.
+
+Spark-first equivalent of the reference's DiskPersister + collection
+directory layout (main/indexes/persisters/disk_persister.py;
+main/factories/create_collection_factory.py:22). No pickle: every
+index representation is a Parquet table readable by any engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from documents_vector_search_spark.collection.manifest import Manifest
+
+TABLES = ("documents", "chunks", "embeddings", "postings", "doc_stats")
+
+# canonical document envelope (SURVEY §1.1): the shape every source
+# converter emits, mirroring {id, url, metadata, text, chunks} of e.g.
+# reference main/sources/jira/jira_document_converter.py:15-31 (chunks
+# become the exploded `chunks` table instead of a nested array).
+DOCUMENT_SCHEMA = (
+    "id STRING, url STRING, metadata MAP<STRING,STRING>, text STRING, "
+    "last_modified_at TIMESTAMP, source_type STRING"
+)
+
+
+class Collection:
+    def __init__(self, spark: SparkSession, base_path: str, name: str):
+        self.spark = spark
+        self.name = name
+        self.root = Path(base_path) / name
+
+    # -- paths ------------------------------------------------------------
+    def table_path(self, table: str) -> str:
+        return str(self.root / table)
+
+    @property
+    def manifest_path(self) -> Path:
+        return self.root / "manifest.json"
+
+    # -- lifecycle ----------------------------------------------------------
+    def exists(self) -> bool:
+        return self.manifest_path.exists()
+
+    def destroy(self) -> None:
+        """Wipe the collection dir (reference recreates on create,
+        documents_collection_creator.py:49-50)."""
+        if self.root.exists():
+            shutil.rmtree(self.root)
+
+    # -- IO -----------------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(table))
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.table_path(table))
+
+    def manifest(self) -> Manifest:
+        return Manifest.load(self.manifest_path)
+
+    def save_manifest(self, manifest: Manifest) -> None:
+        self.root.mkdir(parents=True, exist_ok=True)
+        manifest.touch()
+        manifest.save(self.manifest_path)

@@ -1,0 +1,156 @@
+"""Collection creation: canonical docs → chunk/embed/index tables.
+
+Spark-first re-expression of the reference's create pipeline
+(main/core/documents_collection_creator.py:37-71,100-192): read →
+convert → save documents → enumerate chunks with global ids → feed
+every indexer. Here the "indexers" are two more DataFrame writes off
+the same cached chunk table — the multi-indexer fan-out of
+documents_collection_creator.py:180-181 with Parquet instead of
+FAISS/Chroma/SQLite.
+
+Scale notes (100 TB):
+- One pass over the corpus: chunks are cached once and fanned out to
+  embeddings + postings + doc_stats (three writes, one computation).
+- The reference's 500k-doc batching (documents_collection_creator.py:28)
+  is subsumed by partitioned execution.
+- Global contiguous chunk ids need a total order; for parity with the
+  reference's counter we keep them (zipWithIndex-free row_number is a
+  single-partition window — see operators/chunking.py scale note). At
+  true 100 TB scale set ``contiguous_ids=False`` to derive collision-free
+  ids from (document_id, chunk_number) hashing — order-free and fully
+  parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import Collection
+from documents_vector_search_spark.collection.manifest import Manifest
+from documents_vector_search_spark.functions.hashing import md5_hash64
+from documents_vector_search_spark.operators.bm25 import (
+    build_doc_stats,
+    build_postings,
+)
+from documents_vector_search_spark.operators.chunking import (
+    assign_chunk_ids,
+    fixed_window_chunks,
+)
+from documents_vector_search_spark.operators.embedding import hash_embedding_expr
+
+Embedder = Callable[[Column], Column]
+
+
+def default_embedder(dim: int = 16) -> Embedder:
+    return lambda col: hash_embedding_expr(col, dim)
+
+
+def build_chunks(
+    docs: DataFrame,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 100,
+    title_col: str | None = None,
+) -> DataFrame:
+    """Docs → (document_id, chunk_number, indexed_data).
+
+    Chunk 0 is the title/main-info chunk (reference
+    jira_document_converter.py:39-51: "KEY : summary" etc.; here
+    ``title_col`` or the document id); chunks 1..N split the body
+    (SURVEY §2.3 T2).
+    """
+    title = F.col(title_col) if title_col else F.col("id")
+    title_chunks = docs.select(
+        F.col("id").alias("document_id"),
+        F.lit(0).alias("chunk_number"),
+        title.cast("string").alias("indexed_data"),
+    )
+    body = fixed_window_chunks(
+        docs.filter(F.length("text") > 0),
+        chunk_size=chunk_size,
+        overlap=chunk_overlap,
+        id_col="id",
+        text_col="text",
+    )
+    body_chunks = body.select(
+        F.col("id").alias("document_id"),
+        (F.col("chunk_number") + 1).alias("chunk_number"),
+        F.col("chunk_text").alias("indexed_data"),
+    )
+    return title_chunks.unionByName(body_chunks)
+
+
+def _hash_chunk_ids(chunks: DataFrame) -> DataFrame:
+    """Order-free 60-bit chunk ids from (document_id, chunk_number) —
+    the scale path (no global sort; collision odds ~n²/2⁶¹)."""
+    return chunks.withColumn(
+        "chunk_id",
+        md5_hash64(
+            F.concat_ws(":", F.col("document_id"), F.col("chunk_number"))
+        ),
+    )
+
+
+def create_collection(
+    collection: Collection,
+    docs: DataFrame,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 100,
+    title_col: str | None = None,
+    embedder: Embedder | None = None,
+    embedding_dim: int = 16,
+    contiguous_ids: bool = True,
+) -> Manifest:
+    """Create (wipe + rebuild) a collection from canonical documents."""
+    collection.destroy()
+    embed = embedder or default_embedder(embedding_dim)
+
+    collection.write("documents", docs)
+    docs = collection.read("documents")  # re-read: decouple lineage from source
+
+    chunks = build_chunks(docs, chunk_size, chunk_overlap, title_col)
+    if contiguous_ids:
+        chunks = assign_chunk_ids(
+            chunks, offset=0, id_col="document_id", chunk_number_col="chunk_number"
+        )
+    else:
+        chunks = _hash_chunk_ids(chunks)
+    collection.write("chunks", chunks)
+    chunks = collection.read("chunks")  # one materialized pass feeds 3 indexes
+
+    collection.write(
+        "embeddings",
+        chunks.select(
+            "chunk_id",
+            embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
+        ),
+    )
+    collection.write(
+        "postings",
+        build_postings(chunks, id_col="chunk_id", text_col="indexed_data"),
+    )
+    collection.write(
+        "doc_stats",
+        build_doc_stats(chunks, id_col="chunk_id", text_col="indexed_data"),
+    )
+
+    n_docs = docs.count()
+    stats = chunks.agg(
+        F.count("*").alias("n"), F.max("chunk_id").alias("last")
+    ).first()
+    n_chunks, last_id = stats["n"], stats["last"]
+    watermark = docs.agg(F.max("last_modified_at")).first()[0]
+    manifest = Manifest(
+        collectionName=collection.name,
+        lastModifiedDocumentTime=watermark.isoformat() if watermark else None,
+        numberOfDocuments=n_docs,
+        numberOfChunks=n_chunks,
+        lastIndexItemId=int(last_id) if last_id is not None else -1,
+        converter={
+            "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap}
+        },
+    )
+    collection.save_manifest(manifest)
+    return manifest

@@ -1,0 +1,186 @@
+"""Hybrid collection search: vector + BM25 + RRF + group-by-document.
+
+Spark-first re-expression of the reference's search entry point
+(main/core/documents_collection_searcher.py:18-44): embed/tokenize the
+query, per-index top-k with optional metadata filter, RRF across
+indexes (skipped for a single index, lines 31-34), group chunk hits by
+document preserving first-hit order (67-111), truncate.
+
+Metadata filtering: the reference pushes the filter into each backend
+(Chroma where-dict / SQLite subquery; FAISS can't filter at all). Here
+ONE compiled predicate on the documents table produces the allowed
+document set; chunk-level candidates are semi-joined against it before
+scoring — Catalyst broadcasts the (small) filtered id set, so every
+index gets filtered search with the same semantics (SURVEY §2.2 P10:
+the capability guard becomes unnecessary).
+
+Scale: both index scans are single-pass with TakeOrderedAndProject
+top-k; the RRF/grouping stages run on ≤ k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import Collection
+from documents_vector_search_spark.operators.bm25 import bm25_topk
+from documents_vector_search_spark.operators.embedding import hash_embedding_py
+from documents_vector_search_spark.operators.group_hits import group_hits_by_document
+from documents_vector_search_spark.operators.knn import knn_l2
+from documents_vector_search_spark.operators.rrf import rrf_fuse
+from documents_vector_search_spark.plans.filter_compiler import compile_filter
+
+DEFAULT_INDEXES = ("vector", "bm25")
+
+
+class CollectionSearcher:
+    def __init__(
+        self,
+        collection: Collection,
+        rrf_k: int = 60,
+        embedding_dim: int = 16,
+        field_types: dict[str, str] | None = None,
+    ):
+        if rrf_k < 1:
+            raise ValueError("rrf_k must be >= 1")
+        self.collection = collection
+        self.rrf_k = rrf_k
+        self.embedding_dim = embedding_dim
+        self.field_types = field_types or {}
+
+    # -- internals ---------------------------------------------------------
+    def _allowed_chunks(self, metadata_filter: str | None) -> DataFrame | None:
+        """Filter → allowed chunk ids (None = no restriction)."""
+        if not metadata_filter:
+            return None
+        docs = self.collection.read("documents")
+        pred = compile_filter(
+            metadata_filter,
+            field_types=self.field_types,
+            metadata_map_col="metadata",
+            direct_fields={"id", "url", "text", "last_modified_at", "source_type"},
+        )
+        allowed_docs = docs.filter(pred).select("id")
+        chunks = self.collection.read("chunks")
+        return chunks.join(
+            F.broadcast(allowed_docs),
+            chunks["document_id"] == allowed_docs["id"],
+            "left_semi",
+        ).select("chunk_id")
+
+    def _vector_hits(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        emb = self.collection.read("embeddings")
+        if allowed is not None:
+            emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
+        qv = hash_embedding_py(text, self.embedding_dim)
+        hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")
+        # L2 ascending → rank; keep a unified (chunk_id, rank, score) shape
+        w = Window.orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
+        return hits.select(
+            "chunk_id",
+            (F.row_number().over(w) - 1).alias("rank"),
+            (-F.col("distance")).alias("score"),  # higher-is-better convention
+        )
+
+    def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
+        postings = self.collection.read("postings")
+        doc_stats = self.collection.read("doc_stats")
+        if allowed is not None:
+            postings = postings.join(F.broadcast(allowed), "chunk_id", "left_semi")
+            doc_stats = doc_stats.join(F.broadcast(allowed), "chunk_id", "left_semi")
+        chunks = self.collection.read("chunks")
+        hits = bm25_topk(
+            chunks,  # only used for sparkSession/tokenizer defaults
+            text,
+            k,
+            id_col="chunk_id",
+            text_col="indexed_data",
+            postings=postings,
+            doc_stats=doc_stats,
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("chunk_id").asc())
+        return hits.select(
+            "chunk_id", (F.row_number().over(w) - 1).alias("rank"), "score"
+        )
+
+    # -- public ----------------------------------------------------------
+    def search_chunks(
+        self,
+        text: str,
+        max_chunks: int = 15,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """Fused chunk ranking: (chunk_id, rank, score)."""
+        unknown = set(indexes) - {"vector", "bm25"}
+        if unknown:
+            raise ValueError(f"unknown indexes: {sorted(unknown)}")
+        allowed = self._allowed_chunks(metadata_filter)
+        lists = []
+        if "vector" in indexes:
+            lists.append(self._vector_hits(text, max_chunks, allowed))
+        if "bm25" in indexes:
+            lists.append(self._bm25_hits(text, max_chunks, allowed))
+
+        if len(lists) == 1:
+            # single index: skip RRF, keep native scores (reference
+            # documents_collection_searcher.py:31-34)
+            fused = lists[0].limit(max_chunks)
+        else:
+            fused_scores = rrf_fuse(
+                [df.select("chunk_id", "rank") for df in lists],
+                k=max_chunks,
+                rrf_k=self.rrf_k,
+                id_col="chunk_id",
+            )
+            w = Window.orderBy(F.col("rrf_score").desc(), F.col("chunk_id").asc())
+            fused = fused_scores.select(
+                "chunk_id",
+                (F.row_number().over(w) - 1).alias("rank"),
+                F.col("rrf_score").alias("score"),
+            )
+        return fused
+
+    def search(
+        self,
+        text: str,
+        max_chunks: int = 15,
+        max_documents: int | None = 10,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+        include_chunk_text: bool = False,
+    ) -> DataFrame:
+        """Document-grouped results ordered by first-hit rank
+        (reference __build_results, documents_collection_searcher.py:67-111)."""
+        fused = self.search_chunks(text, max_chunks, indexes, metadata_filter)
+        chunks = self.collection.read("chunks")
+        hit_chunks = fused.join(chunks, "chunk_id").select(
+            "chunk_id", "document_id", "chunk_number", "rank", "score",
+            *(["indexed_data"] if include_chunk_text else []),
+        )
+        grouped = group_hits_by_document(
+            hit_chunks,
+            max_documents=max_documents,
+            doc_col="document_id",
+            chunk_col="chunk_number" if not include_chunk_text else "chunk_number",
+        )
+        docs = self.collection.read("documents")
+        return (
+            grouped.join(
+                docs, grouped["document_id"] == docs["id"]
+            )
+            .select(
+                "document_id",
+                "doc_rank",
+                "url",
+                "metadata",
+                "last_modified_at",
+                "matched_chunks",
+                "best_score",
+                "n_chunks",
+            )
+            .orderBy("doc_rank")
+        )

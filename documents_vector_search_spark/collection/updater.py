@@ -1,0 +1,155 @@
+"""Incremental update: delete-then-reinsert MERGE over Parquet tables.
+
+Spark-first re-expression of the reference's update path
+(main/core/documents_collection_creator.py:73-98,125-136,204-221):
+for each re-read document, delete its old chunks from every index,
+then re-add with fresh ids continuing the global counter
+(lastIndexItemId, line 129). Delete-then-reinsert also makes the
+watermark's 5-minute overlap window idempotent (SURVEY §7.4): a doc
+re-sent unchanged is simply replaced by identical content.
+
+Mechanics: anti-join each table on the changed document ids, union the
+freshly built rows, and swap the table directory (write-to-tmp + rename
+— Parquet can't be overwritten while being read; a Delta/Iceberg MERGE
+is the drop-in upgrade on a real deployment).
+
+Scale notes: the anti-join broadcasts the (small) changed-id set; only
+the update batch is chunked/embedded — cost is O(batch), not O(corpus),
+except for the table rewrite, which partition-pruned formats (or
+Delta) reduce to touched partitions only.
+"""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import TABLES, Collection
+from documents_vector_search_spark.collection.creator import (
+    Embedder,
+    build_chunks,
+    default_embedder,
+)
+from documents_vector_search_spark.collection.manifest import Manifest
+from documents_vector_search_spark.operators.bm25 import (
+    build_doc_stats,
+    build_postings,
+)
+from documents_vector_search_spark.operators.chunking import assign_chunk_ids
+
+
+def _swap_all(collection: Collection, merged: dict[str, DataFrame]) -> None:
+    """Two-phase table rewrite: FIRST materialize every merged table to a
+    __tmp dir (all plans still read the intact originals — swapping any
+    table earlier would make later lazy plans read post-swap data and
+    corrupt the merge), THEN swap all directories."""
+    for table, df in merged.items():
+        df.write.mode("overwrite").parquet(
+            str(Path(collection.table_path(f"{table}__tmp")))
+        )
+    for table in merged:
+        tmp = Path(collection.table_path(f"{table}__tmp"))
+        final = Path(collection.table_path(table))
+        old = final.with_name(f"{table}__old")
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
+
+
+def update_collection(
+    collection: Collection,
+    changed_docs: DataFrame,
+    embedder: Embedder | None = None,
+    embedding_dim: int = 16,
+    title_col: str | None = None,
+) -> Manifest:
+    """Apply an update batch of canonical documents (changed + new)."""
+    manifest = collection.manifest()
+    splitter = manifest.converter.get("splitter", {})
+    chunk_size = splitter.get("chunkSize", 1000)
+    chunk_overlap = splitter.get("chunkOverlap", 100)
+    embed = embedder or default_embedder(embedding_dim)
+
+    changed_ids = changed_docs.select(F.col("id")).distinct()
+
+    # --- documents: replace changed, append new ---------------------------
+    docs = collection.read("documents")
+    merged_docs = docs.join(changed_ids, "id", "left_anti").unionByName(changed_docs)
+
+    # --- stale chunk ids (for index deletes, U3) ---------------------------
+    chunks = collection.read("chunks")
+    stale_chunks = chunks.join(
+        changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
+    ).select("chunk_id")
+
+    # --- fresh chunks with ids continuing the global counter --------------
+    fresh_chunks = assign_chunk_ids(
+        build_chunks(changed_docs, chunk_size, chunk_overlap, title_col),
+        offset=manifest.lastIndexItemId + 1,
+        id_col="document_id",
+        chunk_number_col="chunk_number",
+    )
+
+    merged_chunks = (
+        chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
+    )
+
+    fresh_embeddings = fresh_chunks.select(
+        "chunk_id",
+        embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
+    )
+    merged_embeddings = (
+        collection.read("embeddings")
+        .join(stale_chunks, "chunk_id", "left_anti")
+        .unionByName(fresh_embeddings)
+    )
+    merged_postings = (
+        collection.read("postings")
+        .join(stale_chunks, "chunk_id", "left_anti")
+        .unionByName(
+            build_postings(fresh_chunks, id_col="chunk_id", text_col="indexed_data")
+        )
+    )
+    merged_doc_stats = (
+        collection.read("doc_stats")
+        .join(stale_chunks, "chunk_id", "left_anti")
+        .unionByName(
+            build_doc_stats(fresh_chunks, id_col="chunk_id", text_col="indexed_data")
+        )
+    )
+
+    _swap_all(
+        collection,
+        {
+            "documents": merged_docs,
+            "chunks": merged_chunks,
+            "embeddings": merged_embeddings,
+            "postings": merged_postings,
+            "doc_stats": merged_doc_stats,
+        },
+    )
+
+    # --- manifest merge-update (documents_collection_creator.py:255-268) ---
+    new_docs = collection.read("documents")
+    new_chunks = collection.read("chunks")
+    stats = new_chunks.agg(
+        F.count("*").alias("n"), F.max("chunk_id").alias("last")
+    ).first()
+    watermark = new_docs.agg(F.max("last_modified_at")).first()[0]
+    manifest.numberOfDocuments = new_docs.count()
+    manifest.numberOfChunks = stats["n"]
+    manifest.lastIndexItemId = int(stats["last"]) if stats["last"] is not None else -1
+    if watermark is not None:
+        manifest.lastModifiedDocumentTime = (
+            watermark.isoformat()
+            if isinstance(watermark, datetime)
+            else str(watermark)
+        )
+    collection.save_manifest(manifest)
+    return manifest

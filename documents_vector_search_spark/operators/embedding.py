@@ -60,6 +60,25 @@ def hash_embedding_expr(text: Column, dim: int = 16) -> Column:
     )
 
 
+def hash_embedding_py(text: str, dim: int = 16) -> list[float]:
+    """Driver-side Python twin of :func:`hash_embedding_expr` — embeds a
+    QUERY string with bit-identical output to the corpus expression, so
+    query and index vectors live in the same space (the analog of using
+    one SentenceTransformer for both, reference
+    main/core/documents_collection_searcher.py via indexer.search)."""
+    import hashlib
+
+    raw = []
+    for i in range(dim):
+        digest = hashlib.md5(f"{i}:{text}".encode()).hexdigest()
+        h = int(digest[:15], 16)
+        raw.append(((h % 2001) - 1000) / 1000.0)
+    norm = sum(x * x for x in raw) ** 0.5
+    if norm == 0:
+        return [0.0] * dim
+    return [x / norm for x in raw]
+
+
 def _default_loader(model_name: str):
     try:
         from sentence_transformers import SentenceTransformer

@@ -1,0 +1,185 @@
+"""Collection lifecycle end-to-end: create → search → fetch → update.
+
+The golden-path test the reference never had (SURVEY §5): real corpus →
+create (chunk/embed/index) → hybrid + filtered search → point fetch →
+incremental update with the reference's invariants (chunk ids continue
+from lastIndexItemId; stale chunks absent from every index; unchanged
+re-sends idempotent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection import (
+    Collection,
+    CollectionSearcher,
+    create_collection,
+    fetch_document_lines,
+    update_collection,
+)
+from documents_vector_search_spark.collection.fetcher import DocumentNotFoundError
+
+
+@pytest.fixture(scope="module")
+def canonical_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.limit(100).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("id"),
+        F.concat(F.lit("file:///corpus/"), F.col("doc_id")).alias("url"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+        F.col("text"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+        F.lit("localFiles").alias("source_type"),
+    )
+
+
+@pytest.fixture(scope="module")
+def collection(spark, canonical_docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("collections"))
+    coll = Collection(spark, base, "corpus")
+    create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+    return coll
+
+
+class TestCreate:
+    def test_tables_and_manifest(self, collection):
+        m = collection.manifest()
+        assert m.numberOfDocuments == 100
+        assert m.numberOfChunks > 100  # at least title chunk per doc + splits
+        assert m.lastIndexItemId == m.numberOfChunks - 1  # contiguous from 0
+        assert m.lastModifiedDocumentTime.startswith("2024-03-01")
+        for t in ("documents", "chunks", "embeddings", "postings", "doc_stats"):
+            assert collection.read(t).count() > 0
+
+    def test_chunk_zero_is_title(self, collection):
+        c0 = (
+            collection.read("chunks")
+            .filter((F.col("document_id") == "doc-0") & (F.col("chunk_number") == 0))
+            .first()
+        )
+        assert c0.indexed_data == "doc-0"
+
+    def test_embeddings_align_with_chunks(self, collection):
+        n_chunks = collection.read("chunks").count()
+        emb = collection.read("embeddings")
+        assert emb.count() == n_chunks
+        assert len(emb.first().vector) == 16
+
+
+class TestSearch:
+    def test_hybrid_search_returns_ranked_docs(self, collection):
+        s = CollectionSearcher(collection)
+        got = s.search("hash join vector", max_chunks=15, max_documents=5).collect()
+        assert 0 < len(got) <= 5
+        ranks = [r.doc_rank for r in got]
+        assert ranks == sorted(ranks)
+        assert got[0].url.startswith("file:///corpus/")
+
+    def test_single_index_skips_rrf(self, collection):
+        s = CollectionSearcher(collection)
+        vec_only = s.search_chunks("hash join", indexes=("vector",)).collect()
+        assert len(vec_only) > 0
+        bm_only = s.search_chunks("hash join", indexes=("bm25",)).collect()
+        assert all(r.score > 0 for r in bm_only)
+
+    def test_metadata_filter_restricts_results(self, collection, spark):
+        s = CollectionSearcher(collection)
+        hits = s.search(
+            "hash join", max_chunks=20, metadata_filter='lang = "en"'
+        ).collect()
+        assert len(hits) > 0
+        langs = {r.metadata["lang"] for r in hits}
+        assert langs == {"en"}
+
+    def test_filter_only_no_matches(self, collection):
+        s = CollectionSearcher(collection)
+        got = s.search("hash join", metadata_filter='lang = "xx"').collect()
+        assert got == []
+
+    def test_unknown_index_rejected(self, collection):
+        s = CollectionSearcher(collection)
+        with pytest.raises(ValueError, match="unknown indexes"):
+            s.search_chunks("x", indexes=("hnsw",))
+
+    def test_bad_rrf_k_rejected(self, collection):
+        with pytest.raises(ValueError, match="rrf_k"):
+            CollectionSearcher(collection, rrf_k=0)
+
+
+class TestFetch:
+    def test_fetch_slice(self, collection):
+        got = fetch_document_lines(collection, "doc-3", 1, 5)
+        assert got["id"] == "doc-3"
+        assert got["total_lines"] >= 1
+
+    def test_missing_raises(self, collection):
+        with pytest.raises(DocumentNotFoundError):
+            fetch_document_lines(collection, "doc-nope")
+
+
+class TestUpdate:
+    def test_delete_then_reinsert_invariants(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "upd")
+        m0 = create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        old_last = m0.lastIndexItemId
+        old_chunk_ids = {
+            r.chunk_id
+            for r in coll.read("chunks")
+            .filter(F.col("document_id").isin(["doc-1", "doc-2"]))
+            .collect()
+        }
+
+        updates = canonical_docs.filter(F.col("id").isin(["doc-1", "doc-2"])).select(
+            "id",
+            "url",
+            "metadata",
+            F.concat(F.lit("fresh updated content about broadcast joins. "), "text").alias("text"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+            "source_type",
+        )
+        m1 = update_collection(coll, updates)
+
+        # counts: same docs, watermark advanced
+        assert m1.numberOfDocuments == 100
+        assert m1.lastModifiedDocumentTime.startswith("2024-06-01")
+
+        chunks = coll.read("chunks")
+        new_ids = {
+            r.chunk_id
+            for r in chunks.filter(
+                F.col("document_id").isin(["doc-1", "doc-2"])
+            ).collect()
+        }
+        # fresh ids continue from the previous counter (U3 invariant)
+        assert min(new_ids) == old_last + 1
+        assert m1.lastIndexItemId == max(new_ids)
+        # stale chunk ids absent from every index table
+        for t in ("chunks", "embeddings", "postings", "doc_stats"):
+            remaining = (
+                coll.read(t)
+                .filter(F.col("chunk_id").isin(list(old_chunk_ids)))
+                .count()
+            )
+            assert remaining == 0, t
+        # updated text searchable
+        s = CollectionSearcher(coll)
+        got = s.search("broadcast joins", indexes=("bm25",)).collect()
+        assert {r.document_id for r in got} <= {"doc-1", "doc-2"}
+        assert len(got) > 0
+
+    def test_unchanged_resend_is_idempotent(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "idem")
+        create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        before_docs = coll.read("documents").count()
+        before_chunks = coll.read("chunks").count()
+        resend = canonical_docs.filter(F.col("id") == "doc-5")
+        update_collection(coll, resend)
+        assert coll.read("documents").count() == before_docs
+        assert coll.read("chunks").count() == before_chunks
+        # content unchanged → same number of chunks for the doc, new ids
+        assert (
+            coll.read("documents").filter(F.col("id") == "doc-5").count() == 1
+        )
