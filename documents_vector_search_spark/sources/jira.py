@@ -1,0 +1,210 @@
+"""Jira source: REST scan → canonical documents.
+
+Spark-first re-expression of the reference's Jira readers/converters:
+
+- Server/DC: offset pagination over ``/rest/api/latest/search`` with
+  JQL + fixed field projection (main/sources/jira/jira_document_reader.py:
+  37-90, page size 500)
+- Cloud: ``nextPageToken`` keyset pagination over
+  ``/rest/api/3/search/jql`` (main/sources/jira/jira_cloud_document_reader.py:
+  66-104)
+- Conversion (main/sources/jira/jira_document_converter.py:14-102):
+  project = key.split('-')[0]; null-safe nested extraction; lowercased
+  emails; epic = coalesce(epic key, parent key); text = summary +
+  description + comments joined with blank lines; Cloud ADF flattening
+  (jira_cloud_document_converter.py:67-76).
+
+Transport is an injectable callable ``(path, params) -> dict`` so the
+reader is testable offline; the default uses ``requests`` with the
+reference's timeout/retry defaults. Pagination is inherently sequential
+(token chains), so pages are fetched driver-side and handed to Spark as
+a DataFrame — the converter stage on is fully distributed (SURVEY §7.4
+"Non-parallelizable source pagination").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import DOCUMENT_SCHEMA
+from documents_vector_search_spark.sources.batching import execute_with_retry
+
+Transport = Callable[[str, dict], dict]
+
+JIRA_FIELDS = (
+    "key,summary,description,comment,created,creator,updated,"
+    "issuetype,priority,assignee,status,customfield_10014,parent"
+)
+PAGE_SIZE = 500
+HTTP_TIMEOUT = 60
+
+
+def requests_transport(base_url: str, token: str | None = None) -> Transport:
+    import requests
+
+    headers = {"Authorization": f"Bearer {token}"} if token else {}
+
+    def call(path: str, params: dict) -> dict:
+        resp = requests.get(
+            f"{base_url.rstrip('/')}{path}",
+            params=params,
+            headers=headers,
+            timeout=HTTP_TIMEOUT,
+        )
+        resp.raise_for_status()
+        return resp.json()
+
+    return call
+
+
+def fetch_issues_server(
+    transport: Transport, jql: str, page_size: int = PAGE_SIZE
+) -> Iterator[dict]:
+    """Offset pagination (startAt/maxResults) with per-page retry."""
+    start_at = 0
+    while True:
+        page = execute_with_retry(
+            lambda: transport(
+                "/rest/api/latest/search",
+                {
+                    "jql": jql,
+                    "startAt": start_at,
+                    "maxResults": page_size,
+                    "fields": JIRA_FIELDS,
+                },
+            ),
+            what=f"jira search startAt={start_at}",
+        )
+        issues = page.get("issues", [])
+        yield from issues
+        start_at += len(issues)
+        if start_at >= page.get("total", 0) or not issues:
+            return
+
+
+def fetch_issues_cloud(
+    transport: Transport, jql: str, page_size: int = PAGE_SIZE
+) -> Iterator[dict]:
+    """Keyset pagination (nextPageToken) — Cloud API."""
+    token: str | None = None
+    while True:
+        params: dict[str, Any] = {
+            "jql": jql,
+            "maxResults": page_size,
+            "fields": JIRA_FIELDS,
+        }
+        if token:
+            params["nextPageToken"] = token
+        page = execute_with_retry(
+            lambda: transport("/rest/api/3/search/jql", params),
+            what="jira cloud search",
+        )
+        yield from page.get("issues", [])
+        token = page.get("nextPageToken")
+        if not token:
+            return
+
+
+def flatten_adf(node: Any) -> str:
+    """Flatten Atlassian Document Format to text
+    (jira_cloud_document_converter.py:67-76: nested content[].text
+    joined with newlines)."""
+    if node is None:
+        return ""
+    if isinstance(node, str):
+        return node
+    parts: list[str] = []
+    if isinstance(node, dict):
+        if "text" in node:
+            parts.append(str(node["text"]))
+        for child in node.get("content", []) or []:
+            flat = flatten_adf(child)
+            if flat:
+                parts.append(flat)
+    elif isinstance(node, list):
+        for child in node:
+            flat = flatten_adf(child)
+            if flat:
+                parts.append(flat)
+    return "\n".join(parts)
+
+
+def _get(d: dict | None, *path, default=None):
+    cur: Any = d
+    for p in path:
+        if not isinstance(cur, dict) or cur.get(p) is None:
+            return default
+        cur = cur[p]
+    return cur
+
+
+def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
+    """One REST issue → canonical envelope (jira_document_converter.py:
+    14-102 semantics)."""
+    key = issue.get("key", "")
+    fields = issue.get("fields", {}) or {}
+    description = fields.get("description")
+    if cloud and isinstance(description, dict):
+        description = flatten_adf(description)
+    comments = []
+    for c in _get(fields, "comment", "comments", default=[]) or []:
+        body = c.get("body")
+        if cloud and isinstance(body, dict):
+            body = flatten_adf(body)
+        if body:
+            comments.append(str(body))
+
+    summary = fields.get("summary") or ""
+    # chunk-0 text is "KEY : summary" (jira_document_converter.py:60);
+    # body = summary + description + comments joined by blank lines
+    text_parts = [p for p in [summary, description, *comments] if p]
+    metadata = {
+        "createdAt": fields.get("created"),
+        "createdBy": (_get(fields, "creator", "emailAddress") or "").lower() or None,
+        "lastModifiedAt": fields.get("updated"),
+        "project": key.split("-")[0] if key else None,
+        "type": _get(fields, "issuetype", "name"),
+        "epic": fields.get("customfield_10014") or _get(fields, "parent", "key"),
+        "priority": _get(fields, "priority", "name"),
+        "assignee": (_get(fields, "assignee", "emailAddress") or "").lower() or None,
+        "status": _get(fields, "status", "name"),
+    }
+    return {
+        "id": key,
+        "url": f"{base_url.rstrip('/')}/browse/{key}",
+        "metadata": {k: str(v) for k, v in metadata.items() if v is not None},
+        "text": "\n\n".join(str(p) for p in text_parts),
+        "last_modified_at": None,  # parsed from metadata by read_jira_documents
+        "source_type": "jira",
+    }
+
+
+def read_jira_documents(
+    spark: SparkSession,
+    base_url: str,
+    jql: str,
+    transport: Transport | None = None,
+    token: str | None = None,
+    cloud: bool | None = None,
+) -> DataFrame:
+    """Scan Jira into canonical documents. ``cloud`` auto-detects on
+    '.atlassian.net' like the reference CLI adapter
+    (jira_collection_create_cmd_adapter.py:29)."""
+    if cloud is None:
+        cloud = ".atlassian.net" in base_url
+    transport = transport or requests_transport(base_url, token)
+    fetch = fetch_issues_cloud if cloud else fetch_issues_server
+    rows = [
+        issue_to_canonical(issue, base_url, cloud=cloud)
+        for issue in fetch(transport, jql)
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENT_SCHEMA)
+    # typed watermark column from the ISO string in metadata (SURVEY §1.2)
+    return df.withColumn(
+        "last_modified_at",
+        F.to_timestamp(F.element_at("metadata", "lastModifiedAt")),
+    )

@@ -1,0 +1,19 @@
+"""Streaming / incremental-update layer (SURVEY §2.6 U1-U4)."""
+
+from documents_vector_search_spark.streaming.incremental import (
+    OVERLAP_MINUTES,
+    incremental_files_update,
+    run_streaming_update,
+    watermark_cql,
+    watermark_jql,
+    watermark_start_time,
+)
+
+__all__ = [
+    "OVERLAP_MINUTES",
+    "incremental_files_update",
+    "run_streaming_update",
+    "watermark_cql",
+    "watermark_jql",
+    "watermark_start_time",
+]

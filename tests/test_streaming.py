@@ -1,0 +1,128 @@
+"""Incremental update: watermark rewrites + Structured Streaming merge."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection import (
+    Collection,
+    CollectionSearcher,
+    create_collection,
+)
+from documents_vector_search_spark.collection.manifest import Manifest
+from documents_vector_search_spark.streaming.incremental import (
+    incremental_files_update,
+    run_streaming_update,
+    watermark_cql,
+    watermark_jql,
+    watermark_start_time,
+)
+
+
+class TestWatermarkRewrites:
+    def test_start_time_has_overlap_buffer(self):
+        m = Manifest("c", lastModifiedDocumentTime="2024-05-01T12:00:00")
+        assert watermark_start_time(m) == datetime(2024, 5, 1, 11, 55)
+
+    def test_no_watermark(self):
+        assert watermark_start_time(Manifest("c")) is None
+
+    def test_jql_rewrite(self):
+        got = watermark_jql("project = X", datetime(2024, 5, 1, 11, 55))
+        assert got == '(project = X) AND updated >= "2024/05/01 11:55"'
+        assert watermark_jql("", datetime(2024, 5, 1, 11, 55)) == (
+            'updated >= "2024/05/01 11:55"'
+        )
+
+    def test_cql_rewrite(self):
+        got = watermark_cql("space = E", datetime(2024, 5, 1, 11, 55))
+        assert got == (
+            '(space = E) AND (created >= "2024/05/01 11:55" '
+            'OR lastModified >= "2024/05/01 11:55")'
+        )
+
+
+def _canonical(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                rid,
+                f"file:///{rid}",
+                {"lang": "en"},
+                text,
+                datetime.fromisoformat(ts),
+                "localFiles",
+            )
+            for rid, text, ts in rows
+        ],
+        "id STRING, url STRING, metadata MAP<STRING,STRING>, text STRING, "
+        "last_modified_at TIMESTAMP, source_type STRING",
+    )
+
+
+class TestStreamingUpdate:
+    def test_availablenow_merges_drop_dir(self, spark, tmp_path):
+        coll = Collection(spark, str(tmp_path / "coll"), "s")
+        base = _canonical(
+            spark,
+            [
+                ("a", "alpha content about scan", "2024-01-01T00:00:00"),
+                ("b", "beta content about merge", "2024-01-01T00:00:00"),
+            ],
+        )
+        create_collection(coll, base, chunk_size=100, chunk_overlap=10)
+
+        drop = tmp_path / "drop"
+        # two versions of doc a in one batch: newest must win
+        _canonical(
+            spark,
+            [
+                ("a", "stale version", "2024-02-01T00:00:00"),
+                ("a", "fresh alpha about broadcast join", "2024-03-01T00:00:00"),
+                ("c", "new gamma document", "2024-03-02T00:00:00"),
+            ],
+        ).write.mode("overwrite").parquet(str(drop))
+
+        q = run_streaming_update(
+            coll, str(drop), str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(120)
+
+        docs = {r.id: r.text for r in coll.read("documents").collect()}
+        assert docs["a"] == "fresh alpha about broadcast join"
+        assert "c" in docs and len(docs) == 3
+        m = coll.manifest()
+        assert m.numberOfDocuments == 3
+        assert m.lastModifiedDocumentTime.startswith("2024-03-02")
+        # updated content is searchable
+        s = CollectionSearcher(coll)
+        hits = s.search("broadcast join", indexes=("bm25",)).collect()
+        assert {r.document_id for r in hits} == {"a"}
+
+
+class TestIncrementalFiles:
+    def test_mtime_watermark_scan(self, spark, tmp_path):
+        src = tmp_path / "srcfiles"
+        src.mkdir()
+        (src / "old.txt").write_text("old doc about filters")
+        coll = Collection(spark, str(tmp_path / "coll2"), "f")
+        from documents_vector_search_spark.sources.files import read_files_documents
+
+        create_collection(
+            coll, read_files_documents(spark, str(src)), chunk_size=100, chunk_overlap=10
+        )
+        m0 = coll.manifest()
+        assert m0.numberOfDocuments == 1
+
+        # watermark is "now"; a file written after it must be picked up
+        import time
+
+        time.sleep(1.1)
+        (src / "new.txt").write_text("new doc about salting skew")
+        m1 = incremental_files_update(coll, str(src))
+        assert m1.numberOfDocuments == 2
+        ids = {r.id for r in coll.read("documents").collect()}
+        assert ids == {"old.txt", "new.txt"}
