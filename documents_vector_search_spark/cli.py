@@ -1,0 +1,201 @@
+"""CLI adapters: the reference's command-line surface on Spark.
+
+Mirrors the reference's adapter scripts (SURVEY §3):
+- files_collection_create_cmd_adapter.py → ``create-files``
+- jira/confluence_collection_create_cmd_adapter.py → ``create-jira`` /
+  ``create-confluence`` (cloud auto-detect on '.atlassian.net')
+- collection_search_cmd_adapter.py → ``search`` (defaults: 10 docs,
+  chunks = docs×3, rrf_k 60 — adapter lines 18-32)
+- collection_fetch_cmd_adapter.py → ``fetch`` (default lines 1-200)
+- collection_update_cmd_adapter.py → ``update``
+
+Output formats: json / json_with_indent (reference
+main/utils/formatting.py:5-15; the third 'toon' format is a
+niche serialization left unimplemented).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_BASE = "./data/collections"
+
+
+def _format(obj, fmt: str) -> str:
+    if fmt == "json_with_indent":
+        return json.dumps(obj, indent=2, default=str)
+    return json.dumps(obj, default=str)
+
+
+def _collection(args):
+    from documents_vector_search_spark.collection import Collection
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dvss-cli-{args.command}")
+    return Collection(spark, args.base_path, args.collection)
+
+
+def cmd_create_files(args) -> int:
+    from documents_vector_search_spark.collection import create_collection
+    from documents_vector_search_spark.sources.files import read_files_documents
+
+    coll = _collection(args)
+    docs = read_files_documents(
+        coll.spark,
+        args.path,
+        include_pattern=args.include,
+        exclude_pattern=args.exclude,
+    )
+    manifest = create_collection(
+        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
+    )
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
+def cmd_create_jira(args) -> int:
+    from documents_vector_search_spark.collection import create_collection
+    from documents_vector_search_spark.sources.jira import read_jira_documents
+
+    coll = _collection(args)
+    docs = read_jira_documents(coll.spark, args.url, args.query, token=args.token)
+    manifest = create_collection(
+        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
+    )
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
+def cmd_create_confluence(args) -> int:
+    from documents_vector_search_spark.collection import create_collection
+    from documents_vector_search_spark.sources.confluence import (
+        read_confluence_documents,
+    )
+
+    coll = _collection(args)
+    docs = read_confluence_documents(
+        coll.spark, args.url, args.query, token=args.token
+    )
+    manifest = create_collection(
+        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
+    )
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    max_chunks = args.max_chunks or args.max_documents * 3
+    searcher = CollectionSearcher(coll, rrf_k=args.rrf_k)
+    result = searcher.search(
+        args.query,
+        max_chunks=max_chunks,
+        max_documents=args.max_documents,
+        indexes=tuple(args.indexes.split(",")),
+        metadata_filter=args.filter,
+    )
+    rows = [r.asDict(recursive=True) for r in result.collect()]
+    print(_format(rows, args.format))
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    from documents_vector_search_spark.collection import fetch_document_lines
+    from documents_vector_search_spark.collection.fetcher import (
+        DocumentNotFoundError,
+    )
+
+    coll = _collection(args)
+    try:
+        row = fetch_document_lines(coll, args.document_id, args.start, args.end)
+    except DocumentNotFoundError:
+        print(f"document not found: {args.document_id}", file=sys.stderr)
+        return 1
+    print(_format(row, args.format))
+    return 0
+
+
+def cmd_update_files(args) -> int:
+    from documents_vector_search_spark.streaming.incremental import (
+        incremental_files_update,
+    )
+
+    coll = _collection(args)
+    manifest = incremental_files_update(coll, args.path)
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dvss", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, create=False):
+        sp.add_argument("collection")
+        sp.add_argument("--base-path", default=DEFAULT_BASE)
+        sp.add_argument(
+            "--format",
+            choices=["json", "json_with_indent"],
+            default="json_with_indent",
+        )
+        if create:
+            sp.add_argument("--chunk-size", type=int, default=1000)
+            sp.add_argument("--chunk-overlap", type=int, default=100)
+
+    sp = sub.add_parser("create-files")
+    common(sp, create=True)
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--include")
+    sp.add_argument("--exclude")
+    sp.set_defaults(func=cmd_create_files)
+
+    sp = sub.add_parser("create-jira")
+    common(sp, create=True)
+    sp.add_argument("--url", required=True)
+    sp.add_argument("--query", required=True)
+    sp.add_argument("--token")
+    sp.set_defaults(func=cmd_create_jira)
+
+    sp = sub.add_parser("create-confluence")
+    common(sp, create=True)
+    sp.add_argument("--url", required=True)
+    sp.add_argument("--query", default="")
+    sp.add_argument("--token")
+    sp.set_defaults(func=cmd_create_confluence)
+
+    sp = sub.add_parser("search")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--max-documents", type=int, default=10)
+    sp.add_argument("--max-chunks", type=int, default=None)
+    sp.add_argument("--rrf-k", type=int, default=60)
+    sp.add_argument("--indexes", default="vector,bm25")
+    sp.add_argument("--filter")
+    sp.set_defaults(func=cmd_search)
+
+    sp = sub.add_parser("fetch")
+    common(sp)
+    sp.add_argument("document_id")
+    sp.add_argument("--start", type=int, default=1)
+    sp.add_argument("--end", type=int, default=200)
+    sp.set_defaults(func=cmd_fetch)
+
+    sp = sub.add_parser("update-files")
+    common(sp)
+    sp.add_argument("--path", required=True)
+    sp.set_defaults(func=cmd_update_files)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""MCP serving layer: search/fetch tools over a shared SparkSession.
+
+Spark-first re-expression of the reference's unified MCP adapter
+(collection_search_unified_mcp_adapter.py): discover collections by
+scanning manifests (lines 52-76), cache a searcher per collection
+behind a lock (176-189), expose ``search_in_collection`` (193-213,
+validation: collection exists, query-or-filter required, chunk cap 100)
+and ``fetch_from_collection`` (215-227).
+
+The ``mcp`` package is not installed in this container, so the tool
+functions are plain Python (fully tested) and ``serve_mcp`` wires them
+into FastMCP only when the import succeeds — a thin driver process
+owning one long-lived SparkSession (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from documents_vector_search_spark.collection import (
+    Collection,
+    CollectionSearcher,
+    fetch_document_lines,
+)
+
+DEFAULT_MAX_CHUNKS = 50
+MAX_CHUNKS_CAP = 100
+DEFAULT_FETCH_END_LINE = 250
+
+
+class CollectionRegistry:
+    """Manifest discovery + per-collection searcher cache."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self._searchers: dict[str, CollectionSearcher] = {}
+        self._lock = threading.Lock()
+
+    def list_collections(self) -> list[dict]:
+        found = []
+        base = Path(self.base_path)
+        if not base.exists():
+            return found
+        for manifest_path in sorted(base.glob("*/manifest.json")):
+            coll = Collection(self.spark, self.base_path, manifest_path.parent.name)
+            m = coll.manifest()
+            found.append(
+                {
+                    "name": m.collectionName,
+                    "numberOfDocuments": m.numberOfDocuments,
+                    "numberOfChunks": m.numberOfChunks,
+                    "updatedTime": m.updatedTime,
+                }
+            )
+        return found
+
+    def searcher(self, name: str) -> CollectionSearcher:
+        with self._lock:
+            if name not in self._searchers:
+                coll = Collection(self.spark, self.base_path, name)
+                if not coll.exists():
+                    raise KeyError(f"collection does not exist: {name}")
+                self._searchers[name] = CollectionSearcher(coll)
+            return self._searchers[name]
+
+    def collection(self, name: str) -> Collection:
+        coll = Collection(self.spark, self.base_path, name)
+        if not coll.exists():
+            raise KeyError(f"collection does not exist: {name}")
+        return coll
+
+
+def search_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    query: str = "",
+    metadata_filter: str | None = None,
+    max_chunks: int = DEFAULT_MAX_CHUNKS,
+    max_documents: int | None = None,
+) -> list[dict]:
+    """Tool: hybrid search. Mirrors the reference's validation
+    (collection_search_unified_mcp_adapter.py:202-212): query or filter
+    required; chunk count capped."""
+    if not query and not metadata_filter:
+        raise ValueError("either query or metadata_filter is required")
+    max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
+    searcher = registry.searcher(collection)
+    result = searcher.search(
+        query,
+        max_chunks=max_chunks,
+        max_documents=max_documents,
+        metadata_filter=metadata_filter,
+    )
+    return [r.asDict(recursive=True) for r in result.collect()]
+
+
+def fetch_from_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    document_id: str,
+    start_line: int = 1,
+    end_line: int = DEFAULT_FETCH_END_LINE,
+) -> dict:
+    """Tool: point fetch with line range (MCP default 1-250,
+    collection_search_mcp_stdio_adapter.py:62)."""
+    return fetch_document_lines(
+        registry.collection(collection), document_id, start_line, end_line
+    )
+
+
+def serve_mcp(base_path: str, transport: str = "stdio"):  # pragma: no cover
+    """Start a FastMCP server exposing the two tools (requires `mcp`)."""
+    try:
+        from mcp.server.fastmcp import FastMCP
+    except ImportError as exc:
+        raise NotImplementedError(
+            "the `mcp` package is not installed in this environment"
+        ) from exc
+
+    from documents_vector_search_spark.session import get_spark
+
+    registry = CollectionRegistry(get_spark(app_name="dvss-mcp"), base_path)
+    app = FastMCP("documents-vector-search-spark")
+
+    @app.tool()
+    def search(collection: str, query: str = "", filter: str | None = None,
+               max_chunks: int = DEFAULT_MAX_CHUNKS,
+               max_documents: int | None = None) -> list[dict]:
+        return search_in_collection(
+            registry, collection, query, filter, max_chunks, max_documents
+        )
+
+    @app.tool()
+    def fetch(collection: str, document_id: str, start_line: int = 1,
+              end_line: int = DEFAULT_FETCH_END_LINE) -> dict:
+        return fetch_from_collection(
+            registry, collection, document_id, start_line, end_line
+        )
+
+    app.run(transport=transport)

@@ -1,0 +1,167 @@
+"""CLI adapters + serving tools, driven end-to-end on a temp collection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from documents_vector_search_spark import cli
+from documents_vector_search_spark.serving import (
+    CollectionRegistry,
+    fetch_from_collection,
+    search_in_collection,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_corpus")
+    (d / "eng").mkdir()
+    (d / "eng" / "joins.txt").write_text(
+        "broadcast hash join versus sort merge join in spark"
+    )
+    (d / "eng" / "skew.txt").write_text("salting fixes skewed shuffle partitions")
+    (d / "notes.txt").write_text("weekly sync notes nothing technical")
+    return d
+
+
+@pytest.fixture(scope="module")
+def base_path(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli_collections"))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def created(spark, corpus_dir, base_path, capsys_module_scope=None):
+    rc = cli.main(
+        [
+            "create-files",
+            "cli_test",
+            "--base-path",
+            base_path,
+            "--path",
+            str(corpus_dir),
+            "--chunk-size",
+            "200",
+            "--chunk-overlap",
+            "20",
+            "--format",
+            "json",
+        ]
+    )
+    assert rc == 0
+    return base_path
+
+
+class TestCLI:
+    def test_search_returns_ranked_json(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "search",
+                "cli_test",
+                "broadcast hash join",
+                "--base-path",
+                base_path,
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out[0]["document_id"] == "eng/joins.txt"
+
+    def test_search_with_filter(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "search",
+                "cli_test",
+                "join",
+                "--base-path",
+                base_path,
+                "--filter",
+                'folder1 = "eng"',
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert all(r["document_id"].startswith("eng/") for r in out)
+
+    def test_fetch(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "fetch",
+                "cli_test",
+                "eng/skew.txt",
+                "--base-path",
+                base_path,
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "salting" in out["text_slice"]
+
+    def test_fetch_missing_returns_error_code(self, base_path, capsys):
+        rc = cli.main(
+            ["fetch", "cli_test", "nope.txt", "--base-path", base_path]
+        )
+        assert rc == 1
+
+    def test_update_files_picks_up_new_file(self, base_path, corpus_dir, capsys):
+        import time
+
+        time.sleep(1.1)
+        (corpus_dir / "eng" / "aqe.txt").write_text(
+            "adaptive query execution replans at runtime"
+        )
+        rc = cli.main(
+            [
+                "update-files",
+                "cli_test",
+                "--base-path",
+                base_path,
+                "--path",
+                str(corpus_dir),
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["numberOfDocuments"] == 4
+
+
+class TestServing:
+    def test_registry_discovery_and_search(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        names = [c["name"] for c in reg.list_collections()]
+        assert "cli_test" in names
+        hits = search_in_collection(reg, "cli_test", "sort merge join")
+        assert hits[0]["document_id"] == "eng/joins.txt"
+        # searcher cache: same object on second call
+        assert reg.searcher("cli_test") is reg.searcher("cli_test")
+
+    def test_query_or_filter_required(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        with pytest.raises(ValueError, match="query or metadata_filter"):
+            search_in_collection(reg, "cli_test")
+
+    def test_filter_only_search(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        hits = search_in_collection(
+            reg, "cli_test", query="join", metadata_filter='folder1 = "eng"'
+        )
+        assert all(h["document_id"].startswith("eng/") for h in hits)
+
+    def test_missing_collection(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        with pytest.raises(KeyError, match="does not exist"):
+            reg.searcher("ghost")
+
+    def test_fetch_tool(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        got = fetch_from_collection(reg, "cli_test", "notes.txt")
+        assert "weekly sync" in got["text_slice"]
