@@ -79,16 +79,31 @@ def bm25_topk(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
 
+    n_terms = len(q_terms)
+
     if postings is None:
-        postings = build_postings(docs, id_col, text_col)
+        # ad-hoc path: filter tokens to the query terms BEFORE the tf
+        # groupBy — the shuffle then carries only matching postings
+        # (a few rows per doc), not the whole vocabulary
+        tokens = docs.select(
+            F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+        )
+        matched = tokens.filter(F.col("term").isin(q_terms)).groupBy(
+            id_col, "term"
+        ).agg(F.count("*").alias("tf"))
+    else:
+        # index path: semi-join the prebuilt postings on the tiny
+        # broadcast term list (bucket/partition pruning on `term` when
+        # the postings table is written bucketed by term)
+        qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
+        matched = postings.join(F.broadcast(qt), "term")
+    # matched feeds term_df AND the scoring join; doc_stats feeds the
+    # corpus stats AND the per-doc dl join — cache both tiny tables so
+    # their subtrees (tokenize + shuffle) execute once
+    matched = matched.persist()
     if doc_stats is None:
         doc_stats = build_doc_stats(docs, id_col, text_col)
-
-    n_terms = len(q_terms)
-    qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-
-    # tiny literal term list → broadcast semi-join prunes postings first
-    matched = postings.join(F.broadcast(qt), "term")
+    doc_stats = doc_stats.persist()
 
     term_df = (
         matched.groupBy("term")

@@ -75,13 +75,14 @@ def extract_media_features(
 
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                width, height, n_frames = decode(row["media_type"], payload)
+            # itertuples, not iterrows: no per-row Series construction
+            for rec in pdf.itertuples(index=False):
+                payload = bytes(rec.payload)
+                width, height, n_frames = decode(rec.media_type, payload)
                 rows.append(
                     {
-                        "id": row["id"],
-                        "media_type": row["media_type"],
+                        "id": rec.id,
+                        "media_type": rec.media_type,
                         "byte_len": len(payload),
                         "sha256": hashlib.sha256(payload).hexdigest(),
                         "width": width,

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64
-from documents_vector_search_spark.functions.text import tokenize, word_shingles
+from documents_vector_search_spark.functions.text import tokenize
 
 # Tiny per-language stopword marker lists for the n-gram/stopword-ratio
 # language heuristic. Deliberately small and literal: the heuristic must
@@ -140,6 +140,11 @@ def fingerprint(
     anywhere except around the minimal shingle; equal fingerprints are
     strong near-dup evidence. One map-side pass, no shuffle.
     """
-    shingles = word_shingles(tokenize(text_col), shingle_words)
-    fp = F.array_min(F.transform(shingles, lambda s: md5_hash64(s)))
-    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+    from documents_vector_search_spark.operators.shingles import shingle_rows
+
+    # codegen'd shingle rows + hash + min-agg (see operators/shingles.py
+    # for why interpreted array HOFs are avoided here)
+    sh = shingle_rows(docs, shingle_words, id_col, text_col, distinct=False)
+    return sh.groupBy(F.col("id").alias(id_col)).agg(
+        F.min(md5_hash64(F.col("shingle"))).alias("fingerprint")
+    )
