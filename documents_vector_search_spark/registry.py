@@ -524,6 +524,27 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def q_recursive_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 boundary-aware splitter (pandas UDF) — NOT SQL-expressible
+    (recursive separator descent); driver records a rows-only check."""
+    from documents_vector_search_spark.operators.recursive_split import (
+        recursive_character_chunks,
+    )
+
+    return recursive_character_chunks(
+        _t(spark, sf_dir, "documents"), chunk_size=120, chunk_overlap=20
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans-IVF ANN top-10 (MLlib clustering) — iterative algorithm,
+    NOT SQL-expressible; driver records a rows-only check."""
+    from documents_vector_search_spark.operators.ivf import fit_ivf
+
+    ivf = fit_ivf(_t(spark, sf_dir, "embeddings"), nlist=8)
+    return ivf.search_l2(QUERY_VEC, 10, nprobe=2)
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -916,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal": q_multimodal,
+        "recursive_chunk": q_recursive_chunk,
+        "ivf_ann": q_ivf_ann,
     }
 
 

@@ -158,6 +158,17 @@ class TestServing:
         )
         assert all(h["document_id"].startswith("eng/") for h in hits)
 
+    def test_empty_query_with_filter(self, spark, base_path):
+        # Q8: MCP allows an empty query as long as a filter is present
+        # (reference collection_search_unified_mcp_adapter.py:202-212);
+        # the empty string still embeds and ranks by vector proximity
+        reg = CollectionRegistry(spark, base_path)
+        hits = search_in_collection(
+            reg, "cli_test", query="", metadata_filter='folder1 = "eng"'
+        )
+        assert len(hits) > 0
+        assert all(h["document_id"].startswith("eng/") for h in hits)
+
     def test_missing_collection(self, spark, base_path):
         reg = CollectionRegistry(spark, base_path)
         with pytest.raises(KeyError, match="does not exist"):

@@ -14,9 +14,15 @@ def test_entry_returns_ranked_documents(spark):
     assert {"doc_id", "rrf_score"} <= set(df.columns)
 
 
+# operators whose semantics SQL cannot express (pandas-UDF recursion,
+# iterative MLlib algorithms) — the driver records rows-only checks
+NON_SQL_OPS = {"recursive_chunk", "ivf_ann"}
+
+
 def test_every_query_has_oracle():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    assert set(qs) == set(oracles)
+    assert set(qs) - set(oracles) == NON_SQL_OPS
+    assert set(oracles) <= set(qs)
     assert len(qs) >= 25
 
 

@@ -1,0 +1,97 @@
+"""Recursive splitter (T1 parity) + KMeans-IVF ANN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.ivf import fit_ivf
+from documents_vector_search_spark.operators.knn import knn_l2
+from documents_vector_search_spark.operators.recursive_split import (
+    recursive_character_chunks,
+    split_text_recursive,
+)
+
+
+class TestRecursiveSplit:
+    def test_respects_chunk_size(self):
+        text = "para one.\n\npara two is a bit longer.\n\n" + "word " * 300
+        chunks = split_text_recursive(text, chunk_size=100, chunk_overlap=20)
+        assert all(len(c) <= 100 for c in chunks)
+        assert "".join(chunks)  # nothing lost entirely
+
+    def test_prefers_paragraph_boundaries(self):
+        text = "aaaa bbbb.\n\ncccc dddd."
+        chunks = split_text_recursive(text, chunk_size=15, chunk_overlap=0)
+        assert chunks[0].startswith("aaaa")
+        assert any(c.startswith("cccc") for c in chunks)
+
+    def test_overlap_carried(self):
+        text = ("x" * 50 + " ") * 10
+        chunks = split_text_recursive(text, chunk_size=100, chunk_overlap=20)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.startswith(a[-20:]) or len(a) < 20
+
+    def test_small_and_empty(self):
+        assert split_text_recursive("", 100, 10) == []
+        assert split_text_recursive("tiny", 100, 10) == ["tiny"]
+
+    def test_hard_split_no_separators(self):
+        chunks = split_text_recursive("a" * 250, chunk_size=100, chunk_overlap=10)
+        assert all(len(c) <= 100 for c in chunks)
+        assert sum(len(c) for c in chunks) >= 250
+
+    def test_invalid_overlap(self):
+        with pytest.raises(ValueError):
+            split_text_recursive("x", chunk_size=10, chunk_overlap=10)
+
+    def test_dataframe_udf_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha.\n\nbeta.\n\n" + "gamma " * 50), (2, "")],
+            ["doc_id", "text"],
+        )
+        got = recursive_character_chunks(df, chunk_size=80, chunk_overlap=10)
+        rows = got.collect()
+        assert all(len(r.chunk_text) <= 80 for r in rows)
+        nums = [r.chunk_number for r in rows if r.doc_id == 1]
+        assert nums == list(range(len(nums)))  # contiguous 0-based
+        assert all(r.doc_id == 1 for r in rows)  # empty doc → no chunks
+
+
+class TestIVF:
+    def test_probe_all_equals_exact(self, embeddings_df):
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        ivf = fit_ivf(embeddings_df, nlist=4)
+        approx = ivf.search_l2(QUERY_VEC, 5, nprobe=4).collect()
+        exact = knn_l2(embeddings_df, QUERY_VEC, 5).collect()
+        assert [r.vec_id for r in approx] == [r.vec_id for r in exact]
+
+    def test_pruned_probe_is_subset_and_ordered(self, embeddings_df):
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        ivf = fit_ivf(embeddings_df, nlist=8)
+        got = ivf.search_l2(QUERY_VEC, 5, nprobe=2).collect()
+        assert len(got) == 5
+        dists = [r.distance for r in got]
+        assert dists == sorted(dists)
+        # every hit really lives in a probed cluster
+        probed = set(ivf.probe_clusters(QUERY_VEC, 2))
+        clusters = {
+            r.cluster_id
+            for r in ivf.assigned.filter(
+                F.col("vec_id").isin([g.vec_id for g in got])
+            ).collect()
+        }
+        assert clusters <= probed
+
+    def test_partitioned_write_prunes(self, embeddings_df, tmp_path, spark):
+        ivf = fit_ivf(embeddings_df, nlist=4)
+        path = str(tmp_path / "ivf")
+        ivf.write_partitioned(path)
+        reloaded = spark.read.parquet(path)
+        plan = (
+            reloaded.filter(F.col("cluster_id") == 1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [isnotnull(cluster_id" in plan
