@@ -60,6 +60,55 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # indexed-search path: build a collection once (timed), then serve
+    # searches against the prebuilt index tables — the reference's
+    # actual serving shape (index build amortized across queries)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.collection import (
+        Collection,
+        CollectionSearcher,
+        create_collection,
+    )
+
+    base = tempfile.mkdtemp(prefix="dvss_bench_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            ).alias("metadata"),
+            F.col("text"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias(
+                "last_modified_at"
+            ),
+            F.lit("bench").alias("source_type"),
+        )
+        coll = Collection(spark, base, "bench")
+        t0 = time.time()
+        create_collection(coll, docs, chunk_size=500, chunk_overlap=50)
+        timings["collection_build"] = round(time.time() - t0, 3)
+
+        searcher = CollectionSearcher(coll, cache_tables=True)
+        for qname, kwargs in [
+            ("indexed_search_hybrid", {}),
+            ("indexed_search_hybrid_warm", {}),  # cached index tables
+            ("indexed_search_bm25", {"indexes": ("bm25",)}),
+            ("indexed_search_vector", {"indexes": ("vector",)}),
+            ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
+        ]:
+            t0 = time.time()
+            searcher.search("hash join vector scan", max_chunks=15, **kwargs).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            timings[qname] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

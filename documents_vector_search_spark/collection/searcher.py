@@ -41,20 +41,35 @@ class CollectionSearcher:
         rrf_k: int = 60,
         embedding_dim: int = 16,
         field_types: dict[str, str] | None = None,
+        cache_tables: bool = False,
     ):
+        """``cache_tables`` persists the index tables in executor memory
+        on first access — the serving-process pattern (the reference's
+        MCP adapter holds loaded indexes the same way,
+        collection_search_unified_mcp_adapter.py:176-189). Leave off for
+        one-shot CLI queries."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
         self.rrf_k = rrf_k
         self.embedding_dim = embedding_dim
         self.field_types = field_types or {}
+        self._cache_tables = cache_tables
+        self._cached: dict[str, DataFrame] = {}
+
+    def _read(self, table: str) -> DataFrame:
+        if not self._cache_tables:
+            return self.collection.read(table)
+        if table not in self._cached:
+            self._cached[table] = self.collection.read(table).persist()
+        return self._cached[table]
 
     # -- internals ---------------------------------------------------------
     def _allowed_chunks(self, metadata_filter: str | None) -> DataFrame | None:
         """Filter → allowed chunk ids (None = no restriction)."""
         if not metadata_filter:
             return None
-        docs = self.collection.read("documents")
+        docs = self._read("documents")
         pred = compile_filter(
             metadata_filter,
             field_types=self.field_types,
@@ -62,7 +77,7 @@ class CollectionSearcher:
             direct_fields={"id", "url", "text", "last_modified_at", "source_type"},
         )
         allowed_docs = docs.filter(pred).select("id")
-        chunks = self.collection.read("chunks")
+        chunks = self._read("chunks")
         return chunks.join(
             F.broadcast(allowed_docs),
             chunks["document_id"] == allowed_docs["id"],
@@ -72,7 +87,7 @@ class CollectionSearcher:
     def _vector_hits(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
-        emb = self.collection.read("embeddings")
+        emb = self._read("embeddings")
         if allowed is not None:
             emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
         qv = hash_embedding_py(text, self.embedding_dim)
@@ -86,12 +101,12 @@ class CollectionSearcher:
         )
 
     def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
-        postings = self.collection.read("postings")
-        doc_stats = self.collection.read("doc_stats")
+        postings = self._read("postings")
+        doc_stats = self._read("doc_stats")
         if allowed is not None:
             postings = postings.join(F.broadcast(allowed), "chunk_id", "left_semi")
             doc_stats = doc_stats.join(F.broadcast(allowed), "chunk_id", "left_semi")
-        chunks = self.collection.read("chunks")
+        chunks = self._read("chunks")
         hits = bm25_topk(
             chunks,  # only used for sparkSession/tokenizer defaults
             text,
@@ -156,7 +171,7 @@ class CollectionSearcher:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111)."""
         fused = self.search_chunks(text, max_chunks, indexes, metadata_filter)
-        chunks = self.collection.read("chunks")
+        chunks = self._read("chunks")
         hit_chunks = fused.join(chunks, "chunk_id").select(
             "chunk_id", "document_id", "chunk_number", "rank", "score",
             *(["indexed_data"] if include_chunk_text else []),
@@ -167,7 +182,7 @@ class CollectionSearcher:
             doc_col="document_id",
             chunk_col="chunk_number" if not include_chunk_text else "chunk_number",
         )
-        docs = self.collection.read("documents")
+        docs = self._read("documents")
         return (
             grouped.join(
                 docs, grouped["document_id"] == docs["id"]
