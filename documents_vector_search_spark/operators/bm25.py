@@ -82,25 +82,16 @@ def bm25_topk(
     n_terms = len(q_terms)
 
     if postings is None:
-        # ad-hoc path: filter tokens to the query terms BEFORE the tf
-        # groupBy — the shuffle then carries only matching postings
-        # (a few rows per doc), not the whole vocabulary
-        tokens = docs.select(
-            F.col(id_col), F.explode(tokenize(text_col)).alias("term")
-        )
-        matched = tokens.filter(F.col("term").isin(q_terms)).groupBy(
-            id_col, "term"
-        ).agg(F.count("*").alias("tf"))
-    else:
-        # index path: semi-join the prebuilt postings on the tiny
-        # broadcast term list (bucket/partition pruning on `term` when
-        # the postings table is written bucketed by term)
-        qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-        matched = postings.join(F.broadcast(qt), "term")
+        return _bm25_adhoc(docs, q_terms, k, id_col, text_col, conjunctive, round_to)
+
+    # index path: semi-join the prebuilt postings on the tiny broadcast
+    # term list (bucket/partition pruning on `term` when the postings
+    # table is written bucketed by term)
+    qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
     # matched feeds term_df AND the scoring join; doc_stats feeds the
     # corpus stats AND the per-doc dl join — cache both tiny tables so
-    # their subtrees (tokenize + shuffle) execute once
-    matched = matched.persist()
+    # their subtrees execute once
+    matched = postings.join(F.broadcast(qt), "term").persist()
     if doc_stats is None:
         doc_stats = build_doc_stats(docs, id_col, text_col)
     doc_stats = doc_stats.persist()
@@ -148,6 +139,78 @@ def bm25_topk(
     )
     return (
         agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _bm25_adhoc(
+    docs: DataFrame,
+    q_terms: list[str],
+    k: int,
+    id_col: str,
+    text_col: str,
+    conjunctive: bool,
+    round_to: int | None,
+) -> DataFrame:
+    """Index-less BM25 with ZERO wide shuffles.
+
+    Per-doc tf for each query term is a map-side expression
+    (``size(filter(tokens, = term))``), so the whole query is: one scan
+    producing (id, dl, tf_0..tf_n), one single-row corpus aggregate
+    (broadcast back), a map-side score expression, and
+    TakeOrderedAndProject. No explode, no groupBy shuffle — the plan a
+    100 TB ad-hoc keyword query wants.
+    """
+
+    def eq(term: str):
+        # single-arg lambda on purpose: a two-arg lambda would receive
+        # the array INDEX as its second argument
+        return lambda t: t == F.lit(term)
+
+    toks = tokenize(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter("_toks", eq(term))).alias(f"tf_{i}")
+            for i, term in enumerate(q_terms)
+        ],
+    ).persist()  # scanned twice: corpus stats + scoring
+
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(q_terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    if conjunctive:
+        cond = None
+        for i in range(len(q_terms)):
+            c = F.col(f"tf_{i}") > 0
+            cond = c if cond is None else (cond & c)
+        scored = scored.filter(cond)
+
+    term_scores = []
+    for i in range(len(q_terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5))
+        ts = idf * (tf * (K1 + 1)) / (
+            tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+        )
+        term_scores.append(F.when(tf > 0, ts).otherwise(F.lit(0.0)))
+
+    total = term_scores[0]
+    for ts in term_scores[1:]:
+        total = total + ts
+    score = F.round(total, round_to) if round_to is not None else total
+    return (
+        scored.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
