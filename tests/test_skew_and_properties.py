@@ -1,0 +1,167 @@
+"""Salted aggregation + hypothesis property tests for core invariants."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.skew import salted_aggregate
+from documents_vector_search_spark.operators.recursive_split import (
+    split_text_recursive,
+)
+from documents_vector_search_spark.plans.filter_compiler import filter_to_sql
+from documents_vector_search_spark.plans.filter_language import (
+    FilterCondition,
+    FilterGroup,
+    parse_filter,
+)
+
+
+class TestSaltedAggregate:
+    def test_matches_plain_groupby(self, spark):
+        df = spark.createDataFrame(
+            [("hot", float(i % 7)) for i in range(500)]
+            + [("cold", float(i)) for i in range(20)],
+            ["key", "value"],
+        )
+        salted = {
+            r.key: r
+            for r in salted_aggregate(
+                df,
+                ["key"],
+                {
+                    "n": ("count", "*"),
+                    "total": ("sum", "value"),
+                    "lo": ("min", "value"),
+                    "hi": ("max", "value"),
+                },
+                num_salts=8,
+            ).collect()
+        }
+        plain = {
+            r.key: r
+            for r in df.groupBy("key")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            )
+            .collect()
+        }
+        for key in plain:
+            assert salted[key].n == plain[key].n
+            assert salted[key].total == pytest.approx(plain[key].total)
+            assert salted[key].lo == plain[key].lo
+            assert salted[key].hi == plain[key].hi
+
+    def test_rejects_non_decomposable(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], ["key", "value"])
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_aggregate(df, ["key"], {"m": ("median", "value")})
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure-Python fast paths — no Spark in the loop)
+# ---------------------------------------------------------------------------
+
+_words = st.text(alphabet="abcde", min_size=1, max_size=6)
+
+
+@st.composite
+def filter_asts(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        field = draw(st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True))
+        op = draw(st.sampled_from(["=", "!=", ">", ">=", "<", "<="]))
+        value = draw(st.text(min_size=0, max_size=10).filter(lambda s: "\\" not in s))
+        return FilterCondition(field, op, value)
+    bool_op = draw(st.sampled_from(["and", "or"]))
+    n = draw(st.integers(2, 3))
+    children = [draw(filter_asts(depth=depth + 1)) for _ in range(n)]
+    # parser flattens same-op nesting; avoid generating a child group
+    # with the same op so ASTs round-trip structurally
+    children = [
+        c
+        for c in children
+        if not (isinstance(c, FilterGroup) and c.op == bool_op)
+    ] or [FilterCondition("x", "=", "1")]
+    if len(children) == 1:
+        return children[0]
+    return FilterGroup(bool_op, children)
+
+
+def render(node) -> str:
+    if isinstance(node, FilterCondition):
+        escaped = node.value.replace('"', '\\"')
+        return f'{node.field} {node.op} "{escaped}"'
+    parts = []
+    for c in node.children:
+        rendered = render(c)
+        if isinstance(c, FilterGroup):
+            rendered = f"({rendered})"
+        parts.append(rendered)
+    return f" {node.op} ".join(parts)
+
+
+class TestFilterLanguageProperties:
+    @given(filter_asts())
+    @settings(max_examples=200, deadline=None)
+    def test_render_parse_roundtrip(self, ast):
+        assert parse_filter(render(ast)) == ast
+
+    @given(filter_asts())
+    @settings(max_examples=100, deadline=None)
+    def test_sql_rendering_always_parenthesized(self, ast):
+        sql = filter_to_sql(ast)
+        assert sql.startswith("(") and sql.endswith(")")
+
+
+class TestSplitterProperties:
+    @given(
+        st.text(alphabet="ab \n", max_size=600),
+        st.integers(10, 120),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_chunks_bounded_and_lossless_core(self, text, chunk_size):
+        overlap = chunk_size // 5
+        chunks = split_text_recursive(text, chunk_size, overlap)
+        assert all(len(c) <= chunk_size for c in chunks)
+        # every chunk is a substring of the original text
+        for c in chunks:
+            assert c in text
+        # non-whitespace content is preserved (overlap only duplicates)
+        joined = "".join(chunks)
+        for ch in set(text):
+            if not ch.isspace():
+                assert joined.count(ch) >= text.count(ch)
+
+
+PY_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def py_tokenize(text: str) -> list[str]:
+    return [t for t in PY_TOKEN_RE.split(text.lower()) if t]
+
+
+class TestTokenizerProperty:
+    @given(st.lists(_words, max_size=30))
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_spark_tokenizer_matches_python_twin(self, spark, words):
+        from documents_vector_search_spark.functions.text import tokenize
+
+        text = " ".join(words)
+        got = (
+            spark.range(1)
+            .select(tokenize(F.lit(text)).alias("t"))
+            .first()
+            .t
+        )
+        assert got == py_tokenize(text)

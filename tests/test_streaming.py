@@ -126,3 +126,58 @@ class TestIncrementalFiles:
         assert m1.numberOfDocuments == 2
         ids = {r.id for r in coll.read("documents").collect()}
         assert ids == {"old.txt", "new.txt"}
+
+
+class TestStreamingWindowedAggregation:
+    """Structured Streaming windowed aggregate with watermark — the
+    streaming twin of registry.q_events_window (the reference has no
+    true streaming, SURVEY §2.7; the engine gets it natively)."""
+
+    def test_windowed_counts_match_batch(self, spark, tmp_path):
+        from datetime import datetime
+
+        rows = [
+            (i, datetime(2024, 1, 1 + (i % 3), i % 24), f"type{i % 2}", float(i))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+        )
+        src = str(tmp_path / "events_stream")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+            )
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("win_agg")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.window.start.isoformat(), r.event_type): r.n
+            for r in spark.sql("SELECT * FROM win_agg").collect()
+        }
+        batch = {
+            (r.w.isoformat(), r.event_type): r.n
+            for r in df.groupBy(
+                F.date_trunc("day", "ts").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # append mode emits only watermark-closed windows; every emitted
+        # window must match the batch result exactly
+        assert len(got) > 0
+        for key, n in got.items():
+            assert batch[key] == n
