@@ -58,6 +58,11 @@ class Collection:
     def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.table_path(table))
 
+    def counts(self) -> dict[str, int]:
+        """Live row counts per table (reference E8: faiss.ntotal /
+        Chroma count() / SELECT COUNT(*) — SURVEY §2.4)."""
+        return {t: self.read(t).count() for t in TABLES}
+
     def manifest(self) -> Manifest:
         return Manifest.load(self.manifest_path)
 

@@ -167,35 +167,55 @@ class CollectionSearcher:
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
         include_chunk_text: bool = False,
+        include_document_text: bool = False,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
-        (reference __build_results, documents_collection_searcher.py:67-111)."""
+        (reference __build_results, documents_collection_searcher.py:67-111).
+
+        Content flags mirror the reference's include options
+        (documents_collection_searcher.py:96-109): ``include_chunk_text``
+        adds a ``matched_chunk_texts`` array (rank order);
+        ``include_document_text`` adds the full document text.
+        """
         fused = self.search_chunks(text, max_chunks, indexes, metadata_filter)
         chunks = self._read("chunks")
         hit_chunks = fused.join(chunks, "chunk_id").select(
             "chunk_id", "document_id", "chunk_number", "rank", "score",
-            *(["indexed_data"] if include_chunk_text else []),
+            "indexed_data",
         )
         grouped = group_hits_by_document(
             hit_chunks,
             max_documents=max_documents,
             doc_col="document_id",
-            chunk_col="chunk_number" if not include_chunk_text else "chunk_number",
+            chunk_col="chunk_number",
         )
+        if include_chunk_text:
+            texts = hit_chunks.groupBy("document_id").agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rank", "indexed_data"))
+                    ),
+                    lambda s: s["indexed_data"],
+                ).alias("matched_chunk_texts")
+            )
+            grouped = grouped.join(texts, "document_id")
         docs = self._read("documents")
+        out_cols = [
+            "document_id",
+            "doc_rank",
+            "url",
+            "metadata",
+            "last_modified_at",
+            "matched_chunks",
+            "best_score",
+            "n_chunks",
+        ]
+        if include_chunk_text:
+            out_cols.append("matched_chunk_texts")
+        if include_document_text:
+            out_cols.append(F.col("text").alias("document_text"))
         return (
-            grouped.join(
-                docs, grouped["document_id"] == docs["id"]
-            )
-            .select(
-                "document_id",
-                "doc_rank",
-                "url",
-                "metadata",
-                "last_modified_at",
-                "matched_chunks",
-                "best_score",
-                "n_chunks",
-            )
+            grouped.join(docs, grouped["document_id"] == docs["id"])
+            .select(*out_cols)
             .orderBy("doc_rank")
         )

@@ -524,6 +524,25 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: deterministic hash embedding — first 4 components of the
+    unit-normalized dim-8 vector, oracle-recomputable in SQL (validates
+    the engine/oracle share ONE embedding space)."""
+    from documents_vector_search_spark.operators.embedding import (
+        hash_embedding_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vec = hash_embedding_expr(F.col("text"), dim=8)
+    return docs.select(
+        "doc_id",
+        *[
+            F.round(F.element_at(vec, i + 1), 6).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_recursive_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 boundary-aware splitter (pandas UDF) — NOT SQL-expressible
     (recursive separator descent); driver records a rows-only check."""
@@ -890,6 +909,21 @@ SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        epoch_us(min(ts)) AS session_start_us, epoch_us(max(ts)) AS session_end_us
 FROM s GROUP BY 1, 2
 """,
+        "embed_hash": f"""
+WITH raw AS (
+  SELECT doc_id,
+    {", ".join(f"(({md5_hash64_sql('text', i)} % 2001) - 1000) / 1000.0 AS r{i}" for i in range(8))}
+  FROM documents
+),
+n AS (
+  SELECT doc_id, {", ".join(f"r{i}" for i in range(8))},
+         sqrt({" + ".join(f"r{i}*r{i}" for i in range(8))}) AS norm
+  FROM raw
+)
+SELECT doc_id,
+  {", ".join(f"CASE WHEN norm > 0 THEN round(r{i} / norm, 6) ELSE 0.0 END AS c{i}" for i in range(4))}
+FROM n
+""",
         "multimodal": """
 SELECT doc_id AS id, 'text/plain' AS media_type,
   strlen(text)::BIGINT AS byte_len, sha256(text) AS sha256,
@@ -937,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "multimodal": q_multimodal,
+        "embed_hash": q_embed_hash,
         "recursive_chunk": q_recursive_chunk,
         "ivf_ann": q_ivf_ann,
     }

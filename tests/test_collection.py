@@ -183,3 +183,26 @@ class TestUpdate:
         assert (
             coll.read("documents").filter(F.col("id") == "doc-5").count() == 1
         )
+
+
+class TestContentFlagsAndCounts:
+    def test_include_chunk_and_document_text(self, collection):
+        from documents_vector_search_spark.collection import CollectionSearcher
+
+        s = CollectionSearcher(collection)
+        got = s.search(
+            "hash join",
+            max_documents=3,
+            include_chunk_text=True,
+            include_document_text=True,
+        ).collect()
+        assert len(got) > 0
+        r = got[0]
+        assert len(r.matched_chunk_texts) == len(r.matched_chunks)
+        assert isinstance(r.document_text, str) and len(r.document_text) > 0
+
+    def test_counts(self, collection):
+        counts = collection.counts()
+        assert counts["documents"] == 100
+        assert counts["chunks"] == counts["embeddings"] == counts["doc_stats"]
+        assert counts["postings"] > counts["chunks"]
