@@ -106,7 +106,11 @@ def read_files_documents(
         F.col("rel_path").alias("id"),
         F.concat(F.lit("file://"), F.lit(base_path.rstrip("/") + "/"), F.col("rel_path")).alias("url"),
         metadata.alias("metadata"),
-        F.decode(F.col("content"), "UTF-8").alias("text"),
+        # lenient decode: `decode(content,'UTF-8')` RAISES on the first
+        # malformed byte (fatal for a large ingest); casting replaces bad
+        # sequences with U+FFFD — the degrade-don't-die behavior of the
+        # reference's resilient scan (main/utils/batch.py:18-41)
+        F.expr("try_cast(content AS STRING)").alias("text"),
         F.col("modificationTime").alias("last_modified_at"),
         F.lit("localFiles").alias("source_type"),
     )
