@@ -543,6 +543,22 @@ def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k similarity JOIN (corpus-vs-corpus): first 50 vectors as
+    queries against the rest, k=3 nearest by cosine."""
+    from documents_vector_search_spark.operators.similarity_join import (
+        knn_join_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 50)
+    right = emb.filter(F.col("vec_id") >= 50)
+    out = knn_join_exact(left, right, k=3)
+    return out.select(
+        "left_id", "right_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_recursive_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 boundary-aware splitter (pandas UDF) — NOT SQL-expressible
     (recursive separator descent); driver records a rows-only check."""
@@ -924,6 +940,24 @@ SELECT doc_id,
   {", ".join(f"CASE WHEN norm > 0 THEN round(r{i} / norm, 6) ELSE 0.0 END AS c{i}" for i in range(4))}
 FROM n
 """,
+        "knn_join": f"""
+WITH l AS (
+  SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv FROM embeddings WHERE vec_id < 50
+),
+r AS (
+  SELECT vec_id AS right_id, embedding::DOUBLE[] AS rv FROM embeddings WHERE vec_id >= 50
+),
+scored AS (
+  SELECT left_id, right_id, round({_cos_sql("lv", "rv")}, 6) AS cosine
+  FROM l CROSS JOIN r
+),
+ranked AS (
+  SELECT left_id, right_id, cosine,
+         row_number() OVER (PARTITION BY left_id ORDER BY cosine DESC, right_id) - 1 AS rank
+  FROM scored
+)
+SELECT left_id, right_id, cosine, rank FROM ranked WHERE rank < 3
+""",
         "multimodal": """
 SELECT doc_id AS id, 'text/plain' AS media_type,
   strlen(text)::BIGINT AS byte_len, sha256(text) AS sha256,
@@ -972,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "multimodal": q_multimodal,
         "embed_hash": q_embed_hash,
+        "knn_join": q_knn_join,
         "recursive_chunk": q_recursive_chunk,
         "ivf_ann": q_ivf_ann,
     }

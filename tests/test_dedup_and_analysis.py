@@ -195,3 +195,47 @@ class TestEmbedding:
         df = spark.createDataFrame([("ab",), ("abcd",)], ["t"])
         got = [r.v for r in df.select(udf(F.col("t")).alias("v")).collect()]
         assert got == [[2.0, 1.0], [4.0, 1.0]]
+
+
+class TestSimilarityJoin:
+    def test_exact_join_each_left_gets_k(self, embeddings_df):
+        from documents_vector_search_spark.operators.similarity_join import (
+            knn_join_exact,
+        )
+
+        left = embeddings_df.filter(F.col("vec_id") < 10)
+        right = embeddings_df.filter(F.col("vec_id") >= 10)
+        got = knn_join_exact(left, right, k=3).collect()
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.left_id, []).append(r)
+        assert set(by_left) == set(range(10))
+        for rows in by_left.values():
+            assert [r.rank for r in sorted(rows, key=lambda x: x.rank)] == [0, 1, 2]
+            cosines = [r.cosine for r in sorted(rows, key=lambda x: x.rank)]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_lsh_join_is_subset_with_full_probe_equal(self, embeddings_df):
+        from documents_vector_search_spark.operators.similarity_join import (
+            knn_join_exact,
+            knn_join_lsh,
+        )
+
+        left = embeddings_df.filter(F.col("vec_id") < 5)
+        right = embeddings_df.filter(F.col("vec_id") >= 5)
+        exact = {
+            (r.left_id, r.rank): r.right_id
+            for r in knn_join_exact(left, right, k=2).collect()
+        }
+        # full multiprobe (radius = n_planes) probes every bucket → exact
+        full = {
+            (r.left_id, r.rank): r.right_id
+            for r in knn_join_lsh(
+                left, right, k=2, n_planes=2, multiprobe_bits=2
+            ).collect()
+        }
+        assert full == exact
+        # pruned probe returns a subset of candidates, still ranked
+        pruned = knn_join_lsh(left, right, k=2, n_planes=4, multiprobe_bits=0)
+        for r in pruned.collect():
+            assert r.rank in (0, 1)
