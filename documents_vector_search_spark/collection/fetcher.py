@@ -3,8 +3,6 @@ main/core/documents_collection_fetcher.py:10-39 — SURVEY §2.5 Q7)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
-
 from documents_vector_search_spark.collection.catalog import Collection
 from documents_vector_search_spark.operators.fetch import fetch_lines
 

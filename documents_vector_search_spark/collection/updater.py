@@ -28,7 +28,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.collection.catalog import TABLES, Collection
+from documents_vector_search_spark.collection.catalog import Collection
 from documents_vector_search_spark.collection.creator import (
     Embedder,
     build_chunks,

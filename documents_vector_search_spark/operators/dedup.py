@@ -25,8 +25,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -77,7 +77,7 @@ def fit_ivf(
 ) -> IVFIndex:
     """Fit KMeans(nlist) with MLlib and assign every vector a cluster id."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     featurized = embeddings.withColumn(
         "_features", array_to_vector(F.col(vector_col).cast("array<double>"))
