@@ -518,6 +518,65 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group: 3 highest-value events per event_type
+    (the generic windowed-rank operator; SURVEY §2.7 notes the reference
+    has no window functions — Spark provides them natively)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (returnflag, linestatus) with subtotal
+    and grand-total rows (SURVEY §2.7: no grouping sets in reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_c"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers ordering in BOTH halves of the date range
+    (INTERSECT of two projections; SURVEY §2.7: none in reference)."""
+    orders = _t(spark, sf_dir, "orders")
+    mid = F.lit("1997-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < mid).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= mid).select("o_custkey")
+    return early.intersect(late)
+
+
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (percentile) of order totals per
+    priority — exact, not approx, so the oracle can reproduce it."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → mapInPandas feature extract."""
     media = attach_binary_payload(_t(spark, sf_dir, "documents"))
@@ -940,6 +999,32 @@ SELECT doc_id,
   {", ".join(f"CASE WHEN norm > 0 THEN round(r{i} / norm, 6) ELSE 0.0 END AS c{i}" for i in range(4))}
 FROM n
 """,
+        "topk_per_group": """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+SELECT event_type, rnk, event_id, round(value, 6) AS value
+FROM ranked WHERE rnk <= 3
+""",
+        "rollup": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "set_ops": """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+""",
+        "median_price": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
         "knn_join": f"""
 WITH l AS (
   SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv FROM embeddings WHERE vec_id < 50
@@ -1004,6 +1089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "rollup": q_rollup,
+        "set_ops": q_set_ops,
+        "median_price": q_median_price,
         "multimodal": q_multimodal,
         "embed_hash": q_embed_hash,
         "knn_join": q_knn_join,
