@@ -74,6 +74,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
 
@@ -83,6 +84,13 @@ def minhash_lsh_pairs(
        (band_index, band_value)).
     3. verify: exact Jaccard on the candidates' shingle sets; keep
        pairs with ``jaccard >= threshold``.
+
+    ``max_bucket_size`` caps pathological bands (site boilerplate can
+    put 1% of a 100 TB corpus in ONE bucket → a quadratic self-join):
+    oversized buckets are dropped before pairing, trading recall inside
+    mega-clusters for a bounded plan — the standard production-dedup
+    guard. None (default) disables the cap (exact candidate semantics,
+    required for oracle parity).
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
@@ -118,6 +126,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band_index", "band_value"),
     )
+
+    if max_bucket_size is not None:
+        bucket_sizes = banded.groupBy("band_index", "band_value").agg(
+            F.count("*").alias("_bs")
+        )
+        banded = (
+            banded.join(bucket_sizes, ["band_index", "band_value"])
+            .filter(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -171,6 +189,24 @@ def minhash_lsh_pairs(
         F.round(F.col("jaccard"), round_to) if round_to is not None else F.col("jaccard")
     )
     return verified.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def dedup_filter(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply near-dup pairs to a corpus: drop every doc that has a
+    smaller-id near-duplicate (greedy canonicalization).
+
+    A doc is removed iff it appears as ``id_b`` of some pair (pairs are
+    emitted with id_a < id_b). Each duplicate component keeps at least
+    its minimum id; a full connected-components pass (iterative, see
+    GraphFrames) only matters for sparse chains where an intermediate
+    doc's only links point at larger ids. One broadcast anti-join.
+    """
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(victims, id_col, "left_anti")
 
 
 def simhash_fingerprints(

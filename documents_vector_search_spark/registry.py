@@ -381,6 +381,20 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: drop near-duplicates (MinHash-LSH
+    pairs, jaccard>=0.8) from the corpus, report survivors per lang."""
+    from documents_vector_search_spark.operators.dedup import dedup_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=8, bands=4)
+    kept = dedup_filter(docs, pairs)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints per document."""
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -672,6 +686,25 @@ def _oracles() -> dict[str, str]:
 
     cos_lr = _cos_sql("l.v", "r.v")
 
+    minhash_ctes = f"""tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM sh),
+banded AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_index = r.band_index AND l.band_value = r.band_value
+   AND l.doc_id < r.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
+         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
+  FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+)"""
+
     return {
         "postings_build": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents)
@@ -807,26 +840,18 @@ SELECT doc_id,
 FROM sig
 """,
         "dedup_minhash": f"""
-WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
-sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
-sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM sh),
-banded AS (
-{bands_sql}
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r
-    ON l.band_index = r.band_index AND l.band_value = r.band_value
-   AND l.doc_id < r.doc_id
-),
-v AS (
-  SELECT id_a, id_b,
-         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
-         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
-  FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
-)
+WITH {minhash_ctes}
 SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM v WHERE inter / (na + nb - inter) >= 0.8
+""",
+        "dedup_apply": f"""
+WITH {minhash_ctes},
+victims AS (
+  SELECT DISTINCT id_b FROM v WHERE inter / (na + nb - inter) >= 0.8
+)
+SELECT lang, count(*)::BIGINT AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM documents WHERE doc_id NOT IN (SELECT id_b FROM victims)
+GROUP BY lang
 """,
         "dedup_simhash": f"""
 WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
@@ -1078,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_apply": q_dedup_apply,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,

@@ -239,3 +239,26 @@ class TestSimilarityJoin:
         pruned = knn_join_lsh(left, right, k=2, n_planes=4, multiprobe_bits=0)
         for r in pruned.collect():
             assert r.rank in (0, 1)
+
+
+class TestDedupApplyAndCap:
+    def test_dedup_filter_keeps_canonicals(self, dup_docs, spark):
+        from documents_vector_search_spark.operators.dedup import dedup_filter
+
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+        kept = {r.doc_id for r in dedup_filter(dup_docs, pairs).collect()}
+        assert kept == {1, 4}
+
+    def test_bucket_cap_bounds_pairs(self, spark):
+        from documents_vector_search_spark.operators.dedup import minhash_lsh_pairs
+
+        # 30 identical docs = one mega-bucket in every band
+        docs = spark.createDataFrame(
+            [(i, "same text repeated over and over in every document here")
+             for i in range(30)],
+            ["doc_id", "text"],
+        )
+        uncapped = minhash_lsh_pairs(docs, threshold=0.9).count()
+        assert uncapped == 30 * 29 / 2
+        capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=5).count()
+        assert capped == 0  # mega-bucket dropped entirely
