@@ -115,6 +115,14 @@ def create_collection(
         chunks = assign_chunk_ids(
             chunks, offset=0, id_col="document_id", chunk_number_col="chunk_number"
         )
+        # the global row_number window collapses to ONE partition —
+        # spread rows back out so the write and every downstream index
+        # build run parallel (the window itself is the documented
+        # bounded-batch tool; contiguous_ids=False avoids it entirely)
+        chunks = chunks.repartition(
+            max(2, collection.spark.sparkContext.defaultParallelism // 4),
+            "document_id",
+        )
     else:
         chunks = _hash_chunk_ids(chunks)
     collection.write("chunks", chunks)
