@@ -176,6 +176,10 @@ def _minhash_cols_sql(num_hashes: int = 8) -> str:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # force UTC regardless of the caller's session: timestamp literals
+    # in these queries are parsed in the SESSION timezone, and oracle
+    # parity (DuckDB naive timestamps) requires UTC semantics
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -185,6 +189,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (legacy conf) and truncate to microsecond timestamps (matching
     DuckDB's nanos→micros truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _t()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
