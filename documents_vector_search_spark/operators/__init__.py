@@ -18,15 +18,31 @@ from documents_vector_search_spark.operators.chunking import (
     fixed_window_chunks,
 )
 from documents_vector_search_spark.operators.dedup import (
+    dedup_filter,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from documents_vector_search_spark.operators.ivf import fit_ivf
+from documents_vector_search_spark.operators.recursive_split import (
+    recursive_character_chunks,
+    split_text_recursive,
+)
+from documents_vector_search_spark.operators.shingles import shingle_rows
+from documents_vector_search_spark.operators.similarity_join import (
+    knn_join_exact,
+    knn_join_lsh,
+)
+from documents_vector_search_spark.operators.skew import salted_aggregate
 from documents_vector_search_spark.operators.fetch import fetch_lines
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
-from documents_vector_search_spark.operators.knn import knn_cosine, knn_l2
+from documents_vector_search_spark.operators.knn import (
+    knn_cosine,
+    knn_l2,
+    knn_l2_numpy,
+)
 from documents_vector_search_spark.operators.rrf import rrf_fuse, with_rank
 from documents_vector_search_spark.operators.ann import ann_knn_l2
 from documents_vector_search_spark.operators.text_analysis import (
@@ -37,6 +53,15 @@ from documents_vector_search_spark.operators.text_analysis import (
 )
 
 __all__ = [
+    "dedup_filter",
+    "fit_ivf",
+    "recursive_character_chunks",
+    "split_text_recursive",
+    "shingle_rows",
+    "knn_join_exact",
+    "knn_join_lsh",
+    "salted_aggregate",
+    "knn_l2_numpy",
     "bm25_topk",
     "build_doc_stats",
     "build_postings",

@@ -89,8 +89,10 @@ def knn_l2_numpy(
 
     q = np.asarray(list(map(float, query_vector)))
 
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inference can't resolve locals
     @F.pandas_udf(DoubleType())
-    def l2_batch(v: pd.Series) -> pd.Series:
+    def l2_batch(v):
         m = np.array(v.tolist(), dtype=np.float64)
         return pd.Series(np.sqrt(((m - q) ** 2).sum(axis=1)))
 

@@ -199,3 +199,19 @@ class TestChunking:
         assert ids == [7, 8, 9, 10]
         by_key = {(r.doc_id, r.chunk_number): r.chunk_id for r in chunks}
         assert by_key[(1, 0)] == 7  # ordered by (doc_id, chunk_number)
+
+
+class TestKNNNumpyVariant:
+    def test_matches_expression_form(self, embeddings_df):
+        from documents_vector_search_spark.operators.knn import knn_l2_numpy
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        expr_ids = [
+            (r.vec_id, r.distance)
+            for r in knn_l2(embeddings_df, QUERY_VEC, 10).collect()
+        ]
+        np_ids = [
+            (r.vec_id, r.distance)
+            for r in knn_l2_numpy(embeddings_df, QUERY_VEC, 10).collect()
+        ]
+        assert expr_ids == np_ids
