@@ -537,6 +537,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5-style source→canonical projection: derived key prefix
+    (split), url synthesis (concat), case normalization, null-safe
+    coalesce — the converter scalar-function family
+    (jira_document_converter.py:14-102 patterns) as one projection."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.split(F.col("source"), "rc")[1].cast("bigint").alias("source_num"),
+        F.upper("lang").alias("lang_uc"),
+        F.coalesce(
+            F.nullif(F.col("lang"), F.lit("zh")), F.lit("other")
+        ).alias("lang_or_other"),
+        F.substring("text", 1, 20).alias("head"),
+        F.length("text").cast("bigint").alias("n"),
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k per group: 3 highest-value events per event_type
     (the generic windowed-rank operator; SURVEY §2.7 notes the reference
@@ -1029,6 +1050,16 @@ SELECT doc_id,
   {", ".join(f"CASE WHEN norm > 0 THEN round(r{i} / norm, 6) ELSE 0.0 END AS c{i}" for i in range(4))}
 FROM n
 """,
+        "canonical_projection": """
+SELECT doc_id,
+  concat('doc://', source, '/', doc_id) AS url,
+  CAST(str_split(source, 'rc')[2] AS BIGINT) AS source_num,
+  upper(lang) AS lang_uc,
+  coalesce(nullif(lang, 'zh'), 'other') AS lang_or_other,
+  substr(text, 1, 20) AS head,
+  length(text)::BIGINT AS n
+FROM documents
+""",
         "topk_per_group": """
 WITH ranked AS (
   SELECT event_type, event_id, value,
@@ -1120,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        "canonical_projection": q_canonical_projection,
         "topk_per_group": q_topk_per_group,
         "rollup": q_rollup,
         "set_ops": q_set_ops,
