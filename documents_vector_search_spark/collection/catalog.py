@@ -53,6 +53,19 @@ class Collection:
 
     # -- IO -----------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
+        """Read a table, recovering from an interrupted update swap.
+
+        The updater's directory swap (updater._swap_all) is rename-based
+        and not crash-atomic: a failure between ``final -> __old`` and
+        ``__tmp -> final`` leaves the table directory missing with the
+        previous committed state parked at ``__old``. Restore it here so
+        readers always see a complete collection. Single-writer,
+        no-concurrent-reader-during-update assumption (see updater).
+        """
+        final = self.root / table
+        old = self.root / f"{table}__old"
+        if not final.exists() and old.exists():
+            old.rename(final)
         return self.spark.read.parquet(self.table_path(table))
 
     def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:

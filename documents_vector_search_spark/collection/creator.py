@@ -13,12 +13,14 @@ Scale notes (100 TB):
   embeddings + postings + doc_stats (three writes, one computation).
 - The reference's 500k-doc batching (documents_collection_creator.py:28)
   is subsumed by partitioned execution.
-- Global contiguous chunk ids need a total order; for parity with the
-  reference's counter we keep them (zipWithIndex-free row_number is a
-  single-partition window — see operators/chunking.py scale note). At
-  true 100 TB scale set ``contiguous_ids=False`` to derive collision-free
-  ids from (document_id, chunk_number) hashing — order-free and fully
-  parallel.
+- Chunk ids DEFAULT to order-free hashes of (document_id, chunk_number)
+  — collision-free (~n²/2⁶¹ odds), fully parallel, and stable across
+  rebuilds and updates (a replaced document's chunks keep their ids).
+  ``contiguous_ids=True`` opts into the reference's global-counter
+  parity (documents_collection_creator.py:162-167), whose row_number
+  window funnels the corpus through ONE partition — a bounded-batch
+  tool, never the 100 TB initial-build default. The chosen strategy is
+  recorded in the manifest (``converter.idStrategy``) so updates match.
 """
 
 from __future__ import annotations
@@ -101,9 +103,14 @@ def create_collection(
     title_col: str | None = None,
     embedder: Embedder | None = None,
     embedding_dim: int = 16,
-    contiguous_ids: bool = True,
+    contiguous_ids: bool = False,
 ) -> Manifest:
-    """Create (wipe + rebuild) a collection from canonical documents."""
+    """Create (wipe + rebuild) a collection from canonical documents.
+
+    ``contiguous_ids=False`` (default) assigns order-free hash chunk ids
+    — the scale path; ``True`` restores the reference's contiguous
+    counter (single-partition window, bounded corpora only).
+    """
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
@@ -150,14 +157,19 @@ def create_collection(
     ).first()
     n_chunks, last_id = stats["n"], stats["last"]
     watermark = docs.agg(F.max("last_modified_at")).first()[0]
+    # lastIndexItemId is only meaningful under the counter strategy
+    # (updates continue from it); hash ids record -1
     manifest = Manifest(
         collectionName=collection.name,
         lastModifiedDocumentTime=watermark.isoformat() if watermark else None,
         numberOfDocuments=n_docs,
         numberOfChunks=n_chunks,
-        lastIndexItemId=int(last_id) if last_id is not None else -1,
+        lastIndexItemId=(
+            int(last_id) if contiguous_ids and last_id is not None else -1
+        ),
         converter={
-            "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap}
+            "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap},
+            "idStrategy": "counter" if contiguous_ids else "hash",
         },
     )
     collection.save_manifest(manifest)

@@ -101,11 +101,11 @@ class CollectionSearcher:
         )
 
     def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
+        # corpus stats stay WHOLE-INDEX; `allowed` restricts only the
+        # scored candidates — the reference's FTS5 bm25() semantics
+        # (filter narrows rows, statistics come from the full index)
         postings = self._read("postings")
         doc_stats = self._read("doc_stats")
-        if allowed is not None:
-            postings = postings.join(F.broadcast(allowed), "chunk_id", "left_semi")
-            doc_stats = doc_stats.join(F.broadcast(allowed), "chunk_id", "left_semi")
         chunks = self._read("chunks")
         hits = bm25_topk(
             chunks,  # only used for sparkSession/tokenizer defaults
@@ -115,6 +115,7 @@ class CollectionSearcher:
             text_col="indexed_data",
             postings=postings,
             doc_stats=doc_stats,
+            candidates=allowed,
         )
         w = Window.orderBy(F.col("score").desc(), F.col("chunk_id").asc())
         return hits.select(

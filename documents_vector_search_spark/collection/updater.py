@@ -42,11 +42,34 @@ from documents_vector_search_spark.operators.bm25 import (
 from documents_vector_search_spark.operators.chunking import assign_chunk_ids
 
 
+def _recover_orphans(collection: Collection, tables: list[str]) -> None:
+    """Clean up leftovers of an interrupted previous update: restore a
+    parked ``__old`` when the final directory is missing (crash between
+    the two renames), then drop orphaned ``__tmp``/``__old`` dirs."""
+    for table in tables:
+        final = Path(collection.table_path(table))
+        old = final.with_name(f"{table}__old")
+        tmp = final.with_name(f"{table}__tmp")
+        if not final.exists() and old.exists():
+            old.rename(final)
+        for orphan in (tmp, old):
+            if orphan.exists():
+                shutil.rmtree(orphan)
+
+
 def _swap_all(collection: Collection, merged: dict[str, DataFrame]) -> None:
     """Two-phase table rewrite: FIRST materialize every merged table to a
     __tmp dir (all plans still read the intact originals — swapping any
     table earlier would make later lazy plans read post-swap data and
-    corrupt the merge), THEN swap all directories."""
+    corrupt the merge), THEN swap all directories.
+
+    The swap is rename-based, not crash-atomic: single-writer only, and
+    concurrent readers mid-swap may observe a missing directory (they
+    recover via Collection.read's __old fallback on the next open; a
+    Delta/Iceberg MERGE is the transactional upgrade on a real
+    deployment). Interrupted runs are healed by _recover_orphans at the
+    start of the next update or read.
+    """
     for table, df in merged.items():
         df.write.mode("overwrite").parquet(
             str(Path(collection.table_path(f"{table}__tmp")))
@@ -70,6 +93,9 @@ def update_collection(
     title_col: str | None = None,
 ) -> Manifest:
     """Apply an update batch of canonical documents (changed + new)."""
+    from documents_vector_search_spark.collection.catalog import TABLES
+
+    _recover_orphans(collection, list(TABLES))
     manifest = collection.manifest()
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
@@ -88,13 +114,27 @@ def update_collection(
         changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
     ).select("chunk_id")
 
-    # --- fresh chunks with ids continuing the global counter --------------
-    fresh_chunks = assign_chunk_ids(
-        build_chunks(changed_docs, chunk_size, chunk_overlap, title_col),
-        offset=manifest.lastIndexItemId + 1,
-        id_col="document_id",
-        chunk_number_col="chunk_number",
-    )
+    # --- fresh chunks: ids per the collection's recorded strategy ---------
+    # hash (default): deterministic on (document_id, chunk_number) — a
+    # replaced document's chunks REUSE their ids, so the delete half of
+    # delete-then-reinsert covers them and updates stay idempotent.
+    # counter: reference parity — continue from lastIndexItemId
+    # (documents_collection_creator.py:129); bounded update batch, so the
+    # global window is fine here.
+    built = build_chunks(changed_docs, chunk_size, chunk_overlap, title_col)
+    if manifest.converter.get("idStrategy", "counter") == "hash":
+        from documents_vector_search_spark.collection.creator import (
+            _hash_chunk_ids,
+        )
+
+        fresh_chunks = _hash_chunk_ids(built)
+    else:
+        fresh_chunks = assign_chunk_ids(
+            built,
+            offset=manifest.lastIndexItemId + 1,
+            id_col="document_id",
+            chunk_number_col="chunk_number",
+        )
 
     merged_chunks = (
         chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
@@ -144,7 +184,10 @@ def update_collection(
     watermark = new_docs.agg(F.max("last_modified_at")).first()[0]
     manifest.numberOfDocuments = new_docs.count()
     manifest.numberOfChunks = stats["n"]
-    manifest.lastIndexItemId = int(stats["last"]) if stats["last"] is not None else -1
+    if manifest.converter.get("idStrategy", "counter") == "counter":
+        manifest.lastIndexItemId = (
+            int(stats["last"]) if stats["last"] is not None else -1
+        )
     if watermark is not None:
         manifest.lastModifiedDocumentTime = (
             watermark.isoformat()

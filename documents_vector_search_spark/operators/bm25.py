@@ -66,11 +66,23 @@ def bm25_topk(
     round_to: int | None = 6,
     postings: DataFrame | None = None,
     doc_stats: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: ``(id, score)`` descending, ties on id ascending.
 
     Pass prebuilt ``postings``/``doc_stats`` to search an existing index;
     otherwise they are derived from ``docs`` on the fly.
+
+    ``candidates`` (a one-column DataFrame of allowed ids) restricts the
+    SCORED rows only — corpus statistics (N, avgdl, per-term df) are
+    always computed over the whole index, matching the reference's FTS5
+    behaviour where a metadata filter narrows candidate rows but bm25()
+    ranks with whole-index statistics (sqllite_indexer.py search path).
+
+    No ``.persist()`` here by design: the shared subtrees (term-matched
+    postings, doc_stats) are cheap pruned scans, and a long-lived serving
+    process must not accumulate cached RDDs per query — table-level
+    caching belongs to the caller (CollectionSearcher(cache_tables=True)).
     """
     spark = docs.sparkSession
     q_terms = _query_terms(query)
@@ -88,14 +100,11 @@ def bm25_topk(
     # term list (bucket/partition pruning on `term` when the postings
     # table is written bucketed by term)
     qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-    # matched feeds term_df AND the scoring join; doc_stats feeds the
-    # corpus stats AND the per-doc dl join — cache both tiny tables so
-    # their subtrees execute once
-    matched = postings.join(F.broadcast(qt), "term").persist()
+    matched = postings.join(F.broadcast(qt), "term")
     if doc_stats is None:
         doc_stats = build_doc_stats(docs, id_col, text_col)
-    doc_stats = doc_stats.persist()
 
+    # whole-index statistics (computed BEFORE any candidate restriction)
     term_df = (
         matched.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
@@ -103,6 +112,9 @@ def bm25_topk(
     stats = doc_stats.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+
+    if candidates is not None:
+        matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
 
     scored = (
         matched.join(F.broadcast(term_df), "term")
@@ -160,7 +172,10 @@ def _bm25_adhoc(
     producing (id, dl, tf_0..tf_n), one single-row corpus aggregate
     (broadcast back), a map-side score expression, and
     TakeOrderedAndProject. No explode, no groupBy shuffle — the plan a
-    100 TB ad-hoc keyword query wants.
+    100 TB ad-hoc keyword query wants. The base subtree executes twice
+    (corpus stats + scoring) rather than being persisted: both passes
+    are fully codegen map-side scans, and an uncollected ``.persist()``
+    would leak cached partitions in a long-lived session.
     """
 
     def eq(term: str):
@@ -176,7 +191,7 @@ def _bm25_adhoc(
             F.size(F.filter("_toks", eq(term))).alias(f"tf_{i}")
             for i, term in enumerate(q_terms)
         ],
-    ).persist()  # scanned twice: corpus stats + scoring
+    )
 
     stats = base.agg(
         F.count("*").alias("n_docs"),

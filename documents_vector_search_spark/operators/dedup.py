@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64
@@ -89,8 +89,22 @@ def minhash_lsh_pairs(
     put 1% of a 100 TB corpus in ONE bucket → a quadratic self-join):
     oversized buckets are dropped before pairing, trading recall inside
     mega-clusters for a bounded plan — the standard production-dedup
-    guard. None (default) disables the cap (exact candidate semantics,
-    required for oracle parity).
+    guard. The cap is a window count over the band shuffle (no extra
+    join); None disables it.
+
+    Plan shape (no ``.persist()`` anywhere — safe in long-lived
+    sessions):
+    1. signatures: one pass (shingle rows → md5 columns → min-agg; the
+       min ignores duplicate shingles, so the shingle stream is NOT
+       de-duplicated first — saves a full shuffle).
+    2. candidates: band self-join → pair dedup (one shuffle on the pair
+       key).
+    3. verification: RE-SCAN only the candidate documents (semi-join on
+       the broadcast candidate-id set — at corpus scale candidates are
+       ≪ corpus) and compare their exact shingle SETS with
+       array_intersect. The candidate subtree above feeds both the
+       broadcast and the final join through the same exchange, which
+       Spark executes once (ReusedExchange).
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
@@ -103,8 +117,7 @@ def minhash_lsh_pairs(
     # min-aggregate = the signature
     from documents_vector_search_spark.operators.shingles import shingle_rows
 
-    sh = shingle_rows(docs, shingle_words, id_col, text_col).persist()
-    # reused: signature build + both sides of candidate verification
+    sh = shingle_rows(docs, shingle_words, id_col, text_col, distinct=False)
     hash_cols = [
         md5_hash64(F.col("shingle"), salt=i).alias(f"m{i}")
         for i in range(num_hashes)
@@ -128,11 +141,12 @@ def minhash_lsh_pairs(
     )
 
     if max_bucket_size is not None:
-        bucket_sizes = banded.groupBy("band_index", "band_value").agg(
-            F.count("*").alias("_bs")
-        )
+        # window count over the same (band_index, band_value) hash
+        # partitioning the self-join needs — the cap rides the shuffle
+        # the join pays anyway instead of adding a sizes join
+        bw = Window.partitionBy("band_index", "band_value")
         banded = (
-            banded.join(bucket_sizes, ["band_index", "band_value"])
+            banded.withColumn("_bs", F.count("*").over(bw))
             .filter(F.col("_bs") <= max_bucket_size)
             .drop("_bs")
         )
@@ -150,32 +164,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # verification via the inverted shingle index: count shared shingles
-    # per candidate pair with joins + one aggregation (codegen end to
-    # end) instead of array_intersect over collected lists
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh_b = sh.select(
-        F.col("id").alias("_rid"), F.col("shingle").alias("shingle_b")
+    # verification: exact Jaccard over the candidate documents only —
+    # re-shingle the (small) candidate sub-corpus instead of joining the
+    # full inverted shingle index twice
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
     )
-    inter = (
-        candidates.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(
-            sh_b,
-            (F.col("id_b") == F.col("_rid"))
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
+    sub = docs.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
     )
+    cs = with_shingles(sub, shingle_words, id_col, text_col)
+    a = cs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
+    b = cs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
     verified = (
-        inter.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
-            "id_a",
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
         )
-        .join(
-            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
-            "id_b",
-        )
+        .withColumn("n_a", F.size("_sa").cast("bigint"))
+        .withColumn("n_b", F.size("_sb").cast("bigint"))
         .withColumn("_union", F.col("n_a") + F.col("n_b") - F.col("_inter"))
         .withColumn(
             "jaccard",

@@ -34,7 +34,10 @@ def fetch_lines(
     """
     start = max(1, int(start_line))
     end = int(end_line)
-    lines = F.split(F.col(text_col), "\n")
+    # str.splitlines() parity for the common line endings: \r\n, \r, \n
+    # (the reference fetcher splits with splitlines(); splitting on bare
+    # \n would leak \r into slices and inflate total_lines differently)
+    lines = F.split(F.col(text_col), r"\r\n|\r|\n")
     total = F.size(lines)
     clamped_end = F.least(F.lit(end), total)
     slice_len = F.greatest(clamped_end - F.lit(start) + 1, F.lit(0))

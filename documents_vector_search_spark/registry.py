@@ -86,6 +86,10 @@ ANN_PROBES = sorted(
     | {bucket_of(QUERY_VEC, ANN_PLANES) ^ (1 << j) for j in range(4)}
 )
 
+# mega-bucket guard for the MinHash-LSH queries (mirrored in the oracle):
+# bands whose bucket exceeds this many docs are dropped before pairing
+MINHASH_MAX_BUCKET = 64
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -380,9 +384,13 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (8 hashes, 4 bands, jaccard>=0.8)."""
+    """MinHash-LSH near-dup pairs (8 hashes, 4 bands, jaccard>=0.8).
+
+    The mega-bucket guard is ON (mirrored in the oracle's QUALIFY): a
+    100 TB pipeline must never self-join a boilerplate bucket."""
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=8, bands=4
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
     )
 
 
@@ -392,7 +400,10 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documents_vector_search_spark.operators.dedup import dedup_filter
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=8, bands=4)
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
     kept = dedup_filter(docs, pairs)
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
@@ -715,8 +726,12 @@ def _oracles() -> dict[str, str]:
     minhash_ctes = f"""tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
 sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM sh),
-banded AS (
+banded_all AS (
 {bands_sql}
+),
+banded AS (
+  SELECT doc_id, band_index, band_value FROM banded_all
+  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -820,7 +835,7 @@ SELECT doc_id, chunk_number::BIGINT AS chunk_number,
 FROM e
 """,
         "fetch_slice": """
-WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents WHERE doc_id = 42)
+WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\r\n|\r|\n') AS lines FROM documents WHERE doc_id = 42)
 SELECT doc_id, 1 AS start_line,
        least(3, len(lines))::INT AS end_line,
        len(lines)::INT AS total_lines,

@@ -64,13 +64,16 @@ def read_files_documents(
         reader = reader.option("modifiedAfter", modified_after)
     raw = reader.load(base_path)
 
-    base_uri_len = F.length(
-        F.lit(base_path.rstrip("/") + "/")
-    )
-    # binaryFile yields absolute file: URIs; derive the relative path
-    rel = F.regexp_replace(
-        F.col("path"), r"^file:(//)?" + base_path.rstrip("/") + "/", ""
-    )
+    # binaryFile yields absolute file: URIs; derive the relative path.
+    # The scheme strip is a CONSTANT regex; the base-path strip is a
+    # length-based substring so regex metacharacters in the directory
+    # name ('+', '(', '[', ...) can't corrupt document ids.
+    base_prefix = base_path.rstrip("/") + "/"
+    no_scheme = F.regexp_replace(F.col("path"), r"^file:(//)?", "")
+    rel = F.when(
+        no_scheme.startswith(base_prefix),
+        F.substring(no_scheme, len(base_prefix) + 1, 2**31 - 1),
+    ).otherwise(no_scheme)
     df = raw.select(
         rel.alias("rel_path"),
         F.col("path"),

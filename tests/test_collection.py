@@ -49,10 +49,18 @@ class TestCreate:
         m = collection.manifest()
         assert m.numberOfDocuments == 100
         assert m.numberOfChunks > 100  # at least title chunk per doc + splits
-        assert m.lastIndexItemId == m.numberOfChunks - 1  # contiguous from 0
+        # default strategy: order-free hash ids (scale path); the counter
+        # and its lastIndexItemId are the contiguous_ids=True opt-in
+        assert m.converter["idStrategy"] == "hash"
+        assert m.lastIndexItemId == -1
         assert m.lastModifiedDocumentTime.startswith("2024-03-01")
         for t in ("documents", "chunks", "embeddings", "postings", "doc_stats"):
             assert collection.read(t).count() > 0
+
+    def test_hash_ids_unique_and_stable(self, collection):
+        chunks = collection.read("chunks")
+        n = chunks.count()
+        assert chunks.select("chunk_id").distinct().count() == n
 
     def test_chunk_zero_is_title(self, collection):
         c0 = (
@@ -122,8 +130,13 @@ class TestFetch:
 
 class TestUpdate:
     def test_delete_then_reinsert_invariants(self, spark, canonical_docs, tmp_path):
+        # counter strategy (reference parity): ids continue from
+        # lastIndexItemId and stale ids never reappear
         coll = Collection(spark, str(tmp_path), "upd")
-        m0 = create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        m0 = create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            contiguous_ids=True,
+        )
         old_last = m0.lastIndexItemId
         old_chunk_ids = {
             r.chunk_id
@@ -169,6 +182,41 @@ class TestUpdate:
         got = s.search("broadcast joins", indexes=("bm25",)).collect()
         assert {r.document_id for r in got} <= {"doc-1", "doc-2"}
         assert len(got) > 0
+
+    def test_hash_strategy_update_reuses_ids(self, spark, canonical_docs, tmp_path):
+        # hash strategy (default): a replaced document's chunks keep
+        # their deterministic ids, and every index stays consistent
+        coll = Collection(spark, str(tmp_path), "updhash")
+        create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        old_ids = {
+            r.chunk_id
+            for r in coll.read("chunks")
+            .filter(F.col("document_id") == "doc-1")
+            .collect()
+        }
+
+        updates = canonical_docs.filter(F.col("id") == "doc-1").select(
+            "id", "url", "metadata",
+            # same text → same chunk boundaries → identical chunk ids
+            "text",
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+            "source_type",
+        )
+        m1 = update_collection(coll, updates)
+        assert m1.converter["idStrategy"] == "hash"
+
+        new_ids = {
+            r.chunk_id
+            for r in coll.read("chunks")
+            .filter(F.col("document_id") == "doc-1")
+            .collect()
+        }
+        assert new_ids == old_ids
+        # no duplicated ids in any index after the merge
+        for t in ("chunks", "embeddings", "postings"):
+            df = coll.read(t)
+            key = ["chunk_id", "term"] if t == "postings" else ["chunk_id"]
+            assert df.count() == df.select(*key).distinct().count(), t
 
     def test_unchanged_resend_is_idempotent(self, spark, canonical_docs, tmp_path):
         coll = Collection(spark, str(tmp_path), "idem")
