@@ -104,12 +104,20 @@ def create_collection(
     embedder: Embedder | None = None,
     embedding_dim: int = 16,
     contiguous_ids: bool = False,
+    ann_planes: int | None = None,
+    ann_seed: int = 42,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
     ``contiguous_ids=False`` (default) assigns order-free hash chunk ids
     — the scale path; ``True`` restores the reference's contiguous
     counter (single-partition window, bounded corpora only).
+
+    ``ann_planes`` writes the embeddings table PARTITIONED by SRP-LSH
+    bucket (operators/ann.py): vector search then prunes to the query's
+    probe buckets at the Parquet partition level — the engine's HNSW
+    analog (reference chroma_indexer.py:147-157). The config is recorded
+    in the manifest so CollectionSearcher and updates honor the layout.
     """
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
@@ -135,13 +143,25 @@ def create_collection(
     collection.write("chunks", chunks)
     chunks = collection.read("chunks")  # one materialized pass feeds 3 indexes
 
-    collection.write(
-        "embeddings",
-        chunks.select(
-            "chunk_id",
-            embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
-        ),
+    emb_df = chunks.select(
+        "chunk_id",
+        embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
     )
+    if ann_planes:
+        from documents_vector_search_spark.operators.ann import (
+            write_bucket_partitioned,
+        )
+
+        write_bucket_partitioned(
+            emb_df,
+            collection.table_path("embeddings"),
+            n_planes=ann_planes,
+            seed=ann_seed,
+            vector_col="vector",
+            dim=embedding_dim,
+        )
+    else:
+        collection.write("embeddings", emb_df)
     collection.write(
         "postings",
         build_postings(chunks, id_col="chunk_id", text_col="indexed_data"),
@@ -170,6 +190,11 @@ def create_collection(
         converter={
             "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap},
             "idStrategy": "counter" if contiguous_ids else "hash",
+            **(
+                {"ann": {"nPlanes": ann_planes, "seed": ann_seed}}
+                if ann_planes
+                else {}
+            ),
         },
     )
     collection.save_manifest(manifest)

@@ -42,12 +42,19 @@ class CollectionSearcher:
         embedding_dim: int = 16,
         field_types: dict[str, str] | None = None,
         cache_tables: bool = False,
+        ann_probe_bits: int = 1,
     ):
         """``cache_tables`` persists the index tables in executor memory
         on first access — the serving-process pattern (the reference's
         MCP adapter holds loaded indexes the same way,
         collection_search_unified_mcp_adapter.py:176-189). Leave off for
-        one-shot CLI queries."""
+        one-shot CLI queries.
+
+        ``ann_probe_bits``: multi-probe Hamming radius when the
+        collection was created with a bucket-partitioned ANN layout
+        (create_collection(ann_planes=...)) — vector search then prunes
+        to the probe buckets at the Parquet partition level instead of
+        scanning every embedding."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
@@ -56,6 +63,8 @@ class CollectionSearcher:
         self.field_types = field_types or {}
         self._cache_tables = cache_tables
         self._cached: dict[str, DataFrame] = {}
+        self.ann_probe_bits = ann_probe_bits
+        self._ann_cfg: dict | None | str = "_unset"
 
     def _read(self, table: str) -> DataFrame:
         if not self._cache_tables:
@@ -84,13 +93,38 @@ class CollectionSearcher:
             "left_semi",
         ).select("chunk_id")
 
+    def _ann_config(self) -> dict | None:
+        if self._ann_cfg == "_unset":
+            try:
+                self._ann_cfg = self.collection.manifest().converter.get("ann")
+            except FileNotFoundError:
+                self._ann_cfg = None
+        return self._ann_cfg  # type: ignore[return-value]
+
     def _vector_hits(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
         emb = self._read("embeddings")
+        qv = hash_embedding_py(text, self.embedding_dim)
+        cfg = self._ann_config()
+        if cfg:
+            # bucket-partitioned layout: the probe filter is partition
+            # pruning on the `bucket` directory column — the HNSW-analog
+            # sub-linear path (operators/ann.py)
+            from documents_vector_search_spark.operators.ann import (
+                multiprobe_buckets,
+            )
+            from documents_vector_search_spark.operators.dedup import (
+                random_hyperplanes,
+            )
+
+            planes = random_hyperplanes(
+                self.embedding_dim, cfg["nPlanes"], cfg["seed"]
+            )
+            probes = multiprobe_buckets(qv, planes, self.ann_probe_bits)
+            emb = emb.filter(F.col("bucket").isin(probes))
         if allowed is not None:
             emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
-        qv = hash_embedding_py(text, self.embedding_dim)
         hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")
         # L2 ascending → rank; keep a unified (chunk_id, rank, score) shape
         w = Window.orderBy(F.col("distance").asc(), F.col("chunk_id").asc())

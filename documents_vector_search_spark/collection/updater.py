@@ -57,7 +57,11 @@ def _recover_orphans(collection: Collection, tables: list[str]) -> None:
                 shutil.rmtree(orphan)
 
 
-def _swap_all(collection: Collection, merged: dict[str, DataFrame]) -> None:
+def _swap_all(
+    collection: Collection,
+    merged: dict[str, DataFrame],
+    partition_cols: dict[str, list[str]] | None = None,
+) -> None:
     """Two-phase table rewrite: FIRST materialize every merged table to a
     __tmp dir (all plans still read the intact originals — swapping any
     table earlier would make later lazy plans read post-swap data and
@@ -71,9 +75,10 @@ def _swap_all(collection: Collection, merged: dict[str, DataFrame]) -> None:
     start of the next update or read.
     """
     for table, df in merged.items():
-        df.write.mode("overwrite").parquet(
-            str(Path(collection.table_path(f"{table}__tmp")))
-        )
+        writer = df.write.mode("overwrite")
+        for col in (partition_cols or {}).get(table, []):
+            writer = writer.partitionBy(col)
+        writer.parquet(str(Path(collection.table_path(f"{table}__tmp"))))
     for table in merged:
         tmp = Path(collection.table_path(f"{table}__tmp"))
         final = Path(collection.table_path(table))
@@ -144,6 +149,22 @@ def update_collection(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
     )
+    # ANN layout (create_collection(ann_planes=...)): fresh vectors get
+    # their LSH bucket so the rewrite keeps the partitioned layout
+    ann_cfg = manifest.converter.get("ann")
+    if ann_cfg:
+        from documents_vector_search_spark.operators.dedup import (
+            hyperplane_bucket,
+            random_hyperplanes,
+        )
+
+        planes = random_hyperplanes(
+            embedding_dim, ann_cfg["nPlanes"], ann_cfg["seed"]
+        )
+        fresh_embeddings = fresh_embeddings.withColumn(
+            "bucket",
+            hyperplane_bucket(F.col("vector").cast("array<double>"), planes),
+        )
     merged_embeddings = (
         collection.read("embeddings")
         .join(stale_chunks, "chunk_id", "left_anti")
@@ -173,6 +194,7 @@ def update_collection(
             "postings": merged_postings,
             "doc_stats": merged_doc_stats,
         },
+        partition_cols={"embeddings": ["bucket"]} if ann_cfg else None,
     )
 
     # --- manifest merge-update (documents_collection_creator.py:255-268) ---

@@ -44,7 +44,12 @@ from documents_vector_search_spark.operators.knn import (
     knn_l2_numpy,
 )
 from documents_vector_search_spark.operators.rrf import rrf_fuse, with_rank
-from documents_vector_search_spark.operators.ann import ann_knn_l2
+from documents_vector_search_spark.operators.ann import (
+    ann_knn_l2,
+    ann_knn_l2_bucketed,
+    ensure_bucket_layout,
+    write_bucket_partitioned,
+)
 from documents_vector_search_spark.operators.text_analysis import (
     fingerprint,
     language_id,
@@ -79,6 +84,9 @@ __all__ = [
     "rrf_fuse",
     "with_rank",
     "ann_knn_l2",
+    "ann_knn_l2_bucketed",
+    "ensure_bucket_layout",
+    "write_bucket_partitioned",
     "fingerprint",
     "language_id",
     "quality_score",

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64_sql
-from documents_vector_search_spark.operators.ann import ann_knn_l2, bucket_of
+from documents_vector_search_spark.operators.ann import bucket_of
 from documents_vector_search_spark.operators.bm25 import bm25_topk, build_postings
 from documents_vector_search_spark.operators.chunking import (
     assign_chunk_ids,
@@ -89,6 +89,10 @@ ANN_PROBES = sorted(
 # mega-bucket guard for the MinHash-LSH queries (mirrored in the oracle):
 # bands whose bucket exceeds this many docs are dropped before pairing
 MINHASH_MAX_BUCKET = 64
+
+# where bucket-partitioned ANN layouts are cached (one per sf dir,
+# invalidated when the source parquet's mtime changes)
+ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
 
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
@@ -242,9 +246,27 @@ def q_knn_l2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: L2 top-10 pruned to the query's SRP-LSH bucket + neighbors."""
-    return ann_knn_l2(
-        _t(spark, sf_dir, "embeddings"), QUERY_VEC, 10, n_planes=4, multiprobe_bits=1
+    """ANN: L2 top-10 over the bucket-PARTITIONED layout — the probe
+    filter is Parquet partition pruning (scan reads probes/2^n_planes of
+    the files), not an on-the-fly full scan. The layout is built once
+    per sf dir and cached (source-mtime invalidation)."""
+    import os
+
+    from documents_vector_search_spark.operators.ann import (
+        ann_knn_l2_bucketed,
+        ensure_bucket_layout,
+    )
+
+    layout = ensure_bucket_layout(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{ANN_LAYOUT_CACHE}/{os.path.basename(sf_dir.rstrip('/'))}",
+        n_planes=4,
+        seed=42,
+        dim=EMBED_DIM,
+    )
+    return ann_knn_l2_bucketed(
+        layout, QUERY_VEC, 10, n_planes=4, seed=42, multiprobe_bits=1
     )
 
 

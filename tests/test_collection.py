@@ -233,6 +233,54 @@ class TestUpdate:
         )
 
 
+class TestAnnLayout:
+    """Bucket-partitioned embeddings: vector search = partition pruning."""
+
+    @pytest.fixture(scope="class")
+    def ann_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("ann"))
+        coll = Collection(spark, base, "annc")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40, ann_planes=3
+        )
+        return coll
+
+    def test_layout_written_partitioned(self, ann_coll):
+        m = ann_coll.manifest()
+        assert m.converter["ann"] == {"nPlanes": 3, "seed": 42}
+        emb = ann_coll.read("embeddings")
+        assert "bucket" in emb.columns
+        # every chunk present exactly once across buckets
+        assert emb.count() == ann_coll.read("chunks").count()
+
+    def test_search_prunes_partitions(self, ann_coll):
+        s = CollectionSearcher(ann_coll, ann_probe_bits=1)
+        hits = s._vector_hits("hash join", 10, None)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        got = hits.collect()
+        assert len(got) > 0
+
+    def test_hybrid_search_still_works(self, ann_coll):
+        s = CollectionSearcher(ann_coll)
+        got = s.search("hash join vector", max_documents=5).collect()
+        assert 0 < len(got) <= 5
+
+    def test_update_preserves_layout(self, spark, canonical_docs, ann_coll):
+        updates = canonical_docs.filter(F.col("id") == "doc-2").select(
+            "id", "url", "metadata",
+            F.concat(F.lit("totally new ann text. "), "text").alias("text"),
+            F.lit("2024-07-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+            "source_type",
+        )
+        update_collection(ann_coll, updates)
+        emb = ann_coll.read("embeddings")
+        assert "bucket" in emb.columns
+        assert emb.count() == ann_coll.read("chunks").count()
+        s = CollectionSearcher(ann_coll)
+        assert len(s.search("hash join", max_documents=5).collect()) > 0
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
