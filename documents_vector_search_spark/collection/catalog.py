@@ -68,8 +68,17 @@ class Collection:
             old.rename(final)
         return self.spark.read.parquet(self.table_path(table))
 
-    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.table_path(table))
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(table))
 
     def counts(self) -> dict[str, int]:
         """Live row counts per table (reference E8: faiss.ntotal /

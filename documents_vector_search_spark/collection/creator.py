@@ -34,8 +34,10 @@ from documents_vector_search_spark.collection.catalog import Collection
 from documents_vector_search_spark.collection.manifest import Manifest
 from documents_vector_search_spark.functions.hashing import md5_hash64
 from documents_vector_search_spark.operators.bm25 import (
+    N_TERM_BUCKETS,
     build_doc_stats,
     build_postings,
+    term_bucket,
 )
 from documents_vector_search_spark.operators.chunking import (
     assign_chunk_ids,
@@ -162,9 +164,17 @@ def create_collection(
         )
     else:
         collection.write("embeddings", emb_df)
+    # postings partitioned by term-hash bucket: a query's term lookup
+    # becomes Parquet partition pruning (operators/bm25.py). The
+    # repartition keys the write so each bucket lands in few files
+    # instead of (tasks × buckets) shards.
+    postings_df = build_postings(
+        chunks, id_col="chunk_id", text_col="indexed_data"
+    ).withColumn("term_bucket", term_bucket(F.col("term")))
     collection.write(
         "postings",
-        build_postings(chunks, id_col="chunk_id", text_col="indexed_data"),
+        postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
+        partition_by=["term_bucket"],
     )
     collection.write(
         "doc_stats",

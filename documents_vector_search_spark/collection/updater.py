@@ -170,12 +170,21 @@ def update_collection(
         .join(stale_chunks, "chunk_id", "left_anti")
         .unionByName(fresh_embeddings)
     )
-    merged_postings = (
-        collection.read("postings")
-        .join(stale_chunks, "chunk_id", "left_anti")
-        .unionByName(
-            build_postings(fresh_chunks, id_col="chunk_id", text_col="indexed_data")
+    old_postings = collection.read("postings")
+    fresh_postings = build_postings(
+        fresh_chunks, id_col="chunk_id", text_col="indexed_data"
+    )
+    postings_bucketed = "term_bucket" in old_postings.columns
+    if postings_bucketed:
+        from documents_vector_search_spark.operators.bm25 import term_bucket
+
+        fresh_postings = fresh_postings.withColumn(
+            "term_bucket", term_bucket(F.col("term"))
         )
+    merged_postings = (
+        old_postings
+        .join(stale_chunks, "chunk_id", "left_anti")
+        .unionByName(fresh_postings)
     )
     merged_doc_stats = (
         collection.read("doc_stats")
@@ -194,7 +203,10 @@ def update_collection(
             "postings": merged_postings,
             "doc_stats": merged_doc_stats,
         },
-        partition_cols={"embeddings": ["bucket"]} if ann_cfg else None,
+        partition_cols={
+            **({"embeddings": ["bucket"]} if ann_cfg else {}),
+            **({"postings": ["term_bucket"]} if postings_bucketed else {}),
+        },
     )
 
     # --- manifest merge-update (documents_collection_creator.py:255-268) ---

@@ -20,6 +20,14 @@ from pyspark.sql import functions as F
 # 15 hex chars = 60 bits — always positive as int64.
 _HEX_PREFIX_LEN = 15
 
+# Largest prime below 2^60 — modulus of the 2-universal MinHash family
+# h_i(x) = (a(x) + i*b(x)) mod p, where a and b are independent 60-bit
+# values cut from ONE md5 digest (Carter-Wegman). One digest per shingle
+# instead of num_hashes salted digests: 8x less hashing and a far
+# smaller codegen tree. a + 7b < 2^63, so the arithmetic never overflows
+# a signed int64 in any engine.
+MINHASH_PRIME = 1152921504606846883
+
 
 def md5_hash64(col: Column, salt: int = 0) -> Column:
     """60-bit non-negative int64 from ``md5(salt ':' value)``.
@@ -39,19 +47,66 @@ def md5_hash64_sql(expr: str, salt: int = 0) -> str:
     )
 
 
+def minhash_from_hex(hx: Column, i: int) -> Column:
+    """Family member i of the 2-universal MinHash family over a shingle's
+    md5 HEX digest: ``(a + i*b) mod p`` with a = hex[0:15], b = hex[15:30]
+    as 60-bit ints. Operands are non-negative so ``pmod`` ≡ ``%`` in any
+    engine, and a + 7b < 2^63 (no int64 overflow)."""
+    a = F.conv(F.substring(hx, 1, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+    b = F.conv(F.substring(hx, 16, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+    return F.pmod(a + F.lit(i) * b, F.lit(MINHASH_PRIME))
+
+
+def minhash_ab_array(shingles: Column) -> Column:
+    """``transform(shingles, s -> struct(a, b))`` — the staged form of
+    the family seed. ``conv`` (string base conversion) is the expensive
+    step, so a pipeline should project THIS array once as its own column
+    and derive every family with :func:`minhash_from_ab` (pure int64
+    arithmetic) — measured ~4x faster than re-deriving (a, b) per
+    family from the hex digests."""
+
+    def entry(s: Column) -> Column:
+        hexd = F.md5(s)
+        a = F.conv(F.substring(hexd, 1, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+        b = F.conv(F.substring(hexd, 16, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+        return F.struct(a.alias("a"), b.alias("b"))
+
+    return F.transform(shingles, entry)
+
+
+def minhash_from_ab(entry: Column, i: int) -> Column:
+    """Family member i over a staged (a, b) struct — arithmetic only.
+    Identical values to :func:`minhash_from_hex`."""
+    return F.pmod(entry["a"] + F.lit(i) * entry["b"], F.lit(MINHASH_PRIME))
+
+
+def minhash_from_hex_sql(hx_expr: str, i: int) -> str:
+    """ANSI-SQL twin of :func:`minhash_from_hex` (oracle builder)."""
+    a = f"CAST(concat('0x', substr({hx_expr}, 1, {_HEX_PREFIX_LEN})) AS BIGINT)"
+    b = f"CAST(concat('0x', substr({hx_expr}, 16, {_HEX_PREFIX_LEN})) AS BIGINT)"
+    return f"(({a}) + {i} * ({b})) % {MINHASH_PRIME}"
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     """MinHash signature: array of ``num_hashes`` int64 minima.
 
-    For each hash family i, take min over shingles of hash_i(shingle).
-    Pr[sig_a[i] == sig_b[i]] ≈ Jaccard(a, b) — the standard MinHash
-    estimator (Broder 1997). Computed as ``array_min(transform(...))``
-    per family: no explode, no shuffle; signature generation is a pure
-    map over the corpus.
+    For each hash family i, take min over shingles of
+    ``h_i(s) = minhash_from_hex(md5(s), i)`` — ONE digest per shingle
+    seeds every family (Carter-Wegman), instead of ``num_hashes`` salted
+    digests. Pr[sig_a[i] == sig_b[i]] ≈ Jaccard(a, b) — the standard
+    MinHash estimator (Broder 1997). Pure map, no explode, no shuffle.
+
+    Convenience single-Column form: the md5 transform is inlined per
+    family here. In a pipeline, stage the hex array as its own projected
+    column once and apply :func:`minhash_from_hex` per family (see
+    operators/dedup.py::minhash_lsh_pairs) so the digests are computed
+    once.
     """
-    def hash_family(salt: int):
+
+    def hash_family(i: int):
         # single-arg lambda: a two-arg lambda would make pyspark pass the
-        # ARRAY INDEX as the second argument, silently replacing the salt
-        return lambda s: md5_hash64(s, salt=salt)
+        # ARRAY INDEX as the second argument, silently replacing i
+        return lambda s: minhash_from_hex(F.md5(s), i)
 
     return F.array(
         *[

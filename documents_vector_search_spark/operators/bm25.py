@@ -31,10 +31,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from documents_vector_search_spark.functions.hashing import md5_hash64
 from documents_vector_search_spark.functions.text import tokenize
 
 K1 = 1.2
 B = 0.75
+
+# postings layout: partitionBy("term_bucket") so a query's term lookup
+# is Parquet partition pruning — it reads |query terms|/N of the index
+N_TERM_BUCKETS = 64
+
+
+def term_bucket(col) -> "F.Column":
+    """Partition bucket of a term — md5-derived (engine-portable), the
+    write-side half of the postings partition-pruning layout."""
+    return (md5_hash64(col) % N_TERM_BUCKETS).cast("int")
+
+
+def term_bucket_py(term: str) -> int:
+    """Driver-side twin of :func:`term_bucket` for query terms."""
+    import hashlib
+
+    h = int(hashlib.md5(f"0:{term}".encode()).hexdigest()[:15], 16)
+    return h % N_TERM_BUCKETS
 
 
 def build_postings(
@@ -97,8 +116,12 @@ def bm25_topk(
         return _bm25_adhoc(docs, q_terms, k, id_col, text_col, conjunctive, round_to)
 
     # index path: semi-join the prebuilt postings on the tiny broadcast
-    # term list (bucket/partition pruning on `term` when the postings
-    # table is written bucketed by term)
+    # term list; when the table carries the term_bucket partition column
+    # (collection layout), pre-filter on the query terms' buckets so the
+    # scan is partition-pruned to |terms|/N_TERM_BUCKETS of the files
+    if "term_bucket" in postings.columns:
+        buckets = sorted({term_bucket_py(t) for t in q_terms})
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
     qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
     matched = postings.join(F.broadcast(qt), "term")
     if doc_stats is None:

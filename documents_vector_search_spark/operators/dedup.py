@@ -56,13 +56,14 @@ def with_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(id, shingles ARRAY<STRING>)`` — distinct word n-gram shingles."""
-    return docs.select(
-        F.col(id_col),
-        F.array_distinct(
-            word_shingles(tokenize(text_col), shingle_words)
-        ).alias("shingles"),
-    )
+    """``(id, shingles ARRAY<STRING>)`` — distinct word n-gram shingles
+    (map-only; delegates to the fastest producer, shingles.shingle_array,
+    keeping the original id column name)."""
+    from documents_vector_search_spark.operators.shingles import shingle_array
+
+    return shingle_array(
+        docs, shingle_words, id_col, text_col, distinct=True
+    ).select(F.col("id").alias(id_col), "shingles")
 
 
 def minhash_lsh_pairs(
@@ -92,19 +93,26 @@ def minhash_lsh_pairs(
     guard. The cap is a window count over the band shuffle (no extra
     join); None disables it.
 
-    Plan shape (no ``.persist()`` anywhere — safe in long-lived
-    sessions):
-    1. signatures: one pass (shingle rows → md5 columns → min-agg; the
-       min ignores duplicate shingles, so the shingle stream is NOT
-       de-duplicated first — saves a full shuffle).
-    2. candidates: band self-join → pair dedup (one shuffle on the pair
-       key).
-    3. verification: RE-SCAN only the candidate documents (semi-join on
-       the broadcast candidate-id set — at corpus scale candidates are
-       ≪ corpus) and compare their exact shingle SETS with
-       array_intersect. The candidate subtree above feeds both the
-       broadcast and the final join through the same exchange, which
-       Spark executes once (ReusedExchange).
+    Plan shape — ONE pass over the corpus, TWO shuffles total, no
+    ``.persist()`` (long-lived sessions must not accumulate cached
+    RDDs), no joins:
+    1. map-only: distinct shingle ARRAY per doc (operators/shingles.py
+       shingle_array — O(1) ``get`` lookups, no window, no explode),
+       minhash signature as ``array_min(transform(hash_i))`` per
+       family, band values.
+    2. shuffle 1: group by (band_index, band_value) collecting
+       (id, shingles) member lists — the shingle arrays RIDE the band
+       shuffle (``bands`` copies of the corpus shingles; the price of
+       join-free verification).
+    3. in-bucket double-explode emits each candidate pair WITH both
+       shingle sets; exact Jaccard is computed inline and thresholded
+       BEFORE the final shuffle.
+    4. shuffle 2: pair dedup (a pair can collide in several bands) over
+       the surviving near-duplicates only — tiny.
+
+    ``max_bucket_size`` bounds the member lists BEFORE exploding;
+    without the cap a pathological bucket materializes as one array —
+    always set it at corpus scale.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
@@ -112,93 +120,72 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
 
-    # fully codegen'd pipeline: shingle ROWS (operators/shingles.py — no
-    # interpreted array HOFs) → num_hashes md5 columns → vectorized
-    # min-aggregate = the signature
-    from documents_vector_search_spark.operators.shingles import shingle_rows
+    from documents_vector_search_spark.functions.hashing import (
+        minhash_ab_array,
+        minhash_from_ab,
+    )
+    from documents_vector_search_spark.operators.shingles import shingle_array
 
-    sh = shingle_rows(docs, shingle_words, id_col, text_col, distinct=False)
-    hash_cols = [
-        md5_hash64(F.col("shingle"), salt=i).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.select("id", *hash_cols).groupBy("id").agg(
-        *[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)]
+    shing = shingle_array(docs, shingle_words, id_col, text_col, distinct=True)
+
+    # stage the (a, b) family seeds as their OWN projection: md5+conv
+    # run once per shingle, every family is then pure int64 arithmetic
+    # (the optimizer keeps the stage — CollapseProject does not
+    # duplicate non-cheap expressions used by several consumers)
+    ab = shing.select(
+        "id", "shingles", minhash_ab_array(F.col("shingles")).alias("_ab")
     )
 
-    banded = sig.select(
+    def fam(i: int):
+        return lambda e: minhash_from_ab(e, i)
+
+    sig = ab.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_", *[F.col(f"m{b * r + j}") for j in range(r)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_index", "band_value"),
+        "shingles",
+        *[
+            F.array_min(F.transform("_ab", fam(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    band_vals = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", "shingles", F.posexplode(band_vals).alias("band_index", "band_value")
     )
 
+    buckets = banded.groupBy("band_index", "band_value").agg(
+        F.collect_list(F.struct("id", "shingles")).alias("_members")
+    )
     if max_bucket_size is not None:
-        # window count over the same (band_index, band_value) hash
-        # partitioning the self-join needs — the cap rides the shuffle
-        # the join pays anyway instead of adding a sizes join
-        bw = Window.partitionBy("band_index", "band_value")
-        banded = (
-            banded.withColumn("_bs", F.count("*").over(bw))
-            .filter(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
-        )
+        buckets = buckets.filter(F.size("_members") <= max_bucket_size)
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    candidates = (
-        left.join(
-            right,
-            (F.col("l.band_index") == F.col("r.band_index"))
-            & (F.col("l.band_value") == F.col("r.band_value"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    pairs = (
+        buckets.select(F.explode("_members").alias("a"), F.col("_members"))
+        .select("a", F.explode("_members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
     )
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("bigint")
+    n_a = F.size("a.shingles").cast("bigint")
+    n_b = F.size("b.shingles").cast("bigint")
+    union = n_a + n_b - inter
+    jac_raw = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        jac_raw.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
-    # verification: exact Jaccard over the candidate documents only —
-    # re-shingle the (small) candidate sub-corpus instead of joining the
-    # full inverted shingle index twice
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("_cid"))
-        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
-        .distinct()
-    )
-    sub = docs.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi"
-    )
-    cs = with_shingles(sub, shingle_words, id_col, text_col)
-    a = cs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa"))
-    b = cs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb"))
-    verified = (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "_inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
-        )
-        .withColumn("n_a", F.size("_sa").cast("bigint"))
-        .withColumn("n_b", F.size("_sb").cast("bigint"))
-        .withColumn("_union", F.col("n_a") + F.col("n_b") - F.col("_inter"))
-        .withColumn(
-            "jaccard",
-            F.when(F.col("_union") > 0, F.col("_inter") / F.col("_union")).otherwise(
-                F.lit(0.0)
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    deduped = scored.groupBy("id_a", "id_b").agg(
+        F.first("jaccard").alias("jaccard")
     )
     jac = (
         F.round(F.col("jaccard"), round_to) if round_to is not None else F.col("jaccard")
     )
-    return verified.select("id_a", "id_b", jac.alias("jaccard"))
+    return deduped.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def dedup_filter(

@@ -67,6 +67,63 @@ class IVFIndex:
         self.assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
 
+def ivf_search_l2_fixed(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vector: Sequence[float],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF search with FIXED (already-fitted, rounded) centroids as pure
+    Column expressions — deterministic and SQL-expressible, unlike the
+    iterative KMeans fit. Used for oracle-checking the search stage:
+    assignment = argmin over rounded centroid distances (ties on the
+    lower cluster id), probe = ``nprobe`` nearest centroids to the
+    query, then exact L2 top-k within the probed clusters.
+
+    The assignment is an ``array_min`` over (distance, cluster_id)
+    structs — fully codegen, no shuffle; with the table written
+    ``partitionBy(cluster_id)`` the probe filter is partition pruning
+    (IVFIndex.write_partitioned).
+    """
+    # probe clusters driver-side (centroids are tiny)
+    def _l2(a: Sequence[float], b: Sequence[float]) -> float:
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5, round_to)
+
+    probes = [
+        i
+        for _, i in sorted(
+            (_l2(c, query_vector), i) for i, c in enumerate(centroids)
+        )[:nprobe]
+    ]
+
+    vec = F.col(vector_col).cast("array<double>")
+    dist_structs = [
+        F.struct(
+            F.round(
+                l2_distance(vec, F.array(*[F.lit(float(x)) for x in c])),
+                round_to,
+            ).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    cluster = F.array_min(F.array(*dist_structs))["i"]
+    pruned = embeddings.withColumn("_cluster", cluster).filter(
+        F.col("_cluster").isin(probes)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    dist = F.round(l2_distance(vec, q), round_to)
+    return (
+        pruned.select(F.col(id_col), dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def fit_ivf(
     embeddings: DataFrame,
     nlist: int = 16,

@@ -22,6 +22,37 @@ from pyspark.sql import functions as F
 from documents_vector_search_spark.functions.text import tokenize
 
 
+def shingle_array(
+    docs: DataFrame,
+    size: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
+    """``(id, shingles ARRAY<STRING>)`` as a MAP-ONLY projection.
+
+    Fastest shingle producer measured (beats both the window-``lead``
+    row form and the slice+array_join HOF): one ``transform`` over the
+    position range with three O(1) null-safe ``get`` lookups per
+    shingle; ``concat_ws`` skips the NULLs past the end, which makes
+    the short-doc single shingle and the empty-doc "" shingle fall out
+    of the same expression (semantics identical to word_shingles /
+    shingle_rows). Zero shuffles, zero Python.
+    """
+    toks = tokenize(text_col)
+    cnt = F.greatest(F.size("_t") - F.lit(size - 1), F.lit(1))
+
+    def mk(i):
+        return F.concat_ws(" ", *[F.get("_t", i + j) for j in range(size)])
+
+    arr = F.transform(F.sequence(F.lit(0), cnt - F.lit(1)), mk)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select(F.col(id_col).alias("id"), toks.alias("_t")).select(
+        "id", arr.alias("shingles")
+    )
+
+
 def shingle_rows(
     docs: DataFrame,
     size: int = 3,

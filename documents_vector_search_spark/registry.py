@@ -94,6 +94,11 @@ MINHASH_MAX_BUCKET = 64
 # invalidated when the source parquet's mtime changes)
 ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
 
+# fitted IVF centroids, persisted by q_ivf_ann for its DuckDB oracle
+# (overwritten per run; the oracle always runs after the Spark side of
+# the same query at the same sf, so both read identical centroids)
+IVF_CENTROIDS_PATH = "/root/repo/.cache/ivf_centroids.parquet"
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -172,8 +177,14 @@ bm25 AS (
 
 
 def _minhash_cols_sql(num_hashes: int = 8) -> str:
+    """Family minima over the staged hex-digest array ``hx`` (one md5
+    per shingle; mirror of functions/hashing.py::minhash_from_hex)."""
+    from documents_vector_search_spark.functions.hashing import (
+        minhash_from_hex_sql,
+    )
+
     return ", ".join(
-        f"list_min(list_transform(shingles, s -> {md5_hash64_sql('s', i)})) AS m{i}"
+        f"list_min(list_transform(hx, h -> {minhash_from_hex_sql('h', i)})) AS m{i}"
         for i in range(num_hashes)
     )
 
@@ -392,15 +403,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8) as a portable joined string."""
+    """MinHash signatures (k=8) as a portable joined string — staged
+    (a, b) seed form (functions/hashing.py::minhash_ab_array): one
+    md5+conv per shingle, families as pure arithmetic."""
+    from documents_vector_search_spark.functions.hashing import (
+        minhash_ab_array,
+        minhash_from_ab,
+    )
+
     sh = with_shingles(_t(spark, sf_dir, "documents"))
-    return sh.select(
+    ab = sh.select(
+        "doc_id", minhash_ab_array(F.col("shingles")).alias("_ab")
+    )
+
+    def fam(i: int):
+        return lambda e: minhash_from_ab(e, i)
+
+    return ab.select(
         "doc_id",
         F.concat_ws(
             "_",
-            F.transform(
-                minhash_signature(F.col("shingles"), 8), lambda x: x.cast("string")
-            ),
+            *[
+                F.array_min(F.transform("_ab", fam(i))).cast("string")
+                for i in range(8)
+            ],
         ).alias("signature"),
     )
 
@@ -704,12 +730,37 @@ def q_recursive_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMeans-IVF ANN top-10 (MLlib clustering) — iterative algorithm,
-    NOT SQL-expressible; driver records a rows-only check."""
-    from documents_vector_search_spark.operators.ivf import fit_ivf
+    """KMeans-IVF ANN top-10. The KMeans FIT is iterative (MLlib, not
+    SQL-expressible), but the SEARCH given fixed centroids is: the fit
+    persists its (rounded) centroids to a parquet the oracle reads with
+    read_parquet(), then both engines run the same deterministic
+    assign → probe-prune → top-k stage. This flips ivf_ann from a
+    rows-only check to a full 3-green oracle row."""
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        ivf_search_l2_fixed,
+    )
 
-    ivf = fit_ivf(_t(spark, sf_dir, "embeddings"), nlist=8)
-    return ivf.search_l2(QUERY_VEC, 10, nprobe=2)
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = fit_ivf(emb, nlist=8)
+    cents = [[round(float(x), 6) for x in c] for c in ivf.centroids]
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(IVF_CENTROIDS_PATH), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        ),
+        IVF_CENTROIDS_PATH,
+    )
+    return ivf_search_l2_fixed(emb, cents, QUERY_VEC, 10, nprobe=2)
 
 
 # ===========================================================================
@@ -747,7 +798,8 @@ def _oracles() -> dict[str, str]:
 
     minhash_ctes = f"""tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
-sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM sh),
+hxt AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM hxt),
 banded_all AS (
 {bands_sql}
 ),
@@ -791,6 +843,31 @@ FROM embeddings ORDER BY similarity DESC, vec_id ASC LIMIT 10
 SELECT vec_id, round({_l2_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
 FROM embeddings WHERE label IN (1, 3, 5)
 ORDER BY distance ASC, vec_id ASC LIMIT 10
+""",
+        "ivf_ann": f"""
+WITH cent AS (
+  SELECT cluster_id, centroid FROM read_parquet('{IVF_CENTROIDS_PATH}')
+),
+probe AS (
+  SELECT cluster_id FROM cent
+  ORDER BY round({_l2_sql("centroid", _vec_sql(QUERY_VEC))}, 6), cluster_id
+  LIMIT 2
+),
+d AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cluster_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "c.centroid")}, 6) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT vec_id, v, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cluster_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT vec_id, round({_l2_sql("v", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM a WHERE cluster_id IN (SELECT cluster_id FROM probe)
+ORDER BY distance, vec_id LIMIT 10
 """,
         "ann_lsh": f"""
 WITH b AS (
@@ -897,7 +974,8 @@ FROM documents GROUP BY 1
         "minhash_sig": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
-sig AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM sh)
+hxt AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh),
+sig AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM hxt)
 SELECT doc_id,
        concat(m0,'_',m1,'_',m2,'_',m3,'_',m4,'_',m5,'_',m6,'_',m7) AS signature
 FROM sig

@@ -86,6 +86,12 @@ class TestSearch:
         assert ranks == sorted(ranks)
         assert got[0].url.startswith("file:///corpus/")
 
+    def test_bm25_scan_is_partition_pruned(self, collection):
+        s = CollectionSearcher(collection)
+        hits = s._bm25_hits("hash join", 10, None)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+
     def test_single_index_skips_rrf(self, collection):
         s = CollectionSearcher(collection)
         vec_only = s.search_chunks("hash join", indexes=("vector",)).collect()
