@@ -9,9 +9,9 @@ Mirrors the reference's adapter scripts (SURVEY §3):
 - collection_fetch_cmd_adapter.py → ``fetch`` (default lines 1-200)
 - collection_update_cmd_adapter.py → ``update``
 
-Output formats: json / json_with_indent (reference
-main/utils/formatting.py:5-15; the third 'toon' format is a
-niche serialization left unimplemented).
+Output formats: json / json_with_indent / toon (reference
+main/utils/formatting.py:5-15; see formatting.py for the TOON
+implementation).
 """
 
 from __future__ import annotations
@@ -24,9 +24,9 @@ DEFAULT_BASE = "./data/collections"
 
 
 def _format(obj, fmt: str) -> str:
-    if fmt == "json_with_indent":
-        return json.dumps(obj, indent=2, default=str)
-    return json.dumps(obj, default=str)
+    from documents_vector_search_spark.formatting import format_object
+
+    return format_object(obj, fmt)
 
 
 def _collection(args):
@@ -139,7 +139,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--base-path", default=DEFAULT_BASE)
         sp.add_argument(
             "--format",
-            choices=["json", "json_with_indent"],
+            choices=["json", "json_with_indent", "toon"],
             default="json_with_indent",
         )
         if create:

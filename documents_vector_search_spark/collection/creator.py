@@ -169,7 +169,7 @@ def create_collection(
     # repartition keys the write so each bucket lands in few files
     # instead of (tasks × buckets) shards.
     postings_df = build_postings(
-        chunks, id_col="chunk_id", text_col="indexed_data"
+        chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
     ).withColumn("term_bucket", term_bucket(F.col("term")))
     collection.write(
         "postings",

@@ -65,6 +65,7 @@ class CollectionSearcher:
         self._cached: dict[str, DataFrame] = {}
         self.ann_probe_bits = ann_probe_bits
         self._ann_cfg: dict | None | str = "_unset"
+        self._corpus_stats: tuple[int, float] | None = None
 
     def _read(self, table: str) -> DataFrame:
         if not self._cache_tables:
@@ -134,6 +135,17 @@ class CollectionSearcher:
             (-F.col("distance")).alias("score"),  # higher-is-better convention
         )
 
+    def _bm25_corpus_stats(self) -> tuple[int, float]:
+        """(n_chunks, avgdl) — corpus constants, computed once per
+        searcher and embedded as literals in every query plan (kills a
+        per-query broadcast-aggregate job)."""
+        if self._corpus_stats is None:
+            row = self._read("doc_stats").agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+            ).first()
+            self._corpus_stats = (int(row["n"]), float(row["avgdl"] or 0.0))
+        return self._corpus_stats
+
     def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
         # corpus stats stay WHOLE-INDEX; `allowed` restricts only the
         # scored candidates — the reference's FTS5 bm25() semantics
@@ -150,6 +162,7 @@ class CollectionSearcher:
             postings=postings,
             doc_stats=doc_stats,
             candidates=allowed,
+            corpus_stats=self._bm25_corpus_stats(),
         )
         w = Window.orderBy(F.col("score").desc(), F.col("chunk_id").asc())
         return hits.select(

@@ -172,7 +172,10 @@ def update_collection(
     )
     old_postings = collection.read("postings")
     fresh_postings = build_postings(
-        fresh_chunks, id_col="chunk_id", text_col="indexed_data"
+        fresh_chunks,
+        id_col="chunk_id",
+        text_col="indexed_data",
+        with_dl="dl" in old_postings.columns,
     )
     postings_bucketed = "term_bucket" in old_postings.columns
     if postings_bucketed:

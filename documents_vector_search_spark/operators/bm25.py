@@ -57,13 +57,28 @@ def term_bucket_py(term: str) -> int:
 
 
 def build_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_dl: bool = False,
 ) -> DataFrame:
-    """``(id, term, tf)`` postings from a document/chunk table (E4)."""
+    """``(id, term, tf)`` postings from a document/chunk table (E4).
+
+    ``with_dl`` denormalizes the document length into every posting row
+    (``dl`` = sum of the doc's tfs — identical to build_doc_stats) —
+    the classic IR index layout that lets scoring run without a
+    doc-stats join."""
+    from pyspark.sql import Window
+
     tokens = docs.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("term")
     )
-    return tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    postings = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    if with_dl:
+        postings = postings.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy(id_col))
+        )
+    return postings
 
 
 def build_doc_stats(
@@ -86,6 +101,7 @@ def bm25_topk(
     postings: DataFrame | None = None,
     doc_stats: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """BM25 top-k: ``(id, score)`` descending, ties on id ascending.
 
@@ -98,12 +114,19 @@ def bm25_topk(
     behaviour where a metadata filter narrows candidate rows but bm25()
     ranks with whole-index statistics (sqllite_indexer.py search path).
 
-    No ``.persist()`` here by design: the shared subtrees (term-matched
-    postings, doc_stats) are cheap pruned scans, and a long-lived serving
-    process must not accumulate cached RDDs per query — table-level
-    caching belongs to the caller (CollectionSearcher(cache_tables=True)).
+    ``corpus_stats`` = (n_docs, avgdl) embeds the corpus constants as
+    literals (a serving process computes them once per index —
+    CollectionSearcher does); otherwise one broadcast aggregate derives
+    them from ``doc_stats``.
+
+    Index-path plan (the serving hot path): partition-pruned +
+    predicate-pushed scan of the query terms' postings → per-term df as
+    a window count over that tiny set → score → top-k. No broadcast
+    subqueries, no doc-stats join when postings carry ``dl``
+    (build_postings(with_dl=True)), no ``.persist()`` (a long-lived
+    serving process must not accumulate cached RDDs; table caching
+    belongs to CollectionSearcher(cache_tables=True)).
     """
-    spark = docs.sparkSession
     q_terms = _query_terms(query)
     if not q_terms:
         return docs.select(
@@ -115,52 +138,52 @@ def bm25_topk(
     if postings is None:
         return _bm25_adhoc(docs, q_terms, k, id_col, text_col, conjunctive, round_to)
 
-    # index path: semi-join the prebuilt postings on the tiny broadcast
-    # term list; when the table carries the term_bucket partition column
-    # (collection layout), pre-filter on the query terms' buckets so the
-    # scan is partition-pruned to |terms|/N_TERM_BUCKETS of the files
+    from pyspark.sql import Window
+
+    # partition pruning (term_bucket directory column, collection
+    # layout) + an In(term, ...) literal filter that pushes into the
+    # parquet scan — no term-list DataFrame, no broadcast
     if "term_bucket" in postings.columns:
         buckets = sorted({term_bucket_py(t) for t in q_terms})
         postings = postings.filter(F.col("term_bucket").isin(buckets))
-    qt = spark.createDataFrame([(t,) for t in q_terms], ["term"])
-    matched = postings.join(F.broadcast(qt), "term")
-    if doc_stats is None:
-        doc_stats = build_doc_stats(docs, id_col, text_col)
+    matched = postings.filter(F.col("term").isin(q_terms))
 
-    # whole-index statistics (computed BEFORE any candidate restriction)
-    term_df = (
-        matched.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
-    )
-    stats = doc_stats.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # whole-index df: postings are unique per (id, term), so a window
+    # count over the matched rows IS the per-term document frequency —
+    # computed BEFORE any candidate restriction
+    matched = matched.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("term"))
     )
 
     if candidates is not None:
         matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
 
-    scored = (
-        matched.join(F.broadcast(term_df), "term")
-        .join(doc_stats, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    if corpus_stats is not None:
+        n_docs_c = F.lit(int(corpus_stats[0]))
+        avgdl_c = F.lit(float(corpus_stats[1]))
+        scored = matched
+    else:
+        if doc_stats is None:
+            doc_stats = build_doc_stats(docs, id_col, text_col)
+        stats = doc_stats.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1))
-            / (
-                F.col("tf")
-                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
+        scored = matched.crossJoin(F.broadcast(stats))
+        n_docs_c = F.col("n_docs")
+        avgdl_c = F.col("avgdl")
 
-    agg = scored.groupBy(id_col).agg(
+    if "dl" not in scored.columns:
+        if doc_stats is None:
+            doc_stats = build_doc_stats(docs, id_col, text_col)
+        scored = scored.join(doc_stats.select(id_col, "dl"), id_col)
+
+    idf = F.log((n_docs_c - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl_c))
+    )
+    agg = scored.withColumn("term_score", term_score).groupBy(id_col).agg(
         F.sum("term_score").alias("_score"),
         F.count("*").alias("_matched_terms"),
     )

@@ -52,12 +52,19 @@ def hash_embedding_expr(text: Column, dim: int = 16) -> Column:
             for i in range(dim)
         ]
     )
-    norm = F.sqrt(
-        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return F.transform(
-        raw, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
-    )
+
+    # Bind `raw` to a lambda variable via a one-element-array transform
+    # so the dim md5 digests are computed ONCE per row. Inlining `raw`
+    # into the normalize lambda would re-evaluate it (and the norm, which
+    # itself contains every digest) PER ELEMENT — measured ~17x more
+    # hashing per row for dim=16.
+    def normalize(r: Column) -> Column:
+        norm = F.sqrt(F.aggregate(r, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.transform(
+            r, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+        )
+
+    return F.transform(F.array(raw), normalize)[0]
 
 
 def hash_embedding_py(text: str, dim: int = 16) -> list[float]:

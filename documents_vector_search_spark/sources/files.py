@@ -22,6 +22,7 @@ executors (the library is not in this container — inject your own).
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterable
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,70 @@ BINARY_EXTENSION_BLACKLIST = [
     "woff", "woff2", "ttf", "otf", "eot", "db", "sqlite", "parquet",
 ]
 
+# formats routed through the rich-format parser seam when one is given
+# (reference parses these via `unstructured`,
+# files_document_reader.py:218-258)
+RICH_FORMAT_EXTENSIONS = {
+    "pdf", "docx", "doc", "pptx", "ppt", "xlsx", "xls", "epub", "rtf",
+    "odt", "odp", "ods",
+}
+
+# a parser takes (content_bytes, relative_path) and returns content
+# PARTS: [{"text": str, "metadata": {"pageNumber": int}?}, ...] — the
+# reference reader's shape (files_document_reader.py:218-246)
+RichParser = Callable[[bytes, str], list[dict]]
+
+
+def group_elements_by_page(elements: Iterable) -> list[dict]:
+    """Group unstructured-style elements into content parts — the mirror
+    of reference files_document_reader.py:233-258: no page numbers →
+    one part of all texts joined by blank lines; else one part per page
+    with ``{"pageNumber": n}`` metadata, preserving element order."""
+    elements = list(elements)
+    if not elements:
+        return []
+    first_page = getattr(elements[0].metadata, "page_number", None)
+    if first_page is None:
+        return [
+            {
+                "text": "\n\n".join(
+                    e.text for e in elements if hasattr(e, "text")
+                ).strip()
+            }
+        ]
+    grouped: dict[int, list[str]] = {}
+    for e in elements:
+        page = e.metadata.page_number
+        grouped.setdefault(page, [])
+        if hasattr(e, "text"):
+            grouped[page].append(e.text)
+    return [
+        {"metadata": {"pageNumber": page}, "text": "\n\n".join(texts).strip()}
+        for page, texts in grouped.items()
+    ]
+
+
+def make_unstructured_parser(partition: Callable | None = None) -> RichParser:
+    """Build the rich-format parser from an ``unstructured``-style
+    ``partition(file=...)`` callable (injectable — the library is not in
+    this container; reference files_document_reader.py:227-231 uses
+    ``unstructured.partition.auto.partition``)."""
+    if partition is None:
+        try:
+            from unstructured.partition.auto import partition as _partition
+        except ImportError as exc:  # pragma: no cover - not in container
+            raise NotImplementedError(
+                "unstructured is not installed; inject a partition callable"
+            ) from exc
+        partition = _partition
+
+    def parser(content: bytes, rel_path: str) -> list[dict]:
+        import io
+
+        return group_elements_by_page(partition(file=io.BytesIO(content)))
+
+    return parser
+
 
 def read_files_documents(
     spark: SparkSession,
@@ -46,6 +111,8 @@ def read_files_documents(
     exclude_pattern: str | None = None,
     modified_after: datetime | str | None = None,
     blacklist: list[str] | None = None,
+    parser: RichParser | None = None,
+    parser_extensions: set[str] | None = None,
 ) -> DataFrame:
     """Scan a directory tree into canonical documents.
 
@@ -54,6 +121,13 @@ def read_files_documents(
     - ``include_pattern`` / ``exclude_pattern``: Java regex fullmatch on
       the relative path (reference semantics,
       files_document_reader.py:200-204).
+    - ``parser``: rich-format seam — rows whose extension is in
+      ``parser_extensions`` (default RICH_FORMAT_EXTENSIONS) decode on
+      executors via mapInPandas with this callable; their document text
+      is the parser's part texts concatenated (reference
+      files_document_converter.py:29-34). Everything else decodes
+      JVM-side. Without a parser, rich formats take the lenient
+      plain-text path.
     """
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if path_glob:
@@ -105,15 +179,64 @@ def read_files_documents(
         ),
     )
 
+    # lenient decode: `decode(content,'UTF-8')` RAISES on the first
+    # malformed byte (fatal for a large ingest); casting replaces bad
+    # sequences with U+FFFD — the degrade-don't-die behavior of the
+    # reference's resilient scan (main/utils/batch.py:18-41)
+    if parser is not None:
+        exts = sorted(parser_extensions or RICH_FORMAT_EXTENSIONS)
+        plain = (
+            df.filter(~ext.isin(exts))
+            .withColumn("text", F.expr("try_cast(content AS STRING)"))
+            .drop("content")
+        )
+        rich = _decode_rich(df.filter(ext.isin(exts)), parser)
+        df = plain.unionByName(rich)
+    else:
+        df = df.withColumn(
+            "text", F.expr("try_cast(content AS STRING)")
+        ).drop("content")
+
     return df.select(
         F.col("rel_path").alias("id"),
         F.concat(F.lit("file://"), F.lit(base_path.rstrip("/") + "/"), F.col("rel_path")).alias("url"),
         metadata.alias("metadata"),
-        # lenient decode: `decode(content,'UTF-8')` RAISES on the first
-        # malformed byte (fatal for a large ingest); casting replaces bad
-        # sequences with U+FFFD — the degrade-don't-die behavior of the
-        # reference's resilient scan (main/utils/batch.py:18-41)
-        F.expr("try_cast(content AS STRING)").alias("text"),
+        F.col("text"),
         F.col("modificationTime").alias("last_modified_at"),
         F.lit("localFiles").alias("source_type"),
     )
+
+
+def _decode_rich(df: DataFrame, parser: RichParser) -> DataFrame:
+    """Executor-side rich-format decode: Arrow-batched mapInPandas,
+    one parser call per file; part texts joined per the reference's
+    document-text assembly (files_document_converter.py:29-34). A file
+    the parser raises on degrades to empty text (resilient-scan
+    behavior) rather than failing the ingest."""
+    schema = (
+        "rel_path string, path string, modificationTime timestamp, text string"
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = []
+            for content, rel in zip(pdf["content"], pdf["rel_path"]):
+                try:
+                    parts = parser(bytes(content), rel)
+                    texts.append(
+                        "".join(p.get("text", "") for p in parts).strip()
+                    )
+                except Exception:
+                    texts.append("")
+            yield pd.DataFrame(
+                {
+                    "rel_path": pdf["rel_path"],
+                    "path": pdf["path"],
+                    "modificationTime": pdf["modificationTime"],
+                    "text": texts,
+                }
+            )
+
+    return df.mapInPandas(decode, schema=schema)

@@ -14,9 +14,10 @@ def test_entry_returns_ranked_documents(spark):
     assert {"doc_id", "rrf_score"} <= set(df.columns)
 
 
-# operators whose semantics SQL cannot express (pandas-UDF recursion,
-# iterative MLlib algorithms) — the driver records rows-only checks
-NON_SQL_OPS = {"recursive_chunk", "ivf_ann"}
+# operators whose semantics SQL cannot express (pandas-UDF recursion) —
+# the driver records rows-only checks. ivf_ann left this set in round 2:
+# its KMeans fit persists centroids that the oracle reads back.
+NON_SQL_OPS = {"recursive_chunk"}
 
 
 def test_every_query_has_oracle():
