@@ -341,15 +341,21 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via SRP-LSH buckets + exact cosine.
 
-    One shuffle keyed by bucket; the quadratic verification runs only
-    within buckets (corpus/2^n_planes expected rows each). Recall can be
-    raised by multi-probe or repeating with a different seed and
-    unioning. Returns ``(id_a, id_b, cosine)`` with id_a < id_b.
+    One shuffle keyed by bucket (members aggregated to a list, pairs by
+    in-bucket double-explode — a self-join would shuffle the vectors
+    twice and run the bucket projection twice); the quadratic
+    verification runs only within buckets (corpus/2^n_planes expected
+    rows each). Recall can be raised by multi-probe or repeating with a
+    different seed and unioning. Returns ``(id_a, id_b, cosine)`` with
+    id_a < id_b. Pass ``dim`` when known; otherwise one 1-row driver
+    action probes it.
     """
-    dim = len(embeddings.select(vector_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vector_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     vec = F.col(vector_col).cast("array<double>")
     bucketed = embeddings.select(
@@ -357,17 +363,17 @@ def embedding_neardup_pairs(
         vec.alias("v"),
         hyperplane_bucket(vec, planes).alias("bucket"),
     )
+    grouped = bucketed.groupBy("bucket").agg(
+        F.collect_list(F.struct("id", "v")).alias("_members")
+    )
     pairs = (
-        bucketed.alias("l")
-        .join(
-            bucketed.alias("r"),
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        grouped.select(F.explode("_members").alias("a"), F.col("_members"))
+        .select("a", F.explode("_members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            cosine_similarity(F.col("l.v"), F.col("r.v")).alias("cosine"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

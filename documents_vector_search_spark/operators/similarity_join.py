@@ -73,6 +73,7 @@ def knn_join_lsh(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-pruned top-k cosine join.
 
@@ -80,10 +81,14 @@ def knn_join_lsh(
     Hamming distance ``multiprobe_bits`` (left side is usually the
     smaller query set); right rows stay in exactly one bucket, so the
     equi-join on bucket prunes |L|·|R| to the colliding pairs.
+
+    Pass ``dim`` when known (array length is not in the schema);
+    otherwise one 1-row driver action probes it.
     """
     from itertools import combinations
 
-    dim = len(right.select(vector_col).first()[0])
+    if dim is None:
+        dim = len(right.select(vector_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
 
     lv = F.col(vector_col).cast("array<double>")

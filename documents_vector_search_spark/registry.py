@@ -473,7 +473,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH buckets."""
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, seed=42
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, seed=42,
+        dim=EMBED_DIM,
     )
 
 

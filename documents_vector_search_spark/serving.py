@@ -112,19 +112,12 @@ def fetch_from_collection(
     )
 
 
-def serve_mcp(base_path: str, transport: str = "stdio"):  # pragma: no cover
-    """Start a FastMCP server exposing the two tools (requires `mcp`)."""
-    try:
-        from mcp.server.fastmcp import FastMCP
-    except ImportError as exc:
-        raise NotImplementedError(
-            "the `mcp` package is not installed in this environment"
-        ) from exc
-
-    from documents_vector_search_spark.session import get_spark
-
-    registry = CollectionRegistry(get_spark(app_name="dvss-mcp"), base_path)
-    app = FastMCP("documents-vector-search-spark")
+def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
+    """Wire the two tools into a FastMCP-style app class (injectable for
+    tests; the real class comes from ``mcp.server.fastmcp``). Mirrors the
+    reference's unified MCP adapter tool surface
+    (collection_search_unified_mcp_adapter.py)."""
+    app = fastmcp_cls("documents-vector-search-spark")
 
     @app.tool()
     def search(collection: str, query: str = "", filter: str | None = None,
@@ -141,4 +134,20 @@ def serve_mcp(base_path: str, transport: str = "stdio"):  # pragma: no cover
             registry, collection, document_id, start_line, end_line
         )
 
+    return app
+
+
+def serve_mcp(base_path: str, transport: str = "stdio"):  # pragma: no cover
+    """Start a FastMCP server exposing the two tools (requires `mcp`)."""
+    try:
+        from mcp.server.fastmcp import FastMCP
+    except ImportError as exc:
+        raise NotImplementedError(
+            "the `mcp` package is not installed in this environment"
+        ) from exc
+
+    from documents_vector_search_spark.session import get_spark
+
+    registry = CollectionRegistry(get_spark(app_name="dvss-mcp"), base_path)
+    app = build_mcp_app(registry, FastMCP)
     app.run(transport=transport)

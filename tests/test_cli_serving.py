@@ -178,3 +178,31 @@ class TestServing:
         reg = CollectionRegistry(spark, base_path)
         got = fetch_from_collection(reg, "cli_test", "notes.txt")
         assert "weekly sync" in got["text_slice"]
+
+    def test_build_mcp_app_wires_tools(self, spark, base_path):
+        # serve_mcp's wiring exercised with an injected FastMCP stand-in
+        # (the real class comes from `mcp`, absent in this container)
+        from documents_vector_search_spark.serving import build_mcp_app
+
+        class FakeMCP:
+            def __init__(self, name):
+                self.name = name
+                self.tools = {}
+
+            def tool(self):
+                def register(fn):
+                    self.tools[fn.__name__] = fn
+                    return fn
+
+                return register
+
+            def run(self, transport):  # pragma: no cover - not exercised
+                raise AssertionError("run should not be called in tests")
+
+        reg = CollectionRegistry(spark, base_path)
+        app = build_mcp_app(reg, FakeMCP)
+        assert set(app.tools) == {"search", "fetch"}
+        hits = app.tools["search"]("cli_test", query="sort merge join")
+        assert any(h["document_id"] == "eng/joins.txt" for h in hits)
+        got = app.tools["fetch"]("cli_test", "notes.txt")
+        assert "weekly sync" in got["text_slice"]
