@@ -41,25 +41,32 @@ def language_id(
     deterministic tie-break on language code; 'und' (undetermined) when
     no marker hits at all.
     """
-    tokens = tokenize(text_col)
+    # staged projections: `tokenize` and the sorted score array are each
+    # materialized ONCE per row. Inlining them would re-evaluate the
+    # tokenizer per marker-list reference and the sort per output column
+    # (CollapseProject keeps stages whose outputs are non-cheap and
+    # multiply referenced).
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
     scores = F.array(
         *[
             F.struct(
-                F.round(_marker_ratio(tokens, m), 6).alias("score"),
+                F.round(_marker_ratio(F.col("_toks"), m), 6).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, m in sorted(LANG_MARKERS.items())
         ]
     )
-    # array_max on struct: max by score, then by lang desc — instead sort
-    # by (score desc, lang asc) deterministically via sort + first element.
-    best = F.sort_array(scores, asc=False)[0]
-    return docs.select(
+    # sort by (score desc, lang asc) deterministically via sort + head —
+    # a reproducible argmax
+    best = toks.select(
+        F.col(id_col), F.sort_array(scores, asc=False)[0].alias("_best")
+    )
+    return best.select(
         F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "lang_guess"
-        ),
-        best["score"].alias("lang_score"),
+        F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        F.col("_best.score").alias("lang_score"),
     )
 
 
@@ -75,7 +82,11 @@ def quality_score(
     Composite ``quality``: mean of three bounded sub-scores (length,
     alpha, stopword) in [0, 1] — transparent and easily re-weighted.
     """
-    tokens = tokenize(text_col)
+    # stage the token array once (see language_id for why)
+    toks = docs.select(
+        F.col(id_col), F.col(text_col), tokenize(text_col).alias("_toks")
+    )
+    tokens = F.col("_toks")
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(tokens)
     avg_tok = F.when(
@@ -93,7 +104,7 @@ def quality_score(
     stop_score = F.least(stop_ratio * 5, F.lit(1.0))
     quality = (length_score + alpha_ratio + stop_score) / 3
 
-    return docs.select(
+    return toks.select(
         F.col(id_col),
         n_chars.cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -138,13 +149,15 @@ def fingerprint(
 
     ``fp = min over shingles of hash(shingle)`` — robust to small edits
     anywhere except around the minimal shingle; equal fingerprints are
-    strong near-dup evidence. One map-side pass, no shuffle.
+    strong near-dup evidence. One map-side pass, no shuffle: shingle
+    ARRAY (operators/shingles.py shingle_array) → array_min(transform).
     """
-    from documents_vector_search_spark.operators.shingles import shingle_rows
+    from documents_vector_search_spark.operators.shingles import shingle_array
 
-    # codegen'd shingle rows + hash + min-agg (see operators/shingles.py
-    # for why interpreted array HOFs are avoided here)
-    sh = shingle_rows(docs, shingle_words, id_col, text_col, distinct=False)
-    return sh.groupBy(F.col("id").alias(id_col)).agg(
-        F.min(md5_hash64(F.col("shingle"))).alias("fingerprint")
+    sa = shingle_array(docs, shingle_words, id_col, text_col, distinct=False)
+    return sa.select(
+        F.col("id").alias(id_col),
+        F.array_min(
+            F.transform("shingles", lambda s: md5_hash64(s))
+        ).alias("fingerprint"),
     )
