@@ -128,6 +128,107 @@ class TestIncrementalFiles:
         assert ids == {"old.txt", "new.txt"}
 
 
+class TestStatefulSessionization:
+    """applyInPandasWithState custom operator: open sessions live in the
+    checkpointed state store across micro-batches AND query restarts."""
+
+    def test_sessions_close_across_restarts(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        src = tmp_path / "sess_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "sess_ckpt")
+        out = str(tmp_path / "sess_out")
+        schema = "user_id string, ts timestamp"
+        base = datetime(2024, 1, 1)
+
+        # The memory sink cannot recover from a checkpoint; foreachBatch
+        # appending parquet can, which is what makes the restart real.
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                sessionize_stream(stream, gap_seconds=60, ts_col="ts")
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []  # no closed sessions written yet
+
+        # batch 1: one burst per user — sessions stay OPEN, nothing emits
+        got1 = run_batch(
+            [
+                ("u1", base),
+                ("u1", base + timedelta(seconds=10)),
+                ("u1", base + timedelta(seconds=20)),
+                ("u2", base),
+            ],
+        )
+        assert got1 == []
+
+        # batch 2 (new query run, same checkpoint): a late burst closes
+        # u1's first session; u2 stays open
+        got2 = run_batch([("u1", base + timedelta(seconds=500))])
+        assert len(got2) == 1
+        r = got2[0]
+        assert r.user_id == "u1" and r.n_events == 3
+        assert r.session_start == base
+        assert r.session_end == base + timedelta(seconds=20)
+
+    def test_multiple_sessions_in_one_batch(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        src = tmp_path / "sess2_events"
+        src.mkdir()
+        schema = "user_id string, ts timestamp"
+        base = datetime(2024, 3, 1)
+        rows = [
+            ("u1", base),
+            ("u1", base + timedelta(seconds=30)),
+            ("u1", base + timedelta(seconds=200)),   # closes session 1
+            ("u1", base + timedelta(seconds=500)),   # closes session 2
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            sessionize_stream(stream, gap_seconds=60, ts_col="ts")
+            .writeStream.format("memory")
+            .queryName("sess_multi")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            spark.sql("SELECT * FROM sess_multi").collect(),
+            key=lambda r: r.session_start,
+        )
+        assert [(r.n_events) for r in got] == [2, 1]
+        assert got[0].session_end == base + timedelta(seconds=30)
+
+
 class TestStreamingWindowedAggregation:
     """Structured Streaming windowed aggregate with watermark — the
     streaming twin of registry.q_events_window (the reference has no
