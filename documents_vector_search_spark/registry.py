@@ -530,20 +530,34 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: revenue per (mktsegment, nation) — dims broadcast."""
+    """Star join: revenue per (mktsegment, nation) — dims broadcast.
+
+    Scale shape: lineitem is pre-aggregated per orderkey BEFORE the
+    fact-fact join, so the orderkey shuffle carries ~|orders| rows of
+    (key, cents, count) instead of every line item, and the join's left
+    key is unique. Revenue is exact integer cents, so the two-level
+    re-association is bit-identical to the flat aggregate (oracle-safe).
+    """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     revenue_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue_c).alias("rev_c_ord"),
+        F.count("*").alias("n_lines_ord"),
+    )
     joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return (
         joined.groupBy("c_mktsegment", "n_name")
-        .agg(F.sum(revenue_c).alias("rev_c"), F.count("*").alias("n_lines"))
+        .agg(
+            F.sum("rev_c_ord").alias("rev_c"),
+            F.sum("n_lines_ord").alias("n_lines"),
+        )
         .select(
             "c_mktsegment",
             "n_name",
