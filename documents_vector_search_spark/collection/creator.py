@@ -108,6 +108,9 @@ def create_collection(
     contiguous_ids: bool = False,
     ann_planes: int | None = None,
     ann_seed: int = 42,
+    ivf_nlist: int | None = None,
+    ivf_nprobe: int = 2,
+    ivf_seed: int = 42,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -120,7 +123,18 @@ def create_collection(
     probe buckets at the Parquet partition level — the engine's HNSW
     analog (reference chroma_indexer.py:147-157). The config is recorded
     in the manifest so CollectionSearcher and updates honor the layout.
+
+    ``ivf_nlist`` is the data-aware alternative: KMeans centroids
+    (IVF-Flat, operators/ivf.py) instead of random hyperplanes. The fit
+    runs once at create; the ROUNDED centroids go into the manifest, so
+    searches and updates re-derive probe/assignment deterministically
+    without serializing any model. Embeddings are written
+    ``partitionBy(cluster_id)`` → the probe is partition pruning that
+    scans ~nprobe/nlist of the corpus. Mutually exclusive with
+    ``ann_planes``.
     """
+    if ann_planes and ivf_nlist:
+        raise ValueError("ann_planes and ivf_nlist are mutually exclusive")
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
@@ -149,6 +163,7 @@ def create_collection(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
     )
+    ivf_centroids: list[list[float]] | None = None
     if ann_planes:
         from documents_vector_search_spark.operators.ann import (
             write_bucket_partitioned,
@@ -161,6 +176,31 @@ def create_collection(
             seed=ann_seed,
             vector_col="vector",
             dim=embedding_dim,
+        )
+    elif ivf_nlist:
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+            fit_ivf,
+            round_centroids,
+        )
+
+        index = fit_ivf(
+            emb_df, nlist=ivf_nlist, id_col="chunk_id",
+            vector_col="vector", seed=ivf_seed,
+        )
+        ivf_centroids = round_centroids(index.centroids)
+        # re-assign from the ROUNDED centroids (not the fitted model):
+        # the manifest-persisted centroids must reproduce the exact
+        # same partition for every future update batch
+        collection.write(
+            "embeddings",
+            emb_df.withColumn(
+                "cluster_id",
+                assign_cluster_expr(
+                    F.col("vector").cast("array<double>"), ivf_centroids
+                ),
+            ),
+            partition_by=["cluster_id"],
         )
     else:
         collection.write("embeddings", emb_df)
@@ -203,6 +243,18 @@ def create_collection(
             **(
                 {"ann": {"nPlanes": ann_planes, "seed": ann_seed}}
                 if ann_planes
+                else {}
+            ),
+            **(
+                {
+                    "ivf": {
+                        "nList": ivf_nlist,
+                        "nProbe": ivf_nprobe,
+                        "seed": ivf_seed,
+                        "centroids": ivf_centroids,
+                    }
+                }
+                if ivf_nlist
                 else {}
             ),
         },

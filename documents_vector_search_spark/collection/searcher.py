@@ -43,6 +43,7 @@ class CollectionSearcher:
         field_types: dict[str, str] | None = None,
         cache_tables: bool = False,
         ann_probe_bits: int = 1,
+        ivf_nprobe: int | None = None,
     ):
         """``cache_tables`` persists the index tables in executor memory
         on first access — the serving-process pattern (the reference's
@@ -54,7 +55,11 @@ class CollectionSearcher:
         collection was created with a bucket-partitioned ANN layout
         (create_collection(ann_planes=...)) — vector search then prunes
         to the probe buckets at the Parquet partition level instead of
-        scanning every embedding."""
+        scanning every embedding.
+
+        ``ivf_nprobe`` overrides the manifest's recorded probe count for
+        IVF layouts (create_collection(ivf_nlist=...)) — more probes =
+        higher recall, proportionally more partitions scanned."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
@@ -64,7 +69,9 @@ class CollectionSearcher:
         self._cache_tables = cache_tables
         self._cached: dict[str, DataFrame] = {}
         self.ann_probe_bits = ann_probe_bits
+        self.ivf_nprobe = ivf_nprobe
         self._ann_cfg: dict | None | str = "_unset"
+        self._ivf_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
 
     def _read(self, table: str) -> DataFrame:
@@ -102,6 +109,14 @@ class CollectionSearcher:
                 self._ann_cfg = None
         return self._ann_cfg  # type: ignore[return-value]
 
+    def _ivf_config(self) -> dict | None:
+        if self._ivf_cfg == "_unset":
+            try:
+                self._ivf_cfg = self.collection.manifest().converter.get("ivf")
+            except FileNotFoundError:
+                self._ivf_cfg = None
+        return self._ivf_cfg  # type: ignore[return-value]
+
     def _vector_hits(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
@@ -124,6 +139,18 @@ class CollectionSearcher:
             )
             probes = multiprobe_buckets(qv, planes, self.ann_probe_bits)
             emb = emb.filter(F.col("bucket").isin(probes))
+        ivf = self._ivf_config()
+        if ivf:
+            # IVF layout: nearest-centroid probe, pruned on the
+            # `cluster_id` partition column — scans ~nprobe/nlist
+            # of the corpus (operators/ivf.py)
+            from documents_vector_search_spark.operators.ivf import (
+                probe_clusters_fixed,
+            )
+
+            nprobe = self.ivf_nprobe or ivf["nProbe"]
+            probes = probe_clusters_fixed(ivf["centroids"], qv, nprobe)
+            emb = emb.filter(F.col("cluster_id").isin(probes))
         if allowed is not None:
             emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
         hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")

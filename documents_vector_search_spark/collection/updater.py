@@ -165,6 +165,21 @@ def update_collection(
             "bucket",
             hyperplane_bucket(F.col("vector").cast("array<double>"), planes),
         )
+    # IVF layout (create_collection(ivf_nlist=...)): assign fresh vectors
+    # to their nearest manifest centroid — same rounded centroids the
+    # create used, so assignment is bit-identical across updates
+    ivf_cfg = manifest.converter.get("ivf")
+    if ivf_cfg:
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+        )
+
+        fresh_embeddings = fresh_embeddings.withColumn(
+            "cluster_id",
+            assign_cluster_expr(
+                F.col("vector").cast("array<double>"), ivf_cfg["centroids"]
+            ),
+        )
     merged_embeddings = (
         collection.read("embeddings")
         .join(stale_chunks, "chunk_id", "left_anti")
@@ -208,6 +223,7 @@ def update_collection(
         },
         partition_cols={
             **({"embeddings": ["bucket"]} if ann_cfg else {}),
+            **({"embeddings": ["cluster_id"]} if ivf_cfg else {}),
             **({"postings": ["term_bucket"]} if postings_bucketed else {}),
         },
     )

@@ -22,10 +22,61 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.vectors import l2_distance
+
+
+def round_centroids(
+    centroids: Sequence[Sequence[float]], round_to: int = 6
+) -> list[list[float]]:
+    """Round centroids to a fixed precision so they can be persisted
+    (manifest JSON) and later reproduce the exact same assignments —
+    the fitted model itself never needs to be serialized."""
+    return [[round(float(x), round_to) for x in c] for c in centroids]
+
+
+def assign_cluster_expr(
+    vec: Column,
+    centroids: Sequence[Sequence[float]],
+    round_to: int = 6,
+) -> Column:
+    """Deterministic nearest-centroid assignment as a pure Column
+    expression: argmin over rounded centroid distances, ties broken on
+    the lower cluster id (``array_min`` over (distance, id) structs —
+    fully codegen, map-only, no shuffle)."""
+    dist_structs = [
+        F.struct(
+            F.round(
+                l2_distance(vec, F.array(*[F.lit(float(x)) for x in c])),
+                round_to,
+            ).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*dist_structs))["i"]
+
+
+def probe_clusters_fixed(
+    centroids: Sequence[Sequence[float]],
+    query_vector: Sequence[float],
+    nprobe: int,
+    round_to: int = 6,
+) -> list[int]:
+    """Driver-side: ids of the ``nprobe`` centroids nearest the query
+    (rounded distances, ties on lower id) — centroids are tiny, so this
+    never touches the cluster."""
+    def _l2(a: Sequence[float], b: Sequence[float]) -> float:
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5, round_to)
+
+    return [
+        i
+        for _, i in sorted(
+            (_l2(c, query_vector), i) for i, c in enumerate(centroids)
+        )[:nprobe]
+    ]
 
 
 class IVFIndex:
@@ -89,29 +140,10 @@ def ivf_search_l2_fixed(
     ``partitionBy(cluster_id)`` the probe filter is partition pruning
     (IVFIndex.write_partitioned).
     """
-    # probe clusters driver-side (centroids are tiny)
-    def _l2(a: Sequence[float], b: Sequence[float]) -> float:
-        return round(sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5, round_to)
-
-    probes = [
-        i
-        for _, i in sorted(
-            (_l2(c, query_vector), i) for i, c in enumerate(centroids)
-        )[:nprobe]
-    ]
+    probes = probe_clusters_fixed(centroids, query_vector, nprobe, round_to)
 
     vec = F.col(vector_col).cast("array<double>")
-    dist_structs = [
-        F.struct(
-            F.round(
-                l2_distance(vec, F.array(*[F.lit(float(x)) for x in c])),
-                round_to,
-            ).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    cluster = F.array_min(F.array(*dist_structs))["i"]
+    cluster = assign_cluster_expr(vec, centroids, round_to)
     pruned = embeddings.withColumn("_cluster", cluster).filter(
         F.col("_cluster").isin(probes)
     )

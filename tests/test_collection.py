@@ -287,6 +287,96 @@ class TestAnnLayout:
         assert len(s.search("hash join", max_documents=5).collect()) > 0
 
 
+class TestIvfLayout:
+    """Centroid-partitioned embeddings: vector search prunes to the
+    nprobe nearest clusters; centroids live in the manifest so updates
+    reproduce the exact assignment without a serialized model."""
+
+    @pytest.fixture(scope="class")
+    def ivf_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("ivf"))
+        coll = Collection(spark, base, "ivfc")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40, ivf_nlist=4
+        )
+        return coll
+
+    def test_layout_written_partitioned(self, ivf_coll):
+        cfg = ivf_coll.manifest().converter["ivf"]
+        assert cfg["nList"] == 4 and cfg["nProbe"] == 2
+        assert len(cfg["centroids"]) == 4
+        assert all(len(c) == 16 for c in cfg["centroids"])
+        emb = ivf_coll.read("embeddings")
+        assert "cluster_id" in emb.columns
+        assert emb.count() == ivf_coll.read("chunks").count()
+
+    def test_search_prunes_partitions(self, ivf_coll):
+        s = CollectionSearcher(ivf_coll)
+        hits = s._vector_hits("hash join", 10, None)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        got = hits.collect()
+        assert len(got) > 0
+
+    def test_probe_matches_fixed_centroid_search(self, ivf_coll):
+        """Searcher hits == ivf_search_l2_fixed over the flat vectors
+        with the manifest centroids (same rounding, same tie-break)."""
+        from documents_vector_search_spark.operators.embedding import (
+            hash_embedding_py,
+        )
+        from documents_vector_search_spark.operators.ivf import (
+            ivf_search_l2_fixed,
+        )
+
+        cfg = ivf_coll.manifest().converter["ivf"]
+        qv = hash_embedding_py("hash join", 16)
+        expected = ivf_search_l2_fixed(
+            ivf_coll.read("embeddings").select("chunk_id", "vector"),
+            cfg["centroids"],
+            qv,
+            k=10,
+            nprobe=cfg["nProbe"],
+            id_col="chunk_id",
+            vector_col="vector",
+        ).collect()
+        s = CollectionSearcher(ivf_coll)
+        got = s._vector_hits("hash join", 10, None).collect()
+        assert [r.chunk_id for r in got] == [r.chunk_id for r in expected]
+
+    def test_update_preserves_layout(self, spark, canonical_docs, ivf_coll):
+        updates = canonical_docs.filter(F.col("id") == "doc-3").select(
+            "id", "url", "metadata",
+            F.concat(F.lit("totally new ivf text. "), "text").alias("text"),
+            F.lit("2024-08-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+            "source_type",
+        )
+        update_collection(ivf_coll, updates)
+        emb = ivf_coll.read("embeddings")
+        assert "cluster_id" in emb.columns
+        assert emb.count() == ivf_coll.read("chunks").count()
+        # assignment still derives from the manifest centroids: no row
+        # may sit in a partition other than its nearest rounded centroid
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+        )
+
+        cfg = ivf_coll.manifest().converter["ivf"]
+        mismatches = emb.filter(
+            F.col("cluster_id")
+            != assign_cluster_expr(
+                F.col("vector").cast("array<double>"), cfg["centroids"]
+            )
+        ).count()
+        assert mismatches == 0
+        s = CollectionSearcher(ivf_coll)
+        assert len(s.search("hash join", max_documents=5).collect()) > 0
+
+    def test_ann_and_ivf_mutually_exclusive(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "bad")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            create_collection(coll, canonical_docs, ann_planes=3, ivf_nlist=4)
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
