@@ -18,10 +18,12 @@ Scale notes (100 TB/day streams):
   user-like keys.
 - Events inside one micro-batch arrive as Arrow record batches; the
   per-group fold is O(batch events log batch events) for the sort.
-- Production deployments add an event-time timeout
-  (GroupStateTimeout.EventTimeTimeout) to flush idle sessions; kept
-  NoTimeout here so the semantics stay deterministic under
-  availableNow test triggers.
+- ``idle_flush=True`` adds the production event-time timeout
+  (GroupStateTimeout.EventTimeTimeout): a session whose gap has
+  elapsed relative to the WATERMARK is flushed and its state evicted
+  even if its user never sends another event — without it, state is
+  O(all users ever seen), with it O(recently active users). Requires
+  the caller to put ``withWatermark(ts_col, ...)`` on the stream.
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ def sessionize_stream(
     gap_seconds: float = 1800.0,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    idle_flush: bool = False,
 ) -> DataFrame:
     """Gap-based sessionization of a STREAMING DataFrame.
 
@@ -49,6 +52,12 @@ def sessionize_stream(
     of the same user arrives more than ``gap_seconds`` after it ends);
     the open session per user lives in the state store across
     micro-batches and query restarts.
+
+    ``idle_flush=True`` also closes sessions by EVENT-TIME TIMEOUT:
+    once the watermark passes a session's end + gap, the session is
+    emitted and its state evicted — the state store stays bounded by
+    the number of RECENTLY ACTIVE users instead of growing forever.
+    The input stream must carry ``withWatermark(ts_col, ...)``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -56,6 +65,30 @@ def sessionize_stream(
 
     def fold_sessions(key, pdfs, state):
         import pandas as pd
+
+        def emit(closed):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [s for s, _, _ in closed], unit="s"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [e for _, e, _ in closed], unit="s"
+                    ),
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+        if idle_flush and state.hasTimedOut:
+            # watermark passed end + gap with no new events: the open
+            # session is definitively closed (later events would be
+            # beyond-watermark late and dropped upstream)
+            if state.exists:
+                start, end, n = state.get
+                yield emit([(start, end, n)])
+            state.remove()
+            return
 
         if state.exists:
             start, end, n = state.get
@@ -82,24 +115,25 @@ def sessionize_stream(
                 n = 1
         if start is not None:
             state.update((float(start), float(end), int(n)))
+            if idle_flush:
+                # fire when the watermark passes the session's gap edge;
+                # Spark requires a timestamp strictly beyond the current
+                # watermark, so clamp for sessions already at the edge
+                timeout_ms = int((end + gap) * 1000)
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(closed),
-                    "session_start": pd.to_datetime(
-                        [s for s, _, _ in closed], unit="s"
-                    ),
-                    "session_end": pd.to_datetime(
-                        [e for _, e, _ in closed], unit="s"
-                    ),
-                    "n_events": [c for _, _, c in closed],
-                }
-            )
+            yield emit(closed)
 
     return events.groupBy(user_col).applyInPandasWithState(
         fold_sessions,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if idle_flush
+            else GroupStateTimeout.NoTimeout
+        ),
     )

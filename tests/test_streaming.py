@@ -190,6 +190,65 @@ class TestStatefulSessionization:
         assert r.session_start == base
         assert r.session_end == base + timedelta(seconds=20)
 
+    def test_idle_flush_event_time_timeout(self, spark, tmp_path):
+        """idle_flush: the watermark passing end+gap closes u1's session
+        even though u1 never sends another event — the state store stays
+        bounded by recently-active users."""
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        src = tmp_path / "idle_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "idle_ckpt")
+        out = str(tmp_path / "idle_out")
+        schema = "user_id string, ts timestamp"
+        base = datetime(2024, 1, 1)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            stream = (
+                spark.readStream.schema(schema)
+                .parquet(str(src))
+                .withWatermark("ts", "0 seconds")
+            )
+            q = (
+                sessionize_stream(
+                    stream, gap_seconds=60, ts_col="ts", idle_flush=True
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            try:
+                return spark.read.parquet(out).collect()
+            except Exception:
+                return []
+
+        # batch 1: u1's burst stays open (watermark hasn't passed the gap)
+        got1 = run_batch(
+            [("u1", base), ("u1", base + timedelta(seconds=10))]
+        )
+        assert got1 == []
+
+        # batch 2: an OTHER-user event far in the future advances the
+        # watermark past u1's end+gap → u1's session flushes by timeout
+        got2 = run_batch([("u2", base + timedelta(hours=3))])
+        flushed = [r for r in got2 if r.user_id == "u1"]
+        assert len(flushed) == 1
+        assert flushed[0].n_events == 2
+        assert flushed[0].session_end == base + timedelta(seconds=10)
+
     def test_multiple_sessions_in_one_batch(self, spark, tmp_path):
         from datetime import datetime, timedelta
 
