@@ -5,8 +5,19 @@ Search core (reference parity, SURVEY §2.5):
 Build side (SURVEY §2.3/§2.4):
     chunking (T1/T2/T4), embedding (E1)
 Training-data pipeline (north-star additions):
-    dedup, ann, text_analysis, multimodal
+    dedup, cc, ann, text_analysis, multimodal, sketches, sampling
 """
+
+from documents_vector_search_spark.operators.cc import (
+    cluster_canonicalize,
+    connected_components,
+)
+from documents_vector_search_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+from documents_vector_search_spark.operators.sketches import kmv_distinct
 
 from documents_vector_search_spark.operators.bm25 import (
     bm25_topk,
@@ -58,6 +69,12 @@ from documents_vector_search_spark.operators.text_analysis import (
 )
 
 __all__ = [
+    "cluster_canonicalize",
+    "connected_components",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+    "kmv_distinct",
     "dedup_filter",
     "fit_ivf",
     "recursive_character_chunks",

@@ -1,0 +1,98 @@
+"""Deterministic hash-based sampling and dataset splits.
+
+A training-data pipeline needs REPRODUCIBLE samples and train/val/test
+splits: re-running the pipeline (or running it on another engine) must
+assign every document to the same subset. Spark's ``df.sample`` is
+seed-dependent on partitioning and not portable; the standard fix is
+hash-gating — bucket = hash(seed, id) mod M, keep a bucket range.
+
+Everything here is a pure Column expression over the portable
+md5-derived hash (functions/hashing.py): map-only, no shuffle, no RNG
+state, bit-identical across engines — and therefore oracle-checkable.
+
+Scale notes (100 TB): sampling/splitting is a filter (predicate
+pushdown applies when the hash is over a stored column); stratified
+rates are a CASE expression over the stratum column — still one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.hashing import (
+    md5_hash64,
+    md5_hash64_sql,
+)
+
+# bucket space: 1e6 buckets = rate granularity of 0.0001%
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, seed: int = 0) -> Column:
+    """Stable bucket in [0, 1e6) from (seed, id) — the sampling gate."""
+    return F.pmod(md5_hash64(id_col.cast("string"), salt=seed), F.lit(_BUCKETS))
+
+
+def hash_bucket_sql(id_expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`hash_bucket` (hash is non-negative, so
+    ``%`` ≡ ``pmod``)."""
+    return f"({md5_hash64_sql(f'CAST({id_expr} AS VARCHAR)', salt=seed)} % {_BUCKETS})"
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ``rate``-fraction sample: keep rows whose bucket
+    falls below ``rate * 1e6``. Same rows every run, any engine."""
+    return df.filter(hash_bucket(F.col(id_col), seed) < int(rate * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash-bucket range.
+
+    ``splits`` maps label -> fraction (must sum to ≤ 1; any remainder
+    is labeled ``None``). Ranges are cumulative in the dict's order, so
+    pass an ordered dict — e.g. ``{"train": .98, "val": .01,
+    "test": .01}``.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = hash_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    lo = 0
+    for label, frac in splits.items():
+        hi = lo + int(frac * _BUCKETS)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo = hi
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones): one CASE expression over the
+    stratum column picks the bucket threshold, one filter applies it."""
+    bucket = hash_bucket(F.col(id_col), seed)
+    thresh: Column = F.lit(int(default_rate * _BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(strata_col) == stratum, int(rate * _BUCKETS))
+            .otherwise(thresh)
+        )
+    return df.filter(bucket < thresh)

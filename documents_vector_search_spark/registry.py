@@ -42,6 +42,8 @@ from documents_vector_search_spark.operators.dedup import (
 )
 from documents_vector_search_spark.functions.hashing import minhash_signature
 from documents_vector_search_spark.operators.fetch import fetch_lines
+from documents_vector_search_spark.operators.sampling import hash_bucket_sql
+from documents_vector_search_spark.operators.sketches import kmv_distinct_sql
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
 from documents_vector_search_spark.operators.knn import knn_cosine, knn_l2
 from documents_vector_search_spark.operators.multimodal import (
@@ -456,6 +458,47 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: MinHash-LSH pairs → connected
+    components (min-label propagation, operators/cc.py). Every clustered
+    doc gets the minimum doc_id of its component as cluster key — the
+    step that turns pairwise A~B, B~C evidence into ONE {A,B,C} cluster.
+    Oracle: recursive CTE transitive closure over the same pairs."""
+    from documents_vector_search_spark.operators.cc import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    return connected_components(pairs).orderBy("id")
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch of events.user_id (k=256): bounded
+    Arrow-batched candidate pass + exact top-k merge (operators/
+    sketches.py). The md5-derived sketch is bit-identical in any engine,
+    so even the ESTIMATE is oracle-checked."""
+    from documents_vector_search_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(_events(spark, sf_dir), F.col("user_id"), k=256)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hash gate (operators/
+    sampling.py): reproducible across runs AND engines. Reports row and
+    char counts per (lang, split)."""
+    from documents_vector_search_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
     )
 
 
@@ -1000,6 +1043,24 @@ WITH {minhash_ctes}
 SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM v WHERE inter / (na + nb - inter) >= 0.8
 """,
+        "dedup_cluster": f"""
+WITH RECURSIVE {minhash_ctes},
+pairs AS (
+  SELECT id_a, id_b FROM v WHERE inter / (na + nb - inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+""",
         "dedup_apply": f"""
 WITH {minhash_ctes},
 victims AS (
@@ -1100,6 +1161,22 @@ sh AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-2, 1)+1),
 SELECT doc_id,
        list_min(list_transform(shingles, s -> {md5_hash64_sql("s")})) AS fingerprint
 FROM sh
+""",
+        "kmv_distinct": kmv_distinct_sql("user_id", k=256),
+        "hash_split": f"""
+WITH b AS (
+  SELECT lang, n_chars, {hash_bucket_sql("doc_id", seed=7)} AS bucket
+  FROM documents
+),
+s AS (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 900000 THEN 'train'
+              WHEN bucket < 950000 THEN 'val'
+              WHEN bucket < 1000000 THEN 'test' END AS split
+  FROM b
+)
+SELECT lang, split, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM s GROUP BY lang, split
 """,
         "tpch_q1": """
 WITH f AS (
@@ -1270,6 +1347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "dedup_minhash": q_dedup_minhash,
         "dedup_apply": q_dedup_apply,
+        "dedup_cluster": q_dedup_cluster,
+        "kmv_distinct": q_kmv_distinct,
+        "hash_split": q_hash_split,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,

@@ -262,3 +262,133 @@ class TestDedupApplyAndCap:
         assert uncapped == 30 * 29 / 2
         capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=5).count()
         assert capped == 0  # mega-bucket dropped entirely
+
+
+class TestConnectedComponents:
+    def test_transitive_chain_one_cluster(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            connected_components,
+        )
+
+        # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            connected_components,
+        )
+
+        # diameter-9 path: takes several propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10, 1, -1)], ["id_a", "id_b"]
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert set(got.values()) == {2}
+
+    def test_non_convergence_raises(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 30)],
+                                      ["id_a", "id_b"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=2)
+
+    def test_canonicalize_keeps_min_per_cluster(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            cluster_canonicalize,
+            connected_components,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(1, 7)], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+        kept = cluster_canonicalize(
+            docs, connected_components(pairs)
+        ).collect()
+        assert {r.doc_id for r in kept} == {1, 4, 5}
+
+
+class TestKmvSketch:
+    def test_estimate_within_tolerance(self, spark):
+        from documents_vector_search_spark.operators.sketches import kmv_distinct
+
+        n_distinct = 5000
+        df = spark.range(n_distinct * 2).select(
+            (F.col("id") % n_distinct).alias("v")
+        )
+        row = kmv_distinct(df, F.col("v"), k=256).first()
+        assert row.k == 256
+        # KMV relative error ~ 1/sqrt(k-1) ≈ 6%; allow 4 sigma
+        assert abs(row.est_distinct - n_distinct) / n_distinct < 0.25
+
+    def test_small_input_underfills_k(self, spark):
+        from documents_vector_search_spark.operators.sketches import kmv_distinct
+
+        df = spark.range(10).select(F.col("id").alias("v"))
+        row = kmv_distinct(df, F.col("v"), k=256).first()
+        assert row.k == 10  # fewer distinct values than k
+
+    def test_candidates_bounded_per_batch(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            kmv_candidates,
+        )
+
+        hashes = spark.range(10_000).select(F.col("id").alias("h")).coalesce(2)
+        n_cand = kmv_candidates(hashes, k=16).count()
+        # per Arrow batch ≤ 16 rows out; way below the input size
+        assert n_cand < 10_000 and n_cand >= 16
+
+
+class TestHashSampling:
+    def test_split_deterministic_and_disjoint(self, spark):
+        from documents_vector_search_spark.operators.sampling import hash_split
+
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        a = hash_split(df, "doc_id", seed=3).collect()
+        b = hash_split(df, "doc_id", seed=3).collect()
+        assert sorted((r.doc_id, r.split) for r in a) == sorted(
+            (r.doc_id, r.split) for r in b
+        )
+        counts = {r.split: 0 for r in a}
+        for r in a:
+            counts[r.split] += 1
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        assert sum(counts.values()) == 2000  # fractions sum to 1 → no None
+
+    def test_sample_rate_approximate(self, spark):
+        from documents_vector_search_spark.operators.sampling import hash_sample
+
+        df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+        n = hash_sample(df, "doc_id", rate=0.1, seed=1).count()
+        assert 0.07 * 20_000 < n < 0.13 * 20_000
+
+    def test_overcommitted_split_rejected(self, spark):
+        from documents_vector_search_spark.operators.sampling import hash_split
+
+        df = spark.range(10).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="sum to"):
+            hash_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+    def test_stratified_rates(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            stratified_hash_sample,
+        )
+
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(10_000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        got = stratified_hash_sample(
+            df, "doc_id", "lang", {"en": 0.5, "de": 0.05}, seed=2
+        )
+        by_lang = {
+            r.lang: r.n
+            for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert 0.4 * 5000 < by_lang["en"] < 0.6 * 5000
+        assert 0.02 * 5000 < by_lang["de"] < 0.09 * 5000
