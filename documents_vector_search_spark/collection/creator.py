@@ -163,70 +163,98 @@ def create_collection(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
     )
-    ivf_centroids: list[list[float]] | None = None
-    if ann_planes:
-        from documents_vector_search_spark.operators.ann import (
-            write_bucket_partitioned,
-        )
 
-        write_bucket_partitioned(
-            emb_df,
-            collection.table_path("embeddings"),
-            n_planes=ann_planes,
-            seed=ann_seed,
-            vector_col="vector",
-            dim=embedding_dim,
-        )
-    elif ivf_nlist:
-        from documents_vector_search_spark.operators.ivf import (
-            assign_cluster_expr,
-            fit_ivf,
-            round_centroids,
-        )
+    def _write_embeddings() -> list[list[float]] | None:
+        if ann_planes:
+            from documents_vector_search_spark.operators.ann import (
+                write_bucket_partitioned,
+            )
 
-        index = fit_ivf(
-            emb_df, nlist=ivf_nlist, id_col="chunk_id",
-            vector_col="vector", seed=ivf_seed,
-        )
-        ivf_centroids = round_centroids(index.centroids)
-        # re-assign from the ROUNDED centroids (not the fitted model):
-        # the manifest-persisted centroids must reproduce the exact
-        # same partition for every future update batch
-        collection.write(
-            "embeddings",
-            emb_df.withColumn(
-                "cluster_id",
-                assign_cluster_expr(
-                    F.col("vector").cast("array<double>"), ivf_centroids
+            write_bucket_partitioned(
+                emb_df,
+                collection.table_path("embeddings"),
+                n_planes=ann_planes,
+                seed=ann_seed,
+                vector_col="vector",
+                dim=embedding_dim,
+            )
+            return None
+        if ivf_nlist:
+            from documents_vector_search_spark.operators.ivf import (
+                assign_cluster_expr,
+                fit_ivf,
+                round_centroids,
+            )
+
+            index = fit_ivf(
+                emb_df, nlist=ivf_nlist, id_col="chunk_id",
+                vector_col="vector", seed=ivf_seed,
+            )
+            centroids = round_centroids(index.centroids)
+            # re-assign from the ROUNDED centroids (not the fitted
+            # model): the manifest-persisted centroids must reproduce
+            # the exact same partition for every future update batch
+            collection.write(
+                "embeddings",
+                emb_df.withColumn(
+                    "cluster_id",
+                    assign_cluster_expr(
+                        F.col("vector").cast("array<double>"), centroids
+                    ),
                 ),
-            ),
-            partition_by=["cluster_id"],
-        )
-    else:
+                partition_by=["cluster_id"],
+            )
+            return centroids
         collection.write("embeddings", emb_df)
-    # postings partitioned by term-hash bucket: a query's term lookup
-    # becomes Parquet partition pruning (operators/bm25.py). The
-    # repartition keys the write so each bucket lands in few files
-    # instead of (tasks × buckets) shards.
-    postings_df = build_postings(
-        chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
-    ).withColumn("term_bucket", term_bucket(F.col("term")))
-    collection.write(
-        "postings",
-        postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
-        partition_by=["term_bucket"],
-    )
-    collection.write(
-        "doc_stats",
-        build_doc_stats(chunks, id_col="chunk_id", text_col="indexed_data"),
-    )
+        return None
 
-    n_docs = docs.count()
-    stats = chunks.agg(
-        F.count("*").alias("n"), F.max("chunk_id").alias("last")
-    ).first()
+    def _write_postings() -> None:
+        # postings partitioned by term-hash bucket: a query's term
+        # lookup becomes Parquet partition pruning (operators/bm25.py).
+        # The repartition keys the write so each bucket lands in few
+        # files instead of (tasks × buckets) shards.
+        postings_df = build_postings(
+            chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
+        ).withColumn("term_bucket", term_bucket(F.col("term")))
+        collection.write(
+            "postings",
+            postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
+            partition_by=["term_bucket"],
+        )
+
+    def _write_doc_stats() -> None:
+        collection.write(
+            "doc_stats",
+            build_doc_stats(chunks, id_col="chunk_id", text_col="indexed_data"),
+        )
+
+    def _gather_stats():
+        return (
+            docs.count(),
+            chunks.agg(
+                F.count("*").alias("n"), F.max("chunk_id").alias("last")
+            ).first(),
+            docs.agg(F.max("last_modified_at")).first()[0],
+        )
+
+    # the three index builds + the manifest stats all read the SAME
+    # materialized chunk table and are independent — run them as
+    # concurrent jobs (Spark schedules actions from separate driver
+    # threads side by side; on a shared cluster, pair with FAIR
+    # scheduler pools). This is the multi-indexer fan-out of reference
+    # documents_collection_creator.py:180-181 without its serial loop.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_emb = pool.submit(_write_embeddings)
+        f_post = pool.submit(_write_postings)
+        f_ds = pool.submit(_write_doc_stats)
+        f_stats = pool.submit(_gather_stats)
+        ivf_centroids = f_emb.result()
+        f_post.result()
+        f_ds.result()
+        n_docs, stats, watermark = f_stats.result()
     n_chunks, last_id = stats["n"], stats["last"]
-    watermark = docs.agg(F.max("last_modified_at")).first()[0]
     # lastIndexItemId is only meaningful under the counter strategy
     # (updates continue from it); hash ids record -1
     manifest = Manifest(
