@@ -33,7 +33,10 @@ HEADLINE = [
     "chunk_split",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_cluster",
     "dedup_simhash",
+    "kmv_distinct",
+    "hash_split",
     "embedding_neardup",
     "lang_id",
     "quality",

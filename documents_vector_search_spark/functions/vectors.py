@@ -35,15 +35,19 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def sq_l2_distance(a: Column, b: Column) -> Column:
+    """SQUARED Euclidean distance (no sqrt) — cheaper when only the
+    ordering matters (cluster assignment, PQ codebook lookup)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     """Euclidean distance — the reference's metric (IndexFlatL2)."""
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    return F.sqrt(sq_l2_distance(a, b))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -37,6 +37,11 @@ from documents_vector_search_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from documents_vector_search_spark.operators.ivf import fit_ivf
+from documents_vector_search_spark.operators.pq import (
+    fit_pq,
+    pq_adc_topk,
+    pq_encode_expr,
+)
 from documents_vector_search_spark.operators.recursive_split import (
     recursive_character_chunks,
     split_text_recursive,
@@ -77,6 +82,9 @@ __all__ = [
     "kmv_distinct",
     "dedup_filter",
     "fit_ivf",
+    "fit_pq",
+    "pq_adc_topk",
+    "pq_encode_expr",
     "recursive_character_chunks",
     "split_text_recursive",
     "shingle_rows",

@@ -1,0 +1,161 @@
+"""Product quantization (PQ): compressed vectors + ADC search.
+
+The scale problem IVF/LSH don't address is MEMORY: a 100 TB corpus of
+float32 embeddings doesn't fit hot storage, and scan throughput is
+bandwidth-bound. PQ (Jégou et al., "Product quantization for nearest
+neighbor search", TPAMI 2011 — public; the same scheme behind FAISS's
+IndexIVFPQ) splits each d-dim vector into ``m`` subvectors, k-means
+quantizes each subspace to ``ksub`` centroids, and stores each vector
+as ``m`` small codes — dim=16 float32 (64 B) becomes 4 codes (4 B), a
+16× compression. Search uses ADC (asymmetric distance computation):
+the query stays un-quantized; per subspace, a ``ksub``-entry lookup
+table of query-to-centroid distances is precomputed once driver-side,
+and every row's approximate distance is ``sqrt(Σ_j lut[j][code_j])``
+— table lookups and adds, no per-row float math on full vectors.
+
+Spark mapping:
+- Codebooks are tiny (m × ksub × d/m floats) → fitted once with MLlib
+  KMeans per subspace, ROUNDED, and persisted as plain data (manifest
+  or parquet) — deterministic and engine-portable, like the IVF
+  centroids (operators/ivf.py).
+- Encoding is a pure Column expression (argmin over rounded squared
+  subspace distances — ``array_min`` over structs, map-only).
+- ADC lookup tables enter the plan as LITERAL arrays; the scan reads
+  only (id, codes) — at 100 TB that's the difference between scanning
+  ~1/16th of the bytes and scanning everything.
+- Compose with IVF partition pruning (coarse quantizer) for the full
+  IndexIVFPQ analog: prune partitions first, ADC-scan the survivors.
+
+Everything is md5/centroid-deterministic and expressible in ANSI SQL,
+so even the APPROXIMATE distances are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.vectors import sq_l2_distance
+
+Codebooks = Sequence[Sequence[Sequence[float]]]  # [subspace][code][component]
+
+
+def fit_pq(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 16,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> list[list[list[float]]]:
+    """Fit per-subspace KMeans codebooks; returns ROUNDED centroids
+    ``codebooks[subspace][code] -> list[float]`` ready to persist.
+
+    ``m`` sequential MLlib fits, each over one (dim/m)-wide projection
+    of the corpus — at 100 TB, fit on a hash-sampled fraction
+    (operators/sampling.py); codebook quality needs ~100k vectors, not
+    the corpus.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = embeddings.select(
+            array_to_vector(
+                F.slice(
+                    F.col(vector_col).cast("array<double>"), j * dsub + 1, dsub
+                )
+            ).alias("_sub")
+        )
+        model = KMeans(
+            k=ksub, seed=seed + j, featuresCol="_sub", predictionCol="_c"
+        ).fit(sub)
+        codebooks.append(
+            [
+                [round(float(x), round_to) for x in c]
+                for c in model.clusterCenters()
+            ]
+        )
+    return codebooks
+
+
+def pq_encode_expr(
+    vec: Column, codebooks: Codebooks, round_to: int = 6
+) -> Column:
+    """``array<int>`` of m codes: per subspace, the nearest-codebook-
+    centroid id (rounded squared distances, ties on lower code). Pure
+    map-only expression — encoding a 100 TB corpus is one scan."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        structs = [
+            F.struct(
+                F.round(
+                    sq_l2_distance(
+                        sub, F.array(*[F.lit(float(x)) for x in cent])
+                    ),
+                    round_to,
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cent in enumerate(codebooks[j])
+        ]
+        codes.append(F.array_min(F.array(*structs))["c"])
+    return F.array(*codes)
+
+
+def pq_adc_lut(
+    query_vector: Sequence[float], codebooks: Codebooks, round_to: int = 6
+) -> list[list[float]]:
+    """Driver-side ADC lookup tables: ``lut[j][c]`` = rounded squared
+    L2 between the query's j-th subvector and codebook centroid c.
+    m × ksub floats — trivially broadcast as plan literals."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut: list[list[float]] = []
+    for j in range(m):
+        q_sub = [float(x) for x in query_vector[j * dsub:(j + 1) * dsub]]
+        lut.append(
+            [
+                round(sum((a - b) * (a - b) for a, b in zip(q_sub, cent)), round_to)
+                for cent in codebooks[j]
+            ]
+        )
+    return lut
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: Codebooks,
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate L2 top-k over PQ codes via ADC: per row, m lookup-
+    table reads + (m-1) adds — no full-vector math, and the scan reads
+    only (id, codes). Returns ``(id, adc_distance)`` ascending, ties on
+    id. Re-rank the top candidates against true vectors when exactness
+    matters (standard PQ practice)."""
+    lut = pq_adc_lut(query_vector, codebooks, round_to)
+    total: Column | None = None
+    for j, table in enumerate(lut):
+        arr = F.array(*[F.lit(v) for v in table])
+        term = F.element_at(arr, F.element_at(F.col(codes_col), j + 1) + 1)
+        total = term if total is None else total + term
+    dist = F.round(F.sqrt(total), round_to)
+    return (
+        encoded.select(F.col(id_col), dist.alias("adc_distance"))
+        .orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

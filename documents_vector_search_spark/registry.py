@@ -101,6 +101,11 @@ ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
 # the same query at the same sf, so both read identical centroids)
 IVF_CENTROIDS_PATH = "/root/repo/.cache/ivf_centroids.parquet"
 
+# fitted PQ codebooks, persisted by q_pq_adc for its oracle (same
+# run-ordering contract as IVF_CENTROIDS_PATH)
+PQ_CODEBOOKS_PATH = "/root/repo/.cache/pq_codebooks.parquet"
+PQ_M = 4  # subspaces: dim 16 → four 4-wide subvectors, 16 codes each
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -129,8 +134,12 @@ def _vec_sql(vec: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
 
 
+def _sq_l2_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+
 def _l2_sql(a: str, b: str) -> str:
-    return f"sqrt(list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))))"
+    return f"sqrt({_sq_l2_sql(a, b)})"
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -821,9 +830,100 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_l2_fixed(emb, cents, QUERY_VEC, 10, nprobe=2)
 
 
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (operators/pq.py): 16× vector
+    compression, search = m table lookups per row. As with ivf_ann, the
+    iterative KMeans codebook fit persists ROUNDED centroids to parquet
+    for the oracle; encode + ADC are deterministic in both engines, so
+    even the approximate distances hash-match."""
+    from documents_vector_search_spark.operators.pq import (
+        fit_pq,
+        pq_adc_topk,
+        pq_encode_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebooks = fit_pq(emb, dim=EMBED_DIM, m=PQ_M, ksub=16)
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    flat = [
+        (j, c, cent)
+        for j, cb in enumerate(codebooks)
+        for c, cent in enumerate(cb)
+    ]
+    os.makedirs(os.path.dirname(PQ_CODEBOOKS_PATH), exist_ok=True)
+    pqt.write_table(
+        pa.table(
+            {
+                "subspace": pa.array([f[0] for f in flat], pa.int32()),
+                "code": pa.array([f[1] for f in flat], pa.int32()),
+                "centroid": pa.array([f[2] for f in flat], pa.list_(pa.float64())),
+            }
+        ),
+        PQ_CODEBOOKS_PATH,
+    )
+    encoded = emb.select(
+        "vec_id",
+        pq_encode_expr(
+            F.col("embedding").cast("array<double>"), codebooks
+        ).alias("codes"),
+    )
+    return pq_adc_topk(encoded, codebooks, QUERY_VEC, 10)
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB twin of q_pq_adc: encode (per-subspace argmin against the
+    persisted codebooks) + ADC (query-to-centroid lookup tables, summed
+    in FIXED subspace order to mirror Spark's left-to-right addition)."""
+    dsub = EMBED_DIM // PQ_M
+    q_subs = " ".join(
+        f"WHEN {j} THEN {_vec_sql(QUERY_VEC[j * dsub:(j + 1) * dsub])}"
+        for j in range(PQ_M)
+    )
+    ordered_sum = " + ".join(
+        f"sum(CASE WHEN enc.subspace = {j} THEN lut.d END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH cb AS (
+  SELECT subspace, code, centroid FROM read_parquet('{PQ_CODEBOOKS_PATH}')
+),
+sub AS (
+  SELECT e.vec_id, s.subspace,
+         (e.embedding::DOUBLE[])[s.subspace*{dsub}+1 : s.subspace*{dsub}+{dsub}] AS sv
+  FROM embeddings e CROSS JOIN (SELECT DISTINCT subspace FROM cb) s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT sub.vec_id, sub.subspace, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.subspace
+             ORDER BY round({_sq_l2_sql("sv", "cb.centroid")}, 6), cb.code
+           ) AS rn
+    FROM sub JOIN cb ON cb.subspace = sub.subspace
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT subspace, code,
+         round({_sq_l2_sql("centroid", f"CASE subspace {q_subs} END")}, 6) AS d
+  FROM cb
+),
+tot AS (
+  SELECT enc.vec_id, {ordered_sum} AS total
+  FROM enc JOIN lut ON lut.subspace = enc.subspace AND lut.code = enc.code
+  GROUP BY enc.vec_id
+)
+SELECT vec_id, round(sqrt(total), 6) AS adc_distance
+FROM tot ORDER BY adc_distance, vec_id LIMIT 10
+"""
 
 
 def _oracles() -> dict[str, str]:
@@ -1162,6 +1262,7 @@ SELECT doc_id,
        list_min(list_transform(shingles, s -> {md5_hash64_sql("s")})) AS fingerprint
 FROM sh
 """,
+        "pq_adc": _pq_adc_oracle(),
         "kmv_distinct": kmv_distinct_sql("user_id", k=256),
         "hash_split": f"""
 WITH b AS (
@@ -1371,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "recursive_chunk": q_recursive_chunk,
         "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
     }
 
 

@@ -95,3 +95,102 @@ class TestIVF:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PartitionFilters: [isnotnull(cluster_id" in plan
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+
+    @pytest.fixture(scope="class")
+    def codebooks(self, emb):
+        from documents_vector_search_spark.operators.pq import fit_pq
+
+        return fit_pq(emb, dim=16, m=4, ksub=8)
+
+    def test_codebook_shape_and_rounding(self, codebooks):
+        assert len(codebooks) == 4
+        assert all(len(cb) == 8 for cb in codebooks)
+        assert all(len(c) == 4 for cb in codebooks for c in cb)
+        for cb in codebooks:
+            for cent in cb:
+                assert all(x == round(x, 6) for x in cent)
+
+    def test_encode_deterministic_and_in_range(self, emb, codebooks):
+        from documents_vector_search_spark.operators.pq import pq_encode_expr
+
+        enc = emb.select(
+            "vec_id",
+            pq_encode_expr(
+                F.col("embedding").cast("array<double>"), codebooks
+            ).alias("codes"),
+        )
+        rows = {r.vec_id: list(r.codes) for r in enc.collect()}
+        rows2 = {r.vec_id: list(r.codes) for r in enc.collect()}
+        assert rows == rows2
+        assert all(len(c) == 4 for c in rows.values())
+        assert all(0 <= x < 8 for c in rows.values() for x in c)
+
+    def test_adc_matches_lut_reconstruction(self, emb, codebooks):
+        """ADC semantics, exactly: every returned distance must equal
+        sqrt(Σ_j lut[j][code_j]) recomputed driver-side from the row's
+        codes — table lookups, not full-vector math."""
+        from documents_vector_search_spark.operators.pq import (
+            pq_adc_lut,
+            pq_adc_topk,
+            pq_encode_expr,
+        )
+
+        q = [((i * 37) % 17 - 8) / 10.0 for i in range(16)]
+        enc = emb.select(
+            "vec_id",
+            pq_encode_expr(
+                F.col("embedding").cast("array<double>"), codebooks
+            ).alias("codes"),
+        )
+        adc = {
+            r.vec_id: r.adc_distance
+            for r in pq_adc_topk(enc, codebooks, q, k=10).collect()
+        }
+        dists = list(adc.values())
+        assert all(d >= 0 for d in dists)
+        lut = pq_adc_lut(q, codebooks)
+        codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+        for vid, d in adc.items():
+            expect = round(
+                sum(lut[j][codes[vid][j]] for j in range(4)) ** 0.5, 6
+            )
+            assert d == expect
+
+    def test_adc_recall_with_rerank_margin(self, emb, codebooks):
+        """ADC is approximate — the standard usage is ADC-shortlist then
+        exact re-rank. Query with an actual corpus vector: its own ADC
+        distance is pure quantization error, so it must land in a
+        moderate shortlist (k=50 over 500 near-random unit vectors,
+        where distances cluster tightly and exact top-10 recall is not
+        a fair bar for a coarse 8-code codebook)."""
+        from documents_vector_search_spark.operators.pq import (
+            pq_adc_topk,
+            pq_encode_expr,
+        )
+
+        target = emb.filter(F.col("vec_id") == 42).first()
+        q = [float(x) for x in target.embedding]
+        enc = emb.select(
+            "vec_id",
+            pq_encode_expr(
+                F.col("embedding").cast("array<double>"), codebooks
+            ).alias("codes"),
+        )
+        shortlist = {
+            r.vec_id for r in pq_adc_topk(enc, codebooks, q, k=50).collect()
+        }
+        assert 42 in shortlist
+
+    def test_dim_not_divisible_rejected(self, emb):
+        from documents_vector_search_spark.operators.pq import fit_pq
+
+        with pytest.raises(ValueError, match="not divisible"):
+            fit_pq(emb, dim=16, m=5)
