@@ -111,6 +111,8 @@ def create_collection(
     ivf_nlist: int | None = None,
     ivf_nprobe: int = 2,
     ivf_seed: int = 42,
+    pq_m: int | None = None,
+    pq_ksub: int = 16,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -132,9 +134,18 @@ def create_collection(
     ``partitionBy(cluster_id)`` → the probe is partition pruning that
     scans ~nprobe/nlist of the corpus. Mutually exclusive with
     ``ann_planes``.
+
+    ``pq_m`` (requires ``ivf_nlist``) adds product-quantization codes
+    to the IVF layout — the IndexIVFPQ composition (operators/pq.py):
+    the coarse quantizer prunes partitions, ADC over the tiny ``codes``
+    column ranks the survivors, and the searcher re-ranks an ADC
+    shortlist against true vectors. Rounded codebooks live in the
+    manifest beside the centroids.
     """
     if ann_planes and ivf_nlist:
         raise ValueError("ann_planes and ivf_nlist are mutually exclusive")
+    if pq_m and not ivf_nlist:
+        raise ValueError("pq_m requires ivf_nlist (IVFPQ layout)")
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
@@ -194,17 +205,31 @@ def create_collection(
             # re-assign from the ROUNDED centroids (not the fitted
             # model): the manifest-persisted centroids must reproduce
             # the exact same partition for every future update batch
-            collection.write(
-                "embeddings",
-                emb_df.withColumn(
-                    "cluster_id",
-                    assign_cluster_expr(
-                        F.col("vector").cast("array<double>"), centroids
-                    ),
+            out = emb_df.withColumn(
+                "cluster_id",
+                assign_cluster_expr(
+                    F.col("vector").cast("array<double>"), centroids
                 ),
-                partition_by=["cluster_id"],
             )
-            return centroids
+            codebooks = None
+            if pq_m:
+                from documents_vector_search_spark.operators.pq import (
+                    fit_pq,
+                    pq_encode_expr,
+                )
+
+                codebooks = fit_pq(
+                    emb_df, dim=embedding_dim, m=pq_m, ksub=pq_ksub,
+                    vector_col="vector", seed=ivf_seed,
+                )
+                out = out.withColumn(
+                    "codes",
+                    pq_encode_expr(
+                        F.col("vector").cast("array<double>"), codebooks
+                    ),
+                )
+            collection.write("embeddings", out, partition_by=["cluster_id"])
+            return centroids, codebooks
         collection.write("embeddings", emb_df)
         return None
 
@@ -250,7 +275,8 @@ def create_collection(
         f_post = pool.submit(_write_postings)
         f_ds = pool.submit(_write_doc_stats)
         f_stats = pool.submit(_gather_stats)
-        ivf_centroids = f_emb.result()
+        emb_result = f_emb.result()
+        ivf_centroids, pq_codebooks = emb_result or (None, None)
         f_post.result()
         f_ds.result()
         n_docs, stats, watermark = f_stats.result()
@@ -280,6 +306,12 @@ def create_collection(
                         "nProbe": ivf_nprobe,
                         "seed": ivf_seed,
                         "centroids": ivf_centroids,
+                        **(
+                            {"pq": {"m": pq_m, "kSub": pq_ksub,
+                                    "codebooks": pq_codebooks}}
+                            if pq_m
+                            else {}
+                        ),
                     }
                 }
                 if ivf_nlist

@@ -44,6 +44,7 @@ class CollectionSearcher:
         cache_tables: bool = False,
         ann_probe_bits: int = 1,
         ivf_nprobe: int | None = None,
+        pq_shortlist_factor: int = 4,
     ):
         """``cache_tables`` persists the index tables in executor memory
         on first access — the serving-process pattern (the reference's
@@ -59,7 +60,10 @@ class CollectionSearcher:
 
         ``ivf_nprobe`` overrides the manifest's recorded probe count for
         IVF layouts (create_collection(ivf_nlist=...)) — more probes =
-        higher recall, proportionally more partitions scanned."""
+        higher recall, proportionally more partitions scanned.
+
+        ``pq_shortlist_factor``: for IVFPQ layouts (pq_m=...), the ADC
+        shortlist is this many × k before exact re-rank."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
@@ -70,6 +74,7 @@ class CollectionSearcher:
         self._cached: dict[str, DataFrame] = {}
         self.ann_probe_bits = ann_probe_bits
         self.ivf_nprobe = ivf_nprobe
+        self.pq_shortlist_factor = pq_shortlist_factor
         self._ann_cfg: dict | None | str = "_unset"
         self._ivf_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
@@ -153,6 +158,26 @@ class CollectionSearcher:
             emb = emb.filter(F.col("cluster_id").isin(probes))
         if allowed is not None:
             emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
+        if ivf and ivf.get("pq"):
+            # IVFPQ: rank the pruned partitions by ADC over the tiny
+            # `codes` column (lookup tables, no full-vector math), keep
+            # a shortlist, and let the exact kNN below re-rank it — the
+            # standard PQ shortlist-then-rerank (operators/pq.py). The
+            # shortlist join is broadcast (≤ pq_shortlist_factor * k
+            # ids).
+            from documents_vector_search_spark.operators.pq import (
+                pq_adc_topk,
+            )
+
+            shortlist = pq_adc_topk(
+                emb,
+                ivf["pq"]["codebooks"],
+                qv,
+                max(k * self.pq_shortlist_factor, k),
+                id_col="chunk_id",
+                codes_col="codes",
+            ).select("chunk_id")
+            emb = emb.join(F.broadcast(shortlist), "chunk_id", "left_semi")
         hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")
         # L2 ascending → rank; keep a unified (chunk_id, rank, score) shape
         w = Window.orderBy(F.col("distance").asc(), F.col("chunk_id").asc())

@@ -180,6 +180,20 @@ def update_collection(
                 F.col("vector").cast("array<double>"), ivf_cfg["centroids"]
             ),
         )
+        if ivf_cfg.get("pq"):
+            # IVFPQ layout: re-encode fresh vectors with the manifest
+            # codebooks so ADC search covers updates too
+            from documents_vector_search_spark.operators.pq import (
+                pq_encode_expr,
+            )
+
+            fresh_embeddings = fresh_embeddings.withColumn(
+                "codes",
+                pq_encode_expr(
+                    F.col("vector").cast("array<double>"),
+                    ivf_cfg["pq"]["codebooks"],
+                ),
+            )
     merged_embeddings = (
         collection.read("embeddings")
         .join(stale_chunks, "chunk_id", "left_anti")

@@ -376,6 +376,64 @@ class TestIvfLayout:
         with pytest.raises(ValueError, match="mutually exclusive"):
             create_collection(coll, canonical_docs, ann_planes=3, ivf_nlist=4)
 
+    def test_pq_requires_ivf(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "bad2")
+        with pytest.raises(ValueError, match="requires ivf_nlist"):
+            create_collection(coll, canonical_docs, pq_m=4)
+
+
+class TestIvfPqLayout:
+    """IVFPQ composition: partition pruning (coarse quantizer) + ADC
+    shortlist over the codes column + exact re-rank."""
+
+    @pytest.fixture(scope="class")
+    def ivfpq_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("ivfpq"))
+        coll = Collection(spark, base, "ivfpq")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            ivf_nlist=4, pq_m=4, pq_ksub=8,
+        )
+        return coll
+
+    def test_layout_has_codes_and_codebooks(self, ivfpq_coll):
+        cfg = ivfpq_coll.manifest().converter["ivf"]
+        pq = cfg["pq"]
+        assert pq["m"] == 4 and pq["kSub"] == 8
+        assert len(pq["codebooks"]) == 4
+        assert all(len(cb) == 8 for cb in pq["codebooks"])
+        emb = ivfpq_coll.read("embeddings")
+        assert {"chunk_id", "vector", "cluster_id", "codes"} <= set(emb.columns)
+        r = emb.first()
+        assert len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes)
+
+    def test_search_prunes_and_reranks_exact(self, ivfpq_coll):
+        """The shortlist-then-rerank result must equal exact kNN over
+        the ADC shortlist — re-ranking is true-vector L2, not ADC."""
+        s = CollectionSearcher(ivfpq_coll)
+        hits = s._vector_hits("hash join", 10, None)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        got = hits.collect()
+        assert 0 < len(got) <= 10
+        ranks = [r.rank for r in got]
+        assert ranks == sorted(ranks)
+
+    def test_update_preserves_codes(self, spark, canonical_docs, ivfpq_coll):
+        updates = canonical_docs.filter(F.col("id") == "doc-7").select(
+            "id", "url", "metadata",
+            F.concat(F.lit("fresh ivfpq text. "), "text").alias("text"),
+            F.lit("2024-09-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+            "source_type",
+        )
+        update_collection(ivfpq_coll, updates)
+        emb = ivfpq_coll.read("embeddings")
+        assert "codes" in emb.columns
+        assert emb.count() == ivfpq_coll.read("chunks").count()
+        assert emb.filter(F.col("codes").isNull()).count() == 0
+        s = CollectionSearcher(ivfpq_coll)
+        assert len(s.search("hash join", max_documents=5).collect()) > 0
+
 
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
