@@ -72,6 +72,11 @@ from documents_vector_search_spark.operators.text_analysis import (
     quality_score,
     token_counts,
 )
+from documents_vector_search_spark.operators.curation import (
+    line_dedup,
+    pii_redact,
+    repetition_signals,
+)
 
 __all__ = [
     "cluster_canonicalize",
@@ -116,4 +121,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_counts",
+    "line_dedup",
+    "pii_redact",
+    "repetition_signals",
 ]

@@ -1,0 +1,232 @@
+"""Corpus-curation operators: repetition signals, PII redaction,
+corpus-wide line dedup.
+
+The Gopher/C4 data-pipeline trio the reference's corpus never needed
+but a 100 TB training sweep always does:
+
+- ``repetition_signals``: per-document repetition statistics (Gopher
+  rules 4-8 analog: most-common-token fraction, top-2-gram fraction,
+  duplicated-5-gram fraction, distinct-token ratio). Pure Column
+  expressions — a corpus sweep is one scan, zero shuffles, zero Python.
+- ``pii_redact``: email / IPv4 / SSN masking plus per-kind match
+  counts. Map-only ``regexp_replace`` / ``regexp_count`` chains; the
+  patterns are deliberately RE2-compatible so the same regex means the
+  same thing in Spark (Java regex) and SQL oracles.
+- ``line_dedup``: C4-style exact line deduplication across the WHOLE
+  corpus — every line keeps only its first occurrence (ordered by
+  (doc id, line position)); later copies are dropped and documents are
+  reassembled without them.
+
+Scale notes are on each operator; only ``line_dedup`` shuffles at all
+(once by line key — with per-row unique keys for lines exempted from
+dedup so degenerate hot keys like blank lines never hotspot a
+partition — and once by doc id to reassemble).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.text import tokenize
+
+# RE2-compatible (and Java-regex-compatible) PII patterns. Kept simple
+# and auditable; precision tuning belongs to the caller via `patterns`.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+}
+
+
+def _strict_shingles(tokens: Column, n: int) -> Column:
+    """Space-joined n-grams; EMPTY for docs shorter than n tokens.
+
+    (functions/text.py word_shingles pads short docs to one shingle so
+    they survive dedup; repetition stats must instead report 0 — a
+    3-token doc has no 5-gram repetition.)
+    """
+    count = F.size(tokens) - F.lit(n - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+
+
+def _max_run_fraction(arr: Column) -> Column:
+    """max(multiplicity of any element) / size, 0.0 for empty arrays.
+
+    O(n log n) per row (sort + one linear ``aggregate`` pass counting
+    the longest run of equal neighbours) — no explode, no shuffle, and
+    no quadratic distinct×occurrences scan, so a 100 TB sweep stays a
+    single map stage even for book-length documents.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(arr), acc0, step, lambda a: a["best"])
+    return F.when(F.size(arr) > 0, best / F.size(arr)).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_ngram: int = 5,
+) -> DataFrame:
+    """Per-document repetition statistics (Gopher repetition rules).
+
+    ``(id, n_tokens, distinct_token_ratio, top_token_fraction,
+    top_2gram_fraction, dup_5gram_fraction)``:
+
+    - distinct_token_ratio: |distinct tokens| / |tokens| (low = loopy)
+    - top_token_fraction: multiplicity of the most frequent token / n
+    - top_2gram_fraction: same for word 2-grams
+    - dup_5gram_fraction: fraction of 5-grams occurring more than once
+      within the document (1 - distinct/total)
+
+    Everything is a Column expression over per-row arrays — the sweep
+    compiles to one codegen'd scan with no shuffle and no Python.
+    """
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    staged = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        _strict_shingles(F.col("_toks"), 2).alias("_g2"),
+        _strict_shingles(F.col("_toks"), dup_ngram).alias("_gn"),
+    )
+    n = F.size(F.col("_toks"))
+    gn_total = F.size(F.col("_gn"))
+    dup_frac = F.when(
+        gn_total > 0,
+        1.0 - F.size(F.array_distinct(F.col("_gn"))) / gn_total,
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct(F.col("_toks"))) / n).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+        F.round(_max_run_fraction(F.col("_toks")), 6).alias("top_token_fraction"),
+        F.round(_max_run_fraction(F.col("_g2")), 6).alias("top_2gram_fraction"),
+        F.round(dup_frac, 6).alias(f"dup_{dup_ngram}gram_fraction"),
+    )
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Mask PII spans and count matches per kind.
+
+    ``(id, clean_text, n_<kind>...)`` — one ``regexp_count`` plus one
+    ``regexp_replace`` per kind, applied in ``patterns`` insertion
+    order (email before ipv4 matters: an address is counted once as an
+    email, and its digits never re-match as a phone/IP fragment).
+    Map-only: a 100 TB scrub is a single scan stage.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    cleaned = F.col(text_col)
+    counts = []
+    for kind, (pattern, replacement) in pats.items():
+        counts.append(
+            F.regexp_count(cleaned, F.lit(pattern))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        cleaned = F.regexp_replace(cleaned, pattern, replacement)
+    return docs.select(
+        F.col(id_col), cleaned.alias("clean_text"), *counts
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_len: int = 1,
+    line_sep: str = r"\r\n|\r|\n",
+    out_sep: str = "\n",
+) -> DataFrame:
+    """C4-style exact line dedup across the whole corpus.
+
+    Each distinct line is kept only at its FIRST occurrence — minimal
+    (id, line position) in corpus order — and dropped everywhere else;
+    documents are reassembled from their surviving lines in original
+    order. ``(id, text, n_lines_kept, n_lines_removed)``; a document
+    whose every line is a later duplicate survives with empty text.
+
+    Lines shorter than ``min_line_len`` are exempt (always kept):
+    blank lines and trivial separators are structure, not content —
+    and, critically for scale, they are exactly the degenerate hot
+    keys that would funnel a corpus-wide shuffle into one partition.
+    Exempt lines get a per-row unique partition key, so the line-key
+    shuffle stays uniform no matter how many blank lines exist.
+
+    Cost: one shuffle keyed by line text (window row_number) + one
+    keyed by document id (reassembly groupBy). Both keys are
+    high-cardinality by construction.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    eligible = F.length(F.col("_line")) >= min_line_len
+    part_key = F.when(eligible, F.col("_line")).otherwise(
+        F.concat_ws(chr(1), F.col("_id").cast("string"), F.col("_pos"))
+    )
+    w = Window.partitionBy(part_key).orderBy(F.col("_id"), F.col("_pos"))
+    kept = (
+        lines.withColumn("_rn", F.row_number().over(w))
+        .filter((~eligible) | (F.col("_rn") == 1))
+        .groupBy(F.col("_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+            ).alias("_arr")
+        )
+        .select(
+            F.col("_id"),
+            F.array_join(
+                F.transform(F.col("_arr"), lambda x: x["_line"]), out_sep
+            ).alias("_clean"),
+            F.size(F.col("_arr")).cast("bigint").alias("n_lines_kept"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), line_sep, -1))
+        .cast("bigint")
+        .alias("_n_total"),
+    )
+    return (
+        totals.join(kept, totals[id_col] == kept["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            (F.col("_n_total") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -51,6 +51,12 @@ from documents_vector_search_spark.operators.multimodal import (
     extract_media_features,
 )
 from documents_vector_search_spark.operators.rrf import rrf_fuse
+from documents_vector_search_spark.operators.curation import (
+    PII_PATTERNS,
+    line_dedup,
+    pii_redact,
+    repetition_signals,
+)
 from documents_vector_search_spark.operators.text_analysis import (
     LANG_MARKERS,
     fingerprint,
@@ -548,6 +554,67 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (min-shingle) document fingerprints."""
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (map-only corpus sweep)."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic doc_id-derived PII spans to each document.
+
+    The synthetic corpus contains no PII; deriving spans from doc_id
+    (in BOTH engines, see the oracle) exercises real matches while
+    keeping the driver tables as the only input.
+    """
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + per-kind counts over doc_id-derived spans."""
+    return pii_redact(_with_injected_pii(_t(spark, sf_dir, "documents")))
+
+
+def _with_token_lines(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Re-delimit each document into fixed ``width``-token lines.
+
+    The synthetic corpus is single-line; token-window lines give
+    ``line_dedup`` real corpus-wide duplicates to drop (near-dup docs
+    share aligned windows) while deriving purely from driver tables.
+    """
+    from documents_vector_search_spark.functions.text import tokenize
+
+    toks = tokenize("text")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col("doc_id"), F.array_join(lines, "\n").alias("text")
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup over token-window lines."""
+    return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,6 +1329,95 @@ SELECT doc_id,
        list_min(list_transform(shingles, s -> {md5_hash64_sql("s")})) AS fingerprint
 FROM sh
 """,
+        "repetition": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(toks) >= 5
+      THEN list_transform(range(1, len(toks)-3), i -> array_to_string(toks[i:i+4], ' '))
+      ELSE []::VARCHAR[] END AS g5
+  FROM tok
+),
+c1 AS (
+  SELECT doc_id, max(c)::DOUBLE AS mx
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM g) GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+c2 AS (
+  SELECT doc_id, max(c)::DOUBLE AS mx
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS t FROM g) GROUP BY doc_id, t)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END, 6)
+    AS distinct_token_ratio,
+  round(coalesce(c1.mx / nullif(len(toks), 0), 0.0), 6) AS top_token_fraction,
+  round(coalesce(c2.mx / nullif(len(g2), 0), 0.0), 6) AS top_2gram_fraction,
+  round(CASE WHEN len(g5) > 0
+    THEN 1.0 - len(list_distinct(g5))::DOUBLE / len(g5) ELSE 0.0 END, 6)
+    AS dup_5gram_fraction
+FROM g
+LEFT JOIN c1 ON c1.doc_id = g.doc_id
+LEFT JOIN c2 ON c2.doc_id = g.doc_id
+""",
+        "pii_redact": f"""
+WITH p AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com at 10.'
+         || (doc_id % 256) || '.0.' || (doc_id % 100)
+         || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+  FROM documents
+),
+e AS (SELECT doc_id,
+        len(regexp_extract_all(t, '{PII_PATTERNS["email"][0]}'))::BIGINT AS n_email,
+        regexp_replace(t, '{PII_PATTERNS["email"][0]}', '<EMAIL>', 'g') AS t
+      FROM p),
+i AS (SELECT doc_id, n_email,
+        len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"][0]}'))::BIGINT AS n_ipv4,
+        regexp_replace(t, '{PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS t
+      FROM e),
+s AS (SELECT doc_id, n_email, n_ipv4,
+        len(regexp_extract_all(t, '{PII_PATTERNS["ssn"][0]}'))::BIGINT AS n_ssn,
+        regexp_replace(t, '{PII_PATTERNS["ssn"][0]}', '<SSN>', 'g') AS t
+      FROM i)
+SELECT doc_id, t AS clean_text, n_email, n_ipv4, n_ssn FROM s
+""",
+        "line_dedup": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+rl AS (
+  SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                     i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+      chr(10))
+    ELSE '' END AS text
+  FROM tok
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rl),
+l AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, unnest(ls) AS line FROM sp),
+rn AS (SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       FROM l),
+k AS (SELECT doc_id, pos, line FROM rn WHERE length(line) < 1 OR rn = 1),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*)::BIGINT AS n_lines_kept
+  FROM k GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n FROM rl)
+SELECT t.doc_id,
+       coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n - coalesce(a.n_lines_kept, 0))::BIGINT AS n_lines_removed
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
         "pq_adc": _pq_adc_oracle(),
         "kmv_distinct": kmv_distinct_sql("user_id", k=256),
         "hash_split": f"""
@@ -1458,6 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "line_dedup": q_line_dedup,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

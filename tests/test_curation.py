@@ -1,0 +1,138 @@
+"""Curation operators: repetition signals, PII redaction, line dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.curation import (
+    line_dedup,
+    pii_redact,
+    repetition_signals,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(
+        [
+            # 'a' appears 3/6 tokens; 'a b' twice of five 2-grams
+            (1, "a b a b a c"),
+            # all-distinct tokens, no repetition at all
+            (2, "one two three four five six seven"),
+            # heavy 5-gram repetition: the same 5-gram run repeated
+            (3, "x y z w v " * 4),
+            (4, ""),  # empty doc: all ratios 0
+            (5, "solo"),  # 1 token: no 2-grams, no 5-grams
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestRepetitionSignals:
+    def test_values(self, rep_docs):
+        rows = {
+            r.doc_id: r for r in repetition_signals(rep_docs).collect()
+        }
+        r1 = rows[1]
+        assert r1.n_tokens == 6
+        assert r1.top_token_fraction == pytest.approx(3 / 6, abs=1e-6)
+        assert r1.distinct_token_ratio == pytest.approx(3 / 6, abs=1e-6)
+        assert r1.top_2gram_fraction == pytest.approx(2 / 5, abs=1e-6)
+
+        r2 = rows[2]
+        assert r2.distinct_token_ratio == 1.0
+        assert r2.top_token_fraction == pytest.approx(1 / 7, abs=1e-6)
+        assert r2.dup_5gram_fraction == 0.0
+
+        r3 = rows[3]
+        # 20 tokens -> 16 5-grams, only 5 distinct (cyclic text)
+        assert r3.dup_5gram_fraction == pytest.approx(1 - 5 / 16, abs=1e-6)
+
+        r4, r5 = rows[4], rows[5]
+        for r in (r4, r5):
+            assert r.top_2gram_fraction == 0.0
+            assert r.dup_5gram_fraction == 0.0
+        assert r4.n_tokens == 0 and r4.top_token_fraction == 0.0
+        assert r5.n_tokens == 1 and r5.top_token_fraction == 1.0
+
+    def test_map_only_plan(self, rep_docs):
+        plan = (
+            repetition_signals(rep_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # zero shuffles
+
+
+class TestPiiRedact:
+    def test_masks_and_counts(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@corp.example.org now"),
+                (2, "host 192.168.0.1 and 10.0.0.255 up"),
+                (3, "ssn 123-45-6789 leaked"),
+                (4, "clean text only"),
+                (5, "a@b.io from 1.2.3.4 ssn 000-11-2222"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in pii_redact(docs).collect()}
+        assert rows[1].clean_text == "mail <EMAIL> now"
+        assert rows[1].n_email == 1 and rows[1].n_ipv4 == 0
+        assert rows[2].clean_text == "host <IP> and <IP> up"
+        assert rows[2].n_ipv4 == 2
+        assert rows[3].clean_text == "ssn <SSN> leaked"
+        assert rows[3].n_ssn == 1
+        assert rows[4].clean_text == "clean text only"
+        assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_ssn) == (0, 0, 0)
+        assert rows[5].clean_text == "<EMAIL> from <IP> ssn <SSN>"
+
+    def test_email_not_recounted_as_ip(self, spark):
+        # an IP quad inside an email host is consumed by the email
+        # replacement first and must not leak into the IP count
+        docs = spark.createDataFrame(
+            [(1, "x v1@10.2.3.44.example.com y")], ["doc_id", "text"]
+        )
+        r = pii_redact(docs).collect()[0]
+        assert r.n_email == 1 and r.n_ipv4 == 0
+        assert r.clean_text == "x <EMAIL> y"
+
+
+class TestLineDedup:
+    def test_corpus_first_occurrence_wins(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha line\nshared line\nbeta line"),
+                (2, "shared line\ngamma line"),  # 'shared line' dropped
+                (3, "shared line"),  # everything dropped -> empty
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in line_dedup(docs).collect()}
+        assert rows[1].text == "alpha line\nshared line\nbeta line"
+        assert rows[1].n_lines_kept == 3 and rows[1].n_lines_removed == 0
+        assert rows[2].text == "gamma line"
+        assert rows[2].n_lines_kept == 1 and rows[2].n_lines_removed == 1
+        assert rows[3].text == "" and rows[3].n_lines_kept == 0
+        assert rows[3].n_lines_removed == 1
+
+    def test_short_lines_exempt(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "\nc\n")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in line_dedup(docs).collect()}
+        # blank lines are exempt from dedup: kept everywhere
+        assert rows[1].text == "a\n\nb"
+        assert rows[2].text == "\nc\n"
+        assert rows[2].n_lines_removed == 0
+
+    def test_crlf_and_within_doc_dupes(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same\r\nsame\rsame\nlast")], ["doc_id", "text"]
+        )
+        r = line_dedup(docs).collect()[0]
+        assert r.text == "same\nlast"
+        assert r.n_lines_kept == 2 and r.n_lines_removed == 2
