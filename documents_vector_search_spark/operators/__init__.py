@@ -72,6 +72,7 @@ from documents_vector_search_spark.operators.text_analysis import (
     quality_score,
     token_counts,
 )
+from documents_vector_search_spark.operators.asof import asof_join
 from documents_vector_search_spark.operators.curation import (
     line_dedup,
     pii_redact,
@@ -121,6 +122,7 @@ __all__ = [
     "language_id",
     "quality_score",
     "token_counts",
+    "asof_join",
     "line_dedup",
     "pii_redact",
     "repetition_signals",

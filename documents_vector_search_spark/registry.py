@@ -556,6 +556,44 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest at-or-before purchase.
+
+    Single-shuffle union+window as-of (operators/asof.py); the oracle
+    is DuckDB's native ASOF LEFT JOIN over epoch-microsecond keys.
+    Purchases are pre-aggregated to one row per (user_id, ts) — the
+    determinism requirement both engines share.
+    """
+    from documents_vector_search_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id",
+        right_cols=["purchase_id", "purchase_value"],
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("ts_r")).alias("purchase_ts_us"),
+        "purchase_id_r",
+        "purchase_value_r",
+    ).withColumnsRenamed(
+        {"purchase_id_r": "purchase_id", "purchase_value_r": "purchase_value"}
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (map-only corpus sweep)."""
     return repetition_signals(_t(spark, sf_dir, "documents"))
@@ -1329,6 +1367,22 @@ SELECT doc_id,
        list_min(list_transform(shingles, s -> {md5_hash64_sql("s")})) AS fingerprint
 FROM sh
 """,
+        "asof_join": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pts_us,
+         max(event_id) AS purchase_id, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.click_id, c.user_id, c.ts_us,
+       p.pts_us AS purchase_ts_us, p.purchase_id, p.purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts_us >= p.pts_us
+""",
         "repetition": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
@@ -1615,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "repetition": q_repetition,
+        "asof_join": q_asof_join,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "tpch_q1": q_tpch_q1,
