@@ -42,6 +42,10 @@ HEADLINE = [
     "quality",
     "token_counts",
     "fingerprint",
+    "repetition",
+    "pii_redact",
+    "line_dedup",
+    "asof_join",
     "tpch_q1",
     "revenue_join",
     "events_window",
