@@ -176,6 +176,66 @@ class TestMultimodal:
         ).first()
         assert (got.width, got.height, got.n_frames) == (640, 480, 42)
 
+    def test_resize_stub_and_injection(self, tiny_docs):
+        from documents_vector_search_spark.operators.multimodal import (
+            resize_media,
+        )
+
+        media = attach_binary_payload(tiny_docs)
+        out = {r.id: r for r in resize_media(media, 8, 4).collect()}
+        assert len(out) == 5
+        assert all(len(r.payload) == 8 * 4 for r in out.values())
+        assert all((r.width, r.height) == (8, 4) for r in out.values())
+        # deterministic: same input -> same fake bitmap
+        again = {r.id: bytes(r.payload) for r in resize_media(media, 8, 4).collect()}
+        assert {i: bytes(r.payload) for i, r in out.items()} == again
+
+        injected = resize_media(
+            media, 2, 2, resizer=lambda mt, p, w, h: b"\xff" * (w * h)
+        ).first()
+        assert bytes(injected.payload) == b"\xff\xff\xff\xff"
+
+    def test_frame_sampling_fan_out(self, spark):
+        from documents_vector_search_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        media = spark.createDataFrame(
+            [(1, "video/fake", bytearray(b"x" * 3072)),  # fake 3s video
+             (2, "video/fake", bytearray(b"y" * 10))],   # fake 1s video
+            ["id", "media_type", "payload"],
+        )
+        rows = sample_frames(media, every_ms=1000).collect()
+        by_id: dict[int, list] = {}
+        for r in rows:
+            by_id.setdefault(r.id, []).append(r)
+        assert len(by_id[1]) == 3 and len(by_id[2]) == 1
+        assert [r.frame_index for r in sorted(by_id[1], key=lambda r: r.ts_ms)] == [0, 1, 2]
+        assert all(r.ts_ms % 1000 == 0 for r in rows)
+
+        injected = sample_frames(
+            media, every_ms=500,
+            sampler=lambda mt, p, ms: [(0, b"f0"), (ms, b"f1")],
+        ).collect()
+        assert {(r.id, r.ts_ms, bytes(r.payload)) for r in injected} == {
+            (1, 0, b"f0"), (1, 500, b"f1"), (2, 0, b"f0"), (2, 500, b"f1"),
+        }
+
+    def test_repartition_by_bytes(self, spark):
+        from documents_vector_search_spark.operators.multimodal import (
+            repartition_by_bytes,
+        )
+
+        media = spark.createDataFrame(
+            [(i, "blob", bytearray(b"z" * 1000)) for i in range(10)],
+            ["id", "media_type", "payload"],
+        )
+        out = repartition_by_bytes(media, bytes_per_partition=2500)
+        assert out.rdd.getNumPartitions() == 4  # ceil(10000/2500)
+        assert out.count() == 10
+        empty = spark.createDataFrame([], "id BIGINT, payload BINARY")
+        assert repartition_by_bytes(empty).rdd.getNumPartitions() == 1
+
 
 class TestEmbedding:
     def test_hash_embedding_deterministic_unit_norm(self, spark):

@@ -341,3 +341,60 @@ class TestStreamingWindowedAggregation:
         assert len(got) > 0
         for key, n in got.items():
             assert batch[key] == n
+
+
+class TestStreamingDedup:
+    """dropDuplicatesWithinWatermark exact dedup — the streaming twin
+    of operators/dedup.exact_dedup (bounded state by watermark)."""
+
+    def test_first_arrival_wins(self, spark, tmp_path):
+        from datetime import datetime
+
+        from documents_vector_search_spark.streaming.dedup import dedup_stream
+
+        rows = [
+            (1, "same text", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "same text", datetime(2024, 1, 1, 10, 1, 0)),  # dup
+            (3, "other text", datetime(2024, 1, 1, 10, 2, 0)),
+            (4, "same text", datetime(2024, 1, 1, 10, 3, 0)),  # dup
+            (5, "third text", datetime(2024, 1, 1, 10, 4, 0)),
+        ]
+        schema = "doc_id LONG, text STRING, last_modified_at TIMESTAMP"
+        df = spark.createDataFrame(rows, schema)
+        src = str(tmp_path / "docs_stream")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = dedup_stream(stream, watermark_delay="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql("SELECT * FROM dedup_out").collect()
+        assert {r.text for r in got} == {"same text", "other text", "third text"}
+        assert len(got) == 3
+        assert "content_hash" in got[0].asDict()
+        # batch twin agrees on the surviving set of hashes
+        from documents_vector_search_spark.operators.dedup import exact_dedup
+
+        batch = exact_dedup(df, id_col="doc_id", text_col="text")
+        assert batch.count() == len(got)  # one group per distinct content
+        assert {r.content_hash for r in batch.collect()} == {
+            r.content_hash for r in got
+        }
+
+    def test_rejects_batch_dataframe(self, spark):
+        from documents_vector_search_spark.streaming.dedup import dedup_stream
+
+        df = spark.createDataFrame(
+            [(1, "t")], "doc_id LONG, text STRING"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="streaming"):
+            dedup_stream(df)
