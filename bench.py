@@ -43,6 +43,7 @@ HEADLINE = [
     "token_counts",
     "fingerprint",
     "repetition",
+    "perplexity",
     "pii_redact",
     "line_dedup",
     "asof_join",

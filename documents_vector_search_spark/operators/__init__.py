@@ -74,7 +74,9 @@ from documents_vector_search_spark.operators.text_analysis import (
 )
 from documents_vector_search_spark.operators.asof import asof_join
 from documents_vector_search_spark.operators.curation import (
+    fit_unigram_lm,
     line_dedup,
+    perplexity_score,
     pii_redact,
     repetition_signals,
 )
@@ -123,7 +125,9 @@ __all__ = [
     "quality_score",
     "token_counts",
     "asof_join",
+    "fit_unigram_lm",
     "line_dedup",
+    "perplexity_score",
     "pii_redact",
     "repetition_signals",
 ]

@@ -158,6 +158,85 @@ def pii_redact(
     )
 
 
+def fit_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Fit an add-alpha-smoothed unigram language model on a corpus.
+
+    Returns ``(term, lp_u)`` where lp_u is the term's negative log2
+    probability in exact integer micro-units
+    (``floor(-log2(p) * 1e6 + 0.5)``) — integer units make downstream
+    per-document SUMS order-independent, the same exact-arithmetic
+    idiom as the engine's money sums (registry determinism rules).
+
+    Cost: one explode + one term-key shuffle (the shape of a postings
+    build); corpus totals ride in via a broadcast 1-row cross join,
+    never a driver collect.
+    """
+    t = docs.select(F.explode(tokenize(text_col)).alias("term"))
+    tf = t.groupBy("term").agg(F.count("*").alias("c"))
+    totals = tf.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    p = (F.col("c") + F.lit(alpha)) / (F.col("_n") + F.lit(alpha) * F.col("_v"))
+    lp_u = F.floor(-F.log2(p) * 1e6 + F.lit(0.5)).cast("bigint")
+    return tf.crossJoin(F.broadcast(totals)).select(
+        "term", lp_u.alias("lp_u")
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_lp_u: int | None = None,
+) -> DataFrame:
+    """Per-document unigram perplexity under ``lm`` — the CCNet-style
+    LM quality signal (low perplexity = in-distribution text).
+
+    ``(id, n_tokens, ppl)`` with ``ppl = 2^(mean lp)``; empty documents
+    score 0.0. Unknown terms take ``oov_lp_u`` when given, else are
+    DROPPED from the mean (exact when the LM was fit on the same
+    corpus, where every term is known).
+
+    Cost: one explode + one term-key join (broadcast-able for bounded
+    vocabularies) + one doc-key aggregation — no driver loops, no UDFs.
+    """
+    t = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    joined = t.join(lm, "term", "left" if oov_lp_u is not None else "inner")
+    if oov_lp_u is not None:
+        joined = joined.withColumn(
+            "lp_u", F.coalesce(F.col("lp_u"), F.lit(int(oov_lp_u)))
+        )
+    ds = joined.groupBy(id_col).agg(
+        F.sum("lp_u").alias("_s"), F.count("*").alias("n_tokens")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(ds, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.pow(
+                        F.lit(2.0),
+                        (F.col("_s").cast("double") / 1e6) / F.col("n_tokens"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ppl"),
+        )
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

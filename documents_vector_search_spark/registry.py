@@ -53,7 +53,9 @@ from documents_vector_search_spark.operators.multimodal import (
 from documents_vector_search_spark.operators.rrf import rrf_fuse
 from documents_vector_search_spark.operators.curation import (
     PII_PATTERNS,
+    fit_unigram_lm,
     line_dedup,
+    perplexity_score,
     pii_redact,
     repetition_signals,
 )
@@ -653,6 +655,12 @@ def _with_token_lines(docs: DataFrame, width: int = 8) -> DataFrame:
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-wide line dedup over token-window lines."""
     return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
+
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram perplexity, LM fit on the corpus itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_score(docs, fit_unigram_lm(docs))
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,6 +1451,28 @@ s AS (SELECT doc_id, n_email, n_ipv4,
       FROM i)
 SELECT doc_id, t AS clean_text, n_email, n_ipv4, n_ssn FROM s
 """,
+        "perplexity": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT term, count(*)::BIGINT AS c FROM t GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM tf),
+lp AS (
+  SELECT term,
+         CAST(floor(-log2((c + 0.5) / (n + 0.5 * v)) * 1000000 + 0.5) AS BIGINT)
+           AS lp_u
+  FROM tf, tot
+),
+ds AS (
+  SELECT t.doc_id, sum(lp.lp_u) AS s, count(*)::BIGINT AS n_tokens
+  FROM t JOIN lp USING (term) GROUP BY t.doc_id
+)
+SELECT tok.doc_id,
+       coalesce(ds.n_tokens, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN ds.n_tokens > 0
+         THEN pow(2.0, (ds.s::DOUBLE / 1000000.0) / ds.n_tokens)
+         ELSE 0.0 END, 6) AS ppl
+FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id
+""",
         "line_dedup": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 rl AS (
@@ -1672,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
+        "perplexity": q_perplexity,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

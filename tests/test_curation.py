@@ -136,3 +136,44 @@ class TestLineDedup:
         r = line_dedup(docs).collect()[0]
         assert r.text == "same\nlast"
         assert r.n_lines_kept == 2 and r.n_lines_removed == 2
+
+
+class TestPerplexity:
+    def test_same_corpus_fit_orders_quality(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            fit_unigram_lm,
+            perplexity_score,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the the the the"),          # most common term only
+                (3, "zyx qwv jkl"),              # all-rare terms
+                (4, ""),                         # empty
+            ],
+            ["doc_id", "text"],
+        )
+        lm = fit_unigram_lm(docs)
+        rows = {r.doc_id: r for r in perplexity_score(docs, lm).collect()}
+        # common-token doc scores lower ppl than the all-rare doc
+        assert rows[2].ppl < rows[1].ppl < rows[3].ppl
+        assert rows[4].ppl == 0.0 and rows[4].n_tokens == 0
+        assert rows[1].n_tokens == 6
+
+    def test_oov_handling(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            fit_unigram_lm,
+            perplexity_score,
+        )
+
+        train = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        test = spark.createDataFrame([(9, "a b unseen")], ["doc_id", "text"])
+        lm = fit_unigram_lm(train)
+        # inner-join semantics: OOV dropped from the mean
+        r = perplexity_score(test, lm).collect()[0]
+        assert r.n_tokens == 2
+        # explicit OOV logprob: all three tokens count
+        r2 = perplexity_score(test, lm, oov_lp_u=10_000_000).collect()[0]
+        assert r2.n_tokens == 3
+        assert r2.ppl > r.ppl
