@@ -254,10 +254,16 @@ def create_collection(
         )
 
     def _gather_stats():
+        from documents_vector_search_spark.functions.text import tokenize
+
         return (
             docs.count(),
             chunks.agg(
-                F.count("*").alias("n"), F.max("chunk_id").alias("last")
+                F.count("*").alias("n"),
+                F.max("chunk_id").alias("last"),
+                # BM25 avgdl, persisted in the manifest so serving never
+                # runs a corpus-stats job (searcher._bm25_corpus_stats)
+                F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
             ).first(),
             docs.agg(F.max("last_modified_at")).first()[0],
         )
@@ -288,6 +294,7 @@ def create_collection(
         lastModifiedDocumentTime=watermark.isoformat() if watermark else None,
         numberOfDocuments=n_docs,
         numberOfChunks=n_chunks,
+        avgChunkLength=float(stats["avgdl"]) if stats["avgdl"] is not None else None,
         lastIndexItemId=(
             int(last_id) if contiguous_ids and last_id is not None else -1
         ),

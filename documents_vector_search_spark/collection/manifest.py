@@ -20,6 +20,11 @@ class Manifest:
     lastModifiedDocumentTime: str | None = None
     numberOfDocuments: int = 0
     numberOfChunks: int = 0
+    # mean token count per chunk (BM25 avgdl): persisted at build time
+    # so a serving process never pays a corpus-stats job per searcher.
+    # None in manifests written before this field existed — the
+    # searcher falls back to computing it.
+    avgChunkLength: float | None = None
     lastIndexItemId: int = -1
     reader: dict = field(default_factory=dict)
     converter: dict = field(

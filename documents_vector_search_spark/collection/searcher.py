@@ -188,10 +188,22 @@ class CollectionSearcher:
         )
 
     def _bm25_corpus_stats(self) -> tuple[int, float]:
-        """(n_chunks, avgdl) — corpus constants, computed once per
-        searcher and embedded as literals in every query plan (kills a
-        per-query broadcast-aggregate job)."""
+        """(n_chunks, avgdl) — corpus constants, embedded as literals in
+        every query plan. Read from the manifest (persisted at
+        build/update time) so a fresh searcher pays ZERO jobs for them;
+        the aggregate over doc_stats remains as the fallback for
+        manifests written before avgChunkLength existed."""
         if self._corpus_stats is None:
+            try:
+                m = self.collection.manifest()
+                if m.avgChunkLength is not None and m.numberOfChunks:
+                    self._corpus_stats = (
+                        int(m.numberOfChunks),
+                        float(m.avgChunkLength),
+                    )
+                    return self._corpus_stats
+            except FileNotFoundError:
+                pass
             row = self._read("doc_stats").agg(
                 F.count("*").alias("n"), F.avg("dl").alias("avgdl")
             ).first()

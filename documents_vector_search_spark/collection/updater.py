@@ -243,14 +243,21 @@ def update_collection(
     )
 
     # --- manifest merge-update (documents_collection_creator.py:255-268) ---
+    from documents_vector_search_spark.functions.text import tokenize
+
     new_docs = collection.read("documents")
     new_chunks = collection.read("chunks")
     stats = new_chunks.agg(
-        F.count("*").alias("n"), F.max("chunk_id").alias("last")
+        F.count("*").alias("n"),
+        F.max("chunk_id").alias("last"),
+        F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
     ).first()
     watermark = new_docs.agg(F.max("last_modified_at")).first()[0]
     manifest.numberOfDocuments = new_docs.count()
     manifest.numberOfChunks = stats["n"]
+    manifest.avgChunkLength = (
+        float(stats["avgdl"]) if stats["avgdl"] is not None else None
+    )
     if manifest.converter.get("idStrategy", "counter") == "counter":
         manifest.lastIndexItemId = (
             int(stats["last"]) if stats["last"] is not None else -1
