@@ -43,6 +43,7 @@ HEADLINE = [
     "token_counts",
     "fingerprint",
     "repetition",
+    "curation_sweep",
     "perplexity",
     "pii_redact",
     "line_dedup",

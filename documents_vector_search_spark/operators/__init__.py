@@ -74,6 +74,7 @@ from documents_vector_search_spark.operators.text_analysis import (
 )
 from documents_vector_search_spark.operators.asof import asof_join
 from documents_vector_search_spark.operators.curation import (
+    curation_sweep,
     fit_unigram_lm,
     line_dedup,
     perplexity_score,
@@ -125,6 +126,7 @@ __all__ = [
     "quality_score",
     "token_counts",
     "asof_join",
+    "curation_sweep",
     "fit_unigram_lm",
     "line_dedup",
     "perplexity_score",

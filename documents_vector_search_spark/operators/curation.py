@@ -158,6 +158,119 @@ def pii_redact(
     )
 
 
+def curation_sweep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EVERY map-only curation signal in ONE scan.
+
+    Fuses language ID, quality scoring, token counts, repetition
+    signals and the rolling-hash fingerprint into a single staged
+    projection: the token array (and each derived n-gram array) is
+    computed once per row and shared by all signals, and the physical
+    plan is one Exchange-free pass over ``documents`` — at 100 TB the
+    whole curation profile costs exactly one read of the corpus,
+    instead of five (asserted in tests/test_curation.py).
+
+    Output = the union of the individual operators' columns (same
+    names, same values — each stays oracle-checked on its own).
+    """
+    from documents_vector_search_spark.functions.hashing import md5_hash64
+    from documents_vector_search_spark.operators.text_analysis import (
+        LANG_MARKERS,
+        _marker_ratio,
+    )
+
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    staged2 = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks,
+        _strict_shingles(toks, 2).alias("_g2"),
+        _strict_shingles(toks, 5).alias("_gn"),
+        # 3-word shingles, short-doc-padded like fingerprint()
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ).alias("_g3"),
+        F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(_marker_ratio(toks, m), 6).alias("score"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for lang, m in sorted(LANG_MARKERS.items())
+                ]
+            ),
+            asc=False,
+        )[0].alias("_best"),
+    )
+
+    n = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    avg_tok = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = _marker_ratio(toks, LANG_MARKERS["en"])
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+    ws_tokens = F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    )
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    )
+    gn_total = F.size(F.col("_gn"))
+
+    return staged2.select(
+        F.col(id_col),
+        F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        F.col("_best.score").alias("lang_score"),
+        n_chars.cast("bigint").alias("n_chars"),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round((length_score + alpha_ratio + stop_score) / 3, 6).alias(
+            "quality"
+        ),
+        ws_tokens.cast("bigint").alias("ws_tokens"),
+        bpe.alias("bpe_estimate"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("distinct_token_ratio"),
+        F.round(_max_run_fraction(toks), 6).alias("top_token_fraction"),
+        F.round(_max_run_fraction(F.col("_g2")), 6).alias("top_2gram_fraction"),
+        F.round(
+            F.when(
+                gn_total > 0,
+                1.0 - F.size(F.array_distinct(F.col("_gn"))) / gn_total,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_5gram_fraction"),
+        F.array_min(
+            F.transform(F.col("_g3"), lambda s: md5_hash64(s))
+        ).alias("fingerprint"),
+    )
+
+
 def fit_unigram_lm(
     docs: DataFrame,
     text_col: str = "text",

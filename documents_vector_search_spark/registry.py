@@ -657,6 +657,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
 
 
+def q_curation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All map-only curation signals fused into ONE corpus scan."""
+    from documents_vector_search_spark.operators.curation import (
+        curation_sweep,
+    )
+
+    return curation_sweep(_t(spark, sf_dir, "documents"))
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram perplexity, LM fit on the corpus itself."""
     docs = _t(spark, sf_dir, "documents")
@@ -1091,7 +1100,7 @@ v AS (
   FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
 )"""
 
-    return {
+    d = {
         "postings_build": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id, term, count(*)::BIGINT AS tf
@@ -1661,6 +1670,24 @@ SELECT doc_id AS id, 'text/plain' AS media_type,
 FROM documents
 """,
     }
+    # curation_sweep = the single-scan fusion of five map-only signals;
+    # its oracle is the JOIN of the five individual oracles (the Spark
+    # side is what must be one scan — tests assert the plan)
+    d["curation_sweep"] = f"""
+SELECT l.doc_id, l.lang_guess, l.lang_score,
+       q.n_chars, q.n_tokens, q.avg_token_len, q.alpha_ratio,
+       q.stopword_ratio, q.quality,
+       t.ws_tokens, t.bpe_estimate,
+       r.distinct_token_ratio, r.top_token_fraction,
+       r.top_2gram_fraction, r.dup_5gram_fraction,
+       f.fingerprint
+FROM ({d["lang_id"]}) l
+JOIN ({d["quality"]}) q ON q.doc_id = l.doc_id
+JOIN ({d["token_counts"]}) t ON t.doc_id = l.doc_id
+JOIN ({d["repetition"]}) r ON r.doc_id = l.doc_id
+JOIN ({d["fingerprint"]}) f ON f.doc_id = l.doc_id
+"""
+    return d
 
 
 # ===========================================================================
@@ -1703,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
+        "curation_sweep": q_curation_sweep,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

@@ -177,3 +177,45 @@ class TestPerplexity:
         r2 = perplexity_score(test, lm, oov_lp_u=10_000_000).collect()[0]
         assert r2.n_tokens == 3
         assert r2.ppl > r.ppl
+
+
+class TestCurationSweep:
+    def test_single_scan_no_exchange(self, rep_docs):
+        from documents_vector_search_spark.operators.curation import (
+            curation_sweep,
+        )
+
+        plan = (
+            curation_sweep(rep_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # the whole sweep is one map stage
+
+    def test_matches_individual_operators(self, rep_docs):
+        from documents_vector_search_spark.operators.curation import (
+            curation_sweep,
+        )
+        from documents_vector_search_spark.operators.text_analysis import (
+            fingerprint,
+            language_id,
+            quality_score,
+            token_counts,
+        )
+
+        sweep = {r.doc_id: r for r in curation_sweep(rep_docs).collect()}
+        for r in language_id(rep_docs).collect():
+            assert sweep[r.doc_id].lang_guess == r.lang_guess
+            assert sweep[r.doc_id].lang_score == r.lang_score
+        for r in quality_score(rep_docs).collect():
+            assert sweep[r.doc_id].quality == r.quality
+            assert sweep[r.doc_id].alpha_ratio == r.alpha_ratio
+        for r in token_counts(rep_docs).collect():
+            assert sweep[r.doc_id].ws_tokens == r.ws_tokens
+            assert sweep[r.doc_id].bpe_estimate == r.bpe_estimate
+        for r in fingerprint(rep_docs).collect():
+            assert sweep[r.doc_id].fingerprint == r.fingerprint
+        for r in repetition_signals(rep_docs).collect():
+            assert sweep[r.doc_id].top_2gram_fraction == r.top_2gram_fraction
+            assert sweep[r.doc_id].dup_5gram_fraction == r.dup_5gram_fraction
