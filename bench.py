@@ -44,6 +44,7 @@ HEADLINE = [
     "fingerprint",
     "repetition",
     "curation_sweep",
+    "vocab_stats",
     "perplexity",
     "pii_redact",
     "line_dedup",

@@ -80,6 +80,7 @@ from documents_vector_search_spark.operators.curation import (
     perplexity_score,
     pii_redact,
     repetition_signals,
+    vocab_stats,
 )
 
 __all__ = [
@@ -132,4 +133,5 @@ __all__ = [
     "perplexity_score",
     "pii_redact",
     "repetition_signals",
+    "vocab_stats",
 ]

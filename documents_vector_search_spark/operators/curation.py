@@ -350,6 +350,34 @@ def perplexity_score(
     )
 
 
+def vocab_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    ngram: int = 1,
+) -> DataFrame:
+    """Top-k corpus n-grams by frequency — the tokenizer-training /
+    stopword-mining sweep (BPE merges start from exactly these counts).
+
+    ``(term, n, doc_freq)`` ordered by count desc (ties lexically) —
+    a deterministic total order, so top-k is reproducible on any
+    engine. One explode + one term-key shuffle with map-side partial
+    aggregation; the top-k is TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort.
+    """
+    toks = tokenize(text_col)
+    grams = toks if ngram == 1 else _strict_shingles(toks, ngram)
+    t = docs.select(F.col(id_col).alias("_doc"), grams.alias("_g")).select(
+        "_doc", F.explode("_g").alias("term")
+    )
+    counts = t.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("_doc").cast("bigint").alias("doc_freq"),
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(top_k)
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -657,6 +657,15 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with counts and document frequency."""
+    from documents_vector_search_spark.operators.curation import vocab_stats
+
+    return vocab_stats(
+        _t(spark, sf_dir, "documents"), top_k=50, ngram=2
+    )
+
+
 def q_curation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All map-only curation signals fused into ONE corpus scan."""
     from documents_vector_search_spark.operators.curation import (
@@ -1670,6 +1679,20 @@ SELECT doc_id AS id, 'text/plain' AS media_type,
 FROM documents
 """,
     }
+    d["vocab_stats"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 2
+      THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      ELSE []::VARCHAR[] END AS g2
+  FROM tok
+),
+t AS (SELECT doc_id, unnest(g2) AS term FROM g)
+SELECT term, count(*)::BIGINT AS n, count(DISTINCT doc_id)::BIGINT AS doc_freq
+FROM t GROUP BY term
+ORDER BY n DESC, term ASC LIMIT 50
+"""
     # curation_sweep = the single-scan fusion of five map-only signals;
     # its oracle is the JOIN of the five individual oracles (the Spark
     # side is what must be one scan — tests assert the plan)
@@ -1731,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
+        "vocab_stats": q_vocab_stats,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

@@ -456,3 +456,26 @@ class TestContentFlagsAndCounts:
         assert counts["documents"] == 100
         assert counts["chunks"] == counts["embeddings"] == counts["doc_stats"]
         assert counts["postings"] > counts["chunks"]
+
+
+class TestManifestCorpusStats:
+    def test_old_manifest_without_avgdl_falls_back(self, spark, canonical_docs, tmp_path):
+        """Manifests written before avgChunkLength existed load as None
+        and the searcher recomputes stats from doc_stats."""
+        import json
+        from pathlib import Path
+
+        coll = Collection(spark, str(tmp_path), "oldmanifest")
+        create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        mpath = Path(str(tmp_path)) / "oldmanifest" / "manifest.json"
+        data = json.loads(mpath.read_text())
+        persisted_avgdl = data.pop("avgChunkLength")
+        assert persisted_avgdl is not None and persisted_avgdl > 0
+        mpath.write_text(json.dumps(data))
+
+        s = CollectionSearcher(coll)
+        n, avgdl = s._bm25_corpus_stats()
+        assert n == data["numberOfChunks"]
+        # fallback recomputes the SAME value the manifest would carry
+        assert abs(avgdl - persisted_avgdl) < 1e-9
+        assert len(s.search("hash join", max_documents=5).collect()) > 0

@@ -219,3 +219,65 @@ class TestCurationSweep:
         for r in repetition_signals(rep_docs).collect():
             assert sweep[r.doc_id].top_2gram_fraction == r.top_2gram_fraction
             assert sweep[r.doc_id].dup_5gram_fraction == r.dup_5gram_fraction
+
+
+class TestVocabStats:
+    def test_counts_and_order(self, spark):
+        from documents_vector_search_spark.operators.curation import vocab_stats
+
+        docs = spark.createDataFrame(
+            [(1, "b a b a b"), (2, "b c"), (3, "a")], ["doc_id", "text"]
+        )
+        uni = vocab_stats(docs, top_k=10, ngram=1).collect()
+        assert [(r.term, r.n, r.doc_freq) for r in uni] == [
+            ("b", 4, 2), ("a", 3, 2), ("c", 1, 1),
+        ]
+        top2 = vocab_stats(docs, top_k=2, ngram=1).collect()
+        assert [r.term for r in top2] == ["b", "a"]
+        bi = vocab_stats(docs, top_k=10, ngram=2).collect()
+        assert bi[0].term in ("a b", "b a")  # both occur twice in doc 1
+        assert bi[0].n == 2
+
+    def test_topk_is_take_ordered(self, spark):
+        from documents_vector_search_spark.operators.curation import vocab_stats
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = (
+            vocab_stats(docs, top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+class TestCurationOnStream:
+    def test_sweep_is_stream_compatible(self, spark, tmp_path):
+        """Map-only curation ops run UNCHANGED on a streaming source —
+        the batch/stream unification Spark gives a one-scan plan."""
+        from documents_vector_search_spark.operators.curation import (
+            curation_sweep,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the cat and the hat"), (2, "el gato y la casa")],
+            ["doc_id", "text"],
+        )
+        src = str(tmp_path / "stream_src")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        out = curation_sweep(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sweep_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.doc_id: r for r in spark.sql("SELECT * FROM sweep_stream").collect()}
+        batch = {r.doc_id: r for r in curation_sweep(docs).collect()}
+        assert got.keys() == batch.keys()
+        for k in got:
+            assert got[k] == batch[k]
