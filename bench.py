@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_cluster",
     "dedup_simhash",
     "kmv_distinct",
+    "histogram",
     "hash_split",
     "embedding_neardup",
     "lang_id",

@@ -82,3 +82,44 @@ SELECT count(*)::BIGINT AS k, max(h) AS kth_hash,
        round((count(*) - 1) / (max(h) / {_HASH_SPACE!r}), {round_to}) AS est_distinct
 FROM topk
 """
+
+
+def fixed_histogram(
+    df: DataFrame,
+    value: Column,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Fixed-range equi-width histogram: ``(bin, lo, hi, n)``.
+
+    The profiling staple: one map-side bin assignment + one groupBy on
+    a BOUNDED key space (``bins`` + 2 overflow rows) — map-side partial
+    aggregation collapses each partition to at most bins+2 rows before
+    the shuffle, so a 100 TB profile moves KB across the wire. Bin
+    edges are caller-fixed (no min/max pre-pass): profiling pipelines
+    know their domains, and a data-dependent range would cost a second
+    scan and break cross-run comparability. Out-of-range values land in
+    bins -1 (< lo) and ``bins`` (>= hi); empty bins are absent (join a
+    ``sequence`` frame to densify when needed).
+    """
+    if hi <= lo or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    width = (hi - lo) / bins
+    v = value.cast("double")
+    bin_id = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - lo) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.select(bin_id.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi"),
+            "n",
+        )
+    )

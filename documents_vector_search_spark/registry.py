@@ -657,6 +657,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram of event values (profiling sweep)."""
+    from documents_vector_search_spark.operators.sketches import (
+        fixed_histogram,
+    )
+
+    return fixed_histogram(
+        _events(spark, sf_dir), F.col("value"), lo=0.0, hi=100.0, bins=20
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus bigrams with counts and document frequency."""
     from documents_vector_search_spark.operators.curation import vocab_stats
@@ -1679,6 +1690,17 @@ SELECT doc_id AS id, 'text/plain' AS media_type,
 FROM documents
 """,
     }
+    d["histogram"] = """
+WITH b AS (
+  SELECT CASE WHEN value < 0.0 THEN -1
+              WHEN value >= 100.0 THEN 20
+              ELSE CAST(floor((value - 0.0) / 5.0) AS INT) END AS bin
+  FROM events
+)
+SELECT bin, round(0.0 + bin * 5.0, 6) AS lo, round(0.0 + (bin + 1) * 5.0, 6) AS hi,
+       count(*)::BIGINT AS n
+FROM b GROUP BY bin
+"""
     d["vocab_stats"] = f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
@@ -1755,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
         "vocab_stats": q_vocab_stats,
+        "histogram": q_histogram,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

@@ -165,3 +165,36 @@ class TestTokenizerProperty:
             .t
         )
         assert got == py_tokenize(text)
+
+
+class TestFixedHistogram:
+    def test_bins_and_overflow(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            fixed_histogram,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (4.9,), (5.0,), (99.9,), (100.0,), (250.0,)],
+            ["v"],
+        )
+        rows = {r.bin: r for r in fixed_histogram(df, F.col("v"), 0.0, 100.0, 20).collect()}
+        assert rows[-1].n == 1          # below range
+        assert rows[0].n == 2           # [0, 5): 0.0 and 4.9
+        assert rows[1].n == 1           # [5, 10): 5.0
+        assert rows[19].n == 1          # [95, 100): 99.9
+        assert rows[20].n == 2          # >= hi overflow
+        assert (rows[0].lo, rows[0].hi) == (0.0, 5.0)
+
+    def test_validation(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            fixed_histogram,
+        )
+        from pyspark.sql import functions as F
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with _pytest.raises(ValueError):
+            fixed_histogram(df, F.col("v"), 5.0, 5.0, 10)
+        with _pytest.raises(ValueError):
+            fixed_histogram(df, F.col("v"), 0.0, 1.0, 0)
