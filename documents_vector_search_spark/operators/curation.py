@@ -45,12 +45,20 @@ def _strict_shingles(tokens: Column, n: int) -> Column:
     (functions/text.py word_shingles pads short docs to one shingle so
     they survive dedup; repetition stats must instead report 0 — a
     3-token doc has no 5-gram repetition.)
+
+    Built with n O(1) ``get`` lookups per shingle, not slice+array_join
+    — higher-order array functions evaluate INTERPRETED per element
+    (operators/shingles.py measured slice+join ~10× slower; this is
+    the same fast form as shingle_array, minus its short-doc padding).
     """
     count = F.size(tokens) - F.lit(n - 1)
-    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+    idx = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(tokens, i + j) for j in range(n)]),
+    )
 
 
 def _max_run_fraction(arr: Column) -> Column:
@@ -195,9 +203,12 @@ def curation_sweep(
         _strict_shingles(toks, 2).alias("_g2"),
         _strict_shingles(toks, 5).alias("_gn"),
         # 3-word shingles, short-doc-padded like fingerprint()
+        # (concat_ws skips the NULL gets past the end = the padding)
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(1)) - 1),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
         ).alias("_g3"),
         F.sort_array(
             F.array(
@@ -366,10 +377,22 @@ def vocab_stats(
     aggregation; the top-k is TakeOrderedAndProject (per-partition
     heaps + driver merge), never a global sort.
     """
-    toks = tokenize(text_col)
-    grams = toks if ngram == 1 else _strict_shingles(toks, ngram)
-    t = docs.select(F.col(id_col).alias("_doc"), grams.alias("_g")).select(
-        "_doc", F.explode("_g").alias("term")
+    # two staging rules (measured; see STATUS expression-blowup lesson):
+    # (1) tokenize is projected ONCE — the shingle lambda references it
+    #     2n+2 times and Spark does not CSE repeated subtrees;
+    # (2) explode_outer, not explode: InferFiltersFromGenerate adds a
+    #     size>0 AND isnotnull filter that re-evaluates the ENTIRE
+    #     gram-building tree twice per row for plain explode. The
+    #     null rows it emits instead are dropped with a cheap IsNotNull
+    #     on the already-generated column. 3x faster at sf0.1.
+    staged = docs.select(
+        F.col(id_col).alias("_doc"), tokenize(text_col).alias("_t")
+    )
+    grams = F.col("_t") if ngram == 1 else _strict_shingles(F.col("_t"), ngram)
+    t = (
+        staged.select("_doc", grams.alias("_g"))
+        .select("_doc", F.explode_outer("_g").alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     counts = t.groupBy("term").agg(
         F.count("*").cast("bigint").alias("n"),
