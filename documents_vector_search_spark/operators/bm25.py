@@ -71,8 +71,11 @@ def build_postings(
     from pyspark.sql import Window
 
     tokens = docs.select(
-        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
-    )
+        # explode_outer + IsNotNull: plain explode triggers
+        # InferFiltersFromGenerate, which re-evaluates the tokenize
+        # tree twice more per row (size>0 + isnotnull pre-filters)
+        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("term")
+    ).filter(F.col("term").isNotNull())
     postings = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     if with_dl:
         postings = postings.withColumn(

@@ -299,7 +299,10 @@ def fit_unigram_lm(
     build); corpus totals ride in via a broadcast 1-row cross join,
     never a driver collect.
     """
-    t = docs.select(F.explode(tokenize(text_col)).alias("term"))
+    # explode_outer + IsNotNull: see vocab_stats (InferFilters blowup)
+    t = docs.select(F.explode_outer(tokenize(text_col)).alias("term")).filter(
+        F.col("term").isNotNull()
+    )
     tf = t.groupBy("term").agg(F.count("*").alias("c"))
     totals = tf.agg(
         F.sum("c").cast("double").alias("_n"),
@@ -330,7 +333,9 @@ def perplexity_score(
     Cost: one explode + one term-key join (broadcast-able for bounded
     vocabularies) + one doc-key aggregation — no driver loops, no UDFs.
     """
-    t = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    t = docs.select(
+        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("term")
+    ).filter(F.col("term").isNotNull())
     joined = t.join(lm, "term", "left" if oov_lp_u is not None else "inner")
     if oov_lp_u is not None:
         joined = joined.withColumn(
@@ -430,10 +435,10 @@ def line_dedup(
     """
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+        F.posexplode_outer(F.split(F.col(text_col), line_sep, -1)).alias(
             "_pos", "_line"
         ),
-    )
+    ).filter(F.col("_line").isNotNull())
     eligible = F.length(F.col("_line")) >= min_line_len
     part_key = F.when(eligible, F.col("_line")).otherwise(
         F.concat_ws(chr(1), F.col("_id").cast("string"), F.col("_pos"))

@@ -63,8 +63,10 @@ def shingle_rows(
     """``(id, shingle)`` rows; ``distinct`` de-dups per (id, shingle)."""
     tokens = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokenize(text_col)).alias("pos", "term"),
-    )
+        # posexplode_outer + IsNotNull dodges InferFiltersFromGenerate
+        # (it would re-evaluate tokenize twice more per row)
+        F.posexplode_outer(tokenize(text_col)).alias("pos", "term"),
+    ).filter(F.col("term").isNotNull())
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.col("term")] + [F.lead("term", j).over(w) for j in range(1, size)]
     cnt = F.count("*").over(Window.partitionBy("id"))
