@@ -638,16 +638,22 @@ def _with_token_lines(docs: DataFrame, width: int = 8) -> DataFrame:
     """
     from documents_vector_search_spark.functions.text import tokenize
 
-    toks = tokenize("text")
+    # staged tokens + O(1) get lookups per line (concat_ws skips the
+    # NULL gets past the end = the ragged last window), not
+    # slice+array_join — HOF inner ops run interpreted per element
+    staged = docs.select(F.col("doc_id"), tokenize("text").alias("_t"))
+    toks = F.col("_t")
     n_lines = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
     lines = F.when(
         F.size(toks) > 0,
         F.transform(
             F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i * width + j) for j in range(width)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return staged.select(
         F.col("doc_id"), F.array_join(lines, "\n").alias("text")
     )
 
