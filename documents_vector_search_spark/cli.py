@@ -119,6 +119,28 @@ def cmd_fetch(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the single-scan curation sweep over a collection's documents
+    and write the per-document profile as a parquet table beside the
+    collection (or to --output)."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.curation import (
+        curation_sweep,
+    )
+
+    coll = _collection(args)
+    docs = coll.read("documents").select(
+        F.col("id").alias("doc_id"), F.col("text")
+    )
+    profile = curation_sweep(docs)
+    out = args.output or f"{args.base_path}/{args.collection}/curation_profile"
+    profile.write.mode("overwrite").parquet(out)
+    n = coll.spark.read.parquet(out).count()
+    print(_format({"profiledDocuments": n, "output": out}, args.format))
+    return 0
+
+
 def cmd_update_files(args) -> int:
     from documents_vector_search_spark.streaming.incremental import (
         incremental_files_update,
@@ -188,6 +210,11 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--path", required=True)
     sp.set_defaults(func=cmd_update_files)
+
+    sp = sub.add_parser("curate")
+    common(sp)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_curate)
 
     return p
 

@@ -110,6 +110,19 @@ class TestCLI:
         )
         assert rc == 1
 
+    def test_curate_writes_profile(self, base_path, capsys, spark):
+        rc = cli.main(
+            ["curate", "cli_test", "--base-path", base_path, "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["profiledDocuments"] > 0
+        prof = spark.read.parquet(out["output"])
+        cols = set(prof.columns)
+        assert {"doc_id", "lang_guess", "quality", "dup_5gram_fraction",
+                "fingerprint"} <= cols
+        assert prof.count() == out["profiledDocuments"]
+
     def test_update_files_picks_up_new_file(self, base_path, corpus_dir, capsys):
         import time
 
