@@ -46,6 +46,7 @@ HEADLINE = [
     "repetition",
     "curation_sweep",
     "vocab_stats",
+    "pack_sequences",
     "perplexity",
     "pii_redact",
     "line_dedup",

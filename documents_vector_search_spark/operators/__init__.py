@@ -77,6 +77,7 @@ from documents_vector_search_spark.operators.curation import (
     curation_sweep,
     fit_unigram_lm,
     line_dedup,
+    pack_sequences,
     perplexity_score,
     pii_redact,
     repetition_signals,
@@ -130,6 +131,7 @@ __all__ = [
     "curation_sweep",
     "fit_unigram_lm",
     "line_dedup",
+    "pack_sequences",
     "perplexity_score",
     "pii_redact",
     "repetition_signals",

@@ -406,6 +406,67 @@ def vocab_stats(
     return counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(top_k)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs.
+
+    The batch-prep step of an LLM data pipeline: downstream training
+    wants sequences of ~``token_budget`` tokens built by concatenating
+    documents. True first-fit packing is inherently sequential, so the
+    distributed form shards documents by hash (uniform, deterministic)
+    and packs WITHIN each shard by running token count in stable
+    (id) order:
+
+        ``pack_id = floor((cumsum_before_doc) / token_budget)``
+
+    ``(id, n_tokens, shard, pack_id, pack_offset)`` — pack_offset is
+    the document's token start position inside its pack's budget
+    window. A document longer than the budget still lands in one pack
+    (slicing over-long docs is the chunker's job, not the packer's).
+
+    Scale: the only shuffle is the shard-partitioned window — n_shards
+    independent cumsums, each a single-pass running sum; no global
+    sort anywhere. Deterministic across engines: the shard hash is
+    md5-derived and the order key is the document id.
+    """
+    from documents_vector_search_spark.functions.hashing import md5_hash64
+
+    if token_budget < 1 or n_shards < 1:
+        raise ValueError("need token_budget >= 1 and n_shards >= 1")
+    staged = docs.select(
+        F.col(id_col),
+        F.size(tokenize(text_col)).cast("bigint").alias("n_tokens"),
+        F.pmod(
+            md5_hash64(F.concat(F.col(id_col).cast("string"),
+                                F.lit(str(seed)))),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+        .cast("bigint")
+        .alias("pack_id"),
+        F.pmod(cum - F.col("n_tokens"), F.lit(token_budget))
+        .cast("bigint")
+        .alias("pack_offset"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

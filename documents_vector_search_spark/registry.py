@@ -683,6 +683,17 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (256-token packs, 16 shards)."""
+    from documents_vector_search_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), token_budget=256, n_shards=16
+    )
+
+
 def q_curation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All map-only curation signals fused into ONE corpus scan."""
     from documents_vector_search_spark.operators.curation import (
@@ -1707,6 +1718,23 @@ SELECT bin, round(0.0 + bin * 5.0, 6) AS lo, round(0.0 + (bin + 1) * 5.0, 6) AS 
        count(*)::BIGINT AS n
 FROM b GROUP BY bin
 """
+    d["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, len({toks})::BIGINT AS n_tokens,
+         CAST({md5_hash64_sql("doc_id::VARCHAR || '0'")} % 16 AS INT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+       ((cum - n_tokens) % 256)::BIGINT AS pack_offset
+FROM c
+"""
     d["vocab_stats"] = f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 g AS (
@@ -1784,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sweep": q_curation_sweep,
         "vocab_stats": q_vocab_stats,
         "histogram": q_histogram,
+        "pack_sequences": q_pack_sequences,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "events_window": q_events_window,

@@ -281,3 +281,52 @@ class TestCurationOnStream:
         assert got.keys() == batch.keys()
         for k in got:
             assert got[k] == batch[k]
+
+
+class TestPackSequences:
+    def test_packing_invariants(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * (i + 1)) for i in range(20)], ["doc_id", "text"]
+        )
+        out = pack_sequences(docs, token_budget=10, n_shards=4).collect()
+        assert len(out) == 20
+        by_shard: dict[int, list] = {}
+        for r in out:
+            assert 0 <= r.shard < 4
+            assert r.pack_offset < 10  # offset always inside the budget
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: r.doc_id)
+            cum = 0
+            for r in shard_rows:
+                assert r.pack_id == cum // 10  # pack = budget window of cumsum
+                assert r.pack_offset == cum % 10
+                cum += r.n_tokens
+
+    def test_deterministic_across_runs(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+        )
+        a = sorted(map(tuple, pack_sequences(docs, 7, 8).collect()))
+        b = sorted(map(tuple, pack_sequences(docs, 7, 8).collect()))
+        assert a == b
+        c = sorted(map(tuple, pack_sequences(docs, 7, 8, seed=1).collect()))
+        assert a != c  # seed changes the shard assignment
+
+    def test_validation(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            pack_sequences,
+        )
+        import pytest as _pytest
+
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            pack_sequences(docs, token_budget=0)
