@@ -1,0 +1,73 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+engine's 100 TB scale claims rest on (STATUS.md / ARCHITECTURE.md).
+These catch silent optimizer regressions that correctness hashes
+cannot see — a full scan still returns the right top-10."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanContracts:
+    def test_ann_lsh_is_partition_pruned(self, spark):
+        """The ANN probe must be Parquet partition pruning, never a
+        full scan + filter (VERDICT r1 'weak' #1, fixed in r2)."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_ann_lsh(spark, SF))
+        assert "PartitionFilters" in plan and "bucket" in plan
+
+    def test_exact_knn_is_take_ordered(self, spark):
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_knn_l2(spark, SF))
+        assert "TakeOrderedAndProject" in plan  # heap top-k, no global sort
+
+    def test_knn_filter_pushed_to_scan(self, spark):
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_knn_l2_filtered(spark, SF))
+        assert "PushedFilters: [" in plan and "label" in plan
+
+    def test_tpch_q1_partial_aggregation(self, spark):
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q1(spark, SF))
+        assert "partial_sum" in plan  # map-side combine before the shuffle
+
+    def test_revenue_join_all_broadcast(self, spark):
+        """The star join must broadcast dims — zero sort-merge joins."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_revenue_join(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_map_only_sweeps_have_no_exchange(self, spark):
+        """Curation sweeps must stay single-scan (zero shuffles)."""
+        from documents_vector_search_spark import registry
+
+        for q in ("q_lang_id", "q_quality", "q_token_counts",
+                  "q_fingerprint", "q_repetition", "q_curation_sweep",
+                  "q_pii_redact", "q_dedup_simhash", "q_minhash_sig",
+                  "q_embed_hash"):
+            plan = _plan(getattr(registry, q)(spark, SF))
+            assert "Exchange" not in plan, f"{q} gained a shuffle"
+
+    def test_no_inferred_generate_filters_on_tokenize(self, spark):
+        """The InferFiltersFromGenerate blowup must stay fixed: no
+        size(...tokenize-tree...) pre-filter above the postings
+        explode (STATUS lesson #30)."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_postings_build(spark, SF))
+        assert "Generate explode" in plan or "Generate posexplode" in plan
+        # the regression signature: a Filter evaluating size(split(...))
+        assert "size(filter(split" not in plan
