@@ -85,3 +85,24 @@ class TestAsofJoin:
         trades, quotes = trades_quotes
         with pytest.raises(ValueError, match="direction"):
             asof_join(trades, quotes, on="sym", direction="nearest")
+
+
+class TestAsofCompositeKey:
+    def test_multi_column_key(self, spark):
+        from datetime import datetime
+
+        left = spark.createDataFrame(
+            [("A", "x", datetime(2024, 1, 1, 10, 0, 5), 1),
+             ("A", "y", datetime(2024, 1, 1, 10, 0, 5), 2)],
+            ["k1", "k2", "ts", "n"],
+        )
+        right = spark.createDataFrame(
+            [("A", "x", datetime(2024, 1, 1, 10, 0, 1), 10.0),
+             ("A", "y", datetime(2024, 1, 1, 10, 0, 2), 20.0)],
+            ["k1", "k2", "ts", "v"],
+        )
+        out = asof_join(left, right, on=["k1", "k2"])
+        rows = {r.n: r for r in out.collect()}
+        # composite key: (A,x) must NOT see (A,y)'s quote
+        assert rows[1].v_r == 10.0
+        assert rows[2].v_r == 20.0
