@@ -19,6 +19,12 @@ Determinism: right rows must be unique per (key, ts) — pre-aggregate
 duplicates first (the window's tie order among equal (ts, side) rows
 is otherwise partition-layout-dependent, and DuckDB's ASOF has the
 same ambiguity).
+
+Known bound: one key's full history sorts within one task (any
+per-key-ordered formulation shares this). A pathological mega-key
+needs time-range pre-bucketing (split the key by coarse time window,
+as-of within windows, stitch boundaries) — not built in because real
+as-of keys (user, symbol, device) are bounded in practice.
 """
 
 from __future__ import annotations
