@@ -97,6 +97,8 @@ def main() -> None:
         "pq_m4_rerank4k": registry.PQ_M / (8.0 * dim),
         "pq_m8_adc": 8 / (8.0 * dim),
         "pq_m8_rerank4k": 8 / (8.0 * dim),
+        # codes-only scan of nprobe/nlist of rows
+        "ivfpq_nprobe4_m8": (4 / 16) * (8 / (8.0 * dim)),
     }
 
     for q in queries:
@@ -113,6 +115,23 @@ def main() -> None:
             variants.setdefault(f"ivf_nprobe{nprobe}", []).append(
                 len(got & exact) / k
             )
+
+        # IVFPQ composed path (the collection searcher's layout):
+        # coarse prune to nprobe=4 of 16 clusters, ADC-shortlist 4k in
+        # the survivors, exact re-rank — recall is bounded by the
+        # coarse prune, cost by the codes-only ADC scan of survivors
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+            probe_clusters_fixed,
+        )
+
+        probes = probe_clusters_fixed(cents, q, 4)
+        pruned = encoded8.withColumn(
+            "_c", assign_cluster_expr(F.col("embedding").cast("array<double>"), cents)
+        ).filter(F.col("_c").isin(probes))
+        sl = pq_adc_topk(pruned, codebooks8, q, 4 * k).select("vec_id")
+        got = _ids(knn_l2(emb.join(F.broadcast(sl), "vec_id", "left_semi"), q, k))
+        variants.setdefault("ivfpq_nprobe4_m8", []).append(len(got & exact) / k)
 
         for name, enc, cbs in (
             ("pq_m4", encoded, codebooks),
