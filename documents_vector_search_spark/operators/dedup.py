@@ -91,7 +91,9 @@ def minhash_lsh_pairs(
     oversized buckets are dropped before pairing, trading recall inside
     mega-clusters for a bounded plan — the standard production-dedup
     guard. The cap is a window count over the band shuffle (no extra
-    join); None disables it.
+    join) applied BEFORE the member-list aggregation, so a degenerate
+    bucket never materializes in an aggregation buffer (WindowExec
+    spills; a post-collect_list filter would not). None disables it.
 
     Plan shape — ONE pass over the corpus, TWO shuffles total, no
     ``.persist()`` (long-lived sessions must not accumulate cached
@@ -110,9 +112,9 @@ def minhash_lsh_pairs(
     4. shuffle 2: pair dedup (a pair can collide in several bands) over
        the surviving near-duplicates only — tiny.
 
-    ``max_bucket_size`` bounds the member lists BEFORE exploding;
-    without the cap a pathological bucket materializes as one array —
-    always set it at corpus scale.
+    ``max_bucket_size`` bounds rows BEFORE the member lists are even
+    aggregated; without the cap a pathological bucket materializes as
+    one array — always set it at corpus scale.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
@@ -157,11 +159,24 @@ def minhash_lsh_pairs(
         "id", "shingles", F.posexplode(band_vals).alias("band_index", "band_value")
     )
 
+    if max_bucket_size is not None:
+        # Cap BEFORE any aggregation materializes a bucket: a window
+        # count over the band keys rides the same hash partitioning the
+        # groupBy below needs (one shuffle serves both — EnsureRequirements
+        # inserts no second Exchange), and WindowExec spills oversized
+        # partitions to disk. Filtering after collect_list would first
+        # materialize a degenerate mega-bucket (every member carrying its
+        # full shingle array) in ONE in-memory aggregation buffer.
+        w = Window.partitionBy("band_index", "band_value")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+
     buckets = banded.groupBy("band_index", "band_value").agg(
         F.collect_list(F.struct("id", "shingles")).alias("_members")
     )
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_members") <= max_bucket_size)
 
     pairs = (
         buckets.select(F.explode("_members").alias("a"), F.col("_members"))
