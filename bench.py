@@ -67,23 +67,61 @@ def main() -> None:
 
     qs = registry.queries()
 
+    # Per-query error isolation: one regressed query must never zero out
+    # the whole bench (round 3 lost all its numbers to a single raise).
+    # Failures are recorded under "errors" and excluded from the total.
+    errors: dict[str, str] = {}
+
+    def _run(name: str) -> bool:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return True
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return False
+
     # warm-up pass: JIT, codegen compilation, parquet footer caches,
     # one-time index-layout builds (e.g. the ANN bucket layout)
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    ok = {name for name in HEADLINE if _run(name)}
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name not in ok:
+            continue
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        if _run(name):
+            timings[name] = round(time.time() - t0, 3)
 
-    # indexed-search path: build a collection once (timed), then serve
-    # searches against the prebuilt index tables — the reference's
-    # actual serving shape (index build amortized across queries)
     import shutil
     import tempfile
 
+    base = tempfile.mkdtemp(prefix="dvss_bench_")
+    try:
+        _bench_collection(spark, sf_dir, base, timings, errors)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["collection_build"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
+    """Indexed-search path: build a collection once (timed), then serve
+    searches against the prebuilt index tables — the reference's actual
+    serving shape (index build amortized across queries). Per-search
+    failures are isolated; a build failure aborts only this section."""
     from pyspark.sql import functions as F
 
     from documents_vector_search_spark.collection import (
@@ -92,54 +130,37 @@ def main() -> None:
         create_collection,
     )
 
-    base = tempfile.mkdtemp(prefix="dvss_bench_")
-    try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.col("doc_id").cast("string").alias("id"),
-            F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
-            F.create_map(
-                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
-            ).alias("metadata"),
-            F.col("text"),
-            F.lit("2024-01-01 00:00:00").cast("timestamp").alias(
-                "last_modified_at"
-            ),
-            F.lit("bench").alias("source_type"),
-        )
-        coll = Collection(spark, base, "bench")
-        t0 = time.time()
-        create_collection(coll, docs, chunk_size=500, chunk_overlap=50)
-        timings["collection_build"] = round(time.time() - t0, 3)
-
-        searcher = CollectionSearcher(coll, cache_tables=True)
-        for qname, kwargs in [
-            ("indexed_search_hybrid", {}),
-            ("indexed_search_hybrid_warm", {}),  # cached index tables
-            ("indexed_search_bm25", {"indexes": ("bm25",)}),
-            ("indexed_search_vector", {"indexes": ("vector",)}),
-            ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
-        ]:
-            t0 = time.time()
-            searcher.search("hash join vector scan", max_chunks=15, **kwargs).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            timings[qname] = round(time.time() - t0, 3)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+        F.col("text"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("last_modified_at"),
+        F.lit("bench").alias("source_type"),
     )
-    spark.stop()
+    coll = Collection(spark, base, "bench")
+    t0 = time.time()
+    create_collection(coll, docs, chunk_size=500, chunk_overlap=50)
+    timings["collection_build"] = round(time.time() - t0, 3)
+
+    searcher = CollectionSearcher(coll, cache_tables=True)
+    for qname, kwargs in [
+        ("indexed_search_hybrid", {}),
+        ("indexed_search_hybrid_warm", {}),  # cached index tables
+        ("indexed_search_bm25", {"indexes": ("bm25",)}),
+        ("indexed_search_vector", {"indexes": ("vector",)}),
+        ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
+    ]:
+        try:
+            t0 = time.time()
+            searcher.search(
+                "hash join vector scan", max_chunks=15, **kwargs
+            ).write.format("noop").mode("overwrite").save()
+            timings[qname] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness must survive
+            errors[qname] = f"{type(exc).__name__}: {exc}"[:500]
 
 
 if __name__ == "__main__":

@@ -222,15 +222,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events loader: the driver's parquet stores TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects — read nanos as int64
-    (legacy conf) and truncate to microsecond timestamps (matching
-    DuckDB's nanos→micros truncation)."""
+    """events loader, robust to the three `ts` encodings the driver has
+    shipped: TIMESTAMP(NANOS) (vectorized reader rejects it — read nanos
+    as int64 via the legacy conf and truncate to micros, matching
+    DuckDB's nanos→micros truncation), plain TIMESTAMP (micros, no tz),
+    which Spark reads as TIMESTAMP_NTZ, and tz-adjusted TIMESTAMP_LTZ.
+    All three normalize to TIMESTAMP_LTZ under the UTC session timezone,
+    so `unix_micros(ts)` and timestamp comparisons match DuckDB's
+    naive-timestamp semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see _t()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # under the UTC session tz this reinterprets the naive micros as
+        # UTC instants — exactly DuckDB's reading of the same file
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
