@@ -17,6 +17,7 @@ Determinism rules shared by engine and oracle (SURVEY §7.4):
 
 from __future__ import annotations
 
+import os
 import random
 import re
 from collections.abc import Callable
@@ -106,12 +107,17 @@ ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
 
 # fitted IVF centroids, persisted by q_ivf_ann for its DuckDB oracle
 # (overwritten per run; the oracle always runs after the Spark side of
-# the same query at the same sf, so both read identical centroids)
-IVF_CENTROIDS_PATH = "/root/repo/.cache/ivf_centroids.parquet"
+# the same query at the same sf, so both read identical centroids).
+# These live in a COMMITTED assets/ dir — a deterministic sf0.01 seed
+# fit is checked in — so the oracle SQL binds even in a fresh clone
+# where no Spark query has run yet (a gitignored path cost two rounds
+# of driver CORRECTNESS rows for ivf_ann/pq_adc).
+_ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+IVF_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivf_centroids.parquet")
 
 # fitted PQ codebooks, persisted by q_pq_adc for its oracle (same
 # run-ordering contract as IVF_CENTROIDS_PATH)
-PQ_CODEBOOKS_PATH = "/root/repo/.cache/pq_codebooks.parquet"
+PQ_CODEBOOKS_PATH = os.path.join(_ASSETS_DIR, "pq_codebooks.parquet")
 PQ_M = 4  # subspaces: dim 16 → four 4-wide subvectors, 16 codes each
 
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'

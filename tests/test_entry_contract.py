@@ -33,3 +33,30 @@ def test_queries_execute_at_smoke_scale(spark, sf_dir):
     for name in ["bm25_topk", "knn_l2", "rrf_hybrid", "dedup_minhash", "sessionize"]:
         df = qs[name](spark, sf_dir)
         assert df.count() >= 0
+
+
+def test_every_oracle_binds_cold(sf_dir):
+    """Every oracle_sql() entry must PREPARE in DuckDB in a fresh
+    environment, before any Spark query has run. Guards against oracles
+    that depend on run-time side artifacts from uncommitted paths —
+    ivf_ann/pq_adc read fitted centroids from a parquet that was
+    gitignored until round 4, which silently cost their driver
+    CORRECTNESS rows for two rounds."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = {}
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql("EXPLAIN " + sql)
+        except Exception as exc:  # noqa: BLE001 — collecting all failures
+            failures[name] = str(exc)[:200]
+    assert not failures, failures
