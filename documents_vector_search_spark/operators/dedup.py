@@ -167,6 +167,11 @@ def minhash_lsh_pairs(
         # partitions to disk. Filtering after collect_list would first
         # materialize a degenerate mega-bucket (every member carrying its
         # full shingle array) in ONE in-memory aggregation buffer.
+        # NOT plan-cost-free: WindowExec requires its input sorted by the
+        # partition keys, so this adds a full Sort of the banded rows
+        # (bands × corpus, each carrying its shingle array) that the bare
+        # hash-aggregate plan does not have — the spillable-sort cost is
+        # the price of never holding an uncapped bucket in memory.
         w = Window.partitionBy("band_index", "band_value")
         banded = (
             banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -356,6 +361,7 @@ def embedding_neardup_pairs(
     vector_col: str = "embedding",
     round_to: int | None = 6,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via SRP-LSH buckets + exact cosine.
 
@@ -367,6 +373,15 @@ def embedding_neardup_pairs(
     different seed and unioning. Returns ``(id_a, id_b, cosine)`` with
     id_a < id_b. Pass ``dim`` when known; otherwise one 1-row driver
     action probes it.
+
+    ``max_bucket_size`` drops degenerate buckets (all-zero or massively
+    duplicated embeddings collapse into one bucket, whose pair count is
+    quadratic and whose ``collect_list`` of full vectors would fill one
+    aggregation buffer). As in ``minhash_lsh_pairs``: the window count
+    runs BEFORE the aggregation and rides the same hash partitioning
+    (no extra Exchange), at the cost of a Sort of the bucketed rows
+    that the bare hash-aggregate plan does not have — WindowExec spills
+    oversized partitions instead of holding them in memory.
     """
     if dim is None:
         dim = len(embeddings.select(vector_col).first()[0])
@@ -377,6 +392,13 @@ def embedding_neardup_pairs(
         vec.alias("v"),
         hyperplane_bucket(vec, planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        bucketed = (
+            bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     grouped = bucketed.groupBy("bucket").agg(
         F.collect_list(F.struct("id", "v")).alias("_members")
     )

@@ -101,6 +101,10 @@ ANN_PROBES = sorted(
 # bands whose bucket exceeds this many docs are dropped before pairing
 MINHASH_MAX_BUCKET = 64
 
+# same guard for the SRP-LSH embedding near-dup query (all-zero or
+# mass-duplicated embeddings collapse into one quadratic bucket)
+NEARDUP_MAX_BUCKET = 256
+
 # where bucket-partitioned ANN layouts are cached (one per sf dir,
 # invalidated when the source parquet's mtime changes)
 ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
@@ -549,7 +553,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH buckets."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, seed=42,
-        dim=EMBED_DIM,
+        dim=EMBED_DIM, max_bucket_size=NEARDUP_MAX_BUCKET,
     )
 
 
@@ -1378,6 +1382,9 @@ WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)} AS bucket
   FROM embeddings
+  QUALIFY count(*) OVER (
+    PARTITION BY {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)}
+  ) <= {NEARDUP_MAX_BUCKET}
 )
 SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id

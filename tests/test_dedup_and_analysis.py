@@ -323,6 +323,27 @@ class TestDedupApplyAndCap:
         capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket_size=5).count()
         assert capped == 0  # mega-bucket dropped entirely
 
+    def test_embedding_bucket_cap_bounds_pairs(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            embedding_neardup_pairs,
+        )
+
+        # 40 identical embeddings = one hot bucket (the all-zero /
+        # mass-duplicate degenerate case); plus two distinct near-dups
+        # that land in a small bucket and must survive the cap
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+        rows += [(100, [0.0, 1.0, 0.01, 0.0]), (101, [0.0, 1.0, 0.0, 0.01])]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        uncapped = embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=6, dim=4
+        ).count()
+        assert uncapped == 40 * 39 / 2 + 1
+        capped = embedding_neardup_pairs(
+            emb, threshold=0.9, n_planes=6, dim=4, max_bucket_size=10
+        )
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert got == {(100, 101)}  # hot bucket dropped, small bucket kept
+
 
 class TestConnectedComponents:
     def test_transitive_chain_one_cluster(self, spark):
