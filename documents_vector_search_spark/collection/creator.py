@@ -105,6 +105,7 @@ def create_collection(
     title_col: str | None = None,
     embedder: Embedder | None = None,
     embedding_dim: int = 16,
+    embedder_tag: str | None = None,
     contiguous_ids: bool = False,
     ann_planes: int | None = None,
     ann_seed: int = 42,
@@ -191,44 +192,59 @@ def create_collection(
             )
             return None
         if ivf_nlist:
+            import shutil
+
             from documents_vector_search_spark.operators.ivf import (
                 assign_cluster_expr,
                 fit_ivf,
                 round_centroids,
             )
 
-            index = fit_ivf(
-                emb_df, nlist=ivf_nlist, id_col="chunk_id",
-                vector_col="vector", seed=ivf_seed,
-            )
-            centroids = round_centroids(index.centroids)
-            # re-assign from the ROUNDED centroids (not the fitted
-            # model): the manifest-persisted centroids must reproduce
-            # the exact same partition for every future update batch
-            out = emb_df.withColumn(
-                "cluster_id",
-                assign_cluster_expr(
-                    F.col("vector").cast("array<double>"), centroids
-                ),
-            )
-            codebooks = None
-            if pq_m:
-                from documents_vector_search_spark.operators.pq import (
-                    fit_pq,
-                    pq_encode_expr,
-                )
-
-                codebooks = fit_pq(
-                    emb_df, dim=embedding_dim, m=pq_m, ksub=pq_ksub,
+            # MATERIALIZE the embeddings once before any iterative fit:
+            # emb_df is a lazy projection over chunks, so feeding it to
+            # KMeans (maxIter jobs) / PQ (m fits) and then the layout
+            # write would re-run the embedder per iteration — with a
+            # real model that's dozens of full corpus encodes. One
+            # parquet write = one encode; every fit and the final
+            # partitioned write read the materialized table.
+            raw_path = collection.table_path("embeddings__raw")
+            emb_df.write.mode("overwrite").parquet(raw_path)
+            mat = collection.spark.read.parquet(raw_path)
+            try:
+                index = fit_ivf(
+                    mat, nlist=ivf_nlist, id_col="chunk_id",
                     vector_col="vector", seed=ivf_seed,
                 )
-                out = out.withColumn(
-                    "codes",
-                    pq_encode_expr(
-                        F.col("vector").cast("array<double>"), codebooks
+                centroids = round_centroids(index.centroids)
+                # re-assign from the ROUNDED centroids (not the fitted
+                # model): the manifest-persisted centroids must reproduce
+                # the exact same partition for every future update batch
+                out = mat.withColumn(
+                    "cluster_id",
+                    assign_cluster_expr(
+                        F.col("vector").cast("array<double>"), centroids
                     ),
                 )
-            collection.write("embeddings", out, partition_by=["cluster_id"])
+                codebooks = None
+                if pq_m:
+                    from documents_vector_search_spark.operators.pq import (
+                        fit_pq,
+                        pq_encode_expr,
+                    )
+
+                    codebooks = fit_pq(
+                        mat, dim=embedding_dim, m=pq_m, ksub=pq_ksub,
+                        vector_col="vector", seed=ivf_seed,
+                    )
+                    out = out.withColumn(
+                        "codes",
+                        pq_encode_expr(
+                            F.col("vector").cast("array<double>"), codebooks
+                        ),
+                    )
+                collection.write("embeddings", out, partition_by=["cluster_id"])
+            finally:
+                shutil.rmtree(raw_path, ignore_errors=True)
             return centroids, codebooks
         collection.write("embeddings", emb_df)
         return None
@@ -301,6 +317,17 @@ def create_collection(
         converter={
             "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap},
             "idStrategy": "counter" if contiguous_ids else "hash",
+            # embedder identity: searches and updates against this
+            # collection must reproduce the SAME vector space — a
+            # searcher probing LSH/IVF buckets derived with a different
+            # dim silently returns wrong results, so both validate
+            # against this record (reference persists its model name the
+            # same way, documents_collection_creator.py:255-279)
+            "embedding": {
+                "dim": embedding_dim,
+                "embedder": embedder_tag
+                or ("hash" if embedder is None else "custom"),
+            },
             **(
                 {"ann": {"nPlanes": ann_planes, "seed": ann_seed}}
                 if ann_planes

@@ -39,7 +39,7 @@ class CollectionSearcher:
         self,
         collection: Collection,
         rrf_k: int = 60,
-        embedding_dim: int = 16,
+        embedding_dim: int | None = None,
         field_types: dict[str, str] | None = None,
         cache_tables: bool = False,
         ann_probe_bits: int = 1,
@@ -68,7 +68,12 @@ class CollectionSearcher:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
         self.rrf_k = rrf_k
-        self.embedding_dim = embedding_dim
+        # embedding dim resolves lazily against the manifest's recorded
+        # embedder identity (see the embedding_dim property): an explicit
+        # mismatching arg RAISES instead of silently reconstructing
+        # different LSH hyperplanes / probing wrong IVF centroids
+        self._embedding_dim_arg = embedding_dim
+        self._embedding_dim: int | None = None
         self.field_types = field_types or {}
         self._cache_tables = cache_tables
         self._cached: dict[str, DataFrame] = {}
@@ -78,6 +83,40 @@ class CollectionSearcher:
         self._ann_cfg: dict | None | str = "_unset"
         self._ivf_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
+
+    @property
+    def embedding_dim(self) -> int:
+        """Vector dimension, resolved once: the manifest's recorded
+        ``converter.embedding.dim`` wins (a collection knows how it was
+        embedded); an explicit constructor arg is validated against it.
+        Manifests written before the field existed fall back to the arg
+        (or the historical default 16)."""
+        if self._embedding_dim is None:
+            recorded: int | None = None
+            try:
+                cfg = self.collection.manifest().converter.get("embedding")
+                if cfg and cfg.get("dim") is not None:
+                    recorded = int(cfg["dim"])
+            except FileNotFoundError:
+                pass
+            if (
+                recorded is not None
+                and self._embedding_dim_arg is not None
+                and recorded != self._embedding_dim_arg
+            ):
+                raise ValueError(
+                    f"embedding_dim={self._embedding_dim_arg} does not match "
+                    f"the collection's recorded dim={recorded}; searching "
+                    "with a different dim would derive different "
+                    "hyperplanes/probe buckets and silently return wrong "
+                    "results"
+                )
+            self._embedding_dim = (
+                recorded
+                if recorded is not None
+                else (self._embedding_dim_arg or 16)
+            )
+        return self._embedding_dim
 
     def _read(self, table: str) -> DataFrame:
         if not self._cache_tables:

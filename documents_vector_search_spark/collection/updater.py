@@ -94,10 +94,16 @@ def update_collection(
     collection: Collection,
     changed_docs: DataFrame,
     embedder: Embedder | None = None,
-    embedding_dim: int = 16,
+    embedding_dim: int | None = None,
+    embedder_tag: str | None = None,
     title_col: str | None = None,
 ) -> Manifest:
-    """Apply an update batch of canonical documents (changed + new)."""
+    """Apply an update batch of canonical documents (changed + new).
+
+    The batch must be embedded in the SAME vector space as the create:
+    dim and embedder identity are validated against the manifest's
+    ``converter.embedding`` record — a mismatch raises instead of
+    silently mixing incompatible vectors into one index."""
     from documents_vector_search_spark.collection.catalog import TABLES
 
     _recover_orphans(collection, list(TABLES))
@@ -105,6 +111,29 @@ def update_collection(
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
     chunk_overlap = splitter.get("chunkOverlap", 100)
+
+    emb_cfg = manifest.converter.get("embedding") or {}
+    recorded_dim = emb_cfg.get("dim")
+    if (
+        recorded_dim is not None
+        and embedding_dim is not None
+        and int(recorded_dim) != embedding_dim
+    ):
+        raise ValueError(
+            f"embedding_dim={embedding_dim} does not match the "
+            f"collection's recorded dim={recorded_dim}"
+        )
+    embedding_dim = (
+        int(recorded_dim) if recorded_dim is not None else (embedding_dim or 16)
+    )
+    recorded_tag = emb_cfg.get("embedder")
+    batch_tag = embedder_tag or ("hash" if embedder is None else "custom")
+    if recorded_tag is not None and recorded_tag != batch_tag:
+        raise ValueError(
+            f"update embedder '{batch_tag}' does not match the collection's "
+            f"recorded embedder '{recorded_tag}'; vectors from different "
+            "embedders cannot share an index"
+        )
     embed = embedder or default_embedder(embedding_dim)
 
     changed_ids = changed_docs.select(F.col("id")).distinct()

@@ -479,3 +479,99 @@ class TestManifestCorpusStats:
         # fallback recomputes the SAME value the manifest would carry
         assert abs(avgdl - persisted_avgdl) < 1e-9
         assert len(s.search("hash join", max_documents=5).collect()) > 0
+
+
+class TestEmbeddingIdentity:
+    """converter.embedding: dim + embedder tag persisted at create,
+    validated by searcher and updater (a mismatch silently reconstructs
+    different hyperplanes / probes wrong buckets otherwise)."""
+
+    @pytest.fixture(scope="class")
+    def dim8_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("emb_identity"))
+        coll = Collection(spark, base, "dim8")
+        create_collection(
+            coll, canonical_docs.limit(20), chunk_size=200, chunk_overlap=40,
+            embedding_dim=8,
+        )
+        return coll
+
+    def test_manifest_records_embedding(self, dim8_coll):
+        cfg = dim8_coll.manifest().converter["embedding"]
+        assert cfg == {"dim": 8, "embedder": "hash"}
+
+    def test_searcher_resolves_dim_from_manifest(self, dim8_coll):
+        s = CollectionSearcher(dim8_coll)
+        assert s.embedding_dim == 8
+        assert len(s.search("hash join", max_documents=3).collect()) >= 0
+
+    def test_searcher_dim_mismatch_raises(self, dim8_coll):
+        s = CollectionSearcher(dim8_coll, embedding_dim=16)
+        with pytest.raises(ValueError, match="recorded dim=8"):
+            _ = s.embedding_dim
+
+    def test_update_dim_mismatch_raises(self, dim8_coll, canonical_docs):
+        with pytest.raises(ValueError, match="recorded dim=8"):
+            update_collection(
+                dim8_coll, canonical_docs.limit(1), embedding_dim=16
+            )
+
+    def test_update_embedder_mismatch_raises(self, dim8_coll, canonical_docs):
+        from documents_vector_search_spark.collection.creator import (
+            default_embedder,
+        )
+
+        with pytest.raises(ValueError, match="recorded embedder 'hash'"):
+            update_collection(
+                dim8_coll,
+                canonical_docs.limit(1),
+                embedder=default_embedder(8),
+                embedder_tag="my-model-v2",
+            )
+
+    def test_update_matching_identity_succeeds(self, dim8_coll, canonical_docs):
+        m = update_collection(dim8_coll, canonical_docs.limit(1))
+        assert m.numberOfDocuments == 20
+
+
+class TestMaterializeBeforeFit:
+    def test_one_encode_per_chunk_on_ivfpq_create(
+        self, spark, canonical_docs, tmp_path
+    ):
+        """The embedder must run ONCE per chunk even when the layout
+        needs iterative fits (KMeans maxIter jobs + PQ subspace fits +
+        the final partitioned write): embeddings are materialized to
+        parquet first, and every fit reads the materialized table. With
+        a real model the difference is dozens of full corpus encodes."""
+        calls = spark.sparkContext.accumulator(0)
+
+        @F.udf("array<float>")
+        def counting_embed(s):
+            calls.add(1)
+            h = sum(ord(c) for c in (s or "")[:64])
+            return [float((h >> i) & 0xF) for i in range(8)]
+
+        coll = Collection(spark, str(tmp_path), "countenc")
+        create_collection(
+            coll,
+            canonical_docs.limit(30),
+            chunk_size=200,
+            chunk_overlap=40,
+            embedder=lambda col: counting_embed(col),
+            embedding_dim=8,
+            embedder_tag="counting-fake",
+            ivf_nlist=4,
+            pq_m=2,
+        )
+        n_chunks = coll.read("chunks").count()
+        assert n_chunks > 0
+        assert calls.value == n_chunks
+        emb = coll.read("embeddings")
+        assert {"cluster_id", "codes"} <= set(emb.columns)
+        assert emb.count() == n_chunks
+        # the staging dir is cleaned up after the partitioned write
+        import pathlib
+
+        assert not pathlib.Path(
+            coll.table_path("embeddings__raw")
+        ).exists()
