@@ -47,6 +47,18 @@ def md5_hash64_sql(expr: str, salt: int = 0) -> str:
     )
 
 
+def md5_hash64_py(value: str, salt: int = 0) -> int:
+    """Driver-side twin of :func:`md5_hash64` — same salt format and hex
+    prefix length, so query-time lookups (e.g. BM25 term buckets) land
+    on exactly the partitions the write side produced. Any drift here
+    silently empties results, hence ONE definition shared by all three
+    dialects (Column / SQL / Python) and a parity test."""
+    import hashlib
+
+    hexd = hashlib.md5(f"{salt}:{value}".encode()).hexdigest()
+    return int(hexd[:_HEX_PREFIX_LEN], 16)
+
+
 def minhash_from_hex(hx: Column, i: int) -> Column:
     """Family member i of the 2-universal MinHash family over a shingle's
     md5 HEX digest: ``(a + i*b) mod p`` with a = hex[0:15], b = hex[15:30]

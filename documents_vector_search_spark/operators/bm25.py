@@ -49,11 +49,13 @@ def term_bucket(col) -> "F.Column":
 
 
 def term_bucket_py(term: str) -> int:
-    """Driver-side twin of :func:`term_bucket` for query terms."""
-    import hashlib
+    """Driver-side twin of :func:`term_bucket` for query terms — derived
+    from the SAME md5_hash64 definition as the write side (salt format
+    and hex prefix live in functions/hashing.py), so the two can't
+    drift apart and silently prune every posting."""
+    from documents_vector_search_spark.functions.hashing import md5_hash64_py
 
-    h = int(hashlib.md5(f"0:{term}".encode()).hexdigest()[:15], 16)
-    return h % N_TERM_BUCKETS
+    return md5_hash64_py(term) % N_TERM_BUCKETS
 
 
 def build_postings(

@@ -63,6 +63,28 @@ class TestHashing:
         h = one(spark, md5_hash64(F.lit("x")))
         assert 0 <= h < 2**60
 
+    def test_python_twin_matches_column(self, spark):
+        """All three dialects of md5_hash64 (Column / SQL / Python) must
+        agree — term_bucket_py derives from the Python twin, and drift
+        would silently prune every BM25 posting."""
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+
+        for value, salt in [("hello world", 0), ("spark", 3), ("", 1)]:
+            assert one(spark, md5_hash64(F.lit(value), salt)) == md5_hash64_py(
+                value, salt
+            )
+
+    def test_term_bucket_py_matches_write_side(self, spark):
+        from documents_vector_search_spark.operators.bm25 import (
+            term_bucket,
+            term_bucket_py,
+        )
+
+        for term in ["hash", "join", "vector", "scan", "über"]:
+            assert one(spark, term_bucket(F.lit(term))) == term_bucket_py(term)
+
     def test_minhash_estimates_jaccard(self, spark):
         # identical arrays → identical signatures
         arr = F.array(*[F.lit(f"sh{i}") for i in range(20)])
