@@ -106,3 +106,65 @@ class TestAsofCompositeKey:
         # composite key: (A,x) must NOT see (A,y)'s quote
         assert rows[1].v_r == 10.0
         assert rows[2].v_r == 20.0
+
+
+class TestAsofBucketed:
+    """coarse_bucket_s mega-key mitigation: identical results to the
+    single-window path, with per-key windows split by time bucket."""
+
+    def test_matches_base_on_fixture(self, trades_quotes):
+        trades, quotes = trades_quotes
+        base = asof_join(trades, quotes, on="sym")
+        bucketed = asof_join(trades, quotes, on="sym", coarse_bucket_s=4.0)
+        key = lambda r: (r.sym, r.qty)  # noqa: E731
+        b = {key(r): (r.ts_r, r.px_r) for r in base.collect()}
+        g = {key(r): (r.ts_r, r.px_r) for r in bucketed.collect()}
+        assert b == g
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_base_on_random_mega_key(self, spark, direction):
+        """One key, thousands of rows, bucket boundaries everywhere —
+        both formulations must agree row for row (carry-in correctness
+        across empty and occupied buckets alike)."""
+        import random
+
+        rng = random.Random(7)
+        n_r, n_l = 3000, 500
+        right_rows = [
+            ("k", float(rng.randrange(0, 100_000)), float(i))
+            for i in range(n_r)
+        ]
+        # unique (key, ts) per the operator's determinism contract
+        seen = {}
+        for k, ts, v in right_rows:
+            seen[ts] = (k, ts, v)
+        right_rows = list(seen.values())
+        left_rows = [
+            ("k", float(rng.randrange(0, 100_000)), i) for i in range(n_l)
+        ]
+        right = spark.createDataFrame(right_rows, ["key", "ts", "v"])
+        left = spark.createDataFrame(left_rows, ["key", "ts", "n"])
+
+        base = asof_join(
+            left, right, on="key", direction=direction, tolerance_s=5000.0
+        )
+        bucketed = asof_join(
+            left, right, on="key", direction=direction, tolerance_s=5000.0,
+            coarse_bucket_s=1000.0,
+        )
+        b = {r.n: (r.ts_r, r.v_r) for r in base.collect()}
+        g = {r.n: (r.ts_r, r.v_r) for r in bucketed.collect()}
+        assert b == g
+
+    def test_window_partitions_include_time_bucket(self, trades_quotes):
+        """The event-level window must partition by (key, bucket) —
+        that's the whole point: no task sorts a full key history."""
+        trades, quotes = trades_quotes
+        plan = (
+            asof_join(trades, quotes, on="sym", coarse_bucket_s=60.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_tb" in plan
+        assert "hashpartitioning(sym" in plan and "_tb" in plan
