@@ -8,6 +8,7 @@ index representation is a Parquet table readable by any engine.
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -16,6 +17,41 @@ from pyspark.sql import DataFrame, SparkSession
 from documents_vector_search_spark.collection.manifest import Manifest
 
 TABLES = ("documents", "chunks", "embeddings", "postings", "doc_stats")
+
+
+def rollback_partial_swap(root: Path, table: str) -> None:
+    """Undo an interrupted PARTITION-scoped update swap (see
+    updater._swap_partitions): ``<table>__old/_PARTIAL.json`` lists the
+    affected ``_pb`` buckets; any live directory for those buckets may
+    be half-swapped, so remove them and restore the parked originals.
+    Pre-update state is fully recovered; re-running the (idempotent)
+    update batch then converges. No-op without the marker."""
+    from documents_vector_search_spark.collection.partitioning import (
+        UPDATE_PB_COL,
+    )
+
+    old = root / f"{table}__old"
+    marker = old / "_PARTIAL.json"
+    if not marker.exists():
+        return
+    final = root / table
+    pbs = json.loads(marker.read_text())["pbs"]
+    if final.exists():
+        for x in pbs:
+            for d in [
+                p for p in final.rglob(f"{UPDATE_PB_COL}={x}") if p.is_dir()
+            ]:
+                shutil.rmtree(d)
+    for d in sorted(
+        (p for p in old.rglob(f"{UPDATE_PB_COL}=*") if p.is_dir()),
+    ):
+        dest = final / d.relative_to(old)
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        d.rename(dest)
+    shutil.rmtree(old)
+    tmp = root / f"{table}__tmp"
+    if tmp.exists():
+        shutil.rmtree(tmp)
 
 # canonical document envelope (SURVEY §1.1): the shape every source
 # converter emits, mirroring {id, url, metadata, text, chunks} of e.g.
@@ -55,13 +91,16 @@ class Collection:
     def read(self, table: str) -> DataFrame:
         """Read a table, recovering from an interrupted update swap.
 
-        The updater's directory swap (updater._swap_all) is rename-based
-        and not crash-atomic: a failure between ``final -> __old`` and
-        ``__tmp -> final`` leaves the table directory missing with the
-        previous committed state parked at ``__old``. Restore it here so
-        readers always see a complete collection. Single-writer,
+        The updater's directory swaps are rename-based and not
+        crash-atomic. Two crash shapes are healed here so readers always
+        see a complete committed state: a partition-scoped swap left
+        half-done (``__old/_PARTIAL.json`` marker → roll the affected
+        partitions back, updater._swap_partitions) and a legacy
+        whole-table swap that failed between ``final -> __old`` and
+        ``__tmp -> final`` (restore the parked dir). Single-writer,
         no-concurrent-reader-during-update assumption (see updater).
         """
+        rollback_partial_swap(self.root, table)
         final = self.root / table
         old = self.root / f"{table}__old"
         if not final.exists() and old.exists():

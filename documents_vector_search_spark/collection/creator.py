@@ -114,6 +114,7 @@ def create_collection(
     ivf_seed: int = 42,
     pq_m: int | None = None,
     pq_ksub: int = 16,
+    update_buckets: int = 8,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -142,6 +143,11 @@ def create_collection(
     column ranks the survivors, and the searcher re-ranks an ADC
     shortlist against true vectors. Rounded codebooks live in the
     manifest beside the centroids.
+
+    ``update_buckets``: every table is additionally partitioned by a
+    stable ``_pb`` bucket of its delete key so incremental updates
+    rewrite only affected partitions — see collection/partitioning.py
+    for sizing (default 8 suits test corpora; 100 TB wants 1024+).
     """
     if ann_planes and ivf_nlist:
         raise ValueError("ann_planes and ivf_nlist are mutually exclusive")
@@ -150,7 +156,19 @@ def create_collection(
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
-    collection.write("documents", docs)
+    from documents_vector_search_spark.collection.partitioning import (
+        UPDATE_PB_COL,
+        pb_col,
+    )
+
+    def doc_pb(col_name: str) -> Column:
+        return pb_col(F.col(col_name), update_buckets)
+
+    collection.write(
+        "documents",
+        docs.withColumn(UPDATE_PB_COL, doc_pb("id")),
+        partition_by=[UPDATE_PB_COL],
+    )
     docs = collection.read("documents")  # re-read: decouple lineage from source
 
     chunks = build_chunks(docs, chunk_size, chunk_overlap, title_col)
@@ -168,12 +186,19 @@ def create_collection(
         )
     else:
         chunks = _hash_chunk_ids(chunks)
-    collection.write("chunks", chunks)
+    collection.write(
+        "chunks",
+        chunks.withColumn(UPDATE_PB_COL, doc_pb("document_id")),
+        partition_by=[UPDATE_PB_COL],
+    )
     chunks = collection.read("chunks")  # one materialized pass feeds 3 indexes
 
     emb_df = chunks.select(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
+        # chunk-keyed tables derive their update bucket from their own
+        # key — map-only, no join back to chunks (partitioning.py)
+        pb_col(F.col("chunk_id"), update_buckets).alias(UPDATE_PB_COL),
     )
 
     def _write_embeddings() -> list[list[float]] | None:
@@ -189,6 +214,7 @@ def create_collection(
                 seed=ann_seed,
                 vector_col="vector",
                 dim=embedding_dim,
+                extra_partition_cols=[UPDATE_PB_COL],
             )
             return None
         if ivf_nlist:
@@ -242,11 +268,14 @@ def create_collection(
                             F.col("vector").cast("array<double>"), codebooks
                         ),
                     )
-                collection.write("embeddings", out, partition_by=["cluster_id"])
+                collection.write(
+                    "embeddings", out,
+                    partition_by=["cluster_id", UPDATE_PB_COL],
+                )
             finally:
                 shutil.rmtree(raw_path, ignore_errors=True)
             return centroids, codebooks
-        collection.write("embeddings", emb_df)
+        collection.write("embeddings", emb_df, partition_by=[UPDATE_PB_COL])
         return None
 
     def _write_postings() -> None:
@@ -254,19 +283,30 @@ def create_collection(
         # lookup becomes Parquet partition pruning (operators/bm25.py).
         # The repartition keys the write so each bucket lands in few
         # files instead of (tasks × buckets) shards.
-        postings_df = build_postings(
-            chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
-        ).withColumn("term_bucket", term_bucket(F.col("term")))
+        postings_df = (
+            build_postings(
+                chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
+            )
+            .withColumn("term_bucket", term_bucket(F.col("term")))
+            .withColumn(
+                UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
+            )
+        )
         collection.write(
             "postings",
             postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
-            partition_by=["term_bucket"],
+            partition_by=["term_bucket", UPDATE_PB_COL],
         )
 
     def _write_doc_stats() -> None:
         collection.write(
             "doc_stats",
-            build_doc_stats(chunks, id_col="chunk_id", text_col="indexed_data"),
+            build_doc_stats(
+                chunks, id_col="chunk_id", text_col="indexed_data"
+            ).withColumn(
+                UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
+            ),
+            partition_by=[UPDATE_PB_COL],
         )
 
     def _gather_stats():
@@ -317,6 +357,9 @@ def create_collection(
         converter={
             "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap},
             "idStrategy": "counter" if contiguous_ids else "hash",
+            # update-bucket count: incremental updates prune and rewrite
+            # only the _pb partitions their changed keys hash into
+            "updateBuckets": update_buckets,
             # embedder identity: searches and updates against this
             # collection must reproduce the SAME vector space — a
             # searcher probing LSH/IVF buckets derived with a different

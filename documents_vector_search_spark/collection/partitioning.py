@@ -1,0 +1,44 @@
+"""Update-bucket partitioning: the layout that makes incremental
+updates O(changed), not O(corpus).
+
+Every collection table carries a ``_pb`` (partition bucket) directory
+column — a stable md5-derived bucket of the table's DELETE KEY
+(document id for documents/chunks, chunk id for the chunk-keyed index
+tables). An update batch touches only the partitions whose bucket
+values appear among its changed keys: the updater reads those
+partitions (Parquet partition pruning), merges, and swaps just those
+directories. Unaffected partitions — files, mtimes, everything — are
+never rewritten.
+
+Layout tables keep their query-pruning column as a SIBLING partition
+level (``cluster_id=*/_pb=N``, ``term_bucket=*/_pb=N``, ``bucket=*/
+_pb=N``): Spark prunes on ANY directory level, not just a prefix, so
+query-side pruning is unchanged while update-side pruning composes
+with it.
+
+Sizing: a single-doc update rewrites ~1/``update_buckets`` of each
+table, so size ``update_buckets`` to your rewrite budget — the default
+8 suits test corpora; a 100 TB deployment wants 1024+ (≈100 GB per
+bucket). Recorded in the manifest (``converter.updateBuckets``) so
+updates reproduce the exact same bucketing.
+
+The reference rebuilds whole indexes on update (FAISS delete+re-add is
+in-memory, main/core/documents_collection_creator.py:73-98); this is
+the partition-pruned disk analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.hashing import md5_hash64
+
+UPDATE_PB_COL = "_pb"
+
+
+def pb_col(key: Column, n_buckets: int) -> Column:
+    """Partition bucket of a delete key — md5-derived (stable across
+    engines and sessions, unlike hash/xxhash64 whose seeds are
+    Spark-internal)."""
+    return (md5_hash64(key.cast("string")) % F.lit(n_buckets)).cast("int")

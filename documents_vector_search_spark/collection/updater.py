@@ -8,19 +8,32 @@ then re-add with fresh ids continuing the global counter
 watermark's 5-minute overlap window idempotent (SURVEY §7.4): a doc
 re-sent unchanged is simply replaced by identical content.
 
-Mechanics: anti-join each table on the changed document ids, union the
-freshly built rows, and swap the table directory (write-to-tmp + rename
-— Parquet can't be overwritten while being read; a Delta/Iceberg MERGE
-is the drop-in upgrade on a real deployment).
+Two write strategies, chosen by the collection's manifest:
 
-Scale notes: the anti-join broadcasts the (small) changed-id set; only
-the update batch is chunked/embedded — cost is O(batch), not O(corpus),
-except for the table rewrite, which partition-pruned formats (or
-Delta) reduce to touched partitions only.
+* **Partition-scoped** (collections created with ``update_buckets``,
+  the default since round 4): every table is partitioned by a stable
+  ``_pb`` bucket of its delete key (collection/partitioning.py). The
+  update reads ONLY the partitions whose buckets appear among the
+  changed keys (Parquet partition pruning), merges them with the fresh
+  rows, writes them to a ``__tmp`` staging dir, and swaps just those
+  partition directories. Cost: O(batch + corpus/update_buckets), not
+  O(corpus). Manifest stats update incrementally from the batch.
+
+* **Legacy full rewrite** (manifests without ``updateBuckets``):
+  anti-join each whole table, rewrite everything, swap directories.
+
+Neither swap is crash-ATOMIC (single-writer; a Delta/Iceberg MERGE is
+the transactional upgrade on a real deployment), but both are crash
+RECOVERABLE: the partition-scoped swap parks displaced directories in
+``<table>__old`` under a ``_PARTIAL.json`` marker listing the affected
+buckets, and recovery (updater start or Collection.read) rolls the
+table back to its pre-update state. Since delete-then-reinsert is
+idempotent, re-running the interrupted batch converges.
 """
 
 from __future__ import annotations
 
+import json
 import shutil
 from datetime import datetime
 from pathlib import Path
@@ -28,13 +41,20 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.collection.catalog import Collection
+from documents_vector_search_spark.collection.catalog import (
+    Collection,
+    rollback_partial_swap,
+)
 from documents_vector_search_spark.collection.creator import (
     Embedder,
     build_chunks,
     default_embedder,
 )
 from documents_vector_search_spark.collection.manifest import Manifest
+from documents_vector_search_spark.collection.partitioning import (
+    UPDATE_PB_COL,
+    pb_col,
+)
 from documents_vector_search_spark.operators.bm25 import (
     build_doc_stats,
     build_postings,
@@ -43,10 +63,12 @@ from documents_vector_search_spark.operators.chunking import assign_chunk_ids
 
 
 def _recover_orphans(collection: Collection, tables: list[str]) -> None:
-    """Clean up leftovers of an interrupted previous update: restore a
-    parked ``__old`` when the final directory is missing (crash between
-    the two renames), then drop orphaned ``__tmp``/``__old`` dirs."""
+    """Clean up leftovers of an interrupted previous update: roll back a
+    partial partition swap (``_PARTIAL.json`` marker), restore a parked
+    whole-table ``__old`` when the final directory is missing (legacy
+    swap crash), then drop orphaned ``__tmp``/``__old`` dirs."""
     for table in tables:
+        rollback_partial_swap(collection.root, table)
         final = Path(collection.table_path(table))
         old = final.with_name(f"{table}__old")
         tmp = final.with_name(f"{table}__tmp")
@@ -62,18 +84,12 @@ def _swap_all(
     merged: dict[str, DataFrame],
     partition_cols: dict[str, list[str]] | None = None,
 ) -> None:
-    """Two-phase table rewrite: FIRST materialize every merged table to a
-    __tmp dir (all plans still read the intact originals — swapping any
-    table earlier would make later lazy plans read post-swap data and
-    corrupt the merge), THEN swap all directories.
-
-    The swap is rename-based, not crash-atomic: single-writer only, and
-    concurrent readers mid-swap may observe a missing directory (they
-    recover via Collection.read's __old fallback on the next open; a
-    Delta/Iceberg MERGE is the transactional upgrade on a real
-    deployment). Interrupted runs are healed by _recover_orphans at the
-    start of the next update or read.
-    """
+    """Legacy two-phase FULL table rewrite: FIRST materialize every
+    merged table to a __tmp dir (all plans still read the intact
+    originals — swapping any table earlier would make later lazy plans
+    read post-swap data and corrupt the merge), THEN swap all
+    directories. Used only for collections whose manifest predates
+    ``updateBuckets``."""
     for table, df in merged.items():
         writer = df.write.mode("overwrite")
         for col in (partition_cols or {}).get(table, []):
@@ -88,6 +104,57 @@ def _swap_all(
         tmp.rename(final)
         if old.exists():
             shutil.rmtree(old)
+
+
+def _swap_partitions(
+    collection: Collection,
+    merged: dict[str, DataFrame],
+    partition_cols: dict[str, list[str]],
+    affected_pbs: dict[str, list[int]],
+) -> None:
+    """Two-phase PARTITION-scoped swap. Phase A stages every merged
+    table (affected partitions only) under ``<table>__tmp`` while all
+    plans still read the intact originals. Phase B, per table: park the
+    live ``_pb=X`` directories in ``<table>__old`` (with a marker
+    listing X values, for rollback), then move the staged directories
+    in. Phase C removes the parking dirs — the commit point.
+
+    An affected bucket whose rows were ALL deleted has no staged dir;
+    parking alone removes it, which is exactly the merge semantics.
+    """
+    # phase A: stage everything before touching any live directory
+    for table, df in merged.items():
+        writer = df.write.mode("overwrite")
+        if partition_cols[table]:
+            writer = writer.partitionBy(*partition_cols[table])
+        writer.parquet(str(Path(collection.table_path(f"{table}__tmp"))))
+
+    # phase B: park displaced partitions, move staged ones in
+    for table in merged:
+        live = Path(collection.table_path(table))
+        tmp = Path(collection.table_path(f"{table}__tmp"))
+        old = live.with_name(f"{table}__old")
+        old.mkdir(parents=True, exist_ok=True)
+        (old / "_PARTIAL.json").write_text(
+            json.dumps({"pbs": affected_pbs[table]})
+        )
+        for x in affected_pbs[table]:
+            pattern = f"{UPDATE_PB_COL}={x}"
+            for d in [p for p in live.rglob(pattern) if p.is_dir()]:
+                dest = old / d.relative_to(live)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                d.rename(dest)
+            for d in [p for p in tmp.rglob(pattern) if p.is_dir()]:
+                dest = live / d.relative_to(tmp)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                d.rename(dest)
+
+    # phase C: commit — drop parked state and staging dirs
+    for table in merged:
+        for suffix in ("__old", "__tmp"):
+            p = Path(collection.table_path(f"{table}{suffix}"))
+            if p.exists():
+                shutil.rmtree(p)
 
 
 def update_collection(
@@ -137,13 +204,47 @@ def update_collection(
     embed = embedder or default_embedder(embedding_dim)
 
     changed_ids = changed_docs.select(F.col("id")).distinct()
+    update_buckets = manifest.converter.get("updateBuckets")
+
+    # --- pruned vs full reads --------------------------------------------
+    # Partition-scoped path: documents and chunks are partitioned by
+    # pb(document id), so every read below prunes to the changed docs'
+    # buckets — O(corpus/update_buckets) per touched table, not
+    # O(corpus). The bucket list is tiny (≤ update_buckets ints).
+    doc_pbs: list[int] = []
+    if update_buckets:
+        doc_pbs = sorted(
+            r[0]
+            for r in changed_ids.select(
+                pb_col(F.col("id"), update_buckets).alias("pb")
+            )
+            .distinct()
+            .collect()
+        )
+
+    def _pruned(table: str, pbs: list[int]) -> DataFrame:
+        df = collection.read(table)
+        if update_buckets:
+            df = df.filter(F.col(UPDATE_PB_COL).isin(pbs))
+        elif UPDATE_PB_COL in df.columns:
+            # manifest predates updateBuckets but the table carries a
+            # _pb level (e.g. manifest hand-edited/restored): the legacy
+            # full rewrite drops the bucketing rather than guessing a
+            # bucket count that may not match the directories
+            df = df.drop(UPDATE_PB_COL)
+        return df
 
     # --- documents: replace changed, append new ---------------------------
-    docs = collection.read("documents")
-    merged_docs = docs.join(changed_ids, "id", "left_anti").unionByName(changed_docs)
+    docs = _pruned("documents", doc_pbs)
+    fresh_docs = changed_docs
+    if update_buckets:
+        fresh_docs = fresh_docs.withColumn(
+            UPDATE_PB_COL, pb_col(F.col("id"), update_buckets)
+        )
+    merged_docs = docs.join(changed_ids, "id", "left_anti").unionByName(fresh_docs)
 
     # --- stale chunk ids (for index deletes, U3) ---------------------------
-    chunks = collection.read("chunks")
+    chunks = _pruned("chunks", doc_pbs)
     stale_chunks = chunks.join(
         changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
     ).select("chunk_id")
@@ -169,10 +270,31 @@ def update_collection(
             id_col="document_id",
             chunk_number_col="chunk_number",
         )
+    if update_buckets:
+        fresh_chunks = fresh_chunks.withColumn(
+            UPDATE_PB_COL, pb_col(F.col("document_id"), update_buckets)
+        )
 
     merged_chunks = (
         chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
     )
+
+    # --- chunk-keyed index tables: bucket set = stale ∪ fresh chunk ids ---
+    chunk_pbs: list[int] = []
+    if update_buckets:
+        chunk_pbs = sorted(
+            r[0]
+            for r in stale_chunks.select(
+                pb_col(F.col("chunk_id"), update_buckets).alias("pb")
+            )
+            .unionByName(
+                fresh_chunks.select(
+                    pb_col(F.col("chunk_id"), update_buckets).alias("pb")
+                )
+            )
+            .distinct()
+            .collect()
+        )
 
     fresh_embeddings = fresh_chunks.select(
         "chunk_id",
@@ -223,12 +345,17 @@ def update_collection(
                     ivf_cfg["pq"]["codebooks"],
                 ),
             )
+    if update_buckets:
+        fresh_embeddings = fresh_embeddings.withColumn(
+            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
+        )
     merged_embeddings = (
-        collection.read("embeddings")
+        _pruned("embeddings", chunk_pbs)
         .join(stale_chunks, "chunk_id", "left_anti")
         .unionByName(fresh_embeddings)
     )
-    old_postings = collection.read("postings")
+
+    old_postings = _pruned("postings", chunk_pbs)
     fresh_postings = build_postings(
         fresh_chunks,
         id_col="chunk_id",
@@ -242,33 +369,128 @@ def update_collection(
         fresh_postings = fresh_postings.withColumn(
             "term_bucket", term_bucket(F.col("term"))
         )
+    if update_buckets:
+        fresh_postings = fresh_postings.withColumn(
+            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
+        )
     merged_postings = (
         old_postings
         .join(stale_chunks, "chunk_id", "left_anti")
         .unionByName(fresh_postings)
     )
-    merged_doc_stats = (
-        collection.read("doc_stats")
-        .join(stale_chunks, "chunk_id", "left_anti")
-        .unionByName(
-            build_doc_stats(fresh_chunks, id_col="chunk_id", text_col="indexed_data")
+
+    fresh_doc_stats = build_doc_stats(
+        fresh_chunks, id_col="chunk_id", text_col="indexed_data"
+    )
+    if update_buckets:
+        fresh_doc_stats = fresh_doc_stats.withColumn(
+            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
         )
+    merged_doc_stats = (
+        _pruned("doc_stats", chunk_pbs)
+        .join(stale_chunks, "chunk_id", "left_anti")
+        .unionByName(fresh_doc_stats)
     )
 
+    merged = {
+        "documents": merged_docs,
+        "chunks": merged_chunks,
+        "embeddings": merged_embeddings,
+        "postings": merged_postings,
+        "doc_stats": merged_doc_stats,
+    }
+    layout_cols = {
+        "documents": [],
+        "chunks": [],
+        "embeddings": (
+            ["bucket"] if ann_cfg else (["cluster_id"] if ivf_cfg else [])
+        ),
+        "postings": ["term_bucket"] if postings_bucketed else [],
+        "doc_stats": [],
+    }
+
+    if update_buckets:
+        # --- incremental manifest stats (O(batch), before the swap) -------
+        # one small job each over pruned/fresh data; metadata-only counts
+        # would also work but these keep the exact same numbers the full
+        # recompute would produce.
+        from documents_vector_search_spark.functions.text import tokenize
+
+        n_replaced = docs.join(changed_ids, "id", "left_semi").count()
+        n_batch = changed_docs.count()
+        stale_stats = chunks.join(
+            stale_chunks, "chunk_id", "left_semi"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
+        ).first()
+        fresh_stats = fresh_chunks.agg(
+            F.count("*").alias("n"),
+            F.max("chunk_id").alias("last"),
+            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
+        ).first()
+        batch_watermark = changed_docs.agg(F.max("last_modified_at")).first()[0]
+
+        _swap_partitions(
+            collection,
+            merged,
+            partition_cols={
+                t: cols + [UPDATE_PB_COL] for t, cols in layout_cols.items()
+            },
+            affected_pbs={
+                "documents": doc_pbs,
+                "chunks": doc_pbs,
+                "embeddings": chunk_pbs,
+                "postings": chunk_pbs,
+                "doc_stats": chunk_pbs,
+            },
+        )
+
+        old_n_chunks = manifest.numberOfChunks
+        old_total_dl = (
+            (manifest.avgChunkLength or 0.0) * old_n_chunks
+            if manifest.avgChunkLength is not None
+            else None
+        )
+        n_stale = int(stale_stats["n"] or 0)
+        n_fresh = int(fresh_stats["n"] or 0)
+        new_n_chunks = old_n_chunks - n_stale + n_fresh
+        manifest.numberOfDocuments = (
+            manifest.numberOfDocuments - n_replaced + n_batch
+        )
+        manifest.numberOfChunks = new_n_chunks
+        if old_total_dl is not None and new_n_chunks > 0:
+            new_total = (
+                old_total_dl
+                - float(stale_stats["dl"] or 0)
+                + float(fresh_stats["dl"] or 0)
+            )
+            manifest.avgChunkLength = max(new_total, 0.0) / new_n_chunks
+        if manifest.converter.get("idStrategy", "counter") == "counter":
+            last = fresh_stats["last"]
+            if last is not None:
+                manifest.lastIndexItemId = max(
+                    manifest.lastIndexItemId, int(last)
+                )
+        if batch_watermark is not None:
+            new_wm = (
+                batch_watermark.isoformat()
+                if isinstance(batch_watermark, datetime)
+                else str(batch_watermark)
+            )
+            if (
+                manifest.lastModifiedDocumentTime is None
+                or new_wm > manifest.lastModifiedDocumentTime
+            ):
+                manifest.lastModifiedDocumentTime = new_wm
+        collection.save_manifest(manifest)
+        return manifest
+
+    # --- legacy full-rewrite path (manifests without updateBuckets) -------
     _swap_all(
         collection,
-        {
-            "documents": merged_docs,
-            "chunks": merged_chunks,
-            "embeddings": merged_embeddings,
-            "postings": merged_postings,
-            "doc_stats": merged_doc_stats,
-        },
-        partition_cols={
-            **({"embeddings": ["bucket"]} if ann_cfg else {}),
-            **({"embeddings": ["cluster_id"]} if ivf_cfg else {}),
-            **({"postings": ["term_bucket"]} if postings_bucketed else {}),
-        },
+        merged,
+        partition_cols={t: cols for t, cols in layout_cols.items() if cols},
     )
 
     # --- manifest merge-update (documents_collection_creator.py:255-268) ---

@@ -153,12 +153,17 @@ def write_bucket_partitioned(
     seed: int = 42,
     vector_col: str = "embedding",
     dim: int | None = None,
+    extra_partition_cols: list[str] | None = None,
 ) -> None:
     """Persist embeddings partitioned by LSH bucket — the on-disk layout
     that turns the ANN probe filter into Parquet partition pruning.
 
     Pass ``dim`` when known (schema metadata can't express array length);
-    otherwise one 1-row driver action probes it.
+    otherwise one 1-row driver action probes it. ``extra_partition_cols``
+    (already present on ``embeddings``) become additional partition
+    levels after ``bucket`` — e.g. the collection updater's ``_pb``
+    bucket; Spark prunes on any directory level, so probe pruning is
+    unaffected.
     """
     if dim is None:
         dim = len(embeddings.select(vector_col).first()[0])
@@ -167,7 +172,7 @@ def write_bucket_partitioned(
     (
         embeddings.withColumn("bucket", hyperplane_bucket(vec, planes))
         .write.mode("overwrite")
-        .partitionBy("bucket")
+        .partitionBy("bucket", *(extra_partition_cols or []))
         .parquet(path)
     )
 
