@@ -44,7 +44,7 @@ class CollectionSearcher:
         cache_tables: bool = False,
         ann_probe_bits: int = 1,
         ivf_nprobe: int | None = None,
-        pq_shortlist_factor: int = 4,
+        pq_shortlist_factor: int = 16,
     ):
         """``cache_tables`` persists the index tables in executor memory
         on first access — the serving-process pattern (the reference's
@@ -63,7 +63,11 @@ class CollectionSearcher:
         higher recall, proportionally more partitions scanned.
 
         ``pq_shortlist_factor``: for IVFPQ layouts (pq_m=...), the ADC
-        shortlist is this many × k before exact re-rank."""
+        shortlist is this many × k before exact re-rank. The default 16
+        absorbs ADC ties — with small codebooks, same-code rows tie
+        exactly, so a k-sized shortlist would be an arbitrary slice of
+        the tied band; 16k ids is still a trivial broadcast and holds
+        the recall contract (tests/test_ann_recall.py)."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
