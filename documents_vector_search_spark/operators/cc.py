@@ -53,6 +53,16 @@ def connected_components(
     do not reach the fixed point (diameter > max_rounds — for near-dup
     graphs that indicates pathological input, not a tuning problem).
     """
+    # Materialize the pair input ONCE before anything else touches it:
+    # pairs is typically an expensive plan (a full MinHash-LSH pipeline),
+    # and the symmetric union below reads it twice — two scan branches
+    # that a lazy .persist() would race to compute and ReusedExchange is
+    # not guaranteed to dedup. The eager localCheckpoint runs the pair
+    # plan exactly once; both union branches and every propagation round
+    # then read materialized rows. (A production cluster run would use a
+    # reliable checkpoint dir, same as the per-round labels below.)
+    pairs = pairs.select(src_col, dst_col).localCheckpoint()
+
     # symmetric edge list: propagation must flow both ways
     fwd = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
