@@ -513,6 +513,23 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("id")
 
 
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via the large-star/small-star algorithm (Kiveris
+    et al. — O(log^2 n) rounds, the long-chain-safe variant,
+    operators/cc.py). Shares dedup_cluster's recursive-CTE oracle: both
+    must produce the identical (id, min-of-component) map."""
+    from documents_vector_search_spark.operators.cc import (
+        connected_components_star,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    return connected_components_star(pairs).orderBy("id")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch of events.user_id (k=256): bounded
     Arrow-batched candidate pass + exact top-k merge (operators/
@@ -1788,6 +1805,9 @@ JOIN ({d["token_counts"]}) t ON t.doc_id = l.doc_id
 JOIN ({d["repetition"]}) r ON r.doc_id = l.doc_id
 JOIN ({d["fingerprint"]}) f ON f.doc_id = l.doc_id
 """
+    # the star-variant CC computes the SAME (id, min-of-component) map
+    # as label propagation — one oracle serves both implementations
+    d["dedup_cluster_star"] = d["dedup_cluster"]
     return d
 
 
@@ -1817,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_apply": q_dedup_apply,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_cluster_star": q_dedup_cluster_star,
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
         "dedup_simhash": q_dedup_simhash,

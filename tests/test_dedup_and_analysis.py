@@ -396,6 +396,62 @@ class TestConnectedComponents:
         assert {r.doc_id for r in kept} == {1, 4, 5}
 
 
+class TestConnectedComponentsStar:
+    """Large-star/small-star variant: same contract as label
+    propagation, O(log^2 n) rounds on long chains."""
+
+    def test_agrees_with_label_propagation_on_random_graph(self, spark):
+        import random
+
+        from documents_vector_search_spark.operators.cc import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(99)
+        edges = {
+            tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)
+        }
+        pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+        lp = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        star = {
+            r.id: r.cluster_id
+            for r in connected_components_star(pairs).collect()
+        }
+        assert star == lp
+
+    def test_long_chain_in_logarithmic_rounds(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            connected_components_star,
+        )
+
+        # diameter-120 path: label propagation would need ~120 rounds;
+        # the star algorithm must finish in ~log^2 — 12 rounds is ample
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], ["id_a", "id_b"]
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components_star(pairs, max_rounds=12).collect()
+        }
+        assert len(got) == 121 and set(got.values()) == {0}
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        from documents_vector_search_spark.operators.cc import (
+            connected_components_star,
+        )
+
+        pairs = spark.createDataFrame(
+            [(2, 1), (1, 2), (2, 3), (3, 2), (7, 7), (9, 8)],
+            ["id_a", "id_b"],
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
 class TestKmvSketch:
     def test_estimate_within_tolerance(self, spark):
         from documents_vector_search_spark.operators.sketches import kmv_distinct
