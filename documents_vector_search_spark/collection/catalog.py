@@ -28,6 +28,7 @@ def rollback_partial_swap(root: Path, table: str) -> None:
     update batch then converges. No-op without the marker."""
     from documents_vector_search_spark.collection.partitioning import (
         UPDATE_PB_COL,
+        pb_dirs,
     )
 
     old = root / f"{table}__old"
@@ -35,13 +36,10 @@ def rollback_partial_swap(root: Path, table: str) -> None:
     if not marker.exists():
         return
     final = root / table
-    pbs = json.loads(marker.read_text())["pbs"]
+    pbs = set(json.loads(marker.read_text())["pbs"])
     if final.exists():
-        for x in pbs:
-            for d in [
-                p for p in final.rglob(f"{UPDATE_PB_COL}={x}") if p.is_dir()
-            ]:
-                shutil.rmtree(d)
+        for d in pb_dirs(final, pbs):
+            shutil.rmtree(d)
     for d in sorted(
         (p for p in old.rglob(f"{UPDATE_PB_COL}=*") if p.is_dir()),
     ):

@@ -29,6 +29,8 @@ the partition-pruned disk analog.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,3 +44,20 @@ def pb_col(key: Column, n_buckets: int) -> Column:
     engines and sessions, unlike hash/xxhash64 whose seeds are
     Spark-internal)."""
     return (md5_hash64(key.cast("string")) % F.lit(n_buckets)).cast("int")
+
+
+def pb_dirs(root: Path, pbs: set[int]) -> list[Path]:
+    """All ``_pb=X`` directories under ``root`` whose X is in ``pbs`` —
+    ONE tree walk regardless of how many buckets are affected (a
+    per-bucket glob would rescan the layout tree O(buckets) times; at
+    production bucket counts that dominates the swap)."""
+    prefix = f"{UPDATE_PB_COL}="
+    out = []
+    for p in root.rglob(f"{prefix}*"):
+        if p.is_dir():
+            try:
+                if int(p.name[len(prefix):]) in pbs:
+                    out.append(p)
+            except ValueError:
+                continue
+    return out

@@ -54,6 +54,7 @@ from documents_vector_search_spark.collection.manifest import Manifest
 from documents_vector_search_spark.collection.partitioning import (
     UPDATE_PB_COL,
     pb_col,
+    pb_dirs,
 )
 from documents_vector_search_spark.operators.bm25 import (
     build_doc_stats,
@@ -138,14 +139,13 @@ def _swap_partitions(
         (old / "_PARTIAL.json").write_text(
             json.dumps({"pbs": affected_pbs[table]})
         )
-        for x in affected_pbs[table]:
-            pattern = f"{UPDATE_PB_COL}={x}"
-            for d in [p for p in live.rglob(pattern) if p.is_dir()]:
-                dest = old / d.relative_to(live)
-                dest.parent.mkdir(parents=True, exist_ok=True)
-                d.rename(dest)
-            for d in [p for p in tmp.rglob(pattern) if p.is_dir()]:
-                dest = live / d.relative_to(tmp)
+        # one tree walk per root (not per bucket): at production bucket
+        # counts a per-bucket rglob would rescan the whole layout tree
+        # O(buckets) times
+        wanted = set(affected_pbs[table])
+        for src_root, dst_root in ((live, old), (tmp, live)):
+            for d in pb_dirs(src_root, wanted):
+                dest = dst_root / d.relative_to(src_root)
                 dest.parent.mkdir(parents=True, exist_ok=True)
                 d.rename(dest)
 
