@@ -162,6 +162,24 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         except Exception as exc:  # noqa: BLE001 — harness must survive
             errors[qname] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # incremental update of a ~1% batch: the operation a production
+    # deployment runs continuously. Partition-scoped (_pb) rewrites make
+    # this O(batch + corpus/update_buckets); the timing should scale
+    # with the BATCH, not the corpus.
+    try:
+        from documents_vector_search_spark.collection import (
+            update_collection,
+        )
+
+        batch = docs.filter(F.crc32(F.col("id")) % 100 == 0).withColumn(
+            "text", F.concat(F.lit("UPDATED "), F.col("text"))
+        )
+        t0 = time.time()
+        update_collection(coll, batch)
+        timings["collection_update"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["collection_update"] = f"{type(exc).__name__}: {exc}"[:500]
+
 
 if __name__ == "__main__":
     main()

@@ -123,12 +123,21 @@ def _swap_partitions(
     An affected bucket whose rows were ALL deleted has no staged dir;
     parking alone removes it, which is exactly the merge semantics.
     """
-    # phase A: stage everything before touching any live directory
-    for table, df in merged.items():
+    # phase A: stage everything before touching any live directory.
+    # The five table writes are independent batch-sized jobs — run them
+    # as concurrent driver-thread actions (same fan-out pattern as the
+    # creator) so job-scheduling overhead overlaps instead of summing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage(item) -> None:
+        table, df = item
         writer = df.write.mode("overwrite")
         if partition_cols[table]:
             writer = writer.partitionBy(*partition_cols[table])
         writer.parquet(str(Path(collection.table_path(f"{table}__tmp"))))
+
+    with ThreadPoolExecutor(max_workers=len(merged)) as pool:
+        list(pool.map(_stage, merged.items()))
 
     # phase B: park displaced partitions, move staged ones in
     for table in merged:
@@ -211,16 +220,23 @@ def update_collection(
     # pb(document id), so every read below prunes to the changed docs'
     # buckets — O(corpus/update_buckets) per touched table, not
     # O(corpus). The bucket list is tiny (≤ update_buckets ints).
+    # ONE batch-sized job yields the bucket set AND the manifest's
+    # batch stats (count, watermark) — driver-action count, not data,
+    # dominates a small update, so scalar probes are fused throughout.
     doc_pbs: list[int] = []
+    n_batch = 0
+    batch_watermark = None
     if update_buckets:
-        doc_pbs = sorted(
-            r[0]
-            for r in changed_ids.select(
-                pb_col(F.col("id"), update_buckets).alias("pb")
-            )
-            .distinct()
-            .collect()
-        )
+        batch_row = changed_docs.agg(
+            F.collect_set(
+                pb_col(F.col("id"), update_buckets)
+            ).alias("pbs"),
+            F.count("*").alias("n"),
+            F.max("last_modified_at").alias("wm"),
+        ).first()
+        doc_pbs = sorted(batch_row["pbs"])
+        n_batch = int(batch_row["n"])
+        batch_watermark = batch_row["wm"]
 
     def _pruned(table: str, pbs: list[int]) -> DataFrame:
         df = collection.read(table)
@@ -244,10 +260,18 @@ def update_collection(
     merged_docs = docs.join(changed_ids, "id", "left_anti").unionByName(fresh_docs)
 
     # --- stale chunk ids (for index deletes, U3) ---------------------------
+    # localCheckpoint: this tiny id list feeds SIX downstream plans
+    # (four anti-joins, the bucket-set collect, the stale-stats
+    # semi-join) — materialized once, every consumer broadcasts rows
+    # instead of re-running the pruned read + semi-join.
     chunks = _pruned("chunks", doc_pbs)
-    stale_chunks = chunks.join(
-        changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
-    ).select("chunk_id")
+    stale_chunks = (
+        chunks.join(
+            changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
+        )
+        .select("chunk_id")
+        .localCheckpoint()
+    )
 
     # --- fresh chunks: ids per the collection's recorded strategy ---------
     # hash (default): deterministic on (document_id, chunk_number) — a
@@ -274,27 +298,49 @@ def update_collection(
         fresh_chunks = fresh_chunks.withColumn(
             UPDATE_PB_COL, pb_col(F.col("document_id"), update_buckets)
         )
+    # Materialize the freshly built chunks ONCE: every index table, the
+    # bucket-set collect, and the incremental stats all read this frame
+    # — without the checkpoint each of those ~8 driver actions re-runs
+    # the chunking lineage, and job-count overhead (not data) dominates
+    # the update. Batch-sized, so the materialization is trivially small.
+    fresh_chunks = fresh_chunks.localCheckpoint()
 
     merged_chunks = (
         chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
     )
 
     # --- chunk-keyed index tables: bucket set = stale ∪ fresh chunk ids ---
+    # Fused with the incremental manifest stats: one job over the stale
+    # chunks and one over the (checkpointed) fresh chunks return both
+    # the bucket sets and the count/length/watermark scalars.
     chunk_pbs: list[int] = []
+    stale_stats = fresh_stats = None
     if update_buckets:
-        chunk_pbs = sorted(
-            r[0]
-            for r in stale_chunks.select(
-                pb_col(F.col("chunk_id"), update_buckets).alias("pb")
+        from documents_vector_search_spark.functions.text import tokenize
+
+        stale_stats = (
+            chunks.join(stale_chunks, "chunk_id", "left_semi")
+            .agg(
+                F.collect_set(
+                    pb_col(F.col("chunk_id"), update_buckets)
+                ).alias("pbs"),
+                F.count("*").alias("n"),
+                F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
             )
-            .unionByName(
-                fresh_chunks.select(
-                    pb_col(F.col("chunk_id"), update_buckets).alias("pb")
-                )
-            )
-            .distinct()
-            .collect()
+            .first()
         )
+        # NB: the bucket set here is pb(chunk_id) — the chunk-keyed
+        # index tables' partition key — NOT fresh_chunks' own _pb
+        # column, which is pb(document_id) for the chunks table layout
+        fresh_stats = fresh_chunks.agg(
+            F.collect_set(
+                pb_col(F.col("chunk_id"), update_buckets)
+            ).alias("pbs"),
+            F.count("*").alias("n"),
+            F.max("chunk_id").alias("last"),
+            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
+        ).first()
+        chunk_pbs = sorted(set(stale_stats["pbs"]) | set(fresh_stats["pbs"]))
 
     fresh_embeddings = fresh_chunks.select(
         "chunk_id",
@@ -411,25 +457,9 @@ def update_collection(
 
     if update_buckets:
         # --- incremental manifest stats (O(batch), before the swap) -------
-        # one small job each over pruned/fresh data; metadata-only counts
-        # would also work but these keep the exact same numbers the full
-        # recompute would produce.
-        from documents_vector_search_spark.functions.text import tokenize
-
+        # batch/stale/fresh scalars were fused into the bucket-set jobs
+        # above; only the replaced-doc count needs its own (pruned) job.
         n_replaced = docs.join(changed_ids, "id", "left_semi").count()
-        n_batch = changed_docs.count()
-        stale_stats = chunks.join(
-            stale_chunks, "chunk_id", "left_semi"
-        ).agg(
-            F.count("*").alias("n"),
-            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
-        ).first()
-        fresh_stats = fresh_chunks.agg(
-            F.count("*").alias("n"),
-            F.max("chunk_id").alias("last"),
-            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
-        ).first()
-        batch_watermark = changed_docs.agg(F.max("last_modified_at")).first()[0]
 
         _swap_partitions(
             collection,

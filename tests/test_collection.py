@@ -660,8 +660,40 @@ class TestPartitionScopedUpdate:
         assert (
             chunks.groupBy("chunk_id").count().filter("count > 1").count() == 0
         )
+        # index tables stay chunk-complete: a fresh chunk whose bucket
+        # was missing from the swap's affected set would silently
+        # disappear from embeddings/doc_stats (the data-loss mode)
+        chunk_ids = {r[0] for r in chunks.select("chunk_id").collect()}
+        for table in ("embeddings", "doc_stats"):
+            got = {
+                r[0] for r in coll.read(table).select("chunk_id").collect()
+            }
+            assert got == chunk_ids, f"{table} out of sync with chunks"
         s = CollectionSearcher(coll)
         assert len(s.search("UPDATED", max_documents=3).collect()) >= 0
+
+    def test_pruned_read_is_partition_pruning(
+        self, spark, canonical_docs, tmp_path
+    ):
+        """The updater's bucket-filtered reads must resolve to Parquet
+        PARTITION pruning (directory skip), not a row filter over a
+        full scan — that's the entire O(changed) claim on the read
+        side. The file-inventory test above proves the WRITE side."""
+        from documents_vector_search_spark.collection.partitioning import (
+            UPDATE_PB_COL,
+        )
+
+        coll = Collection(spark, str(tmp_path), "pruned")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40
+        )
+        df = coll.read("documents").filter(
+            F.col(UPDATE_PB_COL).isin([0, 3])
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert UPDATE_PB_COL in pf and "IN" in pf.upper()
 
     def test_partial_swap_rolls_back_on_read(
         self, spark, canonical_docs, tmp_path
