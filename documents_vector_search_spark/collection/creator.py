@@ -196,9 +196,11 @@ def create_collection(
     emb_df = chunks.select(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
-        # chunk-keyed tables derive their update bucket from their own
-        # key — map-only, no join back to chunks (partitioning.py)
-        pb_col(F.col("chunk_id"), update_buckets).alias(UPDATE_PB_COL),
+        # every table buckets by the OWNING DOCUMENT's id (ridden from
+        # the chunks table — map-only, no join): an update batch of N
+        # docs then touches ≤N buckets in EVERY table, instead of the
+        # batch's chunk ids spraying across all buckets (partitioning.py)
+        F.col(UPDATE_PB_COL),
     )
 
     def _write_embeddings() -> list[list[float]] | None:
@@ -283,15 +285,10 @@ def create_collection(
         # lookup becomes Parquet partition pruning (operators/bm25.py).
         # The repartition keys the write so each bucket lands in few
         # files instead of (tasks × buckets) shards.
-        postings_df = (
-            build_postings(
-                chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True
-            )
-            .withColumn("term_bucket", term_bucket(F.col("term")))
-            .withColumn(
-                UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
-            )
-        )
+        postings_df = build_postings(
+            chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True,
+            carry_cols=[UPDATE_PB_COL],  # owning doc's bucket, see emb_df
+        ).withColumn("term_bucket", term_bucket(F.col("term")))
         collection.write(
             "postings",
             postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
@@ -302,9 +299,8 @@ def create_collection(
         collection.write(
             "doc_stats",
             build_doc_stats(
-                chunks, id_col="chunk_id", text_col="indexed_data"
-            ).withColumn(
-                UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
+                chunks, id_col="chunk_id", text_col="indexed_data",
+                carry_cols=[UPDATE_PB_COL],  # owning doc's bucket
             ),
             partition_by=[UPDATE_PB_COL],
         )

@@ -2,13 +2,16 @@
 updates O(changed), not O(corpus).
 
 Every collection table carries a ``_pb`` (partition bucket) directory
-column — a stable md5-derived bucket of the table's DELETE KEY
-(document id for documents/chunks, chunk id for the chunk-keyed index
-tables). An update batch touches only the partitions whose bucket
-values appear among its changed keys: the updater reads those
-partitions (Parquet partition pruning), merges, and swaps just those
-directories. Unaffected partitions — files, mtimes, everything — are
-never rewritten.
+column — a stable md5-derived bucket of the OWNING DOCUMENT's id, for
+all five tables. Chunk-keyed rows (chunks, embeddings, postings,
+doc_stats) inherit the bucket from their parent document rather than
+hashing their own chunk id: every row an update deletes belongs to a
+changed document, so bucketing by owner keeps delete locality AND
+bounds the affected set at ≤ batch-doc-count buckets across ALL tables
+— a batch's chunk ids would otherwise spray over every bucket. The
+updater reads only those partitions (Parquet partition pruning),
+merges, and swaps just those directories. Unaffected partitions —
+files, mtimes, everything — are never rewritten.
 
 Layout tables keep their query-pruning column as a SIBLING partition
 level (``cluster_id=*/_pb=N``, ``term_bucket=*/_pb=N``, ``bucket=*/

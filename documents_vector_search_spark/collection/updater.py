@@ -12,12 +12,13 @@ Two write strategies, chosen by the collection's manifest:
 
 * **Partition-scoped** (collections created with ``update_buckets``,
   the default since round 4): every table is partitioned by a stable
-  ``_pb`` bucket of its delete key (collection/partitioning.py). The
-  update reads ONLY the partitions whose buckets appear among the
-  changed keys (Parquet partition pruning), merges them with the fresh
-  rows, writes them to a ``__tmp`` staging dir, and swaps just those
-  partition directories. Cost: O(batch + corpus/update_buckets), not
-  O(corpus). Manifest stats update incrementally from the batch.
+  ``_pb`` bucket of its OWNING DOCUMENT's id
+  (collection/partitioning.py) — one shared affected set, at most
+  batch-doc-count buckets. The update reads ONLY those partitions
+  (Parquet partition pruning), merges them with the fresh rows, writes
+  them to a ``__tmp`` staging dir, and swaps just those partition
+  directories. Cost: O(batch + batch_docs × corpus/update_buckets),
+  not O(corpus). Manifest stats update incrementally from the batch.
 
 * **Legacy full rewrite** (manifests without ``updateBuckets``):
   anti-join each whole table, rewrite everything, swap directories.
@@ -309,11 +310,10 @@ def update_collection(
         chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
     )
 
-    # --- chunk-keyed index tables: bucket set = stale ∪ fresh chunk ids ---
-    # Fused with the incremental manifest stats: one job over the stale
-    # chunks and one over the (checkpointed) fresh chunks return both
-    # the bucket sets and the count/length/watermark scalars.
-    chunk_pbs: list[int] = []
+    # --- incremental manifest stats (O(batch)), fused into two jobs ---
+    # EVERY table buckets by the owning document's id (partitioning.py),
+    # so the batch's doc_pbs IS the affected set for all five tables —
+    # no per-table bucket collection needed.
     stale_stats = fresh_stats = None
     if update_buckets:
         from documents_vector_search_spark.functions.text import tokenize
@@ -321,30 +321,22 @@ def update_collection(
         stale_stats = (
             chunks.join(stale_chunks, "chunk_id", "left_semi")
             .agg(
-                F.collect_set(
-                    pb_col(F.col("chunk_id"), update_buckets)
-                ).alias("pbs"),
                 F.count("*").alias("n"),
                 F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
             )
             .first()
         )
-        # NB: the bucket set here is pb(chunk_id) — the chunk-keyed
-        # index tables' partition key — NOT fresh_chunks' own _pb
-        # column, which is pb(document_id) for the chunks table layout
         fresh_stats = fresh_chunks.agg(
-            F.collect_set(
-                pb_col(F.col("chunk_id"), update_buckets)
-            ).alias("pbs"),
             F.count("*").alias("n"),
             F.max("chunk_id").alias("last"),
             F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
         ).first()
-        chunk_pbs = sorted(set(stale_stats["pbs"]) | set(fresh_stats["pbs"]))
 
     fresh_embeddings = fresh_chunks.select(
         "chunk_id",
         embed(F.col("indexed_data")).cast("array<float>").alias("vector"),
+        # owning doc's bucket, ridden from fresh_chunks (partitioning.py)
+        *([F.col(UPDATE_PB_COL)] if update_buckets else []),
     )
     # ANN layout (create_collection(ann_planes=...)): fresh vectors get
     # their LSH bucket so the rewrite keeps the partitioned layout
@@ -391,22 +383,20 @@ def update_collection(
                     ivf_cfg["pq"]["codebooks"],
                 ),
             )
-    if update_buckets:
-        fresh_embeddings = fresh_embeddings.withColumn(
-            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
-        )
     merged_embeddings = (
-        _pruned("embeddings", chunk_pbs)
+        _pruned("embeddings", doc_pbs)
         .join(stale_chunks, "chunk_id", "left_anti")
         .unionByName(fresh_embeddings)
     )
 
-    old_postings = _pruned("postings", chunk_pbs)
+    carry = [UPDATE_PB_COL] if update_buckets else []
+    old_postings = _pruned("postings", doc_pbs)
     fresh_postings = build_postings(
         fresh_chunks,
         id_col="chunk_id",
         text_col="indexed_data",
         with_dl="dl" in old_postings.columns,
+        carry_cols=carry,
     )
     postings_bucketed = "term_bucket" in old_postings.columns
     if postings_bucketed:
@@ -415,10 +405,6 @@ def update_collection(
         fresh_postings = fresh_postings.withColumn(
             "term_bucket", term_bucket(F.col("term"))
         )
-    if update_buckets:
-        fresh_postings = fresh_postings.withColumn(
-            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
-        )
     merged_postings = (
         old_postings
         .join(stale_chunks, "chunk_id", "left_anti")
@@ -426,14 +412,11 @@ def update_collection(
     )
 
     fresh_doc_stats = build_doc_stats(
-        fresh_chunks, id_col="chunk_id", text_col="indexed_data"
+        fresh_chunks, id_col="chunk_id", text_col="indexed_data",
+        carry_cols=carry,
     )
-    if update_buckets:
-        fresh_doc_stats = fresh_doc_stats.withColumn(
-            UPDATE_PB_COL, pb_col(F.col("chunk_id"), update_buckets)
-        )
     merged_doc_stats = (
-        _pruned("doc_stats", chunk_pbs)
+        _pruned("doc_stats", doc_pbs)
         .join(stale_chunks, "chunk_id", "left_anti")
         .unionByName(fresh_doc_stats)
     )
@@ -456,24 +439,18 @@ def update_collection(
     }
 
     if update_buckets:
-        # --- incremental manifest stats (O(batch), before the swap) -------
-        # batch/stale/fresh scalars were fused into the bucket-set jobs
-        # above; only the replaced-doc count needs its own (pruned) job.
+        # only the replaced-doc count still needs its own (pruned) job;
+        # the rest of the manifest stats were fused earlier
         n_replaced = docs.join(changed_ids, "id", "left_semi").count()
 
+        # every table buckets by owning-document id → ONE affected set
         _swap_partitions(
             collection,
             merged,
             partition_cols={
                 t: cols + [UPDATE_PB_COL] for t, cols in layout_cols.items()
             },
-            affected_pbs={
-                "documents": doc_pbs,
-                "chunks": doc_pbs,
-                "embeddings": chunk_pbs,
-                "postings": chunk_pbs,
-                "doc_stats": chunk_pbs,
-            },
+            affected_pbs={t: doc_pbs for t in merged},
         )
 
         old_n_chunks = manifest.numberOfChunks

@@ -63,22 +63,31 @@ def build_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_dl: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """``(id, term, tf)`` postings from a document/chunk table (E4).
 
     ``with_dl`` denormalizes the document length into every posting row
     (``dl`` = sum of the doc's tfs — identical to build_doc_stats) —
     the classic IR index layout that lets scoring run without a
-    doc-stats join."""
+    doc-stats join. ``carry_cols`` ride through unchanged (they must be
+    functionally dependent on ``id_col``, e.g. a partition-bucket
+    column — added to the groupBy key, which costs nothing since the
+    hash partitioning on (id, term) already co-locates them)."""
     from pyspark.sql import Window
 
+    carry = list(carry_cols or [])
     tokens = docs.select(
         # explode_outer + IsNotNull: plain explode triggers
         # InferFiltersFromGenerate, which re-evaluates the tokenize
         # tree twice more per row (size>0 + isnotnull pre-filters)
-        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("term")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode_outer(tokenize(text_col)).alias("term"),
     ).filter(F.col("term").isNotNull())
-    postings = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    postings = tokens.groupBy(id_col, *carry, "term").agg(
+        F.count("*").alias("tf")
+    )
     if with_dl:
         postings = postings.withColumn(
             "dl", F.sum("tf").over(Window.partitionBy(id_col))
@@ -87,11 +96,16 @@ def build_postings(
 
 
 def build_doc_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``(id, dl)`` token counts per document."""
+    """``(id, dl)`` token counts per document (+ ``carry_cols``)."""
     return docs.select(
-        F.col(id_col), F.size(tokenize(text_col)).alias("dl")
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        F.size(tokenize(text_col)).alias("dl"),
     )
 
 

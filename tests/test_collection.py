@@ -607,13 +607,6 @@ class TestPartitionScopedUpdate:
         assert ub == 8
 
         target_id = canonical_docs.select("id").first()[0]
-        stale_chunk_ids = [
-            r[0]
-            for r in coll.read("chunks")
-            .filter(F.col("document_id") == target_id)
-            .select("chunk_id")
-            .collect()
-        ]
         before = self._inventory(coll.root)
 
         one = canonical_docs.filter(F.col("id") == target_id).withColumn(
@@ -621,19 +614,9 @@ class TestPartitionScopedUpdate:
         )
         update_collection(coll, one)
 
-        fresh_chunk_ids = [
-            r[0]
-            for r in coll.read("chunks")
-            .filter(F.col("document_id") == target_id)
-            .select("chunk_id")
-            .collect()
-        ]
-        doc_pbs = {md5_hash64_py(target_id) % ub}
-        chunk_pbs = {
-            md5_hash64_py(str(c)) % ub
-            for c in set(stale_chunk_ids) | set(fresh_chunk_ids)
-        }
-        affected = doc_pbs | chunk_pbs
+        # every table buckets by the OWNING document id, so a one-doc
+        # update may touch exactly ONE bucket per table
+        affected = {md5_hash64_py(target_id) % ub}
 
         after = self._inventory(coll.root)
         touched = (
