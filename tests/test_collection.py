@@ -224,6 +224,37 @@ class TestUpdate:
             key = ["chunk_id", "term"] if t == "postings" else ["chunk_id"]
             assert df.count() == df.select(*key).distinct().count(), t
 
+    def test_insert_only_batch_appends_new_docs(
+        self, spark, canonical_docs, tmp_path
+    ):
+        # a batch of NEVER-SEEN doc ids must append (nothing to delete),
+        # including creating _pb partition dirs that did not exist yet —
+        # the small seed corpus leaves some of the 8 buckets empty
+        coll = Collection(spark, str(tmp_path), "ins")
+        seed = canonical_docs.limit(3)
+        create_collection(coll, seed, chunk_size=200, chunk_overlap=40)
+        n0 = coll.read("documents").count()
+
+        fresh = canonical_docs.limit(20).withColumn(
+            "id", F.concat(F.lit("brandnew-"), F.col("id"))
+        ).withColumn(
+            "text", F.concat(F.lit("entirely novel quasar corpus. "), F.col("text"))
+        )
+        n_new = fresh.count()
+        m = update_collection(coll, fresh)
+
+        assert coll.read("documents").count() == n0 + n_new
+        assert m.numberOfDocuments == n0 + n_new
+        # appended docs fully indexed and searchable
+        chunk_ids = {r[0] for r in coll.read("chunks").select("chunk_id").collect()}
+        emb_ids = {
+            r[0] for r in coll.read("embeddings").select("chunk_id").collect()
+        }
+        assert emb_ids == chunk_ids
+        s = CollectionSearcher(coll)
+        got = s.search("novel quasar", indexes=("bm25",)).collect()
+        assert got and all(r.document_id.startswith("brandnew-") for r in got)
+
     def test_unchanged_resend_is_idempotent(self, spark, canonical_docs, tmp_path):
         coll = Collection(spark, str(tmp_path), "idem")
         create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
