@@ -37,6 +37,16 @@ def _collection(args):
     return Collection(spark, args.base_path, args.collection)
 
 
+def _record_reader(coll, manifest, reader: dict):
+    """Persist the source config so `dvss update <collection>` can
+    re-scan without re-specifying it — the reference's update adapter
+    reconstructs its reader from the manifest the same way
+    (collection_update_cmd_adapter.py + update_collection_factory.py:36)."""
+    manifest.reader = reader
+    coll.save_manifest(manifest)
+    return manifest
+
+
 def cmd_create_files(args) -> int:
     from documents_vector_search_spark.collection import create_collection
     from documents_vector_search_spark.sources.files import read_files_documents
@@ -51,6 +61,11 @@ def cmd_create_files(args) -> int:
     manifest = create_collection(
         coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
     )
+    manifest = _record_reader(
+        coll, manifest,
+        {"name": "files", "path": args.path, "include": args.include,
+         "exclude": args.exclude},
+    )
     print(_format(manifest.__dict__, args.format))
     return 0
 
@@ -63,6 +78,10 @@ def cmd_create_jira(args) -> int:
     docs = read_jira_documents(coll.spark, args.url, args.query, token=args.token)
     manifest = create_collection(
         coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
+    )
+    # token is NOT persisted — it comes from the environment/flag per run
+    manifest = _record_reader(
+        coll, manifest, {"name": "jira", "url": args.url, "query": args.query}
     )
     print(_format(manifest.__dict__, args.format))
     return 0
@@ -81,6 +100,46 @@ def cmd_create_confluence(args) -> int:
     manifest = create_collection(
         coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
     )
+    manifest = _record_reader(
+        coll, manifest,
+        {"name": "confluence", "url": args.url, "query": args.query},
+    )
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
+def cmd_update(args) -> int:
+    """Manifest-driven incremental update (reference parity:
+    collection_update_cmd_adapter.py takes only the collection name and
+    reconstructs the source from the manifest)."""
+    from documents_vector_search_spark.streaming.incremental import (
+        incremental_confluence_update,
+        incremental_files_update,
+        incremental_jira_update,
+    )
+
+    coll = _collection(args)
+    reader = coll.manifest().reader
+    name = reader.get("name")
+    if name == "files":
+        manifest = incremental_files_update(
+            coll, reader["path"],
+            include_pattern=reader.get("include"),
+            exclude_pattern=reader.get("exclude"),
+        )
+    elif name == "jira":
+        manifest = incremental_jira_update(
+            coll, reader["url"], reader.get("query", ""), token=args.token
+        )
+    elif name == "confluence":
+        manifest = incremental_confluence_update(
+            coll, reader["url"], reader.get("query", ""), token=args.token
+        )
+    else:
+        raise SystemExit(
+            f"collection has no updatable reader config (reader={reader!r}); "
+            "use update-files, or recreate via the CLI to record one"
+        )
     print(_format(manifest.__dict__, args.format))
     return 0
 
@@ -210,6 +269,13 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--path", required=True)
     sp.set_defaults(func=cmd_update_files)
+
+    # reference-parity generic update: source config comes from the
+    # manifest recorded at create time (collection_update_cmd_adapter.py)
+    sp = sub.add_parser("update")
+    common(sp)
+    sp.add_argument("--token", default=None)
+    sp.set_defaults(func=cmd_update)
 
     sp = sub.add_parser("curate")
     common(sp)

@@ -81,6 +81,52 @@ def incremental_files_update(
     return update_collection(collection, changed)
 
 
+def incremental_jira_update(
+    collection: Collection,
+    base_url: str,
+    jql: str,
+    transport=None,
+    token: str | None = None,
+) -> Manifest:
+    """One-shot incremental update from Jira (U1): rewrite the original
+    JQL with the watermark predicate, scan, merge."""
+    from documents_vector_search_spark.sources.jira import read_jira_documents
+
+    manifest = collection.manifest()
+    start = watermark_start_time(manifest)
+    query = watermark_jql(jql, start) if start else jql
+    changed = read_jira_documents(
+        collection.spark, base_url, query, transport=transport, token=token
+    )
+    if changed.isEmpty():
+        return manifest
+    return update_collection(collection, changed)
+
+
+def incremental_confluence_update(
+    collection: Collection,
+    base_url: str,
+    cql: str = "",
+    transport=None,
+    token: str | None = None,
+) -> Manifest:
+    """One-shot incremental update from Confluence (U1): watermark CQL
+    rewrite, scan, merge."""
+    from documents_vector_search_spark.sources.confluence import (
+        read_confluence_documents,
+    )
+
+    manifest = collection.manifest()
+    start = watermark_start_time(manifest)
+    query = watermark_cql(cql, start) if start else cql
+    changed = read_confluence_documents(
+        collection.spark, base_url, query, transport=transport, token=token
+    )
+    if changed.isEmpty():
+        return manifest
+    return update_collection(collection, changed)
+
+
 def run_streaming_update(
     collection: Collection,
     drop_dir: str,

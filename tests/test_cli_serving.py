@@ -147,6 +147,51 @@ class TestCLI:
         assert out["numberOfDocuments"] == 4
 
 
+    def test_manifest_driven_update(self, base_path, corpus_dir, capsys):
+        """`dvss update <collection>` with NO source args: the reader
+        config recorded at create time drives the re-scan (reference
+        collection_update_cmd_adapter.py parity)."""
+        import json as _json
+        import pathlib
+        import time
+
+        mpath = (
+            pathlib.Path(base_path) / "cli_test" / "manifest.json"
+        )
+        reader = _json.loads(mpath.read_text())["reader"]
+        assert reader["name"] == "files" and reader["path"] == str(corpus_dir)
+
+        time.sleep(1.1)
+        (corpus_dir / "eng" / "codegen.txt").write_text(
+            "whole stage codegen fuses operators into one function"
+        )
+        rc = cli.main(
+            ["update", "cli_test", "--base-path", base_path, "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["numberOfDocuments"] >= 4
+
+    def test_update_without_reader_config_errors(
+        self, base_path, capsys, tmp_path
+    ):
+        import json as _json
+        import pathlib
+        import shutil
+
+        src = pathlib.Path(base_path) / "cli_test"
+        dst = pathlib.Path(base_path) / "no_reader"
+        if not dst.exists():
+            shutil.copytree(src, dst)
+        mpath = dst / "manifest.json"
+        data = _json.loads(mpath.read_text())
+        data["reader"] = {}
+        data["collectionName"] = "no_reader"
+        mpath.write_text(_json.dumps(data))
+        with pytest.raises(SystemExit, match="no updatable reader"):
+            cli.main(["update", "no_reader", "--base-path", base_path])
+
+
 class TestServing:
     def test_registry_discovery_and_search(self, spark, base_path):
         reg = CollectionRegistry(spark, base_path)
