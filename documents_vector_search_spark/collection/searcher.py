@@ -28,7 +28,6 @@ from documents_vector_search_spark.operators.bm25 import bm25_topk
 from documents_vector_search_spark.operators.embedding import hash_embedding_py
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
 from documents_vector_search_spark.operators.knn import knn_l2
-from documents_vector_search_spark.operators.rrf import rrf_fuse
 from documents_vector_search_spark.plans.filter_compiler import compile_filter
 
 DEFAULT_INDEXES = ("vector", "bm25")
@@ -165,9 +164,15 @@ class CollectionSearcher:
                 self._ivf_cfg = None
         return self._ivf_cfg  # type: ignore[return-value]
 
-    def _vector_hits(
+    def _vector_scored(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
+        """Top-k vector candidates as ``(chunk_id, score)`` — unranked.
+
+        Scores follow the higher-is-better convention (negated L2), so
+        every index branch ranks by the same ``score DESC, chunk_id ASC``
+        order and the hybrid path can rank all branches in one window
+        pass (see search_chunks)."""
         emb = self._read("embeddings")
         qv = hash_embedding_py(text, self.embedding_dim)
         cfg = self._ann_config()
@@ -222,12 +227,25 @@ class CollectionSearcher:
             ).select("chunk_id")
             emb = emb.join(F.broadcast(shortlist), "chunk_id", "left_semi")
         hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")
-        # L2 ascending → rank; keep a unified (chunk_id, rank, score) shape
-        w = Window.orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
+        # negate L2 so "higher is better" like every other branch; rank
+        # by score DESC == distance ASC, ties by chunk_id
         return hits.select(
-            "chunk_id",
-            (F.row_number().over(w) - 1).alias("rank"),
-            (-F.col("distance")).alias("score"),  # higher-is-better convention
+            "chunk_id", (-F.col("distance")).alias("score")
+        )
+
+    def _vector_hits(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        """Ranked ``(chunk_id, rank, score)`` — the single-index shape."""
+        return self._ranked(self._vector_scored(text, k, allowed))
+
+    @staticmethod
+    def _ranked(scored: DataFrame) -> DataFrame:
+        """Attach a 0-based rank over ≤ k rows (window input is already
+        top-k, so the single-partition sort is bounded by k)."""
+        w = Window.orderBy(F.col("score").desc(), F.col("chunk_id").asc())
+        return scored.select(
+            "chunk_id", (F.row_number().over(w) - 1).alias("rank"), "score"
         )
 
     def _bm25_corpus_stats(self) -> tuple[int, float]:
@@ -253,7 +271,10 @@ class CollectionSearcher:
             self._corpus_stats = (int(row["n"]), float(row["avgdl"] or 0.0))
         return self._corpus_stats
 
-    def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
+    def _bm25_scored(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        """Top-k BM25 candidates as ``(chunk_id, score)`` — unranked."""
         # corpus stats stay WHOLE-INDEX; `allowed` restricts only the
         # scored candidates — the reference's FTS5 bm25() semantics
         # (filter narrows rows, statistics come from the full index)
@@ -271,10 +292,11 @@ class CollectionSearcher:
             candidates=allowed,
             corpus_stats=self._bm25_corpus_stats(),
         )
-        w = Window.orderBy(F.col("score").desc(), F.col("chunk_id").asc())
-        return hits.select(
-            "chunk_id", (F.row_number().over(w) - 1).alias("rank"), "score"
-        )
+        return hits.select("chunk_id", "score")
+
+    def _bm25_hits(self, text: str, k: int, allowed: DataFrame | None) -> DataFrame:
+        """Ranked ``(chunk_id, rank, score)`` — the single-index shape."""
+        return self._ranked(self._bm25_scored(text, k, allowed))
 
     # -- public ----------------------------------------------------------
     def search_chunks(
@@ -284,34 +306,55 @@ class CollectionSearcher:
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
     ) -> DataFrame:
-        """Fused chunk ranking: (chunk_id, rank, score)."""
+        """Fused chunk ranking: (chunk_id, rank, score).
+
+        Hybrid path: every branch emits the same ``(chunk_id, score)``
+        higher-is-better shape, so per-branch ranks come from ONE window
+        partitioned by branch tag over the unioned top-k lists (one
+        exchange of ≤ n_branches·k rows) instead of one global-sort
+        window per branch. RRF contributions then fuse in the same plan
+        — semantics identical to operators/rrf.py::rrf_fuse (score
+        rounded to 6 before the descending order, ties by id ascending),
+        which remains the standalone operator for external lists."""
         unknown = set(indexes) - {"vector", "bm25"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
         allowed = self._allowed_chunks(metadata_filter)
-        lists = []
+        scored = []
         if "vector" in indexes:
-            lists.append(self._vector_hits(text, max_chunks, allowed))
+            scored.append(
+                self._vector_scored(text, max_chunks, allowed)
+                .withColumn("_src", F.lit("v"))
+            )
         if "bm25" in indexes:
-            lists.append(self._bm25_hits(text, max_chunks, allowed))
+            scored.append(
+                self._bm25_scored(text, max_chunks, allowed)
+                .withColumn("_src", F.lit("b"))
+            )
 
-        if len(lists) == 1:
+        if len(scored) == 1:
             # single index: skip RRF, keep native scores (reference
             # documents_collection_searcher.py:31-34)
-            fused = lists[0].limit(max_chunks)
+            fused = self._ranked(scored[0].drop("_src")).limit(max_chunks)
         else:
-            fused_scores = rrf_fuse(
-                [df.select("chunk_id", "rank") for df in lists],
-                k=max_chunks,
-                rrf_k=self.rrf_k,
-                id_col="chunk_id",
+            unioned = scored[0]
+            for df in scored[1:]:
+                unioned = unioned.unionByName(df)
+            w = Window.partitionBy("_src").orderBy(
+                F.col("score").desc(), F.col("chunk_id").asc()
             )
-            w = Window.orderBy(F.col("rrf_score").desc(), F.col("chunk_id").asc())
-            fused = fused_scores.select(
+            # row_number is 1-based, reference ranks are 0-based:
+            # contrib = 1 / (rrf_k + rank + 1) = 1 / (rrf_k + row_number)
+            contribs = unioned.select(
                 "chunk_id",
-                (F.row_number().over(w) - 1).alias("rank"),
-                F.col("rrf_score").alias("score"),
+                (
+                    F.lit(1.0) / (F.lit(self.rrf_k) + F.row_number().over(w))
+                ).alias("_contrib"),
             )
+            fused_scores = contribs.groupBy("chunk_id").agg(
+                F.round(F.sum("_contrib"), 6).alias("score")
+            )
+            fused = self._ranked(fused_scores).limit(max_chunks)
         return fused
 
     def search(

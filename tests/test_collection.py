@@ -92,6 +92,28 @@ class TestSearch:
         plan = hits._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "term_bucket" in plan
 
+    def test_hybrid_fusion_matches_rrf_operator(self, collection):
+        """The searcher's single-window fused ranking must equal
+        operators/rrf.py::rrf_fuse over the two per-index ranked lists
+        — the fusion rewrite is a plan optimization, not a semantics
+        change."""
+        from documents_vector_search_spark.operators.rrf import rrf_fuse
+
+        s = CollectionSearcher(collection)
+        fused = s.search_chunks("hash join vector", max_chunks=15).collect()
+        vec = s._vector_hits("hash join vector", 15, None)
+        bm = s._bm25_hits("hash join vector", 15, None)
+        expected = rrf_fuse(
+            [vec.select("chunk_id", "rank"), bm.select("chunk_id", "rank")],
+            k=15,
+            rrf_k=s.rrf_k,
+            id_col="chunk_id",
+        ).collect()
+        assert [(r.chunk_id, r.score) for r in fused] == [
+            (r.chunk_id, r.rrf_score) for r in expected
+        ]
+        assert [r.rank for r in fused] == list(range(len(fused)))
+
     def test_single_index_skips_rrf(self, collection):
         s = CollectionSearcher(collection)
         vec_only = s.search_chunks("hash join", indexes=("vector",)).collect()
