@@ -124,6 +124,13 @@ IVF_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivf_centroids.parquet")
 PQ_CODEBOOKS_PATH = os.path.join(_ASSETS_DIR, "pq_codebooks.parquet")
 PQ_M = 4  # subspaces: dim 16 → four 4-wide subvectors, 16 codes each
 
+# composed IVFPQ query assets — separate files so ivfpq_search stays
+# independent of ivf_ann/pq_adc run order (identical fit params would
+# produce identical content, but queries must not couple)
+IVFPQ_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivfpq_centroids.parquet")
+IVFPQ_CODEBOOKS_PATH = os.path.join(_ASSETS_DIR, "ivfpq_codebooks.parquet")
+IVFPQ_SHORTLIST = 50  # ADC candidates kept for exact re-rank (5× k)
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -1070,6 +1077,94 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(encoded, codebooks, QUERY_VEC, 10)
 
 
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVFPQ search — the full FAISS IndexIVFPQ analog
+    (reference HNSW-backend capability,
+    main/indexes/indexers/chroma_indexer.py:147-157, re-expressed as
+    coarse quantizer + compressed fine quantizer): IVF prune to the
+    nprobe nearest clusters, ADC-rank the survivors' PQ codes, keep a
+    shortlist, exact-L2 re-rank the shortlist. Both fits persist
+    ROUNDED parameters to parquet, so prune, encode, ADC, AND re-rank
+    are all deterministic — the composed pipeline is a full 3-green
+    oracle row, not just a pytest plan assertion.
+
+    Scale: prune reads ~nprobe/nlist of the corpus (partition pruning
+    in the collection layout), ADC reads only (id, codes), and the
+    exact re-rank touches ≤ shortlist full vectors — the standard
+    memory/recall trade at 100 TB."""
+    from documents_vector_search_spark.functions.vectors import l2_distance
+    from documents_vector_search_spark.operators.ivf import (
+        assign_cluster_expr,
+        fit_ivf,
+        probe_clusters_fixed,
+        round_centroids,
+    )
+    from documents_vector_search_spark.operators.pq import (
+        fit_pq,
+        pq_adc_topk,
+        pq_encode_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = round_centroids(fit_ivf(emb, nlist=8).centroids)
+    codebooks = fit_pq(emb, dim=EMBED_DIM, m=PQ_M, ksub=16)
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    os.makedirs(_ASSETS_DIR, exist_ok=True)
+    pqt.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        ),
+        IVFPQ_CENTROIDS_PATH,
+    )
+    flat = [
+        (j, c, cent)
+        for j, cb in enumerate(codebooks)
+        for c, cent in enumerate(cb)
+    ]
+    pqt.write_table(
+        pa.table(
+            {
+                "subspace": pa.array([f[0] for f in flat], pa.int32()),
+                "code": pa.array([f[1] for f in flat], pa.int32()),
+                "centroid": pa.array([f[2] for f in flat], pa.list_(pa.float64())),
+            }
+        ),
+        IVFPQ_CODEBOOKS_PATH,
+    )
+
+    probes = probe_clusters_fixed(cents, QUERY_VEC, nprobe=2)
+    vec = F.col("embedding").cast("array<double>")
+    pruned = (
+        emb.withColumn("_cluster", assign_cluster_expr(vec, cents))
+        .filter(F.col("_cluster").isin(probes))
+        .select("vec_id", vec.alias("_v"))
+    )
+    encoded = pruned.select(
+        "vec_id", pq_encode_expr(F.col("_v"), codebooks).alias("codes")
+    )
+    shortlist = pq_adc_topk(
+        encoded, codebooks, QUERY_VEC, IVFPQ_SHORTLIST
+    ).select("vec_id")
+    qv = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    return (
+        pruned.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .select(
+            "vec_id",
+            F.round(l2_distance(F.col("_v"), qv), 6).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -1118,6 +1213,79 @@ tot AS (
 )
 SELECT vec_id, round(sqrt(total), 6) AS adc_distance
 FROM tot ORDER BY adc_distance, vec_id LIMIT 10
+"""
+
+
+def _ivfpq_oracle() -> str:
+    """DuckDB twin of q_ivfpq_search: IVF assign/probe-prune (rounded
+    centroid distances, ties on lower cluster id), PQ encode + ADC over
+    the pruned rows (fixed subspace-order sum mirroring Spark's
+    left-to-right addition), shortlist by (adc, vec_id), exact-L2
+    re-rank of the shortlist."""
+    dsub = EMBED_DIM // PQ_M
+    q_subs = " ".join(
+        f"WHEN {j} THEN {_vec_sql(QUERY_VEC[j * dsub:(j + 1) * dsub])}"
+        for j in range(PQ_M)
+    )
+    ordered_sum = " + ".join(
+        f"sum(CASE WHEN enc.subspace = {j} THEN lut.d END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH cent AS (
+  SELECT cluster_id, centroid FROM read_parquet('{IVFPQ_CENTROIDS_PATH}')
+),
+cb AS (
+  SELECT subspace, code, centroid FROM read_parquet('{IVFPQ_CODEBOOKS_PATH}')
+),
+probe AS (
+  SELECT cluster_id FROM cent
+  ORDER BY round({_l2_sql("centroid", _vec_sql(QUERY_VEC))}, 6), cluster_id
+  LIMIT 2
+),
+d AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cluster_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "c.centroid")}, 6) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+),
+pruned AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cluster_id) AS rn
+    FROM d
+  ) WHERE rn = 1 AND cluster_id IN (SELECT cluster_id FROM probe)
+),
+sub AS (
+  SELECT p.vec_id, s.subspace,
+         p.v[s.subspace*{dsub}+1 : s.subspace*{dsub}+{dsub}] AS sv
+  FROM pruned p CROSS JOIN (SELECT DISTINCT subspace FROM cb) s
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT sub.vec_id, sub.subspace, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.subspace
+             ORDER BY round({_sq_l2_sql("sv", "cb.centroid")}, 6), cb.code
+           ) AS rn
+    FROM sub JOIN cb ON cb.subspace = sub.subspace
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT subspace, code,
+         round({_sq_l2_sql("centroid", f"CASE subspace {q_subs} END")}, 6) AS d
+  FROM cb
+),
+tot AS (
+  SELECT enc.vec_id, {ordered_sum} AS total
+  FROM enc JOIN lut ON lut.subspace = enc.subspace AND lut.code = enc.code
+  GROUP BY enc.vec_id
+),
+short AS (
+  SELECT vec_id FROM tot
+  ORDER BY round(sqrt(total), 6), vec_id LIMIT {IVFPQ_SHORTLIST}
+)
+SELECT p.vec_id, round({_l2_sql("p.v", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM pruned p JOIN short s ON s.vec_id = p.vec_id
+ORDER BY distance, p.vec_id LIMIT 10
 """
 
 
@@ -1588,6 +1756,7 @@ SELECT t.doc_id,
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """,
         "pq_adc": _pq_adc_oracle(),
+        "ivfpq_search": _ivfpq_oracle(),
         "kmv_distinct": kmv_distinct_sql("user_id", k=256),
         "hash_split": f"""
 WITH b AS (
@@ -1871,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_chunk": q_recursive_chunk,
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
+        "ivfpq_search": q_ivfpq_search,
     }
 
 
