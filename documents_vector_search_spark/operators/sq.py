@@ -1,0 +1,155 @@
+"""Scalar quantization (SQ8): 8-bit codes + decoded-distance search.
+
+The third point on the ANN memory/recall spectrum beside IVF partition
+pruning (operators/ivf.py) and product quantization (operators/pq.py),
+mirroring FAISS's IndexScalarQuantizer (QT_8bit — public algorithm):
+per dimension, learn the corpus [min, max] range and store each
+component as ``code = round((x - min) / (max - min) * 255)`` — one byte
+per dimension, an 8× scan-byte reduction vs float64 (4× vs float32)
+with far better recall than PQ at the same compression, because every
+dimension keeps its own resolution instead of sharing a codebook.
+
+Reference capability: HNSW recall/speed trade in the Chroma backend
+(main/indexes/indexers/chroma_indexer.py:147-157); this layout is the
+bandwidth-bound-scan answer to the same problem.
+
+Spark mapping — everything is expression-level, nothing iterative:
+- The FIT is one aggregation (per-dimension min/max). Unlike KMeans
+  (IVF/PQ) it is exactly SQL-expressible, so the whole pipeline —
+  fit, encode, approximate search, re-rank — oracle-checks without
+  persisted model assets. Bounds are kept as EXACT doubles (no
+  rounding): both engines compute bit-identical min/max, so encode
+  parity is exact, not rounding-dependent.
+- Encoding is a map-only Column expression; at 100 TB it is one scan.
+- Search decodes codes back to ``min + code/255*(max-min)`` inside the
+  plan (constant-folded bounds), ranks by decoded L2 over the tiny
+  (id, codes) projection, and exact-re-ranks a shortlist against true
+  vectors — the standard quantize-then-refine shape.
+
+Determinism: every arithmetic step is written with an explicit
+left-to-right operation order mirrored in the DuckDB oracle
+(registry.py), so even the APPROXIMATE distances hash-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.vectors import l2_distance
+
+
+def fit_sq_bounds(
+    embeddings: DataFrame,
+    dim: int,
+    vector_col: str = "embedding",
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, maxs) as EXACT doubles — one aggregation,
+    driver-side scalar probe (2·dim floats). No rounding: min/max of a
+    double column is exact in any engine, so the fitted bounds are
+    bit-identical to the oracle's."""
+    vec = F.col(vector_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(vec, i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(vec, i + 1)).alias(f"mx{i}"))
+    row = embeddings.agg(*aggs).first()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    return mins, maxs
+
+
+def sq_encode_expr(
+    vec: Column, mins: Sequence[float], maxs: Sequence[float]
+) -> Column:
+    """``array<int>`` of 8-bit codes: per dimension,
+    ``clamp(floor((x - mn) / (mx - mn) * 255 + 0.5), 0, 255)``
+    (floor(x+0.5) = explicit half-up, identical in both engines);
+    degenerate dimensions (mx == mn) encode as 0. Map-only."""
+    codes = []
+    for i, (mn, mx) in enumerate(zip(mins, maxs)):
+        x = F.element_at(vec, i + 1)
+        if mx == mn:
+            codes.append(F.lit(0))
+            continue
+        scaled = F.floor(
+            (x - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * 255 + F.lit(0.5)
+        )
+        codes.append(
+            F.greatest(F.lit(0), F.least(F.lit(255), scaled)).cast("int")
+        )
+    return F.array(*codes)
+
+
+def sq_adc_distance_expr(
+    codes: Column,
+    query_vector: Sequence[float],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    round_to: int = 6,
+) -> Column:
+    """Approximate L2 between the un-quantized query and a DECODED code
+    row: ``x̂_i = mn_i + code_i/255*(mx_i - mn_i)``; the squared terms
+    sum left-to-right in dimension order (mirrored in the oracle SQL)."""
+    total: Column | None = None
+    for i, (mn, mx) in enumerate(zip(mins, maxs)):
+        if mx == mn:
+            decoded: Column = F.lit(mn)
+        else:
+            decoded = F.lit(mn) + (
+                F.element_at(codes, i + 1).cast("double") / F.lit(255.0)
+            ) * (F.lit(mx) - F.lit(mn))
+        diff = F.lit(float(query_vector[i])) - decoded
+        term = diff * diff
+        total = term if total is None else total + term
+    return F.round(F.sqrt(total), round_to)
+
+
+def sq_search_l2(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    shortlist: int = 50,
+    bounds: tuple[Sequence[float], Sequence[float]] | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SQ8 top-k: encode (map-only), rank by decoded L2 over the
+    (id, codes) projection, keep a ``shortlist`` (ties on id), then
+    exact-L2 re-rank the shortlist against true vectors.
+
+    ``bounds`` takes a pre-fitted (mins, maxs) — a production layout
+    persists them in its manifest; left None they are fitted here (one
+    extra aggregation job)."""
+    dim = len(list(query_vector))
+    if bounds is None:
+        bounds = fit_sq_bounds(embeddings, dim, vector_col)
+    mins, maxs = bounds
+    vec = F.col(vector_col).cast("array<double>")
+    encoded = embeddings.select(
+        F.col(id_col), sq_encode_expr(vec, mins, maxs).alias("codes")
+    )
+    short = (
+        encoded.select(
+            F.col(id_col),
+            sq_adc_distance_expr(
+                F.col("codes"), query_vector, mins, maxs, round_to
+            ).alias("adc_distance"),
+        )
+        .orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        embeddings.join(F.broadcast(short), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(l2_distance(vec, q), round_to).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

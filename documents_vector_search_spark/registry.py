@@ -131,6 +131,8 @@ IVFPQ_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivfpq_centroids.parquet")
 IVFPQ_CODEBOOKS_PATH = os.path.join(_ASSETS_DIR, "ivfpq_codebooks.parquet")
 IVFPQ_SHORTLIST = 50  # ADC candidates kept for exact re-rank (5× k)
 
+SQ8_SHORTLIST = 50  # decoded-distance candidates kept for exact re-rank
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -1165,6 +1167,19 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN top-10 (operators/sq.py): per-dimension
+    8-bit codes (8× scan-byte reduction vs float64), decoded-distance
+    shortlist, exact-L2 re-rank. Unlike IVF/PQ, the FIT itself (one
+    per-dimension min/max aggregation, kept as exact doubles) is
+    SQL-expressible, so fit + encode + approximate search + re-rank are
+    all one self-contained oracle row — no persisted model assets."""
+    from documents_vector_search_spark.operators.sq import sq_search_l2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_search_l2(emb, QUERY_VEC, 10, shortlist=SQ8_SHORTLIST)
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -1286,6 +1301,61 @@ short AS (
 SELECT p.vec_id, round({_l2_sql("p.v", _vec_sql(QUERY_VEC))}, 6) AS distance
 FROM pruned p JOIN short s ON s.vec_id = p.vec_id
 ORDER BY distance, p.vec_id LIMIT 10
+"""
+
+
+def _sq8_oracle() -> str:
+    """DuckDB twin of q_sq8_ann — fully self-contained: the bounds CTE
+    re-derives the EXACT per-dimension min/max doubles Spark fitted, so
+    encode/decode are bit-identical (no rounded model assets needed).
+    Every arithmetic step mirrors operators/sq.py's explicit
+    left-to-right operation order."""
+    dim = EMBED_DIM
+    bounds_cols = ",\n         ".join(
+        f"min((embedding::DOUBLE[])[{i + 1}]) AS mn{i}, "
+        f"max((embedding::DOUBLE[])[{i + 1}]) AS mx{i}"
+        for i in range(dim)
+    )
+    enc_cols = ",\n         ".join(
+        f"CASE WHEN b.mx{i} = b.mn{i} THEN 0 ELSE "
+        f"greatest(0, least(255, floor(((e.embedding::DOUBLE[])[{i + 1}] - b.mn{i})"
+        f" / (b.mx{i} - b.mn{i}) * 255 + 0.5)))::INT END AS c{i}"
+        for i in range(dim)
+    )
+    dec_cols = ",\n         ".join(
+        f"CASE WHEN b.mx{i} = b.mn{i} THEN b.mn{i} ELSE "
+        f"b.mn{i} + (enc.c{i} / 255.0) * (b.mx{i} - b.mn{i}) END AS d{i}"
+        for i in range(dim)
+    )
+    adc_sum = " + ".join(
+        f"({float(QUERY_VEC[i])!r} - d{i}) * ({float(QUERY_VEC[i])!r} - d{i})"
+        for i in range(dim)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT {bounds_cols}
+  FROM embeddings
+),
+enc AS (
+  SELECT e.vec_id,
+         {enc_cols}
+  FROM embeddings e CROSS JOIN bounds b
+),
+dec AS (
+  SELECT enc.vec_id,
+         {dec_cols}
+  FROM enc CROSS JOIN bounds b
+),
+adc AS (
+  SELECT vec_id, round(sqrt({adc_sum}), 6) AS adc_distance FROM dec
+),
+short AS (
+  SELECT vec_id FROM adc ORDER BY adc_distance, vec_id LIMIT {SQ8_SHORTLIST}
+)
+SELECT e.vec_id,
+       round({_l2_sql("e.embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
+FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
+ORDER BY distance, e.vec_id LIMIT 10
 """
 
 
@@ -1757,6 +1827,7 @@ FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """,
         "pq_adc": _pq_adc_oracle(),
         "ivfpq_search": _ivfpq_oracle(),
+        "sq8_ann": _sq8_oracle(),
         "kmv_distinct": kmv_distinct_sql("user_id", k=256),
         "hash_split": f"""
 WITH b AS (
@@ -2041,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
+        "sq8_ann": q_sq8_ann,
     }
 
 

@@ -129,3 +129,21 @@ class TestRecallContract:
         assert r >= RECALL_FLOOR, (
             f"IVFPQ rerank recall@{K} {r:.3f} < {RECALL_FLOOR}"
         )
+
+    def test_sq8_rerank_recall_floor(self, clustered):
+        """SQ8 keeps per-dimension resolution, so at the same 5×k
+        shortlist it must beat the codebook-sharing PQ floor — pinned
+        at 0.9 (operators/sq.py)."""
+        from documents_vector_search_spark.operators.sq import (
+            fit_sq_bounds,
+            sq_search_l2,
+        )
+
+        emb, queries = clustered
+        bounds = fit_sq_bounds(emb, DIM)
+        r = _recall(
+            emb,
+            queries,
+            lambda q: sq_search_l2(emb, q, K, shortlist=5 * K, bounds=bounds),
+        )
+        assert r >= 0.9, f"SQ8 rerank recall@{K} {r:.3f} < 0.9"
