@@ -114,6 +114,7 @@ def create_collection(
     ivf_seed: int = 42,
     pq_m: int | None = None,
     pq_ksub: int = 16,
+    sq8: bool = False,
     update_buckets: int = 8,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
@@ -144,6 +145,17 @@ def create_collection(
     shortlist against true vectors. Rounded codebooks live in the
     manifest beside the centroids.
 
+    ``sq8`` adds per-dimension 8-bit scalar-quantized ``codes``
+    (operators/sq.py, FAISS SQ8 analog) beside the full vectors: the
+    searcher ranks a shortlist over the tiny codes column and exact-
+    re-ranks it — an 8× scan-byte cut on the ranking pass. The fitted
+    [min, max] bounds (exact doubles) live in the manifest; updates
+    re-encode fresh vectors with the SAME bounds (out-of-range values
+    clamp — re-create to refit bounds after large distribution drift).
+    Composes with ``ann_planes`` or ``ivf_nlist`` (prune first, then
+    code-ranked shortlist); mutually exclusive with ``pq_m`` (one fine
+    quantizer owns the ``codes`` column).
+
     ``update_buckets``: every table is additionally partitioned by a
     stable ``_pb`` bucket of its delete key so incremental updates
     rewrite only affected partitions — see collection/partitioning.py
@@ -153,6 +165,8 @@ def create_collection(
         raise ValueError("ann_planes and ivf_nlist are mutually exclusive")
     if pq_m and not ivf_nlist:
         raise ValueError("pq_m requires ivf_nlist (IVFPQ layout)")
+    if sq8 and pq_m:
+        raise ValueError("sq8 and pq_m are mutually exclusive quantizers")
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
@@ -203,82 +217,104 @@ def create_collection(
         F.col(UPDATE_PB_COL),
     )
 
-    def _write_embeddings() -> list[list[float]] | None:
-        if ann_planes:
-            from documents_vector_search_spark.operators.ann import (
-                write_bucket_partitioned,
-            )
+    def _write_embeddings() -> dict:
+        import shutil
 
-            write_bucket_partitioned(
-                emb_df,
-                collection.table_path("embeddings"),
-                n_planes=ann_planes,
-                seed=ann_seed,
-                vector_col="vector",
-                dim=embedding_dim,
-                extra_partition_cols=[UPDATE_PB_COL],
-            )
-            return None
-        if ivf_nlist:
-            import shutil
-
-            from documents_vector_search_spark.operators.ivf import (
-                assign_cluster_expr,
-                fit_ivf,
-                round_centroids,
-            )
-
-            # MATERIALIZE the embeddings once before any iterative fit:
-            # emb_df is a lazy projection over chunks, so feeding it to
-            # KMeans (maxIter jobs) / PQ (m fits) and then the layout
-            # write would re-run the embedder per iteration — with a
-            # real model that's dozens of full corpus encodes. One
-            # parquet write = one encode; every fit and the final
-            # partitioned write read the materialized table.
+        result: dict = {}
+        # MATERIALIZE the embeddings once before any fit (KMeans/PQ
+        # iterations or the SQ8 bounds aggregation): emb_df is a lazy
+        # projection over chunks, so feeding it to a fit and then the
+        # layout write would re-run the embedder per pass — with a real
+        # model that's multiple full corpus encodes. One parquet write
+        # = one encode; every fit and the final partitioned write read
+        # the materialized table.
+        raw_path: str | None = None
+        src = emb_df
+        if ivf_nlist or sq8:
             raw_path = collection.table_path("embeddings__raw")
             emb_df.write.mode("overwrite").parquet(raw_path)
-            mat = collection.spark.read.parquet(raw_path)
-            try:
+            src = collection.spark.read.parquet(raw_path)
+        try:
+            if sq8:
+                from documents_vector_search_spark.operators.sq import (
+                    fit_sq_bounds,
+                    sq_encode_expr,
+                )
+
+                mins, maxs = fit_sq_bounds(
+                    src, embedding_dim, vector_col="vector"
+                )
+                result["sq8"] = {"mins": mins, "maxs": maxs}
+                src = src.withColumn(
+                    "codes",
+                    sq_encode_expr(
+                        F.col("vector").cast("array<double>"), mins, maxs
+                    ),
+                )
+            if ann_planes:
+                from documents_vector_search_spark.operators.ann import (
+                    write_bucket_partitioned,
+                )
+
+                write_bucket_partitioned(
+                    src,
+                    collection.table_path("embeddings"),
+                    n_planes=ann_planes,
+                    seed=ann_seed,
+                    vector_col="vector",
+                    dim=embedding_dim,
+                    extra_partition_cols=[UPDATE_PB_COL],
+                )
+                return result
+            if ivf_nlist:
+                from documents_vector_search_spark.operators.ivf import (
+                    assign_cluster_expr,
+                    fit_ivf,
+                    round_centroids,
+                )
+
                 index = fit_ivf(
-                    mat, nlist=ivf_nlist, id_col="chunk_id",
+                    src, nlist=ivf_nlist, id_col="chunk_id",
                     vector_col="vector", seed=ivf_seed,
                 )
                 centroids = round_centroids(index.centroids)
+                result["centroids"] = centroids
                 # re-assign from the ROUNDED centroids (not the fitted
                 # model): the manifest-persisted centroids must reproduce
                 # the exact same partition for every future update batch
-                out = mat.withColumn(
+                out = src.withColumn(
                     "cluster_id",
                     assign_cluster_expr(
                         F.col("vector").cast("array<double>"), centroids
                     ),
                 )
-                codebooks = None
                 if pq_m:
                     from documents_vector_search_spark.operators.pq import (
                         fit_pq,
                         pq_encode_expr,
                     )
 
-                    codebooks = fit_pq(
-                        mat, dim=embedding_dim, m=pq_m, ksub=pq_ksub,
+                    result["codebooks"] = fit_pq(
+                        src, dim=embedding_dim, m=pq_m, ksub=pq_ksub,
                         vector_col="vector", seed=ivf_seed,
                     )
                     out = out.withColumn(
                         "codes",
                         pq_encode_expr(
-                            F.col("vector").cast("array<double>"), codebooks
+                            F.col("vector").cast("array<double>"),
+                            result["codebooks"],
                         ),
                     )
                 collection.write(
                     "embeddings", out,
                     partition_by=["cluster_id", UPDATE_PB_COL],
                 )
-            finally:
+                return result
+            collection.write("embeddings", src, partition_by=[UPDATE_PB_COL])
+            return result
+        finally:
+            if raw_path:
                 shutil.rmtree(raw_path, ignore_errors=True)
-            return centroids, codebooks
-        collection.write("embeddings", emb_df, partition_by=[UPDATE_PB_COL])
-        return None
 
     def _write_postings() -> None:
         # postings partitioned by term-hash bucket: a query's term
@@ -334,7 +370,9 @@ def create_collection(
         f_ds = pool.submit(_write_doc_stats)
         f_stats = pool.submit(_gather_stats)
         emb_result = f_emb.result()
-        ivf_centroids, pq_codebooks = emb_result or (None, None)
+        ivf_centroids = emb_result.get("centroids")
+        pq_codebooks = emb_result.get("codebooks")
+        sq8_bounds = emb_result.get("sq8")
         f_post.result()
         f_ds.result()
         n_docs, stats, watermark = f_stats.result()
@@ -372,6 +410,10 @@ def create_collection(
                 if ann_planes
                 else {}
             ),
+            # SQ8 bounds as EXACT doubles (JSON round-trips them
+            # losslessly): updates re-encode fresh vectors with these,
+            # never refit — see operators/sq.py
+            **({"sq8": sq8_bounds} if sq8_bounds else {}),
             **(
                 {
                     "ivf": {

@@ -44,6 +44,7 @@ class CollectionSearcher:
         ann_probe_bits: int = 1,
         ivf_nprobe: int | None = None,
         pq_shortlist_factor: int = 16,
+        sq8_shortlist_factor: int = 8,
     ):
         """``cache_tables`` persists the index tables in executor memory
         on first access — the serving-process pattern (the reference's
@@ -66,7 +67,12 @@ class CollectionSearcher:
         absorbs ADC ties — with small codebooks, same-code rows tie
         exactly, so a k-sized shortlist would be an arbitrary slice of
         the tied band; 16k ids is still a trivial broadcast and holds
-        the recall contract (tests/test_ann_recall.py)."""
+        the recall contract (tests/test_ann_recall.py).
+
+        ``sq8_shortlist_factor``: for SQ8 layouts (sq8=True), the
+        decoded-distance shortlist is this many × k before exact
+        re-rank. SQ8 keeps per-dimension resolution, so ties are rare
+        and a smaller factor suffices (operators/sq.py)."""
         if rrf_k < 1:
             raise ValueError("rrf_k must be >= 1")
         self.collection = collection
@@ -83,8 +89,10 @@ class CollectionSearcher:
         self.ann_probe_bits = ann_probe_bits
         self.ivf_nprobe = ivf_nprobe
         self.pq_shortlist_factor = pq_shortlist_factor
+        self.sq8_shortlist_factor = sq8_shortlist_factor
         self._ann_cfg: dict | None | str = "_unset"
         self._ivf_cfg: dict | None | str = "_unset"
+        self._sq_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
 
     @property
@@ -164,6 +172,14 @@ class CollectionSearcher:
                 self._ivf_cfg = None
         return self._ivf_cfg  # type: ignore[return-value]
 
+    def _sq_config(self) -> dict | None:
+        if self._sq_cfg == "_unset":
+            try:
+                self._sq_cfg = self.collection.manifest().converter.get("sq8")
+            except FileNotFoundError:
+                self._sq_cfg = None
+        return self._sq_cfg  # type: ignore[return-value]
+
     def _vector_scored(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
@@ -206,6 +222,27 @@ class CollectionSearcher:
             emb = emb.filter(F.col("cluster_id").isin(probes))
         if allowed is not None:
             emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
+        sq = self._sq_config()
+        if sq:
+            # SQ8 layout: rank candidates by decoded distance over the
+            # tiny `codes` column (8× fewer scan bytes than vectors),
+            # keep a shortlist, let the exact kNN below re-rank it
+            from documents_vector_search_spark.operators.sq import (
+                sq_adc_distance_expr,
+            )
+
+            shortlist = (
+                emb.select(
+                    "chunk_id",
+                    sq_adc_distance_expr(
+                        F.col("codes"), qv, sq["mins"], sq["maxs"]
+                    ).alias("adc_distance"),
+                )
+                .orderBy(F.col("adc_distance").asc(), F.col("chunk_id").asc())
+                .limit(max(k * self.sq8_shortlist_factor, k))
+                .select("chunk_id")
+            )
+            emb = emb.join(F.broadcast(shortlist), "chunk_id", "left_semi")
         if ivf and ivf.get("pq"):
             # IVFPQ: rank the pruned partitions by ADC over the tiny
             # `codes` column (lookup tables, no full-vector math), keep

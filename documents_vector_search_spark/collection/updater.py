@@ -383,6 +383,23 @@ def update_collection(
                     ivf_cfg["pq"]["codebooks"],
                 ),
             )
+    # SQ8 layout (create_collection(sq8=True)): re-encode fresh vectors
+    # with the manifest's FITTED bounds — never refit mid-update (codes
+    # across the corpus must share one scale; out-of-range values clamp)
+    sq_cfg = manifest.converter.get("sq8")
+    if sq_cfg:
+        from documents_vector_search_spark.operators.sq import (
+            sq_encode_expr,
+        )
+
+        fresh_embeddings = fresh_embeddings.withColumn(
+            "codes",
+            sq_encode_expr(
+                F.col("vector").cast("array<double>"),
+                sq_cfg["mins"],
+                sq_cfg["maxs"],
+            ),
+        )
     merged_embeddings = (
         _pruned("embeddings", doc_pbs)
         .join(stale_chunks, "chunk_id", "left_anti")

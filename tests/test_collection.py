@@ -488,6 +488,76 @@ class TestIvfPqLayout:
         assert len(s.search("hash join", max_documents=5).collect()) > 0
 
 
+class TestSq8Layout:
+    @pytest.fixture(scope="class")
+    def sq8_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sq8"))
+        coll = Collection(spark, base, "sq8c")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40, sq8=True
+        )
+        return coll
+
+    def test_layout_has_codes_and_bounds(self, sq8_coll):
+        cfg = sq8_coll.manifest().converter["sq8"]
+        assert len(cfg["mins"]) == 16 and len(cfg["maxs"]) == 16
+        assert all(mn <= mx for mn, mx in zip(cfg["mins"], cfg["maxs"]))
+        emb = sq8_coll.read("embeddings")
+        assert "codes" in emb.columns
+        assert emb.count() == sq8_coll.read("chunks").count()
+        rng = emb.select(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+        ).first()
+        assert 0 <= rng["lo"] and rng["hi"] <= 255
+
+    def test_wide_shortlist_equals_exact_search(self, sq8_coll):
+        """With a shortlist covering the whole corpus the SQ8 searcher
+        must return exactly the flat exact-kNN ranking — quantization
+        affects only the SHORTLIST, never re-ranked distances."""
+        from documents_vector_search_spark.operators.knn import knn_l2
+        from documents_vector_search_spark.operators.embedding import (
+            hash_embedding_py,
+        )
+
+        s = CollectionSearcher(sq8_coll, sq8_shortlist_factor=100000)
+        got = s._vector_hits("hash join", 10, None).collect()
+        qv = hash_embedding_py("hash join", 16)
+        exact = knn_l2(
+            sq8_coll.read("embeddings").select("chunk_id", "vector"),
+            qv, 10, id_col="chunk_id", vector_col="vector",
+        ).collect()
+        assert [r.chunk_id for r in got] == [r.chunk_id for r in exact]
+
+    def test_default_shortlist_search_works(self, sq8_coll):
+        s = CollectionSearcher(sq8_coll)
+        got = s.search("hash join vector", max_documents=5).collect()
+        assert 0 < len(got) <= 5
+
+    def test_update_reencodes_with_manifest_bounds(
+        self, spark, canonical_docs, sq8_coll
+    ):
+        updates = canonical_docs.filter(F.col("id") == "doc-7").select(
+            "id", "url", "metadata",
+            F.concat(F.lit("fresh sq8 text. "), "text").alias("text"),
+            "last_modified_at",
+            "source_type",
+        )
+        update_collection(sq8_coll, updates)
+        emb = sq8_coll.read("embeddings")
+        assert emb.count() == sq8_coll.read("chunks").count()
+        assert emb.filter(F.col("codes").isNull()).count() == 0
+        s = CollectionSearcher(sq8_coll)
+        assert len(s.search("hash join", max_documents=5).collect()) > 0
+
+    def test_sq8_pq_mutually_exclusive(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "bad")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            create_collection(
+                coll, canonical_docs, sq8=True, ivf_nlist=4, pq_m=4
+            )
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
