@@ -344,17 +344,19 @@ def create_collection(
     def _gather_stats():
         from documents_vector_search_spark.functions.text import tokenize
 
-        return (
-            docs.count(),
-            chunks.agg(
-                F.count("*").alias("n"),
-                F.max("chunk_id").alias("last"),
-                # BM25 avgdl, persisted in the manifest so serving never
-                # runs a corpus-stats job (searcher._bm25_corpus_stats)
-                F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
-            ).first(),
-            docs.agg(F.max("last_modified_at")).first()[0],
-        )
+        # one job per table: the doc count and the watermark fuse into
+        # a single aggregate (driver-action count dominates small builds)
+        doc_row = docs.agg(
+            F.count("*").alias("n"), F.max("last_modified_at").alias("wm")
+        ).first()
+        chunk_row = chunks.agg(
+            F.count("*").alias("n"),
+            F.max("chunk_id").alias("last"),
+            # BM25 avgdl, persisted in the manifest so serving never
+            # runs a corpus-stats job (searcher._bm25_corpus_stats)
+            F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
+        ).first()
+        return int(doc_row["n"]), chunk_row, doc_row["wm"]
 
     # the three index builds + the manifest stats all read the SAME
     # materialized chunk table and are independent — run them as

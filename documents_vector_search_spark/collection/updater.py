@@ -323,6 +323,11 @@ def update_collection(
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
+                # replaced-doc count rides the same job: every document
+                # this engine writes has at least its title chunk
+                # (creator.build_chunks chunk 0), so the distinct owning
+                # docs of the stale chunks ARE the replaced docs
+                F.countDistinct("document_id").alias("n_docs"),
             )
             .first()
         )
@@ -456,9 +461,8 @@ def update_collection(
     }
 
     if update_buckets:
-        # only the replaced-doc count still needs its own (pruned) job;
-        # the rest of the manifest stats were fused earlier
-        n_replaced = docs.join(changed_ids, "id", "left_semi").count()
+        # replaced-doc count was fused into the stale-stats job above
+        n_replaced = int(stale_stats["n_docs"] or 0)
 
         # every table buckets by owning-document id → ONE affected set
         _swap_partitions(
