@@ -37,6 +37,20 @@ def _collection(args):
     return Collection(spark, args.base_path, args.collection)
 
 
+def _create_kwargs(args) -> dict:
+    """Chunking + index-layout options shared by every create command."""
+    return {
+        "chunk_size": args.chunk_size,
+        "chunk_overlap": args.chunk_overlap,
+        "ann_planes": args.ann_planes,
+        "ivf_nlist": args.ivf_nlist,
+        "ivf_nprobe": args.ivf_nprobe,
+        "pq_m": args.pq_m,
+        "sq8": args.sq8,
+        "update_buckets": args.update_buckets,
+    }
+
+
 def _record_reader(coll, manifest, reader: dict):
     """Persist the source config so `dvss update <collection>` can
     re-scan without re-specifying it — the reference's update adapter
@@ -58,9 +72,7 @@ def cmd_create_files(args) -> int:
         include_pattern=args.include,
         exclude_pattern=args.exclude,
     )
-    manifest = create_collection(
-        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
-    )
+    manifest = create_collection(coll, docs, **_create_kwargs(args))
     manifest = _record_reader(
         coll, manifest,
         {"name": "files", "path": args.path, "include": args.include,
@@ -76,9 +88,7 @@ def cmd_create_jira(args) -> int:
 
     coll = _collection(args)
     docs = read_jira_documents(coll.spark, args.url, args.query, token=args.token)
-    manifest = create_collection(
-        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
-    )
+    manifest = create_collection(coll, docs, **_create_kwargs(args))
     # token is NOT persisted — it comes from the environment/flag per run
     manifest = _record_reader(
         coll, manifest, {"name": "jira", "url": args.url, "query": args.query}
@@ -97,9 +107,7 @@ def cmd_create_confluence(args) -> int:
     docs = read_confluence_documents(
         coll.spark, args.url, args.query, token=args.token
     )
-    manifest = create_collection(
-        coll, docs, chunk_size=args.chunk_size, chunk_overlap=args.chunk_overlap
-    )
+    manifest = create_collection(coll, docs, **_create_kwargs(args))
     manifest = _record_reader(
         coll, manifest,
         {"name": "confluence", "url": args.url, "query": args.query},
@@ -226,6 +234,16 @@ def build_parser() -> argparse.ArgumentParser:
         if create:
             sp.add_argument("--chunk-size", type=int, default=1000)
             sp.add_argument("--chunk-overlap", type=int, default=100)
+            # index-layout opt-ins (collection/creator.py docstring):
+            # SRP-LSH bucket partitioning, KMeans-IVF partitioning
+            # (+ optional PQ codes), SQ8 scalar-quantized codes, and
+            # the update-bucket count for O(changed) incremental merges
+            sp.add_argument("--ann-planes", type=int, default=None)
+            sp.add_argument("--ivf-nlist", type=int, default=None)
+            sp.add_argument("--ivf-nprobe", type=int, default=2)
+            sp.add_argument("--pq-m", type=int, default=None)
+            sp.add_argument("--sq8", action="store_true")
+            sp.add_argument("--update-buckets", type=int, default=8)
 
     sp = sub.add_parser("create-files")
     common(sp, create=True)

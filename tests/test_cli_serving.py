@@ -54,6 +54,32 @@ def created(spark, corpus_dir, base_path, capsys_module_scope=None):
 
 
 class TestCLI:
+    def test_create_with_layout_flags(
+        self, spark, corpus_dir, base_path, capsys
+    ):
+        """--sq8 / --ivf-nlist reach create_collection: the manifest
+        records the layouts and search serves from them."""
+        rc = cli.main(
+            [
+                "create-files", "cli_sq8", "--base-path", base_path,
+                "--path", str(corpus_dir), "--chunk-size", "200",
+                "--chunk-overlap", "20", "--sq8", "--ivf-nlist", "2",
+                "--format", "json",
+            ]
+        )
+        assert rc == 0
+        manifest = json.loads(capsys.readouterr().out)
+        assert len(manifest["converter"]["sq8"]["mins"]) == 16
+        assert manifest["converter"]["ivf"]["nList"] == 2
+        rc = cli.main(
+            [
+                "search", "cli_sq8", "--base-path", base_path,
+                "broadcast join", "--format", "json",
+            ]
+        )
+        assert rc == 0
+        assert len(json.loads(capsys.readouterr().out)) > 0
+
     def test_search_returns_ranked_json(self, base_path, capsys):
         rc = cli.main(
             [
