@@ -1,0 +1,105 @@
+"""Benchmark decontamination: flag training docs overlapping an eval set.
+
+A standard large-scale training-data stage (the n-gram overlap
+decontamination described in public LLM corpus reports — e.g. the
+13-gram procedure in the GPT-3 paper and Llama's eval-overlap checks):
+any training document sharing enough distinct word n-grams with a
+benchmark/evaluation corpus is flagged (and usually dropped) so eval
+scores measure generalization, not memorization. The reference has no
+analog (search-only pipeline); this completes the curation family
+(operators/curation.py) with the one check that guards the EVAL side.
+
+Spark shape — the benchmark corpus is small (eval sets are thousands of
+documents, not billions), the training corpus is the 100 TB side:
+- benchmark n-grams: one tiny distinct list, BROADCAST to every
+  executor — the training-side scan never shuffles its n-grams.
+- training side: tokenize → n-gram shingles → explode → broadcast-hash
+  semi-match, then ONE aggregation shuffle keyed by doc id (uniform).
+  Nothing materializes per-(doc, gram) beyond the streamed join.
+- report is a left join back onto doc ids, so clean documents appear
+  with a zero count (auditable coverage, not just a hit list).
+
+Tokenization/shingling reuse the engine-wide expressions
+(functions/text.py) so the DuckDB oracle (registry.py) agrees exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.text import tokenize, word_shingles
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark corpus — the broadcast
+    side. One column ``gram``."""
+    return (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document ``(id, contaminated_ngrams, contaminated)`` for
+    EVERY training document: the count of distinct ``n``-gram shingles
+    shared with the benchmark corpus, and a flag at ``min_hits``.
+
+    ``word_shingles`` gives short documents (< n tokens) one shingle of
+    all their tokens, so they participate instead of silently passing.
+    """
+    grams = benchmark_ngrams(benchmark, n, bench_text_col)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(text_col), n))
+        ).alias("gram"),
+    )
+    # per-doc grams are distinct (array_distinct before the explode), so
+    # count(*) after the broadcast semi-match IS the distinct-hit count
+    hits = (
+        doc_grams.join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).alias(
+            "contaminated_ngrams"
+        ),
+        (
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0))
+            >= F.lit(min_hits)
+        ).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Training docs with the contaminated ones REMOVED — the apply
+    step. One extra broadcast-able semi-join over the flagged ids."""
+    flagged = contamination_report(
+        docs, benchmark, n, min_hits, id_col, text_col, bench_text_col
+    ).filter(F.col("contaminated"))
+    return docs.join(flagged.select(id_col), id_col, "left_anti")

@@ -157,6 +157,17 @@ SHINGLES_SQL = (
 )
 
 
+def _shingles_sql(n: int) -> str:
+    """Distinct n-token shingles of ``toks`` (DuckDB inclusive slices),
+    mirroring functions/text.py::word_shingles — docs shorter than n
+    tokens yield one shingle of all their tokens. SHINGLES_SQL is the
+    n=3 instance used by the MinHash queries."""
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks)-{n - 1}, 1)+1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+    )
+
+
 def _vec_sql(vec: list[float]) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
 
@@ -1180,6 +1191,32 @@ def q_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_search_l2(emb, QUERY_VEC, 10, shortlist=SQ8_SHORTLIST)
 
 
+# decontamination query knobs: every 50th doc plays the "benchmark" set;
+# 5-gram overlap, one shared shingle flags (operators/decontamination.py)
+DECON_BENCH_MOD = 50
+DECON_N = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: for EVERY training document,
+    the count of distinct 5-gram shingles shared with the benchmark
+    subset (docs with id % 50 == 0) and the contaminated flag — the
+    eval-overlap stage of a training-data pipeline
+    (operators/decontamination.py)."""
+    from documents_vector_search_spark.operators.decontamination import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    report = contamination_report(docs, bench, n=DECON_N)
+    return report.select(
+        "doc_id",
+        F.col("contaminated_ngrams").cast("bigint").alias("contaminated_ngrams"),
+        "contaminated",
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -1828,6 +1865,23 @@ FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
         "pq_adc": _pq_adc_oracle(),
         "ivfpq_search": _ivfpq_oracle(),
         "sq8_ann": _sq8_oracle(),
+        "decontaminate": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(DECON_N)} AS shingles FROM tok),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS gram FROM sh
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+dg AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+hits AS (
+  SELECT dg.doc_id, count(*)::BIGINT AS n
+  FROM dg JOIN bench USING (gram) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n, 0)::BIGINT AS contaminated_ngrams,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
         "kmv_distinct": kmv_distinct_sql("user_id", k=256),
         "hash_split": f"""
 WITH b AS (
@@ -2113,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
         "sq8_ann": q_sq8_ann,
+        "decontaminate": q_decontaminate,
     }
 
 

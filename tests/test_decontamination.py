@@ -1,0 +1,79 @@
+"""Benchmark decontamination contracts (operators/decontamination.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from documents_vector_search_spark.operators.decontamination import (
+    contamination_report,
+    decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    docs = spark.createDataFrame(
+        [
+            # shares the benchmark's full 5-gram
+            (1, "the quick brown fox jumps over the lazy dog"),
+            # clean: no 5-gram overlap
+            (2, "completely unrelated text about spark shuffle tuning"),
+            # shares tokens but never five in a row
+            (3, "quick brown dog sleeps near the fox"),
+            # short doc (< 5 tokens) identical to a short benchmark doc
+            (4, "tiny shared snippet"),
+            # short doc, no overlap
+            (5, "another small note"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps high"),
+            (101, "tiny shared snippet"),
+        ],
+        ["doc_id", "text"],
+    )
+    return docs, bench
+
+
+class TestReport:
+    def test_flags_and_counts(self, corpora):
+        docs, bench = corpora
+        got = {
+            r.doc_id: (r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(docs, bench, n=5).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}  # every doc reported
+        assert got[1] == (1, True)  # "the quick brown fox jumps"
+        assert got[2] == (0, False)
+        assert got[3] == (0, False)  # token overlap is not 5-gram overlap
+        assert got[4] == (1, True)  # short-doc whole-text shingle
+        assert got[5] == (0, False)
+
+    def test_min_hits_threshold(self, corpora):
+        docs, bench = corpora
+        got = {
+            r.doc_id: r.contaminated
+            for r in contamination_report(docs, bench, n=5, min_hits=2).collect()
+        }
+        assert got[1] is False  # one shared 5-gram < threshold 2
+
+    def test_benchmark_side_is_broadcast(self, corpora):
+        """The benchmark grams must enter the join as a broadcast — the
+        100 TB training side never shuffles its exploded n-grams."""
+        docs, bench = corpora
+        plan = (
+            contamination_report(docs, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestApply:
+    def test_decontaminate_drops_flagged(self, corpora):
+        docs, bench = corpora
+        kept = {r.doc_id for r in decontaminate(docs, bench, n=5).collect()}
+        assert kept == {2, 3, 5}
