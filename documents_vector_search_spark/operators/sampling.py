@@ -77,6 +77,27 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-ROW continuous keep-probability — the mixture-weighting gate
+    of a training-data pipeline (keep high-quality documents with
+    probability ~1, low-quality ones rarely, any score in between
+    proportionally; the quality-weighted sampling described in public
+    LLM corpus reports). ``weight_col`` is a [0, 1] keep probability
+    (values outside clamp); rows keep when their hash bucket falls
+    below ``floor(weight * 1e6)`` — deterministic, reproducible,
+    engine-portable, and still one map-only filter."""
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        hash_bucket(F.col(id_col), seed) < F.floor(w * F.lit(float(_BUCKETS)))
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

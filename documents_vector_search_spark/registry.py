@@ -575,6 +575,24 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (operators/sampling.py::
+    weighted_hash_sample): every document keeps with probability equal
+    to a per-row [0,1] weight — here ``min(n_chars/2000, 1)``, the
+    longer-docs-sampled-more mixture policy — via the deterministic
+    hash gate. Reports kept rows and chars per language."""
+    from documents_vector_search_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / F.lit(2000.0), F.lit(1.0))
+    kept = weighted_hash_sample(docs, "doc_id", weight, seed=11)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints per document."""
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -1898,6 +1916,17 @@ s AS (
 SELECT lang, split, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM s GROUP BY lang, split
 """,
+        "quality_sample": f"""
+WITH w AS (
+  SELECT lang, n_chars,
+         {hash_bucket_sql("doc_id", seed=11)} AS bucket,
+         least(greatest(least(n_chars / 2000.0, 1.0), 0.0), 1.0) AS wt
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM w WHERE bucket < floor(wt * 1000000.0)
+GROUP BY lang
+""",
         "tpch_q1": """
 WITH f AS (
   SELECT l_returnflag, l_linestatus,
@@ -2134,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_star": q_dedup_cluster_star,
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
+        "quality_sample": q_quality_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,

@@ -513,6 +513,34 @@ class TestHashSampling:
         with pytest.raises(ValueError, match="sum to"):
             hash_split(df, "doc_id", {"a": 0.9, "b": 0.2})
 
+    def test_weighted_sample_tracks_per_row_probability(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            weighted_hash_sample,
+        )
+
+        # weight 0 rows never keep, weight 1 rows always keep, weight
+        # 0.3 rows keep at ~30%; out-of-range weights clamp
+        rows = (
+            [(i, 0.0) for i in range(0, 3000)]
+            + [(i, 0.3) for i in range(3000, 13000)]
+            + [(i, 1.0) for i in range(13000, 16000)]
+            + [(16000, -5.0), (16001, 7.0)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        kept = weighted_hash_sample(df, "doc_id", "w", seed=4)
+        by_w = {
+            r.w: r.n
+            for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+        }
+        assert 0.0 not in by_w and by_w.get(-5.0) is None  # clamp → 0
+        assert by_w[1.0] == 3000 and by_w[7.0] == 1  # clamp → 1
+        assert 0.24 * 10_000 < by_w[0.3] < 0.36 * 10_000
+        # deterministic: same seed, same rows
+        again = weighted_hash_sample(df, "doc_id", "w", seed=4)
+        assert sorted(r.doc_id for r in kept.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
     def test_stratified_rates(self, spark):
         from documents_vector_search_spark.operators.sampling import (
             stratified_hash_sample,
