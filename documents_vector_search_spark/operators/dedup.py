@@ -396,6 +396,19 @@ def embedding_neardup_pairs(
         vec.alias("v"),
         hyperplane_bucket(vec, planes).alias("bucket"),
     )
+    return _bucketed_cosine_pairs(bucketed, threshold, round_to, max_bucket_size)
+
+
+def _bucketed_cosine_pairs(
+    bucketed: DataFrame,
+    threshold: float,
+    round_to: int | None,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared verification core for bucketed cosine near-dup: input is
+    ``(id, v, bucket)``; one shuffle keyed by bucket, in-bucket pairs by
+    double-explode, exact cosine filter. The bucketing strategy (SRP-LSH
+    hyperplanes, KMeans clusters, ...) is the caller's choice."""
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
         bucketed = (
@@ -421,3 +434,36 @@ def embedding_neardup_pairs(
         F.round(F.col("cosine"), round_to) if round_to is not None else F.col("cosine")
     )
     return pairs.select("id_a", "id_b", cos.alias("cosine"))
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023 — public): KMeans-cluster the embedding space
+    (operators/ivf.py fit, or any precomputed centroids) and verify
+    cosine only WITHIN clusters. Versus SRP-LSH bucketing
+    (:func:`embedding_neardup_pairs`) the coarse partition is
+    data-aware — cluster boundaries follow the corpus's density, which
+    is the published method's recall argument. Same single-shuffle
+    verification core, same ``(id_a, id_b, cosine)`` contract; the
+    assignment is the deterministic rounded-centroid argmin, so the
+    whole pipeline given fixed centroids is oracle-checkable."""
+    from documents_vector_search_spark.operators.ivf import (
+        assign_cluster_expr,
+    )
+
+    vec = F.col(vector_col).cast("array<double>")
+    bucketed = embeddings.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        assign_cluster_expr(vec, centroids).alias("bucket"),
+    )
+    return _bucketed_cosine_pairs(bucketed, threshold, round_to, max_bucket_size)

@@ -133,6 +133,12 @@ IVFPQ_SHORTLIST = 50  # ADC candidates kept for exact re-rank (5× k)
 
 SQ8_SHORTLIST = 50  # decoded-distance candidates kept for exact re-rank
 
+# SemDeDup query assets: the KMeans fit persists rounded centroids here
+# so the oracle's cluster assignment binds in a fresh clone (same
+# committed-seed-fit contract as IVF_CENTROIDS_PATH)
+SEMDEDUP_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "semdedup_centroids.parquet")
+SEMDEDUP_NLIST = 8
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -609,6 +615,41 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=8, seed=42,
         dim=EMBED_DIM, max_bucket_size=NEARDUP_MAX_BUCKET,
+    )
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: KMeans clusters as the
+    candidate buckets (data-aware, vs embedding_neardup's random
+    hyperplanes), exact cosine within clusters
+    (operators/dedup.py::semdedup_pairs). The fit persists ROUNDED
+    centroids for the oracle, as in q_ivf_ann."""
+    from documents_vector_search_spark.operators.dedup import semdedup_pairs
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        round_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = round_centroids(fit_ivf(emb, nlist=SEMDEDUP_NLIST).centroids)
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    os.makedirs(_ASSETS_DIR, exist_ok=True)
+    pqt.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        ),
+        SEMDEDUP_CENTROIDS_PATH,
+    )
+    return semdedup_pairs(
+        emb, cents, threshold=0.3, max_bucket_size=NEARDUP_MAX_BUCKET
     )
 
 
@@ -1700,6 +1741,30 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE {cos_lr} >= 0.3
 """,
+        "semdedup": f"""
+WITH cent AS (
+  SELECT cluster_id, centroid FROM read_parquet('{SEMDEDUP_CENTROIDS_PATH}')
+),
+d AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cluster_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "c.centroid")}, 6) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, v, cluster_id FROM (
+    SELECT vec_id, v, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cluster_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+b AS (
+  SELECT vec_id, v, cluster_id FROM a
+  QUALIFY count(*) OVER (PARTITION BY cluster_id) <= {NEARDUP_MAX_BUCKET}
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
+FROM b l JOIN b r ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
+WHERE {cos_lr} >= 0.3
+""",
         "lang_id": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 scores AS (
@@ -2167,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,

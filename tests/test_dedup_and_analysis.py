@@ -94,6 +94,48 @@ class TestEmbeddingNearDup:
         pairs = embedding_neardup_pairs(df, threshold=0.99, n_planes=2).collect()
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
+    def test_semdedup_single_cluster_equals_brute_force(self, spark):
+        """With one cluster, SemDeDup's within-cluster verification IS
+        all-pairs cosine — pins the shared pairing core's semantics."""
+        from documents_vector_search_spark.operators.dedup import (
+            semdedup_pairs,
+        )
+
+        base = [float(i % 7 - 3) for i in range(16)]
+        near = list(base)
+        near[0] += 0.01
+        far = [float((i * 3) % 5 - 2) for i in range(16)]
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], ["vec_id", "embedding"]
+        )
+        centroid = [[0.0] * 16]  # nlist=1: everything in one cluster
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in semdedup_pairs(df, centroid, threshold=0.99).collect()
+        }
+        assert set(pairs) == {(1, 2)}
+
+    def test_semdedup_cluster_separation_prunes_cross_pairs(self, spark):
+        """Vectors in different clusters are never verified — the
+        data-aware analog of LSH bucketing."""
+        from documents_vector_search_spark.operators.dedup import (
+            semdedup_pairs,
+        )
+
+        a = [10.0] * 16
+        b = [10.0] * 15 + [10.1]
+        c = [-10.0] * 16
+        d = [-10.0] * 15 + [-10.1]
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c), (4, d)], ["vec_id", "embedding"]
+        )
+        cents = [[10.0] * 16, [-10.0] * 16]
+        got = {
+            (r.id_a, r.id_b)
+            for r in semdedup_pairs(df, cents, threshold=0.9).collect()
+        }
+        assert got == {(1, 2), (3, 4)}
+
 
 class TestANN:
     def test_bucket_of_matches_expression(self, spark):
