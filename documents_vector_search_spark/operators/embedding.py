@@ -123,3 +123,35 @@ def make_embedder_udf(
         return pd.Series([[float(x) for x in v] for v in vectors])
 
     return embed
+
+
+def mean_pool(
+    embeddings,
+    dim: int,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    round_to: int | None = 6,
+):
+    """Per-group mean-pooled vector — the centroid/prototype step of an
+    embedding pipeline (doc vectors from chunk vectors, class
+    prototypes, SemDeDup cluster representatives). The reference pools
+    nothing (it stores chunk vectors only); this is the standard
+    aggregation every embedding corpus eventually needs.
+
+    ONE shuffle: each of the ``dim`` components is its own ``avg``
+    aggregate inside a single groupBy (fully codegen, partial
+    aggregation map-side), then the rounded components re-assemble into
+    an array — no posexplode (which would shuffle (row × dim) rows) and
+    no UDF. Returns ``(group, centroid ARRAY<DOUBLE>, n)``.
+    """
+    vec = F.col(vector_col).cast("array<double>")
+    aggs = [
+        F.avg(F.element_at(vec, i + 1)).alias(f"_m{i}") for i in range(dim)
+    ]
+    g = embeddings.groupBy(group_col).agg(*aggs, F.count("*").alias("n"))
+    comps = [
+        F.round(F.col(f"_m{i}"), round_to) if round_to is not None
+        else F.col(f"_m{i}")
+        for i in range(dim)
+    ]
+    return g.select(group_col, F.array(*comps).alias("centroid"), "n")

@@ -653,6 +653,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled prototype vectors (operators/embedding.py::
+    mean_pool) — one groupBy with dim component aggregates, no explode.
+    Components project to columns for the oracle compare."""
+    from documents_vector_search_spark.operators.embedding import mean_pool
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool(emb, dim=EMBED_DIM, group_col="label")
+    return pooled.select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            F.element_at(F.col("centroid"), i + 1).alias(f"c{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic by stopword-marker ratio."""
     return language_id(_t(spark, sf_dir, "documents"))
@@ -1741,6 +1759,11 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE {cos_lr} >= 0.3
 """,
+        "pool_embeddings": f"""
+SELECT label, count(*)::BIGINT AS n,
+       {", ".join(f"round(avg((embedding::DOUBLE[])[{i + 1}]), 6) AS c{i}" for i in range(EMBED_DIM))}
+FROM embeddings GROUP BY label
+""",
         "semdedup": f"""
 WITH cent AS (
   SELECT cluster_id, centroid FROM read_parquet('{SEMDEDUP_CENTROIDS_PATH}')
@@ -2233,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,
+        "pool_embeddings": q_pool_embeddings,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_counts": q_token_counts,

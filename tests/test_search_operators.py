@@ -215,3 +215,38 @@ class TestKNNNumpyVariant:
             for r in knn_l2_numpy(embeddings_df, QUERY_VEC, 10).collect()
         ]
         assert expr_ids == np_ids
+
+
+class TestMeanPool:
+    def test_centroids_and_counts(self, spark):
+        from documents_vector_search_spark.operators.embedding import mean_pool
+
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 2.0]),
+                (0, [3.0, 4.0]),
+                (1, [10.0, -10.0]),
+            ],
+            ["label", "embedding"],
+        )
+        got = {r.label: r for r in mean_pool(df, dim=2).collect()}
+        assert got[0].centroid == [2.0, 3.0] and got[0].n == 2
+        assert got[1].centroid == [10.0, -10.0] and got[1].n == 1
+
+    def test_single_shuffle_plan(self, spark):
+        """dim component averages must share ONE aggregation (partial +
+        final = one Exchange) — no posexplode of (rows x dim)."""
+        from documents_vector_search_spark.operators.embedding import mean_pool
+
+        df = spark.createDataFrame(
+            [(i % 3, [float(i), float(i + 1)]) for i in range(20)],
+            ["label", "embedding"],
+        )
+        plan = (
+            mean_pool(df, dim=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1
+        assert "Generate" not in plan  # no explode
