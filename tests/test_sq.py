@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.operators.knn import knn_l2
@@ -58,6 +60,51 @@ class TestEncode:
             ).alias("codes")
         ).collect()
         assert all(r.codes[2] == 0 for r in codes)
+
+
+class TestQuantizationError:
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_roundtrip_error_within_half_step(self, spark, vectors):
+        """Pure-Python mirror of the encode/decode expressions: for any
+        corpus, |decode(encode(x)) - x| <= (max-min)/255/2 per
+        dimension (half a quantization step) — the bound that makes the
+        decoded-distance shortlist trustworthy. The Spark expressions
+        are exercised by TestEncode/TestSearch and the sq8_ann oracle;
+        this pins the numeric contract itself across random corpora."""
+        dims = 3
+        mins = [min(v[i] for v in vectors) for i in range(dims)]
+        maxs = [max(v[i] for v in vectors) for i in range(dims)]
+        import math
+
+        for v in vectors:
+            for i in range(dims):
+                mn, mx = mins[i], maxs[i]
+                if mx == mn:
+                    code, decoded = 0, mn
+                else:
+                    code = math.floor((v[i] - mn) / (mx - mn) * 255 + 0.5)
+                    code = max(0, min(255, code))
+                    decoded = mn + (code / 255.0) * (mx - mn)
+                step = (mx - mn) / 255.0
+                assert abs(decoded - v[i]) <= step / 2 + 1e-9 * max(
+                    1.0, abs(mx), abs(mn)
+                )
 
 
 class TestSearch:
