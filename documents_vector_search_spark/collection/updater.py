@@ -318,24 +318,34 @@ def update_collection(
     if update_buckets:
         from documents_vector_search_spark.functions.text import tokenize
 
-        stale_stats = (
+        # ONE job for both sides: tag the stale and fresh chunk rows and
+        # aggregate per side (both inputs are materialized checkpoints,
+        # so the union costs nothing beyond the rows themselves).
+        # n_docs rides along: every document this engine writes has at
+        # least its title chunk (creator.build_chunks chunk 0), so the
+        # distinct owning docs of the stale chunks ARE the replaced docs.
+        cols = ["chunk_id", "document_id", "indexed_data"]
+        tagged = (
             chunks.join(stale_chunks, "chunk_id", "left_semi")
+            .select(F.lit("stale").alias("_side"), *cols)
+            .unionByName(
+                fresh_chunks.select(F.lit("fresh").alias("_side"), *cols)
+            )
+        )
+        side_rows = {
+            r["_side"]: r
+            for r in tagged.groupBy("_side")
             .agg(
                 F.count("*").alias("n"),
+                F.max("chunk_id").alias("last"),
                 F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
-                # replaced-doc count rides the same job: every document
-                # this engine writes has at least its title chunk
-                # (creator.build_chunks chunk 0), so the distinct owning
-                # docs of the stale chunks ARE the replaced docs
                 F.countDistinct("document_id").alias("n_docs"),
             )
-            .first()
-        )
-        fresh_stats = fresh_chunks.agg(
-            F.count("*").alias("n"),
-            F.max("chunk_id").alias("last"),
-            F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
-        ).first()
+            .collect()
+        }
+        empty = {"n": 0, "last": None, "dl": 0, "n_docs": 0}
+        stale_stats = side_rows.get("stale", empty)
+        fresh_stats = side_rows.get("fresh", empty)
 
     fresh_embeddings = fresh_chunks.select(
         "chunk_id",
