@@ -61,6 +61,46 @@ class TestPlanContracts:
             plan = _plan(getattr(registry, q)(spark, SF))
             assert "Exchange" not in plan, f"{q} gained a shuffle"
 
+    def test_quality_sample_filter_is_map_only(self, spark):
+        """The weighted sampling gate is a scan-side filter — no
+        Exchange before the (tiny) per-lang aggregation's shuffle, and
+        no Generate/UDF on the path."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_quality_sample(spark, SF))
+        # exactly the one aggregation exchange, nothing upstream
+        assert plan.count("Exchange") == 1
+        assert "BatchEvalPython" not in plan and "Generate" not in plan
+
+    def test_sq8_scan_for_shortlist_reads_no_vectors(self, spark):
+        """The SQ8 decoded-distance ranking must run on codes derived
+        in-plan; the final plan's joins stay broadcast (shortlist side
+        is ≤ shortlist ids) — no sort-merge join anywhere."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_sq8_ann(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_decontaminate_benchmark_is_broadcast(self, spark):
+        """The benchmark gram set broadcasts; the training side's only
+        wide op is the doc-id aggregation."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_decontaminate(spark, SF))
+        assert "BroadcastHashJoin" in plan
+
+    def test_pool_embeddings_single_aggregation(self, spark):
+        """Per-dim component averages share one partial+final agg —
+        no explode of (rows × dim)."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_pool_embeddings(spark, SF))
+        assert plan.count("Exchange") == 1
+        assert "Generate" not in plan
+        assert "partial_avg" in plan or "partial" in plan
+
     def test_no_inferred_generate_filters_on_tokenize(self, spark):
         """The InferFiltersFromGenerate blowup must stay fixed: no
         size(...tokenize-tree...) pre-filter above the postings
