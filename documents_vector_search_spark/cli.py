@@ -116,6 +116,36 @@ def cmd_create_confluence(args) -> int:
     return 0
 
 
+def cmd_create_dataset(args) -> int:
+    """Create from a record dataset (JSONL/CSV/Parquet, one document
+    per row) — the training-corpus ingestion path (sources/datasets.py)."""
+    from documents_vector_search_spark.collection import create_collection
+    from documents_vector_search_spark.sources.datasets import (
+        read_dataset_documents,
+    )
+
+    coll = _collection(args)
+    docs = read_dataset_documents(
+        coll.spark,
+        args.path,
+        fmt=args.dataset_format,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        url_col=args.url_col,
+        last_modified_col=args.last_modified_col,
+        metadata_cols=args.metadata_cols.split(",") if args.metadata_cols else None,
+        schema=args.schema,
+    )
+    manifest = create_collection(coll, docs, **_create_kwargs(args))
+    manifest = _record_reader(
+        coll, manifest,
+        {"name": "dataset", "path": args.path, "format": args.dataset_format,
+         "idCol": args.id_col, "textCol": args.text_col},
+    )
+    print(_format(manifest.__dict__, args.format))
+    return 0
+
+
 def cmd_update(args) -> int:
     """Manifest-driven incremental update (reference parity:
     collection_update_cmd_adapter.py takes only the collection name and
@@ -251,6 +281,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--include")
     sp.add_argument("--exclude")
     sp.set_defaults(func=cmd_create_files)
+
+    sp = sub.add_parser("create-dataset")
+    common(sp, create=True)
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--dataset-format", default="jsonl",
+                    choices=["jsonl", "json", "csv", "parquet"])
+    sp.add_argument("--id-col", default="id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--url-col", default=None)
+    sp.add_argument("--last-modified-col", default=None)
+    sp.add_argument("--metadata-cols", default=None,
+                    help="comma-separated columns folded into metadata")
+    sp.add_argument("--schema", default=None,
+                    help="explicit DDL schema (avoids a JSONL/CSV inference scan)")
+    sp.set_defaults(func=cmd_create_dataset)
 
     sp = sub.add_parser("create-jira")
     common(sp, create=True)

@@ -955,6 +955,34 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-dataset ingestion (sources/datasets.py): a Parquet table
+    of one-document-per-row records projects onto the canonical
+    document schema (id/url/metadata/text/last_modified_at/source_type)
+    — the training-corpus twin of the whole-file/API sources. Map
+    entries surface as scalar columns for the oracle compare."""
+    from documents_vector_search_spark.sources.datasets import (
+        read_dataset_documents,
+    )
+
+    docs = read_dataset_documents(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        fmt="parquet",
+        id_col="doc_id",
+        text_col="text",
+        metadata_cols=["lang", "source"],
+    )
+    return docs.select(
+        "id",
+        "url",
+        F.element_at(F.col("metadata"), "lang").alias("meta_lang"),
+        F.element_at(F.col("metadata"), "source").alias("meta_source"),
+        F.substring("text", 1, 20).alias("head"),
+        "source_type",
+    )
+
+
 def q_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P5-style source→canonical projection: derived key prefix
     (split), url synthesis (concat), case normalization, null-safe
@@ -2094,6 +2122,15 @@ SELECT doc_id,
   {", ".join(f"CASE WHEN norm > 0 THEN round(r{i} / norm, 6) ELSE 0.0 END AS c{i}" for i in range(4))}
 FROM n
 """,
+        "dataset_ingest": """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       concat('dataset://', CAST(doc_id AS VARCHAR)) AS url,
+       lang AS meta_lang,
+       source AS meta_source,
+       substr(text, 1, 20) AS head,
+       'dataset' AS source_type
+FROM documents
+""",
         "canonical_projection": """
 SELECT doc_id,
   concat('doc://', source, '/', doc_id) AS url,
@@ -2275,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
+        "dataset_ingest": q_dataset_ingest,
         "topk_per_group": q_topk_per_group,
         "rollup": q_rollup,
         "set_ops": q_set_ops,

@@ -17,6 +17,7 @@ are injectable so everything is testable without live services.
 """
 
 from documents_vector_search_spark.sources.files import read_files_documents
+from documents_vector_search_spark.sources.datasets import read_dataset_documents
 from documents_vector_search_spark.sources.cache import cached_read
 
-__all__ = ["read_files_documents", "cached_read"]
+__all__ = ["read_files_documents", "read_dataset_documents", "cached_read"]
