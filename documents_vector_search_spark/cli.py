@@ -140,7 +140,9 @@ def cmd_create_dataset(args) -> int:
     manifest = _record_reader(
         coll, manifest,
         {"name": "dataset", "path": args.path, "format": args.dataset_format,
-         "idCol": args.id_col, "textCol": args.text_col},
+         "idCol": args.id_col, "textCol": args.text_col,
+         "urlCol": args.url_col, "lastModifiedCol": args.last_modified_col,
+         "metadataCols": args.metadata_cols, "schema": args.schema},
     )
     print(_format(manifest.__dict__, args.format))
     return 0
@@ -152,6 +154,7 @@ def cmd_update(args) -> int:
     reconstructs the source from the manifest)."""
     from documents_vector_search_spark.streaming.incremental import (
         incremental_confluence_update,
+        incremental_dataset_update,
         incremental_files_update,
         incremental_jira_update,
     )
@@ -159,7 +162,18 @@ def cmd_update(args) -> int:
     coll = _collection(args)
     reader = coll.manifest().reader
     name = reader.get("name")
-    if name == "files":
+    if name == "dataset":
+        meta = reader.get("metadataCols")
+        manifest = incremental_dataset_update(
+            coll, reader["path"], fmt=reader.get("format", "jsonl"),
+            id_col=reader.get("idCol", "id"),
+            text_col=reader.get("textCol", "text"),
+            url_col=reader.get("urlCol"),
+            last_modified_col=reader.get("lastModifiedCol"),
+            metadata_cols=meta.split(",") if meta else None,
+            schema=reader.get("schema"),
+        )
+    elif name == "files":
         manifest = incremental_files_update(
             coll, reader["path"],
             include_pattern=reader.get("include"),

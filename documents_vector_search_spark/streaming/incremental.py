@@ -127,6 +127,40 @@ def incremental_confluence_update(
     return update_collection(collection, changed)
 
 
+def incremental_dataset_update(
+    collection: Collection,
+    path: str,
+    fmt: str = "jsonl",
+    last_modified_col: str | None = None,
+    **dataset_kwargs,
+) -> Manifest:
+    """One-shot incremental update from a record dataset
+    (sources/datasets.py). With ``last_modified_col`` the re-read
+    filters to records modified after ``watermark - overlap`` (pushed
+    to the source scan where the format allows); without one there is
+    no change signal, so the whole dataset re-merges — delete-then-
+    reinsert keeps that idempotent, just O(dataset)."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.sources.datasets import (
+        read_dataset_documents,
+    )
+
+    manifest = collection.manifest()
+    changed = read_dataset_documents(
+        collection.spark, path, fmt=fmt,
+        last_modified_col=last_modified_col, **dataset_kwargs,
+    )
+    start = watermark_start_time(manifest)
+    if last_modified_col and start is not None:
+        changed = changed.filter(
+            F.col("last_modified_at") >= F.lit(start)
+        )
+    if changed.isEmpty():
+        return manifest
+    return update_collection(collection, changed)
+
+
 def run_streaming_update(
     collection: Collection,
     drop_dir: str,

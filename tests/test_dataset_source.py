@@ -105,3 +105,12 @@ class TestCLI:
         assert rc == 0
         hits = json.loads(capsys.readouterr().out)
         assert len(hits) >= 1 and hits[0]["document_id"] == "a1"
+
+        # manifest-driven `update` re-merges the (unchanged-signal-less)
+        # dataset idempotently: counts stay identical
+        rc = cli.main(
+            ["update", "ds", "--base-path", str(tmp_path), "--format", "json"]
+        )
+        assert rc == 0
+        updated = json.loads(capsys.readouterr().out)
+        assert updated["numberOfDocuments"] == 2
