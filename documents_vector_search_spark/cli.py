@@ -252,6 +252,18 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact fragmented update buckets (collection/compactor.py) —
+    the OPTIMIZE step a long-lived, frequently-updated collection runs
+    periodically."""
+    from documents_vector_search_spark.collection import compact_collection
+
+    coll = _collection(args)
+    report = compact_collection(coll, max_files_per_dir=args.max_files)
+    print(_format(report or {"compacted": "nothing to do"}, args.format))
+    return 0
+
+
 def cmd_update_files(args) -> int:
     from documents_vector_search_spark.streaming.incremental import (
         incremental_files_update,
@@ -358,6 +370,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("compact")
+    common(sp)
+    sp.add_argument("--max-files", type=int, default=1,
+                    help="compact buckets whose dirs exceed this file count")
+    sp.set_defaults(func=cmd_compact)
 
     return p
 

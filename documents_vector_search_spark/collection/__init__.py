@@ -26,6 +26,7 @@ from documents_vector_search_spark.collection.manifest import Manifest
 from documents_vector_search_spark.collection.searcher import CollectionSearcher
 from documents_vector_search_spark.collection.updater import update_collection
 from documents_vector_search_spark.collection.fetcher import fetch_document_lines
+from documents_vector_search_spark.collection.compactor import compact_collection
 
 __all__ = [
     "Collection",
@@ -34,4 +35,5 @@ __all__ = [
     "CollectionSearcher",
     "update_collection",
     "fetch_document_lines",
+    "compact_collection",
 ]

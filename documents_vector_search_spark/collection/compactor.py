@@ -1,0 +1,103 @@
+"""Bucket-scoped compaction: heal small-file fragmentation from updates.
+
+Every incremental update rewrites its affected ``_pb`` bucket
+directories with batch-sized jobs, so a long-lived collection
+accumulates one-file-per-update fragments in its hot buckets. Small
+files tax every subsequent scan (footer reads, task scheduling) — the
+classic long-running-table problem that Delta/Iceberg solve with
+OPTIMIZE. This is the same operation for this engine's plain-Parquet
+layout, scoped by the update-bucket design (collection/partitioning.py):
+
+- DETECT: one tree walk per table counts data files per ``_pb=X``
+  directory; a bucket is fragmented when any of its directories holds
+  more than ``max_files_per_dir`` files.
+- REWRITE: read ONLY the fragmented buckets (Parquet partition
+  pruning), repartition by the table's partition columns so each live
+  directory gets exactly one writer task, and stage + swap those
+  directories with the updater's two-phase ``_PARTIAL.json``-marked
+  machinery — crash-recoverable, untouched buckets never rewritten.
+
+Cost: O(fragmented buckets), not O(corpus) — at production bucket
+counts a nightly compact touches only the buckets that day's updates
+touched. The reference has no analog (its indexes are single files
+rebuilt wholesale).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import TABLES, Collection
+from documents_vector_search_spark.collection.partitioning import UPDATE_PB_COL
+
+# directory-level query-pruning columns a table may carry beside _pb
+_LAYOUT_COLS = ("bucket", "cluster_id", "term_bucket")
+
+
+def bucket_file_counts(table_root: Path) -> dict[int, dict[str, int]]:
+    """``pb -> {"files": total, "max_per_dir": worst directory}`` in one
+    tree walk (a bucket may span several sibling layout directories)."""
+    prefix = f"{UPDATE_PB_COL}="
+    out: dict[int, dict[str, int]] = {}
+    for d in table_root.rglob(f"{prefix}*"):
+        if not d.is_dir():
+            continue
+        try:
+            pb = int(d.name[len(prefix):])
+        except ValueError:
+            continue
+        n = sum(1 for f in d.glob("*.parquet") if f.is_file())
+        agg = out.setdefault(pb, {"files": 0, "max_per_dir": 0})
+        agg["files"] += n
+        agg["max_per_dir"] = max(agg["max_per_dir"], n)
+    return out
+
+
+def compact_collection(
+    collection: Collection,
+    tables: list[str] | None = None,
+    max_files_per_dir: int = 1,
+) -> dict[str, dict]:
+    """Compact fragmented update buckets down to one file per partition
+    directory. Returns a per-table report
+    ``{table: {"buckets": [...], "files_before": n, "files_after": m}}``
+    (tables with nothing to do are omitted)."""
+    from documents_vector_search_spark.collection.updater import (
+        _recover_orphans,
+        _swap_partitions,
+    )
+
+    tables = list(tables or TABLES)
+    _recover_orphans(collection, tables)
+    report: dict[str, dict] = {}
+    for table in tables:
+        root = Path(collection.table_path(table))
+        if not root.exists():
+            continue
+        counts = bucket_file_counts(root)
+        frag = sorted(
+            pb for pb, c in counts.items() if c["max_per_dir"] > max_files_per_dir
+        )
+        if not frag:
+            continue
+        df = collection.read(table).filter(F.col(UPDATE_PB_COL).isin(frag))
+        pcols = [c for c in _LAYOUT_COLS if c in df.columns] + [UPDATE_PB_COL]
+        # repartition BY the partition columns: all rows of one live
+        # directory land in one task -> exactly one output file per dir
+        _swap_partitions(
+            collection,
+            {table: df.repartition(*[F.col(c) for c in pcols])},
+            partition_cols={table: pcols},
+            affected_pbs={table: frag},
+        )
+        after = bucket_file_counts(Path(collection.table_path(table)))
+        report[table] = {
+            "buckets": frag,
+            "files_before": sum(counts[pb]["files"] for pb in frag),
+            "files_after": sum(
+                after.get(pb, {"files": 0})["files"] for pb in frag
+            ),
+        }
+    return report
