@@ -116,6 +116,37 @@ class TestCompaction:
     def test_second_compact_is_noop(self, fragmented):
         assert compact_collection(fragmented) == {}
 
+    def test_compacts_layout_tables_preserving_pruning(
+        self, spark, docs, tmp_path
+    ):
+        """ANN-layout embeddings carry bucket=*/_pb=* sibling levels:
+        compaction must rewrite fragmented buckets one-file-per-dir
+        while query-side partition pruning keeps working."""
+        coll = Collection(spark, str(tmp_path), "annfrag")
+        create_collection(
+            coll, docs, chunk_size=120, chunk_overlap=20, ann_planes=2
+        )
+        one = docs.filter(F.col("id") == "doc-5")
+        for i in range(2):
+            update_collection(
+                coll, one.withColumn("text", F.concat(F.lit(f"a{i} "), "text"))
+            )
+        emb_root = Path(coll.table_path("embeddings"))
+        assert any(
+            c["max_per_dir"] > 1 for c in bucket_file_counts(emb_root).values()
+        )
+        report = compact_collection(coll)
+        assert "embeddings" in report
+        assert all(
+            c["max_per_dir"] == 1
+            for c in bucket_file_counts(emb_root).values()
+        )
+        s = CollectionSearcher(coll)
+        hits = s._vector_hits("broadcast join", 10, None)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+        assert len(hits.collect()) > 0
+
     def test_cli_compact_reports(self, fragmented, capsys):
         import json
 
