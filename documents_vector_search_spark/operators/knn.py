@@ -106,6 +106,92 @@ def knn_l2_numpy(
     return scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_l2_batch(
+    embeddings: DataFrame,
+    queries: dict[str, Sequence[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact L2 top-k for MANY queries in ONE corpus scan —
+    ``(qid, id, distance)``, per-query ascending, ties on id.
+
+    Running Q separate knn_l2 calls scans the corpus Q times; at 100 TB
+    that is the difference between one pass and a hundred. Here the
+    (tiny) query matrix ships to every task inside a mapInPandas
+    closure; each Arrow batch computes all Q distance columns with one
+    vectorized numpy op and emits only its BATCH-LOCAL top-k rows per
+    query (global top-k is a subset of the union of batch top-ks), so
+    the shuffle carries ≤ tasks × Q × k candidate rows — never the
+    corpus. A final per-qid window over the candidates yields the
+    answer.
+
+    Determinism: distances are rounded to ``round_to`` BEFORE both the
+    batch-local and the global (distance, id) ordering, so the
+    composition is exact and the result oracle-reproducible; the numpy
+    math is the direct (x - q)^2 form (not the matmul expansion) to
+    stay in lock-step with the expression/SQL computation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qids = sorted(queries)
+    qmat = np.asarray([[float(x) for x in queries[q]] for q in qids])
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField(id_col, id_type),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            # rows × Q × dim diff: exact same op order as the
+            # per-element expression form (parity with the SQL oracle)
+            d = np.sqrt(((m[:, None, :] - qmat[None, :, :]) ** 2).sum(-1))
+            d = np.round(d, round_to)
+            parts = []
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, d[:, j]))[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            id_col: ids[order],
+                            "distance": d[order, j],
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    candidates = embeddings.select(id_col, vector_col).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def knn_cosine(
     embeddings: DataFrame,
     query_vector: Sequence[float],

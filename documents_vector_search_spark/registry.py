@@ -90,6 +90,12 @@ def _det_unit_vector(dim: int, seed: int) -> list[float]:
 
 QUERY_VEC = _det_unit_vector(EMBED_DIM, 7)
 
+# batch-search query set: four deterministic unit vectors (the first is
+# QUERY_VEC itself, so single-query results embed in the batch result)
+BATCH_QUERIES = {
+    f"q{i}": _det_unit_vector(EMBED_DIM, seed) for i, seed in enumerate((7, 11, 13, 17))
+}
+
 NEARDUP_PLANES = random_hyperplanes(EMBED_DIM, 8, seed=42)
 ANN_PLANES = random_hyperplanes(EMBED_DIM, 4, seed=42)
 ANN_PROBES = sorted(
@@ -303,6 +309,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: exact L2 top-10 against a fixed query vector."""
     return knn_l2(_t(spark, sf_dir, "embeddings"), QUERY_VEC, 10)
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact kNN: four query vectors answered in ONE corpus
+    scan (operators/knn.py::knn_l2_batch — vectorized mapInPandas
+    batch-local top-k, candidates-only shuffle)."""
+    from documents_vector_search_spark.operators.knn import knn_l2_batch
+
+    return knn_l2_batch(
+        _t(spark, sf_dir, "embeddings"), BATCH_QUERIES, 10
+    )
 
 
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,6 +1585,21 @@ SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
 SELECT vec_id, round({_l2_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
 FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 10
 """,
+        "knn_batch": f"""
+WITH q(qid, v) AS (
+  VALUES {", ".join(f"('{qid}', {_vec_sql(vec)})" for qid, vec in sorted(BATCH_QUERIES.items()))}
+),
+d AS (
+  SELECT q.qid, e.vec_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "q.v")}, 6) AS distance
+  FROM embeddings e CROSS JOIN q
+)
+SELECT qid, vec_id, distance FROM (
+  SELECT qid, vec_id, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance, vec_id) AS rn
+  FROM d
+) WHERE rn <= 10
+""",
         "knn_cosine": f"""
 SELECT vec_id, round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS similarity
 FROM embeddings ORDER BY similarity DESC, vec_id ASC LIMIT 10
@@ -2270,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "knn_l2": q_knn_l2,
         "knn_cosine": q_knn_cosine,
+        "knn_batch": q_knn_batch,
         "knn_l2_filtered": q_knn_l2_filtered,
         "ann_lsh": q_ann_lsh,
         "rrf_hybrid": q_rrf_hybrid,

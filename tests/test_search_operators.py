@@ -250,3 +250,51 @@ class TestMeanPool:
         )
         assert plan.count("Exchange") == 1
         assert "Generate" not in plan  # no explode
+
+
+class TestKnnBatch:
+    def test_matches_per_query_knn(self, spark):
+        from documents_vector_search_spark.operators.knn import (
+            knn_l2,
+            knn_l2_batch,
+        )
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(200)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(6)
+        queries = {
+            "a": [0.5] * 8,
+            "b": [float(j % 3 - 1) for j in range(8)],
+            "c": [-2.0] * 8,
+        }
+        batch = knn_l2_batch(emb, queries, 5).collect()
+        by_qid = {}
+        for r in batch:
+            by_qid.setdefault(r.qid, []).append((r.vec_id, r.distance))
+        for qid, vec in queries.items():
+            expected = [
+                (r.vec_id, r.distance) for r in knn_l2(emb, vec, 5).collect()
+            ]
+            assert by_qid[qid] == expected, f"mismatch for {qid}"
+
+    def test_single_scan_plan(self, spark):
+        """All Q queries answered from ONE pass: exactly one scan node
+        and one candidates shuffle in the plan."""
+        from documents_vector_search_spark.operators.knn import knn_l2_batch
+
+        emb = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") * (i + 1)).cast("double") for i in range(4)]).alias(
+                "embedding"
+            ),
+        )
+        plan = (
+            knn_l2_batch(emb, {"a": [1.0] * 4, "b": [2.0] * 4}, 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Range (0, 50") == 1  # one source scan
+        assert plan.count("Exchange") == 1  # only the per-qid window
