@@ -28,6 +28,7 @@ HEADLINE = [
     "bm25_topk",
     "knn_cosine",
     "knn_l2",
+    "knn_batch",
     "ann_lsh",
     "rrf_hybrid",
     "chunk_split",

@@ -264,6 +264,24 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the physical plan of a search — the operator-level debug
+    view (PartitionFilters/PushedFilters/broadcasts are where this
+    engine's scale behavior is visible)."""
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll)
+    df = searcher.search(
+        args.query,
+        max_documents=args.max_documents,
+        indexes=tuple(args.indexes.split(",")),
+        metadata_filter=args.filter,
+    )
+    print(df._jdf.queryExecution().executedPlan().toString())
+    return 0
+
+
 def cmd_update_files(args) -> int:
     from documents_vector_search_spark.streaming.incremental import (
         incremental_files_update,
@@ -370,6 +388,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("explain")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--max-documents", type=int, default=10)
+    sp.add_argument("--indexes", default="vector,bm25")
+    sp.add_argument("--filter")
+    sp.set_defaults(func=cmd_explain)
 
     sp = sub.add_parser("compact")
     common(sp)

@@ -80,6 +80,14 @@ class TestCLI:
         assert rc == 0
         assert len(json.loads(capsys.readouterr().out)) > 0
 
+    def test_explain_prints_physical_plan(self, base_path, capsys):
+        rc = cli.main(
+            ["explain", "cli_test", "--base-path", base_path, "hash join"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "TakeOrderedAndProject" in out or "Exchange" in out
+
     def test_search_returns_ranked_json(self, base_path, capsys):
         rc = cli.main(
             [
