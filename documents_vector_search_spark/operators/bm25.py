@@ -221,6 +221,113 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    queries: dict[str, str],
+    k: int,
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    doc_stats: DataFrame | None = None,
+    corpus_stats: tuple[int, float] | None = None,
+    conjunctive: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """BM25 top-k for MANY keyword queries in ONE postings scan —
+    ``(qid, id, score)``, per-query descending, ties on id.
+
+    The batch analog of the index path of :func:`bm25_topk` (same
+    statistics, same conjunctive semantics, same rounding): the
+    postings scan prunes to the UNION of all queries' term buckets and
+    terms, per-term whole-index df comes from one window count, a tiny
+    broadcast ``(qid, term, n_terms)`` map fans matched rows out to
+    their queries, and one (qid, id) aggregation scores everything.
+    Q queries cost one index scan instead of Q — the batch-evaluation
+    shape (offline relevance sweeps, training-data labeling) wants.
+
+    Queries that tokenize to nothing are omitted from the result."""
+    from pyspark.sql import Window
+
+    q_terms = {
+        qid: terms
+        for qid, terms in ((q, _query_terms(t)) for q, t in queries.items())
+        if terms
+    }
+    if not q_terms:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], f"qid STRING, {id_col} STRING, score DOUBLE"
+        )
+    all_terms = sorted(set().union(*q_terms.values()))
+
+    if "term_bucket" in postings.columns:
+        buckets = sorted({term_bucket_py(t) for t in all_terms})
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    matched = postings.filter(F.col("term").isin(all_terms))
+    # whole-index per-term df BEFORE the query fan-out (postings are
+    # unique per (id, term), so the window count is the doc frequency)
+    matched = matched.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("term"))
+    )
+
+    spark = postings.sparkSession
+    qmap = spark.createDataFrame(
+        [
+            (qid, term, len(terms))
+            for qid, terms in sorted(q_terms.items())
+            for term in terms
+        ],
+        ["qid", "term", "_n_terms"],
+    )
+    fanned = matched.join(F.broadcast(qmap), "term")
+
+    if corpus_stats is not None:
+        n_docs_c = F.lit(int(corpus_stats[0]))
+        avgdl_c = F.lit(float(corpus_stats[1]))
+        scored = fanned
+    else:
+        if doc_stats is None:
+            raise ValueError("bm25_topk_batch needs doc_stats or corpus_stats")
+        stats = doc_stats.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        scored = fanned.crossJoin(F.broadcast(stats))
+        n_docs_c = F.col("n_docs")
+        avgdl_c = F.col("avgdl")
+    if "dl" not in scored.columns:
+        if doc_stats is None:
+            raise ValueError("bm25_topk_batch needs doc_stats when postings lack dl")
+        scored = scored.join(doc_stats.select(id_col, "dl"), id_col)
+
+    idf = F.log((n_docs_c - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl_c))
+    )
+    agg = (
+        scored.withColumn("term_score", term_score)
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum("term_score").alias("_score"),
+            F.count("*").alias("_matched_terms"),
+            F.max("_n_terms").alias("_n_terms"),
+        )
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("_matched_terms") == F.col("_n_terms"))
+    score = (
+        F.round(F.col("_score"), round_to) if round_to is not None else F.col("_score")
+    )
+    ranked = agg.select("qid", F.col(id_col), score.alias("score"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _bm25_adhoc(
     docs: DataFrame,
     q_terms: list[str],

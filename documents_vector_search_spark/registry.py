@@ -80,6 +80,13 @@ EMBED_DIM = 64
 BM25_QUERY = "hash join"
 BM25_TERMS = [t for t in re.split(r"[^a-z0-9]+", BM25_QUERY.lower()) if t]
 
+# batch keyword-search query set (operators/bm25.py::bm25_topk_batch)
+BM25_BATCH_QUERIES = {
+    "q0": BM25_QUERY,
+    "q1": "sort merge",
+    "q2": "table scan",
+}
+
 
 def _det_unit_vector(dim: int, seed: int) -> list[float]:
     rng = random.Random(seed)
@@ -309,6 +316,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1: exact L2 top-10 against a fixed query vector."""
     return knn_l2(_t(spark, sf_dir, "embeddings"), QUERY_VEC, 10)
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three keyword queries scored from ONE postings
+    scan (operators/bm25.py::bm25_topk_batch — union-term pruning,
+    broadcast query fan-out, single (qid, id) aggregation)."""
+    from documents_vector_search_spark.operators.bm25 import (
+        bm25_topk_batch,
+        build_doc_stats,
+        build_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk_batch(
+        BM25_BATCH_QUERIES,
+        10,
+        postings=build_postings(docs),
+        doc_stats=build_doc_stats(docs),
+    )
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,6 +1489,53 @@ ORDER BY distance, p.vec_id LIMIT 10
 """
 
 
+def _bm25_batch_oracle() -> str:
+    """DuckDB twin of q_bm25_batch: same BM25 math as _bm25_ctes, with
+    a (qid, term, n_terms) VALUES map fanning matched postings out to
+    their queries and per-qid ranking."""
+    from documents_vector_search_spark.operators.bm25 import _query_terms
+
+    qmap_rows = ", ".join(
+        f"('{qid}', '{t}', {len(terms)})"
+        for qid, terms in sorted(
+            (q, _query_terms(text)) for q, text in BM25_BATCH_QUERIES.items()
+        )
+        for t in terms
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+doc_stats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+qmap AS (SELECT * FROM (VALUES {qmap_rows}) AS q(qid, term, n_terms)),
+matched AS (SELECT tf.*, q.qid, q.n_terms FROM tf JOIN qmap q USING (term)),
+term_df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tf WHERE term IN (SELECT DISTINCT term FROM qmap) GROUP BY 1
+),
+scored AS (
+  SELECT m.qid, m.doc_id, m.n_terms,
+         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * (1.2 + 1))
+           / (m.tf + 1.2 * (1 - 0.75 + 0.75 * ds.dl / c.avgdl)) AS term_score
+  FROM matched m
+  JOIN term_df d USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+agg AS (
+  SELECT qid, doc_id, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY qid, doc_id HAVING count(*) = max(n_terms)
+)
+SELECT qid, doc_id, score FROM (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM agg
+) WHERE rn <= 10
+"""
+
+
 def _sq8_oracle() -> str:
     """DuckDB twin of q_sq8_ann — fully self-contained: the bounds CTE
     re-derives the EXACT per-dimension min/max doubles Spark fitted, so
@@ -1585,6 +1658,7 @@ SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
 SELECT vec_id, round({_l2_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
 FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 10
 """,
+        "bm25_batch": _bm25_batch_oracle(),
         "knn_batch": f"""
 WITH q(qid, v) AS (
   VALUES {", ".join(f"('{qid}', {_vec_sql(vec)})" for qid, vec in sorted(BATCH_QUERIES.items()))}
@@ -2303,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_l2": q_knn_l2,
         "knn_cosine": q_knn_cosine,
         "knn_batch": q_knn_batch,
+        "bm25_batch": q_bm25_batch,
         "knn_l2_filtered": q_knn_l2_filtered,
         "ann_lsh": q_ann_lsh,
         "rrf_hybrid": q_rrf_hybrid,

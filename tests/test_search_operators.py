@@ -65,6 +65,30 @@ class TestBM25:
         ).collect()
         assert a == b
 
+    def test_batch_matches_per_query(self, tiny_docs):
+        from documents_vector_search_spark.operators.bm25 import (
+            bm25_topk_batch,
+        )
+
+        postings = build_postings(tiny_docs)
+        stats = build_doc_stats(tiny_docs)
+        queries = {"a": "quick fox", "b": "join", "c": "quick pasta", "d": ""}
+        batch = bm25_topk_batch(queries, 5, postings=postings, doc_stats=stats)
+        by_qid = {}
+        for r in batch.collect():
+            by_qid.setdefault(r.qid, []).append((r.doc_id, r.score))
+        for qid in ("a", "b"):
+            expected = [
+                (r.doc_id, r.score)
+                for r in bm25_topk(
+                    tiny_docs, queries[qid], 5,
+                    postings=postings, doc_stats=stats,
+                ).collect()
+            ]
+            assert by_qid[qid] == expected, f"mismatch for {qid}"
+        assert "c" not in by_qid  # conjunctive: terms never co-occur
+        assert "d" not in by_qid  # empty query omitted
+
 
 class TestKNN:
     def test_exact_match_first(self, spark):
