@@ -394,6 +394,120 @@ class CollectionSearcher:
             fused = self._ranked(fused_scores).limit(max_chunks)
         return fused
 
+    def search_chunks_many(
+        self,
+        texts: dict[str, str],
+        max_chunks: int = 15,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """Fused chunk ranking for MANY queries in one job:
+        ``(qid, chunk_id, rank, score)`` — the batch-serving primitive
+        (offline relevance sweeps, eval-set labeling). Q queries cost
+        ONE pass per index instead of Q: vector search batches through
+        knn_l2_batch (one embeddings scan, candidates-only shuffle),
+        BM25 through bm25_topk_batch (one postings scan pruned to the
+        union of the queries' term buckets). On flat layouts per-query
+        results are IDENTICAL to :meth:`search_chunks` (pinned by
+        tests); on SQ8 layouts the batch path ranks exactly instead of
+        via the codes shortlist, so recall can only improve.
+
+        On ANN/IVF-pruned layouts the vector side falls back to a
+        per-query loop: each query scans only ITS probe partitions, so
+        a shared full scan would cost more, not less — the batch path's
+        win is exactly the flat/SQ8 layouts where every query pays the
+        whole scan anyway. (The SQ8 codes shortlist is likewise a
+        per-query plan; batch mode re-ranks exactly instead.)"""
+        unknown = set(indexes) - {"vector", "bm25"}
+        if unknown:
+            raise ValueError(f"unknown indexes: {sorted(unknown)}")
+        allowed = self._allowed_chunks(metadata_filter)
+        scored = []
+        if "vector" in indexes:
+            if self._ann_config() or self._ivf_config():
+                vec_parts = [
+                    self._vector_scored(text, max_chunks, allowed)
+                    .withColumn("qid", F.lit(qid))
+                    for qid, text in sorted(texts.items())
+                ]
+                vec = vec_parts[0]
+                for p in vec_parts[1:]:
+                    vec = vec.unionByName(p)
+            else:
+                from documents_vector_search_spark.operators.knn import (
+                    knn_l2_batch,
+                )
+
+                emb = self._read("embeddings")
+                if allowed is not None:
+                    emb = emb.join(F.broadcast(allowed), "chunk_id", "left_semi")
+                qvecs = {
+                    qid: hash_embedding_py(text, self.embedding_dim)
+                    for qid, text in texts.items()
+                }
+                vec = knn_l2_batch(
+                    emb, qvecs, max_chunks,
+                    id_col="chunk_id", vector_col="vector",
+                ).select(
+                    "qid", "chunk_id", (-F.col("distance")).alias("score")
+                )
+            scored.append(vec.withColumn("_src", F.lit("v")))
+        if "bm25" in indexes:
+            from documents_vector_search_spark.operators.bm25 import (
+                bm25_topk_batch,
+            )
+
+            bm = bm25_topk_batch(
+                texts,
+                max_chunks,
+                postings=self._read("postings"),
+                id_col="chunk_id",
+                doc_stats=self._read("doc_stats"),
+                corpus_stats=self._bm25_corpus_stats(),
+                candidates=allowed,
+            )
+            scored.append(bm.withColumn("_src", F.lit("b")))
+
+        w_src = Window.partitionBy("_src", "qid").orderBy(
+            F.col("score").desc(), F.col("chunk_id").asc()
+        )
+        if len(scored) == 1:
+            ranked = scored[0].select(
+                "qid",
+                "chunk_id",
+                (F.row_number().over(w_src) - 1).alias("rank"),
+                "score",
+            )
+            w_q = Window.partitionBy("qid").orderBy(
+                F.col("rank").asc(), F.col("chunk_id").asc()
+            )
+            return ranked.withColumn(
+                "_rn", F.row_number().over(w_q)
+            ).filter(F.col("_rn") <= max_chunks).drop("_rn")
+        unioned = scored[0]
+        for df in scored[1:]:
+            unioned = unioned.unionByName(df)
+        contribs = unioned.select(
+            "qid",
+            "chunk_id",
+            (
+                F.lit(1.0) / (F.lit(self.rrf_k) + F.row_number().over(w_src))
+            ).alias("_contrib"),
+        )
+        fused = contribs.groupBy("qid", "chunk_id").agg(
+            F.round(F.sum("_contrib"), 6).alias("score")
+        )
+        w_q = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("chunk_id").asc()
+        )
+        return (
+            fused.withColumn("_rn", F.row_number().over(w_q))
+            .filter(F.col("_rn") <= max_chunks)
+            .select(
+                "qid", "chunk_id", (F.col("_rn") - 1).alias("rank"), "score"
+            )
+        )
+
     def search(
         self,
         text: str,

@@ -228,6 +228,7 @@ def bm25_topk_batch(
     id_col: str = "doc_id",
     doc_stats: DataFrame | None = None,
     corpus_stats: tuple[int, float] | None = None,
+    candidates: DataFrame | None = None,
     conjunctive: bool = True,
     round_to: int | None = 6,
 ) -> DataFrame:
@@ -267,6 +268,10 @@ def bm25_topk_batch(
     matched = matched.withColumn(
         "_df", F.count("*").over(Window.partitionBy("term"))
     )
+    if candidates is not None:
+        # same semantics as bm25_topk: restricts SCORED rows only,
+        # statistics stay whole-index (df computed above)
+        matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
 
     spark = postings.sparkSession
     qmap = spark.createDataFrame(

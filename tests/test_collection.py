@@ -114,6 +114,47 @@ class TestSearch:
         ]
         assert [r.rank for r in fused] == list(range(len(fused)))
 
+    def test_batch_search_matches_per_query(self, collection):
+        """search_chunks_many per-qid results == search_chunks per
+        query — the batch path is a plan optimization (one scan per
+        index), never a semantics change."""
+        s = CollectionSearcher(collection)
+        texts = {
+            "a": "hash join vector",
+            "b": "sort merge",
+            "c": "window partition",
+        }
+        batch = s.search_chunks_many(texts, max_chunks=10).collect()
+        by_qid: dict = {}
+        for r in batch:
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(text, max_chunks=10).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
+    def test_batch_search_single_index_and_filter(self, collection):
+        s = CollectionSearcher(collection)
+        texts = {"a": "hash join", "b": "sort merge"}
+        got = s.search_chunks_many(
+            texts, max_chunks=5, indexes=("bm25",),
+            metadata_filter='lang = "en"',
+        ).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("bm25",),
+                    metadata_filter='lang = "en"',
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
     def test_single_index_skips_rrf(self, collection):
         s = CollectionSearcher(collection)
         vec_only = s.search_chunks("hash join", indexes=("vector",)).collect()
@@ -319,6 +360,25 @@ class TestAnnLayout:
         assert "PartitionFilters" in plan and "bucket" in plan
         got = hits.collect()
         assert len(got) > 0
+
+    def test_batch_search_falls_back_per_query_on_pruned_layout(
+        self, ann_coll
+    ):
+        """On an ANN layout the batch vector path loops per query (each
+        scans only its probe partitions) — results still match
+        search_chunks exactly."""
+        s = CollectionSearcher(ann_coll)
+        texts = {"a": "hash join", "b": "sort merge"}
+        got = s.search_chunks_many(texts, max_chunks=5).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(text, max_chunks=5).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
 
     def test_hybrid_search_still_works(self, ann_coll):
         s = CollectionSearcher(ann_coll)
