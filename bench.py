@@ -26,6 +26,7 @@ from documents_vector_search_spark.session import get_spark
 
 HEADLINE = [
     "bm25_topk",
+    "bm25_batch",
     "knn_cosine",
     "knn_l2",
     "knn_batch",
