@@ -508,6 +508,62 @@ class CollectionSearcher:
             )
         )
 
+    def search_many(
+        self,
+        texts: dict[str, str],
+        max_chunks: int = 15,
+        max_documents: int | None = 10,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """Document-grouped batch search: :meth:`search` for MANY
+        queries in one job, keyed by ``qid`` — grouping, doc ranking
+        (a document ranks at its best chunk's rank) and the per-query
+        document limit all run per qid inside the same plan."""
+        fused = self.search_chunks_many(
+            texts, max_chunks, indexes, metadata_filter
+        )
+        chunks = self._read("chunks")
+        hits = fused.join(chunks, "chunk_id").select(
+            "qid", "chunk_id", "document_id", "chunk_number", "rank", "score"
+        )
+        grouped = hits.groupBy("qid", "document_id").agg(
+            F.min("rank").alias("doc_rank"),
+            # chunk NUMBERS in rank order — the reference's matchedChunks
+            # shape (same as the single-query search path)
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rank", "chunk_number"))),
+                lambda s: s["chunk_number"],
+            ).alias("matched_chunks"),
+            F.max("score").alias("best_score"),
+            F.count("*").alias("n_chunks"),
+        )
+        if max_documents is not None:
+            w = Window.partitionBy("qid").orderBy(
+                F.col("doc_rank").asc(), F.col("document_id").asc()
+            )
+            grouped = (
+                grouped.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_documents)
+                .drop("_rn")
+            )
+        docs = self._read("documents")
+        return (
+            grouped.join(docs, grouped["document_id"] == docs["id"])
+            .select(
+                "qid",
+                "document_id",
+                "doc_rank",
+                "url",
+                "metadata",
+                "last_modified_at",
+                "matched_chunks",
+                "best_score",
+                "n_chunks",
+            )
+            .orderBy("qid", "doc_rank")
+        )
+
     def search(
         self,
         text: str,

@@ -155,6 +155,26 @@ class TestSearch:
             ]
             assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
 
+    def test_search_many_matches_per_query_search(self, collection):
+        s = CollectionSearcher(collection)
+        texts = {"a": "hash join vector", "b": "sort merge"}
+        got = s.search_many(texts, max_chunks=10, max_documents=5).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r.qid, []).append(
+                (r.document_id, r.doc_rank, tuple(r.matched_chunks),
+                 r.best_score, r.n_chunks)
+            )
+        for qid, text in texts.items():
+            expected = [
+                (r.document_id, r.doc_rank, tuple(r.matched_chunks),
+                 r.best_score, r.n_chunks)
+                for r in s.search(
+                    text, max_chunks=10, max_documents=5
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
     def test_single_index_skips_rrf(self, collection):
         s = CollectionSearcher(collection)
         vec_only = s.search_chunks("hash join", indexes=("vector",)).collect()
