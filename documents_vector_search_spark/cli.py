@@ -264,6 +264,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_search_many(args) -> int:
+    """Batch search: all queries answered in one job (one scan per
+    index — CollectionSearcher.search_many); results keyed by qid
+    q0..qN in argument order."""
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll, rrf_k=args.rrf_k)
+    texts = {f"q{i}": q for i, q in enumerate(args.queries)}
+    result = searcher.search_many(
+        texts,
+        max_chunks=args.max_chunks or args.max_documents * 3,
+        max_documents=args.max_documents,
+        indexes=tuple(args.indexes.split(",")),
+        metadata_filter=args.filter,
+    )
+    rows = [r.asDict(recursive=True) for r in result.collect()]
+    print(_format(rows, args.format))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """Print the physical plan of a search — the operator-level debug
     view (PartitionFilters/PushedFilters/broadcasts are where this
@@ -388,6 +409,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("search-many")
+    common(sp)
+    sp.add_argument("queries", nargs="+")
+    sp.add_argument("--max-documents", type=int, default=10)
+    sp.add_argument("--max-chunks", type=int, default=None)
+    sp.add_argument("--rrf-k", type=int, default=60)
+    sp.add_argument("--indexes", default="vector,bm25")
+    sp.add_argument("--filter")
+    sp.set_defaults(func=cmd_search_many)
 
     sp = sub.add_parser("explain")
     common(sp)

@@ -80,6 +80,18 @@ class TestCLI:
         assert rc == 0
         assert len(json.loads(capsys.readouterr().out)) > 0
 
+    def test_search_many_returns_qid_keyed_rows(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "search-many", "cli_test", "--base-path", base_path,
+                "broadcast join", "salting skew", "--format", "json",
+            ]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert {r["qid"] for r in rows} <= {"q0", "q1"}
+        assert len(rows) >= 2
+
     def test_explain_prints_physical_plan(self, base_path, capsys):
         rc = cli.main(
             ["explain", "cli_test", "--base-path", base_path, "hash join"]
