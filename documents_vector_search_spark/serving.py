@@ -98,6 +98,35 @@ def search_in_collection(
     return [r.asDict(recursive=True) for r in result.collect()]
 
 
+def search_many_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    queries: list[str],
+    metadata_filter: str | None = None,
+    max_chunks: int = DEFAULT_MAX_CHUNKS,
+    max_documents: int | None = None,
+) -> dict[str, list[dict]]:
+    """Tool: batch hybrid search — all queries answered in ONE Spark
+    job (one scan per index, CollectionSearcher.search_many); results
+    keyed ``q0..qN`` in input order."""
+    if not queries:
+        raise ValueError("at least one query is required")
+    max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
+    searcher = registry.searcher(collection)
+    texts = {f"q{i}": q for i, q in enumerate(queries)}
+    rows = searcher.search_many(
+        texts,
+        max_chunks=max_chunks,
+        max_documents=max_documents,
+        metadata_filter=metadata_filter,
+    ).collect()
+    out: dict[str, list[dict]] = {qid: [] for qid in texts}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        out[d.pop("qid")].append(d)
+    return out
+
+
 def fetch_from_collection(
     registry: CollectionRegistry,
     collection: str,
@@ -125,6 +154,15 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                max_documents: int | None = None) -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents
+        )
+
+    @app.tool()
+    def search_many(collection: str, queries: list[str],
+                    filter: str | None = None,
+                    max_chunks: int = DEFAULT_MAX_CHUNKS,
+                    max_documents: int | None = None) -> dict:
+        return search_many_in_collection(
+            registry, collection, queries, filter, max_chunks, max_documents
         )
 
     @app.tool()

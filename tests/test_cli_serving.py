@@ -305,8 +305,14 @@ class TestServing:
 
         reg = CollectionRegistry(spark, base_path)
         app = build_mcp_app(reg, FakeMCP)
-        assert set(app.tools) == {"search", "fetch"}
+        assert set(app.tools) == {"search", "search_many", "fetch"}
         hits = app.tools["search"]("cli_test", query="sort merge join")
         assert any(h["document_id"] == "eng/joins.txt" for h in hits)
         got = app.tools["fetch"]("cli_test", "notes.txt")
         assert "weekly sync" in got["text_slice"]
+        batch = app.tools["search_many"](
+            "cli_test", ["sort merge join", "salting skew"]
+        )
+        assert set(batch) == {"q0", "q1"}
+        assert any(h["document_id"] == "eng/joins.txt" for h in batch["q0"])
+        assert any(h["document_id"] == "eng/skew.txt" for h in batch["q1"])
