@@ -32,18 +32,30 @@ from documents_vector_search_spark.functions.text import tokenize, word_shingles
 
 
 def benchmark_ngrams(
-    benchmark: DataFrame, n: int = 5, text_col: str = "text"
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark corpus — the broadcast
-    side. One column ``gram``."""
-    return (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(word_shingles(tokenize(text_col), n))
-            ).alias("gram")
+    side. One column ``gram``.
+
+    ``hash_grams`` replaces each gram string with its md5-derived int64
+    (functions/hashing.py — engine-portable): a large eval suite's
+    13-gram set broadcasts as 8 bytes/gram instead of the raw strings
+    (~4-8× smaller), at a ~n²/2⁶⁴ false-collision risk — the standard
+    trade at scale. Both sides must use the same setting."""
+    gram = F.explode(
+        F.array_distinct(word_shingles(tokenize(text_col), n))
+    ).alias("gram")
+    out = benchmark.select(gram)
+    if hash_grams:
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64,
         )
-        .distinct()
-    )
+
+        out = out.select(md5_hash64(F.col("gram")).alias("gram"))
+    return out.distinct()
 
 
 def contamination_report(
@@ -54,6 +66,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document ``(id, contaminated_ngrams, contaminated)`` for
     EVERY training document: the count of distinct ``n``-gram shingles
@@ -61,14 +74,22 @@ def contamination_report(
 
     ``word_shingles`` gives short documents (< n tokens) one shingle of
     all their tokens, so they participate instead of silently passing.
+    ``hash_grams`` matches on md5-int64 gram hashes instead of strings
+    (see :func:`benchmark_ngrams`) — smaller broadcast at scale.
     """
-    grams = benchmark_ngrams(benchmark, n, bench_text_col)
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(tokenize(text_col), n))
-        ).alias("gram"),
-    )
+    grams = benchmark_ngrams(benchmark, n, bench_text_col, hash_grams)
+    doc_gram = F.explode(
+        F.array_distinct(word_shingles(tokenize(text_col), n))
+    ).alias("gram")
+    doc_grams = docs.select(F.col(id_col), doc_gram)
+    if hash_grams:
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64,
+        )
+
+        doc_grams = doc_grams.select(
+            F.col(id_col), md5_hash64(F.col("gram")).alias("gram")
+        )
     # per-doc grams are distinct (array_distinct before the explode), so
     # count(*) after the broadcast semi-match IS the distinct-hit count
     hits = (

@@ -59,6 +59,22 @@ class TestReport:
         }
         assert got[1] is False  # one shared 5-gram < threshold 2
 
+    def test_hashed_grams_match_string_grams(self, corpora):
+        """hash_grams=True must produce the same report (collisions are
+        ~n²/2⁶⁴ — impossible on this fixture)."""
+        docs, bench = corpora
+        plain = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(docs, bench, n=5).collect()
+        )
+        hashed = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(
+                docs, bench, n=5, hash_grams=True
+            ).collect()
+        )
+        assert plain == hashed
+
     def test_benchmark_side_is_broadcast(self, corpora):
         """The benchmark grams must enter the join as a broadcast — the
         100 TB training side never shuffles its exploded n-grams."""
