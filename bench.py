@@ -172,6 +172,23 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         except Exception as exc:  # noqa: BLE001 — harness must survive
             errors[qname] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # batch serving: 4 queries in ONE job (search_many) — compare with
+    # 4× the warm single-query number to see the scan amortization
+    try:
+        t0 = time.time()
+        searcher.search_many(
+            {
+                "q0": "hash join vector scan",
+                "q1": "sort merge",
+                "q2": "table window",
+                "q3": "key value batch",
+            },
+            max_chunks=15,
+        ).write.format("noop").mode("overwrite").save()
+        timings["indexed_search_batch4"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["indexed_search_batch4"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # incremental update of a ~0.1% batch: the operation a production
     # deployment runs continuously. Every table buckets by owning-doc
     # id, so an N-doc batch rewrites ≤N update buckets per table — at

@@ -1026,6 +1026,48 @@ def q_dataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed pivot column set: passing explicit values to pivot() skips the
+# distinct-scan job Spark otherwise runs to discover them — at scale the
+# schema of a pivot must never depend on a full pass over the fact table
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: per user-cohort event-type counts as columns
+    (one shuffle; explicit pivot values, no discovery scan). Missing
+    cells coalesce to 0 to match SQL conditional aggregation."""
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — Spark's
+    percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so even quantiles oracle-match."""
+    ev = _events(spark, sf_dir)
+    pct = lambda p, name: F.round(  # noqa: E731
+        F.expr(f"percentile(value, {p})"), 6
+    ).alias(name)
+    return ev.groupBy("event_type").agg(
+        pct(0.25, "p25"),
+        pct(0.5, "p50"),
+        pct(0.75, "p75"),
+        pct(0.95, "p95"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P5-style source→canonical projection: derived key prefix
     (split), url synthesis (concat), case normalization, null-safe
@@ -2237,6 +2279,20 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        'dataset' AS source_type
 FROM documents
 """,
+        "events_pivot": f"""
+SELECT user_id % 10 AS cohort,
+       {", ".join(f"count(*) FILTER (event_type = '{t}')::BIGINT AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+        "value_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+""",
         "canonical_projection": """
 SELECT doc_id,
   concat('doc://', source, '/', doc_id) AS url,
@@ -2421,6 +2477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
         "dataset_ingest": q_dataset_ingest,
+        "events_pivot": q_events_pivot,
+        "value_percentiles": q_value_percentiles,
         "topk_per_group": q_topk_per_group,
         "rollup": q_rollup,
         "set_ops": q_set_ops,
