@@ -70,6 +70,24 @@ def language_id(
     )
 
 
+def _alpha_ratio(text_col: str):
+    n_chars = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
+    return F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+
+
+def quality_expr(tokens, text_col: str = "text"):
+    """ROUNDED composite quality in [0, 1] from a STAGED token array —
+    the single definition shared by the batch profile (quality_score)
+    and the streaming intake gate (streaming/curation.py), so the two
+    can never drift. Mean of three bounded sub-scores: length, alpha
+    ratio, stopword naturalness."""
+    n_tokens = F.size(tokens)
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(_marker_ratio(tokens, LANG_MARKERS["en"]) * 5, F.lit(1.0))
+    return F.round((length_score + _alpha_ratio(text_col) + stop_score) / 3, 6)
+
+
 def quality_score(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -96,13 +114,9 @@ def quality_score(
         )
         / n_tokens,
     ).otherwise(F.lit(0.0))
-    alpha = F.length(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = _alpha_ratio(text_col)
     stop_ratio = _marker_ratio(tokens, LANG_MARKERS["en"])
-
-    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
-    quality = (length_score + alpha_ratio + stop_score) / 3
+    quality = quality_expr(tokens, text_col)
 
     return toks.select(
         F.col(id_col),
@@ -111,7 +125,7 @@ def quality_score(
         F.round(avg_tok, 6).alias("avg_token_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality"),
+        quality.alias("quality"),  # quality_expr rounds
     )
 
 

@@ -398,3 +398,128 @@ class TestStreamingDedup:
 
         with _pytest.raises(ValueError, match="streaming"):
             dedup_stream(df)
+
+
+class TestStreamingCuration:
+    def test_gate_filters_quality_contamination_and_dups(self, spark, tmp_path):
+        """curate_stream drops low-quality, eval-contaminated, and
+        duplicate docs in one availableNow pass; survivors match the
+        equivalent batch predicates."""
+        from datetime import datetime
+
+        from documents_vector_search_spark.streaming.curation import (
+            curate_stream,
+        )
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "writes a long readable paragraph about distributed joins "
+            "with many common english words in it for quality scoring "
+        ) * 3
+        rows = [
+            ("keep-1", good + "unique one", datetime(2024, 1, 1, 10)),
+            ("keep-2", good + "unique two", datetime(2024, 1, 1, 10, 1)),
+            # exact duplicate of keep-1 (later arrival)
+            ("dup-1", good + "unique one", datetime(2024, 1, 1, 10, 2)),
+            # junk: short, no english
+            ("junk-1", "zzz 123", datetime(2024, 1, 1, 10, 3)),
+            # contaminated: contains the benchmark 5-gram
+            (
+                "contam-1",
+                good + " the secret eval answer is forty two",
+                datetime(2024, 1, 1, 10, 4),
+            ),
+        ]
+        df = spark.createDataFrame(
+            rows, "id STRING, text STRING, last_modified_at TIMESTAMP"
+        )
+        src = str(tmp_path / "intake")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(
+            "id STRING, text STRING, last_modified_at TIMESTAMP"
+        ).parquet(src)
+        gated = curate_stream(
+            stream,
+            min_quality=0.3,
+            benchmark_grams=["secret eval answer is forty"],
+            n=5,
+            dedup_watermark="1 hour",
+        )
+        q = (
+            gated.writeStream.format("memory")
+            .queryName("gated")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM gated").collect()
+        kept = {r.id for r in got}
+        # dedup keeps ONE of {keep-1, dup-1} (same content hash)
+        assert "keep-2" in kept
+        assert len(kept & {"keep-1", "dup-1"}) == 1
+        assert "junk-1" not in kept and "contam-1" not in kept
+        assert all(r.quality >= 0.3 for r in got)
+
+    def test_hashed_gram_gate_matches_string_gate(self, spark, tmp_path):
+        from datetime import datetime
+
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+        from documents_vector_search_spark.streaming.curation import (
+            curate_stream,
+        )
+
+        base = "plenty of ordinary english text that scores well " * 5
+        rows = [
+            ("a", base + "the secret eval answer is forty two",
+             datetime(2024, 1, 1)),
+            ("b", base + "nothing overlapping here", datetime(2024, 1, 1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "id STRING, text STRING, last_modified_at TIMESTAMP"
+        )
+        src = str(tmp_path / "intake2")
+        df.write.mode("overwrite").parquet(src)
+        gram = "secret eval answer is forty"
+
+        outs = {}
+        for name, kwargs in (
+            ("plain", {"benchmark_grams": [gram]}),
+            (
+                "hashed",
+                {
+                    "benchmark_grams": [md5_hash64_py(gram)],
+                    "hash_grams": True,
+                },
+            ),
+        ):
+            stream = spark.readStream.schema(
+                "id STRING, text STRING, last_modified_at TIMESTAMP"
+            ).parquet(src)
+            gated = curate_stream(
+                stream, min_quality=None, n=5, **kwargs
+            )
+            q = (
+                gated.writeStream.format("memory")
+                .queryName(f"gated_{name}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            outs[name] = {
+                r.id for r in spark.sql(f"SELECT * FROM gated_{name}").collect()
+            }
+        assert outs["plain"] == outs["hashed"] == {"b"}
+
+    def test_rejects_batch_input(self, spark):
+        from documents_vector_search_spark.streaming.curation import (
+            curate_stream,
+        )
+
+        df = spark.createDataFrame([("a", "t")], ["id", "text"])
+        with pytest.raises(ValueError, match="streaming"):
+            curate_stream(df)
