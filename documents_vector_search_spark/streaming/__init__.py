@@ -1,7 +1,10 @@
 """Streaming / incremental-update layer (SURVEY §2.6 U1-U4)."""
 
+from documents_vector_search_spark.streaming.curation import curate_stream
+from documents_vector_search_spark.streaming.dedup import dedup_stream
 from documents_vector_search_spark.streaming.incremental import (
     OVERLAP_MINUTES,
+    incremental_dataset_update,
     incremental_files_update,
     run_streaming_update,
     watermark_cql,
@@ -11,6 +14,9 @@ from documents_vector_search_spark.streaming.incremental import (
 
 __all__ = [
     "OVERLAP_MINUTES",
+    "curate_stream",
+    "dedup_stream",
+    "incremental_dataset_update",
     "incremental_files_update",
     "run_streaming_update",
     "watermark_cql",
