@@ -323,11 +323,30 @@ def bm25_topk_batch(
         F.round(F.col("_score"), round_to) if round_to is not None else F.col("_score")
     )
     ranked = agg.select("qid", F.col(id_col), score.alias("score"))
-    w = Window.partitionBy("qid").orderBy(
+    # two-phase salted grouped top-k: a query matching a common term has
+    # an UNBOUNDED candidate set, and a bare per-qid window would sort
+    # all of it in one task. Phase 1 takes top-k within (qid, salt) —
+    # per-task sorts of ~candidates/n_salts; phase 2 ranks the ≤
+    # n_salts × k survivors. Exact: the global top-k is a subset of the
+    # union of per-salt top-ks, and both phases share the (score desc,
+    # id asc) rounded total order.
+    n_salts = 16
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        ranked.withColumn(
+            "_salt", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_salts))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        ranked.withColumn("_rn", F.row_number().over(w))
+        survivors.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
