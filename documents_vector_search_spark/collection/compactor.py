@@ -59,11 +59,18 @@ def compact_collection(
     collection: Collection,
     tables: list[str] | None = None,
     max_files_per_dir: int = 1,
+    output_files_per_dir: int = 1,
 ) -> dict[str, dict]:
-    """Compact fragmented update buckets down to one file per partition
-    directory. Returns a per-table report
+    """Compact fragmented update buckets down to ``output_files_per_dir``
+    files per partition directory. Returns a per-table report
     ``{table: {"buckets": [...], "files_before": n, "files_after": m}}``
-    (tables with nothing to do are omitted)."""
+    (tables with nothing to do are omitted).
+
+    ``output_files_per_dir`` > 1 spreads each rewritten directory over
+    that many writer tasks (a salt of the row id joins the repartition
+    key) — at production bucket sizes (~100 GB) a single-writer rewrite
+    per directory would serialize; pick size/⟨file target⟩. The
+    fragmentation threshold ``max_files_per_dir`` should exceed it."""
     from documents_vector_search_spark.collection.updater import (
         _recover_orphans,
         _swap_partitions,
@@ -84,11 +91,23 @@ def compact_collection(
             continue
         df = collection.read(table).filter(F.col(UPDATE_PB_COL).isin(frag))
         pcols = [c for c in _LAYOUT_COLS if c in df.columns] + [UPDATE_PB_COL]
-        # repartition BY the partition columns: all rows of one live
-        # directory land in one task -> exactly one output file per dir
+        # repartition BY the partition columns (+ an id salt when more
+        # writers per dir are requested): all rows of one (dir, salt)
+        # land in one task -> exactly output_files_per_dir files per dir
+        keys = [F.col(c) for c in pcols]
+        if output_files_per_dir > 1:
+            first_data = next(
+                c for c in df.columns if c not in pcols
+            )
+            keys.append(
+                F.pmod(
+                    F.crc32(F.col(first_data).cast("string")),
+                    F.lit(output_files_per_dir),
+                )
+            )
         _swap_partitions(
             collection,
-            {table: df.repartition(*[F.col(c) for c in pcols])},
+            {table: df.repartition(*keys)},
             partition_cols={table: pcols},
             affected_pbs={table: frag},
         )

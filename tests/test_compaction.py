@@ -116,6 +116,26 @@ class TestCompaction:
     def test_second_compact_is_noop(self, fragmented):
         assert compact_collection(fragmented) == {}
 
+    def test_multi_writer_output(self, spark, docs, tmp_path):
+        """output_files_per_dir spreads a rewritten directory across
+        several writers — the production knob for ~100 GB buckets."""
+        coll = Collection(spark, str(tmp_path), "multi")
+        create_collection(coll, docs, chunk_size=120, chunk_overlap=20,
+                          update_buckets=2)
+        one = docs.filter(F.col("id") == "doc-1")
+        for i in range(4):
+            update_collection(
+                coll, one.withColumn("text", F.concat(F.lit(f"m{i} "), "text"))
+            )
+        n_before = coll.read("chunks").count()
+        report = compact_collection(
+            coll, max_files_per_dir=2, output_files_per_dir=2
+        )
+        assert "chunks" in report
+        counts = bucket_file_counts(Path(coll.table_path("chunks")))
+        assert all(c["max_per_dir"] <= 2 for c in counts.values())
+        assert coll.read("chunks").count() == n_before
+
     def test_compacts_layout_tables_preserving_pruning(
         self, spark, docs, tmp_path
     ):
