@@ -59,6 +59,44 @@ def assign_cluster_expr(
     return F.array_min(F.array(*dist_structs))["i"]
 
 
+def assign_cluster_pandas(
+    vec: Column,
+    centroids: Sequence[Sequence[float]],
+    round_to: int = 6,
+) -> Column:
+    """Vectorized twin of :func:`assign_cluster_expr` for LARGE nlist:
+    the expression form inlines one struct comparison per centroid into
+    the plan (fine to ~1k; a 64k-centroid coarse quantizer would blow
+    codegen), while this Arrow-batched pandas UDF computes the full
+    row×centroid distance matrix with one numpy op per batch.
+
+    Semantics are IDENTICAL by construction — distances round to the
+    same precision and ``argmin`` takes the LOWEST index among ties,
+    matching the expression's (distance, id) struct-min — so the two
+    assigners are interchangeable within one collection (pinned by
+    test)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    cmat = np.asarray([[float(x) for x in c] for c in centroids])
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inference can't resolve locals (same
+    # constraint as operators/knn.py::knn_l2_numpy)
+    @F.pandas_udf(IntegerType())
+    def assign(v):
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        # direct (x - c)^2 form: same op order as the expression/SQL
+        d = np.sqrt(((m[:, None, :] - cmat[None, :, :]) ** 2).sum(-1))
+        d = np.round(d, round_to)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign(vec)
+
+
 def probe_clusters_fixed(
     centroids: Sequence[Sequence[float]],
     query_vector: Sequence[float],

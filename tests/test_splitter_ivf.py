@@ -85,6 +85,27 @@ class TestIVF:
         }
         assert clusters <= probed
 
+    def test_pandas_assigner_matches_expression(self, embeddings_df):
+        """assign_cluster_pandas (large-nlist path) must agree with
+        assign_cluster_expr row-for-row — same rounding, same
+        lowest-index tie-break."""
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+            assign_cluster_pandas,
+            round_centroids,
+        )
+
+        ivf = fit_ivf(embeddings_df, nlist=6)
+        cents = round_centroids(ivf.centroids)
+        vec = F.col("embedding").cast("array<double>")
+        both = embeddings_df.select(
+            "vec_id",
+            assign_cluster_expr(vec, cents).alias("by_expr"),
+            assign_cluster_pandas(vec, cents).alias("by_pandas"),
+        ).collect()
+        assert all(r.by_expr == r.by_pandas for r in both)
+        assert len({r.by_expr for r in both}) > 1  # several clusters hit
+
     def test_partitioned_write_prunes(self, embeddings_df, tmp_path, spark):
         ivf = fit_ivf(embeddings_df, nlist=4)
         path = str(tmp_path / "ivf")
