@@ -113,6 +113,41 @@ def pq_encode_expr(
     return F.array(*codes)
 
 
+def pq_encode_pandas(
+    vec: Column, codebooks: Codebooks, round_to: int = 6
+) -> Column:
+    """Vectorized twin of :func:`pq_encode_expr` for LARGE codebooks:
+    the expression form inlines ksub struct comparisons per subspace
+    (fine at ksub=16; the standard ksub=256 of PQ8 would blow codegen),
+    while this Arrow-batched pandas UDF runs one numpy argmin per
+    (batch, subspace). Same rounded squared distances, same
+    lowest-code tie-break (np.argmin takes the first minimum) — the
+    two encoders are interchangeable, pinned by test."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = [np.asarray([[float(x) for x in c] for c in cb]) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inference can't resolve locals
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v):
+        mat = np.array(v.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((mat.shape[0], m), dtype="int32")
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = np.argmin(np.round(d, round_to), axis=1)
+        return pd.Series(list(codes))
+
+    return encode(vec)
+
+
 def pq_adc_lut(
     query_vector: Sequence[float], codebooks: Codebooks, round_to: int = 6
 ) -> list[list[float]]:

@@ -131,6 +131,22 @@ class TestProductQuantization:
 
         return fit_pq(emb, dim=16, m=4, ksub=8)
 
+    def test_pandas_encoder_matches_expression(self, emb, codebooks):
+        """pq_encode_pandas (large-ksub path) must agree with
+        pq_encode_expr code-for-code."""
+        from documents_vector_search_spark.operators.pq import (
+            pq_encode_expr,
+            pq_encode_pandas,
+        )
+
+        vec = F.col("embedding").cast("array<double>")
+        both = emb.select(
+            "vec_id",
+            pq_encode_expr(vec, codebooks).alias("by_expr"),
+            pq_encode_pandas(vec, codebooks).alias("by_pandas"),
+        ).collect()
+        assert all(list(r.by_expr) == list(r.by_pandas) for r in both)
+
     def test_codebook_shape_and_rounding(self, codebooks):
         assert len(codebooks) == 4
         assert all(len(cb) == 8 for cb in codebooks)
