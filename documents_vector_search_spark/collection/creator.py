@@ -268,7 +268,7 @@ def create_collection(
                 return result
             if ivf_nlist:
                 from documents_vector_search_spark.operators.ivf import (
-                    assign_cluster_expr,
+                    assign_cluster_auto,
                     fit_ivf,
                     round_centroids,
                 )
@@ -284,14 +284,14 @@ def create_collection(
                 # the exact same partition for every future update batch
                 out = src.withColumn(
                     "cluster_id",
-                    assign_cluster_expr(
+                    assign_cluster_auto(
                         F.col("vector").cast("array<double>"), centroids
                     ),
                 )
                 if pq_m:
                     from documents_vector_search_spark.operators.pq import (
                         fit_pq,
-                        pq_encode_expr,
+                        pq_encode_auto,
                     )
 
                     result["codebooks"] = fit_pq(
@@ -300,7 +300,7 @@ def create_collection(
                     )
                     out = out.withColumn(
                         "codes",
-                        pq_encode_expr(
+                        pq_encode_auto(
                             F.col("vector").cast("array<double>"),
                             result["codebooks"],
                         ),

@@ -375,12 +375,12 @@ def update_collection(
     ivf_cfg = manifest.converter.get("ivf")
     if ivf_cfg:
         from documents_vector_search_spark.operators.ivf import (
-            assign_cluster_expr,
+            assign_cluster_auto,
         )
 
         fresh_embeddings = fresh_embeddings.withColumn(
             "cluster_id",
-            assign_cluster_expr(
+            assign_cluster_auto(
                 F.col("vector").cast("array<double>"), ivf_cfg["centroids"]
             ),
         )
@@ -388,12 +388,12 @@ def update_collection(
             # IVFPQ layout: re-encode fresh vectors with the manifest
             # codebooks so ADC search covers updates too
             from documents_vector_search_spark.operators.pq import (
-                pq_encode_expr,
+                pq_encode_auto,
             )
 
             fresh_embeddings = fresh_embeddings.withColumn(
                 "codes",
-                pq_encode_expr(
+                pq_encode_auto(
                     F.col("vector").cast("array<double>"),
                     ivf_cfg["pq"]["codebooks"],
                 ),

@@ -97,6 +97,26 @@ def assign_cluster_pandas(
     return assign(vec)
 
 
+# above this many centroids the inlined-expression assigner's codegen
+# cost outweighs the Arrow transfer of the vectorized one
+EXPR_ASSIGN_MAX_NLIST = 64
+
+
+def assign_cluster_auto(
+    vec: Column,
+    centroids: Sequence[Sequence[float]],
+    round_to: int = 6,
+) -> Column:
+    """Pick the assigner by codebook size — expression (stays in
+    codegen, oracle-parity path) for small nlist, vectorized pandas for
+    large. The two agree row-for-row (parity-pinned), so the choice is
+    purely a performance one and collections may mix them across
+    create/update."""
+    if len(centroids) <= EXPR_ASSIGN_MAX_NLIST:
+        return assign_cluster_expr(vec, centroids, round_to)
+    return assign_cluster_pandas(vec, centroids, round_to)
+
+
 def probe_clusters_fixed(
     centroids: Sequence[Sequence[float]],
     query_vector: Sequence[float],

@@ -148,6 +148,21 @@ def pq_encode_pandas(
     return encode(vec)
 
 
+# above this many codes per subspace the inlined-expression encoder's
+# codegen cost outweighs the Arrow transfer of the vectorized one
+EXPR_ENCODE_MAX_KSUB = 32
+
+
+def pq_encode_auto(
+    vec: Column, codebooks: Codebooks, round_to: int = 6
+) -> Column:
+    """Pick the encoder by codebook size (see operators/ivf.py::
+    assign_cluster_auto — same reasoning, parity-pinned twins)."""
+    if len(codebooks[0]) <= EXPR_ENCODE_MAX_KSUB:
+        return pq_encode_expr(vec, codebooks, round_to)
+    return pq_encode_pandas(vec, codebooks, round_to)
+
+
 def pq_adc_lut(
     query_vector: Sequence[float], codebooks: Codebooks, round_to: int = 6
 ) -> list[list[float]]:
