@@ -238,7 +238,7 @@ def create_collection(
             if sq8:
                 from documents_vector_search_spark.operators.sq import (
                     fit_sq_bounds,
-                    sq_encode_expr,
+                    sq_encode_auto,
                 )
 
                 mins, maxs = fit_sq_bounds(
@@ -247,7 +247,7 @@ def create_collection(
                 result["sq8"] = {"mins": mins, "maxs": maxs}
                 src = src.withColumn(
                     "codes",
-                    sq_encode_expr(
+                    sq_encode_auto(
                         F.col("vector").cast("array<double>"), mins, maxs
                     ),
                 )

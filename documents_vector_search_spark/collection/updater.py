@@ -404,12 +404,12 @@ def update_collection(
     sq_cfg = manifest.converter.get("sq8")
     if sq_cfg:
         from documents_vector_search_spark.operators.sq import (
-            sq_encode_expr,
+            sq_encode_auto,
         )
 
         fresh_embeddings = fresh_embeddings.withColumn(
             "codes",
-            sq_encode_expr(
+            sq_encode_auto(
                 F.col("vector").cast("array<double>"),
                 sq_cfg["mins"],
                 sq_cfg["maxs"],

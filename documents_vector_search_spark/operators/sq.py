@@ -83,6 +83,54 @@ def sq_encode_expr(
     return F.array(*codes)
 
 
+# above this many dimensions the inlined per-component encode's codegen
+# cost outweighs the Arrow transfer of the vectorized twin
+EXPR_ENCODE_MAX_DIM = 64
+
+
+def sq_encode_pandas(
+    vec: Column, mins: Sequence[float], maxs: Sequence[float]
+) -> Column:
+    """Vectorized twin of :func:`sq_encode_expr` for WIDE embeddings
+    (same reasoning as operators/ivf.py::assign_cluster_pandas): one
+    numpy pass per Arrow batch instead of dim inlined expressions.
+    Identical math — ``floor(x + 0.5)`` half-up, clamp, degenerate
+    dimensions encode 0 — parity-pinned by test."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mn = np.asarray([float(x) for x in mins])
+    mx = np.asarray([float(x) for x in maxs])
+    span = mx - mn
+    degenerate = span == 0.0
+    safe_span = np.where(degenerate, 1.0, span)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inference can't resolve locals
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v):
+        m = np.array(v.tolist(), dtype=np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype=object)
+        scaled = np.floor((m - mn) / safe_span * 255 + 0.5)
+        codes = np.clip(scaled, 0, 255).astype("int32")
+        codes[:, degenerate] = 0
+        return pd.Series(list(codes))
+
+    return encode(vec)
+
+
+def sq_encode_auto(
+    vec: Column, mins: Sequence[float], maxs: Sequence[float]
+) -> Column:
+    """Pick the encoder by dimension — expression (codegen,
+    oracle-parity path) for narrow vectors, vectorized for wide."""
+    if len(list(mins)) <= EXPR_ENCODE_MAX_DIM:
+        return sq_encode_expr(vec, mins, maxs)
+    return sq_encode_pandas(vec, mins, maxs)
+
+
 def sq_adc_distance_expr(
     codes: Column,
     query_vector: Sequence[float],

@@ -125,3 +125,23 @@ class TestSearch:
         q = [5.0, 20.0, -5.0, 7.0]
         got = sq_search_l2(emb, q, 1, shortlist=1).collect()
         assert got[0].vec_id == 5
+
+
+class TestVectorizedEncoder:
+    def test_pandas_encoder_matches_expression(self, emb):
+        from documents_vector_search_spark.operators.sq import (
+            fit_sq_bounds,
+            sq_encode_pandas,
+        )
+
+        mins, maxs = fit_sq_bounds(emb, DIM)
+        both = emb.select(
+            "vec_id",
+            sq_encode_expr(
+                F.col("embedding").cast("array<double>"), mins, maxs
+            ).alias("by_expr"),
+            sq_encode_pandas(
+                F.col("embedding").cast("array<double>"), mins, maxs
+            ).alias("by_pandas"),
+        ).collect()
+        assert all(list(r.by_expr) == list(r.by_pandas) for r in both)
