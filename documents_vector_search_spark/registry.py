@@ -25,7 +25,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.hashing import md5_hash64_sql
+from documents_vector_search_spark.functions.hashing import (
+    md5_hash64,
+    md5_hash64_sql,
+)
 from documents_vector_search_spark.operators.ann import bucket_of
 from documents_vector_search_spark.operators.bm25 import bm25_topk, build_postings
 from documents_vector_search_spark.operators.chunking import (
@@ -1065,6 +1068,49 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.75, "p75"),
         pct(0.95, "p95"),
         F.count("*").alias("n"),
+    )
+
+
+CORPUS_PREP_MIN_QUALITY = 0.5
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus prep pipeline as one oracle-checked
+    flow — quality gate → benchmark decontamination → exact dedup —
+    i.e. the operators a 100 TB prep run chains, proven to compose:
+
+    1. drop documents below the composite quality score
+       (operators/text_analysis.quality_expr, threshold 0.5);
+    2. drop documents sharing a 5-gram with the benchmark subset
+       (operators/decontamination.decontaminate, docs with id % 50);
+    3. keep the lowest-id document per exact content hash
+       (first-wins exact dedup).
+
+    Output: surviving ``(doc_id, quality)``."""
+    from documents_vector_search_spark.functions.text import tokenize
+    from documents_vector_search_spark.operators.decontamination import (
+        decontaminate,
+    )
+    from documents_vector_search_spark.operators.text_analysis import (
+        quality_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn("_toks", tokenize("text"))
+    gated = (
+        staged.withColumn("quality", quality_expr(F.col("_toks"), "text"))
+        .filter(F.col("quality") >= CORPUS_PREP_MIN_QUALITY)
+        .drop("_toks")
+    )
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    decon = decontaminate(gated, bench, n=DECON_N)
+    w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    return (
+        decon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "quality")
     )
 
 
@@ -2279,6 +2325,40 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        'dataset' AS source_type
 FROM documents
 """,
+        "corpus_prep": f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+q AS (
+  SELECT doc_id, text, toks,
+    round((least(len(toks) / 100.0, 1.0)
+      + CASE WHEN length(text) > 0
+          THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+          ELSE 0.0 END
+      + least(CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks, w -> list_contains({en_list}, w)))::DOUBLE / len(toks)
+          ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+  FROM t
+),
+gated AS (SELECT * FROM q WHERE quality >= {CORPUS_PREP_MIN_QUALITY}),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS gram FROM (
+    SELECT {_shingles_sql(DECON_N)} AS sh FROM t
+    WHERE doc_id % {DECON_BENCH_MOD} = 0
+  )
+),
+gs AS (SELECT doc_id, unnest({_shingles_sql(DECON_N)}) AS gram FROM gated),
+contam AS (SELECT DISTINCT gs.doc_id FROM gs JOIN bench USING (gram)),
+decon AS (
+  SELECT doc_id, text, quality FROM gated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT doc_id, quality FROM (
+  SELECT doc_id, quality,
+         row_number() OVER (
+           PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
+         ) AS rn
+  FROM decon
+) WHERE rn = 1
+""",
         "events_pivot": f"""
 SELECT user_id % 10 AS cohort,
        {", ".join(f"count(*) FILTER (event_type = '{t}')::BIGINT AS {t}" for t in EVENT_TYPES)}
@@ -2478,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_projection": q_canonical_projection,
         "dataset_ingest": q_dataset_ingest,
         "events_pivot": q_events_pivot,
+        "corpus_prep": q_corpus_prep,
         "value_percentiles": q_value_percentiles,
         "topk_per_group": q_topk_per_group,
         "rollup": q_rollup,
