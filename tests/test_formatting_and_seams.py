@@ -210,10 +210,20 @@ class TestNoPersistLeak:
         coll = Collection(spark, str(tmp_path), "leak")
         create_collection(coll, docs, chunk_size=50, chunk_overlap=5)
 
-        jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+        # compare RDD-id SETS, not sizes: the ContextCleaner may
+        # asynchronously unpersist OTHER tests' dead cached frames
+        # between the two probes (a size comparison flakes); what this
+        # test pins is that search ADDS nothing
+        def persistent_ids() -> set:
+            m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+            it = m.keysIterator()
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        before = persistent_ids()
         s = CollectionSearcher(coll)  # cache_tables OFF: one-shot mode
         for _ in range(3):
             s.search("hash join", max_chunks=5).collect()
-        after = jsc.getPersistentRDDs().size()
-        assert after == before
+        assert persistent_ids() - before == set()
