@@ -1084,10 +1084,18 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. drop documents sharing a 5-gram with the benchmark subset
        (operators/decontamination.decontaminate, docs with id % 50);
     3. keep the lowest-id document per exact content hash
-       (first-wins exact dedup).
+       (first-wins exact dedup);
+    4. MinHash-LSH near-dup pairs over the survivors → connected
+       components → keep each cluster's minimum-id member
+       (operators/dedup.py + operators/cc.py).
 
-    Output: surviving ``(doc_id, quality)``."""
+    Output: surviving ``(doc_id, quality)``. The oracle replays all
+    four stages including the recursive-CTE transitive closure."""
     from documents_vector_search_spark.functions.text import tokenize
+    from documents_vector_search_spark.operators.cc import (
+        cluster_canonicalize,
+        connected_components,
+    )
     from documents_vector_search_spark.operators.decontamination import (
         decontaminate,
     )
@@ -1107,10 +1115,18 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
         F.col("doc_id").asc()
     )
-    return (
+    exact = (
         decon.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("doc_id", "quality")
+        .drop("_rn")
+    )
+    pairs = minhash_lsh_pairs(
+        exact, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    clusters = connected_components(pairs)
+    return cluster_canonicalize(exact, clusters, id_col="doc_id").select(
+        "doc_id", "quality"
     )
 
 
@@ -2326,7 +2342,7 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
 FROM documents
 """,
         "corpus_prep": f"""
-WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+WITH RECURSIVE t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
 q AS (
   SELECT doc_id, text, toks,
     round((least(len(toks) / 100.0, 1.0)
@@ -2348,16 +2364,56 @@ bench AS (
 gs AS (SELECT doc_id, unnest({_shingles_sql(DECON_N)}) AS gram FROM gated),
 contam AS (SELECT DISTINCT gs.doc_id FROM gs JOIN bench USING (gram)),
 decon AS (
-  SELECT doc_id, text, quality FROM gated
+  SELECT doc_id, text, toks, quality FROM gated
   WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-)
-SELECT doc_id, quality FROM (
-  SELECT doc_id, quality,
-         row_number() OVER (
-           PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
-         ) AS rn
-  FROM decon
-) WHERE rn = 1
+),
+exact AS (
+  SELECT doc_id, toks, quality FROM (
+    SELECT doc_id, toks, quality,
+           row_number() OVER (
+             PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
+           ) AS rn
+    FROM decon
+  ) WHERE rn = 1
+),
+sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM exact),
+hxt2 AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh2),
+sig2 AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM hxt2),
+banded_all2 AS (
+{" UNION ALL ".join(f"SELECT doc_id, {b} AS band_index, concat(m{2 * b}, '_', m{2 * b + 1}) AS band_value FROM sig2" for b in range(4))}
+),
+banded2 AS (
+  SELECT doc_id, band_index, band_value FROM banded_all2
+  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
+),
+cand2 AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded2 l JOIN banded2 r
+    ON l.band_index = r.band_index AND l.band_value = r.band_value
+   AND l.doc_id < r.doc_id
+),
+v2 AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
+         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
+  FROM cand2 JOIN sig2 a ON a.doc_id = id_a JOIN sig2 b ON b.doc_id = id_b
+),
+pairs2 AS (SELECT id_a, id_b FROM v2 WHERE inter / (na + nb - inter) >= 0.8),
+edges2 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs2
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs2
+),
+nodes2 AS (SELECT DISTINCT src AS id FROM edges2),
+reach2(id, r) AS (
+  SELECT id, id FROM nodes2
+  UNION
+  SELECT e.dst AS id, reach2.r AS r FROM reach2 JOIN edges2 e ON e.src = reach2.id
+),
+clusters2 AS (SELECT id, min(r) AS cluster_id FROM reach2 GROUP BY id),
+victims2 AS (SELECT id FROM clusters2 WHERE id != cluster_id)
+SELECT doc_id, quality FROM exact
+WHERE doc_id NOT IN (SELECT id FROM victims2)
 """,
         "events_pivot": f"""
 SELECT user_id % 10 AS cohort,
