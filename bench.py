@@ -56,6 +56,7 @@ HEADLINE = [
     "perplexity",
     "pii_redact",
     "line_dedup",
+    "corpus_prep",
     "asof_join",
     "tpch_q1",
     "revenue_join",
