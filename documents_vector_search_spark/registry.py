@@ -1115,10 +1115,17 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
         F.col("doc_id").asc()
     )
+    # materialize the exact-dedup survivors ONCE: they feed BOTH the
+    # MinHash pipeline and the final canonicalize anti-join, and the
+    # upstream (tokenize + gram explode + window) is the expensive part
+    # — without this the whole prefix runs twice. Survivor rows are a
+    # filtered fraction of the corpus; on a cluster use a reliable
+    # checkpoint dir (same note as operators/cc.py).
     exact = (
         decon.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint()
     )
     pairs = minhash_lsh_pairs(
         exact, threshold=0.8, num_hashes=8, bands=4,
