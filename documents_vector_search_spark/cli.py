@@ -264,6 +264,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_refit_sq8(args) -> int:
+    """Re-fit SQ8 quantizer bounds after distribution drift
+    (collection/refit.py) — O(corpus) by design, so it is an explicit
+    maintenance command like ``compact``, never part of ``update``."""
+    from documents_vector_search_spark.collection import refit_sq8
+
+    coll = _collection(args)
+    print(_format(refit_sq8(coll), args.format))
+    return 0
+
+
 def cmd_search_many(args) -> int:
     """Batch search: all queries answered in one job (one scan per
     index — CollectionSearcher.search_many); results keyed by qid
@@ -433,6 +444,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-files", type=int, default=1,
                     help="compact buckets whose dirs exceed this file count")
     sp.set_defaults(func=cmd_compact)
+
+    sp = sub.add_parser("refit-sq8")
+    common(sp)
+    sp.set_defaults(func=cmd_refit_sq8)
 
     return p
 

@@ -1,0 +1,92 @@
+"""SQ8 bounds refit: the explicit maintenance op for quantizer drift.
+
+Incremental updates NEVER refit SQ8 bounds (collection/updater.py:
+fresh vectors re-encode with the manifest's fitted [min, max] and
+out-of-range components clamp) because every code in the corpus must
+share one scale — a per-batch refit would silently mix scales and
+corrupt decoded distances. After large distribution drift the clamp
+loses resolution, so the remedy is this REFIT: re-fit the per-dimension
+bounds from the CURRENT corpus and re-encode every code with them.
+
+Scale design: a refit is O(corpus) by necessity (one global scale), so
+it is an explicit maintenance command — same category as compaction
+(collection/compactor.py), run occasionally, never on the update path.
+The rewrite is exactly two jobs over the embeddings table: one min/max
+aggregation (2·dim scalars to the driver) and one map-only re-encode
+written through the updater's two-phase staged swap (stage to
+``__tmp`` while readers see the intact table, then swap; an
+interrupted run is rolled back by the same ``_recover_orphans`` that
+guards updates). When the freshly fitted bounds equal the manifest's —
+no drift — the refit returns without touching a single file.
+
+Reference context: the reference rebuilds its Chroma/FAISS index from
+scratch on schema-level change (main/core/documents_collection_creator
+.py); this op is the targeted equivalent for the one piece of fitted
+state the SQ8 layout carries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.collection.catalog import Collection
+from documents_vector_search_spark.collection.manifest import Manifest
+from documents_vector_search_spark.collection.partitioning import UPDATE_PB_COL
+
+
+def refit_sq8(collection: Collection) -> dict:
+    """Re-fit SQ8 bounds from the current corpus and re-encode codes.
+
+    Returns a report dict: ``{"refit": bool, "dims_drifted": int}``.
+    ``refit=False`` means the fitted bounds matched the manifest exactly
+    (no distribution drift) and nothing was rewritten.
+    """
+    from documents_vector_search_spark.collection.updater import (
+        _recover_orphans,
+        _swap_all,
+    )
+    from documents_vector_search_spark.operators.sq import (
+        fit_sq_bounds,
+        sq_encode_auto,
+    )
+
+    manifest: Manifest = collection.manifest()
+    sq_cfg = manifest.converter.get("sq8")
+    if not sq_cfg:
+        raise ValueError(
+            f"collection '{collection.name}' has no SQ8 layout to refit"
+        )
+    _recover_orphans(collection, ["embeddings"])
+
+    emb = collection.read("embeddings")
+    dim = len(sq_cfg["mins"])
+    mins, maxs = fit_sq_bounds(emb, dim, vector_col="vector")
+    old_mins, old_maxs = sq_cfg["mins"], sq_cfg["maxs"]
+    drifted = sum(
+        1
+        for i in range(dim)
+        if mins[i] != old_mins[i] or maxs[i] != old_maxs[i]
+    )
+    if drifted == 0:
+        return {"refit": False, "dims_drifted": 0}
+
+    recoded = emb.drop("codes").withColumn(
+        "codes",
+        sq_encode_auto(F.col("vector").cast("array<double>"), mins, maxs),
+    )
+    # preserve whatever partition scheme the layout uses (plain _pb, or
+    # LSH bucket + _pb when sq8 composes with ann_planes) — partition
+    # columns come back as real columns on read, so probe them there
+    part_cols = [
+        c for c in ("bucket", "cluster_id", UPDATE_PB_COL)
+        if c in emb.columns
+    ]
+    _swap_all(
+        collection,
+        {"embeddings": recoded},
+        {"embeddings": part_cols},
+    )
+    manifest.converter["sq8"] = {"mins": mins, "maxs": maxs}
+    manifest.touch()
+    collection.save_manifest(manifest)
+    return {"refit": True, "dims_drifted": drifted}

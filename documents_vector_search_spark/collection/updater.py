@@ -94,8 +94,12 @@ def _swap_all(
     ``updateBuckets``."""
     for table, df in merged.items():
         writer = df.write.mode("overwrite")
-        for col in (partition_cols or {}).get(table, []):
-            writer = writer.partitionBy(col)
+        cols = (partition_cols or {}).get(table, [])
+        if cols:
+            # one call with every level: DataFrameWriter.partitionBy
+            # REPLACES the column list on each call, so a per-column
+            # loop would silently keep only the last partition level
+            writer = writer.partitionBy(*cols)
         writer.parquet(str(Path(collection.table_path(f"{table}__tmp"))))
     for table in merged:
         tmp = Path(collection.table_path(f"{table}__tmp"))

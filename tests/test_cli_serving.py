@@ -79,6 +79,18 @@ class TestCLI:
         )
         assert rc == 0
         assert len(json.loads(capsys.readouterr().out)) > 0
+        # maintenance command: a freshly created collection has zero
+        # quantizer drift, so refit reports a no-op
+        rc = cli.main(
+            [
+                "refit-sq8", "cli_sq8", "--base-path", base_path,
+                "--format", "json",
+            ]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out) == {
+            "refit": False, "dims_drifted": 0,
+        }
 
     def test_search_many_returns_qid_keyed_rows(self, base_path, capsys):
         rc = cli.main(

@@ -638,6 +638,100 @@ class TestSq8Layout:
             )
 
 
+class TestSq8Refit:
+    """collection/refit.py: the explicit maintenance op for quantizer
+    drift — updates clamp against the fitted bounds by design, refit is
+    how a deployment restores resolution after the distribution moves."""
+
+    @staticmethod
+    def _len_embedder(col):
+        # deterministic embedder whose range DRIFTS with content: the
+        # 'Z' count per chunk. Corpus chunks have near-zero Zs; the
+        # drift update injects chunks that are ALL Zs, provably moving
+        # every per-dimension max (text length can't do this — chunking
+        # caps chunk length at chunk_size regardless of document size)
+        zs = F.length(F.regexp_replace(col, "[^Z]", ""))
+        return F.array(*[(zs * (i + 1)).cast("double") for i in range(4)])
+
+    @pytest.fixture()
+    def drifting_coll(self, spark, canonical_docs, tmp_path):
+        coll = Collection(spark, str(tmp_path), "sq8drift")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            sq8=True, embedder=self._len_embedder, embedding_dim=4,
+        )
+        return coll
+
+    def test_refit_without_drift_is_noop(self, drifting_coll):
+        from documents_vector_search_spark.collection import refit_sq8
+
+        inventory_before = sorted(
+            str(p)
+            for p in __import__("pathlib").Path(
+                drifting_coll.table_path("embeddings")
+            ).rglob("*.parquet")
+        )
+        report = refit_sq8(drifting_coll)
+        assert report == {"refit": False, "dims_drifted": 0}
+        inventory_after = sorted(
+            str(p)
+            for p in __import__("pathlib").Path(
+                drifting_coll.table_path("embeddings")
+            ).rglob("*.parquet")
+        )
+        assert inventory_before == inventory_after
+
+    def test_refit_after_drift_restores_code_span(self, drifting_coll):
+        from documents_vector_search_spark.collection import refit_sq8
+        from documents_vector_search_spark.operators.sq import fit_sq_bounds
+
+        # an update with a far longer document: its vectors CLAMP under
+        # the create-time bounds (documented update semantics)
+        long_doc = drifting_coll.read("documents").filter(
+            F.col("id") == "doc-1"
+        ).select(
+            "id", "url", "metadata",
+            F.concat(F.lit("Z" * 5000), F.col("text")).alias("text"),
+            "last_modified_at", "source_type",
+        )
+        update_collection(
+            drifting_coll, long_doc, embedder=self._len_embedder,
+            embedding_dim=4,
+        )
+        old_bounds = drifting_coll.manifest().converter["sq8"]
+
+        report = refit_sq8(drifting_coll)
+        assert report["refit"] is True
+        assert report["dims_drifted"] > 0
+
+        emb = drifting_coll.read("embeddings")
+        new_cfg = drifting_coll.manifest().converter["sq8"]
+        assert new_cfg != old_bounds
+        # manifest bounds must equal a fresh fit of the CURRENT corpus
+        mins, maxs = fit_sq_bounds(emb, 4, vector_col="vector")
+        assert new_cfg["mins"] == mins and new_cfg["maxs"] == maxs
+        # post-refit codes span the full 8-bit range per non-degenerate
+        # dimension (the corpus min encodes 0, the max encodes 255)
+        for i in range(4):
+            if mins[i] == maxs[i]:
+                continue
+            span = emb.select(
+                F.min(F.element_at("codes", i + 1)).alias("lo"),
+                F.max(F.element_at("codes", i + 1)).alias("hi"),
+            ).first()
+            assert span["lo"] == 0 and span["hi"] == 255
+        # partition scheme survives the rewrite
+        assert "_pb" in emb.columns
+        # idempotence: a second refit sees no drift
+        assert refit_sq8(drifting_coll) == {"refit": False, "dims_drifted": 0}
+
+    def test_refit_requires_sq8_layout(self, collection):
+        from documents_vector_search_spark.collection import refit_sq8
+
+        with pytest.raises(ValueError, match="no SQ8 layout"):
+            refit_sq8(collection)
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
