@@ -36,6 +36,9 @@ from documents_vector_search_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from documents_vector_search_spark.operators.dedup_pipeline import (
+    NearDupPipeline,
+)
 from documents_vector_search_spark.operators.ivf import fit_ivf
 from documents_vector_search_spark.operators.pq import (
     fit_pq,
@@ -111,6 +114,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "NearDupPipeline",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "fetch_lines",

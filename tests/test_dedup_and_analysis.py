@@ -438,6 +438,74 @@ class TestConnectedComponents:
         assert {r.doc_id for r in kept} == {1, 4, 5}
 
 
+class TestNearDupPipeline:
+    """operators/dedup_pipeline.py: the LSH pair stage runs once per
+    pipeline, no matter how many consumers compose on top of it."""
+
+    def test_stage_memoization_and_materialization(self, dup_docs):
+        from documents_vector_search_spark.operators import NearDupPipeline
+
+        pipe = NearDupPipeline(dup_docs, threshold=0.5)
+        p1 = pipe.pairs()
+        # repeat accessors return the SAME DataFrame object — consumers
+        # share one materialized stage, not one lineage
+        assert pipe.pairs() is p1
+        c1 = pipe.clusters()
+        assert pipe.clusters() is c1
+        # the pair stage is materialized: downstream plans scan rows,
+        # not the shingle/band lineage (localCheckpoint → ExistingRDD)
+        plan = p1._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+    def test_parity_with_direct_operators(self, dup_docs):
+        from documents_vector_search_spark.operators import (
+            NearDupPipeline,
+            minhash_lsh_pairs,
+        )
+        from documents_vector_search_spark.operators.cc import (
+            cluster_canonicalize,
+            connected_components,
+        )
+
+        pipe = NearDupPipeline(dup_docs, threshold=0.5)
+        direct_pairs = minhash_lsh_pairs(dup_docs, threshold=0.5)
+        assert sorted(map(tuple, pipe.pairs().collect())) == sorted(
+            map(tuple, direct_pairs.collect())
+        )
+        direct_clusters = connected_components(direct_pairs)
+        assert sorted(map(tuple, pipe.clusters().collect())) == sorted(
+            map(tuple, direct_clusters.collect())
+        )
+        direct_kept = cluster_canonicalize(dup_docs, direct_clusters)
+        assert {r.doc_id for r in pipe.canonical_docs().collect()} == {
+            r.doc_id for r in direct_kept.collect()
+        }
+
+    def test_star_variant_same_clusters(self, dup_docs):
+        from documents_vector_search_spark.operators import NearDupPipeline
+
+        a = NearDupPipeline(dup_docs, threshold=0.5)
+        b = NearDupPipeline(dup_docs, threshold=0.5, star=True)
+        assert sorted(map(tuple, a.clusters().collect())) == sorted(
+            map(tuple, b.clusters().collect())
+        )
+
+    def test_custom_materializer_called_once(self, dup_docs):
+        from documents_vector_search_spark.operators import NearDupPipeline
+
+        calls = []
+
+        def mat(df):
+            calls.append(1)
+            return df.localCheckpoint()
+
+        pipe = NearDupPipeline(dup_docs, threshold=0.5, materialize=mat)
+        pipe.pairs()
+        pipe.clusters()
+        pipe.canonical_docs()
+        assert calls == [1]
+
+
 class TestConnectedComponentsStar:
     """Large-star/small-star variant: same contract as label
     propagation, O(log^2 n) rounds on long chains."""
