@@ -41,6 +41,7 @@ HEADLINE = [
     "histogram",
     "hash_split",
     "quality_sample",
+    "mix_sample",
     "embedding_neardup",
     "sq8_ann",
     "decontaminate",

@@ -67,6 +67,7 @@ def contamination_report(
     text_col: str = "text",
     bench_text_col: str = "text",
     hash_grams: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-document ``(id, contaminated_ngrams, contaminated)`` for
     EVERY training document: the count of distinct ``n``-gram shingles
@@ -76,6 +77,16 @@ def contamination_report(
     all their tokens, so they participate instead of silently passing.
     ``hash_grams`` matches on md5-int64 gram hashes instead of strings
     (see :func:`benchmark_ngrams`) — smaller broadcast at scale.
+
+    ``broadcast=False`` is the scale path for an eval suite too large
+    to ship to every executor (a full eval-harness union can reach
+    hundreds of millions of distinct 13-grams): the gram match becomes
+    a SHUFFLE hash join keyed on the gram. The bench side is distinct
+    (each gram once), so the join output stays bounded by the
+    training-side gram rows and a hot boilerplate gram cannot explode
+    the build side; pair it with ``hash_grams`` so the shuffle carries
+    8-byte keys instead of strings. Results are identical either way
+    (parity-pinned by test) — only the physical join strategy moves.
     """
     grams = benchmark_ngrams(benchmark, n, bench_text_col, hash_grams)
     doc_gram = F.explode(
@@ -91,9 +102,12 @@ def contamination_report(
             F.col(id_col), md5_hash64(F.col("gram")).alias("gram")
         )
     # per-doc grams are distinct (array_distinct before the explode), so
-    # count(*) after the broadcast semi-match IS the distinct-hit count
+    # count(*) after the gram match IS the distinct-hit count
+    bench_side = (
+        F.broadcast(grams) if broadcast else grams.hint("shuffle_hash")
+    )
     hits = (
-        doc_grams.join(F.broadcast(grams), "gram")
+        doc_grams.join(bench_side, "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("contaminated_ngrams"))
     )

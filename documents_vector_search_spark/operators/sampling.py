@@ -98,6 +98,73 @@ def weighted_hash_sample(
     )
 
 
+def mix_to_target(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Resample the corpus to a TARGET MIXTURE over ``group_col`` — the
+    data-mixing step of a training pipeline (set the output composition
+    by source/language/domain, as public LLM corpus reports do), with
+    no rate hand-tuning: rates derive from the corpus itself.
+
+    ``weights`` maps group value → target share of the OUTPUT. The
+    feasible output size is maximized without upsampling: with n_g rows
+    in group g and target share w_g, the largest total T keeping every
+    group's draw within its population is ``T = min_g(n_g / w_g)``;
+    each group then keeps ``rate_g = (T * w_g) / n_g`` of its rows
+    through the deterministic hash gate. Groups absent from ``weights``
+    are dropped.
+
+    Scale shape: one aggregation over the corpus for group counts
+    (output = |groups| rows), a scalar min over that tiny frame, one
+    broadcast join of the rates back onto the corpus, one map-only
+    filter — two corpus scans total (counting is what makes the rates
+    self-calibrating; pass precomputed profile stats instead if the
+    corpus is append-only and profiled already). Every arithmetic step
+    is plain IEEE double with explicit order, so the selected row set
+    is engine-portable and oracle-checkable.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must have a positive sum")
+    norm = {g: w / total_w for g, w in weights.items()}
+
+    w_expr: Column = F.lit(0.0)
+    for g, w in sorted(norm.items()):
+        w_expr = F.when(F.col(group_col) == g, F.lit(w)).otherwise(w_expr)
+
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_w", w_expr)
+        .filter(F.col("_w") > 0)
+    )
+    t = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("_t") * F.col("_w")) / F.col("_n").cast("double"),
+            ).alias("_rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            hash_bucket(F.col(id_col), seed)
+            < F.floor(F.col("_rate") * F.lit(float(_BUCKETS)))
+        )
+        .drop("_rate")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

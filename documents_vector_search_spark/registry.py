@@ -645,6 +645,28 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing to a TARGET composition (operators/sampling.py::
+    mix_to_target): resample so the output is 50% en / 25% de / 25% fr
+    by row count, with per-language keep rates derived from the corpus
+    itself (largest downsample-only total) and applied through the
+    deterministic hash gate. Reports kept rows and chars per language —
+    the oracle replays the count → min-total → rate → gate arithmetic
+    exactly."""
+    from documents_vector_search_spark.operators.sampling import (
+        mix_to_target,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = mix_to_target(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25},
+        seed=13,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints per document."""
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -2260,6 +2282,29 @@ SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM w WHERE bucket < floor(wt * 1000000.0)
 GROUP BY lang
 """,
+        "mix_sample": f"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+                   WHEN 'fr' THEN 0.25 ELSE 0.0 END AS wt
+  FROM counts
+),
+t AS (
+  SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM w WHERE wt > 0
+),
+rates AS (
+  SELECT w.lang,
+         least(1.0, (t.t * w.wt) / CAST(w.n AS DOUBLE)) AS rate
+  FROM w, t WHERE w.wt > 0
+)
+SELECT d.lang, count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS chars
+FROM documents d JOIN rates ON d.lang = rates.lang
+WHERE {hash_bucket_sql("d.doc_id", seed=13)} < floor(rate * 1000000.0)
+GROUP BY d.lang
+""",
         "tpch_q1": """
 WITH f AS (
   SELECT l_returnflag, l_linestatus,
@@ -2596,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
+        "mix_sample": q_mix_sample,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,

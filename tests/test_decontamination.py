@@ -87,6 +87,24 @@ class TestReport:
         )
         assert "BroadcastHashJoin" in plan
 
+    def test_shuffle_path_matches_broadcast_path(self, corpora):
+        """broadcast=False (the huge-eval-suite scale path) must produce
+        the identical report through a shuffle hash join — only the
+        physical join strategy moves, never the results."""
+        docs, bench = corpora
+        shuffled = contamination_report(docs, bench, n=5, broadcast=False)
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        via_broadcast = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(docs, bench, n=5).collect()
+        )
+        via_shuffle = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in shuffled.collect()
+        )
+        assert via_broadcast == via_shuffle
+
 
 class TestApply:
     def test_decontaminate_drops_flagged(self, corpora):

@@ -667,3 +667,37 @@ class TestHashSampling:
         }
         assert 0.4 * 5000 < by_lang["en"] < 0.6 * 5000
         assert 0.02 * 5000 < by_lang["de"] < 0.09 * 5000
+
+    def test_mix_to_target_hits_composition(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            mix_to_target,
+        )
+
+        # corpus 80% en / 20% de; target 50/50 → en downsamples to the
+        # de population (T = min(8000/.5, 2000/.5) = 4000: ~2000 each),
+        # de keeps everything (rate exactly 1.0 → the gate never drops)
+        rows = [(i, "en" if i < 8000 else "de") for i in range(10_000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        kept = mix_to_target(
+            df, "doc_id", "lang", {"en": 0.5, "de": 0.5}, seed=6
+        )
+        by_lang = {
+            r.lang: r.n
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang["de"] == 2000  # rate 1.0: deterministic keep-all
+        assert 0.2 * 8000 < by_lang["en"] < 0.3 * 8000  # ~rate 0.25
+
+    def test_mix_to_target_drops_unlisted_groups(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            mix_to_target,
+        )
+
+        rows = [(i, ["en", "de", "zz"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        kept = mix_to_target(
+            df, "doc_id", "lang", {"en": 0.5, "de": 0.5}, seed=6
+        )
+        assert kept.filter(F.col("lang") == "zz").count() == 0
+        with pytest.raises(ValueError, match="positive sum"):
+            mix_to_target(df, "doc_id", "lang", {})
