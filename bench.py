@@ -42,6 +42,7 @@ HEADLINE = [
     "hash_split",
     "quality_sample",
     "mix_sample",
+    "shard_export",
     "embedding_neardup",
     "sq8_ann",
     "decontaminate",

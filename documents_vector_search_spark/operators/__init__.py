@@ -39,6 +39,10 @@ from documents_vector_search_spark.operators.dedup import (
 from documents_vector_search_spark.operators.dedup_pipeline import (
     NearDupPipeline,
 )
+from documents_vector_search_spark.operators.export import (
+    assign_shards,
+    write_training_shards,
+)
 from documents_vector_search_spark.operators.ivf import fit_ivf
 from documents_vector_search_spark.operators.pq import (
     fit_pq,
@@ -115,6 +119,8 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "NearDupPipeline",
+    "assign_shards",
+    "write_training_shards",
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "fetch_lines",

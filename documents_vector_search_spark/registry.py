@@ -667,6 +667,26 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export plan (operators/export.py): deterministic
+    global shuffle into 8 shards — shard and within-shard position are
+    salted md5 hashes, so the layout a trainer consumes is reproducible
+    on any engine. Reports per-shard row/char totals plus the FIRST
+    document in shuffle order (min_by position) — the oracle recomputes
+    the identical permutation."""
+    from documents_vector_search_spark.operators.export import (
+        assign_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    s = assign_shards(docs, "doc_id", 8, seed=17)
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.min_by("doc_id", "_pos").alias("first_doc"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints per document."""
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
@@ -2282,6 +2302,17 @@ SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM w WHERE bucket < floor(wt * 1000000.0)
 GROUP BY lang
 """,
+        "shard_export": f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ({md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=17)} % 8) AS shard,
+         {md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=18)} AS pos
+  FROM documents
+)
+SELECT shard, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+       arg_min(doc_id, pos) AS first_doc
+FROM s GROUP BY shard
+""",
         "mix_sample": f"""
 WITH counts AS (
   SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
@@ -2642,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
         "mix_sample": q_mix_sample,
+        "shard_export": q_shard_export,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,
