@@ -43,6 +43,7 @@ HEADLINE = [
     "quality_sample",
     "mix_sample",
     "shard_export",
+    "domain_cap",
     "embedding_neardup",
     "sq8_ann",
     "decontaminate",

@@ -17,7 +17,7 @@ rates are a CASE expression over the stratum column — still one scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import (
@@ -162,6 +162,53 @@ def mix_to_target(
             < F.floor(F.col("_rate") * F.lit(float(_BUCKETS)))
         )
         .drop("_rate")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str,
+    order_by: list[Column] | None = None,
+    seed: int = 0,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the per-domain cap of
+    web-corpus curation (no single site may dominate the training mix;
+    the standard Common-Crawl-pipeline guard).
+
+    Which rows survive is deterministic: by default the group's
+    pseudo-random hash order (a reproducible uniform draw from the
+    group, same gate family as :func:`hash_sample`); pass ``order_by``
+    to keep the BEST rows instead (e.g. quality descending). ``id_col``
+    breaks ties so the survivor set is engine-portable either way.
+
+    Scale shape: a bare ``row_number`` window per group would sort a
+    mega-domain (a 100 TB crawl easily holds billions of rows of one
+    site) in ONE task. This uses the exact two-phase salted top-k
+    (same argument as operators/bm25.py batch ranking): phase 1 ranks
+    within (group, salt) — per-task sorts of ~group/n_salts rows —
+    phase 2 ranks the ≤ n_salts × max_rows survivors. Both phases
+    share one total order, so the result is exactly the unsalted
+    window's.
+    """
+    order = (order_by or [md5_hash64(F.col(id_col).cast("string"), salt=seed)]) + [
+        F.col(id_col).asc()
+    ]
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_salts)),
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn", "_salt")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
     )
 
 

@@ -667,6 +667,23 @@ def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/sampling.py::cap_per_group): keep at
+    most 10 documents per source, survivors drawn in deterministic
+    pseudo-random hash order — the no-single-site-dominates guard of
+    web-corpus curation, executed as the exact two-phase salted top-k
+    so a mega-domain never sorts in one task. The oracle replays the
+    identical (hash, id) total order with a plain window."""
+    from documents_vector_search_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 10, "doc_id", seed=19).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard export plan (operators/export.py): deterministic
     global shuffle into 8 shards — shard and within-shard position are
@@ -2302,6 +2319,14 @@ SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM w WHERE bucket < floor(wt * 1000000.0)
 GROUP BY lang
 """,
+        "domain_cap": f"""
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=19)}, doc_id
+) <= 10
+""",
         "shard_export": f"""
 WITH s AS (
   SELECT doc_id, n_chars,
@@ -2674,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "mix_sample": q_mix_sample,
         "shard_export": q_shard_export,
+        "domain_cap": q_domain_cap,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,

@@ -688,6 +688,45 @@ class TestHashSampling:
         assert by_lang["de"] == 2000  # rate 1.0: deterministic keep-all
         assert 0.2 * 8000 < by_lang["en"] < 0.3 * 8000  # ~rate 0.25
 
+    def test_cap_per_group_matches_plain_window(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            cap_per_group,
+        )
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+
+        # skewed: domain "big" 500 rows, "small" 3 rows
+        rows = [(i, "big") for i in range(500)] + [
+            (1000 + i, "small") for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "domain"])
+        kept = cap_per_group(df, "domain", 5, "doc_id", seed=9).collect()
+        by_dom: dict = {}
+        for r in kept:
+            by_dom.setdefault(r.domain, []).append(r.doc_id)
+        assert len(by_dom["big"]) == 5
+        assert sorted(by_dom["small"]) == [1000, 1001, 1002]  # under cap
+        # the salted two-phase result must equal the plain total order:
+        # the 5 smallest (hash, id) keys of the big domain
+        expect = sorted(range(500), key=lambda i: (md5_hash64_py(str(i), salt=9), i))[:5]
+        assert sorted(by_dom["big"]) == sorted(expect)
+
+    def test_cap_per_group_order_by_keeps_best(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            cap_per_group,
+        )
+
+        rows = [(i, "d", float(i % 100)) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "domain", "quality"])
+        kept = cap_per_group(
+            df, "domain", 4, "doc_id", order_by=[F.col("quality").desc()]
+        ).collect()
+        # top quality 99.0 appears 3× (ids 99,199,299); tie → min id next
+        assert sorted((r.quality, r.doc_id) for r in kept) == [
+            (98.0, 98), (99.0, 99), (99.0, 199), (99.0, 299)
+        ]
+
     def test_mix_to_target_drops_unlisted_groups(self, spark):
         from documents_vector_search_spark.operators.sampling import (
             mix_to_target,
