@@ -66,6 +66,64 @@ def with_shingles(
     ).select(F.col("id").alias(id_col), "shingles")
 
 
+def minhash_band_rows(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_shingles: bool = False,
+) -> DataFrame:
+    """``(id[, shingles], band_index, band_value)`` — one row per
+    (document, LSH band): the map-only front half of MinHash-LSH,
+    shared by the batch pair finder (:func:`minhash_lsh_pairs`, which
+    carries the shingle arrays for exact verification) and the
+    streaming admission gate (streaming/neardup.py, which matches on
+    band values alone and must NOT pay the shingle-array shuffle
+    weight)."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+
+    from documents_vector_search_spark.functions.hashing import (
+        minhash_ab_array,
+        minhash_from_ab,
+    )
+    from documents_vector_search_spark.operators.shingles import shingle_array
+
+    shing = shingle_array(docs, shingle_words, id_col, text_col, distinct=True)
+
+    # stage the (a, b) family seeds as their OWN projection: md5+conv
+    # run once per shingle, every family is then pure int64 arithmetic
+    # (the optimizer keeps the stage — CollapseProject does not
+    # duplicate non-cheap expressions used by several consumers)
+    ab = shing.select(
+        "id", "shingles", minhash_ab_array(F.col("shingles")).alias("_ab")
+    )
+
+    def fam(i: int):
+        return lambda e: minhash_from_ab(e, i)
+
+    carry = ["id", "shingles"] if with_shingles else ["id"]
+    sig = ab.select(
+        *carry,
+        *[
+            F.array_min(F.transform("_ab", fam(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    band_vals = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        *carry, F.posexplode(band_vals).alias("band_index", "band_value")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -118,45 +176,9 @@ def minhash_lsh_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("bands must divide num_hashes")
-    r = num_hashes // bands
-
-    from documents_vector_search_spark.functions.hashing import (
-        minhash_ab_array,
-        minhash_from_ab,
-    )
-    from documents_vector_search_spark.operators.shingles import shingle_array
-
-    shing = shingle_array(docs, shingle_words, id_col, text_col, distinct=True)
-
-    # stage the (a, b) family seeds as their OWN projection: md5+conv
-    # run once per shingle, every family is then pure int64 arithmetic
-    # (the optimizer keeps the stage — CollapseProject does not
-    # duplicate non-cheap expressions used by several consumers)
-    ab = shing.select(
-        "id", "shingles", minhash_ab_array(F.col("shingles")).alias("_ab")
-    )
-
-    def fam(i: int):
-        return lambda e: minhash_from_ab(e, i)
-
-    sig = ab.select(
-        "id",
-        "shingles",
-        *[
-            F.array_min(F.transform("_ab", fam(i))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    band_vals = F.array(
-        *[
-            F.concat_ws("_", *[F.col(f"m{b * r + j}") for j in range(r)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        "id", "shingles", F.posexplode(band_vals).alias("band_index", "band_value")
+    banded = minhash_band_rows(
+        docs, num_hashes, bands, shingle_words, id_col, text_col,
+        with_shingles=True,
     )
 
     if max_bucket_size is not None:

@@ -2,6 +2,7 @@
 
 from documents_vector_search_spark.streaming.curation import curate_stream
 from documents_vector_search_spark.streaming.dedup import dedup_stream
+from documents_vector_search_spark.streaming.neardup import NearDupGate
 from documents_vector_search_spark.streaming.incremental import (
     OVERLAP_MINUTES,
     incremental_dataset_update,
@@ -16,6 +17,7 @@ __all__ = [
     "OVERLAP_MINUTES",
     "curate_stream",
     "dedup_stream",
+    "NearDupGate",
     "incremental_dataset_update",
     "incremental_files_update",
     "run_streaming_update",

@@ -523,3 +523,58 @@ class TestStreamingCuration:
         df = spark.createDataFrame([("a", "t")], ["id", "text"])
         with pytest.raises(ValueError, match="streaming"):
             curate_stream(df)
+
+
+class TestNearDupGate:
+    """streaming/neardup.py: MinHash-LSH admission against a persistent
+    band-signature store — the fuzzy twin of the exact streaming gate."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the distributed query engine shuffles partitions around"
+    )
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, ["id", "text"])
+
+    def test_in_batch_and_cross_batch_admission(self, spark, tmp_path):
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = str(tmp_path / "bands")
+        gate = NearDupGate(store)
+
+        batch1 = self._docs(spark, [
+            (1, self.BASE),
+            (2, self.BASE.replace("dog", "cat")),   # near dup of 1
+            (3, "completely different text about training data mixes"),
+        ])
+        admitted1 = {r.id for r in gate.admit(batch1).collect()}
+        assert admitted1 == {1, 3}  # 2 drops in-batch (first-wins by id)
+
+        batch2 = self._docs(spark, [
+            (4, self.BASE.replace("fox", "wolf")),  # near dup of stored 1
+            (5, "yet another unrelated document about parquet readers"),
+        ])
+        admitted2 = {r.id for r in gate.admit(batch2).collect()}
+        assert admitted2 == {5}
+
+        # a FRESH gate over the same store path sees the same state
+        gate2 = NearDupGate(store)
+        batch3 = self._docs(spark, [
+            (6, self.BASE),                         # exact dup of stored 1
+            (7, "one more genuinely novel piece of text entirely"),
+        ])
+        admitted3 = {r.id for r in gate2.admit(batch3).collect()}
+        assert admitted3 == {7}
+
+    def test_store_grows_only_by_admitted(self, spark, tmp_path):
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = str(tmp_path / "bands2")
+        gate = NearDupGate(store, bands=4)
+        gate.admit(self._docs(spark, [(1, self.BASE)]))
+        n1 = spark.read.parquet(store).count()
+        assert n1 == 4  # bands rows per admitted doc
+        # a dropped duplicate must append NOTHING
+        gate.admit(self._docs(spark, [(2, self.BASE)]))
+        assert spark.read.parquet(store).count() == n1
