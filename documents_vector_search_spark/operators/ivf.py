@@ -221,8 +221,39 @@ def fit_ivf(
     vector_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    method: str = "sample",
+    sample_rows: int | None = None,
 ) -> IVFIndex:
-    """Fit KMeans(nlist) with MLlib and assign every vector a cluster id."""
+    """Fit KMeans(nlist) and assign every vector a cluster id.
+
+    ``method="sample"`` (default) trains on a bounded driver-side
+    sample (operators/kmeans.py — the FAISS convention: codebook
+    quality saturates around 100k vectors, and training must not scale
+    with the corpus); assignment stays a distributed map-only
+    expression. ``method="mllib"`` runs the fully-distributed MLlib
+    fit instead — correct but each iteration is a Spark job, so the
+    fit alone costs hundreds of jobs of scheduling overhead."""
+    if method == "sample":
+        from documents_vector_search_spark.operators.kmeans import (
+            DEFAULT_SAMPLE_ROWS,
+            collect_training_sample,
+            kmeans_fit,
+        )
+
+        X = collect_training_sample(
+            embeddings, vector_col, sample_rows or DEFAULT_SAMPLE_ROWS
+        )
+        C = kmeans_fit(X, nlist, seed=seed, iters=max_iter)
+        centroids = [list(map(float, c)) for c in C]
+        assigned = embeddings.withColumn(
+            "cluster_id",
+            assign_cluster_auto(
+                F.col(vector_col).cast("array<double>"), centroids
+            ),
+        )
+        return IVFIndex(centroids, assigned, id_col, vector_col)
+    if method != "mllib":
+        raise ValueError(f"unknown fit method: {method}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

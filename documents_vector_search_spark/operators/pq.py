@@ -50,22 +50,45 @@ def fit_pq(
     vector_col: str = "embedding",
     seed: int = 42,
     round_to: int = 6,
+    method: str = "sample",
+    sample_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """Fit per-subspace KMeans codebooks; returns ROUNDED centroids
     ``codebooks[subspace][code] -> list[float]`` ready to persist.
 
-    ``m`` sequential MLlib fits, each over one (dim/m)-wide projection
-    of the corpus — at 100 TB, fit on a hash-sampled fraction
-    (operators/sampling.py); codebook quality needs ~100k vectors, not
-    the corpus.
+    ``method="sample"`` (default): ONE bounded driver-side sample
+    collect (operators/kmeans.py), then all ``m`` subspace codebooks
+    fit from slices of the same matrix — the FAISS training
+    convention; codebook quality needs ~100k vectors, not the corpus,
+    and training must not scale with data size. ``method="mllib"``
+    keeps the fully-distributed alternative: ``m`` sequential MLlib
+    fits whose per-iteration job overhead dominates at any size.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    codebooks: list[list[list[float]]] = []
+    if method == "sample":
+        from documents_vector_search_spark.operators.kmeans import (
+            DEFAULT_SAMPLE_ROWS,
+            collect_training_sample,
+            kmeans_fit,
+        )
+
+        X = collect_training_sample(
+            embeddings, vector_col, sample_rows or DEFAULT_SAMPLE_ROWS
+        )
+        for j in range(m):
+            C = kmeans_fit(X[:, j * dsub : (j + 1) * dsub], ksub, seed=seed + j)
+            codebooks.append(
+                [[round(float(x), round_to) for x in c] for c in C]
+            )
+        return codebooks
+    if method != "mllib":
+        raise ValueError(f"unknown fit method: {method}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dsub = dim // m
-    codebooks: list[list[list[float]]] = []
     for j in range(m):
         sub = embeddings.select(
             array_to_vector(
