@@ -275,6 +275,17 @@ def cmd_refit_sq8(args) -> int:
     return 0
 
 
+def cmd_refit_ivf(args) -> int:
+    """Re-fit IVF centroids (and PQ codebooks) after distribution
+    drift (collection/refit.py) — O(corpus) maintenance, like
+    ``compact`` and ``refit-sq8``."""
+    from documents_vector_search_spark.collection import refit_ivf
+
+    coll = _collection(args)
+    print(_format(refit_ivf(coll), args.format))
+    return 0
+
+
 def cmd_search_many(args) -> int:
     """Batch search: all queries answered in one job (one scan per
     index — CollectionSearcher.search_many); results keyed by qid
@@ -448,6 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("refit-sq8")
     common(sp)
     sp.set_defaults(func=cmd_refit_sq8)
+
+    sp = sub.add_parser("refit-ivf")
+    common(sp)
+    sp.set_defaults(func=cmd_refit_ivf)
 
     return p
 

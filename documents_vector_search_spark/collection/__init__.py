@@ -27,7 +27,7 @@ from documents_vector_search_spark.collection.searcher import CollectionSearcher
 from documents_vector_search_spark.collection.updater import update_collection
 from documents_vector_search_spark.collection.fetcher import fetch_document_lines
 from documents_vector_search_spark.collection.compactor import compact_collection
-from documents_vector_search_spark.collection.refit import refit_sq8
+from documents_vector_search_spark.collection.refit import refit_ivf, refit_sq8
 
 __all__ = [
     "Collection",
@@ -37,5 +37,6 @@ __all__ = [
     "update_collection",
     "fetch_document_lines",
     "compact_collection",
+    "refit_ivf",
     "refit_sq8",
 ]

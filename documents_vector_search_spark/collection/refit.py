@@ -34,6 +34,90 @@ from documents_vector_search_spark.collection.manifest import Manifest
 from documents_vector_search_spark.collection.partitioning import UPDATE_PB_COL
 
 
+def refit_ivf(collection: Collection, sample_rows: int | None = None) -> dict:
+    """Re-fit IVF centroids (and PQ codebooks, when the layout carries
+    them) from the current corpus and re-partition the embeddings table
+    — the drift maintenance op for the coarse quantizer.
+
+    Updates deliberately assign fresh vectors to the CREATE-time
+    centroids (one fixed partitioning; per-batch refits would scatter
+    the layout), so after large drift the clusters stop matching the
+    data and probe recall decays. This refit is the remedy: one bounded
+    sample fit (operators/kmeans.py), one map-only reassignment/
+    re-encode, one staged-swap rewrite of the embeddings table, then
+    the manifest records the new parameters. O(corpus) by necessity —
+    the cluster layout is global — hence an explicit maintenance
+    command beside ``compact`` and ``refit-sq8``, never on the update
+    path.
+
+    Returns ``{"refit": bool, "pq_refit": bool}``; ``refit=False``
+    means the freshly fitted centroids matched the manifest exactly
+    (possible only when the corpus is unchanged — the sample fit is
+    deterministic) and nothing was rewritten.
+    """
+    from documents_vector_search_spark.collection.updater import (
+        _recover_orphans,
+        _swap_all,
+    )
+    from documents_vector_search_spark.operators.ivf import (
+        assign_cluster_auto,
+        fit_ivf,
+        round_centroids,
+    )
+
+    manifest: Manifest = collection.manifest()
+    ivf_cfg = manifest.converter.get("ivf")
+    if not ivf_cfg:
+        raise ValueError(
+            f"collection '{collection.name}' has no IVF layout to refit"
+        )
+    _recover_orphans(collection, ["embeddings"])
+
+    emb = collection.read("embeddings")
+    seed = int(ivf_cfg.get("seed", 42))
+    index = fit_ivf(
+        emb, nlist=int(ivf_cfg["nList"]), vector_col="vector", seed=seed,
+        sample_rows=sample_rows,
+    )
+    new_cents = round_centroids(index.centroids)
+    pq_cfg = ivf_cfg.get("pq")
+    new_codebooks = None
+    if pq_cfg:
+        from documents_vector_search_spark.operators.pq import fit_pq
+
+        dim = len(new_cents[0])
+        new_codebooks = fit_pq(
+            emb, dim=dim, m=int(pq_cfg["m"]), ksub=int(pq_cfg["kSub"]),
+            vector_col="vector", seed=seed, sample_rows=sample_rows,
+        )
+    if new_cents == ivf_cfg["centroids"] and (
+        new_codebooks is None or new_codebooks == pq_cfg["codebooks"]
+    ):
+        return {"refit": False, "pq_refit": False}
+
+    vec = F.col("vector").cast("array<double>")
+    recoded = emb.drop("cluster_id").withColumn(
+        "cluster_id", assign_cluster_auto(vec, new_cents)
+    )
+    if new_codebooks is not None:
+        from documents_vector_search_spark.operators.pq import pq_encode_auto
+
+        recoded = recoded.drop("codes").withColumn(
+            "codes", pq_encode_auto(vec, new_codebooks)
+        )
+    part_cols = ["cluster_id"] + (
+        [UPDATE_PB_COL] if UPDATE_PB_COL in emb.columns else []
+    )
+    _swap_all(collection, {"embeddings": recoded}, {"embeddings": part_cols})
+    ivf_cfg["centroids"] = new_cents
+    if new_codebooks is not None:
+        ivf_cfg["pq"]["codebooks"] = new_codebooks
+    manifest.converter["ivf"] = ivf_cfg
+    manifest.touch()
+    collection.save_manifest(manifest)
+    return {"refit": True, "pq_refit": new_codebooks is not None}
+
+
 def refit_sq8(collection: Collection) -> dict:
     """Re-fit SQ8 bounds from the current corpus and re-encode codes.
 

@@ -51,7 +51,13 @@ def collect_training_sample(
     )
     if not rows:
         raise ValueError("cannot fit KMeans on an empty DataFrame")
-    return np.asarray([r._v for r in rows], dtype=np.float64)
+    X = np.asarray([r._v for r in rows], dtype=np.float64)
+    # canonical row order: the seeded init indexes into X, so without
+    # this the fit would depend on scan/partition order — sorting makes
+    # "same vectors, any layout" produce the SAME centroids (a refit of
+    # an unchanged corpus detects zero drift even though the table was
+    # re-partitioned in between)
+    return X[np.lexsort(X.T[::-1])]
 
 
 def kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:

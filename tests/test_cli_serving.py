@@ -91,6 +91,17 @@ class TestCLI:
         assert json.loads(capsys.readouterr().out) == {
             "refit": False, "dims_drifted": 0,
         }
+        # same for the coarse quantizer: unchanged corpus → no drift
+        rc = cli.main(
+            [
+                "refit-ivf", "cli_sq8", "--base-path", base_path,
+                "--format", "json",
+            ]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out) == {
+            "refit": False, "pq_refit": False,
+        }
 
     def test_search_many_returns_qid_keyed_rows(self, base_path, capsys):
         rc = cli.main(

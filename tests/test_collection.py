@@ -732,6 +732,66 @@ class TestSq8Refit:
             refit_sq8(collection)
 
 
+class TestIvfRefit:
+    """collection/refit.py::refit_ivf — coarse-quantizer drift
+    maintenance: updates pin to create-time centroids by design; the
+    refit restores cluster/data fit and re-partitions the layout."""
+
+    def test_refit_after_update_repartitions_consistently(
+        self, spark, canonical_docs, tmp_path
+    ):
+        from documents_vector_search_spark.collection import refit_ivf
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_auto,
+        )
+
+        coll = Collection(spark, str(tmp_path), "ivfrefit")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            ivf_nlist=2,
+        )
+        old_cents = coll.manifest().converter["ivf"]["centroids"]
+
+        # unchanged corpus → deterministic sample fit → no drift
+        assert refit_ivf(coll) == {"refit": False, "pq_refit": False}
+
+        updates = canonical_docs.filter(F.col("id") == "doc-3").select(
+            "id", "url", "metadata",
+            F.concat(F.lit("entirely new drifted content. "), "text").alias(
+                "text"
+            ),
+            "last_modified_at", "source_type",
+        )
+        update_collection(coll, updates)
+        report = refit_ivf(coll)
+        assert report == {"refit": True, "pq_refit": False}
+
+        new_cents = coll.manifest().converter["ivf"]["centroids"]
+        assert new_cents != old_cents
+        # every stored cluster_id must equal assignment under the NEW
+        # manifest centroids — searcher probes stay partition-consistent
+        emb = coll.read("embeddings")
+        mismatch = emb.withColumn(
+            "_expect",
+            assign_cluster_auto(
+                F.col("vector").cast("array<double>"), new_cents
+            ),
+        ).filter(F.col("cluster_id") != F.col("_expect"))
+        assert mismatch.count() == 0
+        # layout still partitioned by cluster_id (directory level)
+        root = __import__("pathlib").Path(coll.table_path("embeddings"))
+        assert any(p.name.startswith("cluster_id=") for p in root.iterdir())
+        # search over the refit layout still serves
+        s = CollectionSearcher(coll)
+        assert len(s.search("hash join", max_documents=5).collect()) > 0
+
+    def test_refit_requires_ivf_layout(self, collection):
+        from documents_vector_search_spark.collection import refit_ivf
+
+        with pytest.raises(ValueError, match="no IVF layout"):
+            refit_ivf(collection)
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
