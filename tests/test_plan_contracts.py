@@ -111,3 +111,56 @@ class TestPlanContracts:
         assert "Generate explode" in plan or "Generate posexplode" in plan
         # the regression signature: a Filter evaluating size(split(...))
         assert "size(filter(split" not in plan
+
+    def test_mix_sample_rates_broadcast_onto_corpus(self, spark):
+        """mix_to_target: the per-group rate frame (|groups| rows) must
+        re-enter the corpus as a broadcast — the corpus side never
+        shuffles for the gate; the only wide ops are the tiny group
+        aggregations."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_mix_sample(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_domain_cap_is_two_phase_salted(self, spark):
+        """cap_per_group: the salted stage must be present AND every
+        rank must run as a partial/final WindowGroupLimit (map-side
+        top-k caps each task's contribution BEFORE the shuffle), so no
+        single task ever sorts a whole mega-domain."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_domain_cap(spark, SF))
+        assert "_salt" in plan
+        assert plan.count("WindowGroupLimit") == 4  # (partial+final) × 2
+
+    def test_assign_shards_is_map_only(self, spark):
+        """Shard/position assignment must add zero shuffles; the only
+        Exchange in the shard_export stats query is its aggregation."""
+        from documents_vector_search_spark.operators.export import (
+            assign_shards,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(assign_shards(docs, "doc_id", 8))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_neardup_gate_probe_is_semi_join(self, spark, tmp_path):
+        """The store probe must be a semi join on the band key and the
+        admission an anti join — no full materialization of store×batch."""
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        gate = NearDupGate(str(tmp_path / "bands"))
+        docs = spark.createDataFrame(
+            [(1, "one document worth of text to band")], ["id", "text"]
+        )
+        gate.admit(docs)  # seeds the store
+        batch = spark.createDataFrame(
+            [(2, "a second arriving document with text")], ["id", "text"]
+        )
+        bands = gate._band_rows(batch)
+        store = spark.read.parquet(gate.store_path)
+        probe = bands.join(store, ["band_index", "band_value"], "left_semi")
+        plan = _plan(probe)
+        assert "LeftSemi" in plan
