@@ -31,6 +31,9 @@ HEADLINE = [
     "knn_l2",
     "knn_batch",
     "ann_lsh",
+    "ivf_ann",
+    "pq_adc",
+    "ivfpq_search",
     "rrf_hybrid",
     "chunk_split",
     "dedup_exact",

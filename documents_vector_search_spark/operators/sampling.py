@@ -17,6 +17,8 @@ rates are a CASE expression over the stratum column — still one scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -104,6 +106,7 @@ def mix_to_target(
     group_col: str,
     weights: dict[str, float],
     seed: int = 0,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Resample the corpus to a TARGET MIXTURE over ``group_col`` — the
     data-mixing step of a training pipeline (set the output composition
@@ -121,32 +124,50 @@ def mix_to_target(
     Scale shape: one aggregation over the corpus for group counts
     (output = |groups| rows), a scalar min over that tiny frame, one
     broadcast join of the rates back onto the corpus, one map-only
-    filter — two corpus scans total (counting is what makes the rates
-    self-calibrating; pass precomputed profile stats instead if the
-    corpus is append-only and profiled already). Every arithmetic step
-    is plain IEEE double with explicit order, so the selected row set
-    is engine-portable and oracle-checkable.
+    filter — two corpus scans total. Pass precomputed ``counts``
+    (group → row count, e.g. from an existing profile of an
+    append-only corpus) and the whole mix collapses to ONE map-only
+    scan: rates fold driver-side into a literal CASE gate, no
+    aggregation, no join. Every arithmetic step is plain IEEE double
+    with explicit order, so the selected row set is engine-portable
+    and oracle-checkable.
     """
     total_w = sum(weights.values())
     if total_w <= 0:
         raise ValueError("weights must have a positive sum")
     norm = {g: w / total_w for g, w in weights.items()}
 
+    if counts is not None:
+        rated = {
+            g: norm[g] for g in norm if counts.get(g, 0) > 0
+        }
+        if not rated:
+            return df.filter(F.lit(False))
+        t = min(float(counts[g]) / w for g, w in rated.items())
+        thresh: Column = F.lit(-1)  # unlisted groups: gate never passes
+        for g, w in sorted(rated.items()):
+            rate = min(1.0, (t * w) / float(counts[g]))
+            thresh = F.when(
+                F.col(group_col) == g,
+                F.lit(int(math.floor(rate * _BUCKETS))),
+            ).otherwise(thresh)
+        return df.filter(hash_bucket(F.col(id_col), seed) < thresh)
+
     w_expr: Column = F.lit(0.0)
     for g, w in sorted(norm.items()):
         w_expr = F.when(F.col(group_col) == g, F.lit(w)).otherwise(w_expr)
 
-    counts = (
+    grp = (
         df.groupBy(group_col)
         .agg(F.count("*").alias("_n"))
         .withColumn("_w", w_expr)
         .filter(F.col("_w") > 0)
     )
-    t = counts.agg(
+    t_df = grp.agg(
         F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t")
     )
     rates = (
-        counts.crossJoin(F.broadcast(t))
+        grp.crossJoin(F.broadcast(t_df))
         .select(
             group_col,
             F.least(

@@ -727,6 +727,32 @@ class TestHashSampling:
             (98.0, 98), (99.0, 99), (99.0, 199), (99.0, 299)
         ]
 
+    def test_mix_with_precomputed_counts_matches_self_calibrating(
+        self, spark
+    ):
+        """counts= (the one-scan profile path) must select EXACTLY the
+        rows the self-calibrating two-scan path selects — the driver-
+        side rate arithmetic is the same IEEE double sequence."""
+        from documents_vector_search_spark.operators.sampling import (
+            mix_to_target,
+        )
+
+        rows = [(i, "en" if i % 7 else "de") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        w = {"en": 0.7, "de": 0.3}
+        auto = mix_to_target(df, "doc_id", "lang", w, seed=6)
+        n_de = sum(1 for _, l in rows if l == "de")
+        manual = mix_to_target(
+            df, "doc_id", "lang", w, seed=6,
+            counts={"en": 2000 - n_de, "de": n_de},
+        )
+        assert sorted(r.doc_id for r in auto.collect()) == sorted(
+            r.doc_id for r in manual.collect()
+        )
+        # and the counts path is genuinely map-only: no join, no agg
+        plan = manual._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Aggregate" not in plan
+
     def test_mix_to_target_drops_unlisted_groups(self, spark):
         from documents_vector_search_spark.operators.sampling import (
             mix_to_target,
