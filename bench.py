@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_cluster",
     "dedup_simhash",
+    "simhash_pairs",
     "kmv_distinct",
     "histogram",
     "hash_split",

@@ -297,6 +297,75 @@ def simhash_fingerprints(
     )
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — banded, never
+    all-pairs: the 32-bit fingerprint splits into 4 byte-bands, and by
+    pigeonhole any pair within ``max_hamming`` ≤ 3 bit flips agrees on
+    at least one whole band, so candidates come from a (band_index,
+    band_value) bucket join and the exact Hamming check
+    (``bit_count(a XOR b)``) only runs inside buckets. The candidate
+    superset is exact — the result is ALL pairs at ≤ ``max_hamming``,
+    which is why the oracle may verify with brute force.
+
+    Same plan shape as :func:`minhash_lsh_pairs` (bucket collect →
+    in-bucket pair explode → distinct), but the rows carry ONE int64
+    fingerprint instead of a shingle array — the cheapest of the
+    near-dup family at scale. ``max_bucket_size`` is the same
+    mega-bucket guard (boilerplate corpora collapse into few
+    fingerprints): capped buckets trade recall inside degenerate
+    clusters for a bounded plan. Requires ``max_hamming`` < 4.
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    if not 0 <= max_hamming < 4:
+        raise ValueError("banding guarantees recall only for max_hamming < 4")
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(4)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(bands).alias("band_index", "band_value"),
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_index", "band_value")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    buckets = banded.groupBy("band_index", "band_value").agg(
+        F.collect_list(F.struct("id", "simhash")).alias("_members")
+    )
+    pairs = (
+        buckets.select(F.explode("_members").alias("a"), F.col("_members"))
+        .select("a", F.explode("_members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

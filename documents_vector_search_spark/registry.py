@@ -709,6 +709,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs at Hamming ≤ 3 (operators/
+    dedup.py::simhash_pairs): byte-band buckets + pigeonhole guarantee
+    make the candidate superset exact, so the brute-force oracle must
+    agree pair-for-pair. The cheapest near-dup detector at scale — one
+    int64 per doc rides the shuffle."""
+    from documents_vector_search_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs (bounded input: doc_id < 200)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -2033,6 +2044,24 @@ fp AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes)
 SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """,
+        "simhash_pairs": f"""
+WITH tok AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+h AS (SELECT doc_id, {md5_hash64_sql("term")} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+    {simhash_votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes),
+allfp AS (
+  SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
         "dedup_ngram": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 200),
 sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
@@ -2701,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
         "domain_cap": q_domain_cap,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,
         "semdedup": q_semdedup,

@@ -71,6 +71,53 @@ class TestSimHash:
         assert ham_near < ham_far
 
 
+class TestSimhashPairs:
+    def test_exact_dup_zero_hamming_and_bounds(self, dup_docs):
+        from documents_vector_search_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+            dup_docs, max_hamming=3
+        ).collect()}
+        assert got[(1, 2)] == 0  # identical text → identical fingerprint
+        assert all(h <= 3 for h in got.values())
+
+    def test_matches_brute_force(self, spark):
+        """Pigeonhole contract: banding must find EVERY pair at
+        ≤ max_hamming, so the result equals the all-pairs check."""
+        from documents_vector_search_spark.operators.dedup import (
+            simhash_fingerprints,
+            simhash_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(120)
+        fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        ids = sorted(fps)
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(fps[a] ^ fps[b]).count("1") <= 3
+        }
+        banded = {
+            (r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()
+        }
+        assert banded == brute
+
+    def test_hamming_range_validation_and_cap(self, dup_docs):
+        from documents_vector_search_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_pairs(dup_docs, max_hamming=4)
+        # cap of 1 empties every bucket that could pair
+        assert simhash_pairs(dup_docs, max_bucket_size=1).count() == 0
+
+
 class TestNgramJaccard:
     def test_exact_pairs(self, dup_docs):
         got = {
