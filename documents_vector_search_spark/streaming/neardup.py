@@ -77,9 +77,51 @@ class NearDupGate:
             text_col=self.text_col,
         )
 
+    def _recover(self) -> None:
+        """Roll forward an interrupted :meth:`compact_store`: if the
+        live store vanished mid-swap, the parked ``__old`` dir is the
+        intact previous state — restore it."""
+        import shutil
+
+        live = Path(self.store_path)
+        old = live.with_name(live.name + "__old")
+        tmp = live.with_name(live.name + "__tmp")
+        if not live.exists() and old.exists():
+            old.rename(live)
+        for orphan in (tmp, old):
+            if orphan.exists():
+                shutil.rmtree(orphan)
+
+    def compact_store(self, spark) -> dict:
+        """Rewrite the append-only store as DISTINCT band rows — the
+        periodic maintenance for a long-lived gate. Membership is all
+        the probe needs, so dropping repeated (band_index, band_value)
+        rows loses nothing; a store that admitted boilerplate-heavy
+        corpora shrinks by the repeat factor, and file count resets
+        from one-per-batch-task to one. Two-phase swap (stage → park →
+        commit) with roll-forward recovery, same discipline as the
+        collection updater."""
+        import shutil
+
+        self._recover()
+        live = Path(self.store_path)
+        if not live.exists():
+            return {"compacted": False}
+        old = live.with_name(live.name + "__old")
+        tmp = live.with_name(live.name + "__tmp")
+        before = spark.read.parquet(self.store_path)
+        n_before = before.count()
+        before.distinct().coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        n_after = spark.read.parquet(str(tmp)).count()
+        live.rename(old)
+        tmp.rename(live)
+        shutil.rmtree(old)
+        return {"compacted": True, "rows_before": n_before, "rows_after": n_after}
+
     def admit(self, batch_docs: DataFrame) -> DataFrame:
         """Admitted rows of ``batch_docs`` (all columns preserved);
         signatures of the admitted rows are appended to the store."""
+        self._recover()
         spark = batch_docs.sparkSession
         bands = self._band_rows(batch_docs)
 

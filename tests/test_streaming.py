@@ -567,6 +567,30 @@ class TestNearDupGate:
         admitted3 = {r.id for r in gate2.admit(batch3).collect()}
         assert admitted3 == {7}
 
+    def test_compact_store_dedups_and_preserves_decisions(
+        self, spark, tmp_path
+    ):
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = str(tmp_path / "bands3")
+        gate = NearDupGate(store)
+        gate.admit(self._docs(spark, [(1, self.BASE)]))
+        gate.admit(self._docs(spark, [
+            (2, "some unrelated new document text for the second batch"),
+        ]))
+        report = gate.compact_store(spark)
+        assert report["compacted"] is True
+        assert report["rows_after"] <= report["rows_before"]
+        # exactly one parquet piece after compaction
+        from pathlib import Path as P
+        assert len(list(P(store).glob("*.parquet"))) == 1
+        # decisions unchanged: a dup of batch-1 content still drops
+        admitted = gate.admit(self._docs(spark, [
+            (3, self.BASE),
+            (4, "fresh content that matches nothing admitted before"),
+        ]))
+        assert {r.id for r in admitted.collect()} == {4}
+
     def test_store_grows_only_by_admitted(self, spark, tmp_path):
         from documents_vector_search_spark.streaming import NearDupGate
 
