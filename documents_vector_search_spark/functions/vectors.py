@@ -20,6 +20,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def lit_double_array(values) -> Column:
+    """ONE-call ``array<double>`` literal. Each ``F.lit``/``F.array``
+    element costs a py4j round trip (~1ms on a loaded driver), so a
+    64-dim query vector built element-wise is 65 round trips and a PQ
+    codebook expression thousands — plan CONSTRUCTION seconds that
+    dwarf the actual execution on warm runs. Value-identical to
+    ``F.array(*[F.lit(float(v)) ...])`` (a foldable array<double>
+    either way); only the build cost changes."""
+    return F.lit([float(v) for v in values])
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Σ a_i * b_i via zip_with + aggregate (JVM-side, no UDF)."""
     return F.aggregate(

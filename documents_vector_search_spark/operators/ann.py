@@ -34,7 +34,10 @@ from itertools import combinations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.vectors import l2_distance
+from documents_vector_search_spark.functions.vectors import (
+    l2_distance,
+    lit_double_array,
+)
 from documents_vector_search_spark.operators.dedup import (
     hyperplane_bucket,
     random_hyperplanes,
@@ -79,7 +82,7 @@ def _score_topk(
     vector_col: str,
     round_to: int | None,
 ) -> DataFrame:
-    q_lit = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_lit = lit_double_array(query_vector)
     dist = l2_distance(F.col(vector_col).cast("array<double>"), q_lit)
     if round_to is not None:
         dist = F.round(dist, round_to)

@@ -25,7 +25,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.vectors import l2_distance
+from documents_vector_search_spark.functions.vectors import (
+    l2_distance,
+    lit_double_array,
+)
 
 
 def round_centroids(
@@ -49,7 +52,7 @@ def assign_cluster_expr(
     dist_structs = [
         F.struct(
             F.round(
-                l2_distance(vec, F.array(*[F.lit(float(x)) for x in c])),
+                l2_distance(vec, lit_double_array(c)),
                 round_to,
             ).alias("d"),
             F.lit(i).alias("i"),
@@ -161,7 +164,7 @@ class IVFIndex:
         """L2 top-k over the nprobe nearest clusters only."""
         clusters = self.probe_clusters(query_vector, nprobe)
         pruned = self.assigned.filter(F.col("cluster_id").isin(clusters))
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        q = lit_double_array(query_vector)
         dist = l2_distance(F.col(self.vector_col).cast("array<double>"), q)
         if round_to is not None:
             dist = F.round(dist, round_to)
@@ -205,7 +208,7 @@ def ivf_search_l2_fixed(
     pruned = embeddings.withColumn("_cluster", cluster).filter(
         F.col("_cluster").isin(probes)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     dist = F.round(l2_distance(vec, q), round_to)
     return (
         pruned.select(F.col(id_col), dist.alias("distance"))

@@ -32,11 +32,12 @@ from pyspark.sql import functions as F
 from documents_vector_search_spark.functions.vectors import (
     cosine_similarity,
     l2_distance,
+    lit_double_array,
 )
 
 
 def _query_vector_lit(query_vector: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vector])
+    return lit_double_array(query_vector)
 
 
 def knn_l2(

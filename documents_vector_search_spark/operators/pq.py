@@ -37,7 +37,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.vectors import sq_l2_distance
+from documents_vector_search_spark.functions.vectors import (
+    lit_double_array,
+    sq_l2_distance,
+)
 
 Codebooks = Sequence[Sequence[Sequence[float]]]  # [subspace][code][component]
 
@@ -124,7 +127,7 @@ def pq_encode_expr(
             F.struct(
                 F.round(
                     sq_l2_distance(
-                        sub, F.array(*[F.lit(float(x)) for x in cent])
+                        sub, lit_double_array(cent)
                     ),
                     round_to,
                 ).alias("d"),
@@ -223,7 +226,7 @@ def pq_adc_topk(
     lut = pq_adc_lut(query_vector, codebooks, round_to)
     total: Column | None = None
     for j, table in enumerate(lut):
-        arr = F.array(*[F.lit(v) for v in table])
+        arr = lit_double_array(table)
         term = F.element_at(arr, F.element_at(F.col(codes_col), j + 1) + 1)
         total = term if total is None else total + term
     dist = F.round(F.sqrt(total), round_to)

@@ -38,7 +38,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.vectors import l2_distance
+from documents_vector_search_spark.functions.vectors import (
+    l2_distance,
+    lit_double_array,
+)
 
 
 def fit_sq_bounds(
@@ -191,7 +194,7 @@ def sq_search_l2(
         .limit(shortlist)
         .select(id_col)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    q = lit_double_array(query_vector)
     return (
         embeddings.join(F.broadcast(short), id_col, "left_semi")
         .select(

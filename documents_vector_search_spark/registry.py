@@ -1434,7 +1434,10 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the collection layout), ADC reads only (id, codes), and the
     exact re-rank touches ≤ shortlist full vectors — the standard
     memory/recall trade at 100 TB."""
-    from documents_vector_search_spark.functions.vectors import l2_distance
+    from documents_vector_search_spark.functions.vectors import (
+        l2_distance,
+        lit_double_array,
+    )
     from documents_vector_search_spark.operators.ivf import (
         assign_cluster_expr,
         fit_ivf,
@@ -1495,7 +1498,7 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = pq_adc_topk(
         encoded, codebooks, QUERY_VEC, IVFPQ_SHORTLIST
     ).select("vec_id")
-    qv = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    qv = lit_double_array(QUERY_VEC)
     return (
         pruned.join(F.broadcast(shortlist), "vec_id", "left_semi")
         .select(
