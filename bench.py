@@ -64,6 +64,7 @@ HEADLINE = [
     "pii_redact",
     "line_dedup",
     "corpus_prep",
+    "prep_to_shards",
     "asof_join",
     "tpch_q1",
     "revenue_join",

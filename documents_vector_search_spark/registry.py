@@ -1207,6 +1207,52 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prep_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPORT half of the training pipeline as one composed,
+    oracle-checked flow — the stages that turn a deduplicated corpus
+    into trainer-ready shards:
+
+    1. first-wins exact dedup (keep the lowest id per content hash);
+    2. per-domain cap (operators/sampling.cap_per_group: ≤ 10 docs per
+       source, hash-order survivors — no site dominates);
+    3. data mixing to a 50/25/25 en/de/fr target
+       (operators/sampling.mix_to_target, rates self-calibrated from
+       the capped corpus);
+    4. deterministic shard assignment (operators/export.assign_shards,
+       8 shards).
+
+    Output: per-(shard, lang) row/char totals — the manifest a trainer
+    would read. The oracle replays every stage's arithmetic (hash
+    gates, window caps, rate derivation, shard hash) end-to-end,
+    proving the four operators compose without semantic drift."""
+    from documents_vector_search_spark.operators.export import (
+        assign_shards,
+    )
+    from documents_vector_search_spark.operators.sampling import (
+        cap_per_group,
+        mix_to_target,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
+        F.col("doc_id").asc()
+    )
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    capped = cap_per_group(deduped, "source", 10, "doc_id", seed=19)
+    mixed = mix_to_target(
+        capped, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.25},
+        seed=13,
+    )
+    sharded = assign_shards(mixed, "doc_id", 8, seed=17)
+    return sharded.groupBy("shard", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
 def q_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P5-style source→canonical projection: derived key prefix
     (split), url synthesis (concat), case normalization, null-safe
@@ -2351,6 +2397,45 @@ SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
 FROM w WHERE bucket < floor(wt * 1000000.0)
 GROUP BY lang
 """,
+        "prep_to_shards": f"""
+WITH deduped AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
+  ) = 1
+),
+capped AS (
+  SELECT * FROM deduped
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY {md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=19)}, doc_id
+  ) <= 10
+),
+counts AS (SELECT lang, count(*)::BIGINT AS n FROM capped GROUP BY lang),
+w AS (
+  SELECT lang, n,
+         CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+                   WHEN 'fr' THEN 0.25 ELSE 0.0 END AS wt
+  FROM counts
+),
+t AS (SELECT min(CAST(n AS DOUBLE) / wt) AS t FROM w WHERE wt > 0),
+rates AS (
+  SELECT w.lang, least(1.0, (t.t * w.wt) / CAST(w.n AS DOUBLE)) AS rate
+  FROM w, t WHERE w.wt > 0
+),
+mixed AS (
+  SELECT c.doc_id, c.lang, c.n_chars
+  FROM capped c JOIN rates ON c.lang = rates.lang
+  WHERE {hash_bucket_sql("c.doc_id", seed=13)} < floor(rate * 1000000.0)
+),
+sharded AS (
+  SELECT lang, n_chars,
+         ({md5_hash64_sql("CAST(doc_id AS VARCHAR)", salt=17)} % 8) AS shard
+  FROM mixed
+)
+SELECT shard, lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+FROM sharded GROUP BY shard, lang
+""",
         "domain_cap": f"""
 SELECT doc_id, source, n_chars
 FROM documents
@@ -2732,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "shard_export": q_shard_export,
         "domain_cap": q_domain_cap,
+        "prep_to_shards": q_prep_to_shards,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_ngram": q_dedup_ngram,
