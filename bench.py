@@ -38,6 +38,7 @@ HEADLINE = [
     "chunk_split",
     "dedup_exact",
     "dedup_minhash",
+    "cross_dedup",
     "dedup_cluster",
     "dedup_simhash",
     "simhash_pairs",

@@ -252,6 +252,86 @@ def dedup_filter(
     return docs.join(victims, id_col, "left_anti")
 
 
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """BIPARTITE near-dup pairs: new batch × existing corpus — the
+    incremental-crawl staple ("is any of today's crawl a near-dup of
+    what we already hold?"). Same MinHash-LSH + exact-Jaccard
+    verification as :func:`minhash_lsh_pairs`, but candidates come
+    from a JOIN of the two sides' band rows instead of an in-bucket
+    self-pairing, so no new×new or corpus×corpus pair is ever formed
+    or verified.
+
+    Scale shape: both sides band map-only (shared builder,
+    :func:`minhash_band_rows`); the join shuffles on the band key —
+    the batch side is small, the corpus side carries its shingles ONCE
+    per band. ``max_bucket_size`` caps each side's degenerate buckets
+    independently (window count before the join, same guard as the
+    batch operator). Verification is inline on the joined row;
+    surviving pairs are tiny before the final distinct.
+
+    Returns ``(new_id, corpus_id, jaccard)``.
+    """
+    left = minhash_band_rows(
+        new_docs, num_hashes, bands, shingle_words, id_col, text_col,
+        with_shingles=True,
+    ).select(
+        F.col("id").alias("_nid"), F.col("shingles").alias("_nsh"),
+        "band_index", "band_value",
+    )
+    right = minhash_band_rows(
+        corpus_docs, num_hashes, bands, shingle_words, id_col, text_col,
+        with_shingles=True,
+    ).select(
+        F.col("id").alias("_cid"), F.col("shingles").alias("_csh"),
+        "band_index", "band_value",
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_index", "band_value")
+        left = (
+            left.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        right = (
+            right.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    joined = left.join(right, ["band_index", "band_value"])
+    inter = F.size(F.array_intersect("_nsh", "_csh")).cast("bigint")
+    na = F.size("_nsh").cast("bigint")
+    nb = F.size("_csh").cast("bigint")
+    union = na + nb - inter
+    jac_raw = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # threshold on the RAW jaccard, round only for output — exactly the
+    # batch operator's order, so both share one oracle arithmetic
+    scored = joined.select(
+        F.col("_nid").alias("new_id"),
+        F.col("_cid").alias("corpus_id"),
+        jac_raw.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    deduped = scored.groupBy("new_id", "corpus_id").agg(
+        F.first("jaccard").alias("jaccard")
+    )
+    jac = (
+        F.round(F.col("jaccard"), round_to)
+        if round_to is not None
+        else F.col("jaccard")
+    )
+    return deduped.select("new_id", "corpus_id", jac.alias("jaccard"))
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

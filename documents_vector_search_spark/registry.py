@@ -645,6 +645,32 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup (operators/dedup.py::minhash_lsh_pairs_between):
+    drop every "new batch" document (doc_id % 3 == 0) that is a
+    MinHash-LSH near-dup (jaccard ≥ 0.8) of the EXISTING corpus (the
+    other docs) — the incremental-crawl admission check, batched. The
+    bipartite candidate join never forms new×new or corpus×corpus
+    pairs. Reports kept rows and chars per language."""
+    from documents_vector_search_spark.operators.dedup import (
+        minhash_lsh_pairs_between,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    pairs = minhash_lsh_pairs_between(
+        new, corpus, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    victims = pairs.select(F.col("new_id").alias("doc_id")).distinct()
+    kept = new.join(victims, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
 def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing to a TARGET composition (operators/sampling.py::
     mix_to_target): resample so the output is 50% en / 25% de / 25% fr
@@ -2054,6 +2080,43 @@ WITH {minhash_ctes}
 SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
 FROM v WHERE inter / (na + nb - inter) >= 0.8
 """,
+        "cross_dedup": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+hxt AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh),
+sig AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM hxt),
+banded_all AS (
+{bands_sql}
+),
+bn AS (
+  SELECT doc_id, band_index, band_value FROM banded_all
+  WHERE doc_id % 3 = 0
+  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
+),
+bc AS (
+  SELECT doc_id, band_index, band_value FROM banded_all
+  WHERE doc_id % 3 <> 0
+  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS corpus_id
+  FROM bn l JOIN bc r
+    ON l.band_index = r.band_index AND l.band_value = r.band_value
+),
+v AS (
+  SELECT new_id, corpus_id,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
+         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
+  FROM cand JOIN sig a ON a.doc_id = new_id JOIN sig b ON b.doc_id = corpus_id
+),
+victims AS (
+  SELECT DISTINCT new_id FROM v WHERE inter / (na + nb - inter) >= 0.8
+)
+SELECT lang, count(*)::BIGINT AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT new_id FROM victims)
+GROUP BY lang
+""",
         "dedup_cluster": f"""
 WITH RECURSIVE {minhash_ctes},
 pairs AS (
@@ -2815,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
         "mix_sample": q_mix_sample,
+        "cross_dedup": q_cross_dedup,
         "shard_export": q_shard_export,
         "domain_cap": q_domain_cap,
         "prep_to_shards": q_prep_to_shards,

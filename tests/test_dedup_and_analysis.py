@@ -71,6 +71,53 @@ class TestSimHash:
         assert ham_near < ham_far
 
 
+class TestCrossDedup:
+    def test_bipartite_pairs_and_no_within_side_pairs(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            minhash_lsh_pairs_between,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again ok"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "existing corpus text about query planning")],
+            ["doc_id", "text"],
+        )
+        # 101 near-dups corpus doc 1; 102+103 are identical to EACH
+        # OTHER but novel vs the corpus — a bipartite pairer must not
+        # report them (no new x new pairs)
+        new = spark.createDataFrame(
+            [
+                (101, base.replace("dog", "cat")),
+                (102, "novel content that matches nothing in the corpus"),
+                (103, "novel content that matches nothing in the corpus"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = minhash_lsh_pairs_between(new, corpus, threshold=0.5)
+        got = {(r.new_id, r.corpus_id): r.jaccard for r in pairs.collect()}
+        assert (101, 1) in got
+        assert all(n >= 100 and c < 100 for n, c in got)
+
+    def test_cap_bounds_both_sides(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            minhash_lsh_pairs_between,
+        )
+
+        same = "identical boilerplate text repeated across every document here"
+        new = spark.createDataFrame(
+            [(100 + i, same) for i in range(20)], ["doc_id", "text"]
+        )
+        corpus = spark.createDataFrame(
+            [(i, same) for i in range(20)], ["doc_id", "text"]
+        )
+        capped = minhash_lsh_pairs_between(
+            new, corpus, threshold=0.5, max_bucket_size=5
+        )
+        assert capped.count() == 0  # degenerate buckets dropped, bounded plan
+        uncapped = minhash_lsh_pairs_between(new, corpus, threshold=0.5)
+        assert uncapped.count() == 400  # 20 x 20 bipartite, no self pairs
+
+
 class TestSimhashPairs:
     def test_exact_dup_zero_hamming_and_bounds(self, dup_docs):
         from documents_vector_search_spark.operators.dedup import (
