@@ -275,6 +275,44 @@ def cmd_refit_sq8(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Collection health at a glance: the manifest plus per-table row
+    counts (the reference prints its manifest after create/update; this
+    adds the table census a long-lived deployment actually checks)."""
+    from dataclasses import asdict
+
+    coll = _collection(args)
+    print(_format(
+        {"manifest": asdict(coll.manifest()), "rowCounts": coll.counts()},
+        args.format,
+    ))
+    return 0
+
+
+def cmd_export_shards(args) -> int:
+    """Export the collection's documents as deterministic training
+    shards (operators/export.py): shard=K parquet dirs in a
+    pseudo-random, engine-portable global order."""
+    from documents_vector_search_spark.operators.export import (
+        write_training_shards,
+    )
+
+    coll = _collection(args)
+    docs = coll.read("documents")
+    write_training_shards(
+        docs.drop("_pb") if "_pb" in docs.columns else docs,
+        args.output, n_shards=args.n_shards, id_col="id", seed=args.seed,
+        max_records_per_file=args.max_records_per_file,
+    )
+    n = coll.spark.read.parquet(args.output).count()
+    print(_format(
+        {"exportedDocuments": n, "shards": args.n_shards,
+         "output": args.output},
+        args.format,
+    ))
+    return 0
+
+
 def cmd_refit_ivf(args) -> int:
     """Re-fit IVF centroids (and PQ codebooks) after distribution
     drift (collection/refit.py) — O(corpus) maintenance, like
@@ -463,6 +501,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("refit-ivf")
     common(sp)
     sp.set_defaults(func=cmd_refit_ivf)
+
+    sp = sub.add_parser("stats")
+    common(sp)
+    sp.set_defaults(func=cmd_stats)
+
+    sp = sub.add_parser("export-shards")
+    common(sp)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-shards", type=int, default=8)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--max-records-per-file", type=int)
+    sp.set_defaults(func=cmd_export_shards)
 
     return p
 

@@ -103,6 +103,28 @@ class TestCLI:
             "refit": False, "pq_refit": False,
         }
 
+    def test_stats_and_export_shards(self, spark, base_path, tmp_path, capsys):
+        rc = cli.main(
+            ["stats", "cli_test", "--base-path", base_path, "--format", "json"]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["manifest"]["collectionName"] == "cli_test"
+        assert stats["rowCounts"]["documents"] > 0
+        assert stats["rowCounts"]["chunks"] == stats["rowCounts"]["embeddings"]
+
+        out = str(tmp_path / "shards")
+        rc = cli.main(
+            [
+                "export-shards", "cli_test", "--base-path", base_path,
+                "--output", out, "--n-shards", "2", "--format", "json",
+            ]
+        )
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["exportedDocuments"] == stats["rowCounts"]["documents"]
+        assert spark.read.parquet(out).count() == report["exportedDocuments"]
+
     def test_search_many_returns_qid_keyed_rows(self, base_path, capsys):
         rc = cli.main(
             [
