@@ -68,6 +68,7 @@ def contamination_report(
     bench_text_col: str = "text",
     hash_grams: bool = False,
     broadcast: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document ``(id, contaminated_ngrams, contaminated)`` for
     EVERY training document: the count of distinct ``n``-gram shingles
@@ -87,10 +88,18 @@ def contamination_report(
     the build side; pair it with ``hash_grams`` so the shuffle carries
     8-byte keys instead of strings. Results are identical either way
     (parity-pinned by test) — only the physical join strategy moves.
+
+    ``tokens_col`` names an ALREADY-TOKENIZED column to shingle
+    instead of re-tokenizing ``text_col`` — a composed pipeline whose
+    upstream stage tokenized the corpus (e.g. a quality gate) must not
+    pay the regex tokenize a second time over 100 TB. The column must
+    hold exactly ``functions/text.tokenize`` output, or the gram match
+    drifts from the oracle.
     """
     grams = benchmark_ngrams(benchmark, n, bench_text_col, hash_grams)
+    toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
     doc_gram = F.explode(
-        F.array_distinct(word_shingles(tokenize(text_col), n))
+        F.array_distinct(word_shingles(toks, n))
     ).alias("gram")
     doc_grams = docs.select(F.col(id_col), doc_gram)
     if hash_grams:
@@ -131,10 +140,12 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Training docs with the contaminated ones REMOVED — the apply
     step. One extra broadcast-able semi-join over the flagged ids."""
     flagged = contamination_report(
-        docs, benchmark, n, min_hits, id_col, text_col, bench_text_col
+        docs, benchmark, n, min_hits, id_col, text_col, bench_text_col,
+        tokens_col=tokens_col,
     ).filter(F.col("contaminated"))
     return docs.join(flagged.select(id_col), id_col, "left_anti")

@@ -1201,13 +1201,16 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     staged = docs.withColumn("_toks", tokenize("text"))
-    gated = (
-        staged.withColumn("quality", quality_expr(F.col("_toks"), "text"))
-        .filter(F.col("quality") >= CORPUS_PREP_MIN_QUALITY)
-        .drop("_toks")
-    )
+    gated = staged.withColumn(
+        "quality", quality_expr(F.col("_toks"), "text")
+    ).filter(F.col("quality") >= CORPUS_PREP_MIN_QUALITY)
     bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    decon = decontaminate(gated, bench, n=DECON_N)
+    # the gate already tokenized every surviving doc — the
+    # decontamination stage shingles those tokens instead of paying the
+    # regex tokenize a second time over the corpus
+    decon = decontaminate(gated, bench, n=DECON_N, tokens_col="_toks").drop(
+        "_toks"
+    )
     w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
         F.col("doc_id").asc()
     )

@@ -106,6 +106,27 @@ class TestReport:
         assert via_broadcast == via_shuffle
 
 
+class TestTokenReuse:
+    def test_precomputed_tokens_match_internal_tokenize(self, corpora):
+        """tokens_col (the composed-pipeline no-double-tokenize path)
+        must produce the identical report."""
+        from documents_vector_search_spark.functions.text import tokenize
+
+        docs, bench = corpora
+        pre = docs.withColumn("_toks", tokenize("text"))
+        via_tokens = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(
+                pre, bench, n=5, tokens_col="_toks"
+            ).collect()
+        )
+        direct = sorted(
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in contamination_report(docs, bench, n=5).collect()
+        )
+        assert via_tokens == direct
+
+
 class TestApply:
     def test_decontaminate_drops_flagged(self, corpora):
         docs, bench = corpora
