@@ -183,6 +183,19 @@ def create_collection(
         docs.withColumn(UPDATE_PB_COL, doc_pb("id")),
         partition_by=[UPDATE_PB_COL],
     )
+    # an empty source writes zero parquet files under the partitioned
+    # layout, and every later stage (and any future read) would die on
+    # schema inference — fail HERE with a clear message instead. File
+    # probe, not a count job: the write above already ran the source.
+    from pathlib import Path
+
+    if not any(Path(collection.table_path("documents")).rglob("*.parquet")):
+        collection.destroy()
+        raise ValueError(
+            f"cannot create collection '{collection.name}': the source "
+            "produced zero documents (create requires a non-empty "
+            "corpus; incremental updates accept empty batches)"
+        )
     docs = collection.read("documents")  # re-read: decouple lineage from source
 
     chunks = build_chunks(docs, chunk_size, chunk_overlap, title_col)

@@ -638,6 +638,29 @@ class TestSq8Layout:
             )
 
 
+class TestEmptyInputs:
+    def test_empty_create_raises_clearly(self, spark, canonical_docs, tmp_path):
+        """An empty source must fail with a clear message (and leave no
+        half-written collection behind), not die later on parquet
+        schema inference."""
+        coll = Collection(spark, str(tmp_path), "empty")
+        with pytest.raises(ValueError, match="zero documents"):
+            create_collection(coll, canonical_docs.filter(F.lit(False)))
+        assert not coll.exists()
+
+    def test_empty_update_batch_is_noop(self, spark, canonical_docs, tmp_path):
+        """A daily pipeline hits zero-change batches routinely — the
+        update must be a no-op that keeps every table and the manifest
+        intact."""
+        coll = Collection(spark, str(tmp_path), "noopup")
+        create_collection(coll, canonical_docs, chunk_size=200, chunk_overlap=40)
+        before = coll.counts()
+        update_collection(coll, canonical_docs.filter(F.lit(False)))
+        assert coll.counts() == before
+        s = CollectionSearcher(coll)
+        assert len(s.search("hash join", max_documents=3).collect()) > 0
+
+
 class TestSq8Refit:
     """collection/refit.py: the explicit maintenance op for quantizer
     drift — updates clamp against the fitted bounds by design, refit is
