@@ -167,6 +167,8 @@ def run_streaming_update(
     checkpoint_dir: str,
     available_now: bool = True,
     fmt: str = "parquet",
+    stream_transform=None,
+    admission_gate=None,
 ):
     """Continuous incremental indexing: stream canonical-document files
     from ``drop_dir`` and MERGE each micro-batch into the collection.
@@ -175,6 +177,18 @@ def run_streaming_update(
     ``available_now`` the stream processes everything present and stops
     — the reference's one-shot update, expressed as a stream; without
     it the collection follows the drop directory indefinitely.
+
+    The two curation seams compose the intake pipeline without touching
+    the merge itself:
+    - ``stream_transform``: a streaming-DataFrame → streaming-DataFrame
+      callable applied BEFORE the sink (e.g.
+      ``streaming/curation.curate_stream`` — quality gate,
+      decontamination, bounded-state exact dedup);
+    - ``admission_gate``: an object with ``admit(batch_df) ->
+      DataFrame`` applied to each micro-batch INSIDE foreachBatch
+      (e.g. ``streaming/neardup.NearDupGate`` — near-dup admission
+      against its persistent band store; per-batch state lives with
+      the gate, not the stream).
     """
     spark = collection.spark
     stream = (
@@ -182,6 +196,8 @@ def run_streaming_update(
         .schema(DOCUMENT_SCHEMA)
         .load(drop_dir)
     )
+    if stream_transform is not None:
+        stream = stream_transform(stream)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -198,6 +214,10 @@ def run_streaming_update(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if admission_gate is not None:
+            latest = admission_gate.admit(latest)
+            if latest.isEmpty():
+                return
         update_collection(collection, latest)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(

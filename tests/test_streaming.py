@@ -602,3 +602,82 @@ class TestNearDupGate:
         # a dropped duplicate must append NOTHING
         gate.admit(self._docs(spark, [(2, self.BASE)]))
         assert spark.read.parquet(store).count() == n1
+
+
+class TestComposedIntakePipeline:
+    """run_streaming_update's curation seams: the quality gate runs as a
+    stream transform, the near-dup admission gate inside foreachBatch —
+    the full intake pipeline (curate -> admit -> merge) in one query."""
+
+    SEED = (
+        "the seed document explains how the collection updater stages "
+        "its partition swap and why the manifest records a watermark "
+        "for every incremental merge of changed documents"
+    )
+    NOVEL = (
+        "an entirely different essay describing the broadcast hash join "
+        "strategy that the optimizer prefers when one side of the join "
+        "is small enough to ship to every executor in the cluster"
+    )
+    OTHER = (
+        "a third unrelated piece of text walking through the columnar "
+        "reader and the page indexes it consults to skip row groups "
+        "whose statistics exclude the predicate entirely"
+    )
+
+    def test_gates_compose_with_merge(self, spark, tmp_path):
+        from documents_vector_search_spark.streaming import (
+            NearDupGate,
+            run_streaming_update,
+        )
+        from documents_vector_search_spark.streaming.curation import (
+            curate_stream,
+        )
+
+        coll = Collection(spark, str(tmp_path / "coll"), "gated")
+        create_collection(
+            coll,
+            _canonical(spark, [("seed", self.SEED, "2024-01-01T00:00:00")]),
+            chunk_size=100, chunk_overlap=10,
+        )
+        gate = NearDupGate(str(tmp_path / "bands"), id_col="id")
+        # seed the store with the existing corpus so near-dups of
+        # PRE-EXISTING docs are refused too
+        gate.admit(coll.read("documents").select("id", "text"))
+
+        drop = tmp_path / "drop"
+        _canonical(spark, [
+            ("new-1", self.NOVEL, "2024-02-01T00:00:00"),
+            # near-dup of new-1 in the SAME batch: admission drops it
+            ("new-2", self.NOVEL.replace("cluster", "fleet"), "2024-02-01T00:01:00"),
+            # junk: fails the quality gate before admission
+            ("junk", "zz 1", "2024-02-01T00:02:00"),
+        ]).write.mode("overwrite").parquet(str(drop))
+
+        q = run_streaming_update(
+            coll, str(drop), str(tmp_path / "ckpt"), available_now=True,
+            stream_transform=lambda s: curate_stream(
+                s, min_quality=0.3
+            ).drop("quality"),
+            admission_gate=gate,
+        )
+        q.awaitTermination(120)
+        after1 = {r.id for r in coll.read("documents").collect()}
+        assert after1 == {"seed", "new-1"}
+
+        # second micro-batch: a near-dup of the STORED new-1 is refused,
+        # a genuinely new doc lands
+        _canonical(spark, [
+            ("new-3", self.NOVEL.replace("essay", "article"), "2024-03-01T00:00:00"),
+            ("new-4", self.OTHER, "2024-03-01T00:01:00"),
+        ]).write.mode("append").parquet(str(drop))
+        q = run_streaming_update(
+            coll, str(drop), str(tmp_path / "ckpt"), available_now=True,
+            stream_transform=lambda s: curate_stream(
+                s, min_quality=0.3
+            ).drop("quality"),
+            admission_gate=gate,
+        )
+        q.awaitTermination(120)
+        after2 = {r.id for r in coll.read("documents").collect()}
+        assert after2 == {"seed", "new-1", "new-4"}
