@@ -50,6 +50,7 @@ HEADLINE = [
     "shard_export",
     "domain_cap",
     "embedding_neardup",
+    "cross_embed_dedup",
     "sq8_ann",
     "decontaminate",
     "pool_embeddings",

@@ -510,12 +510,16 @@ def hyperplane_bucket(vector_col: Column, planes: list[list[float]]) -> Column:
     probability. Bucket count = 2^n_planes; at 100 TB, n_planes tunes
     bucket size to executor memory.
     """
+    from documents_vector_search_spark.functions.vectors import (
+        lit_double_array,
+    )
+
     bucket = F.lit(0).cast("bigint")
     for j, plane in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(
                 vector_col,
-                F.array(*[F.lit(x) for x in plane]),
+                lit_double_array(plane),
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -568,6 +572,66 @@ def embedding_neardup_pairs(
         hyperplane_bucket(vec, planes).alias("bucket"),
     )
     return _bucketed_cosine_pairs(bucketed, threshold, round_to, max_bucket_size)
+
+
+def embedding_neardup_pairs_between(
+    new_embeddings: DataFrame,
+    corpus_embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 6,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """BIPARTITE cosine near-dup: new batch × existing corpus in the
+    EMBEDDING space — the semantic twin of
+    :func:`minhash_lsh_pairs_between` (catches paraphrases the lexical
+    detector misses). Both sides bucket with the SAME seeded
+    hyperplanes, so cross-side candidates are a plain equi-join on the
+    bucket id; exact cosine verifies on the joined row. A vector has
+    exactly ONE bucket (unlike MinHash bands), so no pair can appear
+    twice — no dedup pass needed. Per-side ``max_bucket_size`` caps
+    degenerate buckets before the join, same guard as the in-corpus
+    operator. Returns ``(new_id, corpus_id, cosine)``."""
+    if dim is None:
+        dim = len(new_embeddings.select(vector_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    vec = F.col(vector_col).cast("array<double>")
+
+    def _bucketed(df: DataFrame, out_id: str, out_v: str) -> DataFrame:
+        b = df.select(
+            F.col(id_col).alias(out_id),
+            vec.alias(out_v),
+            hyperplane_bucket(vec, planes).alias("bucket"),
+        )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("bucket")
+            b = (
+                b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("_bsz") <= max_bucket_size)
+                .drop("_bsz")
+            )
+        return b
+
+    left = _bucketed(new_embeddings, "new_id", "_nv")
+    right = _bucketed(corpus_embeddings, "corpus_id", "_cv")
+    # threshold on the RAW cosine, round only for output — the same
+    # order as the in-corpus operator, so both share one oracle
+    cos_raw = cosine_similarity(F.col("_nv"), F.col("_cv"))
+    scored = (
+        left.join(right, "bucket")
+        .select("new_id", "corpus_id", cos_raw.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    cos = (
+        F.round(F.col("cosine"), round_to)
+        if round_to is not None
+        else F.col("cosine")
+    )
+    return scored.select("new_id", "corpus_id", cos.alias("cosine"))
 
 
 def _bucketed_cosine_pairs(

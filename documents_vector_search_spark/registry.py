@@ -760,6 +760,25 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite EMBEDDING-space near-dup: new batch (even vec_id) ×
+    existing corpus (odd vec_id) via shared SRP-LSH hyperplanes
+    (operators/dedup.py::embedding_neardup_pairs_between) — the
+    semantic twin of cross_dedup, catching paraphrase-level duplicates
+    the lexical detector misses."""
+    from documents_vector_search_spark.operators.dedup import (
+        embedding_neardup_pairs_between,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs_between(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.3, n_planes=8, seed=42, dim=EMBED_DIM,
+        max_bucket_size=NEARDUP_MAX_BUCKET,
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: KMeans clusters as the
     candidate buckets (data-aware, vs embedding_neardup's random
@@ -2207,6 +2226,27 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
 FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE {cos_lr} >= 0.3
 """,
+        "cross_embed_dedup": f"""
+WITH bn AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)} AS bucket
+  FROM embeddings WHERE vec_id % 2 = 0
+  QUALIFY count(*) OVER (
+    PARTITION BY {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)}
+  ) <= {NEARDUP_MAX_BUCKET}
+),
+bc AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)} AS bucket
+  FROM embeddings WHERE vec_id % 2 = 1
+  QUALIFY count(*) OVER (
+    PARTITION BY {_bucket_sql("embedding::DOUBLE[]", NEARDUP_PLANES)}
+  ) <= {NEARDUP_MAX_BUCKET}
+)
+SELECT l.vec_id AS new_id, r.vec_id AS corpus_id, round({cos_lr}, 6) AS cosine
+FROM bn l JOIN bc r ON l.bucket = r.bucket
+WHERE {cos_lr} >= 0.3
+""",
         "pool_embeddings": f"""
 SELECT label, count(*)::BIGINT AS n,
        {", ".join(f"round(avg((embedding::DOUBLE[])[{i + 1}]), 6) AS c{i}" for i in range(EMBED_DIM))}
@@ -2889,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_ngram": q_dedup_ngram,
         "embedding_neardup": q_embedding_neardup,
+        "cross_embed_dedup": q_cross_embed_dedup,
         "semdedup": q_semdedup,
         "pool_embeddings": q_pool_embeddings,
         "lang_id": q_lang_id,

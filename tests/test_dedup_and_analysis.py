@@ -98,6 +98,29 @@ class TestCrossDedup:
         assert (101, 1) in got
         assert all(n >= 100 and c < 100 for n, c in got)
 
+    def test_embedding_bipartite_matches_sides(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            embedding_neardup_pairs_between,
+        )
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        new_rows = [
+            (101, [0.99, 0.01, 0.0, 0.0]),   # near-dup of corpus 1
+            (102, [0.0, 0.0, 1.0, 0.0]),     # novel direction
+            (103, [0.99, 0.02, 0.0, 0.0]),   # near-dup of corpus 1 AND 101
+        ]
+        corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+        pairs = embedding_neardup_pairs_between(
+            new, corpus, threshold=0.9, n_planes=2, dim=4
+        )
+        got = {(r.new_id, r.corpus_id) for r in pairs.collect()}
+        # only cross-side pairs, never 101x103 (both on the new side)
+        assert got == {(101, 1), (103, 1)}
+
     def test_cap_bounds_both_sides(self, spark):
         from documents_vector_search_spark.operators.dedup import (
             minhash_lsh_pairs_between,
