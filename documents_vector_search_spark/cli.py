@@ -304,7 +304,8 @@ def cmd_export_shards(args) -> int:
         args.output, n_shards=args.n_shards, id_col="id", seed=args.seed,
         max_records_per_file=args.max_records_per_file,
     )
-    n = coll.spark.read.parquet(args.output).count()
+    # report from the source, not a second full pass over the export
+    n = docs.count()
     print(_format(
         {"exportedDocuments": n, "shards": args.n_shards,
          "output": args.output},

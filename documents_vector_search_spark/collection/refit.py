@@ -90,16 +90,20 @@ def refit_ivf(collection: Collection, sample_rows: int | None = None) -> dict:
             emb, dim=dim, m=int(pq_cfg["m"]), ksub=int(pq_cfg["kSub"]),
             vector_col="vector", seed=seed, sample_rows=sample_rows,
         )
-    if new_cents == ivf_cfg["centroids"] and (
-        new_codebooks is None or new_codebooks == pq_cfg["codebooks"]
-    ):
+    pq_changed = (
+        new_codebooks is not None and new_codebooks != pq_cfg["codebooks"]
+    )
+    if new_cents == ivf_cfg["centroids"] and not pq_changed:
         return {"refit": False, "pq_refit": False}
 
     vec = F.col("vector").cast("array<double>")
     recoded = emb.drop("cluster_id").withColumn(
         "cluster_id", assign_cluster_auto(vec, new_cents)
     )
-    if new_codebooks is not None:
+    if pq_changed:
+        # re-encode ONLY when the codebooks actually moved — centroids
+        # can drift while the subspace codebooks come back identical,
+        # and an unchanged codebook must not cost a corpus re-encode
         from documents_vector_search_spark.operators.pq import pq_encode_auto
 
         recoded = recoded.drop("codes").withColumn(
@@ -110,12 +114,12 @@ def refit_ivf(collection: Collection, sample_rows: int | None = None) -> dict:
     )
     _swap_all(collection, {"embeddings": recoded}, {"embeddings": part_cols})
     ivf_cfg["centroids"] = new_cents
-    if new_codebooks is not None:
+    if pq_changed:
         ivf_cfg["pq"]["codebooks"] = new_codebooks
     manifest.converter["ivf"] = ivf_cfg
     manifest.touch()
     collection.save_manifest(manifest)
-    return {"refit": True, "pq_refit": new_codebooks is not None}
+    return {"refit": True, "pq_refit": pq_changed}
 
 
 def refit_sq8(collection: Collection) -> dict:

@@ -141,11 +141,16 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     tokens_col: str | None = None,
+    hash_grams: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Training docs with the contaminated ones REMOVED — the apply
-    step. One extra broadcast-able semi-join over the flagged ids."""
+    step. One extra broadcast-able semi-join over the flagged ids.
+    ``hash_grams``/``broadcast`` forward to
+    :func:`contamination_report` (the huge-eval-suite scale knobs must
+    be reachable from the step a pipeline actually runs)."""
     flagged = contamination_report(
         docs, benchmark, n, min_hits, id_col, text_col, bench_text_col,
-        tokens_col=tokens_col,
+        hash_grams=hash_grams, broadcast=broadcast, tokens_col=tokens_col,
     ).filter(F.col("contaminated"))
     return docs.join(flagged.select(id_col), id_col, "left_anti")

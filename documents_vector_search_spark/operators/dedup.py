@@ -73,7 +73,7 @@ def minhash_band_rows(
     shingle_words: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    with_shingles: bool = False,
+    carry_shingles: bool = False,
 ) -> DataFrame:
     """``(id[, shingles], band_index, band_value)`` — one row per
     (document, LSH band): the map-only front half of MinHash-LSH,
@@ -105,7 +105,7 @@ def minhash_band_rows(
     def fam(i: int):
         return lambda e: minhash_from_ab(e, i)
 
-    carry = ["id", "shingles"] if with_shingles else ["id"]
+    carry = ["id", "shingles"] if carry_shingles else ["id"]
     sig = ab.select(
         *carry,
         *[
@@ -178,7 +178,7 @@ def minhash_lsh_pairs(
     """
     banded = minhash_band_rows(
         docs, num_hashes, bands, shingle_words, id_col, text_col,
-        with_shingles=True,
+        carry_shingles=True,
     )
 
     if max_bucket_size is not None:
@@ -284,14 +284,14 @@ def minhash_lsh_pairs_between(
     """
     left = minhash_band_rows(
         new_docs, num_hashes, bands, shingle_words, id_col, text_col,
-        with_shingles=True,
+        carry_shingles=True,
     ).select(
         F.col("id").alias("_nid"), F.col("shingles").alias("_nsh"),
         "band_index", "band_value",
     )
     right = minhash_band_rows(
         corpus_docs, num_hashes, bands, shingle_words, id_col, text_col,
-        with_shingles=True,
+        carry_shingles=True,
     ).select(
         F.col("id").alias("_cid"), F.col("shingles").alias("_csh"),
         "band_index", "band_value",
@@ -597,7 +597,14 @@ def embedding_neardup_pairs_between(
     degenerate buckets before the join, same guard as the in-corpus
     operator. Returns ``(new_id, corpus_id, cosine)``."""
     if dim is None:
-        dim = len(new_embeddings.select(vector_col).first()[0])
+        # an empty daily batch is routine for an admission check: probe
+        # the new side, fall back to the corpus, and with both empty
+        # any plane count yields the correct empty pair frame
+        row = (
+            new_embeddings.select(vector_col).first()
+            or corpus_embeddings.select(vector_col).first()
+        )
+        dim = len(row[0]) if row else 1
     planes = random_hyperplanes(dim, n_planes, seed)
     vec = F.col(vector_col).cast("array<double>")
 

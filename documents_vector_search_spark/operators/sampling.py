@@ -138,8 +138,14 @@ def mix_to_target(
     norm = {g: w / total_w for g, w in weights.items()}
 
     if counts is not None:
+        # same group admission rule as the DataFrame path: positive
+        # weight AND present in the corpus (a zero weight is the
+        # natural way to exclude a source — it must drop the group,
+        # not divide by zero)
         rated = {
-            g: norm[g] for g in norm if counts.get(g, 0) > 0
+            g: norm[g]
+            for g in norm
+            if norm[g] > 0 and counts.get(g, 0) > 0
         }
         if not rated:
             return df.filter(F.lit(False))

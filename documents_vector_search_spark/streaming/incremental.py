@@ -215,9 +215,16 @@ def run_streaming_update(
             .drop("_rn")
         )
         if admission_gate is not None:
-            latest = admission_gate.admit(latest)
+            # decide → merge → record: foreachBatch is at-least-once,
+            # so the gate must not remember a batch's signatures until
+            # the merge has committed — recording first would make a
+            # retried batch collide with its own bands and vanish
+            latest = admission_gate.decide(latest)
             if latest.isEmpty():
                 return
+            update_collection(collection, latest)
+            admission_gate.record()
+            return
         update_collection(collection, latest)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(

@@ -118,12 +118,24 @@ class NearDupGate:
         shutil.rmtree(old)
         return {"compacted": True, "rows_before": n_before, "rows_after": n_after}
 
-    def admit(self, batch_docs: DataFrame) -> DataFrame:
-        """Admitted rows of ``batch_docs`` (all columns preserved);
-        signatures of the admitted rows are appended to the store."""
+    def decide(self, batch_docs: DataFrame) -> DataFrame:
+        """Admission DECISION only: returns the admitted rows of
+        ``batch_docs`` (all columns preserved) without touching the
+        store. Pair with :meth:`record` once the batch's downstream
+        effect has committed — the split is what makes the gate safe
+        under at-least-once micro-batch semantics (see
+        streaming/incremental.py): recording BEFORE the downstream
+        commit would make a retried batch collide with its own
+        signatures and silently vanish.
+
+        The band computation (tokenize + shingle + minhash — the
+        gate's dominant cost) runs ONCE: the band rows are
+        checkpointed, and both the decision and the later
+        :meth:`record` append derive from those materialized rows.
+        """
         self._recover()
         spark = batch_docs.sparkSession
-        bands = self._band_rows(batch_docs)
+        bands = self._band_rows(batch_docs).localCheckpoint()
 
         # in-batch first-wins: a band key's minimum id is its head;
         # anyone above the head in ANY shared band drops
@@ -147,12 +159,36 @@ class NearDupGate:
         else:
             hits = in_batch_hit
 
-        # decide BEFORE appending: the admitted set must be computed
-        # against the store as it was at batch start (the checkpoint
-        # materializes the anti-join; appending first would let the
-        # lazy probe read its own output)
         admitted = batch_docs.join(hits, self.id_col, "left_anti").localCheckpoint()
-        self._band_rows(admitted).select("band_index", "band_value").write.mode(
-            "append"
-        ).parquet(self.store_path)
+        self._pending_bands = bands
+        self._pending_ids = admitted.select(
+            F.col(self.id_col).alias("id")
+        ).localCheckpoint()
+        return admitted
+
+    def record(self) -> None:
+        """Append the signatures of the last :meth:`decide`'s admitted
+        rows to the store — call AFTER the batch's downstream effect
+        (e.g. the collection merge) has committed. Crash windows are
+        safe in both directions: dying before record means the retry
+        re-decides against the unchanged store (downstream merge is
+        idempotent); dying after record means the retry's decide drops
+        every doc as a duplicate and the already-committed batch is
+        simply not re-applied."""
+        bands = getattr(self, "_pending_bands", None)
+        if bands is None:
+            raise RuntimeError("record() without a preceding decide()")
+        bands.join(self._pending_ids, "id", "left_semi").select(
+            "band_index", "band_value"
+        ).write.mode("append").parquet(self.store_path)
+        self._pending_bands = None
+        self._pending_ids = None
+
+    def admit(self, batch_docs: DataFrame) -> DataFrame:
+        """Decide-and-record in one step — for batch callers with no
+        downstream commit to sequence against. Streaming pipelines
+        should use :meth:`decide` / :meth:`record` around their merge
+        instead."""
+        admitted = self.decide(batch_docs)
+        self.record()
         return admitted

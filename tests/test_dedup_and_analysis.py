@@ -121,6 +121,21 @@ class TestCrossDedup:
         # only cross-side pairs, never 101x103 (both on the new side)
         assert got == {(101, 1), (103, 1)}
 
+    def test_embedding_bipartite_empty_new_side(self, spark):
+        """An empty daily batch is routine for an admission check —
+        dim inference must fall back to the corpus side (or an empty
+        frame), never crash."""
+        from documents_vector_search_spark.operators.dedup import (
+            embedding_neardup_pairs_between,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        empty = corpus.filter(F.lit(False))
+        assert embedding_neardup_pairs_between(empty, corpus).count() == 0
+        assert embedding_neardup_pairs_between(empty, empty).count() == 0
+
     def test_cap_bounds_both_sides(self, spark):
         from documents_vector_search_spark.operators.dedup import (
             minhash_lsh_pairs_between,
@@ -869,6 +884,26 @@ class TestHashSampling:
         # and the counts path is genuinely map-only: no join, no agg
         plan = manual._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "Aggregate" not in plan
+
+    def test_mix_zero_weight_drops_group_in_both_paths(self, spark):
+        """weight 0 is the natural way to exclude a source — both the
+        self-calibrating and the precomputed-counts path must drop the
+        group, never divide by zero."""
+        from documents_vector_search_spark.operators.sampling import (
+            mix_to_target,
+        )
+
+        rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        w = {"en": 1.0, "de": 0.0}
+        auto = mix_to_target(df, "doc_id", "lang", w, seed=6)
+        manual = mix_to_target(
+            df, "doc_id", "lang", w, seed=6, counts={"en": 100, "de": 100}
+        )
+        for kept in (auto, manual):
+            langs = {r.lang for r in kept.collect()}
+            assert langs == {"en"}
+        assert auto.count() == manual.count() == 100
 
     def test_mix_to_target_drops_unlisted_groups(self, spark):
         from documents_vector_search_spark.operators.sampling import (

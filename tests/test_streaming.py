@@ -591,6 +591,34 @@ class TestNearDupGate:
         ]))
         assert {r.id for r in admitted.collect()} == {4}
 
+    def test_decide_without_record_is_retry_safe(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a batch whose merge failed
+        before record() must get the IDENTICAL admission decision on
+        retry — decide() alone never mutates the store."""
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = str(tmp_path / "bands4")
+        gate = NearDupGate(store)
+        batch = self._docs(spark, [(1, self.BASE), (2, "something else new")])
+        first = {r.id for r in gate.decide(batch).collect()}
+        assert first == {1, 2}
+        from pathlib import Path as P
+        assert not P(store).exists()  # no signatures until record()
+        # "retry": a fresh decide sees the unchanged store
+        retry = {r.id for r in gate.decide(batch).collect()}
+        assert retry == first
+        gate.record()
+        # post-record, the same content is refused
+        again = {r.id for r in gate.decide(batch).collect()}
+        assert again == set()
+
+    def test_record_requires_decide(self, spark, tmp_path):
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        gate = NearDupGate(str(tmp_path / "bands5"))
+        with pytest.raises(RuntimeError, match="decide"):
+            gate.record()
+
     def test_store_grows_only_by_admitted(self, spark, tmp_path):
         from documents_vector_search_spark.streaming import NearDupGate
 
