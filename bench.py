@@ -68,6 +68,7 @@ HEADLINE = [
     "corpus_prep",
     "prep_to_shards",
     "asof_join",
+    "interval_join",
     "tpch_q1",
     "revenue_join",
     "events_window",

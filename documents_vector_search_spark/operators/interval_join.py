@@ -1,0 +1,68 @@
+"""Binned interval (range) join: events × time intervals at scale.
+
+The relational form — ``JOIN ON ts >= start AND ts < end`` — has no
+equi-key, so open-source Spark plans it as a BroadcastNestedLoopJoin:
+every (event, interval) combination is COMPARED, O(|events| ×
+|intervals|) work even when each event overlaps a handful of
+intervals. (Commercial engines special-case this with a range-join
+optimization; this operator is that optimization expressed in plain
+DataFrame ops.)
+
+The standard fix is binning: quantize time into fixed bins, explode
+each interval into every bin it covers, map each event to its single
+bin, equi-join on the bin, then apply the EXACT containment predicate
+to discard same-bin near-misses. The join becomes a hash join keyed on
+the bin — shuffle/broadcast machinery, AQE, and skew handling all
+apply again.
+
+Correctness: an event's bin is always within the bin span of any
+interval containing it, so no qualifying pair is lost; each pair can
+only meet in the event's single bin, so no pair duplicates — no
+post-join dedup needed.
+
+Tuning: ``bin_seconds`` trades interval fan-out (an interval explodes
+into ``length/bin`` rows) against same-bin false candidates filtered
+by the exact predicate. Set it near the TYPICAL interval length; a
+pathological months-long interval fans out into months/bin rows —
+bounded and linear, never quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """Inner-join ``events`` rows to every ``intervals`` row whose
+    ``[start, end)`` contains the event's ``ts_col`` — via the binned
+    equi-join (never a nested-loop plan). Returns all columns from both
+    sides."""
+    bin_us = int(bin_seconds) * 1_000_000
+    ev = events.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_us))
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_us)),
+                F.floor(F.unix_micros(F.col(end_col)) / F.lit(bin_us)),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, "_bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -1091,6 +1091,48 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# interval_join query windows: literal [start, end) maintenance windows
+# over the events table's Jan-2024 span — two overlap, one runs past
+# the data, so the join semantics (an event in N windows lands N times)
+# are actually exercised
+INTERVAL_WINDOWS = [
+    ("wA", "2024-01-02 00:00:00", "2024-01-05 00:00:00"),
+    ("wB", "2024-01-04 12:00:00", "2024-01-08 00:00:00"),
+    ("wC", "2024-01-10 00:00:00", "2024-01-11 00:00:00"),
+    ("wD", "2024-01-15 06:00:00", "2024-01-20 18:00:00"),
+    ("wE", "2024-01-25 00:00:00", "2024-01-26 12:00:00"),
+    ("wF", "2024-01-29 00:00:00", "2024-02-02 00:00:00"),
+]
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join (operators/interval_join.py): events ×
+    literal maintenance windows through the bin equi-join — the
+    range-join optimization OSS Spark lacks, in DataFrame ops; a plan
+    contract pins that no nested-loop join appears. Reports per-window
+    event count and exact-cents value sum; the oracle joins with the
+    raw BETWEEN predicate, proving the binned plan loses and invents
+    nothing."""
+    from documents_vector_search_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    iv = spark.createDataFrame(
+        INTERVAL_WINDOWS, ["label", "start", "end"]
+    ).select(
+        "label",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    joined = interval_join(_events(spark, sf_dir), iv, bin_seconds=86400)
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(_cents(F.col("value"), 1_000_000)).alias("sum_u"),
+    ).select(
+        "label", "n", (F.col("sum_u") / 1_000_000.0).alias("sum_value")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user."""
     ev = _events(spark, sf_dir)
@@ -2620,6 +2662,15 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1, 2
 """,
+        "interval_join": f"""
+WITH w(label, ws, we) AS (
+  VALUES {", ".join(f"('{label}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for label, s, e in INTERVAL_WINDOWS)}
+)
+SELECT label, count(*)::BIGINT AS n,
+  CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_value
+FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY label
+""",
         "events_window": """
 SELECT event_type, epoch_us(date_trunc('day', ts)) AS window_start_us,
   count(*)::BIGINT AS n_events,
@@ -2922,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,
         "mix_sample": q_mix_sample,
         "cross_dedup": q_cross_dedup,
+        "interval_join": q_interval_join,
         "shard_export": q_shard_export,
         "domain_cap": q_domain_cap,
         "prep_to_shards": q_prep_to_shards,

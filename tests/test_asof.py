@@ -168,3 +168,68 @@ class TestAsofBucketed:
         )
         assert "_tb" in plan
         assert "hashpartitioning(sym" in plan and "_tb" in plan
+
+
+class TestIntervalJoin:
+    def test_containment_and_overlaps(self, spark):
+        """Events land in every interval containing them (overlapping
+        windows duplicate by design), [start, end) boundaries are
+        half-open, and results match a brute-force join."""
+        from datetime import datetime
+
+        from documents_vector_search_spark.operators.interval_join import (
+            interval_join,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 12)),
+                (2, datetime(2024, 1, 3, 0)),    # exactly at wA start
+                (3, datetime(2024, 1, 5, 0)),    # exactly at wA end (excluded)
+                (4, datetime(2024, 2, 1, 0)),    # outside everything
+            ],
+            ["event_id", "ts"],
+        )
+        iv = spark.createDataFrame(
+            [
+                ("wA", datetime(2024, 1, 3), datetime(2024, 1, 5)),
+                ("wB", datetime(2024, 1, 1), datetime(2024, 1, 4)),  # overlaps wA
+            ],
+            ["label", "start", "end"],
+        )
+        got = {
+            (r.event_id, r.label)
+            for r in interval_join(ev, iv, bin_seconds=3600).collect()
+        }
+        assert got == {(1, "wB"), (2, "wA"), (2, "wB")}
+
+    def test_bin_width_never_changes_results(self, spark):
+        """Binning is pure physical strategy: any bin width yields the
+        identical joined set."""
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.operators.interval_join import (
+            interval_join,
+        )
+
+        base = datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(i, base + timedelta(hours=7 * i)) for i in range(60)],
+            ["event_id", "ts"],
+        )
+        iv = spark.createDataFrame(
+            [
+                ("a", base + timedelta(days=1), base + timedelta(days=4)),
+                ("b", base + timedelta(days=3, hours=5), base + timedelta(days=9)),
+            ],
+            ["label", "start", "end"],
+        )
+        results = [
+            sorted(
+                (r.event_id, r.label)
+                for r in interval_join(ev, iv, bin_seconds=w).collect()
+            )
+            for w in (600, 3600, 86400, 7 * 86400)
+        ]
+        assert all(r == results[0] for r in results)
+        assert len(results[0]) > 0

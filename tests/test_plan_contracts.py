@@ -164,3 +164,13 @@ class TestPlanContracts:
         probe = bands.join(store, ["band_index", "band_value"], "left_semi")
         plan = _plan(probe)
         assert "LeftSemi" in plan
+
+    def test_interval_join_is_hash_join_not_nested_loop(self, spark):
+        """The binned range join must plan as a hash join on the bin —
+        the raw BETWEEN-only join would be a BroadcastNestedLoopJoin
+        comparing every (event, interval) combination."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_interval_join(spark, SF))
+        assert "NestedLoop" not in plan
+        assert "HashJoin" in plan
