@@ -602,6 +602,30 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).orderBy("id")
 
 
+def q_dedup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup clustering: the UNION of two independent
+    near-dup detectors' evidence — MinHash-LSH (lexical overlap,
+    jaccard ≥ 0.8) and SimHash (Hamming ≤ 3) — feeds ONE transitive
+    closure, the production pattern where no single detector catches
+    every duplicate class. Edges are cheap to union because every
+    detector emits the same (id_a, id_b) shape; the oracle replays
+    both detectors and the recursive-CTE closure over the combined
+    edge set."""
+    from documents_vector_search_spark.operators.cc import (
+        connected_components,
+    )
+    from documents_vector_search_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    ).select("id_a", "id_b")
+    sh = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    pairs = mh.unionByName(sh).distinct()
+    return connected_components(pairs).orderBy("id")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch of events.user_id (k=256): bounded
     Arrow-batched candidate pass + exact top-k merge (operators/
@@ -2199,6 +2223,42 @@ reach(id, r) AS (
 )
 SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """,
+        "dedup_multi": f"""
+WITH RECURSIVE {minhash_ctes},
+mh_pairs AS (
+  SELECT id_a, id_b FROM v WHERE inter / (na + nb - inter) >= 0.8
+),
+tok2 AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+h2 AS (SELECT doc_id, {md5_hash64_sql("term")} AS h FROM tok2),
+votes2 AS (
+  SELECT doc_id,
+    {simhash_votes}
+  FROM h2 GROUP BY doc_id
+),
+fp2 AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM votes2),
+allfp AS (
+  SELECT d.doc_id, coalesce(fp2.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN fp2 ON d.doc_id = fp2.doc_id
+),
+sh_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+pairs AS (SELECT * FROM mh_pairs UNION SELECT * FROM sh_pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+""",
         "dedup_apply": f"""
 WITH {minhash_ctes},
 victims AS (
@@ -2967,6 +3027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_apply": q_dedup_apply,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_multi": q_dedup_multi,
         "dedup_cluster_star": q_dedup_cluster_star,
         "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
