@@ -117,25 +117,29 @@ def pq_encode_expr(
 ) -> Column:
     """``array<int>`` of m codes: per subspace, the nearest-codebook-
     centroid id (rounded squared distances, ties on lower code). Pure
-    map-only expression — encoding a 100 TB corpus is one scan."""
+    map-only expression — encoding a 100 TB corpus is one scan.
+
+    Construction note: each subspace's codebook enters the plan as ONE
+    2-D array literal and the per-centroid (distance, code) structs
+    come from an indexed ``transform`` over it — the per-centroid
+    unrolled form built ~15 py4j Columns per centroid and spent
+    seconds of driver time PLANNING an encode (measured 2.9s → 0.9s
+    at m=4, ksub=16; bit-identical codes, same execution time — the
+    distance was already a higher-order expression either way)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = []
     for j in range(m):
+        cb = F.lit([[float(x) for x in c] for c in codebooks[j]])
         sub = F.slice(vec, j * dsub + 1, dsub)
-        structs = [
-            F.struct(
-                F.round(
-                    sq_l2_distance(
-                        sub, lit_double_array(cent)
-                    ),
-                    round_to,
-                ).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c, cent in enumerate(codebooks[j])
-        ]
-        codes.append(F.array_min(F.array(*structs))["c"])
+        structs = F.transform(
+            cb,
+            lambda c, i: F.struct(
+                F.round(sq_l2_distance(sub, c), round_to).alias("d"),
+                i.alias("c"),
+            ),
+        )
+        codes.append(F.array_min(structs)["c"])
     return F.array(*codes)
 
 
