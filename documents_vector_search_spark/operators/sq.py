@@ -64,6 +64,19 @@ def fit_sq_bounds(
     return mins, maxs
 
 
+def _bounds_lit(mins: Sequence[float], maxs: Sequence[float]) -> Column:
+    """(mn, mx) struct per dimension as ONE zipped pair of array
+    literals — the per-dimension unrolled forms below used to build
+    ~8 py4j Columns per dimension and spent ~1s of driver time
+    PLANNING a dim-64 encode/distance; the array forms construct in a
+    handful of calls with bit-identical values (parity-verified)."""
+    return F.zip_with(
+        F.lit([float(x) for x in mins]),
+        F.lit([float(x) for x in maxs]),
+        lambda mn, mx: F.struct(mn.alias("mn"), mx.alias("mx")),
+    )
+
+
 def sq_encode_expr(
     vec: Column, mins: Sequence[float], maxs: Sequence[float]
 ) -> Column:
@@ -71,19 +84,22 @@ def sq_encode_expr(
     ``clamp(floor((x - mn) / (mx - mn) * 255 + 0.5), 0, 255)``
     (floor(x+0.5) = explicit half-up, identical in both engines);
     degenerate dimensions (mx == mn) encode as 0. Map-only."""
-    codes = []
-    for i, (mn, mx) in enumerate(zip(mins, maxs)):
-        x = F.element_at(vec, i + 1)
-        if mx == mn:
-            codes.append(F.lit(0))
-            continue
-        scaled = F.floor(
-            (x - F.lit(mn)) / (F.lit(mx) - F.lit(mn)) * 255 + F.lit(0.5)
+    bounds = _bounds_lit(mins, maxs)
+    return F.zip_with(
+        vec,
+        bounds,
+        lambda x, b: F.when(b.mx == b.mn, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor((x - b.mn) / (b.mx - b.mn) * 255 + F.lit(0.5)),
+                ),
+            )
         )
-        codes.append(
-            F.greatest(F.lit(0), F.least(F.lit(255), scaled)).cast("int")
-        )
-    return F.array(*codes)
+        .cast("int"),
+    )
 
 
 # above this many dimensions the inlined per-component encode's codegen
@@ -143,18 +159,19 @@ def sq_adc_distance_expr(
 ) -> Column:
     """Approximate L2 between the un-quantized query and a DECODED code
     row: ``x̂_i = mn_i + code_i/255*(mx_i - mn_i)``; the squared terms
-    sum left-to-right in dimension order (mirrored in the oracle SQL)."""
-    total: Column | None = None
-    for i, (mn, mx) in enumerate(zip(mins, maxs)):
-        if mx == mn:
-            decoded: Column = F.lit(mn)
-        else:
-            decoded = F.lit(mn) + (
-                F.element_at(codes, i + 1).cast("double") / F.lit(255.0)
-            ) * (F.lit(mx) - F.lit(mn))
-        diff = F.lit(float(query_vector[i])) - decoded
-        term = diff * diff
-        total = term if total is None else total + term
+    sum left-to-right in dimension order (mirrored in the oracle SQL —
+    the array fold below is the same left-associative chain, and the
+    degenerate-dimension decode ``mn + c/255*0`` equals the explicit
+    ``mn`` branch exactly, so no special case is needed)."""
+    bounds = _bounds_lit(mins, maxs)
+    decoded = F.zip_with(
+        codes,
+        bounds,
+        lambda c, b: b.mn + (c.cast("double") / F.lit(255.0)) * (b.mx - b.mn),
+    )
+    q = F.lit([float(x) for x in query_vector])
+    terms = F.zip_with(q, decoded, lambda qq, d: (qq - d) * (qq - d))
+    total = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
     return F.round(F.sqrt(total), round_to)
 
 
