@@ -198,3 +198,56 @@ class TestFixedHistogram:
             fixed_histogram(df, F.col("v"), 5.0, 5.0, 10)
         with _pytest.raises(ValueError):
             fixed_histogram(df, F.col("v"), 0.0, 1.0, 0)
+
+
+class TestIntervalJoinProperty:
+    """Property: the binned interval join equals the brute-force
+    containment check for ANY event/interval configuration — binning is
+    purely a physical strategy."""
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                 max_size=40),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=0, max_value=3_000),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.sampled_from([60, 3600, 86400]),
+    )
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_brute_force(self, spark, ev_offsets, iv_specs, bin_s):
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.operators.interval_join import (
+            interval_join,
+        )
+
+        base = datetime(2024, 1, 1)
+        ev_rows = [
+            (i, base + timedelta(seconds=off))
+            for i, off in enumerate(ev_offsets)
+        ]
+        iv_rows = [
+            (j, base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+            for j, (s, d) in enumerate(iv_specs)
+        ]
+        ev = spark.createDataFrame(ev_rows, ["event_id", "ts"])
+        iv = spark.createDataFrame(iv_rows, ["iv_id", "start", "end"])
+        got = {
+            (r.event_id, r.iv_id)
+            for r in interval_join(ev, iv, bin_seconds=bin_s).collect()
+        }
+        expect = {
+            (i, j)
+            for i, ts in ev_rows
+            for j, s, e in iv_rows
+            if s <= ts < e
+        }
+        assert got == expect
