@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64
-from documents_vector_search_spark.functions.text import tokenize, word_shingles
+from documents_vector_search_spark.functions.text import tokenize
 from documents_vector_search_spark.functions.vectors import cosine_similarity
 
 

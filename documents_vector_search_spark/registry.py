@@ -44,7 +44,6 @@ from documents_vector_search_spark.operators.dedup import (
     simhash_fingerprints,
     with_shingles,
 )
-from documents_vector_search_spark.functions.hashing import minhash_signature
 from documents_vector_search_spark.operators.fetch import fetch_lines
 from documents_vector_search_spark.operators.sampling import hash_bucket_sql
 from documents_vector_search_spark.operators.sketches import kmv_distinct_sql
