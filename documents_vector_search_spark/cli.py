@@ -275,6 +275,22 @@ def cmd_refit_sq8(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Remove documents by id from every table — the
+    right-to-be-forgotten operation (collection/updater.py::
+    delete_documents). O(affected update buckets)."""
+    from documents_vector_search_spark.collection import delete_documents
+
+    coll = _collection(args)
+    manifest = delete_documents(coll, args.ids)
+    print(_format(
+        {"remainingDocuments": manifest.numberOfDocuments,
+         "remainingChunks": manifest.numberOfChunks},
+        args.format,
+    ))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Collection health at a glance: the manifest plus per-table row
     counts (the reference prints its manifest after create/update; this
@@ -506,6 +522,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("stats")
     common(sp)
     sp.set_defaults(func=cmd_stats)
+
+    sp = sub.add_parser("delete")
+    common(sp)
+    sp.add_argument("ids", nargs="+", help="document ids to remove")
+    sp.set_defaults(func=cmd_delete)
 
     sp = sub.add_parser("export-shards")
     common(sp)

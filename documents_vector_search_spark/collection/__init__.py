@@ -24,7 +24,10 @@ from documents_vector_search_spark.collection.catalog import Collection
 from documents_vector_search_spark.collection.creator import create_collection
 from documents_vector_search_spark.collection.manifest import Manifest
 from documents_vector_search_spark.collection.searcher import CollectionSearcher
-from documents_vector_search_spark.collection.updater import update_collection
+from documents_vector_search_spark.collection.updater import (
+    delete_documents,
+    update_collection,
+)
 from documents_vector_search_spark.collection.fetcher import fetch_document_lines
 from documents_vector_search_spark.collection.compactor import compact_collection
 from documents_vector_search_spark.collection.refit import refit_ivf, refit_sq8
@@ -35,6 +38,7 @@ __all__ = [
     "Manifest",
     "CollectionSearcher",
     "update_collection",
+    "delete_documents",
     "fetch_document_lines",
     "compact_collection",
     "refit_ivf",

@@ -563,3 +563,159 @@ def update_collection(
         )
     collection.save_manifest(manifest)
     return manifest
+
+
+def delete_documents(
+    collection: Collection,
+    doc_ids,
+) -> Manifest:
+    """Remove documents — and every derived chunk/embedding/posting/
+    stat row — from the collection: the right-to-be-forgotten
+    operation a training-data deployment must be able to run on
+    demand (the reference can only upsert; documents deleted at the
+    source linger in its indexes forever).
+
+    ``doc_ids`` is a DataFrame with an ``id`` column, or any iterable
+    of id strings. Unknown ids are no-ops. Same machinery and same
+    cost model as :func:`update_collection`: reads prune to the ids'
+    ``_pb`` buckets, every table drops rows by anti-join, and only the
+    affected partition directories swap (crash-recoverable) —
+    O(affected buckets), not O(corpus). The manifest's counts and
+    avgdl adjust from one stale-stats job; the watermark is untouched
+    (deletion is not a document modification).
+    """
+    from documents_vector_search_spark.collection.catalog import TABLES
+
+    spark = collection.spark
+    _recover_orphans(collection, list(TABLES))
+    manifest = collection.manifest()
+
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col("id").cast("string").alias("id"))
+    else:
+        ids = spark.createDataFrame(
+            [(str(i),) for i in doc_ids], "id string"
+        )
+    ids = ids.distinct().localCheckpoint()
+
+    update_buckets = manifest.converter.get("updateBuckets")
+    doc_pbs: list[int] = []
+    if update_buckets:
+        row = ids.agg(
+            F.collect_set(pb_col(F.col("id"), update_buckets)).alias("pbs")
+        ).first()
+        doc_pbs = sorted(row["pbs"])
+        if not doc_pbs:
+            return manifest  # empty id set: nothing to do
+
+    def _pruned(table: str) -> DataFrame:
+        df = collection.read(table)
+        if update_buckets:
+            df = df.filter(F.col(UPDATE_PB_COL).isin(doc_pbs))
+        elif UPDATE_PB_COL in df.columns:
+            df = df.drop(UPDATE_PB_COL)
+        return df
+
+    docs = _pruned("documents")
+    chunks = _pruned("chunks")
+    stale_chunks = (
+        chunks.join(ids, chunks["document_id"] == ids["id"], "left_semi")
+        .select("chunk_id")
+        .localCheckpoint()
+    )
+
+    # one job for every manifest adjustment: deleted-doc count rides
+    # the stale-chunk stats (every doc has at least its title chunk)
+    from documents_vector_search_spark.functions.text import tokenize
+
+    stale_row = (
+        chunks.join(stale_chunks, "chunk_id", "left_semi")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.size(tokenize("indexed_data"))), F.lit(0)
+            ).alias("dl"),
+            F.countDistinct("document_id").alias("n_docs"),
+        )
+        .first()
+    )
+    n_stale = int(stale_row["n"])
+    n_docs_deleted = int(stale_row["n_docs"])
+    if n_docs_deleted == 0:
+        return manifest  # unknown ids only: nothing to rewrite
+
+    merged = {
+        "documents": docs.join(ids, "id", "left_anti"),
+        "chunks": chunks.join(
+            ids, chunks["document_id"] == ids["id"], "left_anti"
+        ),
+        "embeddings": _pruned("embeddings").join(
+            stale_chunks, "chunk_id", "left_anti"
+        ),
+        "postings": _pruned("postings").join(
+            stale_chunks, "chunk_id", "left_anti"
+        ),
+        "doc_stats": _pruned("doc_stats").join(
+            stale_chunks, "chunk_id", "left_anti"
+        ),
+    }
+    # layout partition levels survive the anti-join as ordinary columns
+    emb_cols = merged["embeddings"].columns
+    layout_cols = {
+        "documents": [],
+        "chunks": [],
+        "embeddings": [
+            c for c in ("bucket", "cluster_id") if c in emb_cols
+        ],
+        "postings": (
+            ["term_bucket"] if "term_bucket" in merged["postings"].columns else []
+        ),
+        "doc_stats": [],
+    }
+
+    if update_buckets:
+        _swap_partitions(
+            collection,
+            merged,
+            partition_cols={
+                t: cols + [UPDATE_PB_COL] for t, cols in layout_cols.items()
+            },
+            affected_pbs={t: doc_pbs for t in merged},
+        )
+        old_n_chunks = manifest.numberOfChunks
+        old_total_dl = (
+            (manifest.avgChunkLength or 0.0) * old_n_chunks
+            if manifest.avgChunkLength is not None
+            else None
+        )
+        new_n_chunks = old_n_chunks - n_stale
+        manifest.numberOfDocuments = max(
+            0, manifest.numberOfDocuments - n_docs_deleted
+        )
+        manifest.numberOfChunks = max(0, new_n_chunks)
+        if old_total_dl is not None and new_n_chunks > 0:
+            manifest.avgChunkLength = (
+                max(old_total_dl - float(stale_row["dl"]), 0.0) / new_n_chunks
+            )
+        elif new_n_chunks <= 0:
+            manifest.avgChunkLength = None
+        collection.save_manifest(manifest)
+        return manifest
+
+    _swap_all(
+        collection,
+        merged,
+        partition_cols={t: cols for t, cols in layout_cols.items() if cols},
+    )
+    new_chunks = collection.read("chunks")
+    stats = new_chunks.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
+    ).first()
+    manifest.numberOfDocuments = collection.read("documents").count()
+    manifest.numberOfChunks = stats["n"]
+    manifest.avgChunkLength = (
+        float(stats["avgdl"]) if stats["avgdl"] is not None else None
+    )
+    collection.save_manifest(manifest)
+    return manifest

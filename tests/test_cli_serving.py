@@ -361,3 +361,16 @@ class TestServing:
         assert set(batch) == {"q0", "q1"}
         assert any(h["document_id"] == "eng/joins.txt" for h in batch["q0"])
         assert any(h["document_id"] == "eng/skew.txt" for h in batch["q1"])
+
+    def test_delete_command(self, spark, base_path, capsys):
+        rc = cli.main(
+            ["stats", "cli_test", "--base-path", base_path, "--format", "json"]
+        )
+        n0 = json.loads(capsys.readouterr().out)["rowCounts"]["documents"]
+        rc = cli.main(
+            ["delete", "cli_test", "notes.txt", "--base-path", base_path,
+             "--format", "json"]
+        )
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["remainingDocuments"] == n0 - 1
