@@ -223,6 +223,25 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
     except Exception as exc:  # noqa: BLE001 — harness must survive
         errors["collection_update"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # deletion of a ~0.1% id set — the right-to-be-forgotten operation;
+    # same O(affected buckets) machinery as the update
+    try:
+        from documents_vector_search_spark.collection import (
+            delete_documents,
+        )
+
+        victim_ids = [
+            r.id
+            for r in docs.filter(F.crc32(F.col("id")) % 1000 == 1)
+            .select("id")
+            .collect()
+        ]
+        t0 = time.time()
+        delete_documents(coll, victim_ids)
+        timings["collection_delete"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["collection_delete"] = f"{type(exc).__name__}: {exc}"[:500]
+
 
 if __name__ == "__main__":
     main()
