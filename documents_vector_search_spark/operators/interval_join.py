@@ -49,6 +49,10 @@ def interval_join(
     ev = events.withColumn(
         "_bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_us))
     )
+    # an empty/inverted interval can contain nothing — and would make
+    # F.sequence emit a DESCENDING bin range (Spark auto-steps -1),
+    # fanning junk candidates the exact predicate then discards
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "_bin",
         F.explode(
