@@ -171,6 +171,32 @@ def _swap_partitions(
                 shutil.rmtree(p)
 
 
+def _apply_chunk_delta(
+    manifest: Manifest,
+    n_stale: int,
+    stale_dl: float,
+    n_fresh: int = 0,
+    fresh_dl: float = 0.0,
+) -> None:
+    """Incremental manifest chunk stats, shared by update (−stale
+    +fresh) and delete (−stale): count and avgdl adjust from the total
+    document length rather than a corpus recount."""
+    old_n = manifest.numberOfChunks
+    old_total = (
+        (manifest.avgChunkLength or 0.0) * old_n
+        if manifest.avgChunkLength is not None
+        else None
+    )
+    new_n = old_n - n_stale + n_fresh
+    manifest.numberOfChunks = max(0, new_n)
+    if old_total is not None and new_n > 0:
+        manifest.avgChunkLength = (
+            max(old_total - float(stale_dl) + float(fresh_dl), 0.0) / new_n
+        )
+    elif new_n <= 0:
+        manifest.avgChunkLength = None
+
+
 def update_collection(
     collection: Collection,
     changed_docs: DataFrame,
@@ -488,26 +514,16 @@ def update_collection(
             affected_pbs={t: doc_pbs for t in merged},
         )
 
-        old_n_chunks = manifest.numberOfChunks
-        old_total_dl = (
-            (manifest.avgChunkLength or 0.0) * old_n_chunks
-            if manifest.avgChunkLength is not None
-            else None
-        )
-        n_stale = int(stale_stats["n"] or 0)
-        n_fresh = int(fresh_stats["n"] or 0)
-        new_n_chunks = old_n_chunks - n_stale + n_fresh
         manifest.numberOfDocuments = (
             manifest.numberOfDocuments - n_replaced + n_batch
         )
-        manifest.numberOfChunks = new_n_chunks
-        if old_total_dl is not None and new_n_chunks > 0:
-            new_total = (
-                old_total_dl
-                - float(stale_stats["dl"] or 0)
-                + float(fresh_stats["dl"] or 0)
-            )
-            manifest.avgChunkLength = max(new_total, 0.0) / new_n_chunks
+        _apply_chunk_delta(
+            manifest,
+            n_stale=int(stale_stats["n"] or 0),
+            stale_dl=float(stale_stats["dl"] or 0),
+            n_fresh=int(fresh_stats["n"] or 0),
+            fresh_dl=float(fresh_stats["dl"] or 0),
+        )
         if manifest.converter.get("idStrategy", "counter") == "counter":
             last = fresh_stats["last"]
             if last is not None:
@@ -580,9 +596,20 @@ def delete_documents(
     cost model as :func:`update_collection`: reads prune to the ids'
     ``_pb`` buckets, every table drops rows by anti-join, and only the
     affected partition directories swap (crash-recoverable) —
-    O(affected buckets), not O(corpus). The manifest's counts and
-    avgdl adjust from one stale-stats job; the watermark is untouched
+    O(affected buckets), not O(corpus). The watermark is untouched
     (deletion is not a document modification).
+
+    Crash convergence: unlike an update, a delete has no reinsert leg,
+    so a re-run must be able to FINISH a partially-committed delete.
+    Two invariants guarantee that: (a) tables swap derived-first
+    (embeddings/postings/doc_stats, then chunks, then documents), so
+    the evidence needed to re-derive the stale set survives until
+    everything downstream of it is committed; (b) the proceed/no-op
+    decision is based on the DOCUMENTS table — the last to commit —
+    so any interrupted run re-enters. If a re-run detects a partial
+    state (documents still present but their chunks already gone) the
+    manifest counts recompute exactly from the tables instead of
+    applying incremental arithmetic twice.
     """
     from documents_vector_search_spark.collection.catalog import TABLES
 
@@ -624,10 +651,9 @@ def delete_documents(
         .localCheckpoint()
     )
 
-    # one job for every manifest adjustment: deleted-doc count rides
-    # the stale-chunk stats (every doc has at least its title chunk)
     from documents_vector_search_spark.functions.text import tokenize
 
+    # chunk-side stats feed the incremental manifest arithmetic
     stale_row = (
         chunks.join(stale_chunks, "chunk_id", "left_semi")
         .agg(
@@ -635,20 +661,25 @@ def delete_documents(
             F.coalesce(
                 F.sum(F.size(tokenize("indexed_data"))), F.lit(0)
             ).alias("dl"),
-            F.countDistinct("document_id").alias("n_docs"),
         )
         .first()
     )
     n_stale = int(stale_row["n"])
-    n_docs_deleted = int(stale_row["n_docs"])
-    if n_docs_deleted == 0:
-        return manifest  # unknown ids only: nothing to rewrite
+    # the proceed/no-op decision reads the DOCUMENTS table — it commits
+    # LAST, so a crashed earlier run always re-enters here (chunk-based
+    # evidence may already be gone in a partial state)
+    n_docs_deleted = docs.join(ids, "id", "left_semi").count()
+    if n_docs_deleted == 0 and n_stale == 0:
+        return manifest  # unknown ids / fully-completed prior delete
+    # documents present but their chunks already deleted = a prior run
+    # crashed between the chunks and documents swaps — finish the job,
+    # but recompute manifest counts exactly (the incremental arithmetic
+    # was never applied and the stale stats can no longer see the rows)
+    partial_recovery = n_docs_deleted > 0 and n_stale == 0
 
+    # swap ORDER is the crash-convergence contract: derived tables
+    # first, then chunks, documents last (dict order drives the swap)
     merged = {
-        "documents": docs.join(ids, "id", "left_anti"),
-        "chunks": chunks.join(
-            ids, chunks["document_id"] == ids["id"], "left_anti"
-        ),
         "embeddings": _pruned("embeddings").join(
             stale_chunks, "chunk_id", "left_anti"
         ),
@@ -658,6 +689,10 @@ def delete_documents(
         "doc_stats": _pruned("doc_stats").join(
             stale_chunks, "chunk_id", "left_anti"
         ),
+        "chunks": chunks.join(
+            ids, chunks["document_id"] == ids["id"], "left_anti"
+        ),
+        "documents": docs.join(ids, "id", "left_anti"),
     }
     # layout partition levels survive the anti-join as ordinary columns
     emb_cols = merged["embeddings"].columns
@@ -682,31 +717,24 @@ def delete_documents(
             },
             affected_pbs={t: doc_pbs for t in merged},
         )
-        old_n_chunks = manifest.numberOfChunks
-        old_total_dl = (
-            (manifest.avgChunkLength or 0.0) * old_n_chunks
-            if manifest.avgChunkLength is not None
-            else None
-        )
-        new_n_chunks = old_n_chunks - n_stale
-        manifest.numberOfDocuments = max(
-            0, manifest.numberOfDocuments - n_docs_deleted
-        )
-        manifest.numberOfChunks = max(0, new_n_chunks)
-        if old_total_dl is not None and new_n_chunks > 0:
-            manifest.avgChunkLength = (
-                max(old_total_dl - float(stale_row["dl"]), 0.0) / new_n_chunks
+        if not partial_recovery:
+            manifest.numberOfDocuments = max(
+                0, manifest.numberOfDocuments - n_docs_deleted
             )
-        elif new_n_chunks <= 0:
-            manifest.avgChunkLength = None
-        collection.save_manifest(manifest)
-        return manifest
-
-    _swap_all(
-        collection,
-        merged,
-        partition_cols={t: cols for t, cols in layout_cols.items() if cols},
-    )
+            _apply_chunk_delta(
+                manifest, n_stale=n_stale, stale_dl=float(stale_row["dl"])
+            )
+            collection.save_manifest(manifest)
+            return manifest
+    else:
+        _swap_all(
+            collection,
+            merged,
+            partition_cols={
+                t: cols for t, cols in layout_cols.items() if cols
+            },
+        )
+    # legacy path and partial-recovery re-runs: exact recount
     new_chunks = collection.read("chunks")
     stats = new_chunks.agg(
         F.count("*").alias("n"),

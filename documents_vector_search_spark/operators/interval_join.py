@@ -44,17 +44,23 @@ def interval_join(
     """Inner-join ``events`` rows to every ``intervals`` row whose
     ``[start, end)`` contains the event's ``ts_col`` — via the binned
     equi-join (never a nested-loop plan). Returns all columns from both
-    sides."""
+    sides. The two sides may share column names (the containment
+    predicate uses frame-qualified references); the internal bin column
+    is uniquified against both schemas, so a caller's own ``_bin``
+    style columns pass through untouched."""
+    bin_name = "__interval_join_bin"
+    while bin_name in events.columns or bin_name in intervals.columns:
+        bin_name += "_"
     bin_us = int(bin_seconds) * 1_000_000
     ev = events.withColumn(
-        "_bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_us))
+        bin_name, F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_us))
     )
     # an empty/inverted interval can contain nothing — and would make
     # F.sequence emit a DESCENDING bin range (Spark auto-steps -1),
     # fanning junk candidates the exact predicate then discards
     intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
-        "_bin",
+        bin_name,
         F.explode(
             F.sequence(
                 F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_us)),
@@ -63,10 +69,10 @@ def interval_join(
         ),
     )
     return (
-        ev.join(iv, "_bin")
+        ev.join(iv, ev[bin_name] == iv[bin_name])
         .filter(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) < F.col(end_col))
+            (ev[ts_col] >= iv[start_col]) & (ev[ts_col] < iv[end_col])
         )
-        .drop("_bin")
+        .drop(ev[bin_name])
+        .drop(iv[bin_name])
     )

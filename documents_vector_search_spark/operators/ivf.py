@@ -105,8 +105,13 @@ def assign_cluster_pandas(
     return assign(vec)
 
 
-# above this many centroids the inlined-expression assigner's codegen
-# cost outweighs the Arrow transfer of the vectorized one
+# expr vs pandas crossover: construction is no longer the driver (the
+# expression form builds a constant few Columns via the 2-D-literal
+# transform); what remains is EXECUTION — interpreted per-element
+# higher-order evaluation of nlist distances per row vs the vectorized
+# twin's one numpy matmul per Arrow batch. nlist=64 is the retained
+# break-even; below it the expression path stays preferred as the
+# oracle-parity form.
 EXPR_ASSIGN_MAX_NLIST = 64
 
 

@@ -178,8 +178,12 @@ def pq_encode_pandas(
     return encode(vec)
 
 
-# above this many codes per subspace the inlined-expression encoder's
-# codegen cost outweighs the Arrow transfer of the vectorized one
+# expr vs pandas crossover: construction is no longer the driver (the
+# codebook enters as one 2-D literal); what remains is EXECUTION —
+# interpreted per-element evaluation of ksub subspace distances per
+# row vs the vectorized twin's numpy argmin per Arrow batch. ksub=32
+# is the retained break-even; below it the expression path stays
+# preferred as the oracle-parity form.
 EXPR_ENCODE_MAX_KSUB = 32
 
 

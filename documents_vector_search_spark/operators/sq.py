@@ -102,8 +102,13 @@ def sq_encode_expr(
     )
 
 
-# above this many dimensions the inlined per-component encode's codegen
-# cost outweighs the Arrow transfer of the vectorized twin
+# expr vs pandas crossover: the expression form now builds a constant
+# few Columns regardless of dim (zipped-bounds array fold), so the cost
+# that remains is EXECUTION — Spark evaluates higher-order array
+# functions interpreted, per element — against the vectorized twin's
+# Arrow transfer. The dim-64 cutoff is the measured break-even for
+# that trade; the expression path stays preferred below it because it
+# is the oracle-parity form.
 EXPR_ENCODE_MAX_DIM = 64
 
 

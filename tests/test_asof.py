@@ -203,6 +203,29 @@ class TestIntervalJoin:
         }
         assert got == {(1, "wB"), (2, "wA"), (2, "wB")}
 
+    def test_shared_column_names_and_bin_passthrough(self, spark):
+        """Both sides may carry overlapping column names (qualified
+        containment predicate), and a caller's own _bin-style column
+        must survive untouched."""
+        from datetime import datetime
+
+        from documents_vector_search_spark.operators.interval_join import (
+            interval_join,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, datetime(2024, 1, 2), "ev", 7)],
+            ["event_id", "ts", "start", "_bin"],  # clashing names
+        )
+        iv = spark.createDataFrame(
+            [("w", datetime(2024, 1, 1), datetime(2024, 1, 3))],
+            ["label", "start", "end"],
+        )
+        got = interval_join(ev, iv).collect()
+        assert len(got) == 1
+        assert got[0]._bin == 7  # caller's column passed through
+        assert got[0].label == "w"
+
     def test_bin_width_never_changes_results(self, spark):
         """Binning is pure physical strategy: any bin width yields the
         identical joined set."""

@@ -362,13 +362,18 @@ class TestServing:
         assert any(h["document_id"] == "eng/joins.txt" for h in batch["q0"])
         assert any(h["document_id"] == "eng/skew.txt" for h in batch["q1"])
 
-    def test_delete_command(self, spark, base_path, capsys):
+    def test_delete_command(self, spark, corpus_dir, base_path, capsys):
+        # a THROWAWAY collection: deleting from the shared module
+        # fixture would make the module order-dependent
         rc = cli.main(
-            ["stats", "cli_test", "--base-path", base_path, "--format", "json"]
+            ["create-files", "cli_del", "--base-path", base_path,
+             "--path", str(corpus_dir), "--chunk-size", "200",
+             "--chunk-overlap", "20", "--format", "json"]
         )
-        n0 = json.loads(capsys.readouterr().out)["rowCounts"]["documents"]
+        assert rc == 0
+        n0 = json.loads(capsys.readouterr().out)["numberOfDocuments"]
         rc = cli.main(
-            ["delete", "cli_test", "notes.txt", "--base-path", base_path,
+            ["delete", "cli_del", "notes.txt", "--base-path", base_path,
              "--format", "json"]
         )
         assert rc == 0

@@ -717,6 +717,48 @@ class TestDeleteDocuments:
         assert coll.counts() == before
         assert m.numberOfDocuments == before["documents"]
 
+    def test_crashed_delete_converges_on_rerun(
+        self, spark, coll, monkeypatch
+    ):
+        """A delete that dies after committing the derived tables and
+        chunks but BEFORE the documents swap must finish on re-run:
+        tables swap derived-first and the proceed decision reads the
+        documents table, so the interrupted state re-enters; manifest
+        counts recompute exactly."""
+        from documents_vector_search_spark.collection import (
+            delete_documents,
+        )
+        from documents_vector_search_spark.collection import updater as upd
+
+        real_swap = upd._swap_partitions
+
+        def dying_swap(collection, merged, partition_cols, affected_pbs):
+            partial = {t: df for t, df in merged.items() if t != "documents"}
+            real_swap(
+                collection, partial,
+                {t: partition_cols[t] for t in partial},
+                {t: affected_pbs[t] for t in partial},
+            )
+            raise RuntimeError("simulated crash before the documents swap")
+
+        monkeypatch.setattr(upd, "_swap_partitions", dying_swap)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            delete_documents(coll, ["doc-2"])
+        monkeypatch.setattr(upd, "_swap_partitions", real_swap)
+
+        # partial state: document row still present, chunks gone
+        assert coll.read("documents").filter(F.col("id") == "doc-2").count() == 1
+        assert coll.read("chunks").filter(
+            F.col("document_id") == "doc-2"
+        ).count() == 0
+
+        m = delete_documents(coll, ["doc-2"])
+        assert coll.read("documents").filter(F.col("id") == "doc-2").count() == 0
+        after = coll.counts()
+        assert m.numberOfDocuments == after["documents"]
+        assert m.numberOfChunks == after["chunks"]
+        assert after["chunks"] == after["embeddings"] == after["doc_stats"]
+
     def test_fetch_after_delete_raises(self, spark, coll):
         from documents_vector_search_spark.collection import (
             delete_documents,
