@@ -136,6 +136,28 @@ class CollectionSearcher:
             self._cached[table] = self.collection.read(table).persist()
         return self._cached[table]
 
+    def refresh(self) -> None:
+        """Drop every cached table, config, and corpus statistic so the
+        next search reads the collection's CURRENT state — a long-lived
+        serving process must call this after an update / delete / refit
+        / compact. Without it, cached frames keep serving the
+        pre-mutation rows from executor memory, and worse: their pinned
+        file list points at swapped-away parquet, so an evicted
+        partition recompute FAILS on missing files. (The reference's
+        MCP adapter side-steps this by recreating its searcher per
+        collection load; refresh() is the in-place equivalent.)"""
+        for df in self._cached.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — refresh must not fail
+                pass
+        self._cached = {}
+        self._ann_cfg = "_unset"
+        self._ivf_cfg = "_unset"
+        self._sq_cfg = "_unset"
+        self._corpus_stats = None
+        self._embedding_dim = None
+
     # -- internals ---------------------------------------------------------
     def _allowed_chunks(self, metadata_filter: str | None) -> DataFrame | None:
         """Filter → allowed chunk ids (None = no restriction)."""

@@ -759,6 +759,23 @@ class TestDeleteDocuments:
         assert m.numberOfChunks == after["chunks"]
         assert after["chunks"] == after["embeddings"] == after["doc_stats"]
 
+    def test_cached_searcher_refresh_after_delete(self, spark, coll):
+        """A serving-process searcher (cache_tables=True) must expose a
+        refresh path: after a delete its cached frames are stale (and
+        their pinned file lists point at swapped-away parquet)."""
+        from documents_vector_search_spark.collection import (
+            delete_documents,
+        )
+
+        s = CollectionSearcher(coll, cache_tables=True)
+        warm = s.search("hash join", max_documents=10).collect()
+        assert len(warm) > 0
+        victim = warm[0].document_id
+        delete_documents(coll, [victim])
+        s.refresh()
+        got = s.search("hash join", max_documents=10).collect()
+        assert all(r.document_id != victim for r in got)
+
     def test_fetch_after_delete_raises(self, spark, coll):
         from documents_vector_search_spark.collection import (
             delete_documents,
