@@ -3041,31 +3041,61 @@ JOIN ({d["fingerprint"]}) f ON f.doc_id = l.doc_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordering = driver verification rotation (round 5).
+
+    The driver's correctness gate records the FIRST 50 entries, so dict
+    order is a verification budget. Policy (STATUS has the full
+    key → last-driver-green-round table):
+
+    - positions 1-10: keys with NO driver-green row in any round
+      (dataset_ingest, events_pivot, corpus_prep, value_percentiles,
+      recursive_chunk, ivf_ann, pq_adc, ivfpq_search, sq8_ann,
+      decontaminate);
+    - positions 11-24: keys whose last driver-green row is r2/r3
+      (displaced by r4's mid-dict insertions);
+    - positions 25-50: r4-green keys kept in-window (incl. the three
+      r3-fail→r4-fixed keys filter_events / watermark_max / asof_join);
+    - positions 51-74: long-stable keys with 3-4 consecutive green rows
+      AND dedicated pytest coverage, rotated out this round and due
+      back in-window next round so no key's newest green row ages past
+      two rounds.
+    """
     return {
-        "postings_build": q_postings_build,
-        "bm25_topk": q_bm25_topk,
-        "knn_l2": q_knn_l2,
-        "knn_cosine": q_knn_cosine,
+        # -- 1-10: never driver-green ------------------------------------
+        "dataset_ingest": q_dataset_ingest,
+        "events_pivot": q_events_pivot,
+        "corpus_prep": q_corpus_prep,
+        "value_percentiles": q_value_percentiles,
+        "recursive_chunk": q_recursive_chunk,
+        "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
+        "ivfpq_search": q_ivfpq_search,
+        "sq8_ann": q_sq8_ann,
+        "decontaminate": q_decontaminate,
+        # -- 11-24: last green r2/r3 (displaced in r4) --------------------
+        "tpch_q1": q_tpch_q1,
+        "revenue_join": q_revenue_join,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "canonical_projection": q_canonical_projection,
+        "topk_per_group": q_topk_per_group,
+        "rollup": q_rollup,
+        "set_ops": q_set_ops,
+        "median_price": q_median_price,
+        "multimodal": q_multimodal,
+        "embed_hash": q_embed_hash,
+        "knn_join": q_knn_join,
+        "histogram": q_histogram,
+        "pack_sequences": q_pack_sequences,
+        # -- 25-50: r4-green kept in-window -------------------------------
+        "filter_events": q_filter_events,
+        "watermark_max": q_watermark_max,
+        "asof_join": q_asof_join,
         "knn_batch": q_knn_batch,
         "bm25_batch": q_bm25_batch,
-        "knn_l2_filtered": q_knn_l2_filtered,
-        "ann_lsh": q_ann_lsh,
-        "rrf_hybrid": q_rrf_hybrid,
-        "group_hits": q_group_hits,
-        "chunk_split": q_chunk_split,
-        "fetch_slice": q_fetch_slice,
-        "filter_docs": q_filter_docs,
-        "filter_events": q_filter_events,
-        "incremental_merge": q_incremental_merge,
-        "watermark_max": q_watermark_max,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sig": q_minhash_sig,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_apply": q_dedup_apply,
         "dedup_cluster": q_dedup_cluster,
         "dedup_multi": q_dedup_multi,
         "dedup_cluster_star": q_dedup_cluster_star,
-        "kmv_distinct": q_kmv_distinct,
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
         "mix_sample": q_mix_sample,
@@ -3074,48 +3104,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_export": q_shard_export,
         "domain_cap": q_domain_cap,
         "prep_to_shards": q_prep_to_shards,
-        "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "dedup_ngram": q_dedup_ngram,
-        "embedding_neardup": q_embedding_neardup,
         "cross_embed_dedup": q_cross_embed_dedup,
         "semdedup": q_semdedup,
         "pool_embeddings": q_pool_embeddings,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
         "repetition": q_repetition,
-        "asof_join": q_asof_join,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
         "vocab_stats": q_vocab_stats,
-        "histogram": q_histogram,
-        "pack_sequences": q_pack_sequences,
-        "tpch_q1": q_tpch_q1,
-        "revenue_join": q_revenue_join,
-        "events_window": q_events_window,
-        "sessionize": q_sessionize,
-        "canonical_projection": q_canonical_projection,
-        "dataset_ingest": q_dataset_ingest,
-        "events_pivot": q_events_pivot,
-        "corpus_prep": q_corpus_prep,
-        "value_percentiles": q_value_percentiles,
-        "topk_per_group": q_topk_per_group,
-        "rollup": q_rollup,
-        "set_ops": q_set_ops,
-        "median_price": q_median_price,
-        "multimodal": q_multimodal,
-        "embed_hash": q_embed_hash,
-        "knn_join": q_knn_join,
-        "recursive_chunk": q_recursive_chunk,
-        "ivf_ann": q_ivf_ann,
-        "pq_adc": q_pq_adc,
-        "ivfpq_search": q_ivfpq_search,
-        "sq8_ann": q_sq8_ann,
-        "decontaminate": q_decontaminate,
+        # -- 51-74: 3-4x consecutive driver-green, rotated out this round,
+        #    due back in-window next round ------------------------------
+        "postings_build": q_postings_build,
+        "bm25_topk": q_bm25_topk,
+        "knn_l2": q_knn_l2,
+        "knn_cosine": q_knn_cosine,
+        "knn_l2_filtered": q_knn_l2_filtered,
+        "ann_lsh": q_ann_lsh,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_hits": q_group_hits,
+        "chunk_split": q_chunk_split,
+        "fetch_slice": q_fetch_slice,
+        "filter_docs": q_filter_docs,
+        "incremental_merge": q_incremental_merge,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_apply": q_dedup_apply,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
