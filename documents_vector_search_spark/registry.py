@@ -154,6 +154,18 @@ SQ8_SHORTLIST = 50  # decoded-distance candidates kept for exact re-rank
 SEMDEDUP_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "semdedup_centroids.parquet")
 SEMDEDUP_NLIST = 8
 
+# recursive_chunk oracle asset: the boundary-aware splitter is not
+# SQL-expressible (recursive separator descent), so the oracle is a
+# dual-implementation check — an INDEPENDENT driver-side twin
+# (iterative, pyarrow-fed; see _recursive_chunk_twin) writes the
+# expected chunks here and the oracle reads them back. Same committed
+# sf0.01-seed + run-ordering contract as IVF_CENTROIDS_PATH. This
+# converts recursive_chunk from the registry's only rows-only key to a
+# full 3-green row (r4 VERDICT "Next round" #3).
+RECURSIVE_CHUNK_EXPECTED_PATH = os.path.join(
+    _ASSETS_DIR, "recursive_chunk_expected.parquet"
+)
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -1492,13 +1504,109 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recursive_chunk_twin(
+    sf_dir: str, chunk_size: int, chunk_overlap: int
+) -> None:
+    """ORACLE TWIN for q_recursive_chunk — not engine code.
+
+    An independent re-derivation of the recursive-split spec
+    (reference main/splitter/text_splitter.py:5-21): iterative
+    explicit-stack atomization + index-free greedy merge, structured
+    deliberately differently from the engine's recursive
+    operators/recursive_split.py path so shared bugs are unlikely.
+    Runs driver-side over pyarrow (no Spark), writes the expected
+    (doc_id, chunk_number, chunk_text) rows to
+    RECURSIVE_CHUNK_EXPECTED_PATH for the DuckDB oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    seps = ("\n\n", "\n", " ", "")
+
+    def atoms(text: str) -> list[str]:
+        # LIFO stack with reversed insertion preserves document order;
+        # a piece that fits is emitted at whatever level it fits.
+        out: list[str] = []
+        stack: list[tuple[str, int]] = [(text, 0)]
+        while stack:
+            s, lvl = stack.pop()
+            if len(s) <= chunk_size:
+                if s:
+                    out.append(s)
+                continue
+            sep = seps[lvl]
+            if sep == "":
+                out.extend(
+                    s[i : i + chunk_size]
+                    for i in range(0, len(s), chunk_size)
+                )
+                continue
+            parts = s.split(sep)
+            joined = [
+                p + (sep if i < len(parts) - 1 else "")
+                for i, p in enumerate(parts)
+            ]
+            for piece in reversed(joined):
+                if piece:
+                    stack.append((piece, lvl + 1))
+        return out
+
+    def merge(pieces: list[str]) -> list[str]:
+        chunks: list[str] = []
+        cur = ""
+        for p in pieces:
+            if cur and len(cur) + len(p) > chunk_size:
+                chunks.append(cur)
+                tail = cur[len(cur) - chunk_overlap :] if chunk_overlap else ""
+                cur = tail if len(tail) + len(p) <= chunk_size else ""
+            cur += p
+        if cur.strip() or not chunks:
+            chunks.append(cur)
+        return [c for c in chunks if c]
+
+    tbl = pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    doc_ids: list[int] = []
+    chunk_nums: list[int] = []
+    chunk_texts: list[str] = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        if not text:
+            continue
+        for n, c in enumerate(merge(atoms(text))):
+            doc_ids.append(doc_id)
+            chunk_nums.append(n)
+            chunk_texts.append(c)
+    os.makedirs(_ASSETS_DIR, exist_ok=True)
+    pqt.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "chunk_number": pa.array(chunk_nums, pa.int32()),
+                "chunk_text": pa.array(chunk_texts, pa.string()),
+            }
+        ),
+        RECURSIVE_CHUNK_EXPECTED_PATH,
+    )
+
+
 def q_recursive_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 boundary-aware splitter (pandas UDF) — NOT SQL-expressible
-    (recursive separator descent); driver records a rows-only check."""
+    """T1 boundary-aware splitter (pandas UDF). NOT SQL-expressible
+    (recursive separator descent), so the oracle is a
+    dual-implementation check: an independent iterative twin
+    (_recursive_chunk_twin) writes the expected rows to a parquet the
+    oracle reads back — same asset contract as ivf_ann."""
     from documents_vector_search_spark.operators.recursive_split import (
         recursive_character_chunks,
     )
 
+    _fit_once(
+        sf_dir,
+        "recursive_chunk",
+        lambda: _recursive_chunk_twin(sf_dir, 120, 20),
+    )
     return recursive_character_chunks(
         _t(spark, sf_dir, "documents"), chunk_size=120, chunk_overlap=20
     )
@@ -2968,6 +3076,14 @@ SELECT doc_id AS id, 'text/plain' AS media_type,
   ((strlen(text) * 7 + coalesce(ascii(substr(text, 1, 1)), 0)) % 1080)::INT AS height,
   1::INT AS n_frames
 FROM documents
+""",
+        # Dual-implementation oracle: expected rows are produced by the
+        # independent iterative twin (_recursive_chunk_twin) run by the
+        # Spark side of this same query at the same sf — asset contract
+        # identical to ivf_centroids.parquet above.
+        "recursive_chunk": f"""
+SELECT doc_id, chunk_number, chunk_text
+FROM read_parquet('{RECURSIVE_CHUNK_EXPECTED_PATH}')
 """,
     }
     d["histogram"] = """
