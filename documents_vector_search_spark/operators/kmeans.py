@@ -16,16 +16,22 @@ distributed map-only expressions either way; only the tiny iterative
 TRAINING moves to the driver. ``fit_ivf``/``fit_pq`` keep an
 ``method="mllib"`` escape hatch for a fully-distributed fit.
 
-Determinism: the sample is the scan's first ``sample_rows`` rows
-(deterministic for a given stored table), the init draw is seeded, and
-every numpy step is fixed-order IEEE arithmetic — refitting the same
-table reproduces the same centroids. Downstream determinism never
-rests on this anyway: fitted centroids/codebooks are ROUNDED and
-persisted (manifest/parquet), and all assignment/search reads the
-persisted values.
+Determinism AND representativeness: when the corpus exceeds
+``sample_rows`` the sample is a uniform hash gate on the vector's own
+64-bit xxhash — layout- and partition-independent by construction, so
+"same vectors, any layout → same sample → same centroids" holds, and a
+cluster_id-partitioned table (refit_ivf's input) cannot bias the
+sample toward its first few cluster directories the way a bare
+``limit`` would. The init draw is seeded and every numpy step is
+fixed-order IEEE arithmetic. Downstream determinism never rests on
+this anyway: fitted centroids/codebooks are ROUNDED and persisted
+(manifest/parquet), and all assignment/search reads the persisted
+values.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -36,6 +42,9 @@ DEFAULT_SAMPLE_ROWS = 65536
 
 _ASSIGN_CHUNK = 8192
 
+# hash-gate modulus for the uniform training sample
+_GATE_MOD = 1 << 20
+
 
 def collect_training_sample(
     df: DataFrame, vector_col: str, sample_rows: int = DEFAULT_SAMPLE_ROWS
@@ -43,17 +52,39 @@ def collect_training_sample(
     """≤ ``sample_rows`` vectors as an (n, dim) float64 matrix — the
     ONLY driver-side transfer of the whole fit, bounded by construction
     (65536 × 1024 dims × 8 B = 512 MB worst case; typical dims far
-    less)."""
-    rows = (
-        df.select(F.col(vector_col).cast("array<double>").alias("_v"))
-        .limit(sample_rows)
-        .collect()
-    )
+    less).
+
+    Corpora larger than ``sample_rows`` are sampled UNIFORMLY via a
+    deterministic gate on ``xxhash64(vector)`` (oversampled 1.2×, then
+    hash-ordered top-``sample_rows`` — a per-partition TakeOrdered heap
+    over only the ~1.2×budget gate survivors, never the full corpus).
+    The gate depends only on vector values, not scan/partition order,
+    so a physically cluster-partitioned table (post-refit IVF layout)
+    yields the same representative sample as any other layout of the
+    same vectors.
+    """
+    sel = df.select(F.col(vector_col).cast("array<double>").alias("_v"))
+    n = sel.count()
+    if n == 0:
+        raise ValueError("cannot fit KMeans on an empty DataFrame")
+    if n > sample_rows:
+        keep = min(
+            _GATE_MOD,
+            max(1, math.ceil(_GATE_MOD * sample_rows * 1.2 / n)),
+        )
+        sel = (
+            sel.withColumn("_h", F.xxhash64("_v"))
+            .filter(F.pmod(F.col("_h"), F.lit(_GATE_MOD)) < keep)
+            .orderBy("_h")
+            .limit(sample_rows)
+            .drop("_h")
+        )
+    rows = sel.collect()
     if not rows:
         raise ValueError("cannot fit KMeans on an empty DataFrame")
     X = np.asarray([r._v for r in rows], dtype=np.float64)
     # canonical row order: the seeded init indexes into X, so without
-    # this the fit would depend on scan/partition order — sorting makes
+    # this the fit would depend on collect order — sorting makes
     # "same vectors, any layout" produce the SAME centroids (a refit of
     # an unchanged corpus detects zero drift even though the table was
     # re-partitioned in between)

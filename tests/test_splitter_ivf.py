@@ -231,3 +231,56 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError, match="not divisible"):
             fit_pq(emb, dim=16, m=5)
+
+
+class TestTrainingSample:
+    """collect_training_sample's uniform hash gate (ADVICE r4: a bare
+    limit() on a cluster-partitioned table trains centroids on the
+    first few cluster directories only)."""
+
+    @staticmethod
+    def _two_cluster_df(spark):
+        # 400 distinct vectors: ids 0-199 near the origin ("cluster A"),
+        # ids 200-399 shifted +100 ("cluster B")
+        rows = [
+            (i, [float(i % 23) + (100.0 if i >= 200 else 0.0), float(i)])
+            for i in range(400)
+        ]
+        return spark.createDataFrame(rows, ["id", "v"])
+
+    def test_layout_independent_beyond_budget(self, spark):
+        import numpy as np
+
+        from documents_vector_search_spark.operators.kmeans import (
+            collect_training_sample,
+        )
+
+        df = self._two_cluster_df(spark)
+        a = collect_training_sample(df.orderBy("id").coalesce(1), "v", 64)
+        b = collect_training_sample(df.repartition(7, "id"), "v", 64)
+        c = collect_training_sample(df.orderBy(F.desc("id")), "v", 64)
+        assert len(a) == 64
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, c)
+
+    def test_gate_sample_spans_clusters(self, spark):
+        from documents_vector_search_spark.operators.kmeans import (
+            collect_training_sample,
+        )
+
+        # physically ordered by cluster: a scan-prefix limit(64) would
+        # return only cluster-A vectors; the hash gate must draw both
+        df = self._two_cluster_df(spark).orderBy("id").coalesce(1)
+        X = collect_training_sample(df, "v", 64)
+        firsts = X[:, 0]
+        assert (firsts < 50.0).any(), "no cluster-A vectors sampled"
+        assert (firsts > 50.0).any(), "no cluster-B vectors sampled"
+
+    def test_small_corpus_collects_everything(self, spark):
+        from documents_vector_search_spark.operators.kmeans import (
+            collect_training_sample,
+        )
+
+        df = self._two_cluster_df(spark)
+        X = collect_training_sample(df, "v", 1024)
+        assert len(X) == 400
