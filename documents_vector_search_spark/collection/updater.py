@@ -670,7 +670,21 @@ def delete_documents(
     # evidence may already be gone in a partial state)
     n_docs_deleted = docs.join(ids, "id", "left_semi").count()
     if n_docs_deleted == 0 and n_stale == 0:
-        return manifest  # unknown ids / fully-completed prior delete
+        # Unknown ids / fully-completed prior delete — but a prior run
+        # may have died AFTER the final documents swap committed and
+        # BEFORE save_manifest, in which case the stored counts are
+        # permanently stale (avgChunkLength feeds BM25 scoring). Before
+        # trusting the no-op, validate the manifest against a cheap
+        # column-pruned full count. numberOfDocuments alone suffices:
+        # documents commits LAST in the swap order, so every other
+        # partial state still shows n_docs_deleted > 0 and takes the
+        # partial-recovery recount above this check.
+        if (
+            collection.read("documents").count()
+            == manifest.numberOfDocuments
+        ):
+            return manifest
+        return _exact_recount(collection, manifest)
     # documents present but their chunks already deleted = a prior run
     # crashed between the chunks and documents swaps — finish the job,
     # but recompute manifest counts exactly (the incremental arithmetic
@@ -735,8 +749,19 @@ def delete_documents(
             },
         )
     # legacy path and partial-recovery re-runs: exact recount
-    new_chunks = collection.read("chunks")
-    stats = new_chunks.agg(
+    return _exact_recount(collection, manifest)
+
+
+def _exact_recount(collection, manifest: Manifest) -> Manifest:
+    """Recompute manifest counts from the stored tables and persist.
+
+    Convergence backstop for delete_documents: used on partial-recovery
+    re-runs AND when the no-op path detects a manifest whose
+    numberOfDocuments disagrees with the documents table (a prior run
+    crashed between the final swap and save_manifest)."""
+    from documents_vector_search_spark.functions.text import tokenize
+
+    stats = collection.read("chunks").agg(
         F.count("*").alias("n"),
         F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
     ).first()

@@ -759,6 +759,40 @@ class TestDeleteDocuments:
         assert m.numberOfChunks == after["chunks"]
         assert after["chunks"] == after["embeddings"] == after["doc_stats"]
 
+    def test_crash_after_final_swap_recounts_on_rerun(
+        self, spark, coll, monkeypatch
+    ):
+        """A delete that dies AFTER the documents swap commits but
+        BEFORE save_manifest leaves a stale manifest (overcounted
+        numberOfDocuments/Chunks; avgChunkLength feeds BM25 avgdl). The
+        re-run's no-op path must detect the document-count mismatch and
+        recount instead of trusting the stale manifest forever."""
+        from documents_vector_search_spark.collection import (
+            delete_documents,
+        )
+
+        before = coll.manifest().numberOfDocuments
+
+        real_save = coll.save_manifest
+
+        def dying_save(manifest):
+            raise RuntimeError("simulated crash before save_manifest")
+
+        monkeypatch.setattr(coll, "save_manifest", dying_save)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            delete_documents(coll, ["doc-4"])
+        monkeypatch.setattr(coll, "save_manifest", real_save)
+
+        # all table swaps committed, manifest stale
+        assert coll.read("documents").filter(F.col("id") == "doc-4").count() == 0
+        assert coll.manifest().numberOfDocuments == before
+
+        m = delete_documents(coll, ["doc-4"])
+        after = coll.counts()
+        assert m.numberOfDocuments == after["documents"] == before - 1
+        assert m.numberOfChunks == after["chunks"]
+        assert coll.manifest().numberOfDocuments == before - 1
+
     def test_cached_searcher_refresh_after_delete(self, spark, coll):
         """A serving-process searcher (cache_tables=True) must expose a
         refresh path: after a delete its cached frames are stale (and
