@@ -20,13 +20,38 @@ from pyspark.sql import functions as F
 # 15 hex chars = 60 bits — always positive as int64.
 _HEX_PREFIX_LEN = 15
 
-# Largest prime below 2^60 — modulus of the 2-universal MinHash family
-# h_i(x) = (a(x) + i*b(x)) mod p, where a and b are independent 60-bit
-# values cut from ONE md5 digest (Carter-Wegman). One digest per shingle
+# Mersenne prime 2^31 - 1 — modulus of the 2-universal MinHash family
+# h_i(x) = (a(x) + i*b(x)) mod p, where a and b are independent 32-bit
+# values cut from ONE md5 digest (Carter-Wegman; the construction every
+# 32-bit MinHash library uses, e.g. datasketch). One digest per shingle
 # instead of num_hashes salted digests: 8x less hashing and a far
-# smaller codegen tree. a + 7b < 2^63, so the arithmetic never overflows
-# a signed int64 in any engine.
-MINHASH_PRIME = 1152921504606846883
+# smaller codegen tree.
+#
+# Why 32-bit and not wider: the family must (1) never overflow a signed
+# int64 — ANSI mode aborts the job, and a 60-bit b made a + i*b
+# overflow at family index 8 — and (2) have i*b wrap the modulus MANY
+# times per index step, or the perturbation is cosmetic and every
+# family picks the same argmin shingle (a 52-bit b under a 2^60 prime
+# produced signatures whose 16 components were ONE shingle's
+# arithmetic progression — zero LSH power). With p = 2^31 - 1 and
+# 32-bit operands, i*b < 2^63 for any practical i while i*b/p ≈ 2 — a
+# full wrap per step. Value collisions between distinct shingles
+# (~n²/2^32 per pair) only nudge the Jaccard estimate, exactly as in
+# other 32-bit MinHash implementations.
+MINHASH_PRIME = 2147483647
+
+# 8 hex chars = 32 bits per coefficient, cut from disjoint digest spans
+_MH_COEF_HEX_LEN = 8
+_MH_B_HEX_START = 9
+MINHASH_MAX_FAMILIES = 1 << 20  # (2^20) * 2^32 << 2^63
+
+
+def _check_family_index(i: int) -> None:
+    if not 0 <= i < MINHASH_MAX_FAMILIES:
+        raise ValueError(
+            f"minhash family index {i} out of range "
+            f"[0, {MINHASH_MAX_FAMILIES}) — a + i*b would overflow int64"
+        )
 
 
 def md5_hash64(col: Column, salt: int = 0) -> Column:
@@ -61,11 +86,16 @@ def md5_hash64_py(value: str, salt: int = 0) -> int:
 
 def minhash_from_hex(hx: Column, i: int) -> Column:
     """Family member i of the 2-universal MinHash family over a shingle's
-    md5 HEX digest: ``(a + i*b) mod p`` with a = hex[0:15], b = hex[15:30]
-    as 60-bit ints. Operands are non-negative so ``pmod`` ≡ ``%`` in any
-    engine, and a + 7b < 2^63 (no int64 overflow)."""
-    a = F.conv(F.substring(hx, 1, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
-    b = F.conv(F.substring(hx, 16, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+    md5 HEX digest: ``(a + i*b) mod p`` with a = hex[0:8] and b =
+    hex[8:16] as 32-bit ints, p = 2^31 - 1. Operands are non-negative
+    so ``pmod`` ≡ ``%`` in any engine, and a + i*b can never overflow a
+    signed int64 (see the MINHASH_PRIME comment for why 32-bit is also
+    a QUALITY constraint, not just an overflow one)."""
+    _check_family_index(i)
+    a = F.conv(F.substring(hx, 1, _MH_COEF_HEX_LEN), 16, 10).cast("bigint")
+    b = F.conv(
+        F.substring(hx, _MH_B_HEX_START, _MH_COEF_HEX_LEN), 16, 10
+    ).cast("bigint")
     return F.pmod(a + F.lit(i) * b, F.lit(MINHASH_PRIME))
 
 
@@ -79,8 +109,12 @@ def minhash_ab_array(shingles: Column) -> Column:
 
     def entry(s: Column) -> Column:
         hexd = F.md5(s)
-        a = F.conv(F.substring(hexd, 1, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
-        b = F.conv(F.substring(hexd, 16, _HEX_PREFIX_LEN), 16, 10).cast("bigint")
+        a = F.conv(
+            F.substring(hexd, 1, _MH_COEF_HEX_LEN), 16, 10
+        ).cast("bigint")
+        b = F.conv(
+            F.substring(hexd, _MH_B_HEX_START, _MH_COEF_HEX_LEN), 16, 10
+        ).cast("bigint")
         return F.struct(a.alias("a"), b.alias("b"))
 
     return F.transform(shingles, entry)
@@ -89,13 +123,21 @@ def minhash_ab_array(shingles: Column) -> Column:
 def minhash_from_ab(entry: Column, i: int) -> Column:
     """Family member i over a staged (a, b) struct — arithmetic only.
     Identical values to :func:`minhash_from_hex`."""
+    _check_family_index(i)
     return F.pmod(entry["a"] + F.lit(i) * entry["b"], F.lit(MINHASH_PRIME))
 
 
 def minhash_from_hex_sql(hx_expr: str, i: int) -> str:
     """ANSI-SQL twin of :func:`minhash_from_hex` (oracle builder)."""
-    a = f"CAST(concat('0x', substr({hx_expr}, 1, {_HEX_PREFIX_LEN})) AS BIGINT)"
-    b = f"CAST(concat('0x', substr({hx_expr}, 16, {_HEX_PREFIX_LEN})) AS BIGINT)"
+    _check_family_index(i)
+    a = (
+        f"CAST(concat('0x', substr({hx_expr}, 1, {_MH_COEF_HEX_LEN})) "
+        f"AS BIGINT)"
+    )
+    b = (
+        f"CAST(concat('0x', substr({hx_expr}, {_MH_B_HEX_START}, "
+        f"{_MH_COEF_HEX_LEN})) AS BIGINT)"
+    )
     return f"(({a}) + {i} * ({b})) % {MINHASH_PRIME}"
 
 

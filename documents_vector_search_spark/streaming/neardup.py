@@ -23,13 +23,18 @@ Semantics (documented trade, the production-stream standard):
 
 Scale shape per micro-batch: band rows are map-only over the batch;
 the store probe is one join keyed on (band_index, band_value) — batch
-side tiny, store side a 2-column columnar scan (no shingles, no text);
-the in-batch first-wins is one window over the batch's own band rows.
-Admission appends ``bands`` rows per admitted doc (append-mode parquet,
-no rewrite). Used inside ``foreachBatch`` beside the collection update
-(streaming/incremental.py), the gate's decision-then-append runs
-through an eager localCheckpoint so the store append never races the
-probe that read it.
+side tiny, store side PRUNED to the batch's own signature buckets: the
+store is hash-partitioned on ``sig_bucket = hash(band_index,
+band_value) % store_buckets`` (the same ``_pb`` discipline as the
+collection's update buckets), and the probe filters on the partition
+column before the semi join, so a micro-batch reads only the bucket
+directories its own band values hash into — O(batch buckets), not
+O(store). The in-batch first-wins is one window over the batch's own
+band rows. Admission appends ``bands`` rows per admitted doc
+(append-mode parquet, no rewrite). Used inside ``foreachBatch`` beside
+the collection update (streaming/incremental.py), the gate's
+decision-then-append runs through an eager localCheckpoint so the
+store append never races the probe that read it.
 """
 
 from __future__ import annotations
@@ -41,6 +46,8 @@ from pyspark.sql import functions as F
 
 from documents_vector_search_spark.operators.dedup import minhash_band_rows
 
+SIG_BUCKET_COL = "sig_bucket"
+
 
 class NearDupGate:
     """foreachBatch near-dup admission against a persistent band store.
@@ -49,16 +56,38 @@ class NearDupGate:
     appends their band signatures to ``store_path``. Deterministic:
     same batches in the same order admit the same documents on any
     engine/partitioning (in-batch precedence is by ascending id).
+
+    Sizing (num_hashes, bands) — drops are IRREVERSIBLE, so the false-
+    positive curve matters more here than in the batch pair finder
+    (which Jaccard-verifies its candidates). With r = num_hashes/bands
+    rows per band, a document whose true Jaccard similarity to any
+    admitted document is s collides with probability
+    ``1 - (1 - s^r)^bands``:
+
+    =====  ==================  ==================
+      s    r=2, b=4 (loose)    r=4, b=4 (default)
+    =====  ==================  ==================
+    0.3    31%  (!)            3.2%
+    0.5    66%                 22%
+    0.7    94%                 68%
+    0.9    99.98%              95%
+    =====  ==================  ==================
+
+    The default (num_hashes=16, bands=4 → r=4) keeps the ~0.3-similar
+    false-drop rate in single digits while still catching most ≥0.7
+    near-dups; loosen to num_hashes=8 only when recall against lightly
+    edited reposts outweighs silently dropping novel documents.
     """
 
     def __init__(
         self,
         store_path: str,
-        num_hashes: int = 8,
+        num_hashes: int = 16,
         bands: int = 4,
         shingle_words: int = 3,
         id_col: str = "id",
         text_col: str = "text",
+        store_buckets: int = 64,
     ):
         self.store_path = store_path
         self.num_hashes = num_hashes
@@ -66,6 +95,7 @@ class NearDupGate:
         self.shingle_words = shingle_words
         self.id_col = id_col
         self.text_col = text_col
+        self.store_buckets = store_buckets
 
     def _band_rows(self, docs: DataFrame) -> DataFrame:
         return minhash_band_rows(
@@ -75,7 +105,23 @@ class NearDupGate:
             shingle_words=self.shingle_words,
             id_col=self.id_col,
             text_col=self.text_col,
+        ).withColumn(
+            SIG_BUCKET_COL,
+            F.pmod(
+                F.xxhash64("band_index", "band_value"),
+                F.lit(self.store_buckets),
+            ).cast("int"),
         )
+
+    def _pruned_store(self, spark, buckets: list[int]) -> DataFrame:
+        """The store narrowed to ``buckets`` — a partition-column filter,
+        so only the touched ``sig_bucket=N`` directories are read.
+        Legacy unbucketed stores (no sig_bucket column) fall back to a
+        full scan until :meth:`compact_store` migrates them."""
+        df = spark.read.parquet(self.store_path)
+        if SIG_BUCKET_COL in df.columns:
+            df = df.filter(F.col(SIG_BUCKET_COL).isin(buckets))
+        return df
 
     def _recover(self) -> None:
         """Roll forward an interrupted :meth:`compact_store`: if the
@@ -111,7 +157,24 @@ class NearDupGate:
         tmp = live.with_name(live.name + "__tmp")
         before = spark.read.parquet(self.store_path)
         n_before = before.count()
-        before.distinct().coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        if SIG_BUCKET_COL not in before.columns:
+            # migrate a legacy unbucketed store to the pruned layout
+            before = before.withColumn(
+                SIG_BUCKET_COL,
+                F.pmod(
+                    F.xxhash64("band_index", "band_value"),
+                    F.lit(self.store_buckets),
+                ).cast("int"),
+            )
+        # repartition ON the bucket column → each bucket lands in one
+        # task → exactly one file per sig_bucket directory
+        (
+            before.distinct()
+            .repartition(self.store_buckets, F.col(SIG_BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(SIG_BUCKET_COL)
+            .parquet(str(tmp))
+        )
         n_after = spark.read.parquet(str(tmp)).count()
         live.rename(old)
         tmp.rename(live)
@@ -147,9 +210,19 @@ class NearDupGate:
             .distinct()
         )
 
-        # store probe: any band collision with previously admitted docs
+        # store probe: any band collision with previously admitted
+        # docs. Pruned to the batch's own signature buckets — the
+        # bucket list is a tiny driver collect over the checkpointed
+        # band rows (≤ min(batch×bands, store_buckets) ints), and the
+        # resulting isin() is a partition-column filter, so the scan
+        # touches only those sig_bucket directories.
         if Path(self.store_path).exists():
-            store = spark.read.parquet(self.store_path)
+            touched = sorted(
+                r[0]
+                for r in bands.select(SIG_BUCKET_COL).distinct().collect()
+            )
+            self._last_probe_buckets = touched
+            store = self._pruned_store(spark, touched)
             store_hit = (
                 bands.join(store, ["band_index", "band_value"], "left_semi")
                 .select(F.col("id").alias(self.id_col))
@@ -179,8 +252,10 @@ class NearDupGate:
         if bands is None:
             raise RuntimeError("record() without a preceding decide()")
         bands.join(self._pending_ids, "id", "left_semi").select(
-            "band_index", "band_value"
-        ).write.mode("append").parquet(self.store_path)
+            "band_index", "band_value", SIG_BUCKET_COL
+        ).write.mode("append").partitionBy(SIG_BUCKET_COL).parquet(
+            self.store_path
+        )
         self._pending_bands = None
         self._pending_ids = None
 
