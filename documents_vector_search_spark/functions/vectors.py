@@ -21,14 +21,23 @@ from pyspark.sql import functions as F
 
 
 def lit_double_array(values) -> Column:
-    """ONE-call ``array<double>`` literal. Each ``F.lit``/``F.array``
-    element costs a py4j round trip (~1ms on a loaded driver), so a
-    64-dim query vector built element-wise is 65 round trips and a PQ
-    codebook expression thousands — plan CONSTRUCTION seconds that
-    dwarf the actual execution on warm runs. Value-identical to
-    ``F.array(*[F.lit(float(v)) ...])`` (a foldable array<double>
-    either way); only the build cost changes."""
-    return F.lit([float(v) for v in values])
+    """``array<double>`` literal built in ONE py4j call.
+
+    Cost model (pyspark 4.x classic, verified against the source):
+    ``F.lit(list)`` expands to ``array(*[lit(item) ...])`` — one py4j
+    call PER ELEMENT, same as writing it out by hand — but
+    ``F.lit(numpy 1-D ndarray)`` ships the whole array through a single
+    ``_invoke_function`` via Py4J's NumpyArrayConverter. So this helper
+    passes float64 ndarrays, which is what makes it genuinely one-call.
+    (The r4 plan-construction wins were measured with the list form, so
+    they came from the 2-D-literal + indexed-transform restructuring in
+    ivf/pq/sq.py, not from this helper — the ndarray form now also
+    removes the per-element round trips.) Value-identical to
+    ``F.array(*[F.lit(float(v)) ...])``: a foldable array<double>
+    either way, exact float64 in both paths."""
+    import numpy as np
+
+    return F.lit(np.asarray([float(v) for v in values], dtype=np.float64))
 
 
 def dot_product(a: Column, b: Column) -> Column:

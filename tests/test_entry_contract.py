@@ -14,10 +14,12 @@ def test_entry_returns_ranked_documents(spark):
     assert {"doc_id", "rrf_score"} <= set(df.columns)
 
 
-# operators whose semantics SQL cannot express (pandas-UDF recursion) —
-# the driver records rows-only checks. ivf_ann left this set in round 2:
-# its KMeans fit persists centroids that the oracle reads back.
-NON_SQL_OPS = {"recursive_chunk"}
+# operators whose semantics SQL cannot express — the driver records
+# rows-only checks. Empty since round 5: ivf_ann left in round 2 (its
+# KMeans fit persists centroids the oracle reads back), and
+# recursive_chunk left in round 5 (a dual-implementation twin persists
+# the expected chunks the oracle reads back).
+NON_SQL_OPS: set[str] = set()
 
 
 def test_every_query_has_oracle():
