@@ -6,10 +6,15 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes end-to-end into a noop sink (full computation, no
 driver-side row transfer skewing the measurement). Every headline query
 runs once UNTIMED first (JVM JIT + whole-stage-codegen compilation +
-parquet footer caches + one-time index-layout builds), then once timed:
-the numbers are steady-state throughput, which is what matters for a
-long-lived engine. The collection build is timed cold (a build happens
-once per corpus).
+parquet footer caches + one-time index-layout builds), then THREE timed
+runs; the reported number is the MEDIAN and the max-min spread lands in
+"spread" — cross-round comparisons were dominated by ±30% background
+machine drift with single-shot timing (r4 STATUS), and the median of
+three interleaved runs bounds that noise per query. The numbers are
+steady-state throughput, which is what matters for a long-lived engine.
+The collection build is timed cold, once (a build happens once per
+corpus), and the update/delete steps mutate state so they also run
+once.
 """
 
 from __future__ import annotations
@@ -107,12 +112,21 @@ def main() -> None:
     # seconds). Steady-state per query is what a long-lived engine
     # serves.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if not _run(name):
             continue
-        t0 = time.time()
-        if _run(name):
-            timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            if not _run(name):
+                samples = []
+                break
+            samples.append(time.time() - t0)
+        if samples:
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spreads[name] = round(samples[-1] - samples[0], 3)
 
     import shutil
     import tempfile
@@ -132,6 +146,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "timing": {"runs_per_query": 3, "stat": "median"},
+        "spread": spreads,
     }
     if errors:
         out["errors"] = errors
