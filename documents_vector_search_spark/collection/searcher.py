@@ -27,7 +27,7 @@ from documents_vector_search_spark.collection.catalog import Collection
 from documents_vector_search_spark.operators.bm25 import bm25_topk
 from documents_vector_search_spark.operators.embedding import hash_embedding_py
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
-from documents_vector_search_spark.operators.knn import knn_l2
+from documents_vector_search_spark.operators.knn import knn_l2_auto
 from documents_vector_search_spark.plans.filter_compiler import compile_filter
 
 DEFAULT_INDEXES = ("vector", "bm25")
@@ -285,7 +285,10 @@ class CollectionSearcher:
                 codes_col="codes",
             ).select("chunk_id")
             emb = emb.join(F.broadcast(shortlist), "chunk_id", "left_semi")
-        hits = knn_l2(emb, qv, k, id_col="chunk_id", vector_col="vector")
+        # dim-dispatched scorer: expression form at narrow dims (codegen,
+        # oracle parity), vectorized numpy at ≥NUMPY_KNN_MIN_DIM — the
+        # manifest's recorded dim decides via len(qv) (parity-pinned)
+        hits = knn_l2_auto(emb, qv, k, id_col="chunk_id", vector_col="vector")
         # negate L2 so "higher is better" like every other branch; rank
         # by score DESC == distance ASC, ties by chunk_id
         return hits.select(

@@ -107,6 +107,45 @@ def knn_l2_numpy(
     return scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
 
 
+# Crossover where the vectorized numpy scorer overtakes the interpreted
+# zip_with/aggregate expression chain: per-element expression cost grows
+# with dim while Arrow transfer is ~flat per row (see knn_l2_numpy's
+# measured narrow-width numbers). Same auto-dispatch idiom as
+# sq_encode_auto / pq_encode_auto / assign_cluster_auto.
+NUMPY_KNN_MIN_DIM = 512
+
+
+def knn_l2_auto(
+    embeddings: DataFrame,
+    query_vector: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    predicate: Column | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Pick the exact-kNN scorer by query dimension — expression
+    (codegen, oracle-parity path) for narrow vectors, vectorized numpy
+    for wide. Results are identical either way (both round to
+    ``round_to`` BEFORE the (distance, id) ordering; parity-pinned in
+    tests), so serving layers can dispatch freely on the manifest's
+    recorded dim."""
+    fn = (
+        knn_l2_numpy
+        if len(list(query_vector)) >= NUMPY_KNN_MIN_DIM
+        else knn_l2
+    )
+    return fn(
+        embeddings,
+        query_vector,
+        k,
+        id_col=id_col,
+        vector_col=vector_col,
+        predicate=predicate,
+        round_to=round_to,
+    )
+
+
 def knn_l2_batch(
     embeddings: DataFrame,
     queries: dict[str, Sequence[float]],

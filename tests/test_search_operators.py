@@ -124,6 +124,45 @@ class TestKNN:
         }
         assert labels == {2}
 
+    def test_numpy_scorer_parity_wide_dim(self, spark):
+        """knn_l2_auto dispatches to the vectorized scorer at wide dims
+        and MUST return bit-identical (id, distance) rows — both paths
+        round to 6 decimals before the (distance, id) ordering."""
+        import random
+
+        from documents_vector_search_spark.operators.knn import (
+            NUMPY_KNN_MIN_DIM,
+            knn_l2_auto,
+            knn_l2_numpy,
+        )
+
+        rng = random.Random(7)
+        dim = NUMPY_KNN_MIN_DIM  # exactly at the crossover → numpy path
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = [rng.uniform(-1, 1) for _ in range(dim)]
+
+        expr = [(r.vec_id, r.distance) for r in knn_l2(df, q, 7).collect()]
+        vect = [
+            (r.vec_id, r.distance) for r in knn_l2_numpy(df, q, 7).collect()
+        ]
+        auto = [
+            (r.vec_id, r.distance) for r in knn_l2_auto(df, q, 7).collect()
+        ]
+        assert expr == vect == auto
+
+        # dispatch contract: wide → Arrow-batched pandas scorer in the
+        # plan, narrow → pure expression (codegen / oracle-parity path)
+        wide_plan = knn_l2_auto(df, q, 7)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in wide_plan
+        narrow = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(10)], ["vec_id", "embedding"]
+        )
+        narrow_plan = knn_l2_auto(narrow, [1.0, 0.0], 3)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in narrow_plan
+
 
 class TestRRF:
     def test_hand_computed_fusion(self, spark):
