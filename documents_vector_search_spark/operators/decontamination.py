@@ -30,6 +30,35 @@ from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.text import tokenize, word_shingles
 
+# Auto-cutover budget for shipping the benchmark gram set to every
+# executor — the same idiom as spark.sql.autoBroadcastJoinThreshold,
+# but sized for a deliberate dimension-table broadcast (Spark's 10 MB
+# default guards against ACCIDENTAL huge broadcasts; an eval-suite gram
+# list is the intended-broadcast case, and executors comfortably hold
+# tens of MB). Above this, the gram match becomes a shuffle hash join.
+AUTO_BROADCAST_GRAM_BYTES = 64 << 20
+
+
+def estimate_gram_bytes(
+    benchmark: DataFrame,
+    n: int = 5,
+    bench_text_col: str = "text",
+    hash_grams: bool = False,
+) -> int:
+    """Rough broadcast-size estimate for the benchmark gram set: ONE
+    cheap single-column aggregate over the BENCHMARK side only (never
+    the training corpus). Distinct word n-grams are bounded by token
+    count ≈ chars/6; each gram costs ~8 bytes hashed or ~n·7 bytes as a
+    string. Deliberately coarse — it only has to land on the right side
+    of a 64 MB cutover, exactly like Spark's own size-based broadcast
+    planning on table statistics."""
+    row = benchmark.agg(
+        F.coalesce(F.sum(F.length(bench_text_col)), F.lit(0)).alias("chars")
+    ).first()
+    est_grams = int(row["chars"]) // 6
+    per_gram = 8 if hash_grams else n * 7
+    return est_grams * per_gram
+
 
 def benchmark_ngrams(
     benchmark: DataFrame,
@@ -67,8 +96,9 @@ def contamination_report(
     text_col: str = "text",
     bench_text_col: str = "text",
     hash_grams: bool = False,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     tokens_col: str | None = None,
+    auto_broadcast_bytes: int = AUTO_BROADCAST_GRAM_BYTES,
 ) -> DataFrame:
     """Per-document ``(id, contaminated_ngrams, contaminated)`` for
     EVERY training document: the count of distinct ``n``-gram shingles
@@ -79,7 +109,15 @@ def contamination_report(
     ``hash_grams`` matches on md5-int64 gram hashes instead of strings
     (see :func:`benchmark_ngrams`) — smaller broadcast at scale.
 
-    ``broadcast=False`` is the scale path for an eval suite too large
+    ``broadcast=None`` (default) picks the join strategy AUTOMATICALLY,
+    mirroring Spark's size-based broadcast planning: a cheap
+    benchmark-side size estimate (:func:`estimate_gram_bytes`) chooses
+    broadcast when the gram set fits ``auto_broadcast_bytes``, else the
+    shuffle path — so a pipeline that suddenly points at a full
+    eval-harness union does not OOM its executors on a manual default.
+    ``broadcast=True``/``False`` force a side, skipping the estimate.
+
+    The shuffle path is the scale fallback for an eval suite too large
     to ship to every executor (a full eval-harness union can reach
     hundreds of millions of distinct 13-grams): the gram match becomes
     a SHUFFLE hash join keyed on the gram. The bench side is distinct
@@ -109,6 +147,11 @@ def contamination_report(
 
         doc_grams = doc_grams.select(
             F.col(id_col), md5_hash64(F.col("gram")).alias("gram")
+        )
+    if broadcast is None:
+        broadcast = (
+            estimate_gram_bytes(benchmark, n, bench_text_col, hash_grams)
+            <= auto_broadcast_bytes
         )
     # per-doc grams are distinct (array_distinct before the explode), so
     # count(*) after the gram match IS the distinct-hit count
@@ -142,13 +185,14 @@ def decontaminate(
     bench_text_col: str = "text",
     tokens_col: str | None = None,
     hash_grams: bool = False,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Training docs with the contaminated ones REMOVED — the apply
     step. One extra broadcast-able semi-join over the flagged ids.
     ``hash_grams``/``broadcast`` forward to
     :func:`contamination_report` (the huge-eval-suite scale knobs must
-    be reachable from the step a pipeline actually runs)."""
+    be reachable from the step a pipeline actually runs; ``None`` =
+    size-based auto cutover)."""
     flagged = contamination_report(
         docs, benchmark, n, min_hits, id_col, text_col, bench_text_col,
         hash_grams=hash_grams, broadcast=broadcast, tokens_col=tokens_col,

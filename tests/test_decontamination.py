@@ -87,6 +87,28 @@ class TestReport:
         )
         assert "BroadcastHashJoin" in plan
 
+    def test_auto_cutover_picks_join_by_estimated_size(self, corpora):
+        """broadcast=None (the default) must choose the physical join
+        from the benchmark-side size estimate, Spark-threshold style:
+        under the budget → BroadcastHashJoin, over it (forced by a
+        1-byte budget) → shuffle join — with identical results."""
+        docs, bench = corpora
+        small = contamination_report(docs, bench, n=5, broadcast=None)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small
+
+        big = contamination_report(
+            docs, bench, n=5, broadcast=None, auto_broadcast_bytes=1
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+
+        rows = lambda df: sorted(  # noqa: E731
+            (r.doc_id, r.contaminated_ngrams, r.contaminated)
+            for r in df.collect()
+        )
+        assert rows(small) == rows(big)
+
     def test_shuffle_path_matches_broadcast_path(self, corpora):
         """broadcast=False (the huge-eval-suite scale path) must produce
         the identical report through a shuffle hash join — only the
