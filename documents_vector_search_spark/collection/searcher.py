@@ -202,6 +202,35 @@ class CollectionSearcher:
                 self._sq_cfg = None
         return self._sq_cfg  # type: ignore[return-value]
 
+    def _probe_values(self, qv) -> list:
+        """Partition values a query may probe on a singly-pruned layout
+        (SRP ``bucket`` or IVF ``cluster_id``) — the same pruning
+        :meth:`_vector_scored` applies inline, exposed for the batched
+        path so both sides prune identically (drift is pinned by the
+        batch==per-query parity tests)."""
+        cfg = self._ann_config()
+        if cfg:
+            from documents_vector_search_spark.operators.ann import (
+                multiprobe_buckets,
+            )
+            from documents_vector_search_spark.operators.dedup import (
+                random_hyperplanes,
+            )
+
+            planes = random_hyperplanes(
+                self.embedding_dim, cfg["nPlanes"], cfg["seed"]
+            )
+            return multiprobe_buckets(qv, planes, self.ann_probe_bits)
+        ivf = self._ivf_config()
+        if not ivf:
+            raise ValueError("no pruned layout configured")
+        from documents_vector_search_spark.operators.ivf import (
+            probe_clusters_fixed,
+        )
+
+        nprobe = self.ivf_nprobe or ivf["nProbe"]
+        return probe_clusters_fixed(ivf["centroids"], qv, nprobe)
+
     def _vector_scored(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
@@ -437,19 +466,27 @@ class CollectionSearcher:
         tests); on SQ8 layouts the batch path ranks exactly instead of
         via the codes shortlist, so recall can only improve.
 
-        On ANN/IVF-pruned layouts the vector side falls back to a
-        per-query loop: each query scans only ITS probe partitions, so
-        a shared full scan would cost more, not less — the batch path's
-        win is exactly the flat/SQ8 layouts where every query pays the
-        whole scan anyway. (The SQ8 codes shortlist is likewise a
-        per-query plan; batch mode re-ranks exactly instead.)"""
+        On ANN/IVF-pruned layouts the vector side batches through
+        knn_l2_batch_pruned: ONE scan of the union of the queries'
+        probe partitions (directory pruning on the bucket/cluster_id
+        column), each query scored only against its own probe set — so
+        overlapping probes are read once instead of once per query, and
+        per-query results still match :meth:`search_chunks`'s
+        deterministic ANN contract exactly (pinned by tests; on an
+        SQ8-composed pruned layout batch mode re-ranks the pruned
+        candidates exactly instead of via the codes shortlist). Only
+        the rare doubly-pruned ann+ivf composition keeps the per-query
+        loop."""
         unknown = set(indexes) - {"vector", "bm25"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
         allowed = self._allowed_chunks(metadata_filter)
         scored = []
         if "vector" in indexes:
-            if self._ann_config() or self._ivf_config():
+            cfg, ivf = self._ann_config(), self._ivf_config()
+            if cfg and ivf:
+                # doubly-pruned composition: two partition columns, no
+                # single probe map — keep the per-query loop
                 vec_parts = [
                     self._vector_scored(text, max_chunks, allowed)
                     .withColumn("qid", F.lit(qid))
@@ -458,6 +495,34 @@ class CollectionSearcher:
                 vec = vec_parts[0]
                 for p in vec_parts[1:]:
                     vec = vec.unionByName(p)
+            elif cfg or ivf:
+                from documents_vector_search_spark.operators.knn import (
+                    knn_l2_batch_pruned,
+                )
+
+                part_col = "bucket" if cfg else "cluster_id"
+                qvecs, probes = {}, {}
+                for qid, text in texts.items():
+                    qv = hash_embedding_py(text, self.embedding_dim)
+                    qvecs[qid] = qv
+                    probes[qid] = self._probe_values(qv)
+                union_parts = sorted(
+                    {p for ps in probes.values() for p in ps}
+                )
+                emb = self._read("embeddings").filter(
+                    F.col(part_col).isin(union_parts)
+                )
+                if allowed is not None:
+                    emb = emb.join(
+                        F.broadcast(allowed), "chunk_id", "left_semi"
+                    )
+                vec = knn_l2_batch_pruned(
+                    emb, qvecs, probes, max_chunks,
+                    id_col="chunk_id", vector_col="vector",
+                    part_col=part_col,
+                ).select(
+                    "qid", "chunk_id", (-F.col("distance")).alias("score")
+                )
             else:
                 from documents_vector_search_spark.operators.knn import (
                     knn_l2_batch,

@@ -232,6 +232,104 @@ def knn_l2_batch(
     )
 
 
+def knn_l2_batch_pruned(
+    embeddings: DataFrame,
+    queries: dict[str, Sequence[float]],
+    probes: dict[str, Sequence],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    part_col: str = "cluster_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`knn_l2_batch` for a PARTITION-PRUNED ANN/IVF layout: many
+    queries, one scan of the UNION of their probe partitions, each
+    query scored only against its own probe set.
+
+    ``probes`` maps qid → the ``part_col`` values (IVF cluster ids or
+    LSH buckets) that query is allowed to see; the caller filters
+    ``embeddings`` to the union (a partition-column isin → directory
+    pruning). Per query the result is IDENTICAL to pruning for that
+    query alone and running exact kNN over the survivors — the
+    per-batch numpy mask enforces the probe semantics, so batch serving
+    preserves each query's deterministic ANN contract instead of
+    leaking neighbors from other queries' partitions.
+
+    Scale shape: the union scan reads min(Q × nprobe, nlist) partition
+    directories ONCE (overlapping probe sets are the shared work Q
+    separate jobs would re-read); batch-local top-k bounds the shuffle
+    to tasks × Q × k candidate rows, exactly like knn_l2_batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qids = sorted(queries)
+    missing = [q for q in qids if q not in probes]
+    if missing:
+        raise ValueError(f"queries without probe sets: {missing}")
+    qmat = np.asarray([[float(x) for x in queries[q]] for q in qids])
+    probe_arrays = [
+        np.asarray(sorted(probes[q])) for q in qids
+    ]
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField(id_col, id_type),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            parts_v = pdf[part_col].to_numpy()
+            # rows × Q × dim diff: same op order as the expression form
+            d = np.sqrt(((m[:, None, :] - qmat[None, :, :]) ** 2).sum(-1))
+            d = np.round(d, round_to)
+            out = []
+            for j, qid in enumerate(qids):
+                mask = np.isin(parts_v, probe_arrays[j])
+                if not mask.any():
+                    continue
+                dj, idj = d[mask, j], ids[mask]
+                order = np.lexsort((idj, dj))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            id_col: idj[order],
+                            "distance": dj[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = embeddings.select(id_col, vector_col, part_col).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def knn_cosine(
     embeddings: DataFrame,
     query_vector: Sequence[float],

@@ -381,24 +381,45 @@ class TestAnnLayout:
         got = hits.collect()
         assert len(got) > 0
 
-    def test_batch_search_falls_back_per_query_on_pruned_layout(
+    def test_batch_search_one_pruned_scan_matches_per_query(
         self, ann_coll
     ):
-        """On an ANN layout the batch vector path loops per query (each
-        scans only its probe partitions) — results still match
-        search_chunks exactly."""
+        """On an ANN layout the batch vector path runs ONE scan of the
+        union of the queries' probe buckets (knn_l2_batch_pruned), each
+        query masked to its own probe set — results match search_chunks
+        exactly and the plan is a single Arrow-batched scan, not a
+        per-query union."""
         s = CollectionSearcher(ann_coll)
         texts = {"a": "hash join", "b": "sort merge"}
-        got = s.search_chunks_many(texts, max_chunks=5).collect()
+        batched = s.search_chunks_many(texts, max_chunks=5, indexes=("vector",))
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # the one-scan batch scorer
+        assert "PartitionFilters" in plan and "bucket" in plan
+        got = batched.collect()
         by_qid: dict = {}
         for r in got:
             by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
         for qid, text in texts.items():
             expected = [
                 (r.chunk_id, r.rank, r.score)
-                for r in s.search_chunks(text, max_chunks=5).collect()
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",)
+                ).collect()
             ]
             assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+        # hybrid batch (vector + bm25 fusion) stays consistent too
+        got_h = s.search_chunks_many(texts, max_chunks=5).collect()
+        by_qid_h: dict = {}
+        for r in got_h:
+            by_qid_h.setdefault(r.qid, []).append(
+                (r.chunk_id, r.rank, r.score)
+            )
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(text, max_chunks=5).collect()
+            ]
+            assert by_qid_h.get(qid, []) == expected, f"hybrid {qid}"
 
     def test_hybrid_search_still_works(self, ann_coll):
         s = CollectionSearcher(ann_coll)
@@ -450,6 +471,30 @@ class TestIvfLayout:
         assert "PartitionFilters" in plan and "cluster_id" in plan
         got = hits.collect()
         assert len(got) > 0
+
+    def test_batch_search_one_pruned_scan_matches_per_query(
+        self, ivf_coll
+    ):
+        """IVF twin of the ANN-layout batch contract: one union-pruned
+        scan on cluster_id, per-query probe masks, exact parity with
+        search_chunks."""
+        s = CollectionSearcher(ivf_coll)
+        texts = {"a": "hash join", "b": "sort merge", "c": "table window"}
+        batched = s.search_chunks_many(texts, max_chunks=5, indexes=("vector",))
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        by_qid: dict = {}
+        for r in batched.collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",)
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
 
     def test_probe_matches_fixed_centroid_search(self, ivf_coll):
         """Searcher hits == ivf_search_l2_fixed over the flat vectors
