@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_cluster",
     "dedup_simhash",
     "simhash_pairs",
+    "span_dedup",
     "kmv_distinct",
     "histogram",
     "hash_split",

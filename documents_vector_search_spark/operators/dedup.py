@@ -709,3 +709,95 @@ def semdedup_pairs(
         assign_cluster_expr(vec, centroids).alias("bucket"),
     )
     return _bucketed_cosine_pairs(bucketed, threshold, round_to, max_bucket_size)
+
+
+def repeated_span_report(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact substring (token-span) duplication report — the
+    cross-document repeated-sequence check from "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2022, public):
+    boilerplate that MinHash misses because the CONTAINING documents
+    are dissimilar (licenses, navigation chrome, quote chains) shows up
+    as exact ``span_tokens``-token sequences shared across documents.
+    Per document: ``(id, n_spans, dup_spans, dup_ratio)`` where
+    dup_spans counts its sliding spans that appear in ≥ ``min_docs``
+    distinct documents — the drop/trim signal (RefinedWeb-style
+    curation drops docs with high dup_ratio).
+
+    Spark shape, 100 TB-ready: span hashes are a pure map (tokenize →
+    sliding slice → md5-int64, functions/hashing.py so the oracle
+    recomputes them); the pipeline is two hash-keyed shuffles — one
+    distinct-doc count per span hash (partial-agg friendly 8-byte
+    keys), one per-doc count — and a semi join of span rows against the
+    repeated-hash set. Nothing quadratic, no string shuffles. Documents
+    shorter than ``span_tokens`` contribute ONE span of all their
+    tokens (the word_shingles convention) so short boilerplate still
+    matches; empty docs report zeros instead of colliding on the empty
+    span.
+
+    ``materialize`` (default) localCheckpoints the span rows: the
+    tokenize → slice → hash explode is the dominant map cost and its
+    output feeds BOTH the repeated-hash aggregation and the per-doc
+    semi join — without the checkpoint Spark recomputes the explode for
+    each consumer, doubling the corpus-scan work. The checkpoint stores
+    only (id, int64) rows — ~16 bytes per corpus token.
+    """
+    from documents_vector_search_spark.functions.hashing import md5_hash64
+    from documents_vector_search_spark.functions.text import tokenize
+
+    k = span_tokens
+    staged = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    totals = staged.select(
+        id_col,
+        F.when(F.size("_toks") == 0, F.lit(0))
+        .otherwise(F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1)))
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    spans = staged.filter(F.size("_toks") > 0).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1)),
+                ),
+                lambda i: md5_hash64(
+                    F.array_join(F.slice("_toks", i, k), " ")
+                ),
+            )
+        ).alias("span_hash"),
+    )
+    if materialize:
+        spans = spans.localCheckpoint()
+    repeated = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("span_hash")
+    )
+    dup = (
+        spans.join(repeated, "span_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("dup_spans"))
+    )
+    return totals.join(dup, id_col, "left").select(
+        F.col(id_col),
+        "n_spans",
+        F.coalesce(F.col("dup_spans"), F.lit(0)).cast("bigint").alias(
+            "dup_spans"
+        ),
+        F.round(
+            F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("dup_spans"), F.lit(0))
+                / F.col("n_spans")
+            ),
+            6,
+        ).alias("dup_ratio"),
+    )

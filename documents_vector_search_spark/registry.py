@@ -997,6 +997,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_with_token_lines(_t(spark, sf_dir, "documents")))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (repeated token-span) duplication report — Lee
+    et al. 2022-style cross-document boilerplate detection
+    (operators/dedup.py::repeated_span_report)."""
+    from documents_vector_search_spark.operators.dedup import (
+        repeated_span_report,
+    )
+
+    return repeated_span_report(
+        _t(spark, sf_dir, "documents"), span_tokens=15, min_docs=2
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-range histogram of event values (profiling sweep)."""
     from documents_vector_search_spark.operators.sketches import (
@@ -2673,6 +2686,38 @@ SELECT tok.doc_id,
          ELSE 0.0 END, 6) AS ppl
 FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id
 """,
+        "span_dedup": f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+tot AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) = 0 THEN 0
+               ELSE greatest(len(toks) - 14, 1) END)::BIGINT AS n_spans
+  FROM tok
+),
+sp AS (
+  SELECT doc_id,
+         {md5_hash64_sql("array_to_string(toks[pos:pos+14], ' ')")} AS span_hash
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 14, 1) + 1)) AS pos
+    FROM tok WHERE len(toks) > 0
+  )
+),
+rep AS (
+  SELECT span_hash FROM sp GROUP BY span_hash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_spans
+  FROM sp JOIN rep USING (span_hash) GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_spans,
+       coalesce(dup.dup_spans, 0)::BIGINT AS dup_spans,
+       round(CASE WHEN tot.n_spans = 0 THEN 0.0
+             ELSE coalesce(dup.dup_spans, 0)::DOUBLE / tot.n_spans END,
+             6) AS dup_ratio
+FROM tot LEFT JOIN dup USING (doc_id)
+""",
         "line_dedup": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 rl AS (
@@ -3229,9 +3274,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
-        "vocab_stats": q_vocab_stats,
-        # -- 51-74: 3-4x consecutive driver-green, rotated out this round,
+        # new this round (exact substring dedup, Lee et al. 2022 style)
+        # — takes position 50; vocab_stats (3x green, pytest-pinned)
+        # rotates out with the other long-stable keys
+        "span_dedup": q_span_dedup,
+        # -- 51-75: 3-4x consecutive driver-green, rotated out this round,
         #    due back in-window next round ------------------------------
+        "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
         "knn_l2": q_knn_l2,

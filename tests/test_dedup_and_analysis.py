@@ -918,3 +918,83 @@ class TestHashSampling:
         assert kept.filter(F.col("lang") == "zz").count() == 0
         with pytest.raises(ValueError, match="positive sum"):
             mix_to_target(df, "doc_id", "lang", {})
+
+
+class TestRepeatedSpans:
+    """operators/dedup.py::repeated_span_report — exact substring
+    (Lee et al. 2022) cross-document boilerplate detection."""
+
+    def test_hand_computed_shared_span(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            repeated_span_report,
+        )
+
+        boiler = "this license text is identical across both documents"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta gamma. {boiler}"),
+                (2, f"{boiler} and then totally different words here"),
+                (3, "no shared content in this one at all whatsoever"),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio)
+            for r in repeated_span_report(docs, span_tokens=8).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        # the 8-token license span slides through both docs 1 and 2
+        assert got[1][1] > 0 and got[2][1] > 0
+        assert got[3] == (got[3][0], 0, 0.0)  # unique doc: zero dups
+        assert got[4] == (0, 0, 0.0)  # empty doc: zeros, no collision
+        # n_spans = len(toks) - k + 1 (doc 1 has 11 tokens, k=8 -> 4)
+        assert got[1][0] == 4
+
+    def test_short_docs_one_span_and_min_docs(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            repeated_span_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "tiny shared text"), (2, "tiny shared text"),
+             (3, "tiny shared text"), (4, "other words")],
+            ["doc_id", "text"],
+        )
+        # 3-token docs with k=10: one whole-doc span each; identical
+        # across 1-3 so each counts as duplicated
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans)
+            for r in repeated_span_report(docs, span_tokens=10).collect()
+        }
+        assert got[1] == (1, 1) and got[2] == (1, 1) and got[3] == (1, 1)
+        assert got[4] == (1, 0)
+        # min_docs=4: the trio no longer qualifies
+        strict = {
+            r.doc_id: r.dup_spans
+            for r in repeated_span_report(
+                docs, span_tokens=10, min_docs=4
+            ).collect()
+        }
+        assert all(v == 0 for v in strict.values())
+
+    def test_materialize_off_same_result(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            repeated_span_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"common prefix words here tail {i}") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        a = sorted(
+            (r.doc_id, r.n_spans, r.dup_spans, r.dup_ratio)
+            for r in repeated_span_report(docs, span_tokens=4).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.n_spans, r.dup_spans, r.dup_ratio)
+            for r in repeated_span_report(
+                docs, span_tokens=4, materialize=False
+            ).collect()
+        )
+        assert a == b
