@@ -402,6 +402,46 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN over the bucket-partitioned layout
+    (operators/knn.py::knn_l2_batch_pruned): four queries share ONE
+    scan of the UNION of their probe buckets (directory pruning), each
+    scored only against its own probe set — the serving shape
+    CollectionSearcher.search_chunks_many uses on pruned layouts."""
+    import os
+
+    from documents_vector_search_spark.operators.ann import (
+        ensure_bucket_layout,
+        multiprobe_buckets,
+    )
+    from documents_vector_search_spark.operators.knn import (
+        knn_l2_batch_pruned,
+    )
+
+    layout = ensure_bucket_layout(
+        spark,
+        f"{sf_dir}/embeddings.parquet",
+        f"{ANN_LAYOUT_CACHE}/{os.path.basename(sf_dir.rstrip('/'))}",
+        n_planes=4,
+        seed=42,
+        dim=EMBED_DIM,
+    )
+    probes = {
+        qid: multiprobe_buckets(qv, ANN_PLANES, 1)
+        for qid, qv in BATCH_QUERIES.items()
+    }
+    union = sorted({p for ps in probes.values() for p in ps})
+    return knn_l2_batch_pruned(
+        layout.filter(F.col("bucket").isin(union)),
+        BATCH_QUERIES,
+        probes,
+        10,
+        id_col="vec_id",
+        vector_col="embedding",
+        part_col="bucket",
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3131,6 +3171,29 @@ SELECT doc_id, chunk_number, chunk_text
 FROM read_parquet('{RECURSIVE_CHUNK_EXPECTED_PATH}')
 """,
     }
+    from documents_vector_search_spark.operators.ann import (
+        multiprobe_buckets,
+    )
+
+    ann_batch_parts = "\nUNION ALL\n".join(
+        f"SELECT '{qid}' AS qid, vec_id, "
+        f"round({_l2_sql('v', _vec_sql(BATCH_QUERIES[qid]))}, 6) AS distance "
+        f"FROM b WHERE bucket IN "
+        f"({', '.join(str(p) for p in sorted(multiprobe_buckets(BATCH_QUERIES[qid], ANN_PLANES, 1)))})"
+        for qid in sorted(BATCH_QUERIES)
+    )
+    d["ann_batch"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql("embedding::DOUBLE[]", ANN_PLANES)} AS bucket
+  FROM embeddings
+),
+per AS (
+{ann_batch_parts}
+)
+SELECT qid, vec_id, distance FROM per
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance ASC, vec_id ASC) <= 10
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3305,6 +3368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "kmv_distinct": q_kmv_distinct,
+        # new this round, out-of-window (rotates in next round): the
+        # batched union-probe ANN serving shape as an oracle row
+        "ann_batch": q_ann_batch,
     }
 
 
