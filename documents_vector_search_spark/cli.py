@@ -252,6 +252,43 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_span_dedup(args) -> int:
+    """Cross-document repeated-span (exact substring) report over a
+    collection's documents — the Lee et al. 2022 boilerplate check
+    (operators/dedup.py::repeated_span_report); writes the per-document
+    (n_spans, dup_spans, dup_ratio) parquet beside the collection."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.dedup import (
+        repeated_span_report,
+    )
+
+    coll = _collection(args)
+    docs = coll.read("documents").select(
+        F.col("id").alias("doc_id"), F.col("text")
+    )
+    report = repeated_span_report(
+        docs, span_tokens=args.span_tokens, min_docs=args.min_docs
+    )
+    out = args.output or f"{args.base_path}/{args.collection}/span_dedup_report"
+    report.write.mode("overwrite").parquet(out)
+    stored = coll.spark.read.parquet(out)
+    print(
+        _format(
+            {
+                "profiledDocuments": stored.count(),
+                "flaggedDocuments": stored.filter(
+                    F.col("dup_ratio") >= args.min_ratio
+                ).count(),
+                "minRatio": args.min_ratio,
+                "output": out,
+            },
+            args.format,
+        )
+    )
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Compact fragmented update buckets (collection/compactor.py) —
     the OPTIMIZE step a long-lived, frequently-updated collection runs
@@ -486,6 +523,15 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("span-dedup")
+    common(sp)
+    sp.add_argument("--span-tokens", type=int, default=20)
+    sp.add_argument("--min-docs", type=int, default=2)
+    sp.add_argument("--min-ratio", type=float, default=0.5,
+                    help="dup_ratio at/above which a doc counts as flagged")
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_span_dedup)
 
     sp = sub.add_parser("search-many")
     common(sp)

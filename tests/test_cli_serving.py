@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from documents_vector_search_spark import cli
 from documents_vector_search_spark.serving import (
@@ -213,6 +214,21 @@ class TestCLI:
         assert {"doc_id", "lang_guess", "quality", "dup_5gram_fraction",
                 "fingerprint"} <= cols
         assert prof.count() == out["profiledDocuments"]
+
+    def test_span_dedup_writes_report(self, base_path, capsys, spark):
+        rc = cli.main(
+            ["span-dedup", "cli_test", "--base-path", base_path,
+             "--span-tokens", "6", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["profiledDocuments"] > 0
+        rep = spark.read.parquet(out["output"])
+        assert {"doc_id", "n_spans", "dup_spans", "dup_ratio"} <= set(
+            rep.columns
+        )
+        assert rep.count() == out["profiledDocuments"]
+        assert rep.filter(F.col("dup_ratio") > 1.0).count() == 0
 
     def test_update_files_picks_up_new_file(self, base_path, corpus_dir, capsys):
         import time
