@@ -96,6 +96,38 @@ class TestHashing:
         sig3 = one(spark, minhash_signature(other, 8))
         assert sig1 != sig3
 
+    def test_minhash_family_is_unbiased_not_degenerate(self, spark):
+        """Statistical guard for the Carter-Wegman family: the fraction
+        of matching signature components must track the true Jaccard.
+        This catches DEGENERATE families specifically — a round-5 bug
+        made i*b a cosmetic perturbation of a (every family picked the
+        same argmin shingle), so components matched all-or-nothing:
+        estimates snapped to 0.0 or 1.0 and every mid-similarity pair
+        broke LSH. 64 components at J≈0.5: binomial std ≈ 0.0625, so
+        the ±0.2 window is a >3-sigma guard, loose enough to never
+        flake, tight enough that all-or-nothing can't pass."""
+        shared = [f"sh{i}" for i in range(30)]
+        a = F.array(*[F.lit(s) for s in shared + [f"a{i}" for i in range(15)]])
+        b = F.array(*[F.lit(s) for s in shared + [f"b{i}" for i in range(15)]])
+        true_j = 30 / 60  # |inter|=30, |union|=60
+        sig_a = one(spark, minhash_signature(a, 64))
+        sig_b = one(spark, minhash_signature(b, 64))
+        est = sum(x == y for x, y in zip(sig_a, sig_b)) / 64
+        assert abs(est - true_j) < 0.2, f"estimate {est} vs true {true_j}"
+        # and the components are genuinely independent draws, not one
+        # shingle's arithmetic progression: consecutive diffs must vary
+        diffs = {sig_a[i + 1] - sig_a[i] for i in range(len(sig_a) - 1)}
+        assert len(diffs) > 1
+
+    def test_minhash_family_index_bound(self, spark):
+        from documents_vector_search_spark.functions.hashing import (
+            MINHASH_MAX_FAMILIES,
+            minhash_from_hex,
+        )
+
+        with pytest.raises(ValueError, match="out of range"):
+            minhash_from_hex(F.lit("ab" * 16), MINHASH_MAX_FAMILIES)
+
     def test_simhash_similar_docs_close(self, spark):
         a = one(spark, simhash32(tokenize(F.lit("the quick brown fox jumps"))))
         b = one(spark, simhash32(tokenize(F.lit("the quick brown fox leaps"))))
