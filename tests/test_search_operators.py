@@ -361,3 +361,74 @@ class TestKnnBatch:
         )
         assert plan.count("Range (0, 50") == 1  # one source scan
         assert plan.count("Exchange") == 1  # only the per-qid window
+
+
+class TestKnnBatchPruned:
+    """operators/knn.py::knn_l2_batch_pruned — per-query probe masks
+    over one union-pruned scan."""
+
+    @staticmethod
+    def _df(spark):
+        # 3 "clusters" of vectors: cluster c holds ids [100c, 100c+9]
+        rows = [
+            (100 * c + i, c, [float(100 * c + i), 0.0])
+            for c in range(3)
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "cluster_id", "embedding"])
+
+    def test_matches_per_query_pruned_exact(self, spark):
+        from documents_vector_search_spark.operators.knn import (
+            knn_l2,
+            knn_l2_batch_pruned,
+        )
+
+        df = self._df(spark)
+        queries = {"a": [5.0, 0.0], "b": [205.0, 0.0]}
+        probes = {"a": [0, 1], "b": [2]}
+        got = knn_l2_batch_pruned(
+            df, queries, probes, k=4, part_col="cluster_id"
+        ).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r.qid, []).append((r.vec_id, r.distance))
+        for qid in queries:
+            expected = [
+                (r.vec_id, r.distance)
+                for r in knn_l2(
+                    df.filter(F.col("cluster_id").isin(probes[qid])),
+                    queries[qid],
+                    4,
+                ).collect()
+            ]
+            assert by_qid[qid] == expected, qid
+        # probe masks respected: b never sees clusters 0/1
+        assert all(v >= 200 for v, _ in by_qid["b"])
+
+    def test_empty_probe_query_absent_not_error(self, spark):
+        from documents_vector_search_spark.operators.knn import (
+            knn_l2_batch_pruned,
+        )
+
+        df = self._df(spark).filter(F.col("cluster_id") < 2)
+        got = knn_l2_batch_pruned(
+            df,
+            {"a": [5.0, 0.0], "ghost": [5.0, 0.0]},
+            {"a": [0], "ghost": [7]},  # bucket 7 has no rows
+            k=3,
+            part_col="cluster_id",
+        ).collect()
+        qids = {r.qid for r in got}
+        assert qids == {"a"}
+
+    def test_missing_probe_set_rejected(self, spark):
+        import pytest as _pytest
+
+        from documents_vector_search_spark.operators.knn import (
+            knn_l2_batch_pruned,
+        )
+
+        with _pytest.raises(ValueError, match="without probe sets"):
+            knn_l2_batch_pruned(
+                self._df(spark), {"a": [1.0, 0.0]}, {}, k=3
+            )
