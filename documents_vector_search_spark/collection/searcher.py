@@ -472,11 +472,15 @@ class CollectionSearcher:
         column), each query scored only against its own probe set — so
         overlapping probes are read once instead of once per query, and
         per-query results still match :meth:`search_chunks`'s
-        deterministic ANN contract exactly (pinned by tests; on an
-        SQ8-composed pruned layout batch mode re-ranks the pruned
-        candidates exactly instead of via the codes shortlist). Only
-        the rare doubly-pruned ann+ivf composition keeps the per-query
-        loop."""
+        deterministic ANN contract exactly (pinned by tests).
+        Compositions where the per-query plan is NOT plain
+        prune-then-exact keep the per-query loop so batch == per-query
+        stays exact everywhere: the doubly-pruned ann+ivf layout, and
+        PQ/SQ8-composed pruned layouts (their per-query path ranks a
+        codes shortlist in the compressed domain before the exact
+        re-rank — a batch exact scan over full vectors would both
+        diverge when the shortlist misses and defeat the codes-only
+        scan that quantization exists for)."""
         unknown = set(indexes) - {"vector", "bm25"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
@@ -484,9 +488,13 @@ class CollectionSearcher:
         scored = []
         if "vector" in indexes:
             cfg, ivf = self._ann_config(), self._ivf_config()
-            if cfg and ivf:
-                # doubly-pruned composition: two partition columns, no
-                # single probe map — keep the per-query loop
+            quantized = bool(ivf and ivf.get("pq")) or (
+                self._sq_config() is not None
+            )
+            if (cfg and ivf) or ((cfg or ivf) and quantized):
+                # per-query loop: doubly-pruned layouts have no single
+                # probe map, and quantized-composed layouts rank a
+                # codes shortlist per query (see docstring)
                 vec_parts = [
                     self._vector_scored(text, max_chunks, allowed)
                     .withColumn("qid", F.lit(qid))

@@ -34,9 +34,18 @@ from documents_vector_search_spark.functions.text import tokenize, word_shingles
 # executor — the same idiom as spark.sql.autoBroadcastJoinThreshold,
 # but sized for a deliberate dimension-table broadcast (Spark's 10 MB
 # default guards against ACCIDENTAL huge broadcasts; an eval-suite gram
-# list is the intended-broadcast case, and executors comfortably hold
-# tens of MB). Above this, the gram match becomes a shuffle hash join.
+# list is the intended-broadcast case). The budget is compared against
+# an IN-MEMORY estimate, not raw payload — see the overhead constant.
 AUTO_BROADCAST_GRAM_BYTES = 64 << 20
+
+# A BroadcastHashJoin's build side inflates far beyond its payload:
+# the hashed relation stores each key with entry/pointer overhead plus
+# object headers, and every executor deserializes its own copy —
+# Spark's conservative 10 MB default exists because of this ~5-10x
+# factor. Budget ~48 bytes of relation overhead per gram on top of the
+# payload so the 64 MB budget means ~64 MB of actual executor memory
+# (cutover ≈1.1M hashed grams), not a few hundred MB.
+_HASHED_RELATION_OVERHEAD = 48
 
 
 def estimate_gram_bytes(
@@ -45,18 +54,19 @@ def estimate_gram_bytes(
     bench_text_col: str = "text",
     hash_grams: bool = False,
 ) -> int:
-    """Rough broadcast-size estimate for the benchmark gram set: ONE
-    cheap single-column aggregate over the BENCHMARK side only (never
-    the training corpus). Distinct word n-grams are bounded by token
-    count ≈ chars/6; each gram costs ~8 bytes hashed or ~n·7 bytes as a
-    string. Deliberately coarse — it only has to land on the right side
-    of a 64 MB cutover, exactly like Spark's own size-based broadcast
-    planning on table statistics."""
+    """Rough IN-MEMORY broadcast-size estimate for the benchmark gram
+    set: ONE cheap single-column aggregate over the BENCHMARK side only
+    (never the training corpus). Distinct word n-grams are bounded by
+    token count ≈ chars/6; each gram costs ~8 bytes hashed or ~n·7
+    bytes as a string, PLUS the hashed-relation overhead
+    (_HASHED_RELATION_OVERHEAD). Deliberately coarse — it only has to
+    land on the right side of the cutover, exactly like Spark's own
+    size-based broadcast planning on table statistics."""
     row = benchmark.agg(
         F.coalesce(F.sum(F.length(bench_text_col)), F.lit(0)).alias("chars")
     ).first()
     est_grams = int(row["chars"]) // 6
-    per_gram = 8 if hash_grams else n * 7
+    per_gram = (8 if hash_grams else n * 7) + _HASHED_RELATION_OVERHEAD
     return est_grams * per_gram
 
 

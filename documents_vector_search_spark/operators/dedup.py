@@ -743,23 +743,17 @@ def repeated_span_report(
 
     ``materialize`` (default) localCheckpoints the span rows: the
     tokenize → slice → hash explode is the dominant map cost and its
-    output feeds BOTH the repeated-hash aggregation and the per-doc
-    semi join — without the checkpoint Spark recomputes the explode for
-    each consumer, doubling the corpus-scan work. The checkpoint stores
-    only (id, int64) rows — ~16 bytes per corpus token.
+    output feeds EVERY downstream consumer (the per-doc n_spans count,
+    the repeated-hash aggregation, and the per-doc semi join) — without
+    the checkpoint Spark recomputes the explode per consumer,
+    multiplying the corpus-scan work. The checkpoint stores only
+    (id, int64) rows — ~16 bytes per corpus token.
     """
     from documents_vector_search_spark.functions.hashing import md5_hash64
     from documents_vector_search_spark.functions.text import tokenize
 
     k = span_tokens
     staged = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
-    totals = staged.select(
-        id_col,
-        F.when(F.size("_toks") == 0, F.lit(0))
-        .otherwise(F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1)))
-        .cast("bigint")
-        .alias("n_spans"),
-    )
     spans = staged.filter(F.size("_toks") > 0).select(
         F.col(id_col),
         F.explode(
@@ -776,6 +770,20 @@ def repeated_span_report(
     )
     if materialize:
         spans = spans.localCheckpoint()
+    # n_spans falls out of the checkpointed span rows (exactly
+    # greatest(size-k+1, 1) per non-empty doc) — no second tokenize
+    # pass over the corpus text; the left join from the id column
+    # restores empty docs as zeros
+    totals = docs.select(F.col(id_col)).join(
+        spans.groupBy(id_col).agg(
+            F.count("*").cast("bigint").alias("n_spans")
+        ),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+    )
     repeated = (
         spans.groupBy("span_hash")
         .agg(F.countDistinct(id_col).alias("_nd"))

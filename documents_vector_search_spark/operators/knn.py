@@ -132,11 +132,7 @@ def knn_l2_auto(
     ``round_to`` BEFORE the (distance, id) ordering; parity-pinned in
     tests), so serving layers can dispatch freely on the manifest's
     recorded dim."""
-    fn = (
-        knn_l2_numpy
-        if len(list(query_vector)) >= NUMPY_KNN_MIN_DIM
-        else knn_l2
-    )
+    fn = knn_l2_numpy if len(query_vector) >= NUMPY_KNN_MIN_DIM else knn_l2
     return fn(
         embeddings,
         query_vector,

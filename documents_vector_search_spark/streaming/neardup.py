@@ -115,13 +115,71 @@ class NearDupGate:
 
     def _pruned_store(self, spark, buckets: list[int]) -> DataFrame:
         """The store narrowed to ``buckets`` — a partition-column filter,
-        so only the touched ``sig_bucket=N`` directories are read.
-        Legacy unbucketed stores (no sig_bucket column) fall back to a
-        full scan until :meth:`compact_store` migrates them."""
-        df = spark.read.parquet(self.store_path)
-        if SIG_BUCKET_COL in df.columns:
-            df = df.filter(F.col(SIG_BUCKET_COL).isin(buckets))
-        return df
+        so only the touched ``sig_bucket=N`` directories are read."""
+        return spark.read.parquet(self.store_path).filter(
+            F.col(SIG_BUCKET_COL).isin(buckets)
+        )
+
+    # -- store compatibility metadata ---------------------------------
+    # Band values are only comparable when BOTH sides used the same
+    # hash family and (num_hashes, bands, shingle_words) — and bucket
+    # pruning is only sound against the modulus the store was written
+    # with. A silent mismatch re-admits near-duplicates forever (the
+    # probe join just never matches), so the store carries its
+    # parameters in a _GATE_META.json (underscore prefix: Spark readers
+    # ignore it inside the parquet dir) and every decide/record/compact
+    # validates. A store WITHOUT the sidecar predates this format (and
+    # the current 32-bit MinHash family), so its signatures are
+    # incomparable — refuse loudly instead of silently admitting dups.
+
+    _FAMILY = "minhash-cw32"
+
+    def _meta(self) -> dict:
+        return {
+            "family": self._FAMILY,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_words": self.shingle_words,
+            "store_buckets": self.store_buckets,
+        }
+
+    def _meta_path(self, root: Path | None = None) -> Path:
+        return (root or Path(self.store_path)) / "_GATE_META.json"
+
+    def _store_has_data(self) -> bool:
+        live = Path(self.store_path)
+        return live.exists() and any(live.rglob("*.parquet"))
+
+    def _write_meta(self, root: Path | None = None) -> None:
+        import json
+
+        path = self._meta_path(root)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self._meta(), sort_keys=True))
+
+    def _check_meta(self) -> None:
+        import json
+
+        if not self._store_has_data():
+            return
+        meta_path = self._meta_path()
+        if not meta_path.exists():
+            raise RuntimeError(
+                f"near-dup store at {self.store_path} has no _GATE_META"
+                ".json: it was written by an incompatible gate version "
+                "(pre-bucketed layout / old hash family) and its band "
+                "signatures cannot be compared with current ones — "
+                "rebuild the store by re-admitting the corpus (or "
+                "delete it to start empty)"
+            )
+        stored = json.loads(meta_path.read_text())
+        if stored != self._meta():
+            raise ValueError(
+                "near-dup store parameters do not match this gate: "
+                f"store={stored} gate={self._meta()} — construct the "
+                "gate with the store's parameters, or rebuild the "
+                "store"
+            )
 
     def _recover(self) -> None:
         """Roll forward an interrupted :meth:`compact_store`: if the
@@ -150,22 +208,14 @@ class NearDupGate:
         import shutil
 
         self._recover()
+        self._check_meta()
         live = Path(self.store_path)
-        if not live.exists():
+        if not self._store_has_data():
             return {"compacted": False}
         old = live.with_name(live.name + "__old")
         tmp = live.with_name(live.name + "__tmp")
         before = spark.read.parquet(self.store_path)
         n_before = before.count()
-        if SIG_BUCKET_COL not in before.columns:
-            # migrate a legacy unbucketed store to the pruned layout
-            before = before.withColumn(
-                SIG_BUCKET_COL,
-                F.pmod(
-                    F.xxhash64("band_index", "band_value"),
-                    F.lit(self.store_buckets),
-                ).cast("int"),
-            )
         # repartition ON the bucket column → each bucket lands in one
         # task → exactly one file per sig_bucket directory
         (
@@ -175,6 +225,7 @@ class NearDupGate:
             .partitionBy(SIG_BUCKET_COL)
             .parquet(str(tmp))
         )
+        self._write_meta(tmp)
         n_after = spark.read.parquet(str(tmp)).count()
         live.rename(old)
         tmp.rename(live)
@@ -197,6 +248,7 @@ class NearDupGate:
         :meth:`record` append derive from those materialized rows.
         """
         self._recover()
+        self._check_meta()
         spark = batch_docs.sparkSession
         bands = self._band_rows(batch_docs).localCheckpoint()
 
@@ -216,7 +268,7 @@ class NearDupGate:
         # band rows (≤ min(batch×bands, store_buckets) ints), and the
         # resulting isin() is a partition-column filter, so the scan
         # touches only those sig_bucket directories.
-        if Path(self.store_path).exists():
+        if self._store_has_data():
             touched = sorted(
                 r[0]
                 for r in bands.select(SIG_BUCKET_COL).distinct().collect()
@@ -251,6 +303,11 @@ class NearDupGate:
         bands = getattr(self, "_pending_bands", None)
         if bands is None:
             raise RuntimeError("record() without a preceding decide()")
+        self._check_meta()
+        # meta BEFORE the append: a crash in between leaves a dir whose
+        # only content is the sidecar — _store_has_data() still reports
+        # empty, so nothing ever reads a half-initialized store
+        self._write_meta()
         bands.join(self._pending_ids, "id", "left_semi").select(
             "band_index", "band_value", SIG_BUCKET_COL
         ).write.mode("append").partitionBy(SIG_BUCKET_COL).parquet(

@@ -597,6 +597,29 @@ class TestIvfPqLayout:
         ranks = [r.rank for r in got]
         assert ranks == sorted(ranks)
 
+    def test_batch_search_matches_per_query_on_quantized_layout(
+        self, ivfpq_coll
+    ):
+        """PQ-composed pruned layouts keep the per-query shortlist plan
+        in batch mode (a batch exact scan would diverge when the ADC
+        shortlist misses and defeat the codes-only scan) — batch results
+        must equal search_chunks exactly."""
+        s = CollectionSearcher(ivfpq_coll)
+        texts = {"a": "hash join", "b": "sort merge"}
+        by_qid: dict = {}
+        for r in s.search_chunks_many(
+            texts, max_chunks=5, indexes=("vector",)
+        ).collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",)
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
     def test_update_preserves_codes(self, spark, canonical_docs, ivfpq_coll):
         updates = canonical_docs.filter(F.col("id") == "doc-7").select(
             "id", "url", "metadata",

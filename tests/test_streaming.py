@@ -662,6 +662,44 @@ class TestNearDupGate:
         assert "PartitionFilters" in plan
         assert len(touched) < len(all_dirs)  # genuinely pruned
 
+    def test_store_meta_rejects_mismatched_gate(self, spark, tmp_path):
+        """Band values are only comparable under identical gate params
+        and bucket pruning only sound under the written modulus — a
+        mismatched gate must fail LOUDLY, not silently re-admit dups."""
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = str(tmp_path / "bands_meta")
+        NearDupGate(store).admit(self._docs(spark, [(1, self.BASE)]))
+        for bad in (
+            NearDupGate(store, num_hashes=8),
+            NearDupGate(store, store_buckets=128),
+            NearDupGate(store, shingle_words=2),
+        ):
+            with pytest.raises(ValueError, match="do not match"):
+                bad.decide(self._docs(spark, [(2, "whatever text")]))
+        # matching params still work
+        ok = NearDupGate(store)
+        assert {r.id for r in ok.decide(
+            self._docs(spark, [(3, self.BASE)])
+        ).collect()} == set()
+
+    def test_meta_less_legacy_store_refused(self, spark, tmp_path):
+        """A store without _GATE_META.json predates the bucketed layout
+        and the current hash family: its signatures are incomparable,
+        and appending bucketed rows beside flat files would HIDE the
+        legacy rows from Spark's reader — refuse instead."""
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        store = tmp_path / "bands_legacy"
+        spark.createDataFrame(
+            [(0, "999_888")], ["band_index", "band_value"]
+        ).write.parquet(str(store))
+        gate = NearDupGate(str(store))
+        with pytest.raises(RuntimeError, match="incompatible gate version"):
+            gate.decide(self._docs(spark, [(1, self.BASE)]))
+        with pytest.raises(RuntimeError, match="incompatible gate version"):
+            gate.compact_store(spark)
+
     def test_store_grows_only_by_admitted(self, spark, tmp_path):
         from documents_vector_search_spark.streaming import NearDupGate
 
