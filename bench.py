@@ -36,6 +36,7 @@ HEADLINE = [
     "knn_l2",
     "knn_batch",
     "ann_lsh",
+    "ann_batch",
     "ivf_ann",
     "pq_adc",
     "ivfpq_search",
