@@ -251,3 +251,64 @@ class TestIntervalJoinProperty:
             if s <= ts < e
         }
         assert got == expect
+
+
+class TestRepeatedSpanDifferential:
+    """repeated_span_report vs a brute-force pure-Python twin — a
+    second oracle (beyond the DuckDB one) for the newest operator."""
+
+    K = 3
+    _span_doc = st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=12
+    )
+
+    @staticmethod
+    def _py_report(texts, k, min_docs):
+        spans = {}
+        for d, t in texts.items():
+            toks = py_tokenize(t)
+            if not toks:
+                spans[d] = []
+                continue
+            n = max(len(toks) - k + 1, 1)
+            spans[d] = [" ".join(toks[i : i + k]) for i in range(n)]
+        docs_per_span: dict = {}
+        for d, ss in spans.items():
+            for s in set(ss):
+                docs_per_span.setdefault(s, set()).add(d)
+        rep = {s for s, ds in docs_per_span.items() if len(ds) >= min_docs}
+        out = {}
+        for d, ss in spans.items():
+            n_spans = len(ss)
+            dup = sum(1 for s in ss if s in rep)
+            out[d] = (n_spans, dup, (dup / n_spans) if n_spans else 0.0)
+        return out
+
+    @given(st.lists(_span_doc, min_size=2, max_size=4))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_python_brute_force(self, spark, docs_words):
+        from documents_vector_search_spark.operators.dedup import (
+            repeated_span_report,
+        )
+
+        texts = {i: " ".join(w) for i, w in enumerate(docs_words)}
+        df = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.n_spans, r.dup_spans, r.dup_ratio)
+            for r in repeated_span_report(
+                df, span_tokens=self.K, min_docs=2, materialize=False
+            ).collect()
+        }
+        expected = self._py_report(texts, self.K, 2)
+        assert set(got) == set(expected)
+        for d in expected:
+            en, ed, er = expected[d]
+            gn, gd, gr = got[d]
+            assert (gn, gd) == (en, ed), f"doc {d}"
+            assert abs(gr - er) < 1e-6, f"doc {d} ratio"
