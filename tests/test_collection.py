@@ -496,6 +496,27 @@ class TestIvfLayout:
             ]
             assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
 
+    def test_batch_search_with_metadata_filter_matches(self, ivf_coll):
+        """The allowed-chunks filter composes with the union-probe batch
+        path identically to the per-query path."""
+        s = CollectionSearcher(ivf_coll)
+        texts = {"a": "hash join", "b": "sort merge"}
+        flt = 'lang = "en"'
+        by_qid: dict = {}
+        for r in s.search_chunks_many(
+            texts, max_chunks=5, indexes=("vector",), metadata_filter=flt
+        ).collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",),
+                    metadata_filter=flt,
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
     def test_probe_matches_fixed_centroid_search(self, ivf_coll):
         """Searcher hits == ivf_search_l2_fixed over the flat vectors
         with the manifest centroids (same rounding, same tie-break)."""
