@@ -70,6 +70,7 @@ HEADLINE = [
     "vocab_stats",
     "pack_sequences",
     "perplexity",
+    "quality_classifier",
     "pii_redact",
     "line_dedup",
     "corpus_prep",

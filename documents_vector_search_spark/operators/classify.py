@@ -1,0 +1,149 @@
+"""Model-based quality scoring: a linear probe over embedding vectors.
+
+The modern corpus-curation stack filters with a trained CLASSIFIER on
+top of the heuristic signals (public precedent: fastText quality
+classifiers in GPT-3/LLaMA data work, the DCLM classifier ablations,
+FineWeb-Edu's educational-value scorer — all "small linear-ish model
+over a text representation → keep/drop score"). The reference has no
+analog (search-only system); this completes the curation family
+(operators/curation.py) with its model-based tier.
+
+Spark shape, mirroring operators/kmeans.py exactly:
+- TRAINING is tiny and iterative → bounded uniform sample to the
+  driver (same deterministic xxhash gate as the KMeans fit — layout
+  and partition independent), deterministic full-batch logistic
+  regression in float64 numpy (zero init, fixed iteration count: same
+  data → bit-identical weights, no seed needed).
+- SCORING is the 100 TB side → one map-only Column expression,
+  ``sigmoid(dot(vec, w) + b)`` via zip_with/aggregate (JVM, codegen,
+  no UDF), rounded BEFORE any comparison so the keep/drop decision is
+  engine-reproducible. Fitted weights are ROUNDED and persisted by the
+  caller (manifest/parquet), the same determinism contract as IVF
+  centroids — downstream behavior never depends on float quirks of
+  the fit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.functions.vectors import (
+    dot_product,
+    lit_double_array,
+)
+from documents_vector_search_spark.operators.kmeans import (
+    DEFAULT_SAMPLE_ROWS,
+    _GATE_MOD,
+)
+
+
+def collect_labeled_sample(
+    df: DataFrame,
+    vector_col: str,
+    label_col: str,
+    sample_rows: int = DEFAULT_SAMPLE_ROWS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """≤ ``sample_rows`` (vector, label) pairs as (X, y) numpy arrays —
+    the training-side twin of kmeans.collect_training_sample, with the
+    same uniform deterministic hash gate (on the vector values, so the
+    sample is identical under any physical layout of the same rows)."""
+    import math
+
+    sel = df.select(
+        F.col(vector_col).cast("array<double>").alias("_v"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    n = sel.count()
+    if n == 0:
+        raise ValueError("cannot fit a probe on an empty DataFrame")
+    if n > sample_rows:
+        keep = min(
+            _GATE_MOD,
+            max(1, math.ceil(_GATE_MOD * sample_rows * 1.2 / n)),
+        )
+        sel = (
+            sel.withColumn("_h", F.xxhash64("_v"))
+            .filter(F.pmod(F.col("_h"), F.lit(_GATE_MOD)) < keep)
+            .orderBy("_h")
+            .limit(sample_rows)
+            .drop("_h")
+        )
+    rows = sel.collect()
+    X = np.asarray([r._v for r in rows], dtype=np.float64)
+    y = np.asarray([r._y for r in rows], dtype=np.float64)
+    # canonical order (vectors, then label) so the fit is independent
+    # of collect order — same convention as the KMeans sample
+    order = np.lexsort(np.vstack([y[None, :], X.T])[::-1])
+    return X[order], y[order]
+
+
+def fit_linear_probe(
+    embeddings: DataFrame,
+    positive_label,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    sample_rows: int = DEFAULT_SAMPLE_ROWS,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[float], float]:
+    """Deterministic binary logistic regression: ``positive_label`` vs
+    rest. Zero-initialized full-batch gradient descent, fixed ``iters``
+    float64 steps — same sample → bit-identical ``(weights, bias)``.
+    Training cost is bounded by ``sample_rows`` regardless of corpus
+    size (the FAISS-style budget argument: probe quality saturates long
+    before the corpus does)."""
+    X, y_raw = collect_labeled_sample(
+        embeddings, vector_col, label_col, sample_rows
+    )
+    y = (y_raw == float(positive_label)).astype(np.float64)
+    n, d = X.shape
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        w -= lr * ((X.T @ err) / n + l2 * w)
+        b -= lr * float(err.mean())
+    return [float(v) for v in w], float(b)
+
+
+def linear_score_expr(
+    vec: Column, weights: Sequence[float], bias: float
+) -> Column:
+    """``sigmoid(dot(vec, w) + b)`` as a pure Column expression —
+    map-only, codegen, no Python on the scoring path."""
+    z = dot_product(vec, lit_double_array(weights)) + F.lit(float(bias))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_scores(
+    embeddings: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-row ``(id, score, keep)`` under FIXED (typically rounded +
+    persisted) probe parameters. The score is rounded BEFORE the
+    threshold comparison, so keep/drop is reproducible by any engine
+    computing the same rounded value — the classifier-filter analog of
+    the round-before-order rule every search operator here follows."""
+    score = F.round(
+        linear_score_expr(
+            F.col(vector_col).cast("array<double>"), weights, bias
+        ),
+        round_to,
+    )
+    return embeddings.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -166,6 +166,12 @@ RECURSIVE_CHUNK_EXPECTED_PATH = os.path.join(
     _ASSETS_DIR, "recursive_chunk_expected.parquet"
 )
 
+# linear-probe quality-classifier weights, persisted by
+# q_quality_classifier for its oracle (same committed-sf0.01-seed +
+# run-ordering contract as IVF_CENTROIDS_PATH): one row
+# (weights array<double>, bias double), values ROUNDED to 6
+LINEAR_PROBE_PATH = os.path.join(_ASSETS_DIR, "linear_probe.parquet")
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -440,6 +446,44 @@ def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_col="embedding",
         part_col="bucket",
     )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/classify.py): a
+    deterministic linear probe fit driver-side on a bounded uniform
+    sample (label==1 vs rest), ROUNDED weights persisted for the
+    oracle, then one map-only sigmoid(dot+b) scoring pass with the
+    keep decision on the rounded score — the DCLM/FineWeb-Edu-style
+    classifier tier of the curation family."""
+    from documents_vector_search_spark.operators.classify import (
+        classifier_scores,
+        fit_linear_probe,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _fit():
+        w, b = fit_linear_probe(emb, positive_label=1)
+        w = [round(v, 6) for v in w]
+        b = round(b, 6)
+
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        os.makedirs(_ASSETS_DIR, exist_ok=True)
+        pqt.write_table(
+            pa.table(
+                {
+                    "weights": pa.array([w], pa.list_(pa.float64())),
+                    "bias": pa.array([b], pa.float64()),
+                }
+            ),
+            LINEAR_PROBE_PATH,
+        )
+        return w, b
+
+    w, b = _fit_once(sf_dir, "quality_classifier", _fit)
+    return classifier_scores(emb, w, b)
 
 
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3194,6 +3238,15 @@ per AS (
 SELECT qid, vec_id, distance FROM per
 QUALIFY row_number() OVER (PARTITION BY qid ORDER BY distance ASC, vec_id ASC) <= 10
 """
+    d["quality_classifier"] = f"""
+WITH p AS (SELECT weights, bias FROM read_parquet('{LINEAR_PROBE_PATH}'))
+SELECT vec_id,
+       round(1/(1+exp(-(list_dot_product(embedding::DOUBLE[], p.weights)
+                        + p.bias))), 6) AS score,
+       round(1/(1+exp(-(list_dot_product(embedding::DOUBLE[], p.weights)
+                        + p.bias))), 6) >= 0.5 AS keep
+FROM embeddings, p
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3368,9 +3421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "kmv_distinct": q_kmv_distinct,
-        # new this round, out-of-window (rotates in next round): the
-        # batched union-probe ANN serving shape as an oracle row
+        # new this round, out-of-window (rotate in next round): the
+        # batched union-probe ANN serving shape and the linear-probe
+        # quality classifier as oracle rows
         "ann_batch": q_ann_batch,
+        "quality_classifier": q_quality_classifier,
     }
 
 

@@ -998,3 +998,80 @@ class TestRepeatedSpans:
             ).collect()
         )
         assert a == b
+
+
+class TestLinearProbe:
+    """operators/classify.py — deterministic linear-probe quality
+    classifier (the model-based curation tier)."""
+
+    @staticmethod
+    def _separable_df(spark):
+        # positives live at +2 on dim 0, negatives at -2: linearly
+        # separable, so a working probe must rank them apart
+        rows = [
+            (i, 1, [2.0 + (i % 7) * 0.05, float(i % 3) * 0.1])
+            for i in range(40)
+        ] + [
+            (100 + i, 0, [-2.0 - (i % 7) * 0.05, float(i % 3) * 0.1])
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def test_fit_is_deterministic_and_layout_independent(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fit_linear_probe,
+        )
+
+        df = self._separable_df(spark)
+        w1, b1 = fit_linear_probe(df, positive_label=1)
+        w2, b2 = fit_linear_probe(df.repartition(7, "vec_id"), 1)
+        w3, b3 = fit_linear_probe(df.orderBy(F.desc("vec_id")), 1)
+        assert (w1, b1) == (w2, b2) == (w3, b3)
+
+    def test_separable_data_scores_separate(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            classifier_scores,
+            fit_linear_probe,
+        )
+
+        df = self._separable_df(spark)
+        w, b = fit_linear_probe(df, positive_label=1)
+        got = {
+            r.vec_id: (r.score, r.keep)
+            for r in classifier_scores(
+                df, [round(v, 6) for v in w], round(b, 6)
+            ).collect()
+        }
+        pos = [got[i][0] for i in range(40)]
+        neg = [got[100 + i][0] for i in range(40)]
+        assert min(pos) > max(neg)  # fully ranked apart
+        assert all(got[i][1] for i in range(40))
+        assert not any(got[100 + i][1] for i in range(40))
+
+    def test_scores_match_numpy_twin(self, spark):
+        import numpy as np
+
+        from documents_vector_search_spark.operators.classify import (
+            classifier_scores,
+        )
+
+        df = self._separable_df(spark)
+        w, b = [0.31, -1.25], 0.125
+        got = {
+            r.vec_id: r.score for r in classifier_scores(df, w, b).collect()
+        }
+        for r in df.collect():
+            z = float(np.dot(r.embedding, w)) + b
+            expected = round(1.0 / (1.0 + np.exp(-z)), 6)
+            assert abs(got[r.vec_id] - expected) < 1e-9
+
+    def test_keep_threshold_on_rounded_score(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            classifier_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, [0.0, 0.0])], ["vec_id", "label", "embedding"]
+        )
+        got = classifier_scores(df, [1.0, 1.0], 0.0).first()
+        assert got.score == 0.5 and bool(got.keep) is True
