@@ -355,7 +355,7 @@ def cmd_export_shards(args) -> int:
     write_training_shards(
         docs.drop("_pb") if "_pb" in docs.columns else docs,
         args.output, n_shards=args.n_shards, id_col="id", seed=args.seed,
-        max_records_per_file=args.max_records_per_file,
+        max_records_per_file=args.max_records_per_file, fmt=args.shard_format,
     )
     # report from the source, not a second full pass over the export
     n = docs.count()
@@ -580,6 +580,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-shards", type=int, default=8)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--max-records-per-file", type=int)
+    sp.add_argument("--shard-format", choices=["parquet", "jsonl"],
+                    default="parquet")
     sp.set_defaults(func=cmd_export_shards)
 
     return p

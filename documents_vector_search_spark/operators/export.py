@@ -57,14 +57,23 @@ def write_training_shards(
     id_col: str,
     seed: int = 0,
     max_records_per_file: int | None = None,
+    fmt: str = "parquet",
 ) -> None:
-    """Materialize the shuffled corpus as ``shard=K`` parquet dirs.
+    """Materialize the shuffled corpus as ``shard=K`` directories.
 
     One repartition shuffle keyed on the shard column co-locates each
     shard in one task (so a shard's files come from one writer, and the
     within-file order IS the sorted position order), the local sort
     orders by the position key, and the partitioned write lays out one
-    directory per shard."""
+    directory per shard.
+
+    ``fmt``: ``"parquet"`` (default — columnar, the analytics-side
+    format) or ``"jsonl"`` (newline-delimited JSON via Spark's json
+    sink — what webdataset/HuggingFace-style trainer loaders stream
+    directly; gzip-compressed, since JSONL of text corpora compresses
+    ~5x and trainers decompress on the fly)."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown shard format: {fmt!r}")
     sharded = assign_shards(df, id_col, n_shards, seed)
     writer = (
         sharded.repartition(n_shards, F.col(SHARD_COL))
@@ -75,4 +84,7 @@ def write_training_shards(
     )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(path)
+    if fmt == "jsonl":
+        writer.option("compression", "gzip").json(path)
+    else:
+        writer.parquet(path)

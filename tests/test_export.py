@@ -73,3 +73,38 @@ class TestWriteShards:
         poss = [md5_hash64_py(str(i), salt=4) for i in ids]
         assert poss == sorted(poss)
         assert ids != sorted(ids)  # genuinely permuted
+
+
+class TestJsonlShards:
+    def test_jsonl_format_roundtrip_same_assignment(
+        self, spark, corpus, tmp_path
+    ):
+        """fmt='jsonl' writes gzip NDJSON shard dirs (the trainer-loader
+        format) with the IDENTICAL deterministic shard assignment as
+        parquet — only the sink changes."""
+        outp = str(tmp_path / "shards_pq")
+        outj = str(tmp_path / "shards_jl")
+        write_training_shards(corpus, outp, n_shards=4, id_col="doc_id", seed=3)
+        write_training_shards(
+            corpus, outj, n_shards=4, id_col="doc_id", seed=3, fmt="jsonl"
+        )
+        dirs = sorted(p.name for p in Path(outj).iterdir() if p.is_dir())
+        assert dirs == [f"shard={i}" for i in range(4)]
+        assert list(Path(outj).rglob("*.json.gz"))  # gzip NDJSON pieces
+        back = spark.read.json(outj)
+        assert back.count() == 500
+        pq_assign = {
+            r.doc_id: r.shard
+            for r in spark.read.parquet(outp).select("doc_id", "shard").collect()
+        }
+        jl_assign = {
+            int(r.doc_id): int(r.shard)
+            for r in back.select("doc_id", "shard").collect()
+        }
+        assert pq_assign == jl_assign
+
+    def test_unknown_format_rejected(self, corpus, tmp_path):
+        with pytest.raises(ValueError, match="unknown shard format"):
+            write_training_shards(
+                corpus, str(tmp_path / "x"), 2, "doc_id", fmt="csvish"
+            )
