@@ -131,7 +131,14 @@ ANN_LAYOUT_CACHE = "/root/repo/.cache/ann_layout"
 # fit is checked in — so the oracle SQL binds even in a fresh clone
 # where no Spark query has run yet (a gitignored path cost two rounds
 # of driver CORRECTNESS rows for ivf_ann/pq_adc).
-_ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+# DVSS_ASSETS_DIR redirects the asset read/write location (tests point
+# it at a tmp COPY of the committed seeds so a pytest run never
+# rewrites them at its smoke sf; see tests/conftest.py). Unset =
+# the committed in-package seeds, which is what the driver, compare
+# harness, and any fresh clone use.
+_ASSETS_DIR = os.environ.get("DVSS_ASSETS_DIR") or os.path.join(
+    os.path.dirname(__file__), "assets"
+)
 IVF_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivf_centroids.parquet")
 
 # fitted PQ codebooks, persisted by q_pq_adc for its oracle (same

@@ -1,6 +1,9 @@
 from __future__ import annotations
 
+import os
+import shutil
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -9,6 +12,24 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+# Redirect registry asset writes to a tmp COPY of the committed seeds:
+# several registry queries persist their fitted parameters (centroids /
+# codebooks / probe weights / expected chunks) to the assets dir for
+# their DuckDB oracles, and tests run them at the smoke sf — without
+# the redirect every pytest run would rewrite the committed sf0.01
+# seeds in the working tree. Copying (not empty-dir) keeps the
+# cold-bind guarantee testable: oracles must parse against the seeds
+# BEFORE any Spark query runs. Must happen before registry import,
+# hence at conftest import time.
+if "DVSS_ASSETS_DIR" not in os.environ:
+    _assets_tmp = tempfile.mkdtemp(prefix="dvss_test_assets_")
+    _committed = REPO_ROOT / "documents_vector_search_spark" / "assets"
+    if _committed.exists():
+        for f in _committed.iterdir():
+            if f.is_file():
+                shutil.copy2(f, _assets_tmp)
+    os.environ["DVSS_ASSETS_DIR"] = _assets_tmp
 
 
 @pytest.fixture(scope="session")
