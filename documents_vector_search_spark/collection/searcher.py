@@ -473,14 +473,15 @@ class CollectionSearcher:
         overlapping probes are read once instead of once per query, and
         per-query results still match :meth:`search_chunks`'s
         deterministic ANN contract exactly (pinned by tests).
-        Compositions where the per-query plan is NOT plain
-        prune-then-exact keep the per-query loop so batch == per-query
-        stays exact everywhere: the doubly-pruned ann+ivf layout, and
-        PQ/SQ8-composed pruned layouts (their per-query path ranks a
-        codes shortlist in the compressed domain before the exact
-        re-rank — a batch exact scan over full vectors would both
-        diverge when the shortlist misses and defeat the codes-only
-        scan that quantization exists for)."""
+        IVFPQ layouts batch in the COMPRESSED domain: one codes-only
+        scan of the union of probe clusters builds every query's ADC
+        shortlist from the same rounded lookup tables the per-query
+        plan uses (identical shortlist sets), then one exact re-rank
+        pass over the shortlisted vectors — so quantization's
+        codes-only scan is preserved AND batch == per-query stays
+        exact. Only compositions with no single probe map or a
+        per-dimension codes shortlist keep the per-query loop (the
+        doubly-pruned ann+ivf layout, SQ8-composed pruned layouts)."""
         unknown = set(indexes) - {"vector", "bm25"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
@@ -488,13 +489,12 @@ class CollectionSearcher:
         scored = []
         if "vector" in indexes:
             cfg, ivf = self._ann_config(), self._ivf_config()
-            quantized = bool(ivf and ivf.get("pq")) or (
-                self._sq_config() is not None
-            )
-            if (cfg and ivf) or ((cfg or ivf) and quantized):
+            pq_composed = bool(ivf and ivf.get("pq"))
+            sq_composed = self._sq_config() is not None
+            if (cfg and ivf) or ((cfg or ivf) and sq_composed):
                 # per-query loop: doubly-pruned layouts have no single
-                # probe map, and quantized-composed layouts rank a
-                # codes shortlist per query (see docstring)
+                # probe map, and SQ8-composed pruned layouts rank a
+                # per-dimension codes shortlist per query
                 vec_parts = [
                     self._vector_scored(text, max_chunks, allowed)
                     .withColumn("qid", F.lit(qid))
@@ -503,6 +503,54 @@ class CollectionSearcher:
                 vec = vec_parts[0]
                 for p in vec_parts[1:]:
                     vec = vec.unionByName(p)
+            elif pq_composed:
+                # batched IVFPQ: one codes scan of the union of probe
+                # clusters builds every query's ADC shortlist (same
+                # rounded LUTs as the per-query plan → identical
+                # shortlist sets), then one exact re-rank pass over the
+                # shortlisted vectors — full batch amortization with
+                # per-query parity (test-pinned)
+                from documents_vector_search_spark.operators.knn import (
+                    knn_l2_batch_grouped,
+                )
+                from documents_vector_search_spark.operators.pq import (
+                    pq_adc_batch_shortlist,
+                )
+
+                qvecs, probes = {}, {}
+                for qid, text in texts.items():
+                    qv = hash_embedding_py(text, self.embedding_dim)
+                    qvecs[qid] = qv
+                    probes[qid] = self._probe_values(qv)
+                union_parts = sorted(
+                    {p for ps in probes.values() for p in ps}
+                )
+                emb = self._read("embeddings").filter(
+                    F.col("cluster_id").isin(union_parts)
+                )
+                if allowed is not None:
+                    emb = emb.join(
+                        F.broadcast(allowed), "chunk_id", "left_semi"
+                    )
+                shortlist = pq_adc_batch_shortlist(
+                    emb,
+                    ivf["pq"]["codebooks"],
+                    qvecs,
+                    probes,
+                    max(max_chunks * self.pq_shortlist_factor, max_chunks),
+                    id_col="chunk_id",
+                    codes_col="codes",
+                    part_col="cluster_id",
+                )
+                scoped = emb.select("chunk_id", "vector").join(
+                    F.broadcast(shortlist), "chunk_id"
+                )
+                vec = knn_l2_batch_grouped(
+                    scoped, qvecs, max_chunks,
+                    id_col="chunk_id", vector_col="vector",
+                ).select(
+                    "qid", "chunk_id", (-F.col("distance")).alias("score")
+                )
             elif cfg or ivf:
                 from documents_vector_search_spark.operators.knn import (
                     knn_l2_batch_pruned,

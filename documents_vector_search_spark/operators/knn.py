@@ -328,6 +328,79 @@ def knn_l2_batch_pruned(
     )
 
 
+def knn_l2_batch_grouped(
+    scoped: DataFrame,
+    queries: dict[str, Sequence[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact L2 top-k per query over rows ALREADY SCOPED to their query
+    (input carries a ``qid`` column — e.g. the output of a per-query
+    ADC shortlist join). One Arrow pass computes each row's distance to
+    ITS query's vector, batch-local top-k bounds the shuffle, and the
+    per-qid window finishes — the re-rank half of batched IVFPQ
+    serving. Distances round to ``round_to`` before the (distance, id)
+    ordering, matching the single-query scorers exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qmap = {
+        q: np.asarray([float(x) for x in v], dtype=np.float64)
+        for q, v in queries.items()
+    }
+    id_type = scoped.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField(id_col, id_type),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("qid", sort=True):
+                q = qmap.get(qid)
+                if q is None:
+                    continue
+                m = np.array(grp[vector_col].tolist(), dtype=np.float64)
+                ids = grp[id_col].to_numpy()
+                d = np.round(np.sqrt(((m - q) ** 2).sum(-1)), round_to)
+                order = np.lexsort((ids, d))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, id_col: ids[order], "distance": d[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = scoped.select("qid", id_col, vector_col).mapInPandas(
+        local_topk, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def knn_cosine(
     embeddings: DataFrame,
     query_vector: Sequence[float],

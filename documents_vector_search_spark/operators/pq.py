@@ -243,3 +243,100 @@ def pq_adc_topk(
         .orderBy(F.col("adc_distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_adc_batch_shortlist(
+    encoded: DataFrame,
+    codebooks: Codebooks,
+    queries: dict,
+    probes: dict,
+    shortlist_size: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    part_col: str = "cluster_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query ADC shortlists for MANY queries in ONE codes scan —
+    the batch-serving front half of IVFPQ (``(qid, id)`` rows, each
+    qid's top ``shortlist_size`` codes by ADC distance over ITS probe
+    partitions only).
+
+    Parity contract with the per-query :func:`pq_adc_topk` plan: the
+    lookup tables come from the SAME :func:`pq_adc_lut` (entries
+    rounded before use), the per-row total is the same left-fold sum
+    over subspaces, and the distance is rounded to ``round_to`` before
+    the (distance, id) ordering — so each query's shortlist SET equals
+    what its standalone pruned plan would select, and the exact
+    re-rank downstream sees identical candidates.
+
+    Scale shape: one scan of the union of probe partitions reading only
+    (id, codes, part); numpy LUT gathers per Arrow batch; batch-local
+    top-S bounds the shuffle to tasks × Q × S narrow rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    qids = sorted(queries)
+    missing = [q for q in qids if q not in probes]
+    if missing:
+        raise ValueError(f"queries without probe sets: {missing}")
+    # Q × m × ksub rounded tables — identical values to the per-query
+    # expression literals
+    luts = np.asarray(
+        [pq_adc_lut(queries[q], codebooks, round_to) for q in qids],
+        dtype=np.float64,
+    )
+    probe_arrays = [np.asarray(sorted(probes[q])) for q in qids]
+    m = len(codebooks)
+    id_type = encoded.schema[id_col].dataType
+
+    def local_shortlist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf[codes_col].tolist(), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            parts_v = pdf[part_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(parts_v, probe_arrays[qi])
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                # left-fold over subspaces in j order — the same
+                # accumulation order as the expression form
+                acc = luts[qi, 0][cm[:, 0]]
+                for j in range(1, m):
+                    acc = acc + luts[qi, j][cm[:, j]]
+                d = np.round(np.sqrt(acc), round_to)
+                idm = ids[mask]
+                order = np.lexsort((idm, d))[:shortlist_size]
+                out.append(pd.DataFrame({"qid": qid, id_col: idm[order],
+                                         "_adc": d[order]}))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    # _adc rides along only for the global cut, then drops
+    from pyspark.sql.types import DoubleType
+
+    out_schema_adc = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField(id_col, id_type),
+            StructField("_adc", DoubleType()),
+        ]
+    )
+    candidates = encoded.select(id_col, codes_col, part_col).mapInPandas(
+        local_shortlist, out_schema_adc
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist_size)
+        .select("qid", id_col)
+    )

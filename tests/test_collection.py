@@ -621,16 +621,19 @@ class TestIvfPqLayout:
     def test_batch_search_matches_per_query_on_quantized_layout(
         self, ivfpq_coll
     ):
-        """PQ-composed pruned layouts keep the per-query shortlist plan
-        in batch mode (a batch exact scan would diverge when the ADC
-        shortlist misses and defeat the codes-only scan) — batch results
-        must equal search_chunks exactly."""
+        """IVFPQ batch serving runs in the compressed domain (one
+        codes scan → per-query ADC shortlists from the SAME rounded
+        LUTs as the per-query plan → one exact re-rank pass) — results
+        must equal search_chunks exactly, and the plan must be the
+        Arrow-batched shape, not a per-query union."""
         s = CollectionSearcher(ivfpq_coll)
-        texts = {"a": "hash join", "b": "sort merge"}
+        texts = {"a": "hash join", "b": "sort merge", "c": "table window"}
+        batched = s.search_chunks_many(texts, max_chunks=5, indexes=("vector",))
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # ADC shortlist + grouped re-rank
+        assert "PartitionFilters" in plan and "cluster_id" in plan
         by_qid: dict = {}
-        for r in s.search_chunks_many(
-            texts, max_chunks=5, indexes=("vector",)
-        ).collect():
+        for r in batched.collect():
             by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
         for qid, text in texts.items():
             expected = [

@@ -284,3 +284,81 @@ class TestTrainingSample:
         df = self._two_cluster_df(spark)
         X = collect_training_sample(df, "v", 1024)
         assert len(X) == 400
+
+
+class TestAdcBatchShortlist:
+    """pq_adc_batch_shortlist's parity contract: each query's shortlist
+    SET equals its standalone pruned pq_adc_topk selection."""
+
+    def test_single_query_matches_pq_adc_topk(self, embeddings_df, spark):
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+            fit_ivf,
+            round_centroids,
+        )
+        from documents_vector_search_spark.operators.pq import (
+            fit_pq,
+            pq_adc_batch_shortlist,
+            pq_adc_topk,
+            pq_encode_expr,
+        )
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        cents = round_centroids(fit_ivf(embeddings_df, nlist=4).centroids)
+        codebooks = fit_pq(embeddings_df, dim=16, m=4, ksub=8)
+        vec = F.col("embedding").cast("array<double>")
+        enc = embeddings_df.select(
+            "vec_id",
+            pq_encode_expr(vec, codebooks).alias("codes"),
+            assign_cluster_expr(vec, cents).alias("cluster_id"),
+        )
+        probes = [0, 2]
+        pruned = enc.filter(F.col("cluster_id").isin(probes))
+        expected = {
+            r.vec_id
+            for r in pq_adc_topk(pruned, codebooks, QUERY_VEC, 25).collect()
+        }
+        got = {
+            r.vec_id
+            for r in pq_adc_batch_shortlist(
+                pruned, codebooks, {"q": QUERY_VEC}, {"q": probes}, 25,
+            ).collect()
+        }
+        assert got == expected
+
+    def test_two_queries_independent_probe_masks(self, embeddings_df):
+        from documents_vector_search_spark.operators.ivf import (
+            assign_cluster_expr,
+            fit_ivf,
+            round_centroids,
+        )
+        from documents_vector_search_spark.operators.pq import (
+            fit_pq,
+            pq_adc_batch_shortlist,
+            pq_encode_expr,
+        )
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        cents = round_centroids(fit_ivf(embeddings_df, nlist=4).centroids)
+        codebooks = fit_pq(embeddings_df, dim=16, m=4, ksub=8)
+        vec = F.col("embedding").cast("array<double>")
+        enc = embeddings_df.select(
+            "vec_id",
+            pq_encode_expr(vec, codebooks).alias("codes"),
+            assign_cluster_expr(vec, cents).alias("cluster_id"),
+        )
+        qb = [v + 0.25 for v in QUERY_VEC]
+        rows = pq_adc_batch_shortlist(
+            enc.filter(F.col("cluster_id").isin([0, 1, 3])),
+            codebooks,
+            {"a": QUERY_VEC, "b": qb},
+            {"a": [0, 3], "b": [1]},
+            10,
+        ).collect()
+        clusters = {
+            r.vec_id: r.cluster_id
+            for r in enc.select("vec_id", "cluster_id").collect()
+        }
+        for r in rows:
+            allowed = {0, 3} if r.qid == "a" else {1}
+            assert clusters[r.vec_id] in allowed, r
