@@ -473,15 +473,16 @@ class CollectionSearcher:
         overlapping probes are read once instead of once per query, and
         per-query results still match :meth:`search_chunks`'s
         deterministic ANN contract exactly (pinned by tests).
-        IVFPQ layouts batch in the COMPRESSED domain: one codes-only
-        scan of the union of probe clusters builds every query's ADC
-        shortlist from the same rounded lookup tables the per-query
-        plan uses (identical shortlist sets), then one exact re-rank
-        pass over the shortlisted vectors — so quantization's
-        codes-only scan is preserved AND batch == per-query stays
-        exact. Only compositions with no single probe map or a
-        per-dimension codes shortlist keep the per-query loop (the
-        doubly-pruned ann+ivf layout, SQ8-composed pruned layouts)."""
+        Quantized pruned layouts batch in the COMPRESSED domain: one
+        codes-only scan of the union of probe partitions builds every
+        query's shortlist — ADC lookup tables for IVFPQ, per-dimension
+        decode for SQ8-composed — from the same rounded math as the
+        per-query plan (identical shortlist sets), then one exact
+        re-rank pass over the shortlisted vectors. So quantization's
+        codes-only scan is preserved AND batch == per-query stays exact
+        on every constructible layout (create_collection rejects
+        ann+ivf, the one composition that would have no single probe
+        map)."""
         unknown = set(indexes) - {"vector", "bm25"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
@@ -491,10 +492,9 @@ class CollectionSearcher:
             cfg, ivf = self._ann_config(), self._ivf_config()
             pq_composed = bool(ivf and ivf.get("pq"))
             sq_composed = self._sq_config() is not None
-            if (cfg and ivf) or ((cfg or ivf) and sq_composed):
-                # per-query loop: doubly-pruned layouts have no single
-                # probe map, and SQ8-composed pruned layouts rank a
-                # per-dimension codes shortlist per query
+            if cfg and ivf:
+                # defensive only: create_collection rejects ann+ivf, so
+                # no constructible layout reaches this per-query loop
                 vec_parts = [
                     self._vector_scored(text, max_chunks, allowed)
                     .withColumn("qid", F.lit(qid))
@@ -503,6 +503,56 @@ class CollectionSearcher:
                 vec = vec_parts[0]
                 for p in vec_parts[1:]:
                     vec = vec.unionByName(p)
+            elif (cfg or ivf) and sq_composed:
+                # batched SQ8-composed pruned serving: one codes-only
+                # union scan builds every query's decoded-distance
+                # shortlist (same decode + fold order as the per-query
+                # expression → identical shortlist sets), then one
+                # exact re-rank pass
+                from documents_vector_search_spark.operators.knn import (
+                    knn_l2_batch_grouped,
+                )
+                from documents_vector_search_spark.operators.sq import (
+                    sq_adc_batch_shortlist,
+                )
+
+                sq = self._sq_config()
+                part_col = "bucket" if cfg else "cluster_id"
+                qvecs, probes = {}, {}
+                for qid, text in texts.items():
+                    qv = hash_embedding_py(text, self.embedding_dim)
+                    qvecs[qid] = qv
+                    probes[qid] = self._probe_values(qv)
+                union_parts = sorted(
+                    {p for ps in probes.values() for p in ps}
+                )
+                emb = self._read("embeddings").filter(
+                    F.col(part_col).isin(union_parts)
+                )
+                if allowed is not None:
+                    emb = emb.join(
+                        F.broadcast(allowed), "chunk_id", "left_semi"
+                    )
+                shortlist = sq_adc_batch_shortlist(
+                    emb,
+                    sq["mins"],
+                    sq["maxs"],
+                    qvecs,
+                    probes,
+                    max(max_chunks * self.sq8_shortlist_factor, max_chunks),
+                    id_col="chunk_id",
+                    codes_col="codes",
+                    part_col=part_col,
+                )
+                scoped = emb.select("chunk_id", "vector").join(
+                    F.broadcast(shortlist), "chunk_id"
+                )
+                vec = knn_l2_batch_grouped(
+                    scoped, qvecs, max_chunks,
+                    id_col="chunk_id", vector_col="vector",
+                ).select(
+                    "qid", "chunk_id", (-F.col("distance")).alias("score")
+                )
             elif pq_composed:
                 # batched IVFPQ: one codes scan of the union of probe
                 # clusters builds every query's ADC shortlist (same

@@ -226,3 +226,102 @@ def sq_search_l2(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sq_adc_batch_shortlist(
+    encoded: DataFrame,
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    queries: dict,
+    probes: dict,
+    shortlist_size: int,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    part_col: str = "cluster_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query decoded-distance shortlists for MANY queries in ONE
+    codes scan — the batch-serving front half of an SQ8-composed pruned
+    layout (``(qid, id)`` rows, each qid's top ``shortlist_size`` codes
+    by decoded L2 over ITS probe partitions only).
+
+    Parity contract with the per-query :func:`sq_adc_distance_expr`
+    plan: the decode is the same ``mn + c/255*(mx-mn)`` per dimension,
+    the squared terms accumulate in the same left-to-right dimension
+    order, and the distance rounds to ``round_to`` before the
+    (distance, id) ordering — so each query's shortlist SET matches its
+    standalone pruned plan and the exact re-rank sees identical
+    candidates. Same scale shape as pq_adc_batch_shortlist: union scan
+    of (id, codes, part), batch-local top-S, tasks × Q × S shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    qids = sorted(queries)
+    missing = [q for q in qids if q not in probes]
+    if missing:
+        raise ValueError(f"queries without probe sets: {missing}")
+    mn = np.asarray([float(x) for x in mins], dtype=np.float64)
+    span = np.asarray([float(x) for x in maxs], dtype=np.float64) - mn
+    qmat = np.asarray(
+        [[float(x) for x in queries[q]] for q in qids], dtype=np.float64
+    )
+    probe_arrays = [np.asarray(sorted(probes[q])) for q in qids]
+    dim = len(mn)
+    id_type = encoded.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("qid", StringType()),
+            StructField(id_col, id_type),
+            StructField("_adc", DoubleType()),
+        ]
+    )
+
+    def local_shortlist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf[codes_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            parts_v = pdf[part_col].to_numpy()
+            decoded = mn + (codes / 255.0) * span
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(parts_v, probe_arrays[qi])
+                if not mask.any():
+                    continue
+                terms = (qmat[qi] - decoded[mask]) ** 2
+                # left-to-right dimension fold — the expression's order
+                acc = terms[:, 0].copy()
+                for j in range(1, dim):
+                    acc += terms[:, j]
+                d = np.round(np.sqrt(acc), round_to)
+                idm = ids[mask]
+                order = np.lexsort((idm, d))[:shortlist_size]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, id_col: idm[order], "_adc": d[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    candidates = encoded.select(id_col, codes_col, part_col).mapInPandas(
+        local_shortlist, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist_size)
+        .select("qid", id_col)
+    )

@@ -1386,3 +1386,51 @@ class TestPartitionScopedUpdate:
         )
         s = CollectionSearcher(coll)
         assert len(s.search("LEGACY", max_documents=3).collect()) >= 0
+
+
+class TestSq8IvfComposedBatch:
+    """SQ8 composed with IVF pruning: batch serving must run the
+    compressed-domain shortlist (sq_adc_batch_shortlist) and match the
+    per-query path exactly."""
+
+    @pytest.fixture(scope="class")
+    def sq8_ivf_coll(self, spark, canonical_docs, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("sq8ivf"))
+        coll = Collection(spark, base, "sq8ivf")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            sq8=True, ivf_nlist=4,
+        )
+        return coll
+
+    def test_batch_matches_per_query(self, sq8_ivf_coll):
+        s = CollectionSearcher(sq8_ivf_coll)
+        texts = {"a": "hash join", "b": "sort merge", "c": "table window"}
+        batched = s.search_chunks_many(texts, max_chunks=5, indexes=("vector",))
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan  # decode shortlist + grouped re-rank
+        assert "PartitionFilters" in plan and "cluster_id" in plan
+        by_qid: dict = {}
+        for r in batched.collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",)
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
+    def test_hybrid_batch_consistent(self, sq8_ivf_coll):
+        s = CollectionSearcher(sq8_ivf_coll)
+        texts = {"a": "hash join vector", "b": "columnar scan"}
+        by_qid: dict = {}
+        for r in s.search_chunks_many(texts, max_chunks=5).collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(text, max_chunks=5).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
