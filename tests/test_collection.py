@@ -1434,3 +1434,32 @@ class TestSq8IvfComposedBatch:
                 for r in s.search_chunks(text, max_chunks=5).collect()
             ]
             assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
+    def test_sq8_ann_bucket_composition_batches_too(
+        self, spark, canonical_docs, tmp_path_factory
+    ):
+        """The SRP-bucket twin of the composition: same batch path with
+        part_col=bucket, same exact parity."""
+        base = str(tmp_path_factory.mktemp("sq8ann"))
+        coll = Collection(spark, base, "sq8ann")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40,
+            sq8=True, ann_planes=3,
+        )
+        s = CollectionSearcher(coll)
+        texts = {"a": "hash join", "b": "sort merge"}
+        batched = s.search_chunks_many(texts, max_chunks=5, indexes=("vector",))
+        plan = batched._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "PartitionFilters" in plan and "bucket" in plan
+        by_qid: dict = {}
+        for r in batched.collect():
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks(
+                    text, max_chunks=5, indexes=("vector",)
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
