@@ -1,7 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...} — and writes the same object (pretty,
+durable) to bench_results.json ($SPARK_GRAFT_BENCH_OUT overrides), so a
+truncated stdout capture can never lose the per-query numbers.
 
 Each query executes end-to-end into a noop sink (full computation, no
 driver-side row transfer skewing the measurement). Every headline query
@@ -154,6 +156,17 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Persist the full artifact alongside stdout: the r5 driver capture
+    # truncated the stdout tail and lost ~28 per-query timings forever
+    # (r5 VERDICT "What's missing" #3) — the committed file is the
+    # durable record.
+    results_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"),
+    )
+    with open(results_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(out))
     spark.stop()
 

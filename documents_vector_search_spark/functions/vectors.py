@@ -65,6 +65,24 @@ def sq_l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def seq_fold_sum(terms):
+    """Sum a numpy array over its LAST axis with a sequential left fold
+    — the exact addition order of :func:`sq_l2_distance`'s
+    ``F.aggregate(..., 0.0, acc + x)``. numpy's default ``.sum()`` uses
+    pairwise summation, which can differ from the fold in the last ulp
+    and flip a 0.5e-6 rounding boundary, so numpy twins of expression
+    scorers (knn/ivf/pq) must fold through here to keep their "results
+    identical" parity claims exact rather than statistical (r5 ADVICE).
+    D vectorized adds per batch — negligible next to Arrow transfer.
+    """
+    import numpy as np
+
+    acc = np.zeros(terms.shape[:-1], dtype=np.float64)
+    for i in range(terms.shape[-1]):
+        acc = acc + terms[..., i]
+    return acc
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     """Euclidean distance — the reference's metric (IndexFlatL2)."""
     return F.sqrt(sq_l2_distance(a, b))

@@ -75,8 +75,13 @@ def collect_labeled_sample(
     rows = sel.collect()
     X = np.asarray([r._v for r in rows], dtype=np.float64)
     y = np.asarray([r._y for r in rows], dtype=np.float64)
-    # canonical order (vectors, then label) so the fit is independent
-    # of collect order — same convention as the KMeans sample
+    # canonical order so the fit is independent of collect order.
+    # lexsort's PRIMARY key is the LAST row of the stack, so after the
+    # [::-1] reversal rows sort by label first, then vector dims in
+    # index order — a deliberate total order (ties across identical
+    # (label, vector) rows are interchangeable), differing from the
+    # KMeans sample's vector-dims-first convention but equally
+    # deterministic.
     order = np.lexsort(np.vstack([y[None, :], X.T])[::-1])
     return X[order], y[order]
 

@@ -125,7 +125,15 @@ def contamination_report(
     broadcast when the gram set fits ``auto_broadcast_bytes``, else the
     shuffle path — so a pipeline that suddenly points at a full
     eval-harness union does not OOM its executors on a manual default.
-    ``broadcast=True``/``False`` force a side, skipping the estimate.
+    NOTE: the estimate is an EAGER single-column aggregate over
+    ``benchmark`` at plan-construction time, so the benchmark plan is
+    evaluated twice (once for the estimate, once in the gram join). A
+    benchmark that is itself an expensive derived plan should be
+    ``.cache()``-ed by the caller before being passed in, or force the
+    strategy with ``broadcast=True``/``False`` — both forced sides skip
+    the estimate entirely. The chars/6 token heuristic also ignores any
+    ``tokens_col`` precomputation; it only has to land on the right
+    side of the 64 MB cutover.
 
     The shuffle path is the scale fallback for an eval suite too large
     to ship to every executor (a full eval-harness union can reach

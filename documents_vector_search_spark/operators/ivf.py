@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from documents_vector_search_spark.functions.vectors import (
     l2_distance,
     lit_double_array,
+    seq_fold_sum,
 )
 
 
@@ -97,8 +98,9 @@ def assign_cluster_pandas(
         m = np.array(v.tolist(), dtype=np.float64)
         if m.size == 0:
             return pd.Series([], dtype="int32")
-        # direct (x - c)^2 form: same op order as the expression/SQL
-        d = np.sqrt(((m[:, None, :] - cmat[None, :, :]) ** 2).sum(-1))
+        # direct (x - c)^2 with a sequential dim fold: same op order
+        # as the expression/SQL (functions/vectors.seq_fold_sum)
+        d = np.sqrt(seq_fold_sum((m[:, None, :] - cmat[None, :, :]) ** 2))
         d = np.round(d, round_to)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 

@@ -33,6 +33,7 @@ from documents_vector_search_spark.functions.vectors import (
     cosine_similarity,
     l2_distance,
     lit_double_array,
+    seq_fold_sum,
 )
 
 
@@ -66,6 +67,11 @@ def knn_l2(
     return scored.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k)
 
 
+# sequential-fold squared-sum shared with the ivf/pq numpy twins — see
+# functions/vectors.seq_fold_sum for why pairwise np.sum is not used
+_seq_fold_sum = seq_fold_sum
+
+
 def knn_l2_numpy(
     embeddings: DataFrame,
     query_vector: Sequence[float],
@@ -95,7 +101,7 @@ def knn_l2_numpy(
     @F.pandas_udf(DoubleType())
     def l2_batch(v):
         m = np.array(v.tolist(), dtype=np.float64)
-        return pd.Series(np.sqrt(((m - q) ** 2).sum(axis=1)))
+        return pd.Series(np.sqrt(_seq_fold_sum((m - q) ** 2)))
 
     dist = l2_batch(F.col(vector_col))
     if round_to is not None:
@@ -128,10 +134,13 @@ def knn_l2_auto(
 ) -> DataFrame:
     """Pick the exact-kNN scorer by query dimension — expression
     (codegen, oracle-parity path) for narrow vectors, vectorized numpy
-    for wide. Results are identical either way (both round to
-    ``round_to`` BEFORE the (distance, id) ordering; parity-pinned in
-    tests), so serving layers can dispatch freely on the manifest's
-    recorded dim."""
+    for wide. Results are identical either way: the numpy scorer sums
+    squared terms with the SAME sequential dimension fold as the
+    expression (_seq_fold_sum — not numpy's pairwise sum, which could
+    differ in the last ulp and flip a 0.5e-6 rounding boundary), and
+    both round to ``round_to`` BEFORE the (distance, id) ordering
+    (parity-pinned in tests), so serving layers can dispatch freely on
+    the manifest's recorded dim."""
     fn = knn_l2_numpy if len(query_vector) >= NUMPY_KNN_MIN_DIM else knn_l2
     return fn(
         embeddings,
@@ -199,9 +208,9 @@ def knn_l2_batch(
                 continue
             m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
-            # rows × Q × dim diff: exact same op order as the
-            # per-element expression form (parity with the SQL oracle)
-            d = np.sqrt(((m[:, None, :] - qmat[None, :, :]) ** 2).sum(-1))
+            # rows × Q × dim diff, sequential dim fold: exact same op
+            # order as the expression form (parity with the SQL oracle)
+            d = np.sqrt(_seq_fold_sum((m[:, None, :] - qmat[None, :, :]) ** 2))
             d = np.round(d, round_to)
             parts = []
             for j, qid in enumerate(qids):
@@ -293,8 +302,9 @@ def knn_l2_batch_pruned(
             m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             parts_v = pdf[part_col].to_numpy()
-            # rows × Q × dim diff: same op order as the expression form
-            d = np.sqrt(((m[:, None, :] - qmat[None, :, :]) ** 2).sum(-1))
+            # rows × Q × dim diff, sequential dim fold: same op order
+            # as the expression form
+            d = np.sqrt(_seq_fold_sum((m[:, None, :] - qmat[None, :, :]) ** 2))
             d = np.round(d, round_to)
             out = []
             for j, qid in enumerate(qids):
@@ -378,7 +388,9 @@ def knn_l2_batch_grouped(
                     continue
                 m = np.array(grp[vector_col].tolist(), dtype=np.float64)
                 ids = grp[id_col].to_numpy()
-                d = np.round(np.sqrt(((m - q) ** 2).sum(-1)), round_to)
+                d = np.round(
+                    np.sqrt(_seq_fold_sum((m - q) ** 2)), round_to
+                )
                 order = np.lexsort((ids, d))[:k]
                 out.append(
                     pd.DataFrame(

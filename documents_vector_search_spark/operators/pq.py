@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.vectors import (
     lit_double_array,
+    seq_fold_sum,
     sq_l2_distance,
 )
 
@@ -171,7 +172,9 @@ def pq_encode_pandas(
         codes = np.empty((mat.shape[0], m), dtype="int32")
         for j in range(m):
             sub = mat[:, j * dsub:(j + 1) * dsub]
-            d = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(-1)
+            # sequential dim fold — same op order as the expression
+            # encoder (functions/vectors.seq_fold_sum)
+            d = seq_fold_sum((sub[:, None, :] - cbs[j][None, :, :]) ** 2)
             codes[:, j] = np.argmin(np.round(d, round_to), axis=1)
         return pd.Series(list(codes))
 

@@ -77,6 +77,15 @@ class NearDupGate:
     false-drop rate in single digits while still catching most ≥0.7
     near-dups; loosen to num_hashes=8 only when recall against lightly
     edited reposts outweighs silently dropping novel documents.
+
+    ``store_path`` must be a LOCAL-FILESYSTEM path: the metadata
+    compatibility check, crash recovery, and compaction swap go through
+    pathlib (``Path.rglob`` / ``rename``), which an ``s3://`` or
+    ``hdfs://`` URI would silently bypass — the gate would see "no
+    store" and skip the compatibility guard. Streaming state belongs on
+    the driver-local disk (or a mounted DFS path that LOOKS local);
+    routing the store through the Hadoop FS API is the documented
+    follow-up if an object-store URI is ever needed.
     """
 
     def __init__(
@@ -89,6 +98,13 @@ class NearDupGate:
         text_col: str = "text",
         store_buckets: int = 64,
     ):
+        if "://" in store_path:
+            # pathlib-based meta/recovery/compaction would silently
+            # no-op on a scheme URI (see class docstring) — refuse
+            raise ValueError(
+                "NearDupGate store_path must be a local filesystem "
+                f"path, got URI {store_path!r}"
+            )
         self.store_path = store_path
         self.num_hashes = num_hashes
         self.bands = bands
@@ -204,7 +220,23 @@ class NearDupGate:
         corpora shrinks by the repeat factor, and file count resets
         from one-per-batch-task to one. Two-phase swap (stage → park →
         commit) with roll-forward recovery, same discipline as the
-        collection updater."""
+        collection updater.
+
+        CONCURRENCY CONTRACT — single writer, sequential calls only:
+        compact must run from the same control loop as decide/record
+        (e.g. a foreachBatch maintenance slot between batches), never
+        concurrently with them. A concurrent decide would race the
+        rename swap twice over: its ``_recover()`` treats the staged
+        ``__tmp``/parked ``__old`` dirs as crash orphans and deletes
+        them mid-swap, and a store scan planned before the swap would
+        read files the commit step deletes. What IS safe — and pinned
+        by test_streaming.py::test_compact_crash_windows — is a CRASH
+        at any point of the sequence: the next decide/record/compact
+        first runs ``_recover()`` and sees either the complete old
+        store or the complete compacted store, never a partial one
+        (the staged tmp is complete before the first rename, and the
+        parked old dir is restored if the commit rename never
+        happened)."""
         import shutil
 
         self._recover()

@@ -426,6 +426,21 @@ class TestAnnLayout:
         got = s.search("hash join vector", max_documents=5).collect()
         assert 0 < len(got) <= 5
 
+    def test_ann_plus_ivf_manifest_refused_in_batch_serving(self, ann_coll):
+        """create_collection rejects ann_planes+ivf_nlist, so the only
+        way to reach an ann+ivf searcher is a hand-built manifest; the
+        batch path refuses it loudly instead of silently serving an
+        untested composition (the former defensive per-query fallback
+        loop was unreachable dead code and is gone)."""
+        import pytest
+
+        s = CollectionSearcher(ann_coll)
+        s._ivf_cfg = {"nlist": 8, "nprobe": 2}  # simulate hand-built manifest
+        with pytest.raises(ValueError, match="both ann and ivf"):
+            s.search_chunks_many(
+                {"a": "hash join"}, max_chunks=5, indexes=("vector",)
+            )
+
     def test_update_preserves_layout(self, spark, canonical_docs, ann_coll):
         updates = canonical_docs.filter(F.col("id") == "doc-2").select(
             "id", "url", "metadata",

@@ -594,6 +594,74 @@ class TestNearDupGate:
         ]))
         assert {r.id for r in admitted.collect()} == {4}
 
+    def test_compact_crash_windows(self, spark, tmp_path):
+        """A crash at ANY point of compact_store's stage → park →
+        commit sequence leaves the next decide() a COMPLETE store —
+        either the old one or the compacted one, never a partial or
+        empty view (the docstring's crash contract; true concurrency
+        is explicitly unsupported). Each window is replayed by
+        reproducing compact's directory states by hand and asserting
+        a known duplicate still drops."""
+        import shutil
+        from pathlib import Path as P
+
+        from documents_vector_search_spark.streaming import NearDupGate
+
+        def fresh_store(name):
+            store = str(tmp_path / name)
+            gate = NearDupGate(store)
+            gate.admit(self._docs(spark, [(1, self.BASE)]))
+            gate.admit(self._docs(spark, [(1, self.BASE)]))  # repeat rows
+            return store, gate
+
+        def staged_tmp(store, gate):
+            """Reproduce compact's staging step: complete __tmp dir."""
+            live, tmp = P(store), P(store + "__tmp")
+            (
+                spark.read.parquet(store)
+                .distinct()
+                .repartition(gate.store_buckets, "sig_bucket")
+                .write.mode("overwrite")
+                .partitionBy("sig_bucket")
+                .parquet(str(tmp))
+            )
+            gate._write_meta(tmp)
+            return live, tmp
+
+        def assert_dup_still_drops(store, doc_id):
+            admitted = NearDupGate(store).admit(
+                self._docs(spark, [(doc_id, self.BASE)])
+            )
+            assert admitted.count() == 0, "duplicate admitted after crash"
+
+        # window A: crash after staging __tmp, before any rename —
+        # recovery discards the orphan stage, old store intact
+        store, gate = fresh_store("bandsA")
+        staged_tmp(store, gate)
+        assert_dup_still_drops(store, 10)
+        assert not P(store + "__tmp").exists()
+
+        # window B: crash after live→__old, before __tmp→live —
+        # recovery restores the parked old store
+        store, gate = fresh_store("bandsB")
+        live, tmp = staged_tmp(store, gate)
+        live.rename(P(store + "__old"))
+        assert_dup_still_drops(store, 11)
+        assert not P(store + "__old").exists()
+        assert not P(store + "__tmp").exists()
+
+        # window C: crash after __tmp→live, before rmtree(__old) —
+        # recovery keeps the committed compacted store, drops the park
+        store, gate = fresh_store("bandsC")
+        live, tmp = staged_tmp(store, gate)
+        live.rename(P(store + "__old"))
+        tmp.rename(live)
+        assert_dup_still_drops(store, 12)
+        assert not P(store + "__old").exists()
+        # committed store is the compacted one: one file per bucket dir
+        for d in P(store).glob("sig_bucket=*"):
+            assert len(list(d.glob("*.parquet"))) == 1
+
     def test_decide_without_record_is_retry_safe(self, spark, tmp_path):
         """foreachBatch is at-least-once: a batch whose merge failed
         before record() must get the IDENTICAL admission decision on
