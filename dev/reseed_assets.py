@@ -31,6 +31,7 @@ ASSET_QUERIES = [
     "semdedup",
     "recursive_chunk",
     "quality_classifier",
+    "quality_classifier_text",
 ]
 
 

@@ -204,6 +204,10 @@ RECURSIVE_CHUNK_EXPECTED_PATH = os.path.join(
 # (weights array<double>, bias double), values ROUNDED to 6
 LINEAR_PROBE_PATH = os.path.join(_ASSETS_DIR, "linear_probe.parquet")
 
+# hashed-n-gram text-probe weights (operators/classify.py text tier),
+# persisted by q_quality_classifier_text — same one-row contract
+TEXT_PROBE_PATH = os.path.join(_ASSETS_DIR, "text_probe.parquet")
+
 DOC_FILTER = 'lang = "en" and n_chars >= "300" or lang = "fr" and n_chars < "150"'
 EVENT_FILTER = (
     'event_type != "error" and ts >= "2024-01-10 00:00:00" and value > "50" '
@@ -516,6 +520,53 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w, b = _fit_once(sf_dir, "quality_classifier", _fit)
     return classifier_scores(emb, w, b)
+
+
+def q_quality_classifier_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-feature quality classifier (operators/classify.py text
+    tier): the fastText/DCLM-style variant that scores RAW TEXT through
+    hashed word-n-gram features, so classifier filtering works on
+    corpora without embeddings. Fit is a bounded deterministic
+    driver-side logistic loop on (text, label) rows (labels joined
+    from the embeddings table); scoring is one map-only expression —
+    tokenize → unigrams+bigrams → md5-bucket → weight-mean → sigmoid —
+    with ROUNDED weights persisted for the oracle (linear_probe
+    contract)."""
+    from documents_vector_search_spark.operators.classify import (
+        fit_text_probe,
+        text_classifier_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _fit():
+        labeled = docs.join(
+            _t(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+            "doc_id",
+        )
+        w, b = fit_text_probe(labeled, positive_label=1)
+        w = [round(v, 6) for v in w]
+        b = round(b, 6)
+
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        os.makedirs(_ASSETS_DIR, exist_ok=True)
+        pqt.write_table(
+            pa.table(
+                {
+                    "weights": pa.array([w], pa.list_(pa.float64())),
+                    "bias": pa.array([b], pa.float64()),
+                }
+            ),
+            TEXT_PROBE_PATH,
+        )
+        return w, b
+
+    w, b = _fit_once(sf_dir, "quality_classifier_text", _fit)
+    return text_classifier_scores(docs, w, b)
 
 
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3279,6 +3330,37 @@ SELECT vec_id,
                         + p.bias))), 6) >= 0.5 AS keep
 FROM embeddings, p
 """
+    # text probe: unigrams + bigrams (word_shingles short-doc
+    # convention: <2 tokens -> one gram of all tokens; "" grams
+    # dropped), md5-bucketed into len(weights) slots, logit =
+    # bias + mean(weights[bucket]) (0 contribution for gram-less docs)
+    d["quality_classifier_text"] = f"""
+WITH t AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_filter(
+           list_concat(
+             toks,
+             list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                            i -> array_to_string(toks[i:i+1], ' '))
+           ), x -> x <> '') AS grams
+  FROM t
+),
+p AS (SELECT weights, bias FROM read_parquet('{TEXT_PROBE_PATH}')),
+z AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN list_sum(list_transform(grams,
+                     gr -> p.weights[CAST({md5_hash64_sql("gr")}
+                                          % len(p.weights) AS INT) + 1]))
+                   / len(grams)
+              ELSE 0.0 END + p.bias AS logit
+  FROM g, p
+)
+SELECT doc_id, round(1/(1+exp(-logit)), 6) AS score,
+       round(1/(1+exp(-logit)), 6) >= 0.5 AS keep
+FROM z
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3372,6 +3454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-green (new in r5) -------------------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
+        # -- new this round: hashed-n-gram text-probe classifier ----------
+        "quality_classifier_text": q_quality_classifier_text,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

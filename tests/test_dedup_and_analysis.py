@@ -1075,3 +1075,112 @@ class TestLinearProbe:
         )
         got = classifier_scores(df, [1.0, 1.0], 0.0).first()
         assert got.score == 0.5 and bool(got.keep) is True
+
+
+class TestTextProbe:
+    """operators/classify.py text tier — hashed-n-gram (fastText/DCLM
+    style) classifier for corpora without embeddings."""
+
+    POS = [
+        "the careful study analyses results with rigorous method",
+        "a detailed study of query engines analyses shuffle method",
+        "rigorous analyses of the method behind study results",
+    ]
+    NEG = [
+        "click here buy now win big prizes click now",
+        "buy cheap now win prizes click here buy cheap",
+        "win now click prizes buy here now win cheap",
+    ]
+
+    def _df(self, spark):
+        rows = [(i, t, 1) for i, t in enumerate(self.POS * 5)] + [
+            (100 + i, t, 0) for i, t in enumerate(self.NEG * 5)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    def test_featurization_matches_expression(self, spark):
+        """The driver-side Python featurizer and the scoring
+        expression's gram/bucket pipeline agree per occurrence —
+        including short-doc and empty-doc conventions."""
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64,
+        )
+        from documents_vector_search_spark.operators.classify import (
+            _gram_array,
+            text_gram_buckets_py,
+        )
+
+        texts = ["The quick, brown FOX!", "", "one", "a b", " ,, ",
+                 "x1 y2 z3 x1 y2"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        expr = F.transform(
+            _gram_array(F.col("text"), 2),
+            lambda g: F.pmod(md5_hash64(g), F.lit(256)).cast("int"),
+        )
+        got = {r.doc_id: r.b for r in df.select("doc_id", expr.alias("b")).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == text_gram_buckets_py(t, 256, 2), t
+
+    def test_fit_is_deterministic_and_layout_independent(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fit_text_probe,
+        )
+
+        df = self._df(spark)
+        w1, b1 = fit_text_probe(df, positive_label=1)
+        w2, b2 = fit_text_probe(df.repartition(7, "doc_id"), 1)
+        w3, b3 = fit_text_probe(df.orderBy(F.desc("doc_id")), 1)
+        assert (w1, b1) == (w2, b2) == (w3, b3)
+
+    def test_separable_text_scores_separate(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fit_text_probe,
+            text_classifier_scores,
+        )
+
+        df = self._df(spark)
+        w, b = fit_text_probe(df, positive_label=1)
+        got = {
+            r.doc_id: (r.score, r.keep)
+            for r in text_classifier_scores(
+                df, [round(v, 6) for v in w], round(b, 6)
+            ).collect()
+        }
+        pos = [got[i][0] for i in range(15)]
+        neg = [got[100 + i][0] for i in range(15)]
+        assert min(pos) > max(neg)
+        assert all(got[i][1] for i in range(15))
+        assert not any(got[100 + i][1] for i in range(15))
+
+    def test_empty_doc_scores_sigmoid_bias(self, spark):
+        import numpy as np
+
+        from documents_vector_search_spark.operators.classify import (
+            text_classifier_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, " ,,;; ")], ["doc_id", "text"]
+        )
+        w = [5.0] * 256  # any gram contribution would be visible
+        got = text_classifier_scores(df, w, -1.0).collect()
+        expected = round(1.0 / (1.0 + np.exp(1.0)), 6)
+        for r in got:
+            assert r.score == expected and bool(r.keep) is False
+
+    def test_scoring_plan_is_python_free(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            text_classifier_scores,
+        )
+
+        df = self._df(spark)
+        plan = (
+            text_classifier_scores(df, [0.1] * 256, 0.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # map-only
