@@ -32,11 +32,35 @@ DEFAULT_FETCH_END_LINE = 250
 
 
 class CollectionRegistry:
-    """Manifest discovery + per-collection searcher cache."""
+    """Manifest discovery + per-collection searcher cache.
 
-    def __init__(self, spark: SparkSession, base_path: str):
+    ``cache_tables=True`` (default): searchers persist their index
+    tables in executor memory — right for a long-lived serving process
+    (measured at sf0.01, local[32]: steady-state hybrid search 1.0-1.6s
+    cached vs 1.8-2.4s re-reading parquet per query). After an external
+    update/delete/compact of a served collection, call
+    :meth:`refresh` — cached frames otherwise keep serving the
+    pre-mutation rows (see CollectionSearcher.refresh).
+
+    :meth:`warm` pays the first-query cost at STARTUP: the very first
+    search in a fresh JVM costs ~9-11s at sf0.01 regardless of layout
+    (whole-stage-codegen compilation + JVM JIT + parquet listing — NOT
+    quantization-specific; flat measures the same), while every later
+    query with a fresh query string costs ~1-1.6s (literals recompile
+    per query, but the JIT'd compiler and listed files are hot). A
+    serving process that warms at startup serves its first user query
+    in ~1.5s instead of ~10s.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        cache_tables: bool = True,
+    ):
         self.spark = spark
         self.base_path = base_path
+        self.cache_tables = cache_tables
         self._searchers: dict[str, CollectionSearcher] = {}
         self._lock = threading.Lock()
 
@@ -64,8 +88,48 @@ class CollectionRegistry:
                 coll = Collection(self.spark, self.base_path, name)
                 if not coll.exists():
                     raise KeyError(f"collection does not exist: {name}")
-                self._searchers[name] = CollectionSearcher(coll)
+                self._searchers[name] = CollectionSearcher(
+                    coll, cache_tables=self.cache_tables
+                )
             return self._searchers[name]
+
+    def refresh(self, name: str | None = None) -> None:
+        """Drop cached tables/configs so the next search sees the
+        collection's CURRENT on-disk state — call after an external
+        update / delete / refit / compact. ``name=None`` refreshes
+        every cached searcher."""
+        with self._lock:
+            targets = (
+                [self._searchers[name]]
+                if name is not None and name in self._searchers
+                else list(self._searchers.values())
+                if name is None
+                else []
+            )
+        for s in targets:
+            s.refresh()
+
+    def warm(self, names: list[str] | None = None) -> dict[str, float]:
+        """Run one representative hybrid search per collection so the
+        FIRST user query doesn't pay JVM/codegen/listing cold-start
+        (class docstring has the measurements). Returns per-collection
+        warmup seconds. Failures are swallowed per collection — a
+        corrupt collection must not stop the server from starting."""
+        import time
+
+        if names is None:
+            names = [c["name"] for c in self.list_collections()]
+        took: dict[str, float] = {}
+        for name in names:
+            t0 = time.time()
+            try:
+                self.searcher(name).search(
+                    "warmup probe query", max_chunks=1
+                ).collect()
+                took[name] = round(time.time() - t0, 3)
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                took[name] = float("nan")
+        return took
 
     def collection(self, name: str) -> Collection:
         coll = Collection(self.spark, self.base_path, name)
@@ -187,5 +251,6 @@ def serve_mcp(base_path: str, transport: str = "stdio"):  # pragma: no cover
     from documents_vector_search_spark.session import get_spark
 
     registry = CollectionRegistry(get_spark(app_name="dvss-mcp"), base_path)
+    registry.warm()  # first user query ~1.5s instead of ~10s cold
     app = build_mcp_app(registry, FastMCP)
     app.run(transport=transport)

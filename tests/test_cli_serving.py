@@ -344,6 +344,38 @@ class TestServing:
         got = fetch_from_collection(reg, "cli_test", "notes.txt")
         assert "weekly sync" in got["text_slice"]
 
+    def test_warm_runs_every_collection_and_reports_seconds(
+        self, spark, base_path
+    ):
+        """warm() pays JVM/codegen cold-start at startup (serve_mcp
+        calls it) and must leave the registry fully serviceable; the
+        <3s-after-warm latency claim itself is measured, not asserted
+        (CollectionRegistry docstring)."""
+        reg = CollectionRegistry(spark, base_path)
+        took = reg.warm()
+        names = {c["name"] for c in reg.list_collections()}
+        assert set(took) == names
+        assert all(t == t and t >= 0 for t in took.values())  # no NaN
+        hits = search_in_collection(reg, "cli_test", "sort merge join")
+        assert hits
+
+    def test_registry_caches_tables_and_refresh_sees_updates(
+        self, spark, base_path
+    ):
+        """The serving registry defaults to cached index tables (the
+        long-lived-process configuration); refresh() drops them so an
+        externally mutated collection serves current rows."""
+        reg = CollectionRegistry(spark, base_path)
+        s = reg.searcher("cli_test")
+        assert s._cache_tables is True
+        search_in_collection(reg, "cli_test", "sort merge join")
+        assert s._cached  # tables actually persisted
+        reg.refresh("cli_test")
+        assert not s._cached
+        # uncached registries remain constructible for one-shot tools
+        reg2 = CollectionRegistry(spark, base_path, cache_tables=False)
+        assert reg2.searcher("cli_test")._cache_tables is False
+
     def test_build_mcp_app_wires_tools(self, spark, base_path):
         # serve_mcp's wiring exercised with an injected FastMCP stand-in
         # (the real class comes from `mcp`, absent in this container)
