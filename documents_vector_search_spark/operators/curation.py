@@ -137,6 +137,130 @@ def repetition_signals(
     )
 
 
+
+# Gopher's required stop-word list (Rae et al. 2021 §A1.1): a document
+# must contain at least min_stop_hits DISTINCT words of this list.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# line-format bullet markers (Gopher counts bullet-started lines)
+_BULLET_CHARS = ("•", "-", "*")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-format quality gates (Rae et al. 2021 §A1.1 —
+    public rules; the document-level complement of
+    :func:`repetition_signals`' repetition rules).
+
+    Per document: ``(id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stop_hits, keep)`` where ``keep`` is the conjunction of the
+    published thresholds (each parameterizable). Word statistics use
+    WHITESPACE words (punctuation attached, as Gopher counts them);
+    stop-word presence uses the engine tokenizer (functions/text.py) so
+    "the," still hits "the". All ratios round to 6 before the
+    threshold comparison — keep/drop is engine-reproducible.
+
+    Scale: every signal is a Column expression over per-row arrays —
+    the corpus sweep is ONE codegen'd scan, no shuffle, no Python.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    lines = F.split(F.col(text_col), "\n")
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        words.alias("_w"),
+        lines.alias("_l"),
+        tokenize(text_col).alias("_t"),
+    )
+    w, l = F.col("_w"), F.col("_l")
+    n_words = F.size(w)
+    n_lines = F.size(l)  # split() yields >=1 element, never 0
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    hash_count = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    ellipsis_count = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ellipsis_count) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                l,
+                lambda x: F.substring(F.ltrim(x), 1, 1).isin(
+                    *_BULLET_CHARS
+                ),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                l,
+                lambda x: F.rtrim(x).endswith("...")
+                | F.rtrim(x).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_t")),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    )
+
+    out = staged.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("n_stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
 def pii_redact(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -569,6 +569,19 @@ def q_quality_classifier_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_classifier_scores(docs, w, b)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-format gates (operators/curation.py
+    gopher_rules): whitespace-word stats, symbol/bullet/ellipsis
+    format fractions, alphabetic-word fraction, and required-stop-word
+    presence, with keep = conjunction of the published thresholds —
+    map-only, one scan."""
+    from documents_vector_search_spark.operators.curation import (
+        gopher_rules,
+    )
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3361,6 +3374,53 @@ SELECT doc_id, round(1/(1+exp(-logit)), 6) AS score,
        round(1/(1+exp(-logit)), 6) >= 0.5 AS keep
 FROM z
 """
+    # Gopher format gates: whitespace words (punctuation attached),
+    # newline lines (split yields >=1 element), engine-tokenizer stop
+    # hits; every ratio rounded to 6 BEFORE the keep conjunction
+    d["gopher_rules"] = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+         string_split(text, chr(10)) AS l,
+         {_toks_sql()} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS n_words,
+    CASE WHEN len(w) > 0
+         THEN round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                    / len(w), 6)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(w) > 0
+         THEN round(((length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) / 3.0
+                    )::DOUBLE / len(w), 6)
+         ELSE 0.0 END AS symbol_ratio,
+    round(coalesce(len(list_filter(l,
+            x -> substr(ltrim(x), 1, 1) IN ('•', '-', '*'))), 0)::DOUBLE
+          / len(l), 6) AS bullet_line_frac,
+    round(coalesce(len(list_filter(l,
+            x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…'))),
+          0)::DOUBLE / len(l), 6) AS ellipsis_line_frac,
+    CASE WHEN len(w) > 0
+         THEN round(coalesce(len(list_filter(w,
+                 x -> regexp_matches(x, '[A-Za-z]'))), 0)::DOUBLE
+              / len(w), 6)
+         ELSE 0.0 END AS alpha_word_frac,
+    coalesce(len(list_intersect(list_distinct(toks),
+      ['the','be','to','of','and','that','have','with'])), 0)::INT
+      AS n_stop_hits
+  FROM s
+)
+SELECT m.*,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
+FROM m
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3454,8 +3514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-green (new in r5) -------------------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
-        # -- new this round: hashed-n-gram text-probe classifier ----------
+        # -- new this round ----------------------------------------------
         "quality_classifier_text": q_quality_classifier_text,
+        "gopher_rules": q_gopher_rules,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

@@ -66,6 +66,75 @@ class TestRepetitionSignals:
         assert "Exchange" not in plan  # zero shuffles
 
 
+class TestGopherRules:
+    """operators/curation.py::gopher_rules — the Gopher document-format
+    gates (word stats / symbol / bullet / ellipsis / alpha / stop
+    words)."""
+
+    def _run(self, spark, text, **kw):
+        from documents_vector_search_spark.operators.curation import (
+            gopher_rules,
+        )
+
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        return gopher_rules(df, **kw).first()
+
+    def test_word_and_format_signals(self, spark):
+        text = "• first bullet line\n- second one here\nplain line ends...\nno marks at all"
+        r = self._run(spark, text)
+        assert r.n_words == 15
+        assert r.bullet_line_frac == pytest.approx(2 / 4, abs=1e-6)
+        assert r.ellipsis_line_frac == pytest.approx(1 / 4, abs=1e-6)
+        # "•" and "-" carry no alphabetic char; "ends..." does
+        assert r.alpha_word_frac == pytest.approx(13 / 15, abs=1e-6)
+
+    def test_symbol_ratio_counts_hashes_and_ellipses(self, spark):
+        r = self._run(spark, "alpha # beta ## gamma ... delta")
+        # 3 '#' + 1 '...' over 7 whitespace words ('#'/'##'/'...' count
+        # as words too, as Gopher's whitespace split does)
+        assert r.n_words == 7
+        assert r.symbol_ratio == pytest.approx(4 / 7, abs=1e-6)
+
+    def test_stop_hits_use_engine_tokenizer(self, spark):
+        # punctuation-attached forms still hit: "the," tokenizes to "the"
+        r = self._run(spark, "the, cat sat with. a hat to be sure")
+        assert r.n_stop_hits == 4  # the, with, to, be
+
+    def test_keep_conjunction_and_thresholds(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps with energy over lazy dogs"] * 6
+        )
+        r = self._run(spark, good, min_words=50)
+        assert r.n_words == 60 and bool(r.keep) is True
+        r2 = self._run(spark, good, min_words=100)
+        assert bool(r2.keep) is False  # word-count gate only
+        r3 = self._run(spark, good, min_stop_hits=3)
+        assert r3.n_stop_hits == 2 and bool(r3.keep) is False
+
+    def test_empty_and_whitespace_docs(self, spark):
+        for text in ["", "   "]:
+            r = self._run(spark, text)
+            assert r.n_words == 0
+            assert r.mean_word_len == 0.0
+            assert r.alpha_word_frac == 0.0
+            assert bool(r.keep) is False
+
+    def test_map_only_plan(self, spark):
+        from documents_vector_search_spark.operators.curation import (
+            gopher_rules,
+        )
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = (
+            gopher_rules(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestPiiRedact:
     def test_masks_and_counts(self, spark):
         docs = spark.createDataFrame(
