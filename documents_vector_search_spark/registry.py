@@ -569,6 +569,27 @@ def q_quality_classifier_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_classifier_scores(docs, w, b)
 
 
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction
+    (operators/late_interaction.py): groups of 5 consecutive embedding
+    rows act as one multi-vector document; the four BATCH_QUERIES
+    vectors play the multi-vector query. score(group) = sum over query
+    vectors of the group's max rounded cosine; top-10 by (score desc,
+    group asc). One scan, map-side partial max, one shuffle on the
+    group key."""
+    from documents_vector_search_spark.operators.late_interaction import (
+        maxsim_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.floor(F.col("vec_id") / 5).cast("bigint").alias("doc_group"),
+        "embedding",
+    )
+    return maxsim_scores(
+        emb, BATCH_QUERIES, 10, group_col="doc_group"
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-format gates (operators/curation.py
     gopher_rules): whitespace-word stats, symbol/bullet/ellipsis
@@ -3421,6 +3442,28 @@ SELECT m.*,
         AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
 FROM m
 """
+    # MaxSim late interaction: per-group max of each query's rounded
+    # cosine, summed in sorted-qid order (matches the Spark fold)
+    _li_max_cols = ",\n    ".join(
+        f"max(round({_cos_sql('e', _vec_sql(BATCH_QUERIES[qid]))}, 6)) "
+        f"AS m_{qid}"
+        for qid in sorted(BATCH_QUERIES)
+    )
+    _li_sum = " + ".join(f"m_{qid}" for qid in sorted(BATCH_QUERIES))
+    d["late_interaction"] = f"""
+WITH v AS (
+  SELECT CAST(floor(vec_id / 5) AS BIGINT) AS doc_group,
+         embedding::DOUBLE[] AS e
+  FROM embeddings
+),
+m AS (
+  SELECT doc_group,
+    {_li_max_cols}
+  FROM v GROUP BY doc_group
+)
+SELECT doc_group, round({_li_sum}, 6) AS score
+FROM m ORDER BY score DESC, doc_group ASC LIMIT 10
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3517,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ----------------------------------------------
         "quality_classifier_text": q_quality_classifier_text,
         "gopher_rules": q_gopher_rules,
+        "late_interaction": q_late_interaction,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,
@@ -3566,8 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "median_price": q_median_price,
         "multimodal": q_multimodal,
+        # -- out-of-window (positions 51+): newest green r5, back in r7 ---
         "embed_hash": q_embed_hash,
-        # -- out-of-window: 2+ consecutive greens, newest r5, back in r7 --
         "knn_join": q_knn_join,
         "histogram": q_histogram,
         "pack_sequences": q_pack_sequences,

@@ -432,3 +432,77 @@ class TestKnnBatchPruned:
             knn_l2_batch_pruned(
                 self._df(spark), {"a": [1.0, 0.0]}, {}, k=3
             )
+
+
+class TestMaxSimLateInteraction:
+    """operators/late_interaction.py — ColBERT-style multi-vector
+    scoring: score(group) = sum over query vectors of the group's max
+    rounded cosine."""
+
+    def _df(self, spark):
+        # group 1: axis-aligned vectors on x and y; group 2: only x;
+        # group 3: diagonal
+        rows = [
+            (1, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.7071068, 0.7071068]),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "embedding"])
+
+    def test_maxsim_values(self, spark):
+        from documents_vector_search_spark.operators.late_interaction import (
+            maxsim_scores,
+        )
+
+        got = maxsim_scores(
+            self._df(spark), {"qx": [1.0, 0.0], "qy": [0.0, 1.0]}, k=3
+        ).collect()
+        scores = {r.doc_id: r.score for r in got}
+        # group 1 matches both query vectors perfectly: 1 + 1
+        assert scores[1] == 2.0
+        # group 2: qx hits 1, qy max cosine is 0
+        assert scores[2] == 1.0
+        # group 3: both query vectors see cos 45deg
+        assert scores[3] == pytest.approx(2 * 0.707107, abs=1e-6)
+        # ranking: ties broken by ascending group id
+        assert [r.doc_id for r in got] == [1, 3, 2]
+
+    def test_single_shuffle_partial_agg_topk(self, spark):
+        from documents_vector_search_spark.operators.late_interaction import (
+            maxsim_scores,
+        )
+
+        plan = (
+            maxsim_scores(self._df(spark), {"q": [1.0, 0.0]}, k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one shuffle (the group-by), map-side partial max, and a
+        # TakeOrdered top-k instead of a global sort
+        assert plan.count("Exchange") == 1
+        assert "partial_max" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_empty_queries_rejected(self, spark):
+        import pytest as _pytest
+
+        from documents_vector_search_spark.operators.late_interaction import (
+            maxsim_scores,
+        )
+
+        with _pytest.raises(ValueError, match="must not be empty"):
+            maxsim_scores(self._df(spark), {}, k=2)
+
+    def test_negative_maxima_not_clamped(self, spark):
+        from documents_vector_search_spark.operators.late_interaction import (
+            maxsim_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [-1.0, 0.0])], ["doc_id", "embedding"]
+        )
+        got = maxsim_scores(df, {"q": [1.0, 0.0]}, k=1).first()
+        assert got.score == -1.0  # the ColBERT sum, no clamping
