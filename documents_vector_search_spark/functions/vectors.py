@@ -65,6 +65,23 @@ def sq_l2_distance(a: Column, b: Column) -> Column:
     )
 
 
+def round_half_up(arr, decimals: int = 6):
+    """HALF-AWAY-FROM-ZERO rounding for numpy arrays — the semantics of
+    Spark's ``F.round`` (HALF_UP) and DuckDB's ``round()``. numpy's
+    ``np.round`` rounds HALF-TO-EVEN, so a value landing exactly on a
+    .5 boundary at the target precision diverges between a numpy twin
+    and the expression/SQL path (first hit in practice: the MMR
+    objective at step 6 of the sf0.001 shortlist, 0.1453525 →
+    np 0.145352 vs SQL 0.145353). Every numpy scorer that feeds a
+    rounded value into an ordering or an oracle comparison must round
+    through here, not np.round."""
+    import numpy as np
+
+    scale = 10.0**decimals
+    scaled = np.asarray(arr, dtype=np.float64) * scale
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / scale
+
+
 def seq_fold_sum(terms):
     """Sum a numpy array over its LAST axis with a sequential left fold
     — the exact addition order of :func:`sq_l2_distance`'s

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from documents_vector_search_spark.functions.vectors import (
     l2_distance,
     lit_double_array,
+    round_half_up,
     seq_fold_sum,
 )
 
@@ -101,7 +102,7 @@ def assign_cluster_pandas(
         # direct (x - c)^2 with a sequential dim fold: same op order
         # as the expression/SQL (functions/vectors.seq_fold_sum)
         d = np.sqrt(seq_fold_sum((m[:, None, :] - cmat[None, :, :]) ** 2))
-        d = np.round(d, round_to)
+        d = round_half_up(d, round_to)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return assign(vec)

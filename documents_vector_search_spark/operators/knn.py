@@ -33,6 +33,7 @@ from documents_vector_search_spark.functions.vectors import (
     cosine_similarity,
     l2_distance,
     lit_double_array,
+    round_half_up,
     seq_fold_sum,
 )
 
@@ -211,7 +212,7 @@ def knn_l2_batch(
             # rows × Q × dim diff, sequential dim fold: exact same op
             # order as the expression form (parity with the SQL oracle)
             d = np.sqrt(_seq_fold_sum((m[:, None, :] - qmat[None, :, :]) ** 2))
-            d = np.round(d, round_to)
+            d = round_half_up(d, round_to)
             parts = []
             for j, qid in enumerate(qids):
                 order = np.lexsort((ids, d[:, j]))[:k]
@@ -305,7 +306,7 @@ def knn_l2_batch_pruned(
             # rows × Q × dim diff, sequential dim fold: same op order
             # as the expression form
             d = np.sqrt(_seq_fold_sum((m[:, None, :] - qmat[None, :, :]) ** 2))
-            d = np.round(d, round_to)
+            d = round_half_up(d, round_to)
             out = []
             for j, qid in enumerate(qids):
                 mask = np.isin(parts_v, probe_arrays[j])
@@ -388,7 +389,7 @@ def knn_l2_batch_grouped(
                     continue
                 m = np.array(grp[vector_col].tolist(), dtype=np.float64)
                 ids = grp[id_col].to_numpy()
-                d = np.round(
+                d = round_half_up(
                     np.sqrt(_seq_fold_sum((m - q) ** 2)), round_to
                 )
                 order = np.lexsort((ids, d))[:k]

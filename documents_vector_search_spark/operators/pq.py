@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.vectors import (
     lit_double_array,
+    round_half_up,
     seq_fold_sum,
     sq_l2_distance,
 )
@@ -175,7 +176,7 @@ def pq_encode_pandas(
             # sequential dim fold — same op order as the expression
             # encoder (functions/vectors.seq_fold_sum)
             d = seq_fold_sum((sub[:, None, :] - cbs[j][None, :, :]) ** 2)
-            codes[:, j] = np.argmin(np.round(d, round_to), axis=1)
+            codes[:, j] = np.argmin(round_half_up(d, round_to), axis=1)
         return pd.Series(list(codes))
 
     return encode(vec)
@@ -314,7 +315,7 @@ def pq_adc_batch_shortlist(
                 acc = luts[qi, 0][cm[:, 0]]
                 for j in range(1, m):
                     acc = acc + luts[qi, j][cm[:, j]]
-                d = np.round(np.sqrt(acc), round_to)
+                d = round_half_up(np.sqrt(acc), round_to)
                 idm = ids[mask]
                 order = np.lexsort((idm, d))[:shortlist_size]
                 out.append(pd.DataFrame({"qid": qid, id_col: idm[order],

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from documents_vector_search_spark.functions.vectors import (
     l2_distance,
     lit_double_array,
+    round_half_up,
 )
 
 
@@ -303,7 +304,7 @@ def sq_adc_batch_shortlist(
                 acc = terms[:, 0].copy()
                 for j in range(1, dim):
                     acc += terms[:, j]
-                d = np.round(np.sqrt(acc), round_to)
+                d = round_half_up(np.sqrt(acc), round_to)
                 idm = ids[mask]
                 order = np.lexsort((idm, d))[:shortlist_size]
                 out.append(

@@ -569,6 +569,26 @@ def q_quality_classifier_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_classifier_scores(docs, w, b)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (operators/mmr.py): the cosine top-20
+    shortlist re-ranked greedily with lambda=0.7 — relevance minus max
+    redundancy to the already-picked set, rounded before every
+    comparison. Retrieve-then-rerank decomposition: the distributed
+    retriever bounds the input; the sequential greedy runs in one
+    Arrow batch. Oracle = DuckDB recursive CTE replaying the greedy."""
+    from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = (
+        knn_cosine(emb, QUERY_VEC, 20)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", F.col("similarity").alias("score"), "embedding"
+        )
+    )
+    return mmr_rerank(cands, k=10, lam=0.7)
+
+
 def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style MaxSim late interaction
     (operators/late_interaction.py): groups of 5 consecutive embedding
@@ -3464,6 +3484,42 @@ m AS (
 SELECT doc_group, round({_li_sum}, 6) AS score
 FROM m ORDER BY score DESC, doc_group ASC LIMIT 10
 """
+    # MMR re-rank: replay the greedy with a recursive CTE — one row per
+    # step carrying the picked-id list; the LATERAL picks the argmax of
+    # the rounded objective with ties on ascending id. The (1-lambda)
+    # literal is Python's repr of the same double the operator uses.
+    _mmr_lam, _mmr_k, _mmr_n = 0.7, 10, 20
+    d["mmr_rerank"] = f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id AS id,
+         round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6)
+           AS rel,
+         embedding::DOUBLE[] AS e
+  FROM embeddings ORDER BY rel DESC, id ASC LIMIT {_mmr_n}
+),
+pair AS (
+  SELECT a.id AS ia, b.id AS ib,
+         round({_cos_sql("a.e", "b.e")}, 6) AS sim
+  FROM c a, c b
+),
+sel AS (
+  (SELECT 1 AS step, id, round({_mmr_lam!r} * rel, 6) AS mmr, [id] AS picked
+   FROM c ORDER BY round({_mmr_lam!r} * rel, 6) DESC, id ASC LIMIT 1)
+  UNION ALL
+  (SELECT s.step + 1, x.id, x.mmr, list_append(s.picked, x.id)
+   FROM sel s, LATERAL (
+     SELECT c2.id,
+            round({_mmr_lam!r} * c2.rel - {(1 - _mmr_lam)!r} * (
+              SELECT max(p.sim) FROM pair p
+              WHERE p.ia = c2.id AND list_contains(s.picked, p.ib)
+            ), 6) AS mmr
+     FROM c c2 WHERE NOT list_contains(s.picked, c2.id)
+     ORDER BY mmr DESC, c2.id ASC LIMIT 1) x
+   WHERE s.step < {_mmr_k})
+)
+SELECT id AS vec_id, step::INT AS rank, mmr AS mmr_score
+FROM sel ORDER BY rank
+"""
     d["histogram"] = """
 WITH b AS (
   SELECT CASE WHEN value < 0.0 THEN -1
@@ -3561,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_text": q_quality_classifier_text,
         "gopher_rules": q_gopher_rules,
         "late_interaction": q_late_interaction,
+        "mmr_rerank": q_mmr_rerank,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

@@ -506,3 +506,65 @@ class TestMaxSimLateInteraction:
         )
         got = maxsim_scores(df, {"q": [1.0, 0.0]}, k=1).first()
         assert got.score == -1.0  # the ColBERT sum, no clamping
+
+
+class TestMMRRerank:
+    """operators/mmr.py — greedy diversified re-ranking over a bounded
+    shortlist (Carbonell & Goldstein 1998)."""
+
+    def _cands(self, spark):
+        # 1 and 2 are near-duplicates pointing at x; 3 is orthogonal
+        # with lower relevance; 4 is a weaker x-duplicate
+        rows = [
+            (1, 0.99, [1.0, 0.0]),
+            (2, 0.98, [0.9998, 0.02]),
+            (3, 0.60, [0.0, 1.0]),
+            (4, 0.95, [1.0, 0.001]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "score", "embedding"])
+
+    def test_diversity_promotes_orthogonal_candidate(self, spark):
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        got = mmr_rerank(self._cands(spark), k=3, lam=0.5).collect()
+        order = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        # pure relevance would give [1, 2, 4]; MMR picks the orthogonal
+        # candidate second because 2 and 4 are redundant with 1
+        assert order == [1, 3, 2]
+
+    def test_lambda_one_is_relevance_order(self, spark):
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        got = mmr_rerank(self._cands(spark), k=4, lam=1.0).collect()
+        order = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        assert order == [1, 2, 4, 3]
+        # with lam=1 the objective IS the (rounded) relevance
+        scores = {r.vec_id: r.mmr_score for r in got}
+        assert scores[1] == 0.99 and scores[3] == 0.6
+
+    def test_k_larger_than_candidates_and_empty(self, spark):
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        got = mmr_rerank(self._cands(spark), k=50, lam=0.7).collect()
+        assert len(got) == 4
+        assert sorted(r.rank for r in got) == [1, 2, 3, 4]
+        empty = self._cands(spark).filter("vec_id < 0")
+        assert mmr_rerank(empty, k=5).collect() == []
+
+    def test_invalid_lambda_rejected(self, spark):
+        import pytest as _pytest
+
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        with _pytest.raises(ValueError, match="lam"):
+            mmr_rerank(self._cands(spark), k=2, lam=1.5)
+
+    def test_tie_breaks_on_ascending_id(self, spark):
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        df = spark.createDataFrame(
+            [(7, 0.5, [1.0, 0.0]), (3, 0.5, [0.0, 1.0])],
+            ["vec_id", "score", "embedding"],
+        )
+        got = mmr_rerank(df, k=2, lam=1.0).collect()
+        assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [3, 7]
