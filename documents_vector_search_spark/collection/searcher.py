@@ -448,6 +448,57 @@ class CollectionSearcher:
             fused = self._ranked(fused_scores).limit(max_chunks)
         return fused
 
+    def search_chunks_diverse(
+        self,
+        text: str,
+        max_chunks: int = 15,
+        lam: float = 0.7,
+        pool_factor: int = 3,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """MMR-diversified fused ranking — ``(chunk_id, rank, score)``
+        where score is the rounded MMR objective (operators/mmr.py,
+        Carbonell & Goldstein 1998): a ``pool_factor × max_chunks``
+        fused shortlist from :meth:`search_chunks` is joined to its
+        chunk vectors and greedily re-ranked, trading relevance against
+        redundancy to already-picked chunks. ``lam=1.0`` reproduces
+        :meth:`search_chunks`' relevance order exactly (test-pinned);
+        lower ``lam`` surfaces chunks from different regions of the
+        embedding space — the standard fix for near-duplicate chunks
+        crowding a result page. The sequential greedy touches only the
+        bounded pool (retrieve-then-rerank), never the corpus."""
+        from documents_vector_search_spark.operators.mmr import mmr_rerank
+
+        # MATERIALIZE the shortlist before composing further: consumed
+        # lazily, a downstream projection that drops `rank` lets
+        # Catalyst prune the row_number window AND the sort under the
+        # fused limit, and the limit then keeps ARBITRARY rows (caught
+        # by the lam=1 parity test). localCheckpoint executes the
+        # shortlist's own terminal plan — tens of rows, trivially cheap
+        # — and hands downstream a fixed row set no optimizer rewrite
+        # can change.
+        pool = self.search_chunks(
+            text, max_chunks * pool_factor, indexes, metadata_filter
+        ).localCheckpoint()
+        emb = self._read("embeddings").select("chunk_id", "vector")
+        cands = pool.select("chunk_id", "score").join(emb, "chunk_id")
+        out = mmr_rerank(
+            cands,
+            max_chunks,
+            lam=lam,
+            id_col="chunk_id",
+            vector_col="vector",
+            score_col="score",
+        )
+        # mmr ranks are 1-based; serving ranks are 0-based (reference
+        # convention, see search_chunks)
+        return out.select(
+            "chunk_id",
+            (F.col("rank") - 1).alias("rank"),
+            F.col("mmr_score").alias("score"),
+        )
+
     def search_chunks_many(
         self,
         texts: dict[str, str],
@@ -770,6 +821,7 @@ class CollectionSearcher:
         metadata_filter: str | None = None,
         include_chunk_text: bool = False,
         include_document_text: bool = False,
+        diversify_lambda: float | None = None,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -778,8 +830,23 @@ class CollectionSearcher:
         (documents_collection_searcher.py:96-109): ``include_chunk_text``
         adds a ``matched_chunk_texts`` array (rank order);
         ``include_document_text`` adds the full document text.
+
+        ``diversify_lambda`` (None = off) routes the chunk ranking
+        through :meth:`search_chunks_diverse` — MMR re-ranking that
+        penalizes redundancy between returned chunks.
         """
-        fused = self.search_chunks(text, max_chunks, indexes, metadata_filter)
+        if diversify_lambda is not None:
+            fused = self.search_chunks_diverse(
+                text,
+                max_chunks,
+                lam=diversify_lambda,
+                indexes=indexes,
+                metadata_filter=metadata_filter,
+            )
+        else:
+            fused = self.search_chunks(
+                text, max_chunks, indexes, metadata_filter
+            )
         chunks = self._read("chunks")
         hit_chunks = fused.join(chunks, "chunk_id").select(
             "chunk_id", "document_id", "chunk_number", "rank", "score",

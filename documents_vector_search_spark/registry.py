@@ -579,13 +579,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from documents_vector_search_spark.operators.mmr import mmr_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
-    cands = (
-        knn_cosine(emb, QUERY_VEC, 20)
-        .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select(
-            "vec_id", F.col("similarity").alias("score"), "embedding"
-        )
-    )
+    # materialize the bounded shortlist before composing (see
+    # CollectionSearcher.search_chunks_diverse: a pruned consumer can
+    # otherwise lose the sort under the top-20 limit)
+    shortlist = knn_cosine(emb, QUERY_VEC, 20).localCheckpoint()
+    cands = shortlist.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("vec_id", F.col("similarity").alias("score"), "embedding")
     return mmr_rerank(cands, k=10, lam=0.7)
 
 

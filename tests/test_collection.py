@@ -78,6 +78,43 @@ class TestCreate:
 
 
 class TestSearch:
+    def test_diverse_search_lambda_one_matches_plain_ranking(
+        self, collection
+    ):
+        """MMR with lam=1 is pure relevance — over the SAME pool
+        (pool_factor=1; a deeper pool legitimately changes RRF scores
+        because per-branch top-k lists grow) search_chunks_diverse must
+        reproduce search_chunks' chunk order exactly, so the
+        diversified path provably shares the fused ranking."""
+        s = CollectionSearcher(collection)
+        plain = [
+            (r.chunk_id, r.rank)
+            for r in s.search_chunks("hash join vector", max_chunks=5)
+            .orderBy("rank")
+            .collect()
+        ]
+        diverse = [
+            (r.chunk_id, r.rank)
+            for r in s.search_chunks_diverse(
+                "hash join vector", max_chunks=5, lam=1.0, pool_factor=1
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        assert plain == diverse
+
+    def test_diverse_search_groups_documents(self, collection):
+        s = CollectionSearcher(collection)
+        got = s.search(
+            "hash join vector",
+            max_chunks=10,
+            max_documents=5,
+            diversify_lambda=0.5,
+        ).collect()
+        assert 0 < len(got) <= 5
+        ranks = [r.doc_rank for r in got]
+        assert ranks == sorted(ranks)
+
     def test_hybrid_search_returns_ranked_docs(self, collection):
         s = CollectionSearcher(collection)
         got = s.search("hash join vector", max_chunks=15, max_documents=5).collect()
