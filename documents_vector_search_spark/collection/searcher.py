@@ -425,8 +425,17 @@ class CollectionSearcher:
 
         if len(scored) == 1:
             # single index: skip RRF, keep native scores (reference
-            # documents_collection_searcher.py:31-34)
-            fused = self._ranked(scored[0].drop("_src")).limit(max_chunks)
+            # documents_collection_searcher.py:31-34).
+            # filter-on-rank, NOT .limit(): the limit's ordering here is
+            # IMPLICIT in _ranked's row_number window, and a downstream
+            # projection that drops `rank` lets Catalyst prune the
+            # window + its sort, leaving a bare limit that keeps
+            # arbitrary rows (caught by the diverse-search lam=1 parity
+            # test). The filter references `rank`, so the window can
+            # never be pruned away from under the row selection.
+            fused = self._ranked(scored[0].drop("_src")).filter(
+                F.col("rank") < max_chunks
+            )
         else:
             unioned = scored[0]
             for df in scored[1:]:
@@ -445,7 +454,10 @@ class CollectionSearcher:
             fused_scores = contribs.groupBy("chunk_id").agg(
                 F.round(F.sum("_contrib"), 6).alias("score")
             )
-            fused = self._ranked(fused_scores).limit(max_chunks)
+            # filter-on-rank, not .limit() — see the single-index branch
+            fused = self._ranked(fused_scores).filter(
+                F.col("rank") < max_chunks
+            )
         return fused
 
     def search_chunks_diverse(
