@@ -73,6 +73,11 @@ HEADLINE = [
     "pack_sequences",
     "perplexity",
     "quality_classifier",
+    "quality_classifier_text",
+    "gopher_rules",
+    "late_interaction",
+    "mmr_rerank",
+    "topic_model",
     "pii_redact",
     "line_dedup",
     "corpus_prep",

@@ -32,6 +32,7 @@ ASSET_QUERIES = [
     "recursive_chunk",
     "quality_classifier",
     "quality_classifier_text",
+    "topic_model",
 ]
 
 

@@ -186,6 +186,13 @@ SQ8_SHORTLIST = 50  # decoded-distance candidates kept for exact re-rank
 SEMDEDUP_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "semdedup_centroids.parquet")
 SEMDEDUP_NLIST = 8
 
+# topic_model query assets: KMeans topic centroids, persisted by
+# q_topic_model (same committed-seed-fit contract as
+# IVF_CENTROIDS_PATH); a SEPARATE file so the profile query never
+# couples to semdedup/ivf_ann run order
+TOPIC_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "topic_centroids.parquet")
+TOPIC_NLIST = 6
+
 # recursive_chunk oracle asset: the boundary-aware splitter is not
 # SQL-expressible (recursive separator descent), so the oracle is a
 # dual-implementation check — an INDEPENDENT driver-side twin
@@ -1073,6 +1080,45 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(
         emb, cents, threshold=0.3, max_bucket_size=NEARDUP_MAX_BUCKET
     )
+
+
+def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic corpus profile (operators/topics.py::topic_profile):
+    KMeans topic assignment + size / share / tightness / modal label —
+    the cluster-based data-selection report (SemDeDup buckets turned
+    into an analyst-facing table). The fit persists ROUNDED centroids
+    for the oracle, as in q_ivf_ann; assignment and stats are then
+    deterministic in both engines."""
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        round_centroids,
+    )
+    from documents_vector_search_spark.operators.topics import topic_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _fit():
+        cents = round_centroids(fit_ivf(emb, nlist=TOPIC_NLIST).centroids)
+
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        os.makedirs(_ASSETS_DIR, exist_ok=True)
+        pqt.write_table(
+            pa.table(
+                {
+                    "cluster_id": pa.array(range(len(cents)), pa.int32()),
+                    "centroid": pa.array(cents, pa.list_(pa.float64())),
+                }
+            ),
+            TOPIC_CENTROIDS_PATH,
+        )
+        return cents
+
+    cents = _fit_once(sf_dir, "topic_model", _fit)
+    return topic_profile(emb, cents, label_col="label")
 
 
 def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2756,6 +2802,39 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos_lr}, 6) AS cosine
 FROM b l JOIN b r ON l.cluster_id = r.cluster_id AND l.vec_id < r.vec_id
 WHERE {cos_lr} >= 0.3
 """,
+        "topic_model": f"""
+WITH cent AS (
+  SELECT cluster_id, centroid FROM read_parquet('{TOPIC_CENTROIDS_PATH}')
+),
+d AS (
+  SELECT e.vec_id, e.label, c.cluster_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "c.centroid")}, 6) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, label, cluster_id AS topic_id, cdist FROM (
+    SELECT vec_id, label, cluster_id, cdist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cluster_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+stats AS (
+  SELECT topic_id, count(*)::BIGINT AS n_docs, round(avg(cdist), 6) AS avg_dist
+  FROM a GROUP BY topic_id
+),
+lab AS (
+  SELECT topic_id, label AS top_label FROM (
+    SELECT topic_id, label, count(*) AS c,
+           row_number() OVER (PARTITION BY topic_id ORDER BY count(*) DESC, label ASC) AS rn
+    FROM a GROUP BY topic_id, label
+  ) WHERE rn = 1
+)
+SELECT s.topic_id, s.n_docs,
+       round(s.n_docs / (SELECT sum(n_docs)::DOUBLE FROM stats), 6) AS share,
+       s.avg_dist, l.top_label
+FROM stats s JOIN lab l USING (topic_id)
+ORDER BY s.topic_id
+""",
         "lang_id": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 scores AS (
@@ -3618,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
+        "topic_model": q_topic_model,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

@@ -362,3 +362,64 @@ class TestAdcBatchShortlist:
         for r in rows:
             allowed = {0, 3} if r.qid == "a" else {1}
             assert clusters[r.vec_id] in allowed, r
+
+
+class TestTopicProfile:
+    """operators/topics.py — nearest-centroid profile semantics."""
+
+    def test_profile_exact_small(self, spark):
+        from documents_vector_search_spark.operators.topics import (
+            topic_profile,
+        )
+
+        # two well-separated centroids; one point equidistant (tie ->
+        # lower topic id)
+        rows = [
+            (0, [0.0, 0.0], 7),
+            (1, [0.2, 0.0], 7),
+            (2, [4.0, 0.0], 3),
+            (3, [2.0, 0.0], 3),  # equidistant (d=2 to both) -> tie -> topic 0
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        cents = [[0.0, 0.0], [4.0, 0.0]]
+        got = {
+            r.topic_id: r
+            for r in topic_profile(emb, cents, label_col="label").collect()
+        }
+        assert set(got) == {0, 1}
+        assert got[0].n_docs == 3 and got[1].n_docs == 1
+        assert abs(got[0].share - 0.75) < 1e-9
+        assert abs(got[1].share - 0.25) < 1e-9
+        # topic 0 holds labels {7, 7, 3} -> modal label 7; topic 1 {3}
+        assert got[0].top_label == 7 and got[1].top_label == 3
+        # avg_dist over rounded member distances: (0 + 0.2 + 2.0)/3
+        assert abs(got[0].avg_dist - round((0.0 + 0.2 + 2.0) / 3, 6)) < 1e-9
+
+    def test_top_label_tie_breaks_low(self, spark):
+        from documents_vector_search_spark.operators.topics import (
+            topic_profile,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [0.0], 9), (1, [0.1], 2)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        got = topic_profile(emb, [[0.0]], label_col="label").collect()
+        assert len(got) == 1 and got[0].top_label == 2
+
+    def test_share_sums_to_one_on_corpus(self, embeddings_df):
+        from documents_vector_search_spark.operators.ivf import (
+            fit_ivf,
+            round_centroids,
+        )
+        from documents_vector_search_spark.operators.topics import (
+            topic_profile,
+        )
+
+        cents = round_centroids(fit_ivf(embeddings_df, nlist=4).centroids)
+        prof = topic_profile(embeddings_df, cents, label_col="label").collect()
+        assert abs(sum(r.share for r in prof) - 1.0) < 1e-4
+        assert sum(r.n_docs for r in prof) == embeddings_df.count()
+        assert [r.topic_id for r in prof] == sorted(r.topic_id for r in prof)
