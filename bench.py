@@ -78,6 +78,7 @@ HEADLINE = [
     "late_interaction",
     "mmr_rerank",
     "topic_model",
+    "topic_terms",
     "pii_redact",
     "line_dedup",
     "corpus_prep",

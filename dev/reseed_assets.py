@@ -33,6 +33,7 @@ ASSET_QUERIES = [
     "quality_classifier",
     "quality_classifier_text",
     "topic_model",
+    "topic_terms",
 ]
 
 

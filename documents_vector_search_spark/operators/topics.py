@@ -86,16 +86,87 @@ def topic_profile(
     )
     cols = ["topic_id", "n_docs", "share", "avg_dist"]
     if label_col is not None:
-        lw = Window.partitionBy("topic_id").orderBy(
-            F.col("_n").desc(), F.col(label_col).asc()
-        )
-        top = (
-            a.groupBy("topic_id", label_col)
-            .agg(F.count("*").alias("_n"))
-            .withColumn("_rn", F.row_number().over(lw))
-            .filter(F.col("_rn") == 1)
-            .select("topic_id", F.col(label_col).alias("top_label"))
-        )
-        stats = stats.join(top, "topic_id")
+        stats = _with_top_label(a, stats, label_col)
         cols.append("top_label")
     return stats.select(*cols).orderBy("topic_id")
+
+
+def _with_top_label(a: DataFrame, stats: DataFrame, label_col: str) -> DataFrame:
+    """Join the modal label per topic onto ``stats`` (ties to the lower
+    label value). One shuffle keyed (topic, label); the rank window runs
+    on the aggregated frame."""
+    lw = Window.partitionBy("topic_id").orderBy(
+        F.col("_n").desc(), F.col(label_col).asc()
+    )
+    top = (
+        a.groupBy("topic_id", label_col)
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_rn", F.row_number().over(lw))
+        .filter(F.col("_rn") == 1)
+        .select("topic_id", F.col(label_col).alias("top_label"))
+    )
+    return stats.join(top, "topic_id")
+
+
+def topic_terms(
+    docs: DataFrame,
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int = 5,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-topic distinctive terms — the topic-LABELING step: ``(
+    topic_id, rank, term, tfidf)``, top ``k`` terms per topic by
+    document-frequency tf-idf (``df_topic * ln(N / df_corpus)``), rank
+    0-based, ties to the lexicographically lower term on the ROUNDED
+    score (the suite's round-before-order convention).
+
+    A corpus-wide term (df_corpus == N) scores ln(1) = 0, so stopwords
+    self-suppress without a stopword list.
+
+    Scale: the explode of per-doc DISTINCT terms is the same postings
+    build the BM25 indexer runs (operators/bm25.py); both document-
+    frequency aggregates are partial-aggregated shuffles keyed by term
+    strings; N travels as a one-row broadcast (the bm25.py stats
+    idiom); the top-k window runs over (topic, term) AGGREGATES —
+    vocabulary-scale, not corpus-scale."""
+    from documents_vector_search_spark.functions.text import tokenize
+
+    a = assigned_topics(emb, centroids, round_to=round_to).select(
+        F.col(vec_id_col).alias(doc_id_col), "topic_id"
+    )
+    joined = docs.join(a, doc_id_col)
+    terms = joined.select(
+        doc_id_col,
+        "topic_id",
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+    )
+    # N = docs actually profiled (the joined base, in case some docs
+    # lack embeddings); the second evaluation of `joined` here is a
+    # column-pruned id-only hash join, not a re-tokenize
+    n_row = joined.agg(F.count("*").cast("double").alias("_n"))
+    tt = terms.groupBy("topic_id", "term").agg(F.count("*").alias("df_topic"))
+    ta = terms.groupBy("term").agg(F.count("*").alias("df_all"))
+    scored = (
+        tt.join(ta, "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("df_topic") * F.log(F.col("_n") / F.col("df_all")),
+                round_to,
+            ),
+        )
+    )
+    w = Window.partitionBy("topic_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < k)
+        .select("topic_id", "rank", "term", "tfidf")
+        .orderBy("topic_id", "rank")
+    )

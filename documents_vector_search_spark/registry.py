@@ -193,6 +193,11 @@ SEMDEDUP_NLIST = 8
 TOPIC_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "topic_centroids.parquet")
 TOPIC_NLIST = 6
 
+# topic_terms query assets — own file, same decoupling policy
+TOPIC_TERMS_CENTROIDS_PATH = os.path.join(
+    _ASSETS_DIR, "topic_terms_centroids.parquet"
+)
+
 # recursive_chunk oracle asset: the boundary-aware splitter is not
 # SQL-expressible (recursive separator descent), so the oracle is a
 # dual-implementation check — an INDEPENDENT driver-side twin
@@ -1119,6 +1124,51 @@ def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = _fit_once(sf_dir, "topic_model", _fit)
     return topic_profile(emb, cents, label_col="label")
+
+
+def _persist_centroids(cents: list[list[float]], path: str) -> None:
+    """Write rounded centroids to the oracle's asset parquet (the
+    IVF_CENTROIDS_PATH contract)."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    _os.makedirs(_ASSETS_DIR, exist_ok=True)
+    pqt.write_table(
+        pa.table(
+            {
+                "cluster_id": pa.array(range(len(cents)), pa.int32()),
+                "centroid": pa.array(cents, pa.list_(pa.float64())),
+            }
+        ),
+        path,
+    )
+
+
+def q_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-topic distinctive terms (operators/topics.py::topic_terms):
+    KMeans topic assignment joined onto the documents, then
+    document-frequency tf-idf top-5 per topic — the cluster-LABELING
+    step after topic_model's profile. Same committed-centroids oracle
+    contract; tokenizer, join, aggregates, and the rounded-score
+    ranking are deterministic in both engines."""
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        round_centroids,
+    )
+    from documents_vector_search_spark.operators.topics import topic_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def _fit():
+        cents = round_centroids(fit_ivf(emb, nlist=TOPIC_NLIST).centroids)
+        _persist_centroids(cents, TOPIC_TERMS_CENTROIDS_PATH)
+        return cents
+
+    cents = _fit_once(sf_dir, "topic_terms", _fit)
+    return topic_terms(docs, emb, cents, k=5)
 
 
 def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2835,6 +2885,48 @@ SELECT s.topic_id, s.n_docs,
 FROM stats s JOIN lab l USING (topic_id)
 ORDER BY s.topic_id
 """,
+        "topic_terms": f"""
+WITH cent AS (
+  SELECT cluster_id, centroid FROM read_parquet('{TOPIC_TERMS_CENTROIDS_PATH}')
+),
+d AS (
+  SELECT e.vec_id, c.cluster_id,
+         round({_l2_sql("e.embedding::DOUBLE[]", "c.centroid")}, 6) AS cdist
+  FROM embeddings e CROSS JOIN cent c
+),
+a AS (
+  SELECT vec_id, cluster_id AS topic_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cluster_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+joined AS (
+  SELECT doc_id, topic_id, {_toks_sql()} AS toks
+  FROM documents JOIN a ON doc_id = vec_id
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM joined),
+terms AS (
+  SELECT doc_id, topic_id, unnest(list_distinct(toks)) AS term FROM joined
+),
+tt AS (
+  SELECT topic_id, term, count(*)::BIGINT AS df_topic
+  FROM terms GROUP BY 1, 2
+),
+ta AS (SELECT term, count(*)::BIGINT AS df_all FROM terms GROUP BY 1),
+scored AS (
+  SELECT topic_id, term,
+         round(df_topic * ln((SELECT n FROM n) / df_all), 6) AS tfidf
+  FROM tt JOIN ta USING (term)
+),
+ranked AS (
+  SELECT topic_id, term, tfidf,
+         row_number() OVER (PARTITION BY topic_id ORDER BY tfidf DESC, term ASC) - 1 AS rank
+  FROM scored
+)
+SELECT topic_id, rank::INT AS rank, term, tfidf
+FROM ranked WHERE rank < 5 ORDER BY topic_id, rank
+""",
         "lang_id": f"""
 WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
 scores AS (
@@ -3698,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
         "topic_model": q_topic_model,
+        "topic_terms": q_topic_terms,
         # -- newest driver-green row is r4 (rotated out in r5) ------------
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

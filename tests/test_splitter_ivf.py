@@ -423,3 +423,45 @@ class TestTopicProfile:
         assert abs(sum(r.share for r in prof) - 1.0) < 1e-4
         assert sum(r.n_docs for r in prof) == embeddings_df.count()
         assert [r.topic_id for r in prof] == sorted(r.topic_id for r in prof)
+
+    def test_topic_terms_stopword_self_suppression(self, spark):
+        """A term present in EVERY doc scores ln(1)=0 and loses to any
+        topic-distinctive term; ranks are 0-based and tie-break on the
+        lower term."""
+        from documents_vector_search_spark.operators.topics import (
+            topic_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the spark shuffle"),
+                (1, "the spark join"),
+                (2, "the spark agg"),
+                (3, "the quantum flux"),
+                (4, "the quantum well"),
+                (5, "the quantum dot"),
+            ],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [0.0 + 0.1 * i]) for i in range(3)]
+            + [(i, [4.0 + 0.1 * (i - 3)]) for i in range(3, 6)],
+            "vec_id long, embedding array<double>",
+        )
+        got = topic_terms(docs, emb, [[0.1], [4.1]], k=2).collect()
+        by_topic = {}
+        for r in got:
+            by_topic.setdefault(r.topic_id, []).append(r)
+        # "the" (df_all=6=N) scores 0 -> never in the top-2 of either
+        # topic while positive-scoring terms exist
+        assert all(r.term != "the" for r in got)
+        # topic 0: spark 3*ln(2)=2.079 beats each unique term's
+        # ln(6)=1.792; among the tied uniques "agg" < "join" < "shuffle"
+        assert [(r.term, r.rank) for r in by_topic[0]] == [
+            ("spark", 0),
+            ("agg", 1),
+        ]
+        assert [(r.term, r.rank) for r in by_topic[1]] == [
+            ("quantum", 0),
+            ("dot", 1),
+        ]
