@@ -289,6 +289,70 @@ def cmd_span_dedup(args) -> int:
     return 0
 
 
+def cmd_topics(args) -> int:
+    """Topic profile (+ optional tf-idf term labels) over a
+    collection's chunk embeddings (operators/topics.py) — the
+    cluster-based data-selection report. Fits KMeans(--nlist) on the
+    collection's own vectors (bounded deterministic sample), writes
+    ``topic_profile/`` (and ``topic_terms/`` with --terms-k) parquet
+    beside the collection, prints a summary."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        round_centroids,
+    )
+    from documents_vector_search_spark.operators.topics import (
+        topic_profile,
+        topic_terms,
+    )
+
+    coll = _collection(args)
+    emb = coll.read("embeddings").select("chunk_id", "vector")
+    cents = round_centroids(
+        fit_ivf(
+            emb, nlist=args.nlist, id_col="chunk_id", vector_col="vector"
+        ).centroids
+    )
+    prof = topic_profile(emb, cents, vec_col="vector")
+    base = f"{args.base_path}/{args.collection}"
+    prof_out = f"{base}/topic_profile"
+    prof.write.mode("overwrite").parquet(prof_out)
+    stored = coll.spark.read.parquet(prof_out)
+    # nlist-row presentation collect
+    biggest = stored.orderBy(F.col("n_docs").desc(), "topic_id").first()
+    summary = {
+        "topics": stored.count(),
+        "chunksProfiled": int(
+            stored.agg(F.sum("n_docs").alias("n")).first()["n"]
+        ),
+        "largestTopic": {
+            "topic_id": biggest["topic_id"],
+            "share": biggest["share"],
+        },
+        "profileOutput": prof_out,
+    }
+    if args.terms_k:
+        chunks = coll.read("chunks").select(
+            "chunk_id", F.col("indexed_data").alias("text")
+        )
+        terms = topic_terms(
+            chunks,
+            emb,
+            cents,
+            k=args.terms_k,
+            doc_id_col="chunk_id",
+            vec_id_col="chunk_id",
+            text_col="text",
+            vec_col="vector",
+        )
+        terms_out = f"{base}/topic_terms"
+        terms.write.mode("overwrite").parquet(terms_out)
+        summary["termsOutput"] = terms_out
+    print(_format(summary, args.format))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Compact fragmented update buckets (collection/compactor.py) —
     the OPTIMIZE step a long-lived, frequently-updated collection runs
@@ -523,6 +587,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("topics")
+    common(sp)
+    sp.add_argument("--nlist", type=int, default=8)
+    sp.add_argument("--terms-k", type=int, default=0)
+    sp.set_defaults(func=cmd_topics)
 
     sp = sub.add_parser("span-dedup")
     common(sp)

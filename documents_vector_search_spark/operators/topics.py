@@ -116,6 +116,7 @@ def topic_terms(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     text_col: str = "text",
+    vec_col: str = "embedding",
     round_to: int = 6,
 ) -> DataFrame:
     """Per-topic distinctive terms — the topic-LABELING step: ``(
@@ -135,7 +136,7 @@ def topic_terms(
     vocabulary-scale, not corpus-scale."""
     from documents_vector_search_spark.functions.text import tokenize
 
-    a = assigned_topics(emb, centroids, round_to=round_to).select(
+    a = assigned_topics(emb, centroids, vec_col=vec_col, round_to=round_to).select(
         F.col(vec_id_col).alias(doc_id_col), "topic_id"
     )
     joined = docs.join(a, doc_id_col)

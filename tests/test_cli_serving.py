@@ -230,6 +230,26 @@ class TestCLI:
         assert rep.count() == out["profiledDocuments"]
         assert rep.filter(F.col("dup_ratio") > 1.0).count() == 0
 
+    def test_topics_writes_profile_and_terms(self, base_path, capsys, spark):
+        rc = cli.main(
+            ["topics", "cli_test", "--base-path", base_path,
+             "--nlist", "2", "--terms-k", "3", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["topics"] >= 1
+        prof = spark.read.parquet(out["profileOutput"])
+        assert {"topic_id", "n_docs", "share", "avg_dist"} <= set(prof.columns)
+        # shares over all topics partition the chunk set
+        rows = prof.collect()
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        assert sum(r.n_docs for r in rows) == out["chunksProfiled"]
+        terms = spark.read.parquet(out["termsOutput"])
+        assert {"topic_id", "rank", "term", "tfidf"} <= set(terms.columns)
+        # <= terms_k ranked terms per topic, ranks 0-based
+        for r in terms.collect():
+            assert 0 <= r.rank < 3
+
     def test_update_files_picks_up_new_file(self, base_path, corpus_dir, capsys):
         import time
 
