@@ -289,6 +289,90 @@ def cmd_span_dedup(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-duplicate maintenance over a collection's documents:
+    MinHash-LSH verified pairs (operators/dedup.py) → connected
+    components (operators/cc.py) → keep the minimum id per cluster.
+    Writes the keep/drop report beside the collection; with ``--apply``
+    DELETES the drops from every table
+    (collection/updater.py::delete_documents — O(affected buckets)).
+    The periodic de-duplication pass a long-lived deployment runs."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.cc import (
+        connected_components,
+    )
+    from documents_vector_search_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    coll = _collection(args)
+    docs = coll.read("documents").select(F.col("id").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(
+        docs,
+        threshold=args.threshold,
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        max_bucket_size=args.max_bucket,
+    )
+    # connected_components' convergence check needs NUMERIC node ids
+    # (sum-of-labels fixpoint, operators/cc.py:26); collection ids are
+    # strings, so cluster on xxhash64 surrogates (map-only; a 64-bit
+    # collision merging two clusters is ~n²/2⁶⁴ — negligible for a
+    # maintenance pass) and map back to take the MIN STRING id per
+    # component as the canonical survivor.
+    hpairs = pairs.select(
+        F.xxhash64("id_a").alias("id_a"), F.xxhash64("id_b").alias("id_b")
+    )
+    comp = connected_components(hpairs)  # (id=hash, cluster_id=min hash)
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("_h", F.xxhash64("id"))
+    )
+    mapped = nodes.join(comp, nodes["_h"] == comp["id"]).select(
+        nodes["id"], F.col("cluster_id").alias("_c")
+    )
+    canon = mapped.groupBy("_c").agg(F.min("id").alias("cluster_id"))
+    report = (
+        mapped.join(canon, "_c")
+        .select("id", "cluster_id")
+        .withColumn("keep", F.col("id") == F.col("cluster_id"))
+    )
+    out = args.output or f"{args.base_path}/{args.collection}/dedup_report"
+    report.write.mode("overwrite").parquet(out)
+    stored = coll.spark.read.parquet(out)
+    n_clustered = stored.count()
+    n_drop = stored.filter(~F.col("keep")).count()
+    # count BEFORE any apply: the docs plan snapshots the pre-delete
+    # file listing, so evaluating it after the swap would read
+    # swapped-out paths
+    n_docs = docs.count()
+    applied = False
+    if args.apply and n_drop:
+        from documents_vector_search_spark.collection.updater import (
+            delete_documents,
+        )
+
+        delete_documents(coll, stored.filter(~F.col("keep")).select("id"))
+        applied = True
+    print(
+        _format(
+            {
+                "documents": n_docs,
+                "clusteredDocuments": n_clustered,
+                "clusters": n_clustered - n_drop,
+                "duplicates": n_drop,
+                "applied": applied,
+                "output": out,
+            },
+            args.format,
+        )
+    )
+    return 0
+
+
 def cmd_topics(args) -> int:
     """Topic profile (+ optional tf-idf term labels) over a
     collection's chunk embeddings (operators/topics.py) — the
@@ -587,6 +671,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_curate)
+
+    sp = sub.add_parser("dedup")
+    common(sp)
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--num-hashes", type=int, default=16)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--max-bucket", type=int, default=256)
+    sp.add_argument("--apply", action="store_true")
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_dedup)
 
     sp = sub.add_parser("topics")
     common(sp)

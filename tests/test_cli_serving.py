@@ -250,6 +250,65 @@ class TestCLI:
         for r in terms.collect():
             assert 0 <= r.rank < 3
 
+    def test_dedup_reports_and_applies(self, base_path, tmp_path, capsys, spark):
+        """`dvss dedup` clusters near-identical docs and --apply deletes
+        the non-canonical members from every table."""
+        d = tmp_path / "dup_corpus"
+        d.mkdir()
+        base = (
+            "spark shuffles data between stages when a wide dependency "
+            "like a group by or a join forces repartitioning of rows"
+        )
+        (d / "a.txt").write_text(base)
+        (d / "b.txt").write_text(base + " extra")
+        (d / "c.txt").write_text("entirely different content about gardening")
+        rc = cli.main(
+            ["create-files", "cli_dedup", "--base-path", base_path,
+             "--path", str(d), "--format", "json"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+        rc = cli.main(
+            ["dedup", "cli_dedup", "--base-path", base_path,
+             "--threshold", "0.5", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["documents"] == 3
+        assert out["clusteredDocuments"] == 2  # a.txt ~ b.txt
+        assert out["clusters"] == 1 and out["duplicates"] == 1
+        assert out["applied"] is False
+        rep = spark.read.parquet(out["output"])
+        assert {"id", "cluster_id", "keep"} <= set(rep.columns)
+        # canonical member is the minimum id and is kept
+        kept = [r.id for r in rep.filter(F.col("keep")).collect()]
+        dropped = [r.id for r in rep.filter(~F.col("keep")).collect()]
+        assert kept == [min(kept + dropped)]
+        rc = cli.main(
+            ["dedup", "cli_dedup", "--base-path", base_path,
+             "--threshold", "0.5", "--apply", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["applied"] is True and out["duplicates"] == 1
+        capsys.readouterr()
+        rc = cli.main(
+            ["stats", "cli_dedup", "--base-path", base_path,
+             "--format", "json"]
+        )
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["manifest"]["numberOfDocuments"] == 2
+        assert stats["rowCounts"]["documents"] == 2
+        # idempotent: a second dedup finds nothing left to cluster
+        rc = cli.main(
+            ["dedup", "cli_dedup", "--base-path", base_path,
+             "--threshold", "0.5", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["duplicates"] == 0
+
     def test_update_files_picks_up_new_file(self, base_path, corpus_dir, capsys):
         import time
 
