@@ -118,6 +118,7 @@ def topic_terms(
     text_col: str = "text",
     vec_col: str = "embedding",
     round_to: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-topic distinctive terms — the topic-LABELING step: ``(
     topic_id, rank, term, tfidf)``, top ``k`` terms per topic by
@@ -129,11 +130,13 @@ def topic_terms(
     self-suppress without a stopword list.
 
     Scale: the explode of per-doc DISTINCT terms is the same postings
-    build the BM25 indexer runs (operators/bm25.py); both document-
-    frequency aggregates are partial-aggregated shuffles keyed by term
-    strings; N travels as a one-row broadcast (the bm25.py stats
-    idiom); the top-k window runs over (topic, term) AGGREGATES —
-    vocabulary-scale, not corpus-scale."""
+    build the BM25 indexer runs (operators/bm25.py), localCheckpointed
+    once so both document-frequency consumers read it without
+    recomputing the scan+tokenize+assign (``materialize=False`` opts
+    out for plan-only inspection); the aggregates are partial-aggregated
+    shuffles keyed by term strings; N travels as a one-row broadcast
+    (the bm25.py stats idiom); the top-k window runs over (topic, term)
+    AGGREGATES — vocabulary-scale, not corpus-scale."""
     from documents_vector_search_spark.functions.text import tokenize
 
     a = assigned_topics(emb, centroids, vec_col=vec_col, round_to=round_to).select(
@@ -145,9 +148,16 @@ def topic_terms(
         "topic_id",
         F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
     )
+    # the scan → tokenize → assign explode is the dominant map cost and
+    # feeds BOTH document-frequency aggregates — localCheckpoint it once
+    # (the repeated_span_report idiom) so neither consumer recomputes it;
+    # rows are (id, int, short term), a fraction of corpus text size
+    if materialize:
+        terms = terms.localCheckpoint()
     # N = docs actually profiled (the joined base, in case some docs
-    # lack embeddings); the second evaluation of `joined` here is a
-    # column-pruned id-only hash join, not a re-tokenize
+    # lack embeddings — zero-token docs appear here but not in `terms`);
+    # this evaluation of `joined` is a column-pruned id-only hash join,
+    # not a re-tokenize
     n_row = joined.agg(F.count("*").cast("double").alias("_n"))
     tt = terms.groupBy("topic_id", "term").agg(F.count("*").alias("df_topic"))
     ta = terms.groupBy("term").agg(F.count("*").alias("df_all"))

@@ -3779,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       r2/r3->r5 block, giving them a second consecutive green;
     - out-of-window tail: keys with 2+ consecutive green rows whose
       newest is r5 -- one round stale at most, back in-window in r7.
+      (Adding topic_model/topic_terms mid-round pushed rollup/set_ops
+      -- both freshly r5-green -- over the 50 boundary into this tail.)
     """
     return {
         # -- never driver-green (new in r5) -------------------------------
