@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 # oracles (RE2/PCRE): a run of anything that is not [a-z0-9].
 NON_TOKEN_RE = "[^a-z0-9]+"
 
+# Whitespace-run class for word splitting, shared VERBATIM by the Spark
+# (Java regex) and DuckDB-oracle (RE2) dialects. Java's \s includes
+# U+000B vertical tab while RE2's \s does not, so a bare \s+ gives a
+# document containing VT different word counts between engine and
+# oracle; the explicit class pins one meaning for both.
+WS_RUN_RE = "[ \\t\\n\\r\\f\\x0B]+"
+
 
 def tokenize(text: Column | str) -> Column:
     """``"The fast, Fast join!"`` → ``["the","fast","fast","join"]``.

@@ -290,10 +290,13 @@ def fit_text_probe(
             _GATE_MOD,
             max(1, math.ceil(_GATE_MOD * sample_rows * 1.2 / n)),
         )
+        # tie-break past _h: duplicate texts share a hash, so ordering by
+        # _h alone would make which duplicate rows (possibly with
+        # different labels) survive the limit boundary nondeterministic
         sel = (
             sel.withColumn("_h", F.xxhash64("_t"))
             .filter(F.pmod(F.col("_h"), F.lit(_GATE_MOD)) < keep)
-            .orderBy("_h")
+            .orderBy("_h", "_y", "_t")
             .limit(sample_rows)
             .drop("_h")
         )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.functions.text import tokenize
+from documents_vector_search_spark.functions.text import WS_RUN_RE, tokenize
 
 # RE2-compatible (and Java-regex-compatible) PII patterns. Kept simple
 # and auditable; precision tuning belongs to the caller via `patterns`.
@@ -177,7 +177,7 @@ def gopher_rules(
     the corpus sweep is ONE codegen'd scan, no shuffle, no Python.
     """
     words = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        F.split(F.col(text_col), WS_RUN_RE), lambda w: w != F.lit("")
     )
     lines = F.split(F.col(text_col), "\n")
     staged = docs.select(
@@ -360,7 +360,7 @@ def curation_sweep(
     length_score = F.least(n / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(stop_ratio * 5, F.lit(1.0))
     ws_tokens = F.size(
-        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+        F.filter(F.split(F.col(text_col), WS_RUN_RE), lambda t: t != "")
     )
     bpe = F.aggregate(
         toks,

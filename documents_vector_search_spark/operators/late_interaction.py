@@ -60,6 +60,9 @@ def maxsim_scores(
     """
     if not queries:
         raise ValueError("queries must not be empty")
+    # internal columns are aliased by POSITION over sorted(queries), not by
+    # the caller's qid string — a qid containing '.', '`', or spaces would
+    # otherwise parse as a nested-field path when re-referenced
     qids = sorted(queries)
     vec = F.col(vector_col).cast("array<double>")
     scored = vectors.select(
@@ -68,16 +71,16 @@ def maxsim_scores(
             F.round(
                 cosine_similarity(vec, lit_double_array(queries[qid])),
                 round_to,
-            ).alias(f"_c_{qid}")
-            for qid in qids
+            ).alias(f"_c_{i}")
+            for i, qid in enumerate(qids)
         ],
     )
     agg = scored.groupBy(group_col).agg(
-        *[F.max(f"_c_{qid}").alias(f"_m_{qid}") for qid in qids]
+        *[F.max(f"_c_{i}").alias(f"_m_{i}") for i in range(len(qids))]
     )
-    total = F.col(f"_m_{qids[0]}")
-    for qid in qids[1:]:
-        total = total + F.col(f"_m_{qid}")
+    total = F.col("_m_0")
+    for i in range(1, len(qids)):
+        total = total + F.col(f"_m_{i}")
     return (
         agg.select(
             F.col(group_col), F.round(total, round_to).alias("score")

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64
-from documents_vector_search_spark.functions.text import tokenize
+from documents_vector_search_spark.functions.text import WS_RUN_RE, tokenize
 
 # Tiny per-language stopword marker lists for the n-gram/stopword-ratio
 # language heuristic. Deliberately small and literal: the heuristic must
@@ -139,7 +139,7 @@ def token_counts(
     real tokenizer (a real BPE runs as a pandas UDF at the embedding
     seam; counting must not cost a Python roundtrip at 100 TB).
     """
-    ws_tokens = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != ""))
+    ws_tokens = F.size(F.filter(F.split(F.col(text_col), WS_RUN_RE), lambda t: t != ""))
     words = tokenize(text_col)
     bpe = F.aggregate(
         words,

@@ -144,26 +144,51 @@ _COMMITTED_ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
 
 
 def _init_assets_run_dir() -> str:
+    """Compute (don't create) this process's asset run dir.
+
+    Path-only at import so a read-only install can still import the
+    package; the mkdir + seed copy happen lazily in
+    _ensure_assets_seeded() on first queries()/oracle_sql() call. The
+    dir is keyed by PID so two concurrent processes (e.g. bench and
+    compare at different sf) never re-copy seeds over each other's
+    fresh fits between a fit and its oracle read.
+    """
     env = os.environ.get("DVSS_ASSETS_DIR")
     if env:
         return env
-    run_dir = os.path.join(
-        os.path.dirname(os.path.dirname(__file__)), ".cache", "assets_run"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(__file__)),
+        ".cache",
+        "assets_run",
+        str(os.getpid()),
     )
-    os.makedirs(run_dir, exist_ok=True)
-    if os.path.isdir(_COMMITTED_ASSETS_DIR):
+
+
+_ASSETS_DIR = _init_assets_run_dir()
+_ASSETS_SEEDED = False
+
+
+def _ensure_assets_seeded() -> None:
+    """Create the run dir and copy committed seeds into it, once per
+    process. Idempotent; a no-op when DVSS_ASSETS_DIR points at an
+    externally managed dir that already holds the seeds (conftest,
+    reseed_assets)."""
+    global _ASSETS_SEEDED
+    if _ASSETS_SEEDED:
+        return
+    os.makedirs(_ASSETS_DIR, exist_ok=True)
+    if os.path.isdir(_COMMITTED_ASSETS_DIR) and not os.environ.get(
+        "DVSS_ASSETS_DIR"
+    ):
         import shutil
 
         for name in os.listdir(_COMMITTED_ASSETS_DIR):
             if name.endswith(".parquet"):
                 shutil.copy2(
                     os.path.join(_COMMITTED_ASSETS_DIR, name),
-                    os.path.join(run_dir, name),
+                    os.path.join(_ASSETS_DIR, name),
                 )
-    return run_dir
-
-
-_ASSETS_DIR = _init_assets_run_dir()
+    _ASSETS_SEEDED = True
 IVF_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivf_centroids.parquet")
 
 # fitted PQ codebooks, persisted by q_pq_adc for its oracle (same
@@ -1134,6 +1159,7 @@ def _persist_centroids(cents: list[list[float]], path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pqt
 
+    _ensure_assets_seeded()
     _os.makedirs(_ASSETS_DIR, exist_ok=True)
     pqt.write_table(
         pa.table(
@@ -2968,7 +2994,7 @@ FROM m
 """,
         "token_counts": f"""
 SELECT doc_id,
-  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+  len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> ''))::BIGINT AS ws_tokens,
   coalesce(list_sum(list_transform({toks}, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)::BIGINT AS bpe_estimate
 FROM documents
 """,
@@ -3592,7 +3618,7 @@ FROM z
     d["gopher_rules"] = f"""
 WITH s AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+         list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS w,
          string_split(text, chr(10)) AS l,
          {_toks_sql()} AS toks
   FROM documents
@@ -3782,6 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (Adding topic_model/topic_terms mid-round pushed rollup/set_ops
       -- both freshly r5-green -- over the 50 boundary into this tail.)
     """
+    _ensure_assets_seeded()
     return {
         # -- never driver-green (new in r5) -------------------------------
         "ann_batch": q_ann_batch,
@@ -3876,4 +3903,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_assets_seeded()
     return _oracles()

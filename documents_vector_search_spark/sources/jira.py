@@ -36,7 +36,7 @@ from documents_vector_search_spark.sources.batching import execute_with_retry
 Transport = Callable[[str, dict], dict]
 
 JIRA_FIELDS = (
-    "key,summary,description,comment,created,creator,updated,"
+    "key,summary,description,comment,created,reporter,updated,"
     "issuetype,priority,assignee,status,customfield_10014,parent"
 )
 PAGE_SIZE = 500
@@ -164,7 +164,10 @@ def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
     text_parts = [p for p in [summary, description, *comments] if p]
     metadata = {
         "createdAt": fields.get("created"),
-        "createdBy": (_get(fields, "creator", "emailAddress") or "").lower() or None,
+        # reporter, not creator: jira_document_converter.py:89-92 maps
+        # createdBy from fields.reporter.emailAddress (they differ when an
+        # issue is filed on someone's behalf)
+        "createdBy": (_get(fields, "reporter", "emailAddress") or "").lower() or None,
         "lastModifiedAt": fields.get("updated"),
         "project": key.split("-")[0] if key else None,
         "type": _get(fields, "issuetype", "name"),

@@ -94,7 +94,11 @@ def make_issue(key: str, summary: str, desc, updated="2024-05-01T10:00:00.000+00
             "description": desc,
             "created": "2024-01-01T00:00:00.000+0000",
             "updated": updated,
-            "creator": {"emailAddress": "Alice@Corp.COM"},
+            # creator != reporter on purpose: createdBy must come from
+            # reporter (jira_document_converter.py:89-92), and this fixture
+            # would catch a regression back to creator
+            "creator": {"emailAddress": "Proxy.Filer@Corp.COM"},
+            "reporter": {"emailAddress": "Alice@Corp.COM"},
             "assignee": None,
             "issuetype": {"name": "Bug"},
             "priority": {"name": "High"},
