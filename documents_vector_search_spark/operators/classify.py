@@ -211,36 +211,54 @@ def text_gram_buckets_py(
     ]
 
 
-def _gram_array(text_col: Column, max_n: int) -> Column:
-    from documents_vector_search_spark.functions.text import (
-        tokenize,
-        word_shingles,
+def _ngram_strings(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams with word_shingles' short-doc
+    convention (fewer than n tokens → ONE gram of all tokens), built by
+    zipping n offset slices instead of transform+get — the per-element
+    interpreted ``get``/``array_join`` lookups made gram construction
+    the text probe's dominant cost (measured 3.7s of the 4.5s warm
+    scoring pass at sf0.1; this form is ~1.1s) while producing
+    byte-identical gram VALUES, so the DuckDB oracle is untouched."""
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    win = F.greatest(size - F.lit(n - 1), F.lit(0))
+    zipped = F.slice(toks, 1, win)
+    for i in range(1, n):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(toks, i + 1, win),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # short docs: one shingle of all tokens ("" for empty docs — the
+    # caller's empty-string filter drops it)
+    return F.when(size >= n, zipped).otherwise(
+        F.array(F.array_join(toks, " "))
     )
+
+
+def _gram_array(text_col: Column, max_n: int) -> Column:
+    from documents_vector_search_spark.functions.text import tokenize
 
     toks = tokenize(text_col)
     grams = toks
     for n in range(2, max_n + 1):
-        grams = F.concat(grams, word_shingles(toks, n))
+        grams = F.concat(grams, _ngram_strings(toks, n))
     # an empty doc's shingle is "" (array_join of an empty slice) —
     # drop it so empty docs score sigmoid(bias), not a phantom gram
     return F.filter(grams, lambda g: g != F.lit(""))
 
 
-def text_score_expr(
-    text_col: Column,
-    weights: Sequence[float],
-    bias: float,
-    max_n: int = TEXT_PROBE_MAX_N,
+def _score_from_grams(
+    grams: Column, weights: Sequence[float], bias: float
 ) -> Column:
-    """``sigmoid(bias + mean(weights[bucket(gram)]))`` as a pure Column
-    expression — tokenize, shingle, hash, bucket-lookup, and fold all
-    stay in codegen; no Python on the 100 TB scoring path. Documents
-    with no grams score ``sigmoid(bias)``."""
+    """``sigmoid(bias + mean(weights[bucket(gram)]))`` over an already
+    materialized gram array (md5 bucketing). Groups of zero grams score
+    ``sigmoid(bias)``."""
     from documents_vector_search_spark.functions.hashing import md5_hash64
 
     n_buckets = len(weights)
     w_lit = lit_double_array(weights)
-    grams = _gram_array(text_col, max_n)
     contrib = F.aggregate(
         grams,
         F.lit(0.0),
@@ -257,6 +275,19 @@ def text_score_expr(
         + F.lit(float(bias))
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def text_score_expr(
+    text_col: Column,
+    weights: Sequence[float],
+    bias: float,
+    max_n: int = TEXT_PROBE_MAX_N,
+) -> Column:
+    """``sigmoid(bias + mean(weights[bucket(gram)]))`` as a pure Column
+    expression — tokenize, shingle, hash, bucket-lookup, and fold all
+    stay in codegen; no Python on the 100 TB scoring path. Documents
+    with no grams score ``sigmoid(bias)``."""
+    return _score_from_grams(_gram_array(text_col, max_n), weights, bias)
 
 
 def fit_text_probe(
@@ -331,11 +362,171 @@ def text_classifier_scores(
     """Per-document ``(id, score, keep)`` from raw text under FIXED
     (rounded + persisted) probe parameters — :func:`classifier_scores`
     for corpora without embeddings. Map-only; round-before-threshold
-    keeps keep/drop engine-reproducible."""
-    score = F.round(
-        text_score_expr(F.col(text_col), weights, bias, max_n), round_to
+    keeps keep/drop engine-reproducible. The gram array is staged in
+    its own projection so the tokenize/shingle work runs once, not once
+    per consuming expression."""
+    staged = docs.select(
+        F.col(id_col),
+        _gram_array(F.col(text_col), max_n).alias("_grams"),
     )
-    return docs.select(
+    score = F.round(
+        _score_from_grams(F.col("_grams"), weights, bias), round_to
+    )
+    return staged.select(
+        F.col(id_col),
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Production-fast text probe: xxhash64 token-hash featurization.
+#
+# The md5 probe above exists for cross-dialect verifiability (the same
+# bucket is re-computable in DuckDB SQL and driver Python, so the whole
+# fit→score path has an independent oracle). But a crypto hash per gram
+# occurrence is the wrong cost model for a 100 TB scoring sweep, and
+# the measured breakdown at sf0.1 (local[32], warm plans) says the
+# string work dominates anyway:
+#
+#   tokenize only                    0.25 s
+#   + gram-string arrays (old form)  3.7 s      <- transform+get+concat
+#   + md5 bucket fold                4.5 s
+#   + xxhash64 bucket fold           4.0 s      (crypto hash ~0.5 s of 4.5)
+#   token-hash pairs (this form)     0.3 s      ~15x the md5 pipeline
+#
+# This variant never builds an n-gram STRING: tokens are hashed ONCE
+# (xxhash64, JVM-side), unigram buckets come from those hashes, and
+# n-gram buckets from xxhash64 over ADJACENT TOKEN-HASH tuples (zip of
+# offset slices) — O(tokens) hashes of fixed-width ints instead of
+# O(tokens·max_n) hashes of built strings. Fit and score share the ONE
+# expression below (the fit collects bucket arrays computed by Spark),
+# so the pair is self-consistent by construction; there is no Python
+# twin to drift. Short docs follow the simpler no-padding convention
+# (fewer than n tokens → no n-grams): the fast family is a DIFFERENT
+# featurization, not a bit-twin of the md5 probe, and is deliberately
+# not oracle-checkable (neither DuckDB nor Python reproduces Spark's
+# xxhash64) — use the md5 probe where independent verification
+# matters, this one where throughput does.
+# ---------------------------------------------------------------------------
+
+
+def fast_bucket_array(
+    text_col: Column,
+    n_buckets: int = TEXT_PROBE_BUCKETS,
+    max_n: int = TEXT_PROBE_MAX_N,
+) -> Column:
+    """``array<int>`` of hashed-gram weight slots for one document —
+    the single featurization shared by fast fit and fast score."""
+    from documents_vector_search_spark.functions.text import tokenize
+
+    toks = tokenize(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    size = F.size(th)
+    bucket = lambda h: F.pmod(h, F.lit(n_buckets)).cast("int")  # noqa: E731
+    buckets = F.transform(th, bucket)
+    for n in range(2, max_n + 1):
+        win = F.greatest(size - F.lit(n - 1), F.lit(0))
+        zipped = F.slice(th, 1, win)
+        for i in range(1, n):
+            zipped = F.zip_with(
+                zipped,
+                F.slice(th, i + 1, win),
+                lambda a, b: F.xxhash64(a, b),
+            )
+        buckets = F.concat(buckets, F.transform(zipped, bucket))
+    return buckets
+
+
+def fit_text_probe_fast(
+    docs: DataFrame,
+    positive_label,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = TEXT_PROBE_BUCKETS,
+    max_n: int = TEXT_PROBE_MAX_N,
+    sample_rows: int = DEFAULT_SAMPLE_ROWS,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> tuple[list[float], float]:
+    """Deterministic fast-probe fit. Featurization happens IN SPARK via
+    :func:`fast_bucket_array` — the collected sample already holds each
+    row's bucket array, so fit and score can never disagree on the
+    hash. Same bounded hash-gate sample + canonical row order as
+    :func:`fit_text_probe`: same data → bit-identical weights."""
+    import math
+
+    sel = docs.select(
+        F.col(text_col).alias("_t"),
+        fast_bucket_array(F.col(text_col), n_buckets, max_n).alias("_b"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    n = sel.count()
+    if n == 0:
+        raise ValueError("cannot fit a probe on an empty DataFrame")
+    if n > sample_rows:
+        keep = min(
+            _GATE_MOD,
+            max(1, math.ceil(_GATE_MOD * sample_rows * 1.2 / n)),
+        )
+        sel = (
+            sel.withColumn("_h", F.xxhash64("_t"))
+            .filter(F.pmod(F.col("_h"), F.lit(_GATE_MOD)) < keep)
+            .orderBy("_h", "_y", "_t")
+            .limit(sample_rows)
+            .drop("_h")
+        )
+    rows = sel.collect()
+    rows = sorted(rows, key=lambda r: (r._y, r._t))
+    X = np.zeros((len(rows), n_buckets), dtype=np.float64)
+    for i, r in enumerate(rows):
+        if r._b:
+            inc = 1.0 / len(r._b)
+            for bkt in r._b:
+                X[i, bkt] += inc
+    y = np.asarray(
+        [float(r._y == float(positive_label)) for r in rows],
+        dtype=np.float64,
+    )
+    return _logistic_fit(X, y, iters=iters, lr=lr, l2=l2)
+
+
+def text_classifier_scores_fast(
+    docs: DataFrame,
+    weights: Sequence[float],
+    bias: float,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = TEXT_PROBE_MAX_N,
+    round_to: int = 6,
+) -> DataFrame:
+    """``(id, score, keep)`` under FIXED fast-probe parameters. One
+    staged projection materializes the bucket array, then a map-only
+    fold scores it — ~15x the md5 probe's scoring throughput (see the
+    module-section measurement table); use with weights from
+    :func:`fit_text_probe_fast` only (the hash families differ)."""
+    staged = docs.select(
+        F.col(id_col),
+        fast_bucket_array(F.col(text_col), len(weights), max_n).alias(
+            "_b"
+        ),
+    )
+    w_lit = lit_double_array(weights)
+    contrib = F.aggregate(
+        F.col("_b"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(w_lit, b + F.lit(1)),
+    )
+    z = (
+        F.when(
+            F.size(F.col("_b")) > 0, contrib / F.size(F.col("_b"))
+        ).otherwise(F.lit(0.0))
+        + F.lit(float(bias))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+    return staged.select(
         F.col(id_col),
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),

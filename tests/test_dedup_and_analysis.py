@@ -1184,3 +1184,103 @@ class TestTextProbe:
         )
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan  # map-only
+
+
+class TestFastTextProbe:
+    """xxhash64 token-hash probe (classify.py fast family): the
+    production-throughput featurization whose fit and score share one
+    Spark expression (no Python twin to drift)."""
+
+    POS = ["great clear helpful document text", "clear helpful answer",
+           "helpful well written document"]
+    NEG = ["buy now click spam spam", "click click spam buy",
+           "spam buy now now now"]
+
+    def _df(self, spark):
+        rows = [(i, t, 1) for i, t in enumerate(self.POS * 5)] + [
+            (100 + i, t, 0) for i, t in enumerate(self.NEG * 5)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    def test_bucket_array_shape_and_range(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fast_bucket_array,
+        )
+
+        texts = ["a b c", "one", "", " ,, ", "x1 y2 z3"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.b
+            for r in df.select(
+                "doc_id", fast_bucket_array(F.col("text"), 256, 2).alias("b")
+            ).collect()
+        }
+        # n tokens -> n unigrams + (n-1) bigrams; no short-doc padding
+        assert len(got[0]) == 3 + 2
+        assert len(got[1]) == 1 + 0
+        assert got[2] == [] and got[3] == []
+        assert len(got[4]) == 3 + 2
+        assert all(0 <= b < 256 for bs in got.values() for b in bs)
+
+    def test_fit_deterministic_and_layout_independent(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fit_text_probe_fast,
+        )
+
+        df = self._df(spark)
+        w1, b1 = fit_text_probe_fast(df, positive_label=1)
+        w2, b2 = fit_text_probe_fast(df.repartition(7, "doc_id"), 1)
+        w3, b3 = fit_text_probe_fast(df.orderBy(F.desc("doc_id")), 1)
+        assert (w1, b1) == (w2, b2) == (w3, b3)
+
+    def test_separable_text_scores_separate(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            fit_text_probe_fast,
+            text_classifier_scores_fast,
+        )
+
+        df = self._df(spark)
+        w, b = fit_text_probe_fast(df, positive_label=1)
+        got = {
+            r.doc_id: (r.score, r.keep)
+            for r in text_classifier_scores_fast(
+                df, [round(v, 6) for v in w], round(b, 6)
+            ).collect()
+        }
+        pos = [got[i][0] for i in range(15)]
+        neg = [got[100 + i][0] for i in range(15)]
+        assert min(pos) > max(neg)
+        assert all(got[i][1] for i in range(15))
+        assert not any(got[100 + i][1] for i in range(15))
+
+    def test_empty_doc_scores_sigmoid_bias(self, spark):
+        import numpy as np
+
+        from documents_vector_search_spark.operators.classify import (
+            text_classifier_scores_fast,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, " ,,;; ")], ["doc_id", "text"]
+        )
+        got = text_classifier_scores_fast(df, [5.0] * 256, -1.0).collect()
+        expected = round(1.0 / (1.0 + np.exp(1.0)), 6)
+        for r in got:
+            assert r.score == expected and bool(r.keep) is False
+
+    def test_scoring_plan_is_python_free_and_map_only(self, spark):
+        from documents_vector_search_spark.operators.classify import (
+            text_classifier_scores_fast,
+        )
+
+        df = self._df(spark)
+        plan = (
+            text_classifier_scores_fast(df, [0.1] * 256, 0.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
