@@ -82,6 +82,7 @@ HEADLINE = [
     "pii_redact",
     "line_dedup",
     "corpus_prep",
+    "corpus_prep_gopher",
     "prep_to_shards",
     "asof_join",
     "interval_join",

@@ -176,13 +176,76 @@ def gopher_rules(
     Scale: every signal is a Column expression over per-row arrays —
     the corpus sweep is ONE codegen'd scan, no shuffle, no Python.
     """
+    stats = _gopher_stats(docs, id_col, text_col)
+    keep = _gopher_keep(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+        min_alpha_word_frac, min_stop_hits,
+    )
+    return stats.select(
+        F.col(id_col),
+        "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "alpha_word_frac", "n_stop_hits",
+    ).withColumn("keep", keep)
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Pass-through Gopher gate: the ORIGINAL doc rows (all columns)
+    that survive the :func:`gopher_rules` keep conjunction — the form a
+    composed prep pipeline stages inline (filter on the computed stats,
+    no self-join back to the corpus, still one map-only scan)."""
+    stats = _gopher_stats(docs, id_col, text_col)
+    keep = _gopher_keep(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+        min_alpha_word_frac, min_stop_hits,
+    )
+    return stats.filter(keep).select(*docs.columns)
+
+
+def _gopher_keep(
+    min_words, max_words, min_mean_word_len, max_mean_word_len,
+    max_symbol_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
+    min_alpha_word_frac, min_stop_hits,
+) -> Column:
+    """The keep conjunction over :func:`_gopher_stats`' rounded stat
+    columns (round-before-compare: engine-reproducible)."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+
+
+def _gopher_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """All input columns plus the seven rounded Gopher stat columns."""
     words = F.filter(
         F.split(F.col(text_col), WS_RUN_RE), lambda w: w != F.lit("")
     )
     lines = F.split(F.col(text_col), "\n")
     staged = docs.select(
-        F.col(id_col),
-        F.col(text_col),
+        *docs.columns,
         words.alias("_w"),
         lines.alias("_l"),
         tokenize(text_col).alias("_t"),
@@ -237,8 +300,8 @@ def gopher_rules(
         )
     )
 
-    out = staged.select(
-        F.col(id_col),
+    return staged.select(
+        *docs.columns,
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
@@ -247,18 +310,6 @@ def gopher_rules(
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         stop_hits.cast("int").alias("n_stop_hits"),
     )
-    keep = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
-        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
-        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
-        & (F.col("n_stop_hits") >= min_stop_hits)
-    )
-    return out.withColumn("keep", keep)
 
 
 def pii_redact(

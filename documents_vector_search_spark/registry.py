@@ -1627,11 +1627,19 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_PREP_MIN_QUALITY = 0.5
 
 
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_prep(
+    spark: SparkSession, sf_dir: str, gopher: bool = False
+) -> DataFrame:
     """The COMPOSED training-corpus prep pipeline as one oracle-checked
     flow — quality gate → benchmark decontamination → exact dedup —
     i.e. the operators a 100 TB prep run chains, proven to compose:
 
+    0. (``gopher=True`` — the `corpus_prep_gopher` key) drop documents
+       failing the Gopher document-format gates
+       (operators/curation.gopher_filter) — the heuristic tier real
+       pipelines stack BEFORE the composite quality score; every
+       downstream stage (including the benchmark subset) operates on
+       the survivors;
     1. drop documents below the composite quality score
        (operators/text_analysis.quality_expr, threshold 0.5);
     2. drop documents sharing a 5-gram with the benchmark subset
@@ -1643,11 +1651,14 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
        (operators/dedup.py + operators/cc.py).
 
     Output: surviving ``(doc_id, quality)``. The oracle replays all
-    four stages including the recursive-CTE transitive closure."""
+    stages including the recursive-CTE transitive closure."""
     from documents_vector_search_spark.functions.text import tokenize
     from documents_vector_search_spark.operators.cc import (
         cluster_canonicalize,
         connected_components,
+    )
+    from documents_vector_search_spark.operators.curation import (
+        gopher_filter,
     )
     from documents_vector_search_spark.operators.decontamination import (
         decontaminate,
@@ -1657,6 +1668,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    if gopher:
+        # min_stop_hits=1 instead of Gopher's 2: the synthetic corpus
+        # averages 0.76 stop-word hits per doc, so the stock threshold
+        # would empty every table. The STAGE composition is what this
+        # key proves; the stock-threshold gate is verified by the
+        # standalone `gopher_rules` key.
+        docs = gopher_filter(docs, min_stop_hits=1)
     staged = docs.withColumn("_toks", tokenize("text"))
     gated = staged.withColumn(
         "quality", quality_expr(F.col("_toks"), "text")
@@ -1691,6 +1709,15 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_canonicalize(exact, clusters, id_col="doc_id").select(
         "doc_id", "quality"
     )
+
+
+def q_corpus_prep_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`corpus_prep` with the Gopher document-format gates threaded in
+    as stage 0 (operators/curation.gopher_filter) — the way real prep
+    pipelines stack heuristic tiers before model-based scoring. The
+    oracle replays the gate (shared stats SQL with the `gopher_rules`
+    key) and the full downstream chain over its survivors."""
+    return q_corpus_prep(spark, sf_dir, gopher=True)
 
 
 def q_prep_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2486,6 +2513,85 @@ v AS (
          len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
   FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
 )"""
+
+    def _prep_sql(src: str) -> str:
+        """The composed corpus-prep oracle (quality gate -> decon ->
+        exact dedup -> near-dup CC), parameterized by the documents
+        relation so the Gopher-gated variant reuses one definition."""
+        return f"""
+WITH RECURSIVE t AS (SELECT doc_id, text, {toks} AS toks FROM {src}),
+q AS (
+  SELECT doc_id, text, toks,
+    round((least(len(toks) / 100.0, 1.0)
+      + CASE WHEN length(text) > 0
+          THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+          ELSE 0.0 END
+      + least(CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks, w -> list_contains({en_list}, w)))::DOUBLE / len(toks)
+          ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+  FROM t
+),
+gated AS (SELECT * FROM q WHERE quality >= {CORPUS_PREP_MIN_QUALITY}),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS gram FROM (
+    SELECT {_shingles_sql(DECON_N)} AS sh FROM t
+    WHERE doc_id % {DECON_BENCH_MOD} = 0
+  )
+),
+gs AS (SELECT doc_id, unnest({_shingles_sql(DECON_N)}) AS gram FROM gated),
+contam AS (SELECT DISTINCT gs.doc_id FROM gs JOIN bench USING (gram)),
+decon AS (
+  SELECT doc_id, text, toks, quality FROM gated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+exact AS (
+  SELECT doc_id, toks, quality FROM (
+    SELECT doc_id, toks, quality,
+           row_number() OVER (
+             PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
+           ) AS rn
+    FROM decon
+  ) WHERE rn = 1
+),
+sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM exact),
+hxt2 AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh2),
+sig2 AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM hxt2),
+banded_all2 AS (
+{" UNION ALL ".join(f"SELECT doc_id, {b} AS band_index, concat(m{2 * b}, '_', m{2 * b + 1}) AS band_value FROM sig2" for b in range(4))}
+),
+banded2 AS (
+  SELECT doc_id, band_index, band_value FROM banded_all2
+  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
+),
+cand2 AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded2 l JOIN banded2 r
+    ON l.band_index = r.band_index AND l.band_value = r.band_value
+   AND l.doc_id < r.doc_id
+),
+v2 AS (
+  SELECT id_a, id_b,
+         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
+         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
+  FROM cand2 JOIN sig2 a ON a.doc_id = id_a JOIN sig2 b ON b.doc_id = id_b
+),
+pairs2 AS (SELECT id_a, id_b FROM v2 WHERE inter / (na + nb - inter) >= 0.8),
+edges2 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs2
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs2
+),
+nodes2 AS (SELECT DISTINCT src AS id FROM edges2),
+reach2(id, r) AS (
+  SELECT id, id FROM nodes2
+  UNION
+  SELECT e.dst AS id, reach2.r AS r FROM reach2 JOIN edges2 e ON e.src = reach2.id
+),
+clusters2 AS (SELECT id, min(r) AS cluster_id FROM reach2 GROUP BY id),
+victims2 AS (SELECT id FROM clusters2 WHERE id != cluster_id)
+SELECT doc_id, quality FROM exact
+WHERE doc_id NOT IN (SELECT id FROM victims2)
+"""
 
     d = {
         "postings_build": f"""
@@ -3390,80 +3496,6 @@ SELECT CAST(doc_id AS VARCHAR) AS id,
        'dataset' AS source_type
 FROM documents
 """,
-        "corpus_prep": f"""
-WITH RECURSIVE t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
-q AS (
-  SELECT doc_id, text, toks,
-    round((least(len(toks) / 100.0, 1.0)
-      + CASE WHEN length(text) > 0
-          THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
-          ELSE 0.0 END
-      + least(CASE WHEN len(toks) > 0
-          THEN len(list_filter(toks, w -> list_contains({en_list}, w)))::DOUBLE / len(toks)
-          ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
-  FROM t
-),
-gated AS (SELECT * FROM q WHERE quality >= {CORPUS_PREP_MIN_QUALITY}),
-bench AS (
-  SELECT DISTINCT unnest(sh) AS gram FROM (
-    SELECT {_shingles_sql(DECON_N)} AS sh FROM t
-    WHERE doc_id % {DECON_BENCH_MOD} = 0
-  )
-),
-gs AS (SELECT doc_id, unnest({_shingles_sql(DECON_N)}) AS gram FROM gated),
-contam AS (SELECT DISTINCT gs.doc_id FROM gs JOIN bench USING (gram)),
-decon AS (
-  SELECT doc_id, text, toks, quality FROM gated
-  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-),
-exact AS (
-  SELECT doc_id, toks, quality FROM (
-    SELECT doc_id, toks, quality,
-           row_number() OVER (
-             PARTITION BY {md5_hash64_sql("text")} ORDER BY doc_id
-           ) AS rn
-    FROM decon
-  ) WHERE rn = 1
-),
-sh2 AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM exact),
-hxt2 AS (SELECT doc_id, shingles, list_transform(shingles, s -> md5(s)) AS hx FROM sh2),
-sig2 AS (SELECT doc_id, shingles, {_minhash_cols_sql(8)} FROM hxt2),
-banded_all2 AS (
-{" UNION ALL ".join(f"SELECT doc_id, {b} AS band_index, concat(m{2 * b}, '_', m{2 * b + 1}) AS band_value FROM sig2" for b in range(4))}
-),
-banded2 AS (
-  SELECT doc_id, band_index, band_value FROM banded_all2
-  QUALIFY count(*) OVER (PARTITION BY band_index, band_value) <= {MINHASH_MAX_BUCKET}
-),
-cand2 AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded2 l JOIN banded2 r
-    ON l.band_index = r.band_index AND l.band_value = r.band_value
-   AND l.doc_id < r.doc_id
-),
-v2 AS (
-  SELECT id_a, id_b,
-         len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::BIGINT AS inter,
-         len(a.shingles)::BIGINT AS na, len(b.shingles)::BIGINT AS nb
-  FROM cand2 JOIN sig2 a ON a.doc_id = id_a JOIN sig2 b ON b.doc_id = id_b
-),
-pairs2 AS (SELECT id_a, id_b FROM v2 WHERE inter / (na + nb - inter) >= 0.8),
-edges2 AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs2
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs2
-),
-nodes2 AS (SELECT DISTINCT src AS id FROM edges2),
-reach2(id, r) AS (
-  SELECT id, id FROM nodes2
-  UNION
-  SELECT e.dst AS id, reach2.r AS r FROM reach2 JOIN edges2 e ON e.src = reach2.id
-),
-clusters2 AS (SELECT id, min(r) AS cluster_id FROM reach2 GROUP BY id),
-victims2 AS (SELECT id FROM clusters2 WHERE id != cluster_id)
-SELECT doc_id, quality FROM exact
-WHERE doc_id NOT IN (SELECT id FROM victims2)
-""",
         "events_pivot": f"""
 SELECT user_id % 10 AS cohort,
        {", ".join(f"count(*) FILTER (event_type = '{t}')::BIGINT AS {t}" for t in EVENT_TYPES)}
@@ -3549,6 +3581,7 @@ SELECT doc_id, chunk_number, chunk_text
 FROM read_parquet('{RECURSIVE_CHUNK_EXPECTED_PATH}')
 """,
     }
+    d["corpus_prep"] = _prep_sql("documents")
     from documents_vector_search_spark.operators.ann import (
         multiprobe_buckets,
     )
@@ -3615,7 +3648,16 @@ FROM z
     # Gopher format gates: whitespace words (punctuation attached),
     # newline lines (split yields >=1 element), engine-tokenizer stop
     # hits; every ratio rounded to 6 BEFORE the keep conjunction
-    d["gopher_rules"] = f"""
+    # stats body shared by the standalone gopher_rules key and the
+    # corpus_prep_gopher stage-0 gate (which loosens min_stop_hits)
+    _gopher_keep_sql = (
+        lambda min_stop: f"""(n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_stop_hits >= {min_stop})"""
+    )
+    _gopher_stats_sql = f"""
 WITH s AS (
   SELECT doc_id, text,
          list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'), x -> x <> '') AS w,
@@ -3651,14 +3693,21 @@ m AS (
       AS n_stop_hits
   FROM s
 )
-SELECT m.*,
-       (n_words >= 50 AND n_words <= 100000
-        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        AND symbol_ratio <= 0.1
-        AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-        AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2) AS keep
-FROM m
+SELECT * FROM m
 """
+    d["gopher_rules"] = (
+        f"SELECT m.*, {_gopher_keep_sql(2)} AS keep "
+        f"FROM ({_gopher_stats_sql}) m"
+    )
+    # corpus_prep with the Gopher gate as stage 0: same composed chain,
+    # sourced from the gate's survivors (min_stop_hits loosened to 1 --
+    # see q_corpus_prep's threshold note)
+    _gopher_src = (
+        "(SELECT d.doc_id, d.text FROM documents d "
+        f"JOIN ({_gopher_stats_sql}) m USING (doc_id) "
+        f"WHERE {_gopher_keep_sql(1)})"
+    )
+    d["corpus_prep_gopher"] = _prep_sql(_gopher_src)
     # MaxSim late interaction: per-group max of each query's rounded
     # cosine, summed in sorted-qid order (matches the Spark fold)
     _li_max_cols = ",\n    ".join(
@@ -3816,6 +3865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ----------------------------------------------
         "quality_classifier_text": q_quality_classifier_text,
         "gopher_rules": q_gopher_rules,
+        "corpus_prep_gopher": q_corpus_prep_gopher,
         "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
         "topic_model": q_topic_model,
