@@ -402,6 +402,15 @@ def cmd_topics(args) -> int:
     base = f"{args.base_path}/{args.collection}"
     prof_out = f"{base}/topic_profile"
     prof.write.mode("overwrite").parquet(prof_out)
+    # record the fitted centroids like IVF/SQ8 record theirs, so
+    # `refit-topics` can detect drift and rebuild the stored profile
+    manifest = coll.manifest()
+    manifest.converter["topics"] = {
+        "nList": args.nlist,
+        "centroids": cents,
+        "termsK": args.terms_k or 0,
+    }
+    coll.save_manifest(manifest)
     stored = coll.spark.read.parquet(prof_out)
     # nlist-row presentation collect
     biggest = stored.orderBy(F.col("n_docs").desc(), "topic_id").first()
@@ -523,6 +532,18 @@ def cmd_refit_ivf(args) -> int:
 
     coll = _collection(args)
     print(_format(refit_ivf(coll), args.format))
+    return 0
+
+
+def cmd_refit_topics(args) -> int:
+    """Re-fit topic centroids and rebuild the stored topic profile /
+    term labels after drift (collection/refit.py) — O(corpus)
+    maintenance, like ``refit-ivf``; requires a prior ``topics`` run
+    (which records its fit in the manifest)."""
+    from documents_vector_search_spark.collection import refit_topics
+
+    coll = _collection(args)
+    print(_format(refit_topics(coll), args.format))
     return 0
 
 
@@ -728,6 +749,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("refit-ivf")
     common(sp)
     sp.set_defaults(func=cmd_refit_ivf)
+
+    sp = sub.add_parser("refit-topics")
+    common(sp)
+    sp.set_defaults(func=cmd_refit_topics)
 
     sp = sub.add_parser("stats")
     common(sp)

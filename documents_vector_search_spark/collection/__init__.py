@@ -30,7 +30,11 @@ from documents_vector_search_spark.collection.updater import (
 )
 from documents_vector_search_spark.collection.fetcher import fetch_document_lines
 from documents_vector_search_spark.collection.compactor import compact_collection
-from documents_vector_search_spark.collection.refit import refit_ivf, refit_sq8
+from documents_vector_search_spark.collection.refit import (
+    refit_ivf,
+    refit_sq8,
+    refit_topics,
+)
 
 __all__ = [
     "Collection",
@@ -43,4 +47,5 @@ __all__ = [
     "compact_collection",
     "refit_ivf",
     "refit_sq8",
+    "refit_topics",
 ]

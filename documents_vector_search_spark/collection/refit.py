@@ -178,3 +178,83 @@ def refit_sq8(collection: Collection) -> dict:
     manifest.touch()
     collection.save_manifest(manifest)
     return {"refit": True, "dims_drifted": drifted}
+
+
+def refit_topics(collection: Collection, sample_rows: int | None = None) -> dict:
+    """Re-fit the collection's topic centroids and rebuild the stored
+    ``topic_profile`` (and ``topic_terms``) tables — the drift
+    maintenance op for the topic analytics the ``topics`` CLI command
+    materializes.
+
+    The topics command records its fitted centroids in the manifest
+    (``converter["topics"]``), and — like IVF centroids and SQ8 bounds
+    — nothing on the update path ever refits them, so after corpus
+    drift the stored profile silently describes a corpus that no
+    longer exists. This refit is the remedy: one bounded deterministic
+    sample fit (same KMeans as create), a no-drift fast path when the
+    fresh centroids match the manifest exactly, else a profile (and
+    terms, when the original run labeled them) recompute written
+    through the same staged ``__tmp``/``__old`` swap as every other
+    maintenance rewrite. O(corpus) by necessity; explicit command
+    beside ``refit-ivf`` / ``refit-sq8``, never on the update path.
+
+    Returns ``{"refit": bool, "terms_refit": bool}``.
+    """
+    from documents_vector_search_spark.collection.updater import (
+        _recover_orphans,
+        _swap_all,
+    )
+    from documents_vector_search_spark.operators.ivf import (
+        fit_ivf,
+        round_centroids,
+    )
+    from documents_vector_search_spark.operators.topics import (
+        topic_profile,
+        topic_terms,
+    )
+
+    manifest: Manifest = collection.manifest()
+    cfg = manifest.converter.get("topics")
+    if not cfg:
+        raise ValueError(
+            f"collection '{collection.name}' has no fitted topics to "
+            "refit — run the `topics` command first"
+        )
+    terms_k = int(cfg.get("termsK", 0))
+    tables = ["topic_profile"] + (["topic_terms"] if terms_k else [])
+    _recover_orphans(collection, tables)
+
+    emb = collection.read("embeddings").select("chunk_id", "vector")
+    new_cents = round_centroids(
+        fit_ivf(
+            emb,
+            nlist=int(cfg["nList"]),
+            id_col="chunk_id",
+            vector_col="vector",
+            sample_rows=sample_rows,
+        ).centroids
+    )
+    if new_cents == cfg["centroids"]:
+        return {"refit": False, "terms_refit": False}
+
+    staged = {"topic_profile": topic_profile(emb, new_cents, vec_col="vector")}
+    if terms_k:
+        chunks = collection.read("chunks").select(
+            "chunk_id", F.col("indexed_data").alias("text")
+        )
+        staged["topic_terms"] = topic_terms(
+            chunks,
+            emb,
+            new_cents,
+            k=terms_k,
+            doc_id_col="chunk_id",
+            vec_id_col="chunk_id",
+            text_col="text",
+            vec_col="vector",
+        )
+    _swap_all(collection, staged, {})
+    cfg["centroids"] = new_cents
+    manifest.converter["topics"] = cfg
+    manifest.touch()
+    collection.save_manifest(manifest)
+    return {"refit": True, "terms_refit": bool(terms_k)}

@@ -249,6 +249,15 @@ class TestCLI:
         # <= terms_k ranked terms per topic, ranks 0-based
         for r in terms.collect():
             assert 0 <= r.rank < 3
+        # maintenance: unchanged corpus → deterministic fit → no drift
+        rc = cli.main(
+            ["refit-topics", "cli_test", "--base-path", base_path,
+             "--format", "json"]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out) == {
+            "refit": False, "terms_refit": False,
+        }
 
     def test_dedup_reports_and_applies(self, base_path, tmp_path, capsys, spark):
         """`dvss dedup` clusters near-identical docs and --apply deletes

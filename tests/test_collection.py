@@ -1142,6 +1142,63 @@ class TestIvfRefit:
             refit_ivf(collection)
 
 
+class TestTopicRefit:
+    """collection/refit.py::refit_topics — topic-analytics drift
+    maintenance, mirroring TestIvfRefit: the `topics` command records
+    its fit in the manifest; updates never touch it; the refit detects
+    drift and rebuilds the stored profile/terms via the staged swap."""
+
+    def test_refit_after_update_rebuilds_profile_and_terms(
+        self, spark, canonical_docs, tmp_path
+    ):
+        from documents_vector_search_spark import cli
+        from documents_vector_search_spark.collection import refit_topics
+
+        coll = Collection(spark, str(tmp_path), "topicrefit")
+        create_collection(
+            coll, canonical_docs, chunk_size=200, chunk_overlap=40
+        )
+        # before any topics run there is nothing to refit
+        with pytest.raises(ValueError, match="no fitted topics"):
+            refit_topics(coll)
+
+        rc = cli.main(
+            ["topics", "topicrefit", "--base-path", str(tmp_path),
+             "--nlist", "2", "--terms-k", "2", "--format", "json"]
+        )
+        assert rc == 0
+        old_cents = coll.manifest().converter["topics"]["centroids"]
+
+        # unchanged corpus → deterministic sample fit → no drift
+        assert refit_topics(coll) == {"refit": False, "terms_refit": False}
+
+        updates = canonical_docs.filter(F.col("id") == "doc-3").select(
+            "id", "url", "metadata",
+            F.concat(
+                F.lit("entirely new drifted content. "), "text"
+            ).alias("text"),
+            "last_modified_at", "source_type",
+        )
+        update_collection(coll, updates)
+        assert refit_topics(coll) == {"refit": True, "terms_refit": True}
+
+        cfg = coll.manifest().converter["topics"]
+        assert cfg["centroids"] != old_cents
+        # rebuilt profile covers exactly the current embeddings
+        prof = coll.read("topic_profile").collect()
+        assert sum(r.n_docs for r in prof) == coll.read("embeddings").count()
+        assert abs(sum(r.share for r in prof) - 1.0) < 1e-4
+        terms = coll.read("topic_terms").collect()
+        assert len(terms) > 0
+        assert all(0 <= r.rank < 2 for r in terms)
+
+    def test_refit_requires_topics_fit(self, collection):
+        from documents_vector_search_spark.collection import refit_topics
+
+        with pytest.raises(ValueError, match="no fitted topics"):
+            refit_topics(collection)
+
+
 class TestContentFlagsAndCounts:
     def test_include_chunk_and_document_text(self, collection):
         from documents_vector_search_spark.collection import CollectionSearcher
