@@ -208,6 +208,7 @@ def cmd_search(args) -> int:
         max_documents=args.max_documents,
         indexes=tuple(args.indexes.split(",")),
         metadata_filter=args.filter,
+        diversify_lambda=args.diversify_lambda,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
@@ -562,6 +563,7 @@ def cmd_search_many(args) -> int:
         max_documents=args.max_documents,
         indexes=tuple(args.indexes.split(",")),
         metadata_filter=args.filter,
+        diversify_lambda=args.diversify_lambda,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
@@ -667,6 +669,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rrf-k", type=int, default=60)
     sp.add_argument("--indexes", default="vector,bm25")
     sp.add_argument("--filter")
+    sp.add_argument("--diversify-lambda", type=float, default=None,
+                    help="MMR diversified ranking (None = off)")
     sp.set_defaults(func=cmd_search)
 
     sp = sub.add_parser("fetch")
@@ -726,6 +730,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--rrf-k", type=int, default=60)
     sp.add_argument("--indexes", default="vector,bm25")
     sp.add_argument("--filter")
+    sp.add_argument("--diversify-lambda", type=float, default=None,
+                    help="MMR diversified ranking (None = off)")
     sp.set_defaults(func=cmd_search_many)
 
     sp = sub.add_parser("explain")

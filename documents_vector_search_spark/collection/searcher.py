@@ -511,6 +511,52 @@ class CollectionSearcher:
             F.col("mmr_score").alias("score"),
         )
 
+    def search_chunks_many_diverse(
+        self,
+        texts: dict[str, str],
+        max_chunks: int = 15,
+        lam: float = 0.7,
+        pool_factor: int = 3,
+        indexes: tuple[str, ...] = DEFAULT_INDEXES,
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """MMR-diversified fused ranking for MANY queries in one job:
+        ``(qid, chunk_id, rank, score)``. The Q pools come from ONE
+        batched :meth:`search_chunks_many` retrieval (one union-probe
+        scan per index — not Q full passes), then each pool re-ranks
+        with the SAME greedy as :meth:`search_chunks_diverse`
+        (operators/mmr.mmr_rerank_grouped shares the single-pool code),
+        so per-query results equal the single-query diverse path
+        exactly (test-pinned). The rerank shuffles only Q·pool rows
+        keyed by qid and runs the Q Arrow-batched greedies in parallel.
+        """
+        from documents_vector_search_spark.operators.mmr import (
+            mmr_rerank_grouped,
+        )
+
+        # materialized bounded shortlist before composition — same
+        # window-pruning hazard note as search_chunks_diverse
+        pool = self.search_chunks_many(
+            texts, max_chunks * pool_factor, indexes, metadata_filter
+        ).localCheckpoint()
+        emb = self._read("embeddings").select("chunk_id", "vector")
+        cands = pool.select("qid", "chunk_id", "score").join(emb, "chunk_id")
+        out = mmr_rerank_grouped(
+            cands,
+            max_chunks,
+            lam=lam,
+            group_col="qid",
+            id_col="chunk_id",
+            vector_col="vector",
+            score_col="score",
+        )
+        return out.select(
+            "qid",
+            "chunk_id",
+            (F.col("rank") - 1).alias("rank"),
+            F.col("mmr_score").alias("score"),
+        )
+
     def search_chunks_many(
         self,
         texts: dict[str, str],
@@ -775,14 +821,26 @@ class CollectionSearcher:
         max_documents: int | None = 10,
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
+        diversify_lambda: float | None = None,
+        pool_factor: int = 3,
     ) -> DataFrame:
         """Document-grouped batch search: :meth:`search` for MANY
         queries in one job, keyed by ``qid`` — grouping, doc ranking
         (a document ranks at its best chunk's rank) and the per-query
-        document limit all run per qid inside the same plan."""
-        fused = self.search_chunks_many(
-            texts, max_chunks, indexes, metadata_filter
-        )
+        document limit all run per qid inside the same plan.
+        ``diversify_lambda`` (None = off, same convention as
+        :meth:`search`) swaps the fused chunk ranking for the batched
+        MMR rerank (:meth:`search_chunks_many_diverse`) so Q diverse
+        searches still pay one retrieval pass per index, not Q."""
+        if diversify_lambda is not None:
+            fused = self.search_chunks_many_diverse(
+                texts, max_chunks, diversify_lambda, pool_factor,
+                indexes, metadata_filter,
+            )
+        else:
+            fused = self.search_chunks_many(
+                texts, max_chunks, indexes, metadata_filter
+            )
         chunks = self._read("chunks")
         hits = fused.join(chunks, "chunk_id").select(
             "qid", "chunk_id", "document_id", "chunk_number", "rank", "score"

@@ -192,6 +192,60 @@ class TestSearch:
             ]
             assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
 
+    def test_batch_diverse_matches_per_query_diverse(self, collection):
+        """search_chunks_many_diverse per-qid results ==
+        search_chunks_diverse per query — the batched MMR shares the
+        single-pool greedy (operators/mmr._mmr_greedy), so the batch
+        path is amortization, never a semantics change."""
+        s = CollectionSearcher(collection)
+        texts = {
+            "a": "hash join vector",
+            "b": "sort merge",
+            "c": "window partition",
+        }
+        batch = s.search_chunks_many_diverse(
+            texts, max_chunks=5, lam=0.5
+        ).collect()
+        by_qid: dict = {}
+        for r in batch:
+            by_qid.setdefault(r.qid, []).append((r.chunk_id, r.rank, r.score))
+        for qid in by_qid:
+            by_qid[qid].sort(key=lambda t: t[1])
+        for qid, text in texts.items():
+            expected = [
+                (r.chunk_id, r.rank, r.score)
+                for r in s.search_chunks_diverse(
+                    text, max_chunks=5, lam=0.5
+                ).orderBy("rank").collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
+    def test_search_many_diverse_matches_per_query_diverse_search(
+        self, collection
+    ):
+        s = CollectionSearcher(collection)
+        texts = {"a": "hash join vector", "b": "sort merge"}
+        got = s.search_many(
+            texts, max_chunks=10, max_documents=5, diversify_lambda=0.5
+        ).collect()
+        assert len(got) > 0
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r.qid, []).append(
+                (r.document_id, r.doc_rank, tuple(r.matched_chunks),
+                 r.best_score, r.n_chunks)
+            )
+        for qid, text in texts.items():
+            expected = [
+                (r.document_id, r.doc_rank, tuple(r.matched_chunks),
+                 r.best_score, r.n_chunks)
+                for r in s.search(
+                    text, max_chunks=10, max_documents=5,
+                    diversify_lambda=0.5,
+                ).collect()
+            ]
+            assert by_qid.get(qid, []) == expected, f"mismatch for {qid}"
+
     def test_search_many_matches_per_query_search(self, collection):
         s = CollectionSearcher(collection)
         texts = {"a": "hash join vector", "b": "sort merge"}
