@@ -14,6 +14,30 @@ def test_entry_returns_ranked_documents(spark):
     assert {"doc_id", "rrf_score"} <= set(df.columns)
 
 
+# Expected head of entry()'s fused+presented ranking at sf0.001,
+# committed verbatim: (doc_id, rrf_score rounded to 6, lang, source,
+# n_chars). The fusion itself is oracle-checked (rrf_hybrid key); this
+# pins the PRESENTATION join — column wiring, join key, final ordering
+# — which the driver smoke only row-counts.
+ENTRY_GOLDEN_TOP5 = [
+    (255, 0.027047, "en", "src15", 259),
+    (481, 0.024925, "en", "src1", 509),
+    (269, 0.024819, "en", "src9", 339),
+    (259, 0.024184, "es", "src19", 493),
+    (156, 0.020495, "en", "src16", 426),
+]
+
+
+def test_entry_golden_top_rows(spark):
+    rows = entrymod.entry(spark).collect()
+    assert len(rows) == 20
+    got = [
+        (r.doc_id, round(r.rrf_score, 6), r.lang, r.source, r.n_chars)
+        for r in rows[:5]
+    ]
+    assert got == ENTRY_GOLDEN_TOP5
+
+
 # operators whose semantics SQL cannot express — the driver records
 # rows-only checks. Empty since round 5: ivf_ann left in round 2 (its
 # KMeans fit persists centroids the oracle reads back), and
