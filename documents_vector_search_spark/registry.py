@@ -3837,89 +3837,39 @@ JOIN ({d["fingerprint"]}) f ON f.doc_id = l.doc_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ordering = driver verification rotation (round 6).
+    """Registry ordering = driver verification rotation (round 7).
 
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
-    key -> last-driver-green-round table):
+    key -> last-driver-green-round table): never-green keys first, then
+    keys added this round, then the stalest keys; no key's newest
+    driver-green row may age past two rounds.
 
-    - positions 1-2: keys with NO driver-green row in any round
-      (ann_batch, quality_classifier -- new in r5, judge-verified green
-      but never inside the driver's window);
-    - next: keys added new this round;
-    - next 25: keys whose newest driver-green row is r4, rotated out in
-      r5 per the documented plan and due back now;
-    - remaining slots to 50: r5 keys with only ONE driver-green row
-      (the ten former never-greens + span_dedup) and part of the
-      r2/r3->r5 block, giving them a second consecutive green;
-    - out-of-window tail: keys with 2+ consecutive green rows whose
-      newest is r5 -- one round stale at most, back in-window in r7.
-      (Adding topic_model/topic_terms mid-round pushed rollup/set_ops
-      -- both freshly r5-green -- over the 50 boundary into this tail.)
+    Round 7 window (84 keys total):
+    - position 1: corpus_prep_gopher, new this round (never
+      driver-green);
+    - next 33: the r5-green block rotated out in r6 and due back now
+      (the exact list the r6 verdict item #1 names);
+    - remaining 16 slots: r6-green keys re-verified EARLY because this
+      round's code changes touch them — the single-driver-green r6
+      additions (quality_classifier_text/gopher_rules/late_interaction/
+      mmr_rerank/topic_model/topic_terms, plus ann_batch and
+      quality_classifier whose first green was r6), the whitespace-
+      regex/scoring-path keys (token_counts, corpus_prep), and the
+      asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search,
+      sq8_ann, recursive_chunk, span_dedup);
+    - out-of-window tail (34): r6-green keys untouched this round --
+      one round stale at most, due back in-window in r8.
     """
     _ensure_assets_seeded()
     return {
-        # -- never driver-green (new in r5) -------------------------------
-        "ann_batch": q_ann_batch,
-        "quality_classifier": q_quality_classifier,
-        # -- new this round ----------------------------------------------
-        "quality_classifier_text": q_quality_classifier_text,
-        "gopher_rules": q_gopher_rules,
+        # -- new this round (never driver-green) --------------------------
         "corpus_prep_gopher": q_corpus_prep_gopher,
-        "late_interaction": q_late_interaction,
-        "mmr_rerank": q_mmr_rerank,
-        "topic_model": q_topic_model,
-        "topic_terms": q_topic_terms,
-        # -- newest driver-green row is r4 (rotated out in r5) ------------
-        "vocab_stats": q_vocab_stats,
-        "postings_build": q_postings_build,
-        "bm25_topk": q_bm25_topk,
-        "knn_l2": q_knn_l2,
-        "knn_cosine": q_knn_cosine,
-        "knn_l2_filtered": q_knn_l2_filtered,
-        "ann_lsh": q_ann_lsh,
-        "rrf_hybrid": q_rrf_hybrid,
-        "group_hits": q_group_hits,
-        "chunk_split": q_chunk_split,
-        "fetch_slice": q_fetch_slice,
-        "filter_docs": q_filter_docs,
-        "incremental_merge": q_incremental_merge,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sig": q_minhash_sig,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_apply": q_dedup_apply,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram": q_dedup_ngram,
-        "embedding_neardup": q_embedding_neardup,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprint": q_fingerprint,
-        "kmv_distinct": q_kmv_distinct,
-        # -- single-green r5 keys: second consecutive green ---------------
-        "dataset_ingest": q_dataset_ingest,
-        "events_pivot": q_events_pivot,
-        "corpus_prep": q_corpus_prep,
-        "value_percentiles": q_value_percentiles,
-        "recursive_chunk": q_recursive_chunk,
-        "ivf_ann": q_ivf_ann,
-        "pq_adc": q_pq_adc,
-        "ivfpq_search": q_ivfpq_search,
-        "sq8_ann": q_sq8_ann,
-        "decontaminate": q_decontaminate,
-        "span_dedup": q_span_dedup,
-        # -- r2/r3->r5 block, filling the window to 50 --------------------
-        "tpch_q1": q_tpch_q1,
-        "revenue_join": q_revenue_join,
-        "events_window": q_events_window,
-        "sessionize": q_sessionize,
-        "canonical_projection": q_canonical_projection,
-        "topk_per_group": q_topk_per_group,
+        # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
         "median_price": q_median_price,
         "multimodal": q_multimodal,
-        # -- out-of-window (positions 51+): newest green r5, back in r7 ---
         "embed_hash": q_embed_hash,
         "knn_join": q_knn_join,
         "histogram": q_histogram,
@@ -3949,6 +3899,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
+        # -- r6-green keys re-verified early: touched by r7 changes -------
+        "ann_batch": q_ann_batch,
+        "quality_classifier": q_quality_classifier,
+        "quality_classifier_text": q_quality_classifier_text,
+        "gopher_rules": q_gopher_rules,
+        "late_interaction": q_late_interaction,
+        "mmr_rerank": q_mmr_rerank,
+        "topic_model": q_topic_model,
+        "topic_terms": q_topic_terms,
+        "corpus_prep": q_corpus_prep,
+        "token_counts": q_token_counts,
+        "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
+        "ivfpq_search": q_ivfpq_search,
+        "sq8_ann": q_sq8_ann,
+        "recursive_chunk": q_recursive_chunk,
+        "span_dedup": q_span_dedup,
+        # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "vocab_stats": q_vocab_stats,
+        "postings_build": q_postings_build,
+        "bm25_topk": q_bm25_topk,
+        "knn_l2": q_knn_l2,
+        "knn_cosine": q_knn_cosine,
+        "knn_l2_filtered": q_knn_l2_filtered,
+        "ann_lsh": q_ann_lsh,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_hits": q_group_hits,
+        "chunk_split": q_chunk_split,
+        "fetch_slice": q_fetch_slice,
+        "filter_docs": q_filter_docs,
+        "incremental_merge": q_incremental_merge,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_apply": q_dedup_apply,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "kmv_distinct": q_kmv_distinct,
+        "dataset_ingest": q_dataset_ingest,
+        "events_pivot": q_events_pivot,
+        "value_percentiles": q_value_percentiles,
+        "decontaminate": q_decontaminate,
+        "tpch_q1": q_tpch_q1,
+        "revenue_join": q_revenue_join,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        "canonical_projection": q_canonical_projection,
+        "topk_per_group": q_topk_per_group,
     }
 
 
