@@ -75,6 +75,7 @@ HEADLINE = [
     "quality_classifier",
     "quality_classifier_text",
     "gopher_rules",
+    "c4_rules",
     "late_interaction",
     "mmr_rerank",
     "topic_model",
@@ -213,6 +214,7 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         ("indexed_search_bm25", {"indexes": ("bm25",)}),
         ("indexed_search_vector", {"indexes": ("vector",)}),
         ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
+        ("indexed_search_diverse", {"diversify_lambda": 0.5}),
     ]:
         try:
             t0 = time.time()
@@ -239,6 +241,27 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         timings["indexed_search_batch4"] = round(time.time() - t0, 3)
     except Exception as exc:  # noqa: BLE001 — harness must survive
         errors["indexed_search_batch4"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # batched DIVERSE serving: 4 MMR-diversified queries off ONE
+    # union-probe retrieval + per-qid Arrow-batched greedy — compare
+    # with 4× indexed_search_diverse for the amortization
+    try:
+        t0 = time.time()
+        searcher.search_many(
+            {
+                "q0": "hash join vector scan",
+                "q1": "sort merge",
+                "q2": "table window",
+                "q3": "key value batch",
+            },
+            max_chunks=15,
+            diversify_lambda=0.5,
+        ).write.format("noop").mode("overwrite").save()
+        timings["indexed_search_diverse_batch4"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["indexed_search_diverse_batch4"] = (
+            f"{type(exc).__name__}: {exc}"[:500]
+        )
 
     # incremental update of a ~0.1% batch: the operation a production
     # deployment runs continuously. Every table buckets by owning-doc

@@ -312,6 +312,76 @@ def _gopher_stats(
     )
 
 
+# C4 terminal punctuation (Raffel et al. 2020 §2.2): a retained line
+# must end in one of these
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4 page-cleaning heuristics (Raffel et al. 2020 §2.2 — public
+    rules; the tier BELOW :func:`gopher_rules` in the heuristic stack).
+
+    Line retention: a line survives iff its right-trimmed form ends in
+    terminal punctuation (``. ! ? "``), it has at least
+    ``min_words_per_line`` whitespace words, and its lowercase form
+    does not contain ``javascript`` (the cookie/enable-JS boilerplate
+    marker). ``clean_text`` is the surviving lines joined by ``\\n``.
+
+    Page gates: ``keep`` requires at least ``min_sentences`` sentence
+    terminators (``. ! ?`` occurrences in the cleaned text — C4 counts
+    sentences on the retained page), no ``lorem ipsum``, and no ``{``
+    (code marker) anywhere in the ORIGINAL text.
+
+    Output: ``(id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, clean_text, keep)``. Every signal is a Column
+    expression over the per-row line array — one codegen'd scan, no
+    shuffle, no Python; the span-level three-sentence dedup C4 pairs
+    with these rules is the separate :mod:`span dedup <documents_vector_search_spark.operators.dedup>`
+    operator.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    keep_line = (
+        lambda x: F.rtrim(x).rlike(r'[.!?"]$')
+        & (
+            F.size(
+                F.filter(
+                    F.split(x, WS_RUN_RE), lambda w: w != F.lit("")
+                )
+            )
+            >= min_words_per_line
+        )
+        & ~F.lower(x).contains("javascript")
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lines.alias("_l"),
+        F.filter(lines, keep_line).alias("_k"),
+    )
+    clean = F.array_join(F.col("_k"), "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("bigint")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return staged.select(
+        F.col(id_col),
+        F.size(F.col("_l")).cast("bigint").alias("n_lines"),
+        F.size(F.col("_k")).cast("bigint").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        clean.alias("clean_text"),
+        (
+            (n_sent >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )
+
+
 def pii_redact(
     docs: DataFrame,
     id_col: str = "doc_id",

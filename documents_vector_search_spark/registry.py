@@ -660,6 +660,47 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"))
 
 
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning heuristics (operators/curation.py c4_rules —
+    Raffel et al. 2020 §2.2): terminal-punctuation line retention,
+    min-words-per-line, javascript-boilerplate line drop, and the
+    lorem-ipsum / curly-brace / min-sentences page gates.
+
+    The synthetic corpus is single-line with no punctuation, so the
+    input is derived deterministically: token-window lines
+    (_with_token_lines, as the line_dedup key), '.' appended to lines
+    of even length (both keep outcomes exercised), and page-level
+    markers injected by doc_id residue ('{' at %97, 'lorem ipsum' at
+    %101) — every derivation replayed verbatim by the oracle."""
+    from documents_vector_search_spark.operators.curation import c4_rules
+
+    docs = _with_token_lines(_t(spark, sf_dir, "documents"))
+    lines = F.split(F.col("text"), "\n")
+    sent = F.array_join(
+        F.transform(
+            lines,
+            lambda x: F.when(
+                F.length(x) % 2 == 0, F.concat(x, F.lit("."))
+            ).otherwise(x),
+        ),
+        "\n",
+    )
+    staged = docs.select(
+        F.col("doc_id"),
+        F.concat(
+            sent,
+            F.when(
+                F.col("doc_id") % 97 == 0, F.lit("\ncode { block")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 101 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_rules(staged)
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3708,6 +3749,52 @@ SELECT * FROM m
         f"WHERE {_gopher_keep_sql(1)})"
     )
     d["corpus_prep_gopher"] = _prep_sql(_gopher_src)
+    # C4 page-cleaning: replay the token-window lines + deterministic
+    # sentence-ify/injection derivation, then the line/page gates
+    d["c4_rules"] = f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+rl AS (
+  SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                     i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+      chr(10))
+    ELSE '' END AS text
+  FROM tok
+),
+sx AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(string_split(text, chr(10)),
+                     x -> CASE WHEN length(x) % 2 = 0 THEN x || '.' ELSE x END),
+      chr(10))
+    || CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'code {{ block' ELSE '' END
+    || CASE WHEN doc_id % 101 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    AS text
+  FROM rl
+),
+s AS (SELECT doc_id, text, string_split(text, chr(10)) AS l FROM sx),
+k AS (
+  SELECT doc_id, text, l,
+    list_filter(l, x -> regexp_matches(rtrim(x), '[.!?"]$')
+      AND len(list_filter(regexp_split_to_array(x, '[ \\t\\n\\r\\f\\x0B]+'), w -> w <> '')) >= 5
+      AND NOT contains(lower(x), 'javascript')) AS kl
+  FROM s
+)
+SELECT doc_id,
+  len(l)::BIGINT AS n_lines,
+  len(kl)::BIGINT AS n_kept_lines,
+  len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]'))::BIGINT
+    AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{{') AS has_brace,
+  coalesce(array_to_string(kl, chr(10)), '') AS clean_text,
+  (len(regexp_extract_all(coalesce(array_to_string(kl, chr(10)), ''), '[.!?]')) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{{')) AS keep
+FROM k
+"""
     # MaxSim late interaction: per-group max of each query's rounded
     # cosine, summed in sorted-qid order (matches the Spark fold)
     _li_max_cols = ",\n    ".join(
@@ -3845,26 +3932,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (84 keys total):
-    - position 1: corpus_prep_gopher, new this round (never
-      driver-green);
+    Round 7 window (85 keys total):
+    - positions 1-2: corpus_prep_gopher and c4_rules, new this round
+      (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 16 slots: r6-green keys re-verified EARLY because this
+    - remaining 15 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them — the single-driver-green r6
       additions (quality_classifier_text/gopher_rules/late_interaction/
       mmr_rerank/topic_model/topic_terms, plus ann_batch and
       quality_classifier whose first green was r6), the whitespace-
       regex/scoring-path keys (token_counts, corpus_prep), and the
       asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search,
-      sq8_ann, recursive_chunk, span_dedup);
-    - out-of-window tail (34): r6-green keys untouched this round --
-      one round stale at most, due back in-window in r8.
+      sq8_ann, recursive_chunk);
+    - out-of-window tail (35, starting at span_dedup): r6-green keys
+      untouched this round -- one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
         # -- new this round (never driver-green) --------------------------
         "corpus_prep_gopher": q_corpus_prep_gopher,
+        "c4_rules": q_c4_rules,
         # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
@@ -3915,8 +4003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_search": q_ivfpq_search,
         "sq8_ann": q_sq8_ann,
         "recursive_chunk": q_recursive_chunk,
-        "span_dedup": q_span_dedup,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "span_dedup": q_span_dedup,
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,

@@ -135,6 +135,63 @@ class TestGopherRules:
         assert "BatchEvalPython" not in plan
 
 
+class TestC4Rules:
+    """operators/curation.py::c4_rules — the C4 page-cleaning
+    heuristics (terminal-punctuation line retention, min words per
+    line, javascript boilerplate, lorem-ipsum / brace / min-sentence
+    page gates)."""
+
+    def _run(self, spark, text, **kw):
+        from documents_vector_search_spark.operators.curation import c4_rules
+
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        return c4_rules(df, **kw).first()
+
+    def test_line_retention_rules(self, spark):
+        text = (
+            "This line ends with terminal punctuation properly.\n"
+            "short line.\n"                       # < 5 words -> dropped
+            "this one has no terminal punctuation at all\n"
+            "Please enable javascript to view this page.\n"  # js -> drop
+            'He said "quoted line with five words here."'    # quote ok
+        )
+        r = self._run(spark, text)
+        assert r.n_lines == 5
+        assert r.n_kept_lines == 2
+        assert "short line." not in r.clean_text
+        assert "javascript" not in r.clean_text
+        assert r.clean_text.startswith("This line ends")
+
+    def test_page_gates(self, spark):
+        good = "\n".join(
+            ["A full sentence with enough words here."] * 3
+        )
+        r = self._run(spark, good)
+        assert r.n_sentences == 3 and bool(r.keep) is True
+        # below min sentences
+        r2 = self._run(spark, "A full sentence with enough words here.")
+        assert bool(r2.keep) is False
+        # lorem ipsum and brace gates hit the ORIGINAL text
+        r3 = self._run(spark, good + "\nLorem Ipsum dolor sit amet?")
+        assert bool(r3.has_lorem) and bool(r3.keep) is False
+        r4 = self._run(spark, good + "\nfunction() { return 1; }")
+        assert bool(r4.has_brace) and bool(r4.keep) is False
+
+    def test_empty_doc(self, spark):
+        r = self._run(spark, "")
+        assert r.n_kept_lines == 0
+        assert r.clean_text == ""
+        assert bool(r.keep) is False
+
+    def test_map_only_plan(self, spark):
+        from documents_vector_search_spark.operators.curation import c4_rules
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = c4_rules(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestPiiRedact:
     def test_masks_and_counts(self, spark):
         docs = spark.createDataFrame(
