@@ -76,6 +76,7 @@ HEADLINE = [
     "quality_classifier_text",
     "gopher_rules",
     "c4_rules",
+    "url_dedup",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

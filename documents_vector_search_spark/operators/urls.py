@@ -1,0 +1,122 @@
+"""URL normalization, domain extraction, and URL-keyed dedup.
+
+Web-scale corpus pipelines (public precedent: CCNet's URL dedup,
+RefinedWeb/FineWeb's URL filtering + blocklists, C4's page-level
+provenance) canonicalize document URLs before anything else: the same
+page arrives under `HTTP://Site.com/a#frag` and
+`http://site.com/a?utm_source=feed`, and URL-keyed dedup/blocklists
+only work on a normal form. The reference engine carries a `url` per
+document (canonical envelope, jira/confluence/files converters) but
+never normalizes it; at 100 TB this is the first dedup key a pipeline
+reaches for because it needs NO content comparison at all.
+
+Normal form implemented here (conservative, documented, deterministic):
+- scheme and host lowercased (path/query case is preserved — it is
+  significant on most servers);
+- fragment stripped (`#...` never reaches the server);
+- default ports stripped scheme-conditionally (`:80` for http,
+  `:443` for https — regex lookbehind is NOT used because RE2, the
+  oracle dialect, lacks it);
+- tracking parameters removed (`utm_*`, `fbclid`, `gclid`, `ref`),
+  then separator debris tidied (`?&` → `?`, `&&` → `&`, trailing
+  `?`/`&` dropped).
+
+Every transform is a Column expression over RE2-compatible regexes
+(shared verbatim by the Spark Java-regex side and the DuckDB oracle),
+so a corpus-wide normalize is one map-only codegen'd scan;
+``url_dedup_report`` adds the single norm-url-keyed shuffle that makes
+it a dedup operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# '^([^/?#]+://[^/?#]+)' = scheme://authority prefix; group 1 of
+# _PREFIX_RE is the prefix, group 1 of _REST_RE the remainder
+_PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_REST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
+# a tracking param and its value (the separator debris left behind is
+# tidied by the follow-up replaces)
+_TRACKING_RE = "(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form (see module docstring). URLs without a
+    ``scheme://`` prefix pass through with only fragment stripping and
+    tracking-param removal (prefix regexes simply don't match)."""
+    # 1. strip fragment
+    u = F.regexp_replace(url, "#.*$", "")
+    # 2. lowercase scheme://host prefix, keep the rest as-is
+    prefix = F.regexp_extract(u, _PREFIX_RE, 1)
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    u = F.when(prefix != "", F.concat(F.lower(prefix), rest)).otherwise(u)
+    # 3. scheme-conditional default-port strip. No lookaround — RE2
+    # (the oracle dialect) supports neither lookahead nor lookbehind,
+    # so the tail is captured and re-emitted instead
+    u = F.when(
+        u.startswith("http://"),
+        F.regexp_replace(u, "^(http://[^/?#:]+):80([/?#].*)?$", "$1$2"),
+    ).otherwise(u)
+    u = F.when(
+        u.startswith("https://"),
+        F.regexp_replace(u, "^(https://[^/?#:]+):443([/?#].*)?$", "$1$2"),
+    ).otherwise(u)
+    # 4. drop tracking params, then tidy separators
+    u = F.regexp_replace(u, _TRACKING_RE, "")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, "&&+", "&")
+    u = F.regexp_replace(u, "[?&]+$", "")
+    return u
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port) of a URL; '' when there is no
+    ``scheme://`` prefix."""
+    return F.lower(F.regexp_extract(url, _HOST_RE, 1))
+
+
+def url_registered_domain(host: Column) -> Column:
+    """Last two dot-labels of the host — the documented approximation
+    of the registrable domain (a public-suffix list is a data file, not
+    an algorithm; callers with one can join it instead). A single-label
+    host (``localhost``) is returned unchanged."""
+    return F.regexp_extract(host, "([^.]+\\.[^.]+)$", 0)
+
+
+def url_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Map-only per-document URL signals:
+    ``(id, norm_url, host, domain)`` — one codegen'd scan, the
+    normalize pass a blocklist join or URL-keyed dedup builds on."""
+    norm = url_normalize(F.col(url_col))
+    host = url_host(norm)
+    return docs.select(
+        F.col(id_col),
+        norm.alias("norm_url"),
+        host.alias("host"),
+        url_registered_domain(host).alias("domain"),
+    )
+
+
+def url_dedup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-keyed first-wins dedup: ``(id, norm_url, host, domain,
+    keep)`` where ``keep`` marks the minimum-id document per normalized
+    URL — the zero-content-comparison dedup tier CCNet runs before any
+    hashing. ONE shuffle keyed by ``norm_url`` (high-cardinality by
+    construction; identical-URL explosions are exactly the duplicates
+    being removed)."""
+    report = url_report(docs, id_col=id_col, url_col=url_col)
+    w = Window.partitionBy("norm_url").orderBy(F.col(id_col).asc())
+    return report.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )

@@ -701,6 +701,50 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(staged)
 
 
+def _synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL derivation for the url_dedup key: mixed
+    scheme/host case, explicit default ports, tracking params, and
+    fragments — with ``doc_id % 200`` path collisions so distinct raw
+    URLs normalize to shared keys. Replayed verbatim by the oracle."""
+    pid = F.col("doc_id") % 200
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("http://")
+        ),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(
+            F.lit(":80")
+        ),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        pid.cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), pid.cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), pid.cast("string"))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select(F.col("doc_id"), url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization + URL-keyed first-wins dedup
+    (operators/urls.py — the CCNet/RefinedWeb zero-content-comparison
+    dedup tier): canonicalize scheme/host case, default ports,
+    tracking params and fragments, then keep the minimum-id document
+    per normalized URL. Map-only normalize + ONE norm-url-keyed
+    shuffle."""
+    from documents_vector_search_spark.operators.urls import (
+        url_dedup_report,
+    )
+
+    return url_dedup_report(_synthetic_urls(_t(spark, sf_dir, "documents")))
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3749,6 +3793,69 @@ SELECT * FROM m
         f"WHERE {_gopher_keep_sql(1)})"
     )
     d["corpus_prep_gopher"] = _prep_sql(_gopher_src)
+    # URL normalize + first-wins dedup: replay the messy-URL derivation
+    # and the exact normalize regex chain (patterns shared verbatim
+    # with operators/urls.py; DuckDB needs the 'g' flag where Spark's
+    # regexp_replace is global by default)
+    from documents_vector_search_spark.operators.urls import (
+        _HOST_RE,
+        _PREFIX_RE,
+        _REST_RE,
+        _TRACKING_RE,
+    )
+
+    d["url_dedup"] = f"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || upper(source) || '.Example.COM'
+    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+    || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 200 AS VARCHAR)
+            ELSE '?id=' || CAST(doc_id % 200 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+s2 AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(u, '{_PREFIX_RE}', 1) <> ''
+         THEN lower(regexp_extract(u, '{_PREFIX_RE}', 1))
+              || regexp_extract(u, '{_REST_RE}', 1)
+         ELSE u END AS u
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id,
+    CASE WHEN starts_with(u, 'http://')
+         THEN regexp_replace(u, '^(http://[^/?#:]+):80([/?#].*)?$', '\\1\\2')
+         WHEN starts_with(u, 'https://')
+         THEN regexp_replace(u, '^(https://[^/?#:]+):443([/?#].*)?$', '\\1\\2')
+         ELSE u END AS u
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(u, '{_TRACKING_RE}', '', 'g'),
+          '\\?&+', '?', 'g'),
+        '&&+', '&', 'g'),
+      '[?&]+$', '', 'g') AS norm_url
+  FROM s3
+),
+r AS (
+  SELECT doc_id, norm_url,
+    lower(regexp_extract(norm_url, '{_HOST_RE}', 1)) AS host
+  FROM s4
+)
+SELECT doc_id, norm_url, host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 0) AS domain,
+  row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1 AS keep
+FROM r
+"""
     # C4 page-cleaning: replay the token-window lines + deterministic
     # sentence-ify/injection derivation, then the line/page gates
     d["c4_rules"] = f"""
@@ -3932,27 +4039,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (85 keys total):
-    - positions 1-2: corpus_prep_gopher and c4_rules, new this round
-      (never driver-green);
+    Round 7 window (86 keys total):
+    - positions 1-3: corpus_prep_gopher, c4_rules, url_dedup — new this
+      round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 15 slots: r6-green keys re-verified EARLY because this
+    - remaining 14 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them — the single-driver-green r6
       additions (quality_classifier_text/gopher_rules/late_interaction/
       mmr_rerank/topic_model/topic_terms, plus ann_batch and
       quality_classifier whose first green was r6), the whitespace-
       regex/scoring-path keys (token_counts, corpus_prep), and the
       asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search,
-      sq8_ann, recursive_chunk);
-    - out-of-window tail (35, starting at span_dedup): r6-green keys
-      untouched this round -- one round stale at most, due back in r8.
+      sq8_ann);
+    - out-of-window tail (36, starting at recursive_chunk): r6-green
+      keys -- one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
         # -- new this round (never driver-green) --------------------------
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
+        "url_dedup": q_url_dedup,
         # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
@@ -4002,8 +4110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
         "sq8_ann": q_sq8_ann,
-        "recursive_chunk": q_recursive_chunk,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,

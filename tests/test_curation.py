@@ -456,3 +456,84 @@ class TestPackSequences:
         docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             pack_sequences(docs, token_budget=0)
+
+
+class TestUrlOps:
+    """operators/urls.py — URL normalization, domain extraction, and
+    URL-keyed first-wins dedup (the zero-content-comparison tier)."""
+
+    def _norm(self, spark, urls):
+        from documents_vector_search_spark.operators.urls import url_normalize
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], ["doc_id", "url"]
+        )
+        rows = df.select(
+            "doc_id", url_normalize(F.col("url")).alias("n")
+        ).collect()
+        return [r.n for r in sorted(rows, key=lambda r: r.doc_id)]
+
+    def test_normalization_rules(self, spark):
+        got = self._norm(spark, [
+            "HTTP://Example.COM/Path/File?q=1#frag",   # case + fragment
+            "http://example.com:80/a",                  # default port
+            "https://example.com:443/a",
+            "http://example.com:8080/a",                # non-default kept
+            "https://example.com/p?utm_source=x&id=1&utm_campaign=y",
+            "https://example.com/p?utm_source=x",       # only tracking
+            "http://example.com/p?id=1&fbclid=abc",
+        ])
+        assert got == [
+            "http://example.com/Path/File?q=1",
+            "http://example.com/a",
+            "https://example.com/a",
+            "http://example.com:8080/a",
+            "https://example.com/p?id=1",
+            "https://example.com/p",
+            "http://example.com/p?id=1",
+        ]
+
+    def test_schemeless_passthrough(self, spark):
+        got = self._norm(spark, ["example.com/Path?utm_source=x#f"])
+        assert got == ["example.com/Path"]
+
+    def test_host_and_domain(self, spark):
+        from documents_vector_search_spark.operators.urls import url_report
+
+        df = spark.createDataFrame(
+            [(1, "https://Sub.News.Example.CO/a"), (2, "no-scheme/x"),
+             (3, "http://localhost/y")],
+            ["doc_id", "url"],
+        )
+        rows = {r.doc_id: r for r in url_report(df).collect()}
+        assert rows[1].host == "sub.news.example.co"
+        assert rows[1].domain == "example.co"
+        assert rows[2].host == "" and rows[2].domain == ""
+        # single-label host: approximation returns '' (no dot pair)
+        assert rows[3].host == "localhost" and rows[3].domain == ""
+
+    def test_dedup_keeps_min_id_per_norm_url(self, spark):
+        from documents_vector_search_spark.operators.urls import (
+            url_dedup_report,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (5, "http://a.com/x?utm_source=1"),
+                (2, "HTTP://A.com/x"),
+                (9, "http://a.com/x#frag"),
+                (1, "http://a.com/other"),
+            ],
+            ["doc_id", "url"],
+        )
+        rows = {r.doc_id: bool(r.keep) for r in url_dedup_report(df).collect()}
+        # 2, 5, 9 all normalize to http://a.com/x -> min id 2 survives
+        assert rows == {1: True, 2: True, 5: False, 9: False}
+
+    def test_normalize_is_map_only(self, spark):
+        from documents_vector_search_spark.operators.urls import url_report
+
+        df = spark.createDataFrame([(1, "http://a.com/x")], ["doc_id", "url"])
+        plan = url_report(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
