@@ -120,3 +120,29 @@ def url_dedup_report(
     return report.withColumn(
         "keep", F.row_number().over(w) == 1
     )
+
+
+def domain_gate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    block_col: str = "domain",
+) -> DataFrame:
+    """Drop documents whose registered domain appears in ``blocklist``
+    (one ``domain`` column) — the RefinedWeb/FineWeb URL-blocklist
+    gate. Returns the surviving original rows plus ``host``/``domain``.
+
+    Scale shape: the blocklist (even the public multi-million-entry
+    ones) is kilobytes-to-megabytes against a 100 TB corpus, so it is
+    BROADCAST and the gate is a map-side ``left_anti`` hash join — no
+    corpus shuffle, plan-assertable (pytest checks BroadcastHashJoin
+    LeftAnti)."""
+    host = url_host(url_normalize(F.col(url_col)))
+    staged = docs.select(
+        *docs.columns,
+        host.alias("host"),
+        url_registered_domain(host).alias("domain"),
+    )
+    bl = blocklist.select(F.col(block_col).alias("domain")).distinct()
+    return staged.join(F.broadcast(bl), "domain", "left_anti")

@@ -537,3 +537,25 @@ class TestUrlOps:
         plan = url_report(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestDomainGate:
+    def test_blocks_listed_domains_via_broadcast_anti_join(self, spark):
+        from documents_vector_search_spark.operators.urls import domain_gate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "http://Ads.Spam.COM/x"),
+                (2, "https://good.example.org/y"),
+                (3, "http://tracker.spam.com:80/z"),
+                (4, "https://news.example.net/a"),
+            ],
+            ["doc_id", "url"],
+        )
+        bl = spark.createDataFrame([("spam.com",)], ["domain"])
+        out = domain_gate(docs, bl)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert set(rows) == {2, 4}
+        assert rows[2].domain == "example.org"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
