@@ -312,3 +312,56 @@ class TestRepeatedSpanDifferential:
             gn, gd, gr = got[d]
             assert (gn, gd) == (en, ed), f"doc {d}"
             assert abs(gr - er) < 1e-6, f"doc {d} ratio"
+
+
+class TestUrlNormalizeProperties:
+    """operators/urls.py::url_normalize — idempotence is the property a
+    dedup KEY must have: normalizing an already-normal URL must be a
+    no-op, or the same page could land in two dedup groups."""
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.builds(
+                lambda scheme, host, port, path, params, frag: (
+                    scheme + host + port + "/" + path
+                    + ("?" + "&".join(params) if params else "")
+                    + frag
+                ),
+                st.sampled_from(
+                    ["http://", "https://", "HTTP://", "HTTPS://", "ftp://", ""]
+                ),
+                st.from_regex(r"[A-Za-z][A-Za-z0-9.]{0,12}", fullmatch=True),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                st.from_regex(r"[A-Za-z0-9/._-]{0,12}", fullmatch=True),
+                st.lists(
+                    st.sampled_from(
+                        ["id=1", "utm_source=x", "q=Spark", "ref=abc",
+                         "fbclid=zz", "a=b"]
+                    ),
+                    max_size=4,
+                ),
+                st.sampled_from(["", "#frag", "#a#b"]),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_normalize_is_idempotent(self, spark, urls):
+        from documents_vector_search_spark.operators.urls import url_normalize
+
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], ["doc_id", "url"]
+        )
+        once = url_normalize(F.col("url"))
+        rows = df.select(
+            "doc_id",
+            once.alias("n1"),
+            url_normalize(once).alias("n2"),
+        ).collect()
+        for r in rows:
+            assert r.n1 == r.n2, (r.n1, r.n2)
