@@ -50,3 +50,35 @@ def dedup_stream(
     return hashed.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         [hash_col]
     )
+
+
+def url_dedup_stream(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "last_modified_at",
+    watermark_delay: str = "10 minutes",
+    norm_col: str = "norm_url",
+) -> DataFrame:
+    """First-arrival-wins streaming dedup by NORMALIZED URL — the
+    ingest-time form of ``operators/urls.url_dedup_report`` (a crawler
+    feed re-discovers the same page under tracking-param and
+    case variants continuously; dropping them at admission costs one
+    map-only normalize plus the same bounded watermark state as
+    :func:`dedup_stream`). Zero content comparison: this gate runs
+    BEFORE fetch/parse in a real pipeline, which is exactly why
+    URL-keyed dedup is the cheapest tier.
+
+    Output = input columns + ``norm_col``; duplicates (same normal
+    form within the watermark horizon) dropped.
+    """
+    from documents_vector_search_spark.operators.urls import url_normalize
+
+    if not docs.isStreaming:
+        raise ValueError(
+            "url_dedup_stream expects a streaming DataFrame; use "
+            "operators.urls.url_dedup_report for batch corpora"
+        )
+    normed = docs.withColumn(norm_col, url_normalize(F.col(url_col)))
+    return normed.withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark([norm_col])

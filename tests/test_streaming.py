@@ -864,3 +864,61 @@ class TestComposedIntakePipeline:
         q.awaitTermination(120)
         after2 = {r.id for r in coll.read("documents").collect()}
         assert after2 == {"seed", "new-1", "new-4"}
+
+
+class TestStreamingUrlDedup:
+    """streaming/dedup.py::url_dedup_stream — ingest-time URL-keyed
+    dedup (normalize + dropDuplicatesWithinWatermark, bounded state)."""
+
+    def test_first_arrival_wins_on_normal_form(self, spark, tmp_path):
+        from datetime import datetime
+
+        from documents_vector_search_spark.streaming.dedup import (
+            url_dedup_stream,
+        )
+
+        rows = [
+            (1, "HTTP://A.com/x?utm_source=f", datetime(2024, 1, 1, 10, 0)),
+            (2, "http://a.com/x#frag", datetime(2024, 1, 1, 10, 1)),  # dup
+            (3, "http://a.com/other", datetime(2024, 1, 1, 10, 2)),
+            (4, "http://a.com:80/x", datetime(2024, 1, 1, 10, 3)),    # dup
+        ]
+        schema = "doc_id LONG, url STRING, last_modified_at TIMESTAMP"
+        df = spark.createDataFrame(rows, schema)
+        src = str(tmp_path / "url_stream")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = url_dedup_stream(stream, watermark_delay="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("url_dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql("SELECT * FROM url_dedup_out").collect()
+        assert len(got) == 2
+        assert {r.norm_url for r in got} == {
+            "http://a.com/x", "http://a.com/other",
+        }
+        # batch twin agrees on the surviving key set
+        from documents_vector_search_spark.operators.urls import (
+            url_dedup_report,
+        )
+
+        batch = url_dedup_report(df).filter(F.col("keep"))
+        assert {r.norm_url for r in batch.collect()} == {
+            r.norm_url for r in got
+        }
+
+    def test_rejects_batch_dataframe(self, spark):
+        from documents_vector_search_spark.streaming.dedup import (
+            url_dedup_stream,
+        )
+
+        df = spark.createDataFrame([(1, "http://a.com")], "doc_id LONG, url STRING")
+        with pytest.raises(ValueError, match="streaming"):
+            url_dedup_stream(df)
