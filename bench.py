@@ -77,6 +77,7 @@ HEADLINE = [
     "gopher_rules",
     "c4_rules",
     "url_dedup",
+    "domain_profile",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -701,11 +701,11 @@ def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_rules(staged)
 
 
-def _synthetic_urls(docs: DataFrame) -> DataFrame:
-    """Deterministic messy-URL derivation for the url_dedup key: mixed
+def _synthetic_url_expr():
+    """Deterministic messy-URL Column for the url keys: mixed
     scheme/host case, explicit default ports, tracking params, and
     fragments — with ``doc_id % 200`` path collisions so distinct raw
-    URLs normalize to shared keys. Replayed verbatim by the oracle."""
+    URLs normalize to shared keys. Replayed verbatim by the oracles."""
     pid = F.col("doc_id") % 200
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
@@ -728,7 +728,11 @@ def _synthetic_urls(docs: DataFrame) -> DataFrame:
             F.lit("")
         ),
     )
-    return docs.select(F.col("doc_id"), url.alias("url"))
+    return url
+
+
+def _synthetic_urls(docs: DataFrame) -> DataFrame:
+    return docs.select(F.col("doc_id"), _synthetic_url_expr().alias("url"))
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +747,46 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return url_dedup_report(_synthetic_urls(_t(spark, sf_dir, "documents")))
+
+
+def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile keyed by URL host — the Dolma-style
+    reporting view a pipeline reads before setting mixing weights:
+    ``(host, n_docs, n_langs, avg_quality, avg_chars, total_chars)``
+    per host, composite quality from the shared quality_expr.
+
+    Scale: the host column derives map-only from the URL (no join back
+    to a url table — the synthetic derivation plays the role of the
+    canonical envelope's url field), so the whole report is ONE
+    host-keyed aggregation with map-side partials; the reduce moves
+    O(hosts) rows, not O(corpus)."""
+    from documents_vector_search_spark.functions.text import tokenize
+    from documents_vector_search_spark.operators.text_analysis import (
+        quality_expr,
+    )
+    from documents_vector_search_spark.operators.urls import (
+        url_host,
+        url_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        url_host(url_normalize(_synthetic_url_expr())).alias("host"),
+        F.col("lang"),
+        F.col("n_chars"),
+        quality_expr(tokenize("text"), "text").alias("quality"),
+    )
+    return (
+        staged.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("host")
+    )
 
 
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3856,6 +3900,48 @@ SELECT doc_id, norm_url, host,
   row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1 AS keep
 FROM r
 """
+    # per-host corpus profile: host extraction is equivalent to the
+    # engine's url_host(url_normalize(.)) because the host segment is
+    # only affected by lowercasing (ports/params/fragments fall outside
+    # the host capture); quality is the shared composite formula
+    d["domain_profile"] = f"""
+WITH raw AS (
+  SELECT doc_id, lang, n_chars, text,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+    || upper(source) || '.Example.COM'
+    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+    || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 200 AS VARCHAR)
+            ELSE '?id=' || CAST(doc_id % 200 AS VARCHAR) END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, n_chars, text,
+    lower(regexp_extract(url, '{_HOST_RE}', 1)) AS host,
+    {toks} AS toks
+  FROM raw
+),
+q AS (
+  SELECT host, lang, n_chars,
+    round((least(len(toks) / 100.0, 1.0)
+      + CASE WHEN length(text) > 0
+          THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
+          ELSE 0.0 END
+      + least(CASE WHEN len(toks) > 0
+          THEN len(list_filter(toks, w -> list_contains({en_list}, w)))::DOUBLE / len(toks)
+          ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+  FROM h
+)
+SELECT host,
+  count(*)::BIGINT AS n_docs,
+  count(DISTINCT lang)::BIGINT AS n_langs,
+  round(avg(quality), 6) AS avg_quality,
+  round(avg(n_chars), 6) AS avg_chars,
+  sum(n_chars)::BIGINT AS total_chars
+FROM q GROUP BY host ORDER BY host
+"""
     # C4 page-cleaning: replay the token-window lines + deterministic
     # sentence-ify/injection derivation, then the line/page gates
     d["c4_rules"] = f"""
@@ -4039,21 +4125,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (86 keys total):
-    - positions 1-3: corpus_prep_gopher, c4_rules, url_dedup — new this
-      round (never driver-green);
+    Round 7 window (87 keys total):
+    - positions 1-4: corpus_prep_gopher, c4_rules, url_dedup,
+      domain_profile — new this round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 14 slots: r6-green keys re-verified EARLY because this
+    - remaining 13 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them — the single-driver-green r6
       additions (quality_classifier_text/gopher_rules/late_interaction/
       mmr_rerank/topic_model/topic_terms, plus ann_batch and
       quality_classifier whose first green was r6), the whitespace-
       regex/scoring-path keys (token_counts, corpus_prep), and the
-      asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search,
-      sq8_ann);
-    - out-of-window tail (36, starting at recursive_chunk): r6-green
-      keys -- one round stale at most, due back in r8.
+      asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search);
+    - out-of-window tail (37, starting at sq8_ann): r6-green keys --
+      one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
@@ -4061,6 +4146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
+        "domain_profile": q_domain_profile,
         # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
@@ -4109,8 +4195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
-        "sq8_ann": q_sq8_ann,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "sq8_ann": q_sq8_ann,
         "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,
         "vocab_stats": q_vocab_stats,
