@@ -202,18 +202,28 @@ def gopher_filter(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_tokens: str | None = None,
 ) -> DataFrame:
     """Pass-through Gopher gate: the ORIGINAL doc rows (all columns)
     that survive the :func:`gopher_rules` keep conjunction — the form a
     composed prep pipeline stages inline (filter on the computed stats,
-    no self-join back to the corpus, still one map-only scan)."""
+    no self-join back to the corpus, still one map-only scan).
+
+    ``keep_tokens`` (a column name) additionally emits the engine
+    token array the gate already computed for its stop-word signal —
+    a downstream stage that needs tokens of the SURVIVORS (the
+    composed corpus-prep's quality/decontamination tiers) reuses them
+    instead of paying a second corpus tokenize."""
     stats = _gopher_stats(docs, id_col, text_col)
     keep = _gopher_keep(
         min_words, max_words, min_mean_word_len, max_mean_word_len,
         max_symbol_ratio, max_bullet_line_frac, max_ellipsis_line_frac,
         min_alpha_word_frac, min_stop_hits,
     )
-    return stats.filter(keep).select(*docs.columns)
+    cols = list(docs.columns)
+    if keep_tokens is not None:
+        cols.append(F.col("_t").alias(keep_tokens))
+    return stats.filter(keep).select(*cols)
 
 
 def _gopher_keep(
@@ -302,6 +312,7 @@ def _gopher_stats(
 
     return staged.select(
         *docs.columns,
+        F.col("_t"),  # engine tokens, reusable downstream (gopher_filter)
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),

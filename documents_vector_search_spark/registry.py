@@ -1802,13 +1802,25 @@ def q_corpus_prep(
         # averages 0.76 stop-word hits per doc, so the stock threshold
         # would empty every table. The STAGE composition is what this
         # key proves; the stock-threshold gate is verified by the
-        # standalone `gopher_rules` key.
-        docs = gopher_filter(docs, min_stop_hits=1)
-    staged = docs.withColumn("_toks", tokenize("text"))
+        # standalone `gopher_rules` key. keep_tokens threads the
+        # gate's token arrays to the quality/decon tiers — survivors
+        # are never re-tokenized.
+        # materialize the survivors ONCE: both the quality chain and
+        # the benchmark branch consume them, and the gate (tokenize +
+        # stats over the corpus) must not run per consumer
+        staged = gopher_filter(
+            docs, min_stop_hits=1, keep_tokens="_toks"
+        ).localCheckpoint()
+    else:
+        staged = docs.withColumn("_toks", tokenize("text"))
     gated = staged.withColumn(
         "quality", quality_expr(F.col("_toks"), "text")
     ).filter(F.col("quality") >= CORPUS_PREP_MIN_QUALITY)
-    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    # bench subset derives from the SAME relation the chain starts from
+    # (gate survivors in the gopher variant — the oracle's t CTE)
+    bench = staged.select("doc_id", "text").filter(
+        F.col("doc_id") % DECON_BENCH_MOD == 0
+    )
     # the gate already tokenized every surviving doc — the
     # decontamination stage shingles those tokens instead of paying the
     # regex tokenize a second time over the corpus
