@@ -174,3 +174,30 @@ class TestPlanContracts:
         plan = _plan(registry.q_interval_join(spark, SF))
         assert "NestedLoop" not in plan
         assert "HashJoin" in plan
+
+    def test_new_curation_scans_are_column_pruned(self, spark):
+        """Column pruning must reach the parquet scan: a query that
+        uses two columns must not read five. Pins ReadSchema for the
+        r7 curation/url keys (a regression here silently multiplies
+        scan bytes at 100 TB)."""
+        import re
+
+        from documents_vector_search_spark import registry
+
+        expected = {
+            # derivation uses only id + text
+            "c4_rules": {"doc_id", "text"},
+            # synthetic url needs id + source + lang; never text/n_chars
+            "url_dedup": {"doc_id", "lang", "source"},
+            # profile additionally scores text and aggregates n_chars
+            "domain_profile": {"doc_id", "text", "lang", "source", "n_chars"},
+        }
+        qs = registry.queries()
+        for name, cols in expected.items():
+            plan = _plan(qs[name](spark, SF))
+            schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            assert schemas, f"{name}: no parquet scan found"
+            got = {
+                f.split(":")[0] for s in schemas for f in s.split(",") if f
+            }
+            assert got == cols, f"{name}: scan reads {sorted(got)}"
