@@ -177,6 +177,27 @@ def _ensure_assets_seeded() -> None:
     if _ASSETS_SEEDED:
         return
     os.makedirs(_ASSETS_DIR, exist_ok=True)
+    # opportunistic GC of dead processes' run dirs (each is a few
+    # small parquet seeds; without this the PID keying would leak one
+    # dir per bench/compare invocation forever). Best-effort: another
+    # live process's dir is younger than the horizon.
+    if not os.environ.get("DVSS_ASSETS_DIR"):
+        import shutil
+        import time as _time
+
+        parent = os.path.dirname(_ASSETS_DIR)
+        horizon = _time.time() - 24 * 3600
+        try:
+            for name in os.listdir(parent):
+                p = os.path.join(parent, name)
+                if (
+                    p != _ASSETS_DIR
+                    and os.path.isdir(p)
+                    and os.path.getmtime(p) < horizon
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     if os.path.isdir(_COMMITTED_ASSETS_DIR) and not os.environ.get(
         "DVSS_ASSETS_DIR"
     ):
