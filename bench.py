@@ -78,6 +78,8 @@ HEADLINE = [
     "c4_rules",
     "url_dedup",
     "domain_profile",
+    "temperature_sample",
+    "hard_negatives",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

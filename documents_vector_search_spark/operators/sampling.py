@@ -258,3 +258,68 @@ def stratified_hash_sample(
             .otherwise(thresh)
         )
     return df.filter(bucket < thresh)
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.3,
+    seed: int = 0,
+    round_weights_to: int = 9,
+) -> DataFrame:
+    """Temperature (alpha) sampling over ``group_col`` — the
+    multilingual-corpus rebalancing rule (public precedent: mT5 §3.1 /
+    XLM-R: sample group g with probability ∝ (n_g/N)^alpha, alpha in
+    (0, 1]; alpha=1 keeps the natural distribution, alpha→0 approaches
+    uniform, boosting low-resource groups without hand-tuned weights).
+
+    The alpha-smoothed shares become the target weights of the same
+    downsample-only machinery as :func:`mix_to_target`: largest
+    feasible total T = min_g(n_g / w_g), per-group keep rate
+    ``(T·w_g)/n_g``, applied through the deterministic hash gate.
+
+    Cross-engine determinism: ``pow`` is the one step libm
+    implementations can disagree on by an ulp, so the smoothed share
+    is ROUNDED (``round_weights_to``) before any downstream
+    arithmetic — after that every step is plain IEEE double with
+    explicit order, oracle-replayable.
+
+    Scale shape: one group-count aggregation (|groups| rows), scalar
+    folds over that tiny frame, one broadcast of the rates onto the
+    corpus, one map-only gate — two corpus scans total.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    grp = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    tot = grp.agg(F.sum("_n").cast("double").alias("_total"))
+    pw = grp.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "_n",
+        F.round(
+            F.pow(F.col("_n").cast("double") / F.col("_total"), F.lit(float(alpha))),
+            round_weights_to,
+        ).alias("_pw"),
+    )
+    sw = pw.agg(F.sum("_pw").alias("_sw"))
+    w = pw.crossJoin(F.broadcast(sw)).select(
+        group_col,
+        "_n",
+        F.round(F.col("_pw") / F.col("_sw"), round_weights_to).alias("_w"),
+    )
+    t = w.agg(F.min(F.col("_n").cast("double") / F.col("_w")).alias("_t"))
+    rates = w.crossJoin(F.broadcast(t)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_t") * F.col("_w")) / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            hash_bucket(F.col(id_col), seed)
+            < F.floor(F.col("_rate") * F.lit(float(_BUCKETS)))
+        )
+        .drop("_rate")
+    )

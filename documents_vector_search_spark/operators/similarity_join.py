@@ -132,3 +132,132 @@ def knn_join_lsh(
         .dropDuplicates(["left_id", "right_id"])
     )
     return _ranked_topk(scored, k).select("left_id", "right_id", "cosine", "rank")
+
+
+def hard_negative_pairs_exact(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k most-similar DIFFERENT-label neighbors per anchor —
+    hard-negative mining for contrastive/embedding training (public
+    precedent: DPR/SimCSE/E5 mine negatives from nearest neighbors
+    that are NOT the positive class; the near-but-wrong examples teach
+    the most). Cross product — BOUNDED anchors only, same contract as
+    :func:`knn_join_exact`; the scale path is
+    :func:`hard_negative_pairs_lsh`.
+
+    ``(left_id, left_label, right_id, right_label, cosine, rank)``,
+    rank 0..k-1 per anchor, ties on ascending right id. Self-pairs are
+    excluded by id; the label filter runs BEFORE ranking so each
+    anchor ranks only true negatives.
+    """
+    l = anchors.select(
+        F.col(id_col).alias("left_id"),
+        F.col(label_col).alias("left_label"),
+        F.col(vector_col).cast("array<double>").alias("lv"),
+    )
+    r = pool.select(
+        F.col(id_col).alias("right_id"),
+        F.col(label_col).alias("right_label"),
+        F.col(vector_col).cast("array<double>").alias("rv"),
+    )
+    cos = cosine_similarity(F.col("lv"), F.col("rv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        l.crossJoin(r)
+        .filter(
+            (F.col("left_label") != F.col("right_label"))
+            & (F.col("left_id") != F.col("right_id"))
+        )
+        .select(
+            "left_id", "left_label", "right_id", "right_label",
+            cos.alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k).select(
+        "left_id", "left_label", "right_id", "right_label", "cosine", "rank"
+    )
+
+
+def hard_negative_pairs_lsh(
+    vectors: DataFrame,
+    k: int,
+    n_planes: int = 4,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-pruned hard-negative mining over ONE corpus — every vector
+    is an anchor; candidates come from its SRP bucket plus multiprobe
+    neighbors (never all-pairs), the different-label filter prunes
+    before ranking. Same bucket/probe machinery as
+    :func:`knn_join_lsh`; like all LSH candidate generation, recall
+    against the exact form rises with planes/probes (pytest pins a
+    floor on the shared fixture)."""
+    from itertools import combinations
+
+    if dim is None:
+        dim = len(vectors.select(vector_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    lv = F.col(vector_col).cast("array<double>")
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+        lv.alias("_v"),
+        hyperplane_bucket(lv, planes).alias("bucket"),
+    )
+    masks = [0]
+    for radius in range(1, min(multiprobe_bits, n_planes) + 1):
+        for bits in combinations(range(n_planes), radius):
+            m = 0
+            for j in bits:
+                m |= 1 << j
+            masks.append(m)
+    probes = F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask")
+    l_probed = base.select(
+        F.col("_id").alias("left_id"),
+        F.col("_label").alias("left_label"),
+        F.col("_v").alias("lv"),
+        F.col("bucket"),
+        probes,
+    ).select(
+        "left_id",
+        "left_label",
+        "lv",
+        F.col("bucket").bitwiseXOR(F.col("mask")).alias("bucket"),
+    )
+    r = base.select(
+        F.col("_id").alias("right_id"),
+        F.col("_label").alias("right_label"),
+        F.col("_v").alias("rv"),
+        "bucket",
+    )
+    cos = cosine_similarity(F.col("lv"), F.col("rv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        l_probed.join(r, "bucket")
+        .filter(
+            (F.col("left_label") != F.col("right_label"))
+            & (F.col("left_id") != F.col("right_id"))
+        )
+        .select(
+            "left_id", "left_label", "right_id", "right_label",
+            cos.alias("cosine"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return _ranked_topk(scored, k).select(
+        "left_id", "left_label", "right_id", "right_label", "cosine", "rank"
+    )

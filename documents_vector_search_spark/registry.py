@@ -810,6 +810,54 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) sampling over languages
+    (operators/sampling.py::temperature_mix — the mT5/XLM-R
+    low-resource boosting rule): shares ∝ (n_lang/N)^0.5, downsample-
+    only rates through the deterministic hash gate. Reports kept rows
+    and chars per language; the oracle replays the count → pow-smooth
+    (rounded) → min-total → rate → gate arithmetic exactly."""
+    from documents_vector_search_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", "lang", alpha=0.5, seed=29)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity_join.py::
+    hard_negative_pairs_exact): for each of the first 20 vectors, the
+    3 most-similar vectors with a DIFFERENT label — the contrastive-
+    training negatives DPR/SimCSE-style pipelines mine from nearest
+    neighbors. Exact bounded-anchor form (oracle = brute force); the
+    corpus-scale path is hard_negative_pairs_lsh (pytest recall
+    floor)."""
+    from documents_vector_search_spark.operators.similarity_join import (
+        hard_negative_pairs_exact,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20)
+    out = hard_negative_pairs_exact(anchors, emb, k=3)
+    return out.select(
+        "left_id",
+        F.col("left_label").cast("int").alias("left_label"),
+        "right_id",
+        F.col("right_label").cast("int").alias("right_label"),
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3933,6 +3981,55 @@ SELECT doc_id, norm_url, host,
   row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1 AS keep
 FROM r
 """
+    # temperature sampling: pow is the one libm step engines can differ
+    # on by an ulp — the smoothed share rounds to 9 before any further
+    # arithmetic (mirrors operators/sampling.temperature_mix)
+    d["temperature_sample"] = f"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n)::DOUBLE AS total FROM counts),
+pw AS (
+  SELECT lang, n, round(pow(CAST(n AS DOUBLE) / tot.total, 0.5), 9) AS pw
+  FROM counts, tot
+),
+sw AS (SELECT sum(pw) AS sw FROM pw),
+w AS (SELECT lang, n, round(pw / sw.sw, 9) AS w FROM pw, sw),
+t AS (SELECT min(CAST(n AS DOUBLE) / w) AS t FROM w),
+rates AS (
+  SELECT w.lang, least(1.0, (t.t * w.w) / CAST(w.n AS DOUBLE)) AS rate
+  FROM w, t
+)
+SELECT d.lang, count(*)::BIGINT AS n, sum(d.n_chars)::BIGINT AS chars
+FROM documents d JOIN rates ON d.lang = rates.lang
+WHERE {hash_bucket_sql("d.doc_id", seed=29)} < floor(rate * 1000000.0)
+GROUP BY d.lang ORDER BY d.lang
+"""
+    # hard negatives: brute force over the bounded anchor set
+    d["hard_negatives"] = f"""
+WITH l AS (
+  SELECT vec_id AS left_id, label AS left_label, embedding::DOUBLE[] AS lv
+  FROM embeddings WHERE vec_id < 20
+),
+r AS (
+  SELECT vec_id AS right_id, label AS right_label, embedding::DOUBLE[] AS rv
+  FROM embeddings
+),
+scored AS (
+  SELECT left_id, left_label, right_id, right_label,
+         round({_cos_sql("lv", "rv")}, 6) AS cosine
+  FROM l CROSS JOIN r
+  WHERE left_label <> right_label AND left_id <> right_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY left_id ORDER BY cosine DESC, right_id) - 1 AS rank
+  FROM scored
+)
+SELECT left_id, left_label::INT AS left_label, right_id,
+       right_label::INT AS right_label, cosine, rank
+FROM ranked WHERE rank < 3
+"""
     # per-host corpus profile: host extraction is equivalent to the
     # engine's url_host(url_normalize(.)) because the host segment is
     # only affected by lowercasing (ports/params/fragments fall outside
@@ -4158,19 +4255,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (87 keys total):
-    - positions 1-4: corpus_prep_gopher, c4_rules, url_dedup,
-      domain_profile — new this round (never driver-green);
+    Round 7 window (89 keys total):
+    - positions 1-6: corpus_prep_gopher, c4_rules, url_dedup,
+      domain_profile, temperature_sample, hard_negatives — new this
+      round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 13 slots: r6-green keys re-verified EARLY because this
+    - remaining 11 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them — the single-driver-green r6
       additions (quality_classifier_text/gopher_rules/late_interaction/
       mmr_rerank/topic_model/topic_terms, plus ann_batch and
       quality_classifier whose first green was r6), the whitespace-
-      regex/scoring-path keys (token_counts, corpus_prep), and the
-      asset-seeding-path fit keys (ivf_ann, pq_adc, ivfpq_search);
-    - out-of-window tail (37, starting at sq8_ann): r6-green keys --
+      regex/scoring-path keys (token_counts, corpus_prep), and ivf_ann
+      for the asset-seeding path;
+    - out-of-window tail (39, starting at pq_adc): r6-green keys --
       one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
@@ -4180,6 +4278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
         "domain_profile": q_domain_profile,
+        "temperature_sample": q_temperature_sample,
+        "hard_negatives": q_hard_negatives,
         # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
@@ -4226,9 +4326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "token_counts": q_token_counts,
         "ivf_ann": q_ivf_ann,
+        # -- out-of-window (51+): newest green r6, due back in r8 ---------
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
-        # -- out-of-window (51+): newest green r6, due back in r8 ---------
         "sq8_ann": q_sq8_ann,
         "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,

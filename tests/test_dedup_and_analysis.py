@@ -475,6 +475,107 @@ class TestSimilarityJoin:
             assert r.rank in (0, 1)
 
 
+class TestHardNegatives:
+    """operators/similarity_join.py hard-negative mining — the
+    contrastive-training negatives family."""
+
+    def test_exact_never_returns_same_label_or_self(self, embeddings_df):
+        from documents_vector_search_spark.operators.similarity_join import (
+            hard_negative_pairs_exact,
+        )
+
+        anchors = embeddings_df.filter(F.col("vec_id") < 8)
+        got = hard_negative_pairs_exact(anchors, embeddings_df, k=3).collect()
+        assert len(got) > 0
+        for r in got:
+            assert r.left_label != r.right_label
+            assert r.left_id != r.right_id
+            assert 0 <= r.rank < 3
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.left_id, []).append(r)
+        for rows in by_left.values():
+            cosines = [r.cosine for r in sorted(rows, key=lambda x: x.rank)]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_lsh_full_probe_matches_exact(self, embeddings_df):
+        from documents_vector_search_spark.operators.similarity_join import (
+            hard_negative_pairs_exact,
+            hard_negative_pairs_lsh,
+        )
+
+        small = embeddings_df.filter(F.col("vec_id") < 30)
+        exact = {
+            (r.left_id, r.rank): r.right_id
+            for r in hard_negative_pairs_exact(small, small, k=2).collect()
+        }
+        # radius = n_planes probes every bucket → identical to exact
+        full = {
+            (r.left_id, r.rank): r.right_id
+            for r in hard_negative_pairs_lsh(
+                small, k=2, n_planes=2, multiprobe_bits=2
+            ).collect()
+        }
+        assert full == exact
+        # pruned probing still never yields a same-label pair
+        pruned = hard_negative_pairs_lsh(
+            small, k=2, n_planes=4, multiprobe_bits=0
+        ).collect()
+        for r in pruned:
+            assert r.left_label != r.right_label
+
+
+class TestTemperatureMix:
+    def test_alpha_boosts_small_groups_and_only_downsamples(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        rows = [(i, "big") for i in range(900)] + [
+            (1000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "grp"])
+        kept = temperature_mix(df, "doc_id", "grp", alpha=0.3).collect()
+        by = {}
+        for r in kept:
+            by[r.grp] = by.get(r.grp, 0) + 1
+        # never upsample
+        assert by.get("small", 0) <= 100 and by.get("big", 0) <= 900
+        # alpha<1 boosts the small group's SHARE above its natural 10%
+        small_share = by.get("small", 0) / max(sum(by.values()), 1)
+        assert small_share > 0.2
+        # feasibility: the small group anchors the total, so it is
+        # kept (nearly) whole while the big group downsamples hard
+        assert by["small"] >= 95
+        assert by["big"] < 600
+
+    def test_alpha_one_keeps_natural_distribution(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        rows = [(i, "a") for i in range(300)] + [
+            (1000 + i, "b") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "grp"])
+        kept = temperature_mix(df, "doc_id", "grp", alpha=1.0).collect()
+        by = {}
+        for r in kept:
+            by[r.grp] = by.get(r.grp, 0) + 1
+        # natural shares -> every group's rate is ~1 (rounding slack)
+        assert by["a"] >= 295 and by["b"] >= 99
+
+    def test_rejects_bad_alpha(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "grp"])
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="alpha"):
+                temperature_mix(df, "doc_id", "grp", alpha=bad)
+
+
 class TestDedupApplyAndCap:
     def test_dedup_filter_keeps_canonicals(self, dup_docs, spark):
         from documents_vector_search_spark.operators.dedup import dedup_filter
