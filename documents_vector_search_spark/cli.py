@@ -253,6 +253,53 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_domains(args) -> int:
+    """Per-host URL profile of a collection (operators/urls.py): doc
+    counts, URL-dedup ratio (distinct normalized URLs / docs), and
+    registered domains — the provenance report read before blocklist
+    or mixing decisions. One map-only normalize + one host-keyed agg."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.urls import url_report
+
+    coll = _collection(args)
+    docs = coll.read("documents").select(
+        F.col("id").alias("doc_id"), F.col("url")
+    )
+    rep = url_report(docs)
+    profile = (
+        rep.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("norm_url").cast("bigint").alias("n_urls"),
+            F.first("domain").alias("domain"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(1 - F.col("n_urls") / F.col("n_docs"), 6),
+        )
+        .orderBy(F.col("n_docs").desc(), "host")
+    )
+    out = args.output or f"{args.base_path}/{args.collection}/domain_profile"
+    profile.write.mode("overwrite").parquet(out)
+    stored = coll.spark.read.parquet(out)
+    rows = stored.orderBy(F.col("n_docs").desc(), "host").limit(10).collect()
+    print(
+        _format(
+            {
+                "hosts": stored.count(),
+                "topHosts": [
+                    {"host": r.host, "nDocs": r.n_docs, "dupRatio": r.dup_ratio}
+                    for r in rows
+                ],
+                "output": out,
+            },
+            args.format,
+        )
+    )
+    return 0
+
+
 def cmd_span_dedup(args) -> int:
     """Cross-document repeated-span (exact substring) report over a
     collection's documents — the Lee et al. 2022 boilerplate check
@@ -712,6 +759,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--nlist", type=int, default=8)
     sp.add_argument("--terms-k", type=int, default=0)
     sp.set_defaults(func=cmd_topics)
+
+    sp = sub.add_parser("domains")
+    common(sp)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_domains)
 
     sp = sub.add_parser("span-dedup")
     common(sp)

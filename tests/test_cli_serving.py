@@ -215,6 +215,24 @@ class TestCLI:
                 "fingerprint"} <= cols
         assert prof.count() == out["profiledDocuments"]
 
+    def test_domains_writes_host_profile(self, base_path, capsys, spark):
+        rc = cli.main(
+            ["domains", "cli_test", "--base-path", base_path, "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["hosts"] >= 1
+        assert len(out["topHosts"]) >= 1
+        prof = spark.read.parquet(out["output"])
+        assert {"host", "n_docs", "n_urls", "domain", "dup_ratio"} <= set(
+            prof.columns
+        )
+        total = sum(r.n_docs for r in prof.collect())
+        assert total > 0
+        assert prof.filter(
+            (F.col("dup_ratio") < 0) | (F.col("dup_ratio") > 1)
+        ).count() == 0
+
     def test_span_dedup_writes_report(self, base_path, capsys, spark):
         rc = cli.main(
             ["span-dedup", "cli_test", "--base-path", base_path,
