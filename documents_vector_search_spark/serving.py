@@ -145,10 +145,12 @@ def search_in_collection(
     metadata_filter: str | None = None,
     max_chunks: int = DEFAULT_MAX_CHUNKS,
     max_documents: int | None = None,
+    diversify_lambda: float | None = None,
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
-    required; chunk count capped."""
+    required; chunk count capped. ``diversify_lambda`` (None = off)
+    routes through the MMR-diversified ranking."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
@@ -158,6 +160,7 @@ def search_in_collection(
         max_chunks=max_chunks,
         max_documents=max_documents,
         metadata_filter=metadata_filter,
+        diversify_lambda=diversify_lambda,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
 
@@ -169,10 +172,13 @@ def search_many_in_collection(
     metadata_filter: str | None = None,
     max_chunks: int = DEFAULT_MAX_CHUNKS,
     max_documents: int | None = None,
+    diversify_lambda: float | None = None,
 ) -> dict[str, list[dict]]:
     """Tool: batch hybrid search — all queries answered in ONE Spark
     job (one scan per index, CollectionSearcher.search_many); results
-    keyed ``q0..qN`` in input order."""
+    keyed ``q0..qN`` in input order. ``diversify_lambda`` (None = off)
+    swaps in the batched MMR rerank — Q diverse searches still pay one
+    retrieval pass per index."""
     if not queries:
         raise ValueError("at least one query is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
@@ -183,6 +189,7 @@ def search_many_in_collection(
         max_chunks=max_chunks,
         max_documents=max_documents,
         metadata_filter=metadata_filter,
+        diversify_lambda=diversify_lambda,
     ).collect()
     out: dict[str, list[dict]] = {qid: [] for qid in texts}
     for r in rows:
@@ -215,18 +222,22 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
     @app.tool()
     def search(collection: str, query: str = "", filter: str | None = None,
                max_chunks: int = DEFAULT_MAX_CHUNKS,
-               max_documents: int | None = None) -> list[dict]:
+               max_documents: int | None = None,
+               diversify_lambda: float | None = None) -> list[dict]:
         return search_in_collection(
-            registry, collection, query, filter, max_chunks, max_documents
+            registry, collection, query, filter, max_chunks, max_documents,
+            diversify_lambda,
         )
 
     @app.tool()
     def search_many(collection: str, queries: list[str],
                     filter: str | None = None,
                     max_chunks: int = DEFAULT_MAX_CHUNKS,
-                    max_documents: int | None = None) -> dict:
+                    max_documents: int | None = None,
+                    diversify_lambda: float | None = None) -> dict:
         return search_many_in_collection(
-            registry, collection, queries, filter, max_chunks, max_documents
+            registry, collection, queries, filter, max_chunks, max_documents,
+            diversify_lambda,
         )
 
     @app.tool()

@@ -515,6 +515,17 @@ class TestServing:
         assert set(batch) == {"q0", "q1"}
         assert any(h["document_id"] == "eng/joins.txt" for h in batch["q0"])
         assert any(h["document_id"] == "eng/skew.txt" for h in batch["q1"])
+        # diversified variants reach the searcher through both tools
+        div = app.tools["search"](
+            "cli_test", query="sort merge join", diversify_lambda=0.5
+        )
+        assert len(div) > 0
+        div_batch = app.tools["search_many"](
+            "cli_test", ["sort merge join", "salting skew"],
+            diversify_lambda=0.5,
+        )
+        assert set(div_batch) == {"q0", "q1"}
+        assert all(len(v) > 0 for v in div_batch.values())
 
     def test_delete_command(self, spark, corpus_dir, base_path, capsys):
         # a THROWAWAY collection: deleting from the shared module
