@@ -80,6 +80,7 @@ HEADLINE = [
     "domain_profile",
     "temperature_sample",
     "hard_negatives",
+    "cluster_split",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -323,3 +323,46 @@ def temperature_mix(
         )
         .drop("_rate")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+    unit_col: str = "split_unit",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    assigned to a split atomically, so two near-duplicates can never
+    straddle train and test (the classic eval-contamination hole a
+    row-hash split leaves open — public precedent: the dedup-aware
+    split discussions in Lee et al. 2022 and the GPT-3 contamination
+    appendix).
+
+    ``pairs`` is near-dup evidence ``(id_a, id_b)`` from ANY of the
+    dedup families (MinHash-LSH, SimHash, embedding). Rows hash on
+    their component's canonical id (operators/cc.py connected
+    components; singletons use their own id) through the SAME bucket
+    ranges as :func:`hash_split` — output adds ``unit_col`` and
+    ``split_col``.
+
+    Scale shape: the CC runs on the pair set (O(near-dup nodes), not
+    O(corpus)); the corpus itself pays one broadcast-or-shuffle join
+    against that cluster map plus the map-only gate.
+    """
+    from documents_vector_search_spark.operators.cc import (
+        connected_components,
+    )
+
+    clusters = connected_components(pairs).withColumnRenamed(
+        "id", "_csid"
+    )
+    joined = df.join(
+        clusters, df[id_col] == clusters["_csid"], "left"
+    ).drop("_csid")
+    staged = joined.withColumn(
+        unit_col, F.coalesce(F.col("cluster_id"), F.col(id_col))
+    ).drop("cluster_id")
+    return hash_split(staged, unit_col, splits, seed, split_col)

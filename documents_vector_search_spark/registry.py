@@ -858,6 +858,29 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (operators/sampling.py::cluster_safe_split):
+    MinHash-LSH near-dup pairs → connected components → every cluster
+    assigned to train/val/test ATOMICALLY by hashing its canonical id
+    — near-duplicates can never straddle train and test. Per-document
+    ``(doc_id, split_unit, split)``; the oracle replays pairs, the
+    recursive-CTE closure, and the bucket-range gate."""
+    from documents_vector_search_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.8, num_hashes=8, bands=4,
+        max_bucket_size=MINHASH_MAX_BUCKET,
+    )
+    out = cluster_safe_split(
+        docs, "doc_id", pairs,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05}, seed=7,
+    )
+    return out.select("doc_id", "split_unit", "split")
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -3039,6 +3062,38 @@ reach(id, r) AS (
 )
 SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """,
+        "cluster_split": f"""
+WITH RECURSIVE {minhash_ctes},
+pairs AS (
+  SELECT id_a, id_b FROM v WHERE inter / (na + nb - inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+units AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_unit
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+),
+gated AS (
+  SELECT doc_id, split_unit,
+         {hash_bucket_sql("split_unit", seed=7)} AS bucket
+  FROM units
+)
+SELECT doc_id, split_unit,
+  CASE WHEN bucket < 900000 THEN 'train'
+       WHEN bucket < 950000 THEN 'val'
+       WHEN bucket < 1000000 THEN 'test' END AS split
+FROM gated
+""",
         "dedup_multi": f"""
 WITH RECURSIVE {minhash_ctes},
 mh_pairs AS (
@@ -4255,20 +4310,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (89 keys total):
-    - positions 1-6: corpus_prep_gopher, c4_rules, url_dedup,
-      domain_profile, temperature_sample, hard_negatives — new this
-      round (never driver-green);
+    Round 7 window (90 keys total):
+    - positions 1-7: corpus_prep_gopher, c4_rules, url_dedup,
+      domain_profile, temperature_sample, hard_negatives,
+      cluster_split — new this round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 11 slots: r6-green keys re-verified EARLY because this
+    - remaining 10 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them — the single-driver-green r6
       additions (quality_classifier_text/gopher_rules/late_interaction/
       mmr_rerank/topic_model/topic_terms, plus ann_batch and
-      quality_classifier whose first green was r6), the whitespace-
-      regex/scoring-path keys (token_counts, corpus_prep), and ivf_ann
-      for the asset-seeding path;
-    - out-of-window tail (39, starting at pq_adc): r6-green keys --
+      quality_classifier whose first green was r6), and the whitespace-
+      regex/scoring-path keys (token_counts, corpus_prep);
+    - out-of-window tail (40, starting at ivf_ann): r6-green keys --
       one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
@@ -4280,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_profile": q_domain_profile,
         "temperature_sample": q_temperature_sample,
         "hard_negatives": q_hard_negatives,
+        "cluster_split": q_cluster_split,
         # -- due back: newest driver-green row is r5 (rotated out in r6) --
         "rollup": q_rollup,
         "set_ops": q_set_ops,
@@ -4325,8 +4380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_terms": q_topic_terms,
         "corpus_prep": q_corpus_prep,
         "token_counts": q_token_counts,
-        "ivf_ann": q_ivf_ann,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
         "sq8_ann": q_sq8_ann,

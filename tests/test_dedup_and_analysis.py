@@ -1385,3 +1385,50 @@ class TestFastTextProbe:
         )
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestClusterSafeSplit:
+    """operators/sampling.py::cluster_safe_split — near-dup clusters
+    assigned to train/val/test atomically (no leakage across splits)."""
+
+    def test_cluster_members_share_a_split(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            cluster_safe_split,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 21)], ["doc_id", "text"]
+        )
+        # two clusters: {1,2,3} (transitively) and {10, 11}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        out = cluster_safe_split(
+            docs, "doc_id", pairs,
+            splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        # every row labeled, cluster members share unit AND split
+        assert len(by_id) == 20
+        assert all(r.split in ("train", "val", "test") for r in out)
+        for cluster in [(1, 2, 3), (10, 11)]:
+            units = {by_id[i].split_unit for i in cluster}
+            labels = {by_id[i].split for i in cluster}
+            assert len(units) == 1 and len(labels) == 1, cluster
+            assert units == {min(cluster)}
+        # singletons hash on their own id — same label a plain
+        # hash_split of the unit column would give
+        from documents_vector_search_spark.operators.sampling import (
+            hash_split,
+        )
+
+        singles = [i for i in range(1, 21) if i not in (1, 2, 3, 10, 11)]
+        plain = {
+            r.doc_id: r.split
+            for r in hash_split(
+                docs, "doc_id",
+                {"train": 0.5, "val": 0.25, "test": 0.25},
+            ).collect()
+        }
+        for i in singles:
+            assert by_id[i].split == plain[i]
