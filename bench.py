@@ -81,6 +81,10 @@ HEADLINE = [
     "temperature_sample",
     "hard_negatives",
     "cluster_split",
+    "snippets",
+    "facet_counts",
+    "bm25_rm3",
+    "dsir_select",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -438,3 +438,218 @@ def _query_terms(query: str) -> list[str]:
     for t in terms:
         seen.setdefault(t)
     return list(seen)
+
+
+def matches_all_terms(text_col, terms: list[str]) -> "F.Column":
+    """Boolean Column: the document contains EVERY term — FTS5's
+    conjunctive match (sqllite_indexer.py:145-150) as a map-only
+    predicate, for match-SET consumers (facet counts, filter-only
+    callers) that need the whole matched population rather than a
+    ranked top-k. One tokenize, one array_intersect — no explode, no
+    per-term re-tokenization."""
+    distinct_terms = sorted(set(terms))
+    lit_terms = F.array(*[F.lit(t) for t in distinct_terms])
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.array_intersect(tokenize(col), lit_terms)) == len(
+        distinct_terms
+    )
+
+
+def bm25_weighted_adhoc(
+    docs: DataFrame,
+    term_weights: list[tuple[str, float]],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Disjunctive weighted BM25: ``score(d) = Σ_t w_t · bm25(t, d)``
+    over documents matching AT LEAST ONE weighted term — the rescoring
+    stage of query-expansion retrieval. Same zero-wide-shuffle plan as
+    ``_bm25_adhoc`` (map-side tf columns, one broadcast stats row,
+    TakeOrdered).
+
+    Determinism: each term's weighted contribution quantizes to int64
+    billionths BEFORE the cross-term sum (the registry's integer-cents
+    rule), so the score never depends on float addition order; the
+    int64 sum divides back out and rounds to 6 for the final ordering.
+    """
+    if not term_weights:
+        raise ValueError("bm25_weighted_adhoc needs at least one term")
+
+    def eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    toks = tokenize(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        *[
+            F.size(F.filter("_toks", eq(term))).alias(f"tf_{i}")
+            for i, (term, _) in enumerate(term_weights)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(term_weights))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    any_match = None
+    contribs = []
+    for i, (_, w) in enumerate(term_weights):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5))
+        ts = idf * (tf * (K1 + 1)) / (
+            tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+        )
+        quantized = F.floor(
+            F.lit(float(w)) * ts * F.lit(1e9) + F.lit(0.5)
+        ).cast("bigint")
+        contribs.append(F.when(tf > 0, quantized).otherwise(F.lit(0)))
+        c = tf > 0
+        any_match = c if any_match is None else (any_match | c)
+
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    score = F.round(total.cast("double") / F.lit(1e9), 6)
+    return (
+        scored.filter(any_match)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# quantization scales for the RM3 relevance-model arithmetic: feedback
+# scores to millionths (they are already rounded to 6), per-term
+# relevance mass to 1e-12 — both make every cross-row sum exact int64
+_RM3_S_SCALE = 1e6
+_RM3_C_SCALE = 1e12
+
+
+def rm3_expansion_weights(
+    docs: DataFrame,
+    query: str,
+    k_fb: int = 5,
+    n_expand: int = 8,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models; the RM3 interpolated form popularized by Anserini/Indri):
+
+    1. feedback set = conjunctive BM25 top ``k_fb``; each feedback doc
+       weighs ``w_d = s_d / Σ s_d`` (scores as exact int64 millionths,
+       so the normalization never depends on summation order);
+    2. relevance model ``rm1(t) = Σ_d w_d · tf_td / dl_d`` — computed
+       from the ``k_fb`` feedback documents' OWN term vectors
+       (re-tokenized from their text: O(k_fb) work, never an inverted
+       -index scan), quantized to int64 before the per-term sum;
+    3. expansion terms = top ``n_expand`` by rm1 mass, excluding the
+       original query terms and any term with corpus ``df > N/2``
+       (negative-IDF stopword guard — standard RM3 practice);
+    4. final weights = ``λ · qtf/|Q|`` for original terms,
+       ``(1-λ) · rm1(t)/Σ rm1`` (normalized over the selected set) for
+       expansion terms.
+
+    Returns ``[(term, weight)]`` — original terms first (query order),
+    then expansion terms by descending mass. The ≤ ``n_expand`` row
+    collect is a bounded fit-style driver step; feed the result to
+    :func:`bm25_weighted_adhoc` (or the index-backed scorer) for the
+    100 TB rescoring pass.
+    """
+    q_terms = _query_terms(query)
+    if not q_terms:
+        raise ValueError("rm3 needs a non-empty query")
+
+    fb = bm25_topk(docs, query, k_fb, id_col, text_col).select(
+        F.col(id_col),
+        F.floor(F.col("score") * _RM3_S_SCALE + F.lit(0.5))
+        .cast("bigint")
+        .alias("_s6"),
+    )
+    tot = fb.agg(F.sum("_s6").alias("_tot"))
+    fbw = fb.crossJoin(F.broadcast(tot)).select(
+        F.col(id_col),
+        (F.col("_s6").cast("double") / F.col("_tot").cast("double")).alias(
+            "_wd"
+        ),
+    )
+    # term vectors of the feedback docs only (broadcast the tiny hit set)
+    fb_toks = docs.join(F.broadcast(fbw), id_col).select(
+        F.col(id_col), F.col("_wd"), tokenize(text_col).alias("_toks")
+    )
+    fb_tf = (
+        fb_toks.select(
+            F.col(id_col),
+            "_wd",
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy(id_col, "term", "_wd", "_dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    contrib = F.floor(
+        F.col("_wd")
+        * F.col("tf").cast("double")
+        / F.col("_dl").cast("double")
+        * F.lit(_RM3_C_SCALE)
+        + F.lit(0.5)
+    ).cast("bigint")
+    rm1 = (
+        fb_tf.select("term", contrib.alias("_c"))
+        .groupBy("term")
+        .agg(F.sum("_c").alias("rm1_c"))
+        .filter(~F.col("term").isin(q_terms))
+    )
+    # stopword guard: corpus df per candidate term (broadcast the
+    # candidate list; map-side partial agg bounds the shuffle at
+    # |candidates| × partitions rows)
+    n_docs = docs.count()
+    doc_terms = docs.select(
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+    )
+    df_tbl = (
+        doc_terms.join(F.broadcast(rm1.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("_df"))
+    )
+    top = (
+        rm1.join(df_tbl, "term")
+        .filter(F.col("_df") * 2 <= n_docs)
+        .orderBy(F.col("rm1_c").desc(), F.col("term").asc())
+        .limit(n_expand)
+        .collect()
+    )
+    tot_c = sum(int(r.rm1_c) for r in top)
+    weights = [(t, lam * (1.0 / len(q_terms))) for t in q_terms]
+    if tot_c > 0:
+        weights += [
+            (r.term, (1.0 - lam) * (int(r.rm1_c) / tot_c)) for r in top
+        ]
+    return weights
+
+
+def rm3_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    k_fb: int = 5,
+    n_expand: int = 8,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-expansion retrieval: RM3 expansion then weighted
+    disjunctive rescoring. ``(id, score)`` descending, ties on id."""
+    weights = rm3_expansion_weights(
+        docs, query, k_fb, n_expand, lam, id_col, text_col
+    )
+    return bm25_weighted_adhoc(docs, weights, k, id_col, text_col)

@@ -881,6 +881,82 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split_unit", "split")
 
 
+# RM3 pseudo-relevance-feedback constants (operators/bm25.py::rm3_topk)
+RM3_K_FB = 5
+RM3_N_EXPAND = 8
+RM3_LAM = 0.5
+
+# DSIR selection size (operators/dsir.py::dsir_select)
+DSIR_K = 100
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets (operators/snippets.py): BM25 top-10
+    over token-window-lined documents (the line_dedup derivation), then
+    the best matching line per hit — most query-term occurrences, ties
+    to the earliest line. The line explode runs on the 10 hit documents
+    only (broadcast semi-join first), never the corpus."""
+    from documents_vector_search_spark.operators.snippets import (
+        best_line_snippet,
+    )
+
+    rl = _with_token_lines(_t(spark, sf_dir, "documents"))
+    top = bm25_topk(rl, BM25_QUERY, 10)
+    hits = rl.join(F.broadcast(top.select("doc_id")), "doc_id")
+    snip = best_line_snippet(hits, BM25_TERMS)
+    return top.join(snip, "doc_id").select(
+        "doc_id", "score", "line_no", "snippet", "n_hits"
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search (operators/facets.py): hit counts per source and
+    per lang over the WHOLE conjunctive match-set of the BM25 query —
+    the facet panel a search UI renders next to the top-k. One map-only
+    match predicate + one (facet, value) aggregation."""
+    from documents_vector_search_spark.operators.bm25 import (
+        matches_all_terms,
+    )
+    from documents_vector_search_spark.operators.facets import facet_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    matched = docs.filter(matches_all_terms("text", BM25_TERMS))
+    return facet_counts(matched, ["source", "lang"])
+
+
+def q_bm25_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 query expansion (operators/bm25.py::rm3_topk — Lavrenko &
+    Croft relevance models, Anserini's RM3 form): conjunctive BM25
+    feedback top-5, relevance-model expansion terms from the feedback
+    docs' own term vectors (O(k_fb) work), stopword guard df > N/2,
+    then weighted DISJUNCTIVE rescoring with the per-term int64
+    quantization keeping every cross-row sum order-independent."""
+    from documents_vector_search_spark.operators.bm25 import rm3_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return rm3_topk(
+        docs, BM25_QUERY, 10,
+        k_fb=RM3_K_FB, n_expand=RM3_N_EXPAND, lam=RM3_LAM,
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023,
+    arXiv:2302.03169): hashed-n-gram bag models of the target
+    (lang='en') vs the raw pool, per-doc mean log importance ratio as a
+    map-only expression, and a deterministic Gumbel-top-k draw with
+    P(select) ∝ exp(logw). Fit = two integer aggregations collected at
+    256 rows; selection = one TakeOrdered."""
+    from documents_vector_search_spark.operators.dsir import (
+        dsir_select,
+        fit_dsir_log_ratios,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ratios = fit_dsir_log_ratios(docs, F.col("lang") == F.lit("en"))
+    return dsir_select(docs, ratios, DSIR_K)
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4293,6 +4369,161 @@ JOIN ({d["fingerprint"]}) f ON f.doc_id = l.doc_id
     # the star-variant CC computes the SAME (id, min-of-component) map
     # as label propagation — one oracle serves both implementations
     d["dedup_cluster_star"] = d["dedup_cluster"]
+    # keyword-in-context snippets: BM25 top-10 over the token-window
+    # -lined corpus (rl = the line_dedup derivation), then per hit the
+    # line with the most query-term occurrences, ties to the earliest
+    # line. Integer line scoring — no float parity surface.
+    _terms_list = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    d["snippets"] = f"""
+WITH tok0 AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+rl AS (
+  SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                     i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+      chr(10))
+    ELSE '' END AS text
+  FROM tok0
+),
+{_bm25_ctes(BM25_TERMS, table="rl")},
+top AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
+sp AS (
+  SELECT rl.doc_id, string_split_regex(rl.text, '\\r\\n|\\r|\\n') AS ls
+  FROM rl JOIN top USING (doc_id)
+),
+l AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS line_no, unnest(ls) AS line FROM sp),
+h AS (
+  SELECT doc_id, line_no, line,
+         len(list_filter({_toks_sql("line")},
+                         t -> list_contains([{_terms_list}], t)))::BIGINT AS n_hits
+  FROM l
+),
+best AS (
+  SELECT doc_id, line_no, line, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, line_no) AS rn
+  FROM h
+)
+SELECT t.doc_id, t.score, b.line_no::BIGINT AS line_no,
+       substr(b.line, 1, 200) AS snippet, b.n_hits
+FROM top t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+"""
+    # faceted search: conjunctive match-set -> per-facet value counts
+    _contains_all = " AND ".join(
+        f"list_contains(toks, '{t}')" for t in sorted(set(BM25_TERMS))
+    )
+    d["facet_counts"] = f"""
+WITH t AS (SELECT source, lang, {_toks_sql()} AS toks FROM documents),
+m AS (SELECT source, lang FROM t WHERE {_contains_all})
+SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs
+FROM m GROUP BY 2
+UNION ALL
+SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n_docs
+FROM m GROUP BY 2
+"""
+    # RM3 pseudo-relevance feedback: conjunctive BM25 feedback top
+    # RM3_K_FB -> int64-quantized relevance model -> df>N/2 stopword
+    # guard -> top RM3_N_EXPAND expansion terms -> weighted disjunctive
+    # rescore with per-term int64-billionths contributions (the
+    # registry's integer-cents sum rule); replays operators/bm25.py::
+    # rm3_topk expression-for-expression, same operation order.
+    _not_q = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    d["bm25_rm3"] = f"""
+WITH {_bm25_ctes(BM25_TERMS)},
+top AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT {RM3_K_FB}),
+s6 AS (SELECT doc_id, CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS s6 FROM top),
+wd AS (SELECT doc_id, s6::DOUBLE / (SELECT sum(s6) FROM s6)::DOUBLE AS wd FROM s6),
+fbt AS (
+  SELECT f.doc_id, f.term, f.tf, w.wd, ds.dl
+  FROM tf f JOIN wd w USING (doc_id) JOIN doc_stats ds USING (doc_id)
+),
+rc AS (
+  SELECT term,
+         sum(CAST(floor(wd * tf / dl * 1000000000000.0 + 0.5) AS BIGINT))::BIGINT AS rm1_c
+  FROM fbt WHERE term NOT IN ({_not_q}) GROUP BY term
+),
+dfc AS (
+  SELECT u.term, count(*)::BIGINT AS dfv
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM toks) u
+  JOIN rc ON rc.term = u.term GROUP BY u.term
+),
+topm AS (
+  SELECT rc.term, rc.rm1_c FROM rc JOIN dfc USING (term) CROSS JOIN corpus c
+  WHERE dfc.dfv * 2 <= c.n_docs
+  ORDER BY rc.rm1_c DESC, rc.term LIMIT {RM3_N_EXPAND}
+),
+wts AS (
+  SELECT term, {RM3_LAM} * (1.0 / {len(BM25_TERMS)}) AS w FROM qterms
+  UNION ALL
+  SELECT term,
+         (1.0 - {RM3_LAM}) * (rm1_c::DOUBLE / (SELECT sum(rm1_c) FROM topm)::DOUBLE) AS w
+  FROM topm
+),
+fm AS (
+  SELECT f.doc_id, f.term, f.tf, ds.dl, w.w
+  FROM tf f JOIN wts w USING (term) JOIN doc_stats ds USING (doc_id)
+),
+fdf AS (SELECT term, count(*)::BIGINT AS dfv FROM fm GROUP BY term),
+contrib AS (
+  SELECT m.doc_id,
+         CAST(floor(m.w * (ln((c.n_docs - d.dfv + 0.5) / (d.dfv + 0.5))
+                * (m.tf * (1.2 + 1))
+                / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / c.avgdl)))
+              * 1000000000.0 + 0.5) AS BIGINT) AS cq
+  FROM fm m JOIN fdf d USING (term) CROSS JOIN corpus c
+)
+SELECT doc_id, round(sum(cq)::DOUBLE / 1000000000.0, 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # DSIR importance resampling: hashed-gram bag models (target =
+    # lang='en', raw = whole pool, add-one smoothing), per-doc mean
+    # log-ratio (the quality_classifier_text gram derivation and fold
+    # idiom verbatim), deterministic Gumbel-top-k selection.
+    d["dsir_select"] = f"""
+WITH t AS (SELECT doc_id, lang, {_toks_sql()} AS toks FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         list_filter(
+           list_concat(
+             toks,
+             list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                            i -> array_to_string(toks[i:i+1], ' '))
+           ), x -> x <> '') AS grams
+  FROM t
+),
+occ AS (SELECT lang = 'en' AS is_t, unnest(grams) AS gram FROM g),
+cnt AS (
+  SELECT CAST({md5_hash64_sql("gram")} % 256 AS INT) AS b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
+         count(*)::BIGINT AS r_cnt
+  FROM occ GROUP BY 1
+),
+tot AS (SELECT sum(t_cnt) + 256 AS t_tot, sum(r_cnt) + 256 AS r_tot FROM cnt),
+fullb AS (
+  SELECT ix.i AS b, coalesce(c.t_cnt, 0) AS t_cnt, coalesce(c.r_cnt, 0) AS r_cnt
+  FROM (SELECT unnest(range(0, 256)) AS i) ix LEFT JOIN cnt c ON c.b = ix.i
+),
+ratio AS (
+  SELECT b, round(ln((t_cnt + 1)::DOUBLE / t_tot)
+                  - ln((r_cnt + 1)::DOUBLE / r_tot), 7) AS lr
+  FROM fullb CROSS JOIN tot
+),
+rtab AS (SELECT list(lr ORDER BY b) AS tab FROM ratio),
+ds AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN round(list_sum(list_transform(grams,
+                     gr -> rt.tab[CAST({md5_hash64_sql("gr")} % 256 AS INT) + 1]))
+                   / len(grams), 6)
+              ELSE 0.0 END AS logw
+  FROM g, rtab rt
+)
+SELECT doc_id, logw,
+       round(logw - ln(-ln((({md5_hash64_sql("concat('dsir:', doc_id::VARCHAR)")} % 1048576) + 0.5) / 1048576.0)), 6) AS gkey
+FROM ds
+ORDER BY gkey DESC, doc_id LIMIT {DSIR_K}
+"""
     return d
 
 
@@ -4310,24 +4541,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (90 keys total):
-    - positions 1-7: corpus_prep_gopher, c4_rules, url_dedup,
-      domain_profile, temperature_sample, hard_negatives,
-      cluster_split — new this round (never driver-green);
+    Round 7 window (94 keys total):
+    - positions 1-11: snippets, facet_counts, bm25_rm3, dsir_select,
+      corpus_prep_gopher, c4_rules, url_dedup, domain_profile,
+      temperature_sample, hard_negatives, cluster_split — new this
+      round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 10 slots: r6-green keys re-verified EARLY because this
-      round's code changes touch them — the single-driver-green r6
-      additions (quality_classifier_text/gopher_rules/late_interaction/
-      mmr_rerank/topic_model/topic_terms, plus ann_batch and
-      quality_classifier whose first green was r6), and the whitespace-
-      regex/scoring-path keys (token_counts, corpus_prep);
-    - out-of-window tail (40, starting at ivf_ann): r6-green keys --
+    - remaining 6 slots: r6-green keys re-verified EARLY because this
+      round's code changes touch them (ann_batch, quality_classifier,
+      quality_classifier_text, gopher_rules, late_interaction,
+      mmr_rerank). Four touched keys were displaced to make room for
+      the second new-key tranche — each is covered by an in-window
+      sibling exercising the same change: token_counts/corpus_prep by
+      gopher_rules + corpus_prep_gopher (shared WS_RUN_RE class and
+      composed-prep flow), topic_model/topic_terms by the TestTopicRefit
+      pytest family; all four are ≤1 round stale and due back in r8;
+    - out-of-window tail (44, starting at topic_model): r6-green keys,
       one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
         # -- new this round (never driver-green) --------------------------
+        "snippets": q_snippets,
+        "facet_counts": q_facet_counts,
+        "bm25_rm3": q_bm25_rm3,
+        "dsir_select": q_dsir_select,
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
@@ -4376,11 +4615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
+        # -- out-of-window (51+): newest green r6, due back in r8 ---------
         "topic_model": q_topic_model,
         "topic_terms": q_topic_terms,
         "corpus_prep": q_corpus_prep,
         "token_counts": q_token_counts,
-        # -- out-of-window (51+): newest green r6, due back in r8 ---------
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
         "ivfpq_search": q_ivfpq_search,
