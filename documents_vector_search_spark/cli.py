@@ -209,9 +209,24 @@ def cmd_search(args) -> int:
         indexes=tuple(args.indexes.split(",")),
         metadata_filter=args.filter,
         diversify_lambda=args.diversify_lambda,
+        include_snippets=args.snippets,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
+    return 0
+
+
+def cmd_facets(args) -> int:
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll)
+    rows = searcher.facet_counts(
+        [f.strip() for f in args.fields.split(",") if f.strip()],
+        query=args.query or "",
+        metadata_filter=args.filter,
+    ).collect()
+    print(_format([r.asDict(recursive=True) for r in rows], args.format))
     return 0
 
 
@@ -718,7 +733,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--filter")
     sp.add_argument("--diversify-lambda", type=float, default=None,
                     help="MMR diversified ranking (None = off)")
+    sp.add_argument("--snippets", action="store_true",
+                    help="add each hit's best matching line")
     sp.set_defaults(func=cmd_search)
+
+    sp = sub.add_parser("facets")
+    common(sp)
+    sp.add_argument("--fields", required=True,
+                    help="comma-separated facet fields (document "
+                         "columns or metadata keys)")
+    sp.add_argument("--query", default="",
+                    help="restrict to documents containing all terms")
+    sp.add_argument("--filter", help="metadata filter mini-language")
+    sp.set_defaults(func=cmd_facets)
 
     sp = sub.add_parser("fetch")
     common(sp)

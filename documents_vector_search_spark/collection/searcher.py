@@ -892,6 +892,7 @@ class CollectionSearcher:
         include_chunk_text: bool = False,
         include_document_text: bool = False,
         diversify_lambda: float | None = None,
+        include_snippets: bool = False,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -904,6 +905,11 @@ class CollectionSearcher:
         ``diversify_lambda`` (None = off) routes the chunk ranking
         through :meth:`search_chunks_diverse` — MMR re-ranking that
         penalizes redundancy between returned chunks.
+
+        ``include_snippets`` adds keyword-in-context columns
+        (``snippet_line``, ``snippet``, ``snippet_hits``): each hit
+        document's best matching line (operators/snippets.py), computed
+        over the returned documents only.
         """
         if diversify_lambda is not None:
             fused = self.search_chunks_diverse(
@@ -953,8 +959,75 @@ class CollectionSearcher:
             out_cols.append("matched_chunk_texts")
         if include_document_text:
             out_cols.append(F.col("text").alias("document_text"))
-        return (
-            grouped.join(docs, grouped["document_id"] == docs["id"])
-            .select(*out_cols)
-            .orderBy("doc_rank")
+        joined = grouped.join(docs, grouped["document_id"] == docs["id"])
+        if include_snippets:
+            from documents_vector_search_spark.operators.bm25 import (
+                _query_terms,
+            )
+            from documents_vector_search_spark.operators.snippets import (
+                best_line_snippet,
+            )
+
+            terms = _query_terms(text)
+            if not terms:
+                raise ValueError(
+                    "include_snippets requires a non-empty query"
+                )
+            # the explode runs on the ≤ max_documents hit docs only
+            snip = best_line_snippet(
+                joined.select(F.col("document_id"), F.col("text")),
+                terms,
+                id_col="document_id",
+            )
+            joined = joined.join(F.broadcast(snip), "document_id")
+            out_cols += [
+                F.col("line_no").alias("snippet_line"),
+                "snippet",
+                F.col("n_hits").alias("snippet_hits"),
+            ]
+        return joined.select(*out_cols).orderBy("doc_rank")
+
+    def facet_counts(
+        self,
+        facet_fields: list[str],
+        query: str = "",
+        metadata_filter: str | None = None,
+    ) -> DataFrame:
+        """Facet panel: ``(facet, value, n_docs)`` over the DOCUMENT
+        match-set — every document whose text contains all query terms
+        (conjunctive, document-level) and passes ``metadata_filter``;
+        with neither, the whole collection. Facet fields resolve to
+        direct document columns first, then to ``metadata`` map keys
+        (the filter mini-language's field convention). One map-only
+        match predicate + one (facet, value) aggregation — the facet
+        column count never multiplies jobs."""
+        from documents_vector_search_spark.operators.bm25 import (
+            _query_terms,
+            matches_all_terms,
+        )
+        from documents_vector_search_spark.operators.facets import (
+            facet_counts as facet_counts_op,
+        )
+
+        docs = self._read("documents")
+        if metadata_filter:
+            pred = compile_filter(
+                metadata_filter,
+                field_types=self.field_types,
+                metadata_map_col="metadata",
+                direct_fields={
+                    "id", "url", "text", "last_modified_at", "source_type",
+                },
+            )
+            docs = docs.filter(pred)
+        terms = _query_terms(query) if query else []
+        if terms:
+            docs = docs.filter(matches_all_terms("text", terms))
+        for field in facet_fields:
+            if field not in docs.columns:
+                docs = docs.withColumn(
+                    field, F.col("metadata").getItem(field)
+                )
+        return facet_counts_op(docs, facet_fields).orderBy(
+            "facet", F.col("n_docs").desc(), "value"
         )

@@ -146,11 +146,13 @@ def search_in_collection(
     max_chunks: int = DEFAULT_MAX_CHUNKS,
     max_documents: int | None = None,
     diversify_lambda: float | None = None,
+    include_snippets: bool = False,
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
     required; chunk count capped. ``diversify_lambda`` (None = off)
-    routes through the MMR-diversified ranking."""
+    routes through the MMR-diversified ranking; ``include_snippets``
+    adds each hit's best matching line."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
@@ -161,8 +163,28 @@ def search_in_collection(
         max_documents=max_documents,
         metadata_filter=metadata_filter,
         diversify_lambda=diversify_lambda,
+        include_snippets=include_snippets,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
+
+
+def facets_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    fields: list[str],
+    query: str = "",
+    metadata_filter: str | None = None,
+) -> list[dict]:
+    """Tool: facet panel — per-field value counts over the document
+    match-set (CollectionSearcher.facet_counts). ``fields`` resolve to
+    direct document columns first, then metadata keys."""
+    if not fields:
+        raise ValueError("at least one facet field is required")
+    searcher = registry.searcher(collection)
+    rows = searcher.facet_counts(
+        fields, query=query, metadata_filter=metadata_filter
+    ).collect()
+    return [r.asDict(recursive=True) for r in rows]
 
 
 def search_many_in_collection(
@@ -223,11 +245,17 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
     def search(collection: str, query: str = "", filter: str | None = None,
                max_chunks: int = DEFAULT_MAX_CHUNKS,
                max_documents: int | None = None,
-               diversify_lambda: float | None = None) -> list[dict]:
+               diversify_lambda: float | None = None,
+               include_snippets: bool = False) -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents,
-            diversify_lambda,
+            diversify_lambda, include_snippets,
         )
+
+    @app.tool()
+    def facets(collection: str, fields: list[str], query: str = "",
+               filter: str | None = None) -> list[dict]:
+        return facets_in_collection(registry, collection, fields, query, filter)
 
     @app.tool()
     def search_many(collection: str, queries: list[str],

@@ -180,6 +180,48 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert all(r["document_id"].startswith("eng/") for r in out)
 
+    def test_search_with_snippets_flag(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "search",
+                "cli_test",
+                "broadcast hash join",
+                "--base-path",
+                base_path,
+                "--snippets",
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        top = out[0]
+        assert top["document_id"] == "eng/joins.txt"
+        assert "hash join" in top["snippet"]
+
+    def test_facets_command(self, base_path, capsys):
+        rc = cli.main(
+            [
+                "facets",
+                "cli_test",
+                "--base-path",
+                base_path,
+                "--fields",
+                "folder1,source_type",
+                "--format",
+                "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        counts = {
+            (r["facet"], r["value"]): r["n_docs"] for r in out
+        }
+        assert counts[("folder1", "eng")] == 2
+        # root-level file has no folder1 -> NULL facet bucket
+        assert counts[("folder1", None)] == 1
+        assert counts[("source_type", "localFiles")] == 3
+
     def test_fetch(self, base_path, capsys):
         rc = cli.main(
             [
@@ -445,6 +487,51 @@ class TestServing:
         with pytest.raises(KeyError, match="does not exist"):
             reg.searcher("ghost")
 
+    def test_search_with_snippets(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        hits = search_in_collection(
+            reg, "cli_test", "broadcast hash join", include_snippets=True
+        )
+        by_id = {h["document_id"]: h for h in hits}
+        hit = by_id["eng/joins.txt"]
+        assert hit["snippet_line"] == 1
+        assert "broadcast hash join" in hit["snippet"]
+        # 'join' occurs twice, 'broadcast'/'hash' once each
+        assert hit["snippet_hits"] == 4
+
+    def test_snippets_require_query(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        with pytest.raises(ValueError, match="non-empty query"):
+            search_in_collection(
+                reg, "cli_test", query="",
+                metadata_filter='folder1 = "eng"', include_snippets=True,
+            )
+
+    def test_facets_tool(self, spark, base_path):
+        from documents_vector_search_spark.serving import (
+            facets_in_collection,
+        )
+
+        reg = CollectionRegistry(spark, base_path)
+        rows = facets_in_collection(reg, "cli_test", ["folder1"])
+        counts = {
+            r["value"]: r["n_docs"] for r in rows if r["facet"] == "folder1"
+        }
+        # ≥2: earlier update tests may have added more eng/ docs
+        assert counts.get("eng", 0) >= 2
+        # query-restricted facet counts only count matching docs
+        rows_q = facets_in_collection(
+            reg, "cli_test", ["folder1"], query="join"
+        )
+        counts_q = {
+            r["value"]: r["n_docs"]
+            for r in rows_q
+            if r["facet"] == "folder1"
+        }
+        assert counts_q == {"eng": 1}
+        with pytest.raises(ValueError, match="facet field"):
+            facets_in_collection(reg, "cli_test", [])
+
     def test_fetch_tool(self, spark, base_path):
         reg = CollectionRegistry(spark, base_path)
         got = fetch_from_collection(reg, "cli_test", "notes.txt")
@@ -504,7 +591,7 @@ class TestServing:
 
         reg = CollectionRegistry(spark, base_path)
         app = build_mcp_app(reg, FakeMCP)
-        assert set(app.tools) == {"search", "search_many", "fetch"}
+        assert set(app.tools) == {"search", "search_many", "fetch", "facets"}
         hits = app.tools["search"]("cli_test", query="sort merge join")
         assert any(h["document_id"] == "eng/joins.txt" for h in hits)
         got = app.tools["fetch"]("cli_test", "notes.txt")
