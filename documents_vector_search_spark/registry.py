@@ -900,10 +900,23 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         best_line_snippet,
     )
 
-    rl = _with_token_lines(_t(spark, sf_dir, "documents"))
-    top = bm25_topk(rl, BM25_QUERY, 10)
-    hits = rl.join(F.broadcast(top.select("doc_id")), "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    rl = _with_token_lines(docs)
+    # two deliberate shapes: (a) BM25 ranks the ORIGINAL documents —
+    # tokenization is line-break-invariant, so scores are identical to
+    # ranking the re-lined text, without re-tokenizing through the
+    # token-window derivation (measured 7.3s vs 0.8s at sf0.1);
+    # (b) the k-row hit list is COLLECTED (bounded, like every fit) so
+    # the snippet pass filters by literal ids — the isin() predicate
+    # pushes below the line derivation to the parquet scan.
+    top_rows = bm25_topk(docs, BM25_QUERY, 10).collect()
+    ids = [int(r.doc_id) for r in top_rows]
+    hits = rl.filter(F.col("doc_id").isin(ids))
     snip = best_line_snippet(hits, BM25_TERMS)
+    top = spark.createDataFrame(
+        [(int(r.doc_id), float(r.score)) for r in top_rows],
+        "doc_id bigint, score double",
+    )
     return top.join(snip, "doc_id").select(
         "doc_id", "score", "line_no", "snippet", "n_hits"
     )
@@ -4385,7 +4398,7 @@ rl AS (
     ELSE '' END AS text
   FROM tok0
 ),
-{_bm25_ctes(BM25_TERMS, table="rl")},
+{_bm25_ctes(BM25_TERMS)},
 top AS (SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10),
 sp AS (
   SELECT rl.doc_id, string_split_regex(rl.text, '\\r\\n|\\r|\\n') AS ls
