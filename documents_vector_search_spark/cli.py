@@ -210,6 +210,7 @@ def cmd_search(args) -> int:
         metadata_filter=args.filter,
         diversify_lambda=args.diversify_lambda,
         include_snippets=args.snippets,
+        expand_query=args.expand,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
@@ -735,6 +736,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="MMR diversified ranking (None = off)")
     sp.add_argument("--snippets", action="store_true",
                     help="add each hit's best matching line")
+    sp.add_argument("--expand", action="store_true",
+                    help="RM3 query expansion on the BM25 branch")
     sp.set_defaults(func=cmd_search)
 
     sp = sub.add_parser("facets")

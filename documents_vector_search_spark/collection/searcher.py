@@ -389,6 +389,87 @@ class CollectionSearcher:
         """Ranked ``(chunk_id, rank, score)`` — the single-index shape."""
         return self._ranked(self._bm25_scored(text, k, allowed))
 
+    def rm3_weights(
+        self,
+        text: str,
+        k_fb: int = 5,
+        n_expand: int = 8,
+        lam: float = 0.5,
+        allowed: DataFrame | None = None,
+    ) -> list[tuple[str, float]]:
+        """RM3 expansion weights against THIS collection's index
+        (operators/bm25.py::rm3_weights_from_feedback). Serving shape:
+        the k_fb feedback chunks collect to the driver (bounded — each
+        is one chunk), the relevance model is exact driver-side integer
+        arithmetic, and the only index work is one bucket-pruned
+        postings scan for the candidate terms' document frequencies."""
+        from documents_vector_search_spark.operators.bm25 import (
+            _query_terms,
+            rm3_weights_from_feedback,
+            term_bucket_py,
+        )
+
+        q_terms = _query_terms(text)
+        if not q_terms:
+            raise ValueError("query expansion needs a non-empty query")
+        chunks = self._read("chunks")
+        fb_rows = (
+            self._bm25_scored(text, k_fb, allowed)
+            .join(chunks.select("chunk_id", "indexed_data"), "chunk_id")
+            .collect()
+        )
+        feedback = [(float(r.score), r.indexed_data) for r in fb_rows]
+        import re
+
+        cand_terms = sorted(
+            {
+                t
+                for _, txt in feedback
+                for t in re.split(r"[^a-z0-9]+", txt.lower())
+                if t and t not in q_terms
+            }
+        )
+        df_lookup: dict[str, int] = {}
+        if cand_terms:
+            postings = self._read("postings")
+            if "term_bucket" in postings.columns:
+                buckets = sorted({term_bucket_py(t) for t in cand_terms})
+                postings = postings.filter(
+                    F.col("term_bucket").isin(buckets)
+                )
+            df_lookup = {
+                r.term: int(r.df)
+                for r in postings.filter(F.col("term").isin(cand_terms))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .collect()
+            }
+        n_docs = self._bm25_corpus_stats()[0]
+        return rm3_weights_from_feedback(
+            feedback, q_terms, df_lookup, n_docs, n_expand, lam
+        )
+
+    def _bm25_scored_expanded(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        """RM3-expanded BM25 candidates: compute the bounded weight set,
+        then ONE partition-pruned weighted disjunctive pass over the
+        postings (operators/bm25.py::bm25_weighted_topk)."""
+        from documents_vector_search_spark.operators.bm25 import (
+            bm25_weighted_topk,
+        )
+
+        weights = self.rm3_weights(text, allowed=allowed)
+        return bm25_weighted_topk(
+            weights,
+            k,
+            self._read("postings"),
+            id_col="chunk_id",
+            candidates=allowed,
+            corpus_stats=self._bm25_corpus_stats(),
+            doc_stats=self._read("doc_stats"),
+        ).select("chunk_id", "score")
+
     # -- public ----------------------------------------------------------
     def search_chunks(
         self,
@@ -396,8 +477,13 @@ class CollectionSearcher:
         max_chunks: int = 15,
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
+        expand_query: bool = False,
     ) -> DataFrame:
         """Fused chunk ranking: (chunk_id, rank, score).
+
+        ``expand_query`` routes the BM25 branch through RM3
+        pseudo-relevance feedback (:meth:`_bm25_scored_expanded`) —
+        the vector branch is unaffected.
 
         Hybrid path: every branch emits the same ``(chunk_id, score)``
         higher-is-better shape, so per-branch ranks come from ONE window
@@ -418,10 +504,12 @@ class CollectionSearcher:
                 .withColumn("_src", F.lit("v"))
             )
         if "bm25" in indexes:
-            scored.append(
-                self._bm25_scored(text, max_chunks, allowed)
-                .withColumn("_src", F.lit("b"))
+            bm = (
+                self._bm25_scored_expanded(text, max_chunks, allowed)
+                if expand_query
+                else self._bm25_scored(text, max_chunks, allowed)
             )
+            scored.append(bm.withColumn("_src", F.lit("b")))
 
         if len(scored) == 1:
             # single index: skip RRF, keep native scores (reference
@@ -893,6 +981,7 @@ class CollectionSearcher:
         include_document_text: bool = False,
         diversify_lambda: float | None = None,
         include_snippets: bool = False,
+        expand_query: bool = False,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -912,6 +1001,11 @@ class CollectionSearcher:
         over the returned documents only.
         """
         if diversify_lambda is not None:
+            if expand_query:
+                raise ValueError(
+                    "expand_query and diversify_lambda cannot combine "
+                    "(the diverse ranking has its own retrieval pool)"
+                )
             fused = self.search_chunks_diverse(
                 text,
                 max_chunks,
@@ -921,7 +1015,8 @@ class CollectionSearcher:
             )
         else:
             fused = self.search_chunks(
-                text, max_chunks, indexes, metadata_filter
+                text, max_chunks, indexes, metadata_filter,
+                expand_query=expand_query,
             )
         chunks = self._read("chunks")
         hit_chunks = fused.join(chunks, "chunk_id").select(

@@ -653,3 +653,140 @@ def rm3_topk(
         docs, query, k_fb, n_expand, lam, id_col, text_col
     )
     return bm25_weighted_adhoc(docs, weights, k, id_col, text_col)
+
+
+def bm25_weighted_topk(
+    term_weights: list[tuple[str, float]],
+    k: int,
+    postings: DataFrame,
+    id_col: str = "chunk_id",
+    candidates: DataFrame | None = None,
+    corpus_stats: tuple[int, float] | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Index-path weighted disjunctive BM25 — the rescoring half of
+    query expansion against a BUILT index. Same partition-pruned plan
+    as ``bm25_topk``'s index path (term_bucket pruning + an In(term)
+    literal pushed into the scan, window df over the matched slice),
+    but each term's contribution is ``w_t · bm25(t, d)`` quantized to
+    int64 billionths before the per-document sum, and ANY match
+    qualifies (expansion retrieval is disjunctive by construction).
+
+    ``term_weights`` must be literal (the serving caller collects the
+    bounded expansion set first) so the scan stays pruned.
+    """
+    if not term_weights:
+        raise ValueError("bm25_weighted_topk needs at least one term")
+    from pyspark.sql import Window
+
+    terms = [t for t, _ in term_weights]
+    if "term_bucket" in postings.columns:
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    matched = postings.filter(F.col("term").isin(terms))
+    matched = matched.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("term"))
+    )
+    if candidates is not None:
+        matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
+    if corpus_stats is not None:
+        n_docs_c = F.lit(int(corpus_stats[0]))
+        avgdl_c = F.lit(float(corpus_stats[1]))
+        scored = matched
+    else:
+        if doc_stats is None:
+            raise ValueError("need corpus_stats or doc_stats")
+        stats = doc_stats.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        scored = matched.crossJoin(F.broadcast(stats))
+        n_docs_c = F.col("n_docs")
+        avgdl_c = F.col("avgdl")
+    if "dl" not in scored.columns:
+        if doc_stats is None:
+            raise ValueError("postings carry no dl and no doc_stats given")
+        scored = scored.join(doc_stats.select(id_col, "dl"), id_col)
+
+    w_map = F.create_map(
+        *[F.lit(x) for pair in term_weights for x in (pair[0], float(pair[1]))]
+    )
+    idf = F.log((n_docs_c - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    term_score = (
+        idf
+        * (F.col("tf") * (K1 + 1))
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl_c))
+    )
+    quantized = F.floor(
+        F.element_at(w_map, F.col("term")) * term_score * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    agg = (
+        scored.select(F.col(id_col), quantized.alias("_cq"))
+        .groupBy(id_col)
+        .agg(F.sum("_cq").alias("_total"))
+    )
+    score = F.round(F.col("_total").cast("double") / F.lit(1e9), 6)
+    return (
+        agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def rm3_weights_from_feedback(
+    feedback: list[tuple[float, str]],
+    q_terms: list[str],
+    df_lookup: dict[str, int],
+    n_docs: int,
+    n_expand: int = 8,
+    lam: float = 0.5,
+) -> list[tuple[str, float]]:
+    """Driver-side RM3 weight computation from an already-collected
+    feedback set — the SERVING shape: the k_fb hit texts fit on the
+    driver (each is one chunk), so the relevance model is exact Python
+    integer arithmetic with zero extra Spark jobs; only the corpus-df
+    guard touches the index (the caller passes ``df_lookup`` from one
+    bucket-pruned postings scan over the candidate terms).
+
+    Same quantization contract as :func:`rm3_expansion_weights` —
+    feedback scores to int64 millionths, per-term mass to 1e-12 — so
+    the adhoc and serving paths compute identical weights from
+    identical feedback.
+    """
+    import math
+    import re
+
+    if not q_terms:
+        raise ValueError("rm3 needs a non-empty query")
+    s6 = [math.floor(score * _RM3_S_SCALE + 0.5) for score, _ in feedback]
+    tot = sum(s6)
+    mass: dict[str, int] = {}
+    if tot > 0:
+        for (score, text), s in zip(feedback, s6):
+            toks = [
+                t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+            ]
+            if not toks:
+                continue
+            w_d = s / tot
+            dl = len(toks)
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f_td in tf.items():
+                if t in q_terms:
+                    continue
+                c = math.floor(w_d * f_td / dl * _RM3_C_SCALE + 0.5)
+                mass[t] = mass.get(t, 0) + c
+    cand = [
+        (t, m)
+        for t, m in mass.items()
+        if df_lookup.get(t, 0) * 2 <= n_docs
+    ]
+    cand.sort(key=lambda tm: (-tm[1], tm[0]))
+    top = cand[:n_expand]
+    tot_c = sum(m for _, m in top)
+    weights = [(t, lam * (1.0 / len(q_terms))) for t in q_terms]
+    if tot_c > 0:
+        weights += [(t, (1.0 - lam) * (m / tot_c)) for t, m in top]
+    return weights

@@ -147,12 +147,14 @@ def search_in_collection(
     max_documents: int | None = None,
     diversify_lambda: float | None = None,
     include_snippets: bool = False,
+    expand_query: bool = False,
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
     required; chunk count capped. ``diversify_lambda`` (None = off)
     routes through the MMR-diversified ranking; ``include_snippets``
-    adds each hit's best matching line."""
+    adds each hit's best matching line; ``expand_query`` routes the
+    BM25 branch through RM3 pseudo-relevance feedback."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
@@ -164,6 +166,7 @@ def search_in_collection(
         metadata_filter=metadata_filter,
         diversify_lambda=diversify_lambda,
         include_snippets=include_snippets,
+        expand_query=expand_query,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
 
@@ -246,10 +249,11 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                max_chunks: int = DEFAULT_MAX_CHUNKS,
                max_documents: int | None = None,
                diversify_lambda: float | None = None,
-               include_snippets: bool = False) -> list[dict]:
+               include_snippets: bool = False,
+               expand_query: bool = False) -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents,
-            diversify_lambda, include_snippets,
+            diversify_lambda, include_snippets, expand_query,
         )
 
     @app.tool()

@@ -507,6 +507,26 @@ class TestServing:
                 metadata_filter='folder1 = "eng"', include_snippets=True,
             )
 
+    def test_search_with_expansion(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        hits = search_in_collection(
+            reg, "cli_test", "broadcast hash join", expand_query=True
+        )
+        assert "eng/joins.txt" in {h["document_id"] for h in hits}
+        # the expansion weights themselves: originals at lam/|Q|,
+        # expansion terms mined from the feedback chunks
+        w = dict(reg.searcher("cli_test").rm3_weights("broadcast hash join"))
+        assert w["broadcast"] == pytest.approx(0.5 / 3)
+        assert any(t not in ("broadcast", "hash", "join") for t in w)
+
+    def test_expand_and_diversify_conflict(self, spark, base_path):
+        reg = CollectionRegistry(spark, base_path)
+        with pytest.raises(ValueError, match="cannot combine"):
+            search_in_collection(
+                reg, "cli_test", "join",
+                diversify_lambda=0.5, expand_query=True,
+            )
+
     def test_facets_tool(self, spark, base_path):
         from documents_vector_search_spark.serving import (
             facets_in_collection,

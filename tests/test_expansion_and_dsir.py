@@ -191,3 +191,66 @@ class TestDSIR:
         out = {r.doc_id: r.logw for r in dsir_select(df, ratios, 2).collect()}
         assert out[2] == 0.0
         assert math.isfinite(out[1])
+
+
+class TestRM3ServingHelpers:
+    def test_weights_from_feedback_pure(self):
+        from documents_vector_search_spark.operators.bm25 import (
+            rm3_weights_from_feedback,
+        )
+
+        fb = [(2.0, "hash join planner planner"), (1.0, "hash join rain")]
+        w = dict(
+            rm3_weights_from_feedback(
+                fb, ["hash", "join"],
+                df_lookup={"planner": 1, "rain": 1},
+                n_docs=10, n_expand=2, lam=0.5,
+            )
+        )
+        assert w["hash"] == pytest.approx(0.25)
+        assert w["join"] == pytest.approx(0.25)
+        # planner: tf 2/dl 4 in the heavier doc; rain: tf 1/dl 3 lighter
+        assert w["planner"] > w["rain"]
+        assert sum(v for t, v in w.items() if t not in ("hash", "join")) == (
+            pytest.approx(0.5)
+        )
+
+    def test_weights_guard_drops_common_terms(self):
+        from documents_vector_search_spark.operators.bm25 import (
+            rm3_weights_from_feedback,
+        )
+
+        fb = [(1.0, "hash join common")]
+        w = dict(
+            rm3_weights_from_feedback(
+                fb, ["hash"], df_lookup={"common": 8, "join": 2},
+                n_docs=10, n_expand=4,
+            )
+        )
+        assert "common" not in w and "join" in w
+
+    def test_empty_feedback_keeps_query_weights(self):
+        from documents_vector_search_spark.operators.bm25 import (
+            rm3_weights_from_feedback,
+        )
+
+        w = rm3_weights_from_feedback([], ["hash", "join"], {}, 10)
+        assert w == [("hash", pytest.approx(0.25)), ("join", pytest.approx(0.25))]
+
+    def test_weighted_index_path_matches_adhoc_single_term(self, corpus):
+        from documents_vector_search_spark.operators.bm25 import (
+            bm25_weighted_topk,
+            build_doc_stats,
+            build_postings,
+        )
+
+        postings = build_postings(corpus, with_dl=True)
+        stats = build_doc_stats(corpus)
+        plain = bm25_topk(corpus, "hash", 10).collect()
+        weighted = bm25_weighted_topk(
+            [("hash", 1.0)], 10, postings,
+            id_col="doc_id", doc_stats=stats,
+        ).collect()
+        assert [r.doc_id for r in plain] == [r.doc_id for r in weighted]
+        for p, w in zip(plain, weighted):
+            assert w.score == pytest.approx(p.score, abs=2e-6)
