@@ -151,3 +151,110 @@ def dsir_select(
         ).alias("gkey"),
     )
     return scored.orderBy(F.col("gkey").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Production-fast twin (the classify.py fast-family pattern): gram
+# buckets come from xxhash64 over token hashes (operators/classify.py::
+# fast_bucket_array — no gram STRING is ever built, no crypto hash),
+# and fit/score share that ONE featurization. Deliberately not
+# oracle-checkable (DuckDB cannot reproduce Spark's xxhash64); use the
+# md5 family where independent verification matters, this one where
+# 100 TB scoring throughput does. Selection noise also derives from
+# xxhash64 so the whole fast path is JVM-hash-only.
+# ---------------------------------------------------------------------------
+
+
+def fit_dsir_log_ratios_fast(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    max_n: int = DSIR_MAX_N,
+) -> list[float]:
+    """Fast-family fit: identical counting/smoothing/rounding to
+    :func:`fit_dsir_log_ratios`, over xxhash64 gram buckets."""
+    from documents_vector_search_spark.operators.classify import (
+        fast_bucket_array,
+    )
+
+    occ = docs.select(
+        is_target.alias("_t"),
+        F.explode(
+            fast_bucket_array(F.col(text_col), n_buckets, max_n)
+        ).alias("_b"),
+    )
+    counts = (
+        occ.groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("t_cnt"),
+            F.count("*").alias("r_cnt"),
+        )
+        .collect()
+    )
+    t = [0] * n_buckets
+    r = [0] * n_buckets
+    for row in counts:
+        t[row._b] = int(row.t_cnt)
+        r[row._b] = int(row.r_cnt)
+    t_tot = sum(t) + n_buckets
+    r_tot = sum(r) + n_buckets
+    return [
+        round(
+            math.log((t[b] + 1) / t_tot) - math.log((r[b] + 1) / r_tot),
+            _RATIO_ROUND,
+        )
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_select_fast(
+    docs: DataFrame,
+    log_ratios: list[float],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_n: int = DSIR_MAX_N,
+) -> DataFrame:
+    """Fast-family Gumbel-top-k selection: one staged projection
+    materializes the bucket array, a map-only fold scores it, one
+    TakeOrdered selects — same plan shape and determinism contract as
+    :func:`dsir_select`, ~an order of magnitude less hash work."""
+    from documents_vector_search_spark.operators.classify import (
+        fast_bucket_array,
+    )
+
+    n_buckets = len(log_ratios)
+    table = lit_double_array(log_ratios)
+    staged = docs.select(
+        F.col(id_col),
+        fast_bucket_array(F.col(text_col), n_buckets, max_n).alias("_b"),
+    )
+    contrib = F.aggregate(
+        F.col("_b"),
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(table, b + F.lit(1)),
+    )
+    logw = F.round(
+        F.when(
+            F.size(F.col("_b")) > 0, contrib / F.size(F.col("_b"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    u = (
+        F.pmod(
+            F.xxhash64(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))),
+            F.lit(_GUMBEL_MOD),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_GUMBEL_MOD))
+    scored = staged.select(
+        F.col(id_col), logw.alias("logw"), u.alias("_u")
+    ).select(
+        F.col(id_col),
+        "logw",
+        F.round(
+            F.col("logw") - F.log(-F.log(F.col("_u"))), 6
+        ).alias("gkey"),
+    )
+    return scored.orderBy(F.col("gkey").desc(), F.col(id_col).asc()).limit(k)

@@ -254,3 +254,59 @@ class TestRM3ServingHelpers:
         assert [r.doc_id for r in plain] == [r.doc_id for r in weighted]
         for p, w in zip(plain, weighted):
             assert w.score == pytest.approx(p.score, abs=2e-6)
+
+
+class TestDSIRFast:
+    """xxhash64 fast family (dsir.py fast twin): same statistical
+    behavior as the md5 family, an order of magnitude less hash work;
+    deliberately not oracle-checkable (JVM-only hash)."""
+
+    @pytest.fixture(scope="class")
+    def pool(self, spark):
+        rows = []
+        for i in range(40):
+            if i % 2 == 0:
+                rows.append((i, "query planner index scan join optimizer", 1))
+            else:
+                rows.append((i, "rain cloud wind sunny storm forecast", 0))
+        return spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+
+    def test_fast_fit_layout_independent(self, pool):
+        from documents_vector_search_spark.operators.dsir import (
+            fit_dsir_log_ratios_fast,
+        )
+
+        a = fit_dsir_log_ratios_fast(pool, F.col("is_t") == 1)
+        b = fit_dsir_log_ratios_fast(
+            pool.repartition(7, "doc_id"), F.col("is_t") == 1
+        )
+        assert a == b and len(a) == 256
+
+    def test_fast_selection_enriches_target(self, pool):
+        from documents_vector_search_spark.operators.dsir import (
+            dsir_select_fast,
+            fit_dsir_log_ratios_fast,
+        )
+
+        ratios = fit_dsir_log_ratios_fast(pool, F.col("is_t") == 1)
+        picked = dsir_select_fast(pool, ratios, 10).collect()
+        assert sum(1 for r in picked if r.doc_id % 2 == 0) >= 8
+        logw = {
+            r.doc_id: r.logw
+            for r in dsir_select_fast(pool, ratios, 40).collect()
+        }
+        assert min(
+            v for k, v in logw.items() if k % 2 == 0
+        ) > max(v for k, v in logw.items() if k % 2 == 1)
+
+    def test_fast_deterministic(self, pool):
+        from documents_vector_search_spark.operators.dsir import (
+            dsir_select_fast,
+            fit_dsir_log_ratios_fast,
+        )
+
+        ratios = fit_dsir_log_ratios_fast(pool, F.col("is_t") == 1)
+        assert (
+            dsir_select_fast(pool, ratios, 5).collect()
+            == dsir_select_fast(pool, ratios, 5).collect()
+        )
