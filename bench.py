@@ -224,6 +224,8 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         ("indexed_search_vector", {"indexes": ("vector",)}),
         ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
         ("indexed_search_diverse", {"diversify_lambda": 0.5}),
+        ("indexed_search_expand", {"expand_query": True}),
+        ("indexed_search_snippets", {"include_snippets": True}),
     ]:
         try:
             t0 = time.time()

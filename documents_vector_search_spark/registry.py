@@ -1709,6 +1709,25 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_score(docs, fit_unigram_lm(docs))
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: the canonical pure scan-aggregate —
+    every predicate and the three-column projection push into the
+    parquet scan (no shuffle at all; the agg is a single partial+final
+    reduction), exact integer-cents revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev_c = _cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.agg(
+        (F.sum(rev_c) / 100.0).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (exact integer-cents arithmetic)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -3753,6 +3772,13 @@ FROM documents d JOIN rates ON d.lang = rates.lang
 WHERE {hash_bucket_sql("d.doc_id", seed=13)} < floor(rate * 1000000.0)
 GROUP BY d.lang
 """,
+        "tpch_q6": """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
         "tpch_q1": """
 WITH f AS (
   SELECT l_returnflag, l_linestatus,
@@ -4554,23 +4580,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (94 keys total):
-    - positions 1-11: snippets, facet_counts, bm25_rm3, dsir_select,
-      corpus_prep_gopher, c4_rules, url_dedup, domain_profile,
+    Round 7 window (95 keys total):
+    - positions 1-12: snippets, facet_counts, bm25_rm3, dsir_select,
+      tpch_q6, corpus_prep_gopher, c4_rules, url_dedup, domain_profile,
       temperature_sample, hard_negatives, cluster_split — new this
       round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 6 slots: r6-green keys re-verified EARLY because this
+    - remaining 5 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them (ann_batch, quality_classifier,
-      quality_classifier_text, gopher_rules, late_interaction,
-      mmr_rerank). Four touched keys were displaced to make room for
-      the second new-key tranche — each is covered by an in-window
-      sibling exercising the same change: token_counts/corpus_prep by
-      gopher_rules + corpus_prep_gopher (shared WS_RUN_RE class and
-      composed-prep flow), topic_model/topic_terms by the TestTopicRefit
-      pytest family; all four are ≤1 round stale and due back in r8;
-    - out-of-window tail (44, starting at topic_model): r6-green keys,
+      quality_classifier_text, gopher_rules, late_interaction).
+      Five touched keys were displaced to make room for the second
+      new-key tranche — each is covered by an in-window sibling or a
+      parity pytest exercising the same change: token_counts/
+      corpus_prep by gopher_rules + corpus_prep_gopher (shared
+      WS_RUN_RE class and composed-prep flow), topic_model/topic_terms
+      by the TestTopicRefit pytest family, mmr_rerank by the
+      batch==per-query MMR parity tests; all five are ≤1 round stale
+      and due back in r8;
+    - out-of-window tail (45, starting at mmr_rerank): r6-green keys,
       one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
@@ -4580,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,
+        "tpch_q6": q_tpch_q6,
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
@@ -4627,8 +4656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_text": q_quality_classifier_text,
         "gopher_rules": q_gopher_rules,
         "late_interaction": q_late_interaction,
-        "mmr_rerank": q_mmr_rerank,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "mmr_rerank": q_mmr_rerank,
         "topic_model": q_topic_model,
         "topic_terms": q_topic_terms,
         "corpus_prep": q_corpus_prep,
