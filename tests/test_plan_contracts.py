@@ -201,3 +201,80 @@ class TestPlanContracts:
                 f.split(":")[0] for s in schemas for f in s.split(",") if f
             }
             assert got == cols, f"{name}: scan reads {sorted(got)}"
+
+
+class TestRound7PlanContracts:
+    """Plan pins for the expansion/selection/presentation additions."""
+
+    def test_tpch_q6_pushes_every_predicate_no_exchange_but_agg(self, spark):
+        """Q6 is a pure scan-aggregate: date/discount/quantity filters
+        reach the parquet scan and the only exchange is the single-row
+        final aggregation."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q6(spark, SF))
+        assert "PushedFilters: [" in plan
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in plan.split("PushedFilters")[1].split("]")[0], col
+        assert "partial_sum" in plan
+        assert plan.count("Exchange") == 1  # only the 1-row final agg
+
+    def test_facet_counts_is_single_aggregation(self, spark):
+        """N facet columns must not become N jobs: one generate +
+        ONE hash aggregation exchange."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_facet_counts(spark, SF))
+        assert plan.count("Exchange") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_weighted_bm25_prunes_term_buckets(self, spark, tmp_path):
+        """bm25_weighted_topk against a bucket-partitioned postings
+        table must prune partitions by the weighted terms' buckets."""
+        from documents_vector_search_spark.operators.bm25 import (
+            bm25_weighted_topk,
+            build_postings,
+            term_bucket,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"hash join topic{i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        postings = build_postings(docs, with_dl=True).withColumn(
+            "term_bucket", term_bucket(F.col("term"))
+        )
+        path = str(tmp_path / "postings")
+        postings.write.partitionBy("term_bucket").parquet(path)
+        stored = spark.read.parquet(path)
+        plan = _plan(
+            bm25_weighted_topk(
+                [("hash", 0.6), ("join", 0.4)], 5, stored, id_col="doc_id",
+                corpus_stats=(20, 3.0),
+            )
+        )
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_dsir_select_is_map_only_take_ordered(self, spark):
+        """DSIR selection: literal ratio table + map-only fold + ONE
+        TakeOrdered — no shuffle besides the top-k reduction."""
+        from documents_vector_search_spark.operators.dsir import (
+            dsir_select,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = _plan(dsir_select(docs, [0.0] * 256, 10))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
+
+    def test_snippet_filter_pushes_below_line_derivation(self, spark):
+        """The registry snippets query filters by collected hit ids;
+        the isin predicate must reach the parquet scan rather than
+        evaluate above the token-line derivation."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_snippets(spark, SF))
+        assert "PushedFilters: [" in plan and "doc_id" in (
+            plan.split("PushedFilters")[1].split("]")[0]
+        )
