@@ -737,7 +737,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snippets", action="store_true",
                     help="add each hit's best matching line")
     sp.add_argument("--expand", action="store_true",
-                    help="RM3 query expansion on the BM25 branch")
+                    help="relevance feedback: RM3 (BM25) + Rocchio (vector)")
     sp.set_defaults(func=cmd_search)
 
     sp = sub.add_parser("facets")

@@ -232,16 +232,20 @@ class CollectionSearcher:
         return probe_clusters_fixed(ivf["centroids"], qv, nprobe)
 
     def _vector_scored(
-        self, text: str, k: int, allowed: DataFrame | None
+        self, text: str, k: int, allowed: DataFrame | None,
+        qv: list | None = None,
     ) -> DataFrame:
         """Top-k vector candidates as ``(chunk_id, score)`` — unranked.
 
         Scores follow the higher-is-better convention (negated L2), so
         every index branch ranks by the same ``score DESC, chunk_id ASC``
         order and the hybrid path can rank all branches in one window
-        pass (see search_chunks)."""
+        pass (see search_chunks). ``qv`` overrides the embedded query
+        vector (the Rocchio-expanded path passes its updated vector);
+        probing/pruning derives from whichever vector is used."""
         emb = self._read("embeddings")
-        qv = hash_embedding_py(text, self.embedding_dim)
+        if qv is None:
+            qv = hash_embedding_py(text, self.embedding_dim)
         cfg = self._ann_config()
         if cfg:
             # bucket-partitioned layout: the probe filter is partition
@@ -323,6 +327,36 @@ class CollectionSearcher:
         return hits.select(
             "chunk_id", (-F.col("distance")).alias("score")
         )
+
+    def _vector_scored_expanded(
+        self, text: str, k: int, allowed: DataFrame | None,
+        k_fb: int = 5,
+    ) -> DataFrame:
+        """Rocchio-expanded vector candidates (operators/rocchio.py):
+        the k_fb feedback vectors collect to the driver (bounded), the
+        updated query vector is exact quantized arithmetic there, and
+        the re-search is the same pruned scan with the new literal —
+        the vector-branch twin of RM3 expansion."""
+        from documents_vector_search_spark.operators.rocchio import (
+            rocchio_vector,
+        )
+
+        qv0 = hash_embedding_py(text, self.embedding_dim)
+        fb = self._vector_scored(text, k_fb, allowed)
+        emb = self._read("embeddings")
+        rows = (
+            fb.join(emb.select("chunk_id", "vector"), "chunk_id")
+            .select(
+                "chunk_id",
+                F.col("vector").cast("array<double>").alias("v"),
+            )
+            .collect()
+        )
+        feedback = [
+            list(r.v) for r in sorted(rows, key=lambda r: r.chunk_id)
+        ]
+        q1 = rocchio_vector(qv0, feedback)
+        return self._vector_scored(text, k, allowed, qv=q1)
 
     def _vector_hits(
         self, text: str, k: int, allowed: DataFrame | None
@@ -481,9 +515,10 @@ class CollectionSearcher:
     ) -> DataFrame:
         """Fused chunk ranking: (chunk_id, rank, score).
 
-        ``expand_query`` routes the BM25 branch through RM3
-        pseudo-relevance feedback (:meth:`_bm25_scored_expanded`) —
-        the vector branch is unaffected.
+        ``expand_query`` turns on relevance feedback in BOTH branches:
+        the BM25 branch runs RM3 pseudo-relevance feedback
+        (:meth:`_bm25_scored_expanded`), the vector branch runs a
+        Rocchio query-vector update (:meth:`_vector_scored_expanded`).
 
         Hybrid path: every branch emits the same ``(chunk_id, score)``
         higher-is-better shape, so per-branch ranks come from ONE window
@@ -499,10 +534,12 @@ class CollectionSearcher:
         allowed = self._allowed_chunks(metadata_filter)
         scored = []
         if "vector" in indexes:
-            scored.append(
-                self._vector_scored(text, max_chunks, allowed)
-                .withColumn("_src", F.lit("v"))
+            vec = (
+                self._vector_scored_expanded(text, max_chunks, allowed)
+                if expand_query
+                else self._vector_scored(text, max_chunks, allowed)
             )
+            scored.append(vec.withColumn("_src", F.lit("v")))
         if "bm25" in indexes:
             bm = (
                 self._bm25_scored_expanded(text, max_chunks, allowed)

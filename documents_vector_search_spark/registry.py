@@ -970,6 +970,33 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, ratios, DSIR_K)
 
 
+def q_knn_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio vector relevance feedback (operators/rocchio.py): cosine
+    top-5 feedback set, int64-quantized centroid, q1 = q0 + 0.75*mean
+    rounded per dimension, then one ordinary exact kNN with the updated
+    literal vector. The k-vector feedback collect is bounded (serving
+    convention); the re-search is the same TakeOrdered scan as
+    knn_cosine."""
+    from documents_vector_search_spark.operators.rocchio import (
+        ROCCHIO_ALPHA,
+        ROCCHIO_BETA,
+        rocchio_vector,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    fb_ids = [
+        int(r.vec_id) for r in knn_cosine(emb, QUERY_VEC, 5).collect()
+    ]
+    vec_rows = (
+        emb.filter(F.col("vec_id").isin(fb_ids))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    feedback = [list(r.v) for r in sorted(vec_rows, key=lambda r: r.vec_id)]
+    q1 = rocchio_vector(QUERY_VEC, feedback, ROCCHIO_ALPHA, ROCCHIO_BETA)
+    return knn_cosine(emb, q1, 10)
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4563,6 +4590,31 @@ SELECT doc_id, logw,
 FROM ds
 ORDER BY gkey DESC, doc_id LIMIT {DSIR_K}
 """
+    # Rocchio vector relevance feedback: cosine top-5 feedback,
+    # int64-quantized per-dim centroid (no order-dependent float sum),
+    # floor-based half-up rounding per dimension (bit-identical in
+    # Python / Spark / DuckDB), then ordinary exact cosine top-10.
+    d["knn_rocchio"] = f"""
+WITH fb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+  ORDER BY round({_cos_sql("embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) DESC, vec_id ASC
+  LIMIT 5
+),
+dims AS (
+  SELECT ix.i AS i,
+         CAST(sum(CAST(floor(v[ix.i] * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM fb, (SELECT unnest(range(1, {EMBED_DIM} + 1)) AS i) ix
+  GROUP BY 1
+),
+q1 AS (
+  SELECT list(floor((1.0 * ({_vec_sql(QUERY_VEC)})[i] + 0.75 * (s / 5 / 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0 ORDER BY i) AS qv
+  FROM dims
+)
+SELECT e.vec_id, round({_cos_sql("e.embedding::DOUBLE[]", "t.qv")}, 6) AS similarity
+FROM embeddings e CROSS JOIN q1 t
+ORDER BY similarity DESC, vec_id ASC LIMIT 10
+"""
     return d
 
 
@@ -4609,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,
         "tpch_q6": q_tpch_q6,
+        "knn_rocchio": q_knn_rocchio,
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
@@ -4655,8 +4708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "quality_classifier_text": q_quality_classifier_text,
         "gopher_rules": q_gopher_rules,
-        "late_interaction": q_late_interaction,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
         "topic_model": q_topic_model,
         "topic_terms": q_topic_terms,

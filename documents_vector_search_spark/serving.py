@@ -153,8 +153,9 @@ def search_in_collection(
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
     required; chunk count capped. ``diversify_lambda`` (None = off)
     routes through the MMR-diversified ranking; ``include_snippets``
-    adds each hit's best matching line; ``expand_query`` routes the
-    BM25 branch through RM3 pseudo-relevance feedback."""
+    adds each hit's best matching line; ``expand_query`` turns on
+    relevance feedback in both branches (RM3 for BM25, Rocchio for
+    the vector index)."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)

@@ -310,3 +310,47 @@ class TestDSIRFast:
             dsir_select_fast(pool, ratios, 5).collect()
             == dsir_select_fast(pool, ratios, 5).collect()
         )
+
+
+class TestRocchio:
+    def test_pure_update_quantized(self):
+        from documents_vector_search_spark.operators.rocchio import (
+            rocchio_vector,
+        )
+
+        q1 = rocchio_vector(
+            [1.0, 0.0], [[0.0, 1.0], [0.0, 0.5]], alpha=1.0, beta=0.8
+        )
+        # mean = [0, 0.75]; q1 = [1 + 0, 0 + 0.8*0.75]
+        assert q1 == [1.0, 0.6]
+
+    def test_empty_feedback_neutral(self):
+        from documents_vector_search_spark.operators.rocchio import (
+            rocchio_vector,
+        )
+
+        assert rocchio_vector([0.25, -0.5], []) == [0.25, -0.5]
+
+    def test_dim_mismatch_raises(self):
+        from documents_vector_search_spark.operators.rocchio import (
+            rocchio_vector,
+        )
+
+        with pytest.raises(ValueError):
+            rocchio_vector([1.0], [[1.0, 2.0]])
+
+    def test_registry_query_moves_toward_feedback(self, spark):
+        from documents_vector_search_spark import registry
+
+        base = {
+            r.vec_id
+            for r in registry.q_knn_cosine(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        roc = registry.q_knn_rocchio(spark, "/root/testdata/sf0.001")
+        rows = roc.collect()
+        assert len(rows) == 10
+        # the feedback centroid keeps the neighborhood coherent: the
+        # updated query still retrieves most of the original top-10
+        assert len(base & {r.vec_id for r in rows}) >= 5
