@@ -85,6 +85,9 @@ HEADLINE = [
     "facet_counts",
     "bm25_rm3",
     "dsir_select",
+    "knn_rocchio",
+    "corpus_drift",
+    "tpch_q6",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

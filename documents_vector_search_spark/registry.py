@@ -997,6 +997,21 @@ def q_knn_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine(emb, q1, 10)
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift report (operators/drift.py): per-bucket
+    Jensen-Shannon divergence contributions between the lang='en'
+    slice and the rest of the corpus over the hashed-gram bucket space
+    — the content-drift gauge for a continuously updated corpus. One
+    conditional aggregation, a broadcast totals join, map-only math;
+    no driver collect."""
+    from documents_vector_search_spark.operators.drift import (
+        corpus_drift_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_drift_report(docs, F.col("lang") == F.lit("en"))
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: RRF fusion of the cosine list and the BM25 list (rrf_k=60)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4615,6 +4630,40 @@ SELECT e.vec_id, round({_cos_sql("e.embedding::DOUBLE[]", "t.qv")}, 6) AS simila
 FROM embeddings e CROSS JOIN q1 t
 ORDER BY similarity DESC, vec_id ASC LIMIT 10
 """
+    # corpus drift: JS-divergence contributions over hashed gram
+    # buckets (the dsir_select gram/bucket derivation verbatim),
+    # add-one smoothed, exact-int probabilities, round-7 ln cushion.
+    d["corpus_drift"] = f"""
+WITH t AS (SELECT doc_id, lang, {_toks_sql()} AS toks FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         list_filter(
+           list_concat(
+             toks,
+             list_transform(range(1, greatest(len(toks)-1, 1)+1),
+                            i -> array_to_string(toks[i:i+1], ' '))
+           ), x -> x <> '') AS grams
+  FROM t
+),
+occ AS (SELECT lang = 'en' AS a, unnest(grams) AS gram FROM g),
+cnt AS (
+  SELECT CAST({md5_hash64_sql("gram")} % 256 AS INT) AS bucket,
+         sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS a_cnt,
+         sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS b_cnt
+  FROM occ GROUP BY 1
+),
+tot AS (SELECT sum(a_cnt) + 256 AS ta, sum(b_cnt) + 256 AS tb FROM cnt),
+j AS (
+  SELECT bucket, a_cnt, b_cnt,
+         (a_cnt + 1)::DOUBLE / ta AS p,
+         (b_cnt + 1)::DOUBLE / tb AS q
+  FROM cnt CROSS JOIN tot
+)
+SELECT bucket, a_cnt, b_cnt,
+       round(0.5 * (p * ln(p / (0.5 * (p + q))))
+             + 0.5 * (q * ln(q / (0.5 * (p + q)))), 7) AS js_c
+FROM j ORDER BY js_c DESC, bucket LIMIT 20
+"""
     return d
 
 
@@ -4632,26 +4681,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (95 keys total):
-    - positions 1-12: snippets, facet_counts, bm25_rm3, dsir_select,
-      tpch_q6, corpus_prep_gopher, c4_rules, url_dedup, domain_profile,
-      temperature_sample, hard_negatives, cluster_split — new this
-      round (never driver-green);
+    Round 7 window (97 keys total):
+    - positions 1-14: snippets, facet_counts, bm25_rm3, dsir_select,
+      tpch_q6, knn_rocchio, corpus_drift, corpus_prep_gopher, c4_rules,
+      url_dedup, domain_profile, temperature_sample, hard_negatives,
+      cluster_split — new this round (never driver-green);
     - next 33: the r5-green block rotated out in r6 and due back now
       (the exact list the r6 verdict item #1 names);
-    - remaining 5 slots: r6-green keys re-verified EARLY because this
+    - remaining 3 slots: r6-green keys re-verified EARLY because this
       round's code changes touch them (ann_batch, quality_classifier,
-      quality_classifier_text, gopher_rules, late_interaction).
-      Five touched keys were displaced to make room for the second
-      new-key tranche — each is covered by an in-window sibling or a
-      parity pytest exercising the same change: token_counts/
-      corpus_prep by gopher_rules + corpus_prep_gopher (shared
-      WS_RUN_RE class and composed-prep flow), topic_model/topic_terms
-      by the TestTopicRefit pytest family, mmr_rerank by the
-      batch==per-query MMR parity tests; all five are ≤1 round stale
-      and due back in r8;
-    - out-of-window tail (45, starting at mmr_rerank): r6-green keys,
-      one round stale at most, due back in r8.
+      quality_classifier_text). Seven touched keys were displaced to
+      make room for the second new-key tranche — each is covered by an
+      in-window sibling or a parity pytest exercising the same change:
+      token_counts/corpus_prep/gopher_rules by corpus_prep_gopher
+      (shared WS_RUN_RE class and composed-prep flow, in-window),
+      topic_model/topic_terms by the TestTopicRefit pytest family,
+      mmr_rerank by the batch==per-query MMR parity tests,
+      late_interaction by its positional-alias pytest; all seven are
+      ≤1 round stale and due back in r8;
+    - out-of-window tail (47, starting at gopher_rules): r6-green
+      keys, one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
@@ -4662,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "tpch_q6": q_tpch_q6,
         "knn_rocchio": q_knn_rocchio,
+        "corpus_drift": q_corpus_drift,
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
@@ -4707,8 +4757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_text": q_quality_classifier_text,
-        "gopher_rules": q_gopher_rules,
         # -- out-of-window (51+): newest green r6, due back in r8 ---------
+        "gopher_rules": q_gopher_rules,
         "late_interaction": q_late_interaction,
         "mmr_rerank": q_mmr_rerank,
         "topic_model": q_topic_model,

@@ -354,3 +354,51 @@ class TestRocchio:
         # the feedback centroid keeps the neighborhood coherent: the
         # updated query still retrieves most of the original top-10
         assert len(base & {r.vec_id for r in rows}) >= 5
+
+
+class TestCorpusDrift:
+    def test_disjoint_vocab_diverges(self, spark):
+        from documents_vector_search_spark.operators.drift import (
+            corpus_drift_report,
+        )
+
+        rows = [
+            (i, "query planner index scan join" if i % 2 == 0
+             else "rain cloud wind sunny storm", i % 2 == 0)
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_a"])
+        out = corpus_drift_report(df, F.col("is_a")).collect()
+        # the tiny vocab occupies fewer than `top` buckets
+        assert 10 <= len(out) <= 20
+        assert out[0].js_c > 0.0
+        # descending contribution order, ties on bucket
+        vals = [(r.js_c, r.bucket) for r in out]
+        assert vals == sorted(vals, key=lambda t: (-t[0], t[1]))
+        # diverging buckets are one-sided: the top bucket's mass sits
+        # in one slice only
+        assert out[0].a_cnt == 0 or out[0].b_cnt == 0
+
+    def test_identical_sides_near_zero(self, spark):
+        from documents_vector_search_spark.operators.drift import (
+            corpus_drift_report,
+        )
+
+        rows = [(i, "same text every row", i % 2 == 0) for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "is_a"])
+        out = corpus_drift_report(df, F.col("is_a")).collect()
+        # both sides see the same distribution — only the add-one
+        # smoothing differs; every contribution is ~0
+        assert all(abs(r.js_c) < 1e-4 for r in out)
+
+    def test_deterministic(self, spark):
+        from documents_vector_search_spark.operators.drift import (
+            corpus_drift_report,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = corpus_drift_report(df, F.col("lang") == "en").collect()
+        b = corpus_drift_report(
+            df.repartition(5), F.col("lang") == "en"
+        ).collect()
+        assert a == b
