@@ -88,6 +88,10 @@ HEADLINE = [
     "knn_rocchio",
     "corpus_drift",
     "tpch_q6",
+    "tpch_q3",
+    "phrase_search",
+    "ql_dirichlet",
+    "binary_ann",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -790,3 +790,108 @@ def rm3_weights_from_feedback(
     if tot_c > 0:
         weights += [(t, (1.0 - lam) * (m / tot_c)) for t, m in top]
     return weights
+
+
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+    postings: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001).
+
+    The language-modeling counterpart to BM25 — the second of the two
+    classic lexical ranking functions. Score of document d for query q:
+
+        score(d) = Σ_{t∈q} qtf_t · ln(1 + tf_{t,d} / (μ · p(t|C)))
+                   + |q| · ln(μ / (dl_d + μ))
+
+    with p(t|C) = ctf_t / |C| (corpus unigram probability). This is the
+    standard rank-equivalent decomposition of Π p(t|d)^qtf with
+    Dirichlet smoothing: only MATCHED (t, d) pairs contribute to the
+    sum, so evaluation needs exactly one postings lookup per query term
+    — no dense scoring of absent terms.
+
+    Semantics: disjunctive candidates (documents matching ≥1 query
+    term are ranked; empty-match documents are not returned — the
+    universal IR convention). Out-of-vocabulary query terms (ctf = 0,
+    whose smoothed probability would be log 0) are dropped from the
+    query, and |q| counts in-vocabulary occurrences only.
+
+    Scale shape (identical to the BM25 path): partition-pruned /
+    predicate-pushed postings scan of the query's terms → corpus term
+    frequencies as a tiny per-term aggregate over those same rows →
+    two one-row broadcast stats (collection length, in-vocab query
+    length) → one groupBy(id) → TakeOrdered top-k.
+    """
+    # _query_terms dedupes (FTS5 conjunctive semantics); QL weights by
+    # query-term FREQUENCY, so tokenize with multiplicity here
+    import re
+
+    raw_terms = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+    if not raw_terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    qtf: dict[str, int] = {}
+    for t in raw_terms:
+        qtf[t] = qtf.get(t, 0) + 1
+    distinct_terms = sorted(qtf)
+
+    if postings is None:
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    if doc_stats is None:
+        doc_stats = build_doc_stats(docs, id_col=id_col, text_col=text_col)
+
+    if "term_bucket" in postings.columns:
+        buckets = sorted({term_bucket_py(t) for t in distinct_terms})
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    matched = postings.filter(F.col("term").isin(distinct_terms)).select(
+        id_col, "term", "tf"
+    )
+
+    # corpus term frequency of each (present) query term — reuses the
+    # already-pruned matched rows, map-side combinable
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+
+    # query term multiplicity as a literal CASE over the few terms
+    qtf_expr = F.lit(0)
+    for t, m in qtf.items():
+        qtf_expr = F.when(F.col("term") == t, F.lit(m)).otherwise(qtf_expr)
+
+    coll = doc_stats.agg(F.sum("dl").cast("double").alias("coll_len"))
+    qlen = ctf.agg(F.sum(qtf_expr).cast("double").alias("qlen_iv"))
+
+    scored = (
+        matched.join(F.broadcast(ctf), "term")
+        .crossJoin(F.broadcast(coll))
+        .crossJoin(F.broadcast(qlen))
+        .join(doc_stats.select(id_col, "dl"), id_col)
+        .withColumn(
+            "_term_component",
+            qtf_expr.cast("double")
+            * F.log(
+                1.0
+                + F.col("tf").cast("double")
+                * F.col("coll_len")
+                / (F.lit(float(mu)) * F.col("ctf").cast("double"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("_term_component").alias("_s"),
+        F.max("dl").alias("_dl"),
+        F.max("qlen_iv").alias("_qlen"),
+    )
+    raw = F.col("_s") + F.col("_qlen") * F.log(
+        F.lit(float(mu)) / (F.col("_dl").cast("double") + F.lit(float(mu)))
+    )
+    score = F.round(raw, round_to) if round_to is not None else raw
+    return (
+        agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
