@@ -48,6 +48,7 @@ def _create_kwargs(args) -> dict:
         "pq_m": args.pq_m,
         "sq8": args.sq8,
         "update_buckets": args.update_buckets,
+        "positional_postings": args.positional_postings,
     }
 
 
@@ -687,6 +688,8 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--pq-m", type=int, default=None)
             sp.add_argument("--sq8", action="store_true")
             sp.add_argument("--update-buckets", type=int, default=8)
+            # positional postings: enables `search --indexes phrase`
+            sp.add_argument("--positional-postings", action="store_true")
 
     sp = sub.add_parser("create-files")
     common(sp, create=True)

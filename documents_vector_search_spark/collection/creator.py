@@ -116,6 +116,7 @@ def create_collection(
     pq_ksub: int = 16,
     sq8: bool = False,
     update_buckets: int = 8,
+    positional_postings: bool = False,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -155,6 +156,13 @@ def create_collection(
     Composes with ``ann_planes`` or ``ivf_nlist`` (prune first, then
     code-ranked shortlist); mutually exclusive with ``pq_m`` (one fine
     quantizer owns the ``codes`` column).
+
+    ``positional_postings`` stores sorted token offsets per (chunk,
+    term) beside tf in the postings table — the layout exact-phrase
+    search needs (searcher ``indexes=("phrase",)``). BM25 reads are
+    unaffected (columnar scans never touch the positions bytes);
+    postings bytes roughly double. Recorded in the manifest; updates
+    sniff the schema and keep the layout.
 
     ``update_buckets``: every table is additionally partitioned by a
     stable ``_pb`` bucket of its delete key so incremental updates
@@ -337,6 +345,7 @@ def create_collection(
         postings_df = build_postings(
             chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True,
             carry_cols=[UPDATE_PB_COL],  # owning doc's bucket, see emb_df
+            with_positions=positional_postings,
         ).withColumn("term_bucket", term_bucket(F.col("term")))
         collection.write(
             "postings",
@@ -429,6 +438,9 @@ def create_collection(
             # losslessly): updates re-encode fresh vectors with these,
             # never refit — see operators/sq.py
             **({"sq8": sq8_bounds} if sq8_bounds else {}),
+            # positional postings layout: exact-phrase search available
+            # (searcher validates before accepting a phrase query)
+            **({"phrase": {"positional": True}} if positional_postings else {}),
             **(
                 {
                     "ivf": {

@@ -423,6 +423,55 @@ class CollectionSearcher:
         """Ranked ``(chunk_id, rank, score)`` — the single-index shape."""
         return self._ranked(self._bm25_scored(text, k, allowed))
 
+    def _phrase_scored(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        """Top-k exact-phrase candidates as ``(chunk_id, score)`` —
+        score = occurrence count (operators/phrase.py). Requires the
+        positional postings layout
+        (create_collection(positional_postings=True)); the query text
+        IS the phrase, tokenized by the engine's one tokenizer. Same
+        pruning contract as BM25: term_bucket partition pruning + an
+        In(term, ...) pushed filter, then one groupBy(chunk_id) over
+        only the phrase's postings rows."""
+        from documents_vector_search_spark.operators.bm25 import (
+            term_bucket_py,
+        )
+        from documents_vector_search_spark.operators.phrase import (
+            phrase_match_counts,
+            tokenize_phrase,
+        )
+
+        postings = self._read("postings")
+        if "positions" not in postings.columns:
+            raise ValueError(
+                "collection has no positional postings — recreate or "
+                "update with create_collection(positional_postings=True) "
+                "to enable phrase search"
+            )
+        terms = tokenize_phrase(text)
+        if not terms:
+            return postings.select(
+                F.col("chunk_id"), F.lit(0.0).alias("score")
+            ).limit(0)
+        if "term_bucket" in postings.columns:
+            buckets = sorted({term_bucket_py(t) for t in terms})
+            postings = postings.filter(F.col("term_bucket").isin(buckets))
+        counts = phrase_match_counts(
+            postings.select("chunk_id", "term", "positions"),
+            terms,
+            id_col="chunk_id",
+        )
+        if allowed is not None:
+            counts = counts.join(F.broadcast(allowed), "chunk_id", "left_semi")
+        return (
+            counts.select(
+                "chunk_id", F.col("phrase_tf").cast("double").alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("chunk_id").asc())
+            .limit(k)
+        )
+
     def rm3_weights(
         self,
         text: str,
@@ -528,7 +577,7 @@ class CollectionSearcher:
         — semantics identical to operators/rrf.py::rrf_fuse (score
         rounded to 6 before the descending order, ties by id ascending),
         which remains the standalone operator for external lists."""
-        unknown = set(indexes) - {"vector", "bm25"}
+        unknown = set(indexes) - {"vector", "bm25", "phrase"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
         allowed = self._allowed_chunks(metadata_filter)
@@ -547,6 +596,15 @@ class CollectionSearcher:
                 else self._bm25_scored(text, max_chunks, allowed)
             )
             scored.append(bm.withColumn("_src", F.lit("b")))
+        if "phrase" in indexes:
+            # exact-phrase branch: the query text is the phrase. No
+            # expansion variant — expanding a phrase would change what
+            # "exact" means, so expand_query leaves this branch as-is.
+            scored.append(
+                self._phrase_scored(text, max_chunks, allowed).withColumn(
+                    "_src", F.lit("p")
+                )
+            )
 
         if len(scored) == 1:
             # single index: skip RRF, keep native scores (reference

@@ -459,6 +459,9 @@ def update_collection(
         text_col="indexed_data",
         with_dl="dl" in old_postings.columns,
         carry_cols=carry,
+        # schema-sniffed like dl: a positional collection stays
+        # positional through incremental merges
+        with_positions="positions" in old_postings.columns,
     )
     postings_bucketed = "term_bucket" in old_postings.columns
     if postings_bucketed:

@@ -64,6 +64,7 @@ def build_postings(
     text_col: str = "text",
     with_dl: bool = False,
     carry_cols: list[str] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """``(id, term, tf)`` postings from a document/chunk table (E4).
 
@@ -73,10 +74,33 @@ def build_postings(
     doc-stats join. ``carry_cols`` ride through unchanged (they must be
     functionally dependent on ``id_col``, e.g. a partition-bucket
     column — added to the groupBy key, which costs nothing since the
-    hash partitioning on (id, term) already co-locates them)."""
+    hash partitioning on (id, term) already co-locates them).
+
+    ``with_positions`` adds sorted 0-based token offsets per (id, term)
+    — the positional layout exact-phrase search needs
+    (operators/phrase.py). tf stays, derived as size(positions); the
+    build remains ONE shuffle. BM25 reads are unaffected: Parquet is
+    columnar, so scoring scans that project (term, tf, dl) never read
+    the positions bytes."""
     from pyspark.sql import Window
 
     carry = list(carry_cols or [])
+    if with_positions:
+        tokens = docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.posexplode_outer(tokenize(text_col)).alias("pos", "term"),
+        ).filter(F.col("term").isNotNull())
+        postings = tokens.groupBy(id_col, *carry, "term").agg(
+            F.sort_array(F.collect_list("pos")).alias("positions")
+        ).withColumn("tf", F.size("positions").cast("bigint")).select(
+            id_col, *carry, "term", "tf", "positions"
+        )
+        if with_dl:
+            postings = postings.withColumn(
+                "dl", F.sum("tf").over(Window.partitionBy(id_col))
+            )
+        return postings
     tokens = docs.select(
         # explode_outer + IsNotNull: plain explode triggers
         # InferFiltersFromGenerate, which re-evaluates the tokenize

@@ -148,6 +148,7 @@ def search_in_collection(
     diversify_lambda: float | None = None,
     include_snippets: bool = False,
     expand_query: bool = False,
+    indexes: tuple[str, ...] | list[str] | None = None,
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
@@ -155,11 +156,16 @@ def search_in_collection(
     routes through the MMR-diversified ranking; ``include_snippets``
     adds each hit's best matching line; ``expand_query`` turns on
     relevance feedback in both branches (RM3 for BM25, Rocchio for
-    the vector index)."""
+    the vector index). ``indexes`` selects branches — ("vector",
+    "bm25") default, plus "phrase" on positional collections; a
+    filter-only call (empty query) ignores it."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
     searcher = registry.searcher(collection)
+    kwargs = {}
+    if indexes:
+        kwargs["indexes"] = tuple(indexes)
     result = searcher.search(
         query,
         max_chunks=max_chunks,
@@ -168,6 +174,7 @@ def search_in_collection(
         diversify_lambda=diversify_lambda,
         include_snippets=include_snippets,
         expand_query=expand_query,
+        **kwargs,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
 
@@ -251,10 +258,11 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                max_documents: int | None = None,
                diversify_lambda: float | None = None,
                include_snippets: bool = False,
-               expand_query: bool = False) -> list[dict]:
+               expand_query: bool = False,
+               indexes: list[str] | None = None) -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents,
-            diversify_lambda, include_snippets, expand_query,
+            diversify_lambda, include_snippets, expand_query, indexes,
         )
 
     @app.tool()

@@ -651,3 +651,46 @@ class TestServing:
         assert rc == 0
         report = json.loads(capsys.readouterr().out)
         assert report["remainingDocuments"] == n0 - 1
+
+
+class TestPhraseCLI:
+    def test_create_positional_and_phrase_search(
+        self, spark, corpus_dir, base_path, capsys
+    ):
+        rc = cli.main(
+            ["create-files", "cli_phrase", "--base-path", base_path,
+             "--path", str(corpus_dir), "--chunk-size", "200",
+             "--chunk-overlap", "20", "--positional-postings",
+             "--format", "json"]
+        )
+        assert rc == 0
+        manifest = json.loads(capsys.readouterr().out)
+        assert manifest["converter"]["phrase"] == {"positional": True}
+        # exact adjacency: "hash join" matches joins.txt ("broadcast
+        # hash join versus sort merge join"), not skew.txt/notes.txt
+        rc = cli.main(
+            ["search", "cli_phrase", "hash join", "--base-path", base_path,
+             "--indexes", "phrase", "--format", "json"]
+        )
+        assert rc == 0
+        hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert [h["document_id"] for h in hits] == ["eng/joins.txt"]
+        # reversed order is NOT the phrase
+        rc = cli.main(
+            ["search", "cli_phrase", "join hash", "--base-path", base_path,
+             "--indexes", "phrase", "--format", "json"]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == []
+
+    def test_serving_search_indexes_param(self, spark, base_path):
+        registry = CollectionRegistry(spark, base_path)
+        hits = search_in_collection(
+            registry, "cli_phrase", "hash join", indexes=["phrase"]
+        )
+        assert [h["document_id"] for h in hits] == ["eng/joins.txt"]
+        # non-positional collection: loud error, not silent fallback
+        with pytest.raises(ValueError, match="positional"):
+            search_in_collection(
+                registry, "cli_test", "hash join", indexes=["phrase"]
+            )
