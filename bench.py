@@ -92,6 +92,9 @@ HEADLINE = [
     "phrase_search",
     "ql_dirichlet",
     "binary_ann",
+    "spell_correct",
+    "fuzzy_search",
+    "suggest_prefix",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -1867,6 +1867,54 @@ def q_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPELL_TERMS = ["hashe", "joinn", "tble", "scan", "zzqzzq"]
+FUZZY_QUERY = "hashe joinn"
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell correction over the corpus vocabulary
+    (operators/fuzzy.py): SymSpell deletion-index probe (pushed
+    IN-list, never a vocabulary-wide distance scan) + exact
+    levenshtein verify; suggestion = exact match if in-vocab, else
+    most frequent within distance 1 (ties: distance, then term).
+    'zzqzzq' pins the no-candidate NULL row."""
+    from documents_vector_search_spark.operators.bm25 import build_postings
+    from documents_vector_search_spark.operators.fuzzy import (
+        build_term_dictionary,
+        spell_corrections,
+    )
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    vocab = build_term_dictionary(postings)
+    return spell_corrections(
+        vocab, SPELL_TERMS, max_edits=1, prefer_exact=True
+    ).orderBy("qraw")
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant BM25 top-10 (operators/fuzzy.py::fuzzy_bm25_topk):
+    'hashe joinn' corrects to 'hash join' against the corpus
+    dictionary, then conjunctive BM25 — end-to-end what a search box
+    does with a misspelled query."""
+    from documents_vector_search_spark.operators.fuzzy import fuzzy_bm25_topk
+
+    return fuzzy_bm25_topk(_t(spark, sf_dir, "documents"), FUZZY_QUERY, 10)
+
+
+def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-10 vocabulary terms starting with 's' by
+    collection frequency (operators/fuzzy.py::suggest_prefix) — the
+    StartsWith predicate prunes a prefix-sorted vocabulary scan."""
+    from documents_vector_search_spark.operators.bm25 import build_postings
+    from documents_vector_search_spark.operators.fuzzy import (
+        build_term_dictionary,
+        suggest_prefix,
+    )
+
+    postings = build_postings(_t(spark, sf_dir, "documents"))
+    return suggest_prefix(build_term_dictionary(postings), "s", 10)
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (exact integer-cents arithmetic)."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -3932,6 +3980,83 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "spell_correct": f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+q(qraw) AS (VALUES {", ".join(f"('{t}')" for t in sorted(SPELL_TERMS))}),
+cand AS (
+  SELECT q.qraw, v.term, v.ctf, levenshtein(v.term, q.qraw) AS lev
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(v.term, q.qraw) <= 1
+),
+best AS (
+  SELECT qraw, term AS suggestion, ctf FROM (
+    SELECT qraw, term, ctf,
+           row_number() OVER (
+             PARTITION BY qraw
+             ORDER BY (lev = 0) DESC, ctf DESC, lev, term
+           ) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT q.qraw, best.suggestion, best.ctf
+FROM q LEFT JOIN best USING (qraw) ORDER BY q.qraw
+""",
+        "fuzzy_search": f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+doc_stats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+q(qraw) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(FUZZY_QUERY.split())))}),
+cand AS (
+  SELECT q.qraw, v.term, v.ctf, levenshtein(v.term, q.qraw) AS lev
+  FROM q CROSS JOIN vocab v
+  WHERE levenshtein(v.term, q.qraw) <= 1
+),
+corrected AS (
+  SELECT DISTINCT term FROM (
+    SELECT qraw, term,
+           row_number() OVER (
+             PARTITION BY qraw
+             ORDER BY (lev = 0) DESC, ctf DESC, lev, term
+           ) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+matched AS (SELECT tf.* FROM tf JOIN corrected USING (term)),
+term_df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM matched GROUP BY 1),
+scored AS (
+  SELECT m.doc_id,
+         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * (1.2 + 1))
+           / (m.tf + 1.2 * (1 - 0.75 + 0.75 * ds.dl / c.avgdl)) AS term_score
+  FROM matched m
+  JOIN term_df d USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+bm25 AS (
+  SELECT doc_id, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY doc_id
+  HAVING count(*) = (SELECT count(*) FROM corrected)
+)
+SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "suggest_prefix": f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+vocab AS (
+  SELECT term, sum(tf)::BIGINT AS ctf, count(*)::BIGINT AS df
+  FROM tf GROUP BY 1
+)
+SELECT term, ctf, df FROM vocab WHERE term LIKE 's%'
+ORDER BY ctf DESC, term LIMIT 10
+""",
         "phrase_search": f"""
 WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
 occ AS (
@@ -4928,6 +5053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-identical-grams parity pytest + full compare runs), then
         # the rest of the r6-green tail, all due back in r8. -----------
         "tpch_q3": q_tpch_q3,
+        "spell_correct": q_spell_correct,
+        "fuzzy_search": q_fuzzy_search,
+        "suggest_prefix": q_suggest_prefix,
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_text": q_quality_classifier_text,
