@@ -212,9 +212,21 @@ def cmd_search(args) -> int:
         diversify_lambda=args.diversify_lambda,
         include_snippets=args.snippets,
         expand_query=args.expand,
+        fuzzy=args.fuzzy,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    """'Did you mean' suggestions per query term."""
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll)
+    rows = searcher.suggest(args.query, max_edits=args.max_edits).collect()
+    print(_format([r.asDict(recursive=True) for r in rows], args.format))
     return 0
 
 
@@ -741,7 +753,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="add each hit's best matching line")
     sp.add_argument("--expand", action="store_true",
                     help="relevance feedback: RM3 (BM25) + Rocchio (vector)")
+    sp.add_argument("--fuzzy", action="store_true",
+                    help="spell-correct the query against the collection "
+                         "vocabulary before searching")
     sp.set_defaults(func=cmd_search)
+
+    sp = sub.add_parser("suggest")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--max-edits", type=int, default=1)
+    sp.set_defaults(func=cmd_suggest)
 
     sp = sub.add_parser("facets")
     common(sp)

@@ -472,6 +472,50 @@ class CollectionSearcher:
             .limit(k)
         )
 
+    def suggest(self, text: str, max_edits: int = 1) -> DataFrame:
+        """Spell suggestions against THIS collection's vocabulary —
+        ``(qraw, suggestion, ctf)`` per query term (operators/fuzzy.py;
+        exact in-vocab terms suggest themselves, unknowns suggest the
+        most frequent term within ``max_edits``, no candidate → NULL).
+
+        The dictionary derives from the postings table (one
+        map-side-combinable aggregate, cached with cache_tables); a
+        large production deployment would materialize the dictionary +
+        deletion index as collection artifacts at create/update time —
+        the probe itself is already the bounded SymSpell IN-list, not
+        a vocabulary distance scan."""
+        from documents_vector_search_spark.operators.bm25 import (
+            _query_terms,
+        )
+        from documents_vector_search_spark.operators.fuzzy import (
+            build_term_dictionary,
+            spell_corrections,
+        )
+
+        terms = _query_terms(text)
+        vocab = build_term_dictionary(self._read("postings"))
+        return spell_corrections(
+            vocab, terms, max_edits=max_edits, prefer_exact=True
+        )
+
+    def correct_query(self, text: str, max_edits: int = 1) -> str:
+        """Typo-corrected query string: each term replaced by its
+        suggestion, uncorrectable terms dropped, order preserved.
+        Bounded driver round-trip (|query terms| rows) — same class as
+        the RM3 feedback collect."""
+        from documents_vector_search_spark.operators.bm25 import (
+            _query_terms,
+        )
+
+        terms = _query_terms(text)
+        if not terms:
+            return text
+        sug = {
+            r["qraw"]: r["suggestion"] for r in self.suggest(text, max_edits).collect()
+        }
+        corrected = [sug.get(t) for t in terms]
+        return " ".join(c for c in corrected if c)
+
     def rm3_weights(
         self,
         text: str,
@@ -1077,6 +1121,7 @@ class CollectionSearcher:
         diversify_lambda: float | None = None,
         include_snippets: bool = False,
         expand_query: bool = False,
+        fuzzy: bool = False,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -1094,7 +1139,13 @@ class CollectionSearcher:
         (``snippet_line``, ``snippet``, ``snippet_hits``): each hit
         document's best matching line (operators/snippets.py), computed
         over the returned documents only.
+
+        ``fuzzy`` spell-corrects the query against the collection
+        vocabulary first (:meth:`correct_query`) — every branch
+        (vector, bm25, phrase) then searches the corrected text.
         """
+        if fuzzy and text:
+            text = self.correct_query(text)
         if diversify_lambda is not None:
             if expand_query:
                 raise ValueError(

@@ -149,6 +149,7 @@ def search_in_collection(
     include_snippets: bool = False,
     expand_query: bool = False,
     indexes: tuple[str, ...] | list[str] | None = None,
+    fuzzy: bool = False,
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
@@ -158,7 +159,9 @@ def search_in_collection(
     relevance feedback in both branches (RM3 for BM25, Rocchio for
     the vector index). ``indexes`` selects branches — ("vector",
     "bm25") default, plus "phrase" on positional collections; a
-    filter-only call (empty query) ignores it."""
+    filter-only call (empty query) ignores it. ``fuzzy``
+    spell-corrects the query against the collection vocabulary
+    first."""
     if not query and not metadata_filter:
         raise ValueError("either query or metadata_filter is required")
     max_chunks = min(max_chunks, MAX_CHUNKS_CAP)
@@ -174,9 +177,25 @@ def search_in_collection(
         diversify_lambda=diversify_lambda,
         include_snippets=include_snippets,
         expand_query=expand_query,
+        fuzzy=fuzzy,
         **kwargs,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
+
+
+def suggest_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    query: str,
+    max_edits: int = 1,
+) -> list[dict]:
+    """Tool: per-term 'did you mean' suggestions against the
+    collection vocabulary (CollectionSearcher.suggest)."""
+    if not query:
+        raise ValueError("query is required")
+    searcher = registry.searcher(collection)
+    rows = searcher.suggest(query, max_edits=max_edits).collect()
+    return [r.asDict(recursive=True) for r in rows]
 
 
 def facets_in_collection(
@@ -259,11 +278,16 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                diversify_lambda: float | None = None,
                include_snippets: bool = False,
                expand_query: bool = False,
-               indexes: list[str] | None = None) -> list[dict]:
+               indexes: list[str] | None = None,
+               fuzzy: bool = False) -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents,
-            diversify_lambda, include_snippets, expand_query, indexes,
+            diversify_lambda, include_snippets, expand_query, indexes, fuzzy,
         )
+
+    @app.tool()
+    def suggest(collection: str, query: str, max_edits: int = 1) -> list[dict]:
+        return suggest_in_collection(registry, collection, query, max_edits)
 
     @app.tool()
     def facets(collection: str, fields: list[str], query: str = "",

@@ -611,7 +611,13 @@ class TestServing:
 
         reg = CollectionRegistry(spark, base_path)
         app = build_mcp_app(reg, FakeMCP)
-        assert set(app.tools) == {"search", "search_many", "fetch", "facets"}
+        assert set(app.tools) == {
+            "search", "search_many", "fetch", "facets", "suggest",
+        }
+        assert {
+            r["qraw"]: r["suggestion"]
+            for r in app.tools["suggest"]("cli_test", "shufle")
+        } == {"shufle": "shuffle"}
         hits = app.tools["search"]("cli_test", query="sort merge join")
         assert any(h["document_id"] == "eng/joins.txt" for h in hits)
         got = app.tools["fetch"]("cli_test", "notes.txt")
@@ -694,3 +700,41 @@ class TestPhraseCLI:
             search_in_collection(
                 registry, "cli_test", "hash join", indexes=["phrase"]
             )
+
+
+class TestFuzzyCLI:
+    def test_suggest_command(self, base_path, capsys):
+        rc = cli.main(
+            ["suggest", "cli_test", "brodcast hach", "--base-path",
+             base_path, "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = {r["qraw"]: r["suggestion"] for r in rows}
+        assert got == {"brodcast": "broadcast", "hach": "hash"}
+
+    def test_search_fuzzy_flag(self, base_path, capsys):
+        rc = cli.main(
+            ["search", "cli_test", "brodcast hach jion", "--base-path",
+             base_path, "--indexes", "bm25", "--fuzzy", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out and out[0]["document_id"] == "eng/joins.txt"
+        # without --fuzzy the misspelled conjunctive query matches nothing
+        rc = cli.main(
+            ["search", "cli_test", "brodcast hach jion", "--base-path",
+             base_path, "--indexes", "bm25", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == []
+
+    def test_serving_suggest_tool(self, spark, base_path):
+        from documents_vector_search_spark.serving import suggest_in_collection
+
+        registry = CollectionRegistry(spark, base_path)
+        rows = suggest_in_collection(registry, "cli_test", "shufle")
+        assert {r["qraw"]: r["suggestion"] for r in rows} == {
+            "shufle": "shuffle"
+        }
