@@ -95,6 +95,7 @@ HEADLINE = [
     "spell_correct",
     "fuzzy_search",
     "suggest_prefix",
+    "ir_metrics",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -1871,6 +1871,16 @@ SPELL_TERMS = ["hashe", "joinn", "tble", "scan", "zzqzzq"]
 FUZZY_QUERY = "hashe joinn"
 
 
+def _ir_qterm_values() -> str:
+    """(qid, term, n_terms) VALUES rows for the ir_metrics oracle —
+    the batch queries' terms under the one tokenizer."""
+    rows = []
+    for qid, q in sorted(BM25_BATCH_QUERIES.items()):
+        terms = [t for t in re.split(r"[^a-z0-9]+", q.lower()) if t]
+        rows += [f"('{qid}', '{t}', {len(terms)})" for t in terms]
+    return ", ".join(rows)
+
+
 def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell correction over the corpus vocabulary
     (operators/fuzzy.py): SymSpell deletion-index probe (pushed
@@ -1913,6 +1923,59 @@ def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings = build_postings(_t(spark, sf_dir, "documents"))
     return suggest_prefix(build_term_dictionary(postings), "s", 10)
+
+
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (operators/ir_eval.py): nDCG@20,
+    MRR@20, P@20, R@20, AP@20 per query for the three batch BM25
+    rankings, against qrels derived deterministically from the corpus
+    (relevant = document contains EVERY query term at least twice).
+    The whole evaluation is joins + one aggregation per query — no
+    per-query driver loop, so it scales to evaluating a full query
+    log."""
+    from documents_vector_search_spark.operators.bm25 import (
+        _query_terms,
+        bm25_topk_batch,
+        build_doc_stats,
+        build_postings,
+    )
+    from documents_vector_search_spark.operators.ir_eval import (
+        ranking_metrics,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs)
+    ranking = bm25_topk_batch(
+        BM25_BATCH_QUERIES, 20, postings, doc_stats=build_doc_stats(docs)
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    qterm_rows = [
+        (qid, t, len(_query_terms(q)))
+        for qid, q in sorted(BM25_BATCH_QUERIES.items())
+        for t in _query_terms(q)
+    ]
+    qdf = spark.createDataFrame(qterm_rows, "qid string, term string, n_terms int")
+    qrels = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("tf").alias("_min_tf"),
+            F.max("n_terms").alias("_n_terms"),
+        )
+        .filter((F.col("_n") == F.col("_n_terms")) & (F.col("_min_tf") >= 2))
+        .select("qid", "doc_id", F.lit(1).alias("rel"))
+    )
+    return ranking_metrics(
+        ranking.select("qid", "doc_id", "rank"), qrels, 20
+    ).orderBy("qid")
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3980,6 +4043,83 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "ir_metrics": f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+doc_stats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+corpus AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doc_stats),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM postings GROUP BY 1, 2),
+q(qid, term, n_terms) AS (VALUES {_ir_qterm_values()}),
+qrels AS (
+  SELECT q.qid, tf.doc_id, 1 AS rel
+  FROM tf JOIN q USING (term)
+  GROUP BY q.qid, tf.doc_id
+  HAVING count(*) = max(q.n_terms) AND min(tf.tf) >= 2
+),
+matched AS (SELECT q.qid, q.n_terms, tf.* FROM tf JOIN q USING (term)),
+term_df AS (
+  SELECT qid, term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM matched GROUP BY 1, 2
+),
+scored AS (
+  SELECT m.qid, m.doc_id, m.n_terms,
+         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (m.tf * (1.2 + 1))
+           / (m.tf + 1.2 * (1 - 0.75 + 0.75 * ds.dl / c.avgdl)) AS term_score
+  FROM matched m
+  JOIN term_df d ON d.qid = m.qid AND d.term = m.term
+  JOIN doc_stats ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+bm AS (
+  SELECT qid, doc_id, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY qid, doc_id HAVING count(*) = max(n_terms)
+),
+topk AS (
+  SELECT qid, doc_id, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM bm
+  ) WHERE rank <= 20
+),
+j AS (
+  SELECT t.qid, t.rank, coalesce(r.rel, 0) AS rel
+  FROM topk t LEFT JOIN qrels r ON r.qid = t.qid AND r.doc_id = t.doc_id
+),
+cum AS (
+  SELECT qid, rank, rel,
+         sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+  FROM j
+),
+aggm AS (
+  SELECT qid,
+         sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
+         max(CASE WHEN rel >= 1 THEN 1.0 / rank END) AS mrr,
+         sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN rel >= 1 THEN cum_rel * 1.0 / rank ELSE 0 END) AS ap_sum
+  FROM cum GROUP BY qid
+),
+ideal AS (
+  SELECT qid,
+         sum(CASE WHEN irank <= 20 THEN (pow(2, rel) - 1) / log2(irank + 1)
+                  ELSE 0 END) AS idcg,
+         count(*)::BIGINT AS n_rel
+  FROM (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+    FROM qrels
+  ) GROUP BY qid
+)
+SELECT a.qid,
+       round(CASE WHEN coalesce(idcg, 0) > 0 THEN dcg / idcg ELSE 0 END, 6) AS ndcg,
+       round(coalesce(mrr, 0), 6) AS mrr,
+       round(hits / 20.0, 6) AS precision,
+       round(CASE WHEN coalesce(n_rel, 0) > 0 THEN hits * 1.0 / n_rel ELSE 0 END, 6) AS recall,
+       round(CASE WHEN coalesce(n_rel, 0) > 0 THEN ap_sum / least(n_rel, 20) ELSE 0 END, 6) AS ap
+FROM aggm a LEFT JOIN ideal USING (qid)
+ORDER BY a.qid
+""",
         "spell_correct": f"""
 WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
 postings AS (SELECT doc_id, unnest(toks) AS term FROM tok),
@@ -5056,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_correct": q_spell_correct,
         "fuzzy_search": q_fuzzy_search,
         "suggest_prefix": q_suggest_prefix,
+        "ir_metrics": q_ir_metrics,
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_text": q_quality_classifier_text,
