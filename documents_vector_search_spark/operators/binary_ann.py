@@ -87,6 +87,7 @@ def binary_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Two-stage binary ANN: Hamming candidates → exact cosine top-k.
 
@@ -95,11 +96,18 @@ def binary_topk(
     n_rerank, so an oracle replays it exactly. Recall is governed by
     n_rerank (the classic binary-retrieval knob); the pytest floor
     pins it against exact cosine on the test corpus.
+
+    ``sig_col`` names a MATERIALIZED signature column (written at
+    index-build time with :func:`sign_signature`) — then the candidate
+    scan reads 8-16 bytes/row instead of the float vectors, which is
+    where the 32x scan cut actually lands; without it the ad-hoc form
+    packs signatures inline from the vectors (correct, but the scan
+    still reads floats).
     """
     dim = len(query_vec)
     q_sig = sign_signature_py(query_vec)
     v = F.col(vec_col).cast("array<double>")
-    sig = sign_signature(v, dim)
+    sig = F.col(sig_col) if sig_col else sign_signature(v, dim)
     # candidate stage carries (id, hamming) ONLY — the full vectors do
     # not flow through the top-n_rerank sort; the rerank stage fetches
     # them by id with a broadcast semi-join of the tiny candidate set

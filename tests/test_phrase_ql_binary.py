@@ -217,3 +217,19 @@ class TestBinaryAnn:
         }
         got = {r["vec_id"] for r in rows}
         assert len(got & exact) >= 5, f"recall@10 {len(got & exact)}/10"
+
+    def test_materialized_sig_column_matches_inline(self, spark):
+        """sig_col path (index-layout form: candidates scan packed
+        words, not floats) returns exactly the inline-packed result."""
+        emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        from documents_vector_search_spark.registry import QUERY_VEC
+
+        with_sig = emb.withColumn(
+            "sig",
+            sign_signature(F.col("embedding").cast("array<double>"), 64),
+        )
+        via_sig = binary_topk(with_sig, QUERY_VEC, 10, sig_col="sig").collect()
+        inline = binary_topk(emb, QUERY_VEC, 10).collect()
+        assert [(r["vec_id"], r["similarity"]) for r in via_sig] == [
+            (r["vec_id"], r["similarity"]) for r in inline
+        ]
