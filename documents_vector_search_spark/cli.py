@@ -49,6 +49,7 @@ def _create_kwargs(args) -> dict:
         "sq8": args.sq8,
         "update_buckets": args.update_buckets,
         "positional_postings": args.positional_postings,
+        "fuzzy_dictionary": args.fuzzy_dictionary,
     }
 
 
@@ -624,6 +625,27 @@ def cmd_refit_topics(args) -> int:
     return 0
 
 
+def cmd_refit_fuzzy(args) -> int:
+    """(Re)build the fuzzy dictionary + deletion index from the
+    postings table — enables fuzzy artifacts on an existing collection
+    and recovers a dictionary left stale by a crash between an
+    update's main swap and its fuzzy apply."""
+    from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        write_fuzzy_artifacts,
+    )
+
+    coll = _collection(args)
+    write_fuzzy_artifacts(coll)
+    manifest = coll.manifest()
+    manifest.converter.setdefault(
+        "fuzzy", {"maxEdits": 1, "variantBuckets": 64}
+    )
+    coll.save_manifest(manifest)
+    print(_format({"collection": coll.name, "fuzzy": manifest.converter["fuzzy"]},
+                  args.format))
+    return 0
+
+
 def cmd_search_many(args) -> int:
     """Batch search: all queries answered in one job (one scan per
     index — CollectionSearcher.search_many); results keyed by qid
@@ -702,6 +724,9 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--update-buckets", type=int, default=8)
             # positional postings: enables `search --indexes phrase`
             sp.add_argument("--positional-postings", action="store_true")
+            # materialized term dictionary + SymSpell deletion index:
+            # suggest/--fuzzy probe a bucket-pruned artifact
+            sp.add_argument("--fuzzy-dictionary", action="store_true")
 
     sp = sub.add_parser("create-files")
     common(sp, create=True)
@@ -865,6 +890,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("refit-topics")
     common(sp)
     sp.set_defaults(func=cmd_refit_topics)
+
+    sp = sub.add_parser("refit-fuzzy")
+    common(sp)
+    sp.set_defaults(func=cmd_refit_fuzzy)
 
     sp = sub.add_parser("stats")
     common(sp)

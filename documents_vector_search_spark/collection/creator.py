@@ -117,6 +117,7 @@ def create_collection(
     sq8: bool = False,
     update_buckets: int = 8,
     positional_postings: bool = False,
+    fuzzy_dictionary: bool = False,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -163,6 +164,13 @@ def create_collection(
     unaffected (columnar scans never touch the positions bytes);
     postings bytes roughly double. Recorded in the manifest; updates
     sniff the schema and keep the layout.
+
+    ``fuzzy_dictionary`` materializes the term dictionary and its
+    SymSpell deletion index as collection tables
+    (collection/fuzzy_artifacts.py) — `suggest`/`search --fuzzy` then
+    probe a variant_bucket-pruned index instead of aggregating the
+    postings per query; updates maintain both incrementally from the
+    changed postings rows only.
 
     ``update_buckets``: every table is additionally partitioned by a
     stable ``_pb`` bucket of its delete key so incremental updates
@@ -400,6 +408,14 @@ def create_collection(
         f_post.result()
         f_ds.result()
         n_docs, stats, watermark = f_stats.result()
+    if fuzzy_dictionary:
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            write_fuzzy_artifacts,
+        )
+
+        # reads the postings table just written (vocabulary aggregate +
+        # vocabulary-sized deletion-index explode)
+        write_fuzzy_artifacts(collection)
     n_chunks, last_id = stats["n"], stats["last"]
     # lastIndexItemId is only meaningful under the counter strategy
     # (updates continue from it); hash ids record -1
@@ -441,6 +457,13 @@ def create_collection(
             # positional postings layout: exact-phrase search available
             # (searcher validates before accepting a phrase query)
             **({"phrase": {"positional": True}} if positional_postings else {}),
+            # fuzzy artifacts: suggest/--fuzzy probe the materialized
+            # deletion index (variant-bucket pruned)
+            **(
+                {"fuzzy": {"maxEdits": 1, "variantBuckets": 64}}
+                if fuzzy_dictionary
+                else {}
+            ),
             **(
                 {
                     "ivf": {

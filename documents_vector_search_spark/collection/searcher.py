@@ -478,12 +478,14 @@ class CollectionSearcher:
         exact in-vocab terms suggest themselves, unknowns suggest the
         most frequent term within ``max_edits``, no candidate → NULL).
 
-        The dictionary derives from the postings table (one
-        map-side-combinable aggregate, cached with cache_tables); a
-        large production deployment would materialize the dictionary +
-        deletion index as collection artifacts at create/update time —
-        the probe itself is already the bounded SymSpell IN-list, not
-        a vocabulary distance scan."""
+        Collections created with ``fuzzy_dictionary=True`` carry a
+        materialized dictionary + deletion index
+        (collection/fuzzy_artifacts.py): the probe is then a
+        variant_bucket-PRUNED scan of a vocabulary-sized table.
+        Otherwise the dictionary derives from the postings table per
+        call (one map-side-combinable aggregate, cached with
+        cache_tables) — fine ad-hoc, the artifact is the serving
+        path."""
         from documents_vector_search_spark.operators.bm25 import (
             _query_terms,
         )
@@ -493,6 +495,23 @@ class CollectionSearcher:
         )
 
         terms = _query_terms(text)
+        fuzzy_cfg = None
+        try:
+            fuzzy_cfg = self.collection.manifest().converter.get("fuzzy")
+        except FileNotFoundError:
+            pass
+        if fuzzy_cfg:
+            from documents_vector_search_spark.collection.fuzzy_artifacts import (
+                DELETION_INDEX_TABLE,
+            )
+
+            return spell_corrections(
+                None,
+                terms,
+                max_edits=min(max_edits, int(fuzzy_cfg.get("maxEdits", 1))),
+                prefer_exact=True,
+                deletion_index=self._read(DELETION_INDEX_TABLE),
+            )
         vocab = build_term_dictionary(self._read("postings"))
         return spell_corrections(
             vocab, terms, max_edits=max_edits, prefer_exact=True

@@ -171,6 +171,56 @@ def _swap_partitions(
                 shutil.rmtree(p)
 
 
+def _materialize_fuzzy_delta(
+    collection: Collection,
+    manifest: Manifest,
+    fresh_postings: DataFrame,
+    stale_postings: DataFrame,
+) -> str | None:
+    """Pre-swap phase of fuzzy-artifact maintenance: aggregate the
+    vocabulary delta from the changed postings rows only and WRITE it
+    (post-swap lazy reads of the postings path would see merged data).
+    Returns the delta path, or None when the collection carries no
+    fuzzy artifacts. Crash between the main swap and the apply leaves
+    the dictionary one batch stale — suggestions degrade gracefully,
+    and `refit-fuzzy` rebuilds from postings."""
+    from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        fuzzy_config,
+        vocab_delta,
+    )
+
+    if not fuzzy_config(manifest):
+        return None
+    path = str(Path(collection.table_path("vocab_delta__tmp")))
+    vocab_delta(fresh_postings, stale_postings).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _apply_fuzzy_delta(
+    collection: Collection, manifest: Manifest, delta_path: str | None
+) -> None:
+    """Post-swap phase: merge the materialized delta into the
+    vocabulary and regenerate the deletion index (vocabulary-sized),
+    both through staged swaps; remove the delta staging dir."""
+    if delta_path is None:
+        return
+    from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        DEFAULT_MAX_EDITS,
+        apply_vocab_delta,
+        fuzzy_config,
+    )
+
+    cfg = fuzzy_config(manifest) or {}
+    apply_vocab_delta(
+        collection,
+        delta_path,
+        max_edits=int(cfg.get("maxEdits", DEFAULT_MAX_EDITS)),
+    )
+    shutil.rmtree(delta_path, ignore_errors=True)
+
+
 def _apply_chunk_delta(
     manifest: Manifest,
     n_stale: int,
@@ -213,7 +263,10 @@ def update_collection(
     silently mixing incompatible vectors into one index."""
     from documents_vector_search_spark.collection.catalog import TABLES
 
-    _recover_orphans(collection, list(TABLES))
+    # fuzzy artifacts recover through the same orphan sweep: an
+    # interrupted vocab/deletion_index staged swap rolls back to the
+    # parked ``__old`` (see _apply_fuzzy_delta)
+    _recover_orphans(collection, list(TABLES) + ["vocab", "deletion_index"])
     manifest = collection.manifest()
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
@@ -486,6 +539,17 @@ def update_collection(
         .unionByName(fresh_doc_stats)
     )
 
+    # fuzzy artifacts (collection/fuzzy_artifacts.py): aggregate the
+    # vocabulary DELTA from exactly the postings rows this batch
+    # touches and MATERIALIZE it before any swap (post-swap lazy reads
+    # of the postings path would see merged data and double-count).
+    fuzzy_delta_path = _materialize_fuzzy_delta(
+        collection,
+        manifest,
+        fresh_postings,
+        old_postings.join(stale_chunks, "chunk_id", "left_semi"),
+    )
+
     merged = {
         "documents": merged_docs,
         "chunks": merged_chunks,
@@ -544,6 +608,7 @@ def update_collection(
                 or new_wm > manifest.lastModifiedDocumentTime
             ):
                 manifest.lastModifiedDocumentTime = new_wm
+        _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
         collection.save_manifest(manifest)
         return manifest
 
@@ -553,6 +618,7 @@ def update_collection(
         merged,
         partition_cols={t: cols for t, cols in layout_cols.items() if cols},
     )
+    _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
 
     # --- manifest merge-update (documents_collection_creator.py:255-268) ---
     from documents_vector_search_spark.functions.text import tokenize
@@ -617,7 +683,10 @@ def delete_documents(
     from documents_vector_search_spark.collection.catalog import TABLES
 
     spark = collection.spark
-    _recover_orphans(collection, list(TABLES))
+    # fuzzy artifacts recover through the same orphan sweep: an
+    # interrupted vocab/deletion_index staged swap rolls back to the
+    # parked ``__old`` (see _apply_fuzzy_delta)
+    _recover_orphans(collection, list(TABLES) + ["vocab", "deletion_index"])
     manifest = collection.manifest()
 
     if isinstance(doc_ids, DataFrame):
@@ -694,6 +763,13 @@ def delete_documents(
     # was never applied and the stale stats can no longer see the rows)
     partial_recovery = n_docs_deleted > 0 and n_stale == 0
 
+    fuzzy_delta_path = _materialize_fuzzy_delta(
+        collection,
+        manifest,
+        _pruned("postings").limit(0),  # deletes have no fresh leg
+        _pruned("postings").join(stale_chunks, "chunk_id", "left_semi"),
+    )
+
     # swap ORDER is the crash-convergence contract: derived tables
     # first, then chunks, documents last (dict order drives the swap)
     merged = {
@@ -741,6 +817,7 @@ def delete_documents(
             _apply_chunk_delta(
                 manifest, n_stale=n_stale, stale_dl=float(stale_row["dl"])
             )
+            _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
             collection.save_manifest(manifest)
             return manifest
     else:
@@ -752,6 +829,7 @@ def delete_documents(
             },
         )
     # legacy path and partial-recovery re-runs: exact recount
+    _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
     return _exact_recount(collection, manifest)
 
 

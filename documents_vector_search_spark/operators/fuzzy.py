@@ -123,11 +123,12 @@ def fuzzy_candidates(
 
 
 def spell_corrections(
-    vocab: DataFrame,
+    vocab: DataFrame | None,
     query_terms: list[str],
     max_edits: int = 1,
     term_col: str = "term",
     prefer_exact: bool = False,
+    deletion_index: DataFrame | None = None,
 ) -> DataFrame:
     """Best dictionary suggestion per query term — ``(qraw,
     suggestion, ctf)``, suggestion = the most frequent in-vocabulary
@@ -140,13 +141,29 @@ def spell_corrections(
 
     One deletion-index probe for ALL query terms (the probe lists
     union into one pushed filter; each candidate then verifies against
-    its own query term)."""
+    its own query term).
+
+    ``deletion_index`` supplies a PREBUILT index (a collection's
+    ``deletion_index`` table, collection/fuzzy_artifacts.py) instead
+    of deriving one from ``vocab``; a ``variant_bucket`` column, if
+    present, prunes the scan to the probe variants' partitions."""
     from pyspark.sql import Window
 
-    didx = build_deletion_index(vocab, term_col=term_col, max_edits=max_edits)
     lowered = list(dict.fromkeys(q.lower() for q in query_terms))
     qrows = [(q, v) for q in lowered for v in deletions_py(q, max_edits)]
-    spark = vocab.sparkSession
+    if deletion_index is not None:
+        didx = deletion_index
+        if "variant_bucket" in didx.columns:
+            from documents_vector_search_spark.operators.bm25 import (
+                term_bucket_py,
+            )
+
+            buckets = sorted({term_bucket_py(v) for _, v in qrows})
+            didx = didx.filter(F.col("variant_bucket").isin(buckets))
+        didx = didx.filter(F.col("variant").isin([v for _, v in qrows]))
+    else:
+        didx = build_deletion_index(vocab, term_col=term_col, max_edits=max_edits)
+    spark = (vocab if vocab is not None else deletion_index).sparkSession
     probes = spark.createDataFrame(qrows, "qraw string, variant string")
     cand = (
         didx.join(F.broadcast(probes), "variant")

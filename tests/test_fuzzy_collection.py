@@ -1,0 +1,133 @@
+"""Fuzzy dictionary + deletion index as collection artifacts:
+create-time build, bucket-pruned probe, incremental maintenance
+through update and delete (differential against recompute), and the
+refit-fuzzy recovery/enable path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark import cli
+from documents_vector_search_spark.collection import (
+    Collection,
+    CollectionSearcher,
+    create_collection,
+    update_collection,
+)
+from documents_vector_search_spark.collection.updater import delete_documents
+from documents_vector_search_spark.operators.bm25 import build_postings
+from documents_vector_search_spark.operators.fuzzy import build_term_dictionary
+
+
+def _docs(spark, rows, ts="2024-03-01 00:00:00"):
+    return spark.createDataFrame(
+        [
+            (rid, f"file:///p/{rid}", {"lang": "en"}, text, ts, "localFiles")
+            for rid, text in rows
+        ],
+        "id string, url string, metadata map<string,string>, text string, "
+        "last_modified_at string, source_type string",
+    ).withColumn("last_modified_at", F.col("last_modified_at").cast("timestamp"))
+
+
+def _vocab_matches_recompute(coll):
+    stored = {
+        (r["term"], r["ctf"], r["df"])
+        for r in coll.read("vocab").collect()
+    }
+    recomputed = {
+        (r["term"], r["ctf"], r["df"])
+        for r in build_term_dictionary(
+            coll.read("postings").select("chunk_id", "term", "tf")
+        ).collect()
+    }
+    assert stored == recomputed, (
+        f"stale-only={sorted(stored - recomputed)[:5]} "
+        f"missing={sorted(recomputed - stored)[:5]}"
+    )
+
+
+@pytest.fixture()
+def fuzzy_coll(spark, tmp_path):
+    coll = Collection(spark, str(tmp_path), "fz")
+    docs = _docs(
+        spark,
+        [
+            ("d1", "the shuffle broadcast join wins"),
+            ("d2", "salting fixes skew in the shuffle"),
+        ],
+    )
+    create_collection(
+        coll, docs, chunk_size=200, chunk_overlap=0, fuzzy_dictionary=True
+    )
+    return coll
+
+
+class TestFuzzyArtifacts:
+    def test_create_builds_tables_and_manifest(self, fuzzy_coll):
+        assert fuzzy_coll.manifest().converter["fuzzy"] == {
+            "maxEdits": 1,
+            "variantBuckets": 64,
+        }
+        didx = fuzzy_coll.read("deletion_index")
+        assert {"term", "ctf", "df", "variant", "variant_bucket"} <= set(
+            didx.columns
+        )
+        _vocab_matches_recompute(fuzzy_coll)
+
+    def test_suggest_probes_pruned_artifact(self, fuzzy_coll):
+        s = CollectionSearcher(fuzzy_coll)
+        df = s.suggest("shufle brodcast")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [variant_bucket" in plan
+        # the probe reads the artifact, never the postings (toString
+        # truncates Location paths, so check the actual input files)
+        files = df.inputFiles()
+        assert files and all("/deletion_index/" in f for f in files)
+        got = {r["qraw"]: r["suggestion"] for r in df.collect()}
+        assert got == {"shufle": "shuffle", "brodcast": "broadcast"}
+
+    def test_update_maintains_dictionary_incrementally(self, spark, fuzzy_coll):
+        fresh = _docs(
+            spark,
+            [("d3", "a zebrafish appears"), ("d1", "the join wins again")],
+            ts="2024-03-02 00:00:00",
+        )
+        update_collection(fuzzy_coll, fresh)
+        _vocab_matches_recompute(fuzzy_coll)
+        s = CollectionSearcher(fuzzy_coll)
+        got = {r["qraw"]: r["suggestion"] for r in s.suggest("zebrafis").collect()}
+        assert got == {"zebrafis": "zebrafish"}
+        # d1's replaced text dropped 'broadcast' from the corpus
+        vocab_terms = {r["term"] for r in fuzzy_coll.read("vocab").collect()}
+        assert "broadcast" not in vocab_terms
+
+    def test_delete_maintains_dictionary(self, spark, fuzzy_coll):
+        delete_documents(fuzzy_coll, ["d2"])
+        _vocab_matches_recompute(fuzzy_coll)
+        vocab_terms = {r["term"] for r in fuzzy_coll.read("vocab").collect()}
+        assert "salting" not in vocab_terms and "join" in vocab_terms
+
+    def test_refit_fuzzy_enables_on_plain_collection(
+        self, spark, tmp_path, capsys
+    ):
+        coll = Collection(spark, str(tmp_path), "plainfz")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "broadcast hash join")]),
+            chunk_size=200,
+            chunk_overlap=0,
+        )
+        rc = cli.main(
+            ["refit-fuzzy", "plainfz", "--base-path", str(tmp_path),
+             "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["fuzzy"]["maxEdits"] == 1
+        s = CollectionSearcher(coll)
+        got = {r["qraw"]: r["suggestion"] for r in s.suggest("brodcast").collect()}
+        assert got == {"brodcast": "broadcast"}
