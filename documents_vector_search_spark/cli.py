@@ -625,6 +625,32 @@ def cmd_refit_topics(args) -> int:
     return 0
 
 
+def cmd_complete(args) -> int:
+    """Autocomplete: frequency-ranked vocabulary terms with a prefix —
+    the materialized vocab table when present (fuzzy-dictionary
+    collections), else derived from postings."""
+    from documents_vector_search_spark.operators.fuzzy import (
+        build_term_dictionary,
+        suggest_prefix,
+    )
+
+    coll = _collection(args)
+    try:
+        has_vocab = bool(coll.manifest().converter.get("fuzzy"))
+    except FileNotFoundError:
+        has_vocab = False
+    vocab = (
+        coll.read("vocab")
+        if has_vocab
+        else build_term_dictionary(
+            coll.read("postings").select("chunk_id", "term", "tf")
+        )
+    )
+    rows = suggest_prefix(vocab, args.prefix, args.k).collect()
+    print(_format([r.asDict(recursive=True) for r in rows], args.format))
+    return 0
+
+
 def cmd_refit_fuzzy(args) -> int:
     """(Re)build the fuzzy dictionary + deletion index from the
     postings table — enables fuzzy artifacts on an existing collection
@@ -894,6 +920,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("refit-fuzzy")
     common(sp)
     sp.set_defaults(func=cmd_refit_fuzzy)
+
+    sp = sub.add_parser("complete")
+    common(sp)
+    sp.add_argument("prefix")
+    sp.add_argument("--k", type=int, default=10)
+    sp.set_defaults(func=cmd_complete)
 
     sp = sub.add_parser("stats")
     common(sp)

@@ -131,3 +131,34 @@ class TestFuzzyArtifacts:
         s = CollectionSearcher(coll)
         got = {r["qraw"]: r["suggestion"] for r in s.suggest("brodcast").collect()}
         assert got == {"brodcast": "broadcast"}
+
+    def test_complete_command_uses_vocab_artifact(
+        self, spark, fuzzy_coll, capsys
+    ):
+        rc = cli.main(
+            ["complete", "fz", "s", "--base-path",
+             str(fuzzy_coll.root.parent), "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        terms = [r["term"] for r in rows]
+        assert terms and all(t.startswith("s") for t in terms)
+        assert "shuffle" in terms
+
+    def test_complete_falls_back_without_artifact(
+        self, spark, tmp_path, capsys
+    ):
+        coll = Collection(spark, str(tmp_path), "plainc")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "scan scatter gather")]),
+            chunk_size=200,
+            chunk_overlap=0,
+        )
+        rc = cli.main(
+            ["complete", "plainc", "sc", "--base-path", str(tmp_path),
+             "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert {r["term"] for r in rows} == {"scan", "scatter"}
