@@ -838,7 +838,7 @@ class CollectionSearcher:
         on every constructible layout (create_collection rejects
         ann+ivf, the one composition that would have no single probe
         map)."""
-        unknown = set(indexes) - {"vector", "bm25"}
+        unknown = set(indexes) - {"vector", "bm25", "phrase"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
         allowed = self._allowed_chunks(metadata_filter)
@@ -1019,6 +1019,47 @@ class CollectionSearcher:
                 candidates=allowed,
             )
             scored.append(bm.withColumn("_src", F.lit("b")))
+        if "phrase" in indexes:
+            # batched exact-phrase branch: Q phrases share ONE
+            # positional-postings scan pruned to the union of their
+            # terms' buckets (operators/phrase.py::phrase_topk_batch) —
+            # same amortization shape as bm25_topk_batch
+            from documents_vector_search_spark.operators.bm25 import (
+                term_bucket_py,
+            )
+            from documents_vector_search_spark.operators.phrase import (
+                phrase_topk_batch,
+                tokenize_phrase,
+            )
+
+            postings = self._read("postings")
+            if "positions" not in postings.columns:
+                raise ValueError(
+                    "collection has no positional postings — recreate "
+                    "with create_collection(positional_postings=True) "
+                    "to enable phrase search"
+                )
+            union_terms = {
+                t for p in texts.values() for t in tokenize_phrase(p)
+            }
+            if "term_bucket" in postings.columns and union_terms:
+                buckets = sorted({term_bucket_py(t) for t in union_terms})
+                postings = postings.filter(
+                    F.col("term_bucket").isin(buckets)
+                )
+            positional = postings.select("chunk_id", "term", "positions")
+            if allowed is not None:
+                positional = positional.join(
+                    F.broadcast(allowed), "chunk_id", "left_semi"
+                )
+            ph = phrase_topk_batch(
+                positional, texts, max_chunks, id_col="chunk_id"
+            ).select(
+                "qid",
+                "chunk_id",
+                F.col("phrase_tf").cast("double").alias("score"),
+            )
+            scored.append(ph.withColumn("_src", F.lit("p")))
 
         w_src = Window.partitionBy("_src", "qid").orderBy(
             F.col("score").desc(), F.col("chunk_id").asc()

@@ -180,3 +180,102 @@ def phrase_match_counts_scan(
         docs.select(F.col(id_col), window_count.cast("bigint").alias("phrase_tf"))
         .filter(F.col("phrase_tf") > 0)
     )
+
+
+def phrase_match_counts_batch(
+    positional: DataFrame,
+    phrases: dict[str, list[str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase counts for MANY phrases in ONE index scan —
+    ``(qid, id, phrase_tf)``, matches only.
+
+    Batch analog of :func:`phrase_match_counts`: the postings scan
+    prunes to the UNION of every phrase's terms, a broadcast
+    ``(qid, term, offset)`` map fans matched rows out per phrase
+    occurrence slot, and one ``(qid, id)`` aggregation folds the
+    shifted position arrays: starts = ∩_slots (positions − offset).
+    A phrase's duplicate terms contribute one row per offset slot, so
+    the same postings row feeds every slot it fills. The conjunctive
+    gate is distinct-terms == the phrase's distinct-term count.
+    """
+    for qid, terms in phrases.items():
+        if not terms:
+            raise ValueError(f"empty phrase for {qid!r}")
+    rows = []
+    for qid, terms in sorted(phrases.items()):
+        for off, t in enumerate(terms):
+            rows.append((qid, t, off, len(set(terms))))
+    spark = positional.sparkSession
+    qframe = spark.createDataFrame(
+        rows, "qid string, term string, offset int, n_distinct int"
+    )
+    union_terms = sorted({t for _, t, _, _ in rows})
+    matched = positional.filter(F.col("term").isin(union_terms))
+    fanned = matched.join(F.broadcast(qframe), "term").select(
+        "qid",
+        F.col(id_col),
+        "term",
+        "n_distinct",
+        F.transform(
+            F.col("positions"), lambda p: p - F.col("offset")
+        ).alias("_shifted"),
+    )
+    agg = fanned.groupBy("qid", id_col).agg(
+        F.count_distinct("term").alias("_terms"),
+        F.max("n_distinct").alias("_n_distinct"),
+        F.collect_list("_shifted").alias("_arrs"),
+    )
+    starts = F.aggregate(
+        F.slice(F.col("_arrs"), 2, F.size(F.col("_arrs")) - 1),
+        F.element_at(F.col("_arrs"), 1),
+        lambda acc, x: F.array_intersect(acc, x),
+    )
+    return (
+        agg.filter(F.col("_terms") == F.col("_n_distinct"))
+        .select(
+            "qid",
+            F.col(id_col),
+            F.size(starts).cast("bigint").alias("phrase_tf"),
+        )
+        .filter(F.col("phrase_tf") > 0)
+    )
+
+
+def phrase_topk_batch(
+    positional: DataFrame,
+    phrases: dict[str, str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k per phrase query from ONE scan — ``(qid, id, phrase_tf)``
+    per-query descending, ties on id. Same salted two-phase grouped
+    top-k as bm25_topk_batch (a common phrase has an unbounded match
+    set; a bare per-qid window would sort it in one task)."""
+    from pyspark.sql import Window
+
+    counts = phrase_match_counts_batch(
+        positional,
+        {qid: tokenize_phrase(p) for qid, p in phrases.items() if tokenize_phrase(p)},
+        id_col=id_col,
+    )
+    n_salts = 16
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("phrase_tf").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        counts.withColumn(
+            "_salt", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_salts))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("phrase_tf").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

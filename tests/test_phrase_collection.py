@@ -115,3 +115,52 @@ class TestPhraseCollection:
         s = CollectionSearcher(coll)
         with pytest.raises(ValueError, match="positional"):
             s.search("hash join", indexes=("phrase",)).collect()
+
+
+class TestPhraseBatch:
+    def test_batch_equals_per_query(self, spark, phrase_coll):
+        s = CollectionSearcher(phrase_coll)
+        queries = {"q0": "hash join", "q1": "sort merge", "q2": "zz absent"}
+        batch = s.search_chunks_many(queries, 10, indexes=("phrase",))
+        got = {
+            qid: [(r["chunk_id"], r["rank"], r["score"]) for r in rows]
+            for qid, rows in (
+                (q, batch.filter(F.col("qid") == q)
+                 .orderBy("rank").collect())
+                for q in queries
+            )
+        }
+        for qid, text in queries.items():
+            single = [
+                (r["chunk_id"], r["rank"], r["score"])
+                for r in s.search_chunks(text, 10, indexes=("phrase",))
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got[qid] == single, qid
+
+    def test_batch_fuses_with_bm25(self, spark, phrase_coll):
+        s = CollectionSearcher(phrase_coll)
+        queries = {"q0": "hash join"}
+        batch = s.search_chunks_many(queries, 10, indexes=("bm25", "phrase"))
+        single = s.search_chunks("hash join", 10, indexes=("bm25", "phrase"))
+        assert [
+            (r["chunk_id"], r["rank"], r["score"])
+            for r in batch.filter(F.col("qid") == "q0").orderBy("rank").collect()
+        ] == [
+            (r["chunk_id"], r["rank"], r["score"])
+            for r in single.orderBy("rank").collect()
+        ]
+
+    def test_batch_phrase_requires_positional(self, spark, tmp_path_factory):
+        base = str(tmp_path_factory.mktemp("plain2"))
+        coll = Collection(spark, base, "plain2")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "hash join here")]),
+            chunk_size=100,
+            chunk_overlap=0,
+        )
+        s = CollectionSearcher(coll)
+        with pytest.raises(ValueError, match="positional"):
+            s.search_chunks_many({"q0": "hash join"}, 5, indexes=("phrase",))
