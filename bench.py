@@ -96,6 +96,8 @@ HEADLINE = [
     "fuzzy_search",
     "suggest_prefix",
     "ir_metrics",
+    "cube_agg",
+    "tpch_q18",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

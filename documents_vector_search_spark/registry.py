@@ -1925,6 +1925,51 @@ def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_prefix(build_term_dictionary(postings), "s", 10)
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregate with GROUPING() indicators — the
+    OLAP rollup family's general form (rollup itself is the `rollup`
+    key). Spark expands the cube map-side into grouping-set tuples
+    feeding ONE hash aggregation — no per-grouping-set rescan."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_rows"),
+        (F.sum(qty_c) / 100.0).alias("sum_qty"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: groupBy-HAVING feeding
+    a 3-way join and top-k. The HAVING aggregate runs FIRST and
+    shrinks lineitem to the rare heavy orders before any join — the
+    plan a 100 TB Q18 wants (aggregate pushdown by construction, the
+    joins see only qualifying orders)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents(F.col("l_quantity"))
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(qty_c) / 100.0).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        heavy.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"),
+            F.col("o_orderkey"),
+        )
+        .limit(10)
+    )
+
+
 def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline retrieval evaluation (operators/ir_eval.py): nDCG@20,
     MRR@20, P@20, R@20, AP@20 per query for the three batch BM25
@@ -4043,6 +4088,29 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "cube_agg": """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag)::INT AS g_flag,
+       GROUPING(l_linestatus)::INT AS g_status,
+       count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "tpch_q18": """
+WITH heavy AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 > 150
+)
+SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM heavy
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 10
+""",
         "ir_metrics": f"""
 WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
 doc_stats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
@@ -5197,6 +5265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "suggest_prefix": q_suggest_prefix,
         "ir_metrics": q_ir_metrics,
+        "cube_agg": q_cube_agg,
+        "tpch_q18": q_tpch_q18,
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
         "quality_classifier_text": q_quality_classifier_text,
