@@ -214,6 +214,7 @@ def cmd_search(args) -> int:
         include_snippets=args.snippets,
         expand_query=args.expand,
         fuzzy=args.fuzzy,
+        ranker=args.ranker,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
@@ -807,6 +808,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fuzzy", action="store_true",
                     help="spell-correct the query against the collection "
                          "vocabulary before searching")
+    sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"],
+                    help="lexical scoring: Okapi BM25 (default) or "
+                         "Dirichlet query likelihood")
     sp.set_defaults(func=cmd_search)
 
     sp = sub.add_parser("suggest")

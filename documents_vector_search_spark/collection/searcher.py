@@ -423,6 +423,33 @@ class CollectionSearcher:
         """Ranked ``(chunk_id, rank, score)`` — the single-index shape."""
         return self._ranked(self._bm25_scored(text, k, allowed))
 
+    def _ql_scored(
+        self, text: str, k: int, allowed: DataFrame | None
+    ) -> DataFrame:
+        """Dirichlet query-likelihood candidates ``(chunk_id, score)``
+        (operators/bm25.py::ql_dirichlet_topk) — the alternative
+        lexical ranker (`ranker="ql"`). The collection token count
+        embeds as a literal from the manifest (numberOfChunks ×
+        avgChunkLength), so like BM25's corpus_stats the query pays
+        ZERO stats jobs; same pruned-postings shape."""
+        from documents_vector_search_spark.operators.bm25 import (
+            ql_dirichlet_topk,
+        )
+
+        n_chunks, avgdl = self._bm25_corpus_stats()
+        hits = ql_dirichlet_topk(
+            self._read("chunks"),
+            text,
+            k,
+            id_col="chunk_id",
+            text_col="indexed_data",
+            postings=self._read("postings"),
+            doc_stats=self._read("doc_stats"),
+            candidates=allowed,
+            coll_len=float(n_chunks) * float(avgdl),
+        )
+        return hits.select("chunk_id", "score")
+
     def _phrase_scored(
         self, text: str, k: int, allowed: DataFrame | None
     ) -> DataFrame:
@@ -624,8 +651,15 @@ class CollectionSearcher:
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
         expand_query: bool = False,
+        ranker: str = "bm25",
     ) -> DataFrame:
         """Fused chunk ranking: (chunk_id, rank, score).
+
+        ``ranker`` selects the lexical scoring function for the keyword
+        branch: "bm25" (default, reference semantics) or "ql"
+        (Dirichlet query likelihood — disjunctive candidates, absent
+        terms smoothed). Expansion (RM3) is BM25-specific, so
+        expand_query with ranker="ql" is rejected.
 
         ``expand_query`` turns on relevance feedback in BOTH branches:
         the BM25 branch runs RM3 pseudo-relevance feedback
@@ -643,6 +677,13 @@ class CollectionSearcher:
         unknown = set(indexes) - {"vector", "bm25", "phrase"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
+        if ranker not in ("bm25", "ql"):
+            raise ValueError(f"unknown ranker: {ranker!r}")
+        if ranker == "ql" and expand_query:
+            raise ValueError(
+                "expand_query is RM3 (BM25-specific); it cannot "
+                "combine with ranker='ql'"
+            )
         allowed = self._allowed_chunks(metadata_filter)
         scored = []
         if "vector" in indexes:
@@ -653,11 +694,12 @@ class CollectionSearcher:
             )
             scored.append(vec.withColumn("_src", F.lit("v")))
         if "bm25" in indexes:
-            bm = (
-                self._bm25_scored_expanded(text, max_chunks, allowed)
-                if expand_query
-                else self._bm25_scored(text, max_chunks, allowed)
-            )
+            if ranker == "ql":
+                bm = self._ql_scored(text, max_chunks, allowed)
+            elif expand_query:
+                bm = self._bm25_scored_expanded(text, max_chunks, allowed)
+            else:
+                bm = self._bm25_scored(text, max_chunks, allowed)
             scored.append(bm.withColumn("_src", F.lit("b")))
         if "phrase" in indexes:
             # exact-phrase branch: the query text is the phrase. No
@@ -1182,6 +1224,7 @@ class CollectionSearcher:
         include_snippets: bool = False,
         expand_query: bool = False,
         fuzzy: bool = False,
+        ranker: str = "bm25",
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -1212,6 +1255,11 @@ class CollectionSearcher:
                     "expand_query and diversify_lambda cannot combine "
                     "(the diverse ranking has its own retrieval pool)"
                 )
+            if ranker != "bm25":
+                raise ValueError(
+                    "diversify_lambda currently pools with the default "
+                    "bm25 ranker; ranker='ql' cannot combine with it"
+                )
             fused = self.search_chunks_diverse(
                 text,
                 max_chunks,
@@ -1222,7 +1270,7 @@ class CollectionSearcher:
         else:
             fused = self.search_chunks(
                 text, max_chunks, indexes, metadata_filter,
-                expand_query=expand_query,
+                expand_query=expand_query, ranker=ranker,
             )
         chunks = self._read("chunks")
         hit_chunks = fused.join(chunks, "chunk_id").select(

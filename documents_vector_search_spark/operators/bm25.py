@@ -826,6 +826,8 @@ def ql_dirichlet_topk(
     round_to: int | None = 6,
     postings: DataFrame | None = None,
     doc_stats: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+    coll_len: float | None = None,
 ) -> DataFrame:
     """Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001).
 
@@ -852,6 +854,12 @@ def ql_dirichlet_topk(
     frequencies as a tiny per-term aggregate over those same rows →
     two one-row broadcast stats (collection length, in-vocab query
     length) → one groupBy(id) → TakeOrdered top-k.
+
+    ``candidates`` (one-column id frame) restricts the SCORED rows
+    only — collection statistics stay whole-index, matching the BM25
+    path's filtered-search semantics. ``coll_len`` embeds the corpus
+    token count as a literal (a serving process reads it off the
+    manifest: numberOfChunks × avgChunkLength) — no stats job at all.
     """
     # _query_terms dedupes (FTS5 conjunctive semantics); QL weights by
     # query-term FREQUENCY, so tokenize with multiplicity here
@@ -873,34 +881,47 @@ def ql_dirichlet_topk(
     if "term_bucket" in postings.columns:
         buckets = sorted({term_bucket_py(t) for t in distinct_terms})
         postings = postings.filter(F.col("term_bucket").isin(buckets))
-    matched = postings.filter(F.col("term").isin(distinct_terms)).select(
-        id_col, "term", "tf"
-    )
+    keep = [id_col, "term", "tf"] + (["dl"] if "dl" in postings.columns else [])
+    matched = postings.filter(F.col("term").isin(distinct_terms)).select(*keep)
 
     # corpus term frequency of each (present) query term — reuses the
-    # already-pruned matched rows, map-side combinable
+    # already-pruned matched rows, map-side combinable; computed BEFORE
+    # any candidate restriction (whole-index statistics)
     ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+
+    if candidates is not None:
+        matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
 
     # query term multiplicity as a literal CASE over the few terms
     qtf_expr = F.lit(0)
     for t, m in qtf.items():
         qtf_expr = F.when(F.col("term") == t, F.lit(m)).otherwise(qtf_expr)
 
-    coll = doc_stats.agg(F.sum("dl").cast("double").alias("coll_len"))
+    if coll_len is not None:
+        coll = None
+        coll_len_c = F.lit(float(coll_len))
+    else:
+        coll = doc_stats.agg(F.sum("dl").cast("double").alias("coll_len"))
+        coll_len_c = F.col("coll_len")
     qlen = ctf.agg(F.sum(qtf_expr).cast("double").alias("qlen_iv"))
 
+    scored = matched.join(F.broadcast(ctf), "term")
+    if coll is not None:
+        scored = scored.crossJoin(F.broadcast(coll))
+    scored = scored.crossJoin(F.broadcast(qlen))
+    if "dl" not in scored.columns:
+        # collection postings denormalize dl (build_postings with_dl) —
+        # then no doc-stats join is needed at all
+        scored = scored.join(doc_stats.select(id_col, "dl"), id_col)
     scored = (
-        matched.join(F.broadcast(ctf), "term")
-        .crossJoin(F.broadcast(coll))
-        .crossJoin(F.broadcast(qlen))
-        .join(doc_stats.select(id_col, "dl"), id_col)
+        scored
         .withColumn(
             "_term_component",
             qtf_expr.cast("double")
             * F.log(
                 1.0
                 + F.col("tf").cast("double")
-                * F.col("coll_len")
+                * coll_len_c
                 / (F.lit(float(mu)) * F.col("ctf").cast("double"))
             ),
         )

@@ -150,6 +150,7 @@ def search_in_collection(
     expand_query: bool = False,
     indexes: tuple[str, ...] | list[str] | None = None,
     fuzzy: bool = False,
+    ranker: str = "bm25",
 ) -> list[dict]:
     """Tool: hybrid search. Mirrors the reference's validation
     (collection_search_unified_mcp_adapter.py:202-212): query or filter
@@ -178,6 +179,7 @@ def search_in_collection(
         include_snippets=include_snippets,
         expand_query=expand_query,
         fuzzy=fuzzy,
+        ranker=ranker,
         **kwargs,
     )
     return [r.asDict(recursive=True) for r in result.collect()]
@@ -279,10 +281,12 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                include_snippets: bool = False,
                expand_query: bool = False,
                indexes: list[str] | None = None,
-               fuzzy: bool = False) -> list[dict]:
+               fuzzy: bool = False,
+               ranker: str = "bm25") -> list[dict]:
         return search_in_collection(
             registry, collection, query, filter, max_chunks, max_documents,
             diversify_lambda, include_snippets, expand_query, indexes, fuzzy,
+            ranker,
         )
 
     @app.tool()

@@ -738,3 +738,64 @@ class TestFuzzyCLI:
         assert {r["qraw"]: r["suggestion"] for r in rows} == {
             "shufle": "shuffle"
         }
+
+
+class TestQLRanker:
+    def test_ql_ranker_returns_disjunctive_hits(self, base_path, capsys):
+        # "broadcast salting": no document has BOTH terms, so
+        # conjunctive BM25 returns nothing while QL (disjunctive
+        # candidates) ranks the single-term matches
+        rc = cli.main(
+            ["search", "cli_test", "broadcast salting", "--base-path",
+             base_path, "--indexes", "bm25", "--format", "json"]
+        )
+        assert rc == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == []
+        rc = cli.main(
+            ["search", "cli_test", "broadcast salting", "--base-path",
+             base_path, "--indexes", "bm25", "--ranker", "ql",
+             "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        ids = {r["document_id"] for r in out}
+        assert {"eng/joins.txt", "eng/skew.txt"} <= ids
+
+    def test_ql_matches_operator_on_collection(self, spark, base_path):
+        """Serving QL (manifest-literal coll_len, postings-carried dl)
+        == the standalone operator run ad-hoc over the chunk table."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+        from documents_vector_search_spark.operators.bm25 import (
+            ql_dirichlet_topk,
+        )
+
+        coll = Collection(spark, base_path, "cli_test")
+        s = CollectionSearcher(coll)
+        served = s.search_chunks(
+            "sort merge join", 10, indexes=("bm25",), ranker="ql"
+        ).collect()
+        adhoc = ql_dirichlet_topk(
+            coll.read("chunks"),
+            "sort merge join",
+            10,
+            id_col="chunk_id",
+            text_col="indexed_data",
+        ).collect()
+        assert {(r["chunk_id"], r["score"]) for r in served} == {
+            (r["chunk_id"], r["score"]) for r in adhoc
+        }
+
+    def test_ql_rejects_expand_and_diversify(self, spark, base_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+
+        s = CollectionSearcher(Collection(spark, base_path, "cli_test"))
+        with pytest.raises(ValueError, match="RM3"):
+            s.search_chunks("join", 5, ranker="ql", expand_query=True)
+        with pytest.raises(ValueError, match="bm25 ranker"):
+            s.search("join", ranker="ql", diversify_lambda=0.5)
