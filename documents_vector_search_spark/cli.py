@@ -687,6 +687,7 @@ def cmd_search_many(args) -> int:
         max_chunks=args.max_chunks or args.max_documents * 3,
         max_documents=args.max_documents,
         indexes=tuple(args.indexes.split(",")),
+        ranker=args.ranker,
         metadata_filter=args.filter,
         diversify_lambda=args.diversify_lambda,
     )
@@ -893,6 +894,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--filter")
     sp.add_argument("--diversify-lambda", type=float, default=None,
                     help="MMR diversified ranking (None = off)")
+    sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
     sp.set_defaults(func=cmd_search_many)
 
     sp = sub.add_parser("explain")

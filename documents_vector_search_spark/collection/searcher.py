@@ -851,6 +851,7 @@ class CollectionSearcher:
         max_chunks: int = 15,
         indexes: tuple[str, ...] = DEFAULT_INDEXES,
         metadata_filter: str | None = None,
+        ranker: str = "bm25",
     ) -> DataFrame:
         """Fused chunk ranking for MANY queries in one job:
         ``(qid, chunk_id, rank, score)`` — the batch-serving primitive
@@ -883,6 +884,8 @@ class CollectionSearcher:
         unknown = set(indexes) - {"vector", "bm25", "phrase"}
         if unknown:
             raise ValueError(f"unknown indexes: {sorted(unknown)}")
+        if ranker not in ("bm25", "ql"):
+            raise ValueError(f"unknown ranker: {ranker!r}")
         allowed = self._allowed_chunks(metadata_filter)
         scored = []
         if "vector" in indexes:
@@ -1047,19 +1050,37 @@ class CollectionSearcher:
                 )
             scored.append(vec.withColumn("_src", F.lit("v")))
         if "bm25" in indexes:
-            from documents_vector_search_spark.operators.bm25 import (
-                bm25_topk_batch,
-            )
+            if ranker == "ql":
+                # batched QL: one union-pruned postings scan, manifest
+                # coll_len literal — per-query == single-query pinned
+                from documents_vector_search_spark.operators.bm25 import (
+                    ql_dirichlet_topk_batch,
+                )
 
-            bm = bm25_topk_batch(
-                texts,
-                max_chunks,
-                postings=self._read("postings"),
-                id_col="chunk_id",
-                doc_stats=self._read("doc_stats"),
-                corpus_stats=self._bm25_corpus_stats(),
-                candidates=allowed,
-            )
+                n_chunks, avgdl = self._bm25_corpus_stats()
+                bm = ql_dirichlet_topk_batch(
+                    texts,
+                    max_chunks,
+                    postings=self._read("postings"),
+                    id_col="chunk_id",
+                    doc_stats=self._read("doc_stats"),
+                    coll_len=float(n_chunks) * float(avgdl),
+                    candidates=allowed,
+                )
+            else:
+                from documents_vector_search_spark.operators.bm25 import (
+                    bm25_topk_batch,
+                )
+
+                bm = bm25_topk_batch(
+                    texts,
+                    max_chunks,
+                    postings=self._read("postings"),
+                    id_col="chunk_id",
+                    doc_stats=self._read("doc_stats"),
+                    corpus_stats=self._bm25_corpus_stats(),
+                    candidates=allowed,
+                )
             scored.append(bm.withColumn("_src", F.lit("b")))
         if "phrase" in indexes:
             # batched exact-phrase branch: Q phrases share ONE
@@ -1152,6 +1173,7 @@ class CollectionSearcher:
         metadata_filter: str | None = None,
         diversify_lambda: float | None = None,
         pool_factor: int = 3,
+        ranker: str = "bm25",
     ) -> DataFrame:
         """Document-grouped batch search: :meth:`search` for MANY
         queries in one job, keyed by ``qid`` — grouping, doc ranking
@@ -1162,13 +1184,18 @@ class CollectionSearcher:
         MMR rerank (:meth:`search_chunks_many_diverse`) so Q diverse
         searches still pay one retrieval pass per index, not Q."""
         if diversify_lambda is not None:
+            if ranker != "bm25":
+                raise ValueError(
+                    "diversify_lambda currently pools with the default "
+                    "bm25 ranker; ranker='ql' cannot combine with it"
+                )
             fused = self.search_chunks_many_diverse(
                 texts, max_chunks, diversify_lambda, pool_factor,
                 indexes, metadata_filter,
             )
         else:
             fused = self.search_chunks_many(
-                texts, max_chunks, indexes, metadata_filter
+                texts, max_chunks, indexes, metadata_filter, ranker=ranker
             )
         chunks = self._read("chunks")
         hits = fused.join(chunks, "chunk_id").select(

@@ -940,3 +940,129 @@ def ql_dirichlet_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ql_dirichlet_topk_batch(
+    queries: dict[str, str],
+    k: int,
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    doc_stats: DataFrame | None = None,
+    mu: float = 2000.0,
+    coll_len: float | None = None,
+    candidates: DataFrame | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Dirichlet query likelihood for MANY queries in ONE postings scan
+    — ``(qid, id, score)`` per-query descending, ties on id. The batch
+    analog of :func:`ql_dirichlet_topk`, same shape as
+    :func:`bm25_topk_batch`: the scan prunes to the UNION of the
+    queries' term buckets, a broadcast (qid, term, qtf) map fans
+    matched rows out, corpus term frequencies aggregate once over the
+    union's rows, and one (qid, id) aggregation scores everything.
+    Per-query results are IDENTICAL to the single-query operator
+    (pinned by serving parity tests). Queries that tokenize to nothing
+    (or whose terms are all out-of-vocabulary) are omitted.
+    """
+    import re
+
+    from pyspark.sql import Window
+
+    qtf_rows = []
+    for qid, q in sorted(queries.items()):
+        terms = [t for t in re.split(r"[^a-z0-9]+", q.lower()) if t]
+        counts: dict[str, int] = {}
+        for t in terms:
+            counts[t] = counts.get(t, 0) + 1
+        for t, m in sorted(counts.items()):
+            qtf_rows.append((qid, t, m))
+    if not qtf_rows:
+        return postings.sparkSession.createDataFrame(
+            [], f"qid string, {id_col} bigint, score double"
+        )
+    spark = postings.sparkSession
+    qframe = spark.createDataFrame(qtf_rows, "qid string, term string, qtf int")
+    union_terms = sorted({t for _, t, _ in qtf_rows})
+
+    if "term_bucket" in postings.columns:
+        buckets = sorted({term_bucket_py(t) for t in union_terms})
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+    keep = [id_col, "term", "tf"] + (["dl"] if "dl" in postings.columns else [])
+    matched = postings.filter(F.col("term").isin(union_terms)).select(*keep)
+
+    # whole-index corpus term frequencies over the union's rows — ONE
+    # aggregate shared by every query; computed BEFORE any candidate
+    # restriction
+    ctf = matched.groupBy("term").agg(F.sum("tf").alias("ctf"))
+
+    if candidates is not None:
+        matched = matched.join(F.broadcast(candidates), id_col, "left_semi")
+
+    if coll_len is not None:
+        coll_len_c = F.lit(float(coll_len))
+        coll = None
+    else:
+        if doc_stats is None:
+            raise ValueError("doc_stats or coll_len required")
+        coll = doc_stats.agg(F.sum("dl").cast("double").alias("coll_len"))
+        coll_len_c = F.col("coll_len")
+
+    # per-qid in-vocabulary query length: Σ qtf over terms present in
+    # the corpus — a tiny broadcast frame
+    qlen = (
+        qframe.join(ctf.select("term"), "term")
+        .groupBy("qid")
+        .agg(F.sum("qtf").cast("double").alias("qlen_iv"))
+    )
+
+    fanned = matched.join(F.broadcast(qframe), "term").join(
+        F.broadcast(ctf), "term"
+    )
+    if coll is not None:
+        fanned = fanned.crossJoin(F.broadcast(coll))
+    fanned = fanned.withColumn(
+        "_term_component",
+        F.col("qtf").cast("double")
+        * F.log(
+            1.0
+            + F.col("tf").cast("double")
+            * coll_len_c
+            / (F.lit(float(mu)) * F.col("ctf").cast("double"))
+        ),
+    )
+    if "dl" not in fanned.columns:
+        if doc_stats is None:
+            raise ValueError("doc_stats required when postings lack dl")
+        fanned = fanned.join(doc_stats.select(id_col, "dl"), id_col)
+    agg = (
+        fanned.groupBy("qid", id_col)
+        .agg(F.sum("_term_component").alias("_s"), F.max("dl").alias("_dl"))
+        .join(F.broadcast(qlen), "qid")
+    )
+    raw = F.col("_s") + F.col("qlen_iv") * F.log(
+        F.lit(float(mu)) / (F.col("_dl").cast("double") + F.lit(float(mu)))
+    )
+    score = F.round(raw, round_to) if round_to is not None else raw
+    ranked = agg.select("qid", F.col(id_col), score.alias("score"))
+
+    # same salted two-phase grouped top-k as bm25_topk_batch
+    n_salts = 16
+    w1 = Window.partitionBy("qid", "_salt").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    survivors = (
+        ranked.withColumn(
+            "_salt", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_salts))
+        )
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -799,3 +799,29 @@ class TestQLRanker:
             s.search_chunks("join", 5, ranker="ql", expand_query=True)
         with pytest.raises(ValueError, match="bm25 ranker"):
             s.search("join", ranker="ql", diversify_lambda=0.5)
+
+    def test_ql_batch_equals_per_query(self, spark, base_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+
+        s = CollectionSearcher(Collection(spark, base_path, "cli_test"))
+        queries = {"q0": "broadcast salting", "q1": "sort merge join",
+                   "q2": "zzq nothing"}
+        batch = s.search_chunks_many(
+            queries, 10, indexes=("bm25",), ranker="ql"
+        )
+        for qid, text in queries.items():
+            single = [
+                (r["chunk_id"], r["rank"], r["score"])
+                for r in s.search_chunks(
+                    text, 10, indexes=("bm25",), ranker="ql"
+                ).orderBy("rank").collect()
+            ]
+            got = [
+                (r["chunk_id"], r["rank"], r["score"])
+                for r in batch.filter(F.col("qid") == qid)
+                .orderBy("rank").collect()
+            ]
+            assert got == single, qid
