@@ -215,6 +215,7 @@ def cmd_search(args) -> int:
         expand_query=args.expand,
         fuzzy=args.fuzzy,
         ranker=args.ranker,
+        document_offset=args.offset,
     )
     rows = [r.asDict(recursive=True) for r in result.collect()]
     print(_format(rows, args.format))
@@ -812,6 +813,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"],
                     help="lexical scoring: Okapi BM25 (default) or "
                          "Dirichlet query likelihood")
+    sp.add_argument("--offset", type=int, default=0,
+                    help="skip the first N documents (pagination; deep "
+                         "pages want a larger --max-chunks pool)")
     sp.set_defaults(func=cmd_search)
 
     sp = sub.add_parser("suggest")

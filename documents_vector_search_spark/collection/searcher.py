@@ -1252,6 +1252,7 @@ class CollectionSearcher:
         expand_query: bool = False,
         fuzzy: bool = False,
         ranker: str = "bm25",
+        document_offset: int = 0,
     ) -> DataFrame:
         """Document-grouped results ordered by first-hit rank
         (reference __build_results, documents_collection_searcher.py:67-111).
@@ -1309,6 +1310,10 @@ class CollectionSearcher:
             max_documents=max_documents,
             doc_col="document_id",
             chunk_col="chunk_number",
+            # pagination: page p passes p*max_documents; deep pages need
+            # a proportionally larger max_chunks pool (the chunk top-k
+            # bounds how many documents can be grouped at all)
+            offset=document_offset,
         )
         if include_chunk_text:
             texts = hit_chunks.groupBy("document_id").agg(

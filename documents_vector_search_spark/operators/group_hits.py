@@ -27,12 +27,19 @@ def group_hits_by_document(
     chunk_col: str = "chunk_id",
     rank_col: str = "rank",
     score_col: str = "score",
+    offset: int = 0,
 ) -> DataFrame:
     """``(doc, doc_rank, matched_chunks[], best_score, n_chunks)``.
 
     ``doc_rank`` is the rank of the document's best chunk — documents
     order exactly as their first appearance in the fused chunk ranking.
     ``matched_chunks`` lists the document's hit chunk ids in rank order.
+
+    ``offset`` skips the first N documents of the grouped ordering —
+    result pagination (page p = offset p*max_documents). Selected via
+    a row_number filter, not a bare limit, so Catalyst can never prune
+    the ordering out from under the page slice; deterministic because
+    the (doc_rank, doc) order is a total order.
     """
     grouped = chunk_hits.groupBy(F.col(doc_col)).agg(
         F.min(F.col(rank_col)).alias("doc_rank"),
@@ -45,7 +52,18 @@ def group_hits_by_document(
         F.max(F.col(score_col)).alias("best_score"),
         F.count("*").alias("n_chunks"),
     )
-    out = grouped.orderBy(F.col("doc_rank").asc(), F.col(doc_col).asc())
+    if offset:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("doc_rank").asc(), F.col(doc_col).asc())
+        out = (
+            grouped.withColumn("_pos", F.row_number().over(w))
+            .filter(F.col("_pos") > offset)
+            .drop("_pos")
+            .orderBy(F.col("doc_rank").asc(), F.col(doc_col).asc())
+        )
+    else:
+        out = grouped.orderBy(F.col("doc_rank").asc(), F.col(doc_col).asc())
     if max_documents is not None:
         out = out.limit(max_documents)
     return out

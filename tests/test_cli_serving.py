@@ -825,3 +825,45 @@ class TestQLRanker:
                 .orderBy("rank").collect()
             ]
             assert got == single, qid
+
+
+class TestPagination:
+    def test_offset_pages_are_disjoint_and_ordered(self, spark, base_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+
+        s = CollectionSearcher(Collection(spark, base_path, "cli_test"))
+        full = [
+            r["document_id"]
+            for r in s.search("join skew notes", max_chunks=30,
+                              max_documents=10, ranker="ql",
+                              indexes=("bm25",)).collect()
+        ]
+        assert len(full) >= 3
+        page1 = [
+            r["document_id"]
+            for r in s.search("join skew notes", max_chunks=30,
+                              max_documents=2, ranker="ql",
+                              indexes=("bm25",)).collect()
+        ]
+        page2 = [
+            r["document_id"]
+            for r in s.search("join skew notes", max_chunks=30,
+                              max_documents=2, ranker="ql",
+                              indexes=("bm25",), document_offset=2).collect()
+        ]
+        assert page1 == full[:2]
+        assert page2 == full[2:4]
+
+    def test_cli_offset_flag(self, base_path, capsys):
+        rc = cli.main(
+            ["search", "cli_test", "join skew notes", "--base-path",
+             base_path, "--indexes", "bm25", "--ranker", "ql",
+             "--max-chunks", "30", "--max-documents", "2",
+             "--offset", "2", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out) >= 1  # third-ranked document exists
