@@ -922,3 +922,70 @@ class TestStreamingUrlDedup:
         df = spark.createDataFrame([(1, "http://a.com")], "doc_id LONG, url STRING")
         with pytest.raises(ValueError, match="streaming"):
             url_dedup_stream(df)
+
+
+class TestTrendingTerms:
+    def test_stream_counts_match_batch_and_topk(self, spark, tmp_path):
+        from datetime import datetime
+
+        from documents_vector_search_spark.functions.text import tokenize
+        from documents_vector_search_spark.streaming.trending import (
+            top_terms_per_window,
+            trending_terms_stream,
+        )
+
+        rows = []
+        for d in (1, 2):
+            for i in range(30):
+                text = "spark shuffle skew" if (d == 1 or i % 3) else "join broadcast"
+                rows.append((d * 100 + i, datetime(2024, 1, d, i % 24), text))
+        df = spark.createDataFrame(rows, "doc_id LONG, ts TIMESTAMP, text STRING")
+        src = str(tmp_path / "docs_stream")
+        df.write.mode("overwrite").parquet(src)
+
+        stream = trending_terms_stream(
+            spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .parquet(src),
+            window_duration="1 day",
+            watermark="1 hour",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("trending")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        emitted = spark.sql("SELECT * FROM trending")
+        got = {
+            (r.window.start.isoformat(), r.term): r.n
+            for r in emitted.collect()
+        }
+        batch = {
+            (r.w.isoformat(), r.term): r.n
+            for r in df.select(
+                F.date_trunc("day", "ts").alias("w"),
+                F.explode(tokenize("text")).alias("term"),
+            )
+            .groupBy("w", "term")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # append mode emits only watermark-closed windows; each emitted
+        # (window, term) count must match the batch derivation exactly
+        assert got
+        for key, n in got.items():
+            assert batch[key] == n, key
+
+        top = top_terms_per_window(emitted, k=2).collect()
+        by_window = {}
+        for r in top:
+            by_window.setdefault(r["window_start"].isoformat(), []).append(
+                (r["rank"], r["term"], r["n"])
+            )
+        for terms in by_window.values():
+            assert [t[0] for t in sorted(terms)] == [1, 2]
+            ns = [t[2] for t in sorted(terms)]
+            assert ns == sorted(ns, reverse=True)
