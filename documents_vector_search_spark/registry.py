@@ -5175,7 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (101 keys total):
+    Round 7 window (108 keys total):
     - positions 1-17: phrase_search, ql_dirichlet, binary_ann,
       snippets, facet_counts, bm25_rm3, dsir_select, tpch_q6,
       knn_rocchio, corpus_drift, corpus_prep_gopher, c4_rules,
@@ -5194,9 +5194,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quality_classifier/_text by the byte-identical-grams parity
     pytest, ann_batch by the in-window knn_batch sharing the batch
     union-probe path; all ≤1 round stale and due back in r8.
-    - out-of-window tail (51, starting at tpch_q3 — a late r7 key
-      that goes FIRST into the r8 window): r6-green keys, one round
-      stale at most, due back in r8.
+    - out-of-window tail (58): SEVEN late-r7 keys never driver-green
+      (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
+      ir_metrics, cube_agg, tpch_q18 — they go FIRST into the r8
+      window; all judge-verifiable via compare meanwhile), then the
+      r6-green keys, one round stale at most, due back in r8.
     """
     _ensure_assets_seeded()
     return {
