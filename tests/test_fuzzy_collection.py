@@ -162,3 +162,33 @@ class TestFuzzyArtifacts:
         assert rc == 0
         rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert {r["term"] for r in rows} == {"scan", "scatter"}
+
+    def test_crash_between_vocab_swap_phases_recovers(self, spark, tmp_path):
+        """Simulate a crash mid-staged-swap of the vocab table (final
+        dir renamed away, __old parked, __tmp still present): the next
+        update's orphan sweep must restore the parked table, and the
+        update must then converge to stored == recomputed."""
+        import shutil
+        from pathlib import Path
+
+        coll = Collection(spark, str(tmp_path), "crashfz")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "alpha beta gamma"), ("d2", "beta delta")]),
+            chunk_size=200,
+            chunk_overlap=0,
+            fuzzy_dictionary=True,
+        )
+        vocab_dir = Path(coll.table_path("vocab"))
+        old_dir = Path(coll.table_path("vocab__old"))
+        tmp_dir = Path(coll.table_path("vocab__tmp"))
+        # crash state: final renamed to __old, staged __tmp half-written
+        vocab_dir.rename(old_dir)
+        tmp_dir.mkdir()
+        (tmp_dir / "_half_written").write_text("junk")
+        fresh = _docs(
+            spark, [("d3", "epsilon beta")], ts="2024-03-02 00:00:00"
+        )
+        update_collection(coll, fresh)
+        _vocab_matches_recompute(coll)
+        assert not old_dir.exists() and not tmp_dir.exists()

@@ -233,3 +233,51 @@ class TestBinaryAnn:
         assert [(r["vec_id"], r["similarity"]) for r in via_sig] == [
             (r["vec_id"], r["similarity"]) for r in inline
         ]
+
+
+class TestPhraseProperty:
+    def test_positional_equals_scan_on_random_corpora(self, spark):
+        """Property: for random small-alphabet corpora and random
+        phrases, the positional-index algebra == the sliding-window
+        scan. One Spark round-trip over many generated cases (a
+        hypothesis @given would pay Spark latency per example)."""
+        import random
+
+        from documents_vector_search_spark.operators.phrase import (
+            build_positional_postings,
+            phrase_match_counts,
+            phrase_match_counts_scan,
+        )
+
+        rng = random.Random(1234)
+        alphabet = ["a", "b", "c"]
+        docs = [
+            (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        pos = build_positional_postings(df).localCheckpoint()
+        for trial in range(12):
+            n = rng.randint(1, 3)
+            phrase_terms = [rng.choice(alphabet) for _ in range(n)]
+            phrase = " ".join(phrase_terms)
+            via_index = {
+                (r["doc_id"], r["phrase_tf"])
+                for r in phrase_match_counts(pos, phrase_terms).collect()
+            }
+            via_scan = {
+                (r["doc_id"], r["phrase_tf"])
+                for r in phrase_match_counts_scan(df, phrase).collect()
+            }
+            # python ground truth as the third witness
+            truth = set()
+            for doc_id, text in docs:
+                toks = text.split()
+                tf = sum(
+                    1
+                    for i in range(len(toks) - n + 1)
+                    if toks[i : i + n] == phrase_terms
+                )
+                if tf:
+                    truth.add((doc_id, tf))
+            assert via_index == via_scan == truth, (phrase, trial)
