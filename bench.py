@@ -226,7 +226,12 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
     )
     coll = Collection(spark, base, "bench")
     t0 = time.time()
-    create_collection(coll, docs, chunk_size=500, chunk_overlap=50)
+    # positional postings + fuzzy dictionary: the build now measures the
+    # full index family (phrase and suggest serving paths bench below)
+    create_collection(
+        coll, docs, chunk_size=500, chunk_overlap=50,
+        positional_postings=True, fuzzy_dictionary=True,
+    )
     timings["collection_build"] = round(time.time() - t0, 3)
 
     searcher = CollectionSearcher(coll, cache_tables=True)
@@ -239,6 +244,8 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         ("indexed_search_diverse", {"diversify_lambda": 0.5}),
         ("indexed_search_expand", {"expand_query": True}),
         ("indexed_search_snippets", {"include_snippets": True}),
+        ("indexed_search_ql", {"indexes": ("bm25",), "ranker": "ql"}),
+        ("indexed_search_fuzzy", {"fuzzy": True}),
     ]:
         try:
             t0 = time.time()
@@ -248,6 +255,28 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
             timings[qname] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — harness must survive
             errors[qname] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # exact phrase over the positional postings (a phrase that MATCHES
+    # at this sf, so the intersect-fold work is measured, not just the
+    # empty probe)
+    try:
+        t0 = time.time()
+        searcher.search(
+            "hash join", max_chunks=15, indexes=("phrase",)
+        ).write.format("noop").mode("overwrite").save()
+        timings["indexed_search_phrase"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["indexed_search_phrase"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # suggest: SymSpell probe of the materialized deletion index
+    try:
+        t0 = time.time()
+        searcher.suggest("hashh joinn vectr").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["indexed_suggest"] = round(time.time() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — harness must survive
+        errors["indexed_suggest"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # batch serving: 4 queries in ONE job (search_many) — compare with
     # 4× the warm single-query number to see the scan amortization
