@@ -5175,7 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keys added this round, then the stalest keys; no key's newest
     driver-green row may age past two rounds.
 
-    Round 7 window (108 keys total):
+    Round 7 window (107 keys total):
     - positions 1-17: phrase_search, ql_dirichlet, binary_ann,
       snippets, facet_counts, bm25_rm3, dsir_select, tpch_q6,
       knn_rocchio, corpus_drift, corpus_prep_gopher, c4_rules,
