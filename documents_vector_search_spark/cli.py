@@ -627,6 +627,80 @@ def cmd_refit_topics(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Offline retrieval evaluation against this collection: run a
+    query set through the batched searcher (ONE pass per index for all
+    queries) and score the document rankings against graded qrels with
+    nDCG/MRR/P/R/AP@k (operators/ir_eval.py).
+
+    --queries: JSON file {"qid": "query text", ...}
+    --qrels:   parquet/csv with columns (qid, doc_id, rel) — doc_id is
+               the collection document id, rel >= 1 means relevant.
+    """
+    import json as _json
+
+    from documents_vector_search_spark.collection import CollectionSearcher
+    from documents_vector_search_spark.operators.ir_eval import (
+        ranking_metrics,
+    )
+
+    coll = _collection(args)
+    with open(args.queries) as fh:
+        queries = _json.load(fh)
+    if not isinstance(queries, dict) or not queries:
+        raise SystemExit("--queries must be a non-empty JSON object")
+    spark = coll.spark
+    reader = spark.read
+    if args.qrels.endswith(".csv"):
+        qrels = reader.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(args.qrels)
+    else:
+        qrels = reader.parquet(args.qrels)
+
+    from pyspark.sql import functions as FF
+
+    searcher = CollectionSearcher(coll, cache_tables=True)
+    ranked = searcher.search_many(
+        queries,
+        max_chunks=max(args.k * 3, 15),
+        max_documents=args.k,
+        indexes=tuple(args.indexes.split(",")),
+        ranker=args.ranker,
+    ).select("qid", FF.col("document_id").alias("doc_id"), "doc_rank")
+    # doc_rank is the best CHUNK rank (not dense per document) —
+    # densify to the 1-based per-query document rank the metrics expect
+    from pyspark.sql import Window as W
+
+    ranked = ranked.withColumn(
+        "rank",
+        FF.row_number().over(
+            W.partitionBy("qid").orderBy(
+                FF.col("doc_rank").asc(), FF.col("doc_id").asc()
+            )
+        ),
+    ).drop("doc_rank")
+    metrics = ranking_metrics(
+        ranked,
+        qrels.select(
+            FF.col("qid").cast("string"),
+            FF.col("doc_id").cast("string"),
+            FF.col("rel").cast("int"),
+        ),
+        args.k,
+        id_col="doc_id",
+    ).orderBy("qid")
+    rows = [r.asDict(recursive=True) for r in metrics.collect()]
+    if rows:
+        means = {
+            m: round(sum(r[m] for r in rows) / len(rows), 6)
+            for m in ("ndcg", "mrr", "precision", "recall", "ap")
+        }
+        rows.append({"qid": "__mean__", **means})
+    print(_format(rows, args.format))
+    return 0
+
+
 def cmd_complete(args) -> int:
     """Autocomplete: frequency-ranked vocabulary terms with a prefix —
     the materialized vocab table when present (fuzzy-dictionary
@@ -936,6 +1010,17 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("prefix")
     sp.add_argument("--k", type=int, default=10)
     sp.set_defaults(func=cmd_complete)
+
+    sp = sub.add_parser("evaluate")
+    common(sp)
+    sp.add_argument("--queries", required=True,
+                    help='JSON file {"qid": "query text", ...}')
+    sp.add_argument("--qrels", required=True,
+                    help="parquet/csv with (qid, doc_id, rel)")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--indexes", default="vector,bm25")
+    sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
+    sp.set_defaults(func=cmd_evaluate)
 
     sp = sub.add_parser("stats")
     common(sp)

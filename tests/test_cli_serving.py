@@ -867,3 +867,39 @@ class TestPagination:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert len(out) >= 1  # third-ranked document exists
+
+
+class TestEvaluateCLI:
+    def test_evaluate_reports_metrics_and_mean(
+        self, spark, base_path, tmp_path, capsys
+    ):
+        queries = {"q0": "broadcast hash join", "q1": "salting skewed"}
+        qpath = str(tmp_path / "queries.json")
+        with open(qpath, "w") as fh:
+            json.dump(queries, fh)
+        qrels = spark.createDataFrame(
+            [
+                ("q0", "eng/joins.txt", 1),
+                ("q1", "eng/skew.txt", 1),
+                ("q1", "notes.txt", 1),  # relevant but unretrievable
+            ],
+            "qid string, doc_id string, rel int",
+        )
+        rpath = str(tmp_path / "qrels.parquet")
+        qrels.write.mode("overwrite").parquet(rpath)
+        rc = cli.main(
+            ["evaluate", "cli_test", "--base-path", base_path,
+             "--queries", qpath, "--qrels", rpath, "--k", "5",
+             "--indexes", "bm25", "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        byq = {r["qid"]: r for r in rows}
+        assert byq["q0"]["mrr"] == 1.0 and byq["q0"]["ndcg"] == 1.0
+        # q1 (bm25-only): skew.txt retrieved, notes.txt shares no query
+        # term -> recall 1/2
+        assert byq["q1"]["mrr"] == 1.0
+        assert byq["q1"]["recall"] == 0.5
+        mean = byq["__mean__"]
+        assert mean["mrr"] == 1.0
+        assert mean["recall"] == round((1.0 + 0.5) / 2, 6)
