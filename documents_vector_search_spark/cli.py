@@ -763,6 +763,7 @@ def cmd_search_many(args) -> int:
         max_documents=args.max_documents,
         indexes=tuple(args.indexes.split(",")),
         ranker=args.ranker,
+        fuzzy=args.fuzzy,
         metadata_filter=args.filter,
         diversify_lambda=args.diversify_lambda,
     )
@@ -973,6 +974,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--diversify-lambda", type=float, default=None,
                     help="MMR diversified ranking (None = off)")
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
+    sp.add_argument("--fuzzy", action="store_true")
     sp.set_defaults(func=cmd_search_many)
 
     sp = sub.add_parser("explain")

@@ -562,6 +562,33 @@ class CollectionSearcher:
         corrected = [sug.get(t) for t in terms]
         return " ".join(c for c in corrected if c)
 
+    def correct_queries(
+        self, texts: dict[str, str], max_edits: int = 1
+    ) -> dict[str, str]:
+        """Batch :meth:`correct_query`: ONE dictionary probe for the
+        union of every query's terms (the suggestion frame already
+        handles many terms at once), then each query rebuilds from the
+        shared suggestion map — Q queries pay one correction job, not
+        Q."""
+        from documents_vector_search_spark.operators.bm25 import (
+            _query_terms,
+        )
+
+        union_terms = sorted(
+            {t for text in texts.values() for t in _query_terms(text)}
+        )
+        if not union_terms:
+            return dict(texts)
+        sug = {
+            r["qraw"]: r["suggestion"]
+            for r in self.suggest(" ".join(union_terms), max_edits).collect()
+        }
+        out = {}
+        for qid, text in texts.items():
+            corrected = [sug.get(t) for t in _query_terms(text)]
+            out[qid] = " ".join(c for c in corrected if c)
+        return out
+
     def rm3_weights(
         self,
         text: str,
@@ -1174,6 +1201,7 @@ class CollectionSearcher:
         diversify_lambda: float | None = None,
         pool_factor: int = 3,
         ranker: str = "bm25",
+        fuzzy: bool = False,
     ) -> DataFrame:
         """Document-grouped batch search: :meth:`search` for MANY
         queries in one job, keyed by ``qid`` — grouping, doc ranking
@@ -1183,6 +1211,9 @@ class CollectionSearcher:
         :meth:`search`) swaps the fused chunk ranking for the batched
         MMR rerank (:meth:`search_chunks_many_diverse`) so Q diverse
         searches still pay one retrieval pass per index, not Q."""
+        if fuzzy and texts:
+            # ONE dictionary probe corrects every query (correct_queries)
+            texts = self.correct_queries(texts)
         if diversify_lambda is not None:
             if ranker != "bm25":
                 raise ValueError(

@@ -903,3 +903,34 @@ class TestEvaluateCLI:
         mean = byq["__mean__"]
         assert mean["mrr"] == 1.0
         assert mean["recall"] == round((1.0 + 0.5) / 2, 6)
+
+
+class TestBatchFuzzy:
+    def test_search_many_fuzzy_matches_per_query_fuzzy(self, spark, base_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+
+        s = CollectionSearcher(Collection(spark, base_path, "cli_test"))
+        queries = {"q0": "brodcast hach jion", "q1": "salting skewd"}
+        batch = s.search_many(queries, max_chunks=15, fuzzy=True)
+        by_q = {
+            qid: [
+                (r["document_id"], r["doc_rank"])
+                for r in batch.filter(F.col("qid") == qid)
+                .orderBy("doc_rank").collect()
+            ]
+            for qid in queries
+        }
+        for qid, text in queries.items():
+            single = [
+                (r["document_id"], r["rank"])
+                for r in s.search(text, max_chunks=15, fuzzy=True)
+                .withColumnRenamed("doc_rank", "rank").collect()
+            ]
+            assert by_q[qid] == single, qid
+        assert by_q["q0"][0][0] == "eng/joins.txt"
+        # corrected "salting skewed" must surface skew.txt (hybrid rank
+        # order among hits is the vector+bm25 fusion's business)
+        assert "eng/skew.txt" in {d for d, _ in by_q["q1"]}

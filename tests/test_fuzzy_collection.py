@@ -192,3 +192,34 @@ class TestFuzzyArtifacts:
         update_collection(coll, fresh)
         _vocab_matches_recompute(coll)
         assert not old_dir.exists() and not tmp_dir.exists()
+
+    def test_unchanged_rerun_is_idempotent(self, spark, tmp_path):
+        """Re-sending the same batch (the watermark-overlap case) must
+        leave the dictionary exactly as one application would —
+        delete-then-reinsert makes the postings merge idempotent, and
+        the vocabulary delta of the second run nets to zero."""
+        coll = Collection(spark, str(tmp_path), "idemfz")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "alpha beta"), ("d2", "beta gamma")]),
+            chunk_size=200,
+            chunk_overlap=0,
+            fuzzy_dictionary=True,
+        )
+        batch = _docs(
+            spark, [("d1", "alpha delta delta")], ts="2024-03-02 00:00:00"
+        )
+        update_collection(coll, batch)
+        after_one = sorted(
+            (r["term"], r["ctf"], r["df"])
+            for r in coll.read("vocab").collect()
+        )
+        update_collection(coll, batch)  # unchanged re-send
+        after_two = sorted(
+            (r["term"], r["ctf"], r["df"])
+            for r in coll.read("vocab").collect()
+        )
+        assert after_one == after_two
+        _vocab_matches_recompute(coll)
+        assert ("beta", 1, 1) in after_two      # d1's beta gone, d2's stays
+        assert ("delta", 2, 1) in after_two
