@@ -200,6 +200,39 @@ def suggest_in_collection(
     return [r.asDict(recursive=True) for r in rows]
 
 
+def complete_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    prefix: str,
+    k: int = 10,
+) -> list[dict]:
+    """Tool: prefix autocomplete over the collection vocabulary — the
+    materialized vocab table when present, postings-derived otherwise
+    (same resolution as the CLI `complete` command)."""
+    if not prefix:
+        raise ValueError("prefix is required")
+    from documents_vector_search_spark.operators.fuzzy import (
+        build_term_dictionary,
+        suggest_prefix,
+    )
+
+    coll = registry.collection(collection)
+    try:
+        has_vocab = bool(coll.manifest().converter.get("fuzzy"))
+    except FileNotFoundError:
+        has_vocab = False
+    vocab = (
+        coll.read("vocab")
+        if has_vocab
+        else build_term_dictionary(
+            coll.read("postings").select("chunk_id", "term", "tf")
+        )
+    )
+    return [
+        r.asDict(recursive=True) for r in suggest_prefix(vocab, prefix, k).collect()
+    ]
+
+
 def facets_in_collection(
     registry: CollectionRegistry,
     collection: str,
@@ -292,6 +325,10 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
     @app.tool()
     def suggest(collection: str, query: str, max_edits: int = 1) -> list[dict]:
         return suggest_in_collection(registry, collection, query, max_edits)
+
+    @app.tool()
+    def complete(collection: str, prefix: str, k: int = 10) -> list[dict]:
+        return complete_in_collection(registry, collection, prefix, k)
 
     @app.tool()
     def facets(collection: str, fields: list[str], query: str = "",

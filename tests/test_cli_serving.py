@@ -613,7 +613,10 @@ class TestServing:
         app = build_mcp_app(reg, FakeMCP)
         assert set(app.tools) == {
             "search", "search_many", "fetch", "facets", "suggest",
+            "complete",
         }
+        comp = app.tools["complete"]("cli_test", "sh")
+        assert any(r["term"] == "shuffle" for r in comp)
         assert {
             r["qraw"]: r["suggestion"]
             for r in app.tools["suggest"]("cli_test", "shufle")
