@@ -691,6 +691,17 @@ def cmd_evaluate(args) -> int:
         id_col="doc_id",
     ).orderBy("qid")
     rows = [r.asDict(recursive=True) for r in metrics.collect()]
+    # trec_eval convention: a query that retrieved NOTHING still counts
+    # in the mean, as zeros (ranking_metrics can only see retrieved
+    # queries, so add the all-zero rows here)
+    seen = {r["qid"] for r in rows}
+    for qid in sorted(queries):
+        if qid not in seen:
+            rows.append(
+                {"qid": qid, "ndcg": 0.0, "mrr": 0.0, "precision": 0.0,
+                 "recall": 0.0, "ap": 0.0}
+            )
+    rows.sort(key=lambda r: r["qid"])
     if rows:
         means = {
             m: round(sum(r[m] for r in rows) / len(rows), 6)

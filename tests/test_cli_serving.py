@@ -876,7 +876,11 @@ class TestEvaluateCLI:
     def test_evaluate_reports_metrics_and_mean(
         self, spark, base_path, tmp_path, capsys
     ):
-        queries = {"q0": "broadcast hash join", "q1": "salting skewed"}
+        queries = {
+            "q0": "broadcast hash join",
+            "q1": "salting skewed",
+            "q2": "zzq nothing matches",  # retrieves nothing
+        }
         qpath = str(tmp_path / "queries.json")
         with open(qpath, "w") as fh:
             json.dump(queries, fh)
@@ -903,9 +907,12 @@ class TestEvaluateCLI:
         # term -> recall 1/2
         assert byq["q1"]["mrr"] == 1.0
         assert byq["q1"]["recall"] == 0.5
+        # q2 retrieved nothing -> zero row (trec_eval convention), and
+        # the mean averages over ALL queries including it
+        assert byq["q2"]["mrr"] == 0.0 and byq["q2"]["ndcg"] == 0.0
         mean = byq["__mean__"]
-        assert mean["mrr"] == 1.0
-        assert mean["recall"] == round((1.0 + 0.5) / 2, 6)
+        assert mean["mrr"] == round(2 / 3, 6)
+        assert mean["recall"] == round((1.0 + 0.5 + 0.0) / 3, 6)
 
 
 class TestBatchFuzzy:
