@@ -1305,6 +1305,11 @@ class CollectionSearcher:
         ``fuzzy`` spell-corrects the query against the collection
         vocabulary first (:meth:`correct_query`) — every branch
         (vector, bm25, phrase) then searches the corrected text.
+
+        ``document_offset`` paginates: skip the first N documents of
+        the grouped ordering (page p passes p × max_documents; deep
+        pages want a proportionally larger max_chunks pool, since the
+        chunk top-k bounds how many documents can be grouped at all).
         """
         if fuzzy and text:
             text = self.correct_query(text)
