@@ -944,3 +944,33 @@ class TestBatchFuzzy:
         # corrected "salting skewed" must surface skew.txt (hybrid rank
         # order among hits is the vector+bm25 fusion's business)
         assert "eng/skew.txt" in {d for d, _ in by_q["q1"]}
+
+    def test_ql_batch_with_metadata_filter(self, spark, base_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+        )
+
+        s = CollectionSearcher(
+            Collection(spark, base_path, "cli_test"),
+            field_types={"folder1": "string"},
+        )
+        queries = {"q0": "broadcast salting", "q1": "sort merge join"}
+        flt = 'folder1 = "eng"'
+        batch = s.search_chunks_many(
+            queries, 10, indexes=("bm25",), ranker="ql", metadata_filter=flt
+        )
+        for qid, text in queries.items():
+            single = [
+                (r["chunk_id"], r["rank"], r["score"])
+                for r in s.search_chunks(
+                    text, 10, indexes=("bm25",), ranker="ql",
+                    metadata_filter=flt,
+                ).orderBy("rank").collect()
+            ]
+            got = [
+                (r["chunk_id"], r["rank"], r["score"])
+                for r in batch.filter(F.col("qid") == qid)
+                .orderBy("rank").collect()
+            ]
+            assert got == single and got, qid
