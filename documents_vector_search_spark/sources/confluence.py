@@ -123,9 +123,32 @@ def fetch_pages_cloud(
             return
 
 
-def page_to_canonical(page: dict, base_url: str) -> dict:
+def _user_identifier(user: dict | None, cloud: bool) -> str | None:
+    """createdBy identity, mirroring the reference exactly: the CLOUD
+    converter reads ``email`` lowered
+    (confluence_cloud_document_converter.py:78-83), the Server/DC
+    converter reads ``username`` lowered
+    (confluence_document_converter.py:78-83) — Server user objects
+    carry username/displayName, not email — and BOTH fall back to the
+    un-lowered ``displayName``, else None. The key-presence checks
+    (`'email' in user`) are kept verbatim so edge values round-trip
+    identically."""
+    if user:
+        primary = "email" if cloud else "username"
+        if primary in user:
+            val = user[primary]
+            # the reference would crash on a present-but-null value; we
+            # degrade to None (the only deliberate delta)
+            return val.lower() if val else None
+        if "displayName" in user:
+            return user["displayName"]
+    return None
+
+
+def page_to_canonical(page: dict, base_url: str, cloud: bool = False) -> dict:
     """One Confluence page (+ its comments) → canonical envelope
-    (confluence_document_converter.py:17-83 semantics)."""
+    (confluence_document_converter.py:17-83 semantics; ``cloud``
+    selects the cloud converter's createdBy identity source)."""
     content = page.get("content", page)  # cloud search nests under content
     page_id = str(content.get("id", ""))
     title = content.get("title", "")
@@ -154,10 +177,7 @@ def page_to_canonical(page: dict, base_url: str) -> dict:
     history = content.get("history") or {}
     metadata = {
         "createdAt": history.get("createdDate"),
-        "createdBy": (
-            ((history.get("createdBy") or {}).get("email")) or ""
-        ).lower()
-        or None,
+        "createdBy": _user_identifier(history.get("createdBy"), cloud),
         "lastModifiedAt": version.get("when"),
         "space": (content.get("space") or {}).get("key"),
     }
@@ -186,7 +206,10 @@ def read_confluence_documents(
 
         transport = requests_transport(base_url, token)
     fetch = fetch_pages_cloud if cloud else fetch_pages_server
-    rows = [page_to_canonical(p, base_url) for p in fetch(transport, cql)]
+    rows = [
+        page_to_canonical(p, base_url, cloud=cloud)
+        for p in fetch(transport, cql)
+    ]
     df = spark.createDataFrame(rows, schema=DOCUMENT_SCHEMA)
     return df.withColumn(
         "last_modified_at",

@@ -170,7 +170,15 @@ def make_page(pid: int, title: str, html: str):
         "version": {"when": "2024-04-01T12:00:00.000Z"},
         "history": {
             "createdDate": "2024-01-01T00:00:00.000Z",
-            "createdBy": {"email": "Bob@corp.com"},
+            # username != email != displayName ON PURPOSE: Server/DC
+            # must read username (the reference's converter does —
+            # Server user objects carry no usable email), Cloud must
+            # read email; a regression to either shows immediately
+            "createdBy": {
+                "username": "BobU",
+                "email": "Bob@corp.com",
+                "displayName": "Bob Builder",
+            },
         },
         "space": {"key": "ENG"},
         "_links": {"webui": f"/display/ENG/{title}"},
@@ -197,9 +205,29 @@ class TestConfluenceSource:
         assert len(rows) == 3
         r = rows["101"]
         assert r.metadata["space"] == "ENG"
-        assert r.metadata["createdBy"] == "bob@corp.com"
+        # Server/DC: username lowered (confluence_document_converter.py:78-83)
+        assert r.metadata["createdBy"] == "bobu"
         assert r.text.startswith("Space Home -> Page1")
         assert "body 1 text" in r.text and "a comment" in r.text
+
+    def test_cloud_reads_email_and_displayname_fallback(self):
+        from documents_vector_search_spark.sources.confluence import (
+            page_to_canonical,
+        )
+
+        page = make_page(7, "P", "<p>x</p>")
+        # cloud converter: email lowered
+        got = page_to_canonical(page, "https://x.atlassian.net", cloud=True)
+        assert got["metadata"]["createdBy"] == "bob@corp.com"
+        # both converters: displayName fallback, NOT lowered
+        page["history"]["createdBy"] = {"displayName": "Bob Builder"}
+        for cloud in (True, False):
+            got = page_to_canonical(page, "https://x", cloud=cloud)
+            assert got["metadata"]["createdBy"] == "Bob Builder"
+        # no identity at all -> key absent
+        page["history"]["createdBy"] = {}
+        got = page_to_canonical(page, "https://x", cloud=False)
+        assert "createdBy" not in got["metadata"]
 
     def test_html_to_text_fallback(self):
         html = "<div><h1>Title</h1><p>para &amp; more</p><script>x()</script></div>"
