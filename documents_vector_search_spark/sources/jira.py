@@ -36,8 +36,11 @@ from documents_vector_search_spark.sources.batching import execute_with_retry
 Transport = Callable[[str, dict], dict]
 
 JIRA_FIELDS = (
+    # the reference's exact projection (jira_document_reader.py:35):
+    # `epic` is the literal Agile field name (an object with a key),
+    # NOT a customfield id; `parent` is its fallback
     "key,summary,description,comment,created,reporter,updated,"
-    "issuetype,priority,assignee,status,customfield_10014,parent"
+    "issuetype,priority,assignee,status,epic,parent"
 )
 PAGE_SIZE = 500
 HTTP_TIMEOUT = 60
@@ -171,7 +174,8 @@ def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
         "lastModifiedAt": fields.get("updated"),
         "project": key.split("-")[0] if key else None,
         "type": _get(fields, "issuetype", "name"),
-        "epic": fields.get("customfield_10014") or _get(fields, "parent", "key"),
+        # jira_document_converter.py:65-72: epic.key, else parent.key
+        "epic": _get(fields, "epic", "key") or _get(fields, "parent", "key"),
         "priority": _get(fields, "priority", "name"),
         "assignee": (_get(fields, "assignee", "emailAddress") or "").lower() or None,
         "status": _get(fields, "status", "name"),

@@ -103,6 +103,15 @@ def make_issue(key: str, summary: str, desc, updated="2024-05-01T10:00:00.000+00
             "issuetype": {"name": "Bug"},
             "priority": {"name": "High"},
             "status": {"name": "Open"},
+            # epic OBJECT present only on even issues: epic.key must
+            # win there (the reference reads the literal Agile `epic`
+            # field, jira_document_converter.py:65-72), parent.key is
+            # the fallback elsewhere
+            **(
+                {"epic": {"key": f"EPIC-{key.rsplit('-', 1)[1]}"}}
+                if int(key.rsplit("-", 1)[1]) % 2 == 0
+                else {}
+            ),
             "parent": {"key": "PROJ-1"},
             "comment": {"comments": [{"body": "first comment"}]},
         },
@@ -125,7 +134,9 @@ class TestJiraSource:
         assert r.url == "https://jira.example.com/browse/PROJ-3"
         assert r.metadata["project"] == "PROJ"
         assert r.metadata["createdBy"] == "alice@corp.com"  # lowercased
-        assert r.metadata["epic"] == "PROJ-1"  # parent fallback
+        assert r.metadata["epic"] == "PROJ-1"  # odd issue: parent fallback
+        # even issue carries the Agile epic OBJECT: epic.key wins
+        assert rows["PROJ-2"].metadata["epic"] == "EPIC-2"
         assert "issue 3" in r.text and "desc 3" in r.text and "first comment" in r.text
         assert r.last_modified_at is not None
 
