@@ -94,9 +94,10 @@ def main() -> int:
         never_out = [k for k in keys[WINDOW:] if k not in newest]
         if never_out:
             print(
-                f"\nPOLICY NOTE: never-green keys outside the window: "
+                f"\nPOLICY VIOLATION: never-green keys outside the window: "
                 f"{never_out} — they must LEAD the next round's window"
             )
+            return 1
     return 0
 
 

@@ -37,9 +37,12 @@ from pyspark.sql import functions as F
 # _PREFIX_RE is the prefix, group 1 of _REST_RE the remainder
 _PREFIX_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
 _REST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$"
-# a tracking param and its value (the separator debris left behind is
-# tidied by the follow-up replaces)
-_TRACKING_RE = "(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*"
+# a tracking param and its value, ANCHORED to the preceding `?`/`&`
+# separator (captured and re-emitted so `?href=x`, `?noutm_a=1`, or a
+# path segment like `/ref=sr_1` are never mangled); the separator
+# debris the re-emit leaves behind (`?&`, `&&`, trailing `?`/`&`) is
+# tidied by the follow-up replaces
+_TRACKING_RE = "([?&])(utm_[a-zA-Z0-9_]+|fbclid|gclid|ref)=[^&#]*"
 _HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
 
 
@@ -64,8 +67,9 @@ def url_normalize(url: Column) -> Column:
         u.startswith("https://"),
         F.regexp_replace(u, "^(https://[^/?#:]+):443([/?#].*)?$", "$1$2"),
     ).otherwise(u)
-    # 4. drop tracking params, then tidy separators
-    u = F.regexp_replace(u, _TRACKING_RE, "")
+    # 4. drop tracking params (re-emitting the captured separator),
+    # then tidy separators
+    u = F.regexp_replace(u, _TRACKING_RE, "$1")
     u = F.regexp_replace(u, r"\?&+", "?")
     u = F.regexp_replace(u, "&&+", "&")
     u = F.regexp_replace(u, "[?&]+$", "")
@@ -82,8 +86,11 @@ def url_registered_domain(host: Column) -> Column:
     """Last two dot-labels of the host — the documented approximation
     of the registrable domain (a public-suffix list is a data file, not
     an algorithm; callers with one can join it instead). A single-label
-    host (``localhost``) is returned unchanged."""
-    return F.regexp_extract(host, "([^.]+\\.[^.]+)$", 0)
+    host (``localhost``) is returned unchanged — the extract regex
+    needs a dot, so the no-match '' falls back to the host itself
+    (otherwise a domain blocklist could never match such hosts)."""
+    ext = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 0)
+    return F.when(ext != "", ext).otherwise(host)
 
 
 def url_report(

@@ -4671,7 +4671,7 @@ s4 AS (
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(u, '{_TRACKING_RE}', '', 'g'),
+          regexp_replace(u, '{_TRACKING_RE}', '\\1', 'g'),
           '\\?&+', '?', 'g'),
         '&&+', '&', 'g'),
       '[?&]+$', '', 'g') AS norm_url
@@ -4683,7 +4683,9 @@ r AS (
   FROM s4
 )
 SELECT doc_id, norm_url, host,
-  regexp_extract(host, '([^.]+\\.[^.]+)$', 0) AS domain,
+  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0) <> ''
+       THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0)
+       ELSE host END AS domain,
   row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1 AS keep
 FROM r
 """

@@ -497,6 +497,28 @@ class TestUrlOps:
         got = self._norm(spark, ["example.com/Path?utm_source=x#f"])
         assert got == ["example.com/Path"]
 
+    def test_tracking_strip_is_separator_anchored(self, spark):
+        # a param whose NAME merely contains a tracking name, or a path
+        # segment containing 'ref=', must survive untouched — without
+        # the [?&] anchor these used to collapse distinct URLs onto one
+        # corrupted norm_url and url_dedup silently dropped documents
+        got = self._norm(spark, [
+            "http://a.com/p?href=x",            # 'ref' inside 'href'
+            "http://a.com/p?noutm_a=1",         # 'utm_' inside 'noutm_'
+            "http://a.com/path/ref=sr_1",       # path segment, no query
+            "http://a.com/p?ref=x",             # the real param IS cut
+            "http://a.com/p?utm_a=1&utm_b=2",   # consecutive tracking
+            "http://a.com/p?a=1&ref=x&b=2",     # mid-query tracking
+        ])
+        assert got == [
+            "http://a.com/p?href=x",
+            "http://a.com/p?noutm_a=1",
+            "http://a.com/path/ref=sr_1",
+            "http://a.com/p",
+            "http://a.com/p",
+            "http://a.com/p?a=1&b=2",
+        ]
+
     def test_host_and_domain(self, spark):
         from documents_vector_search_spark.operators.urls import url_report
 
@@ -509,8 +531,9 @@ class TestUrlOps:
         assert rows[1].host == "sub.news.example.co"
         assert rows[1].domain == "example.co"
         assert rows[2].host == "" and rows[2].domain == ""
-        # single-label host: approximation returns '' (no dot pair)
-        assert rows[3].host == "localhost" and rows[3].domain == ""
+        # single-label host: no dot pair to extract, so the host itself
+        # is the domain (a blocklist entry 'localhost' must match)
+        assert rows[3].host == "localhost" and rows[3].domain == "localhost"
 
     def test_dedup_keeps_min_id_per_norm_url(self, spark):
         from documents_vector_search_spark.operators.urls import (

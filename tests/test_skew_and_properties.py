@@ -337,11 +337,15 @@ class TestUrlNormalizeProperties:
                 ),
                 st.from_regex(r"[A-Za-z][A-Za-z0-9.]{0,12}", fullmatch=True),
                 st.sampled_from(["", ":80", ":443", ":8080"]),
-                st.from_regex(r"[A-Za-z0-9/._-]{0,12}", fullmatch=True),
+                # '=' allowed so path segments like 'ref=sr_1' occur
+                st.from_regex(r"[A-Za-z0-9/._=-]{0,12}", fullmatch=True),
                 st.lists(
                     st.sampled_from(
                         ["id=1", "utm_source=x", "q=Spark", "ref=abc",
-                         "fbclid=zz", "a=b"]
+                         "fbclid=zz", "a=b",
+                         # names that merely CONTAIN a tracking name —
+                         # the [?&] anchor must leave these alone
+                         "href=x", "noutm_a=1", "prefs=dark"]
                     ),
                     max_size=4,
                 ),
