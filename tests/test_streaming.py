@@ -989,3 +989,77 @@ class TestTrendingTerms:
             assert [t[0] for t in sorted(terms)] == [1, 2]
             ns = [t[2] for t in sorted(terms)]
             assert ns == sorted(ns, reverse=True)
+
+
+class TestTrendingParity:
+    """The trending_terms registry key (batch twin) must agree with the
+    ACTUAL Structured Streaming engine run over the same staged rows —
+    same tokenize, same 6h tumbling window, same top_terms_per_window
+    code (the registry reuses it verbatim)."""
+
+    def test_registry_batch_twin_matches_stream(self, spark, sf_dir, tmp_path):
+        from documents_vector_search_spark.registry import (
+            _TREND_BASE_US,
+            _t,
+            q_trending_terms,
+        )
+        from documents_vector_search_spark.streaming.trending import (
+            top_terms_per_window,
+            trending_terms_stream,
+        )
+
+        batch = {
+            (r.window_start_us, r.rank): (r.term, r.n)
+            for r in q_trending_terms(spark, sf_dir).collect()
+        }
+        assert batch
+
+        # identical staged rows through the real streaming engine
+        staged = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.timestamp_micros(
+                F.lit(_TREND_BASE_US)
+                + (F.col("doc_id") % 72) * F.lit(3_600_000_000)
+            ).alias("ts"),
+            "text",
+        )
+        src = str(tmp_path / "trend_src")
+        staged.write.mode("overwrite").parquet(src)
+        stream = trending_terms_stream(
+            spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING")
+            .parquet(src),
+            window_duration="6 hours",
+            watermark="1 hour",
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("trend_parity")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql("SELECT * FROM trend_parity")
+        got = {
+            (r.window_start_us, r.rank): (r.term, r.n)
+            for r in top_terms_per_window(emitted, k=5)
+            .select(
+                F.unix_micros("window_start").alias("window_start_us"),
+                "term",
+                "n",
+                "rank",
+            )
+            .collect()
+        }
+
+        # append mode emits only watermark-closed windows: the stream's
+        # windows are a strict subset (the final, unclosed window is
+        # withheld) and every emitted (window, rank) matches the batch
+        # twin exactly
+        assert got
+        stream_windows = {w for w, _ in got}
+        batch_windows = {w for w, _ in batch}
+        assert stream_windows < batch_windows
+        assert batch_windows - stream_windows == {max(batch_windows)}
+        for key, val in got.items():
+            assert batch[key] == val, key
