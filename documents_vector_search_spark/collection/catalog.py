@@ -36,12 +36,16 @@ def rollback_partial_swap(root: Path, table: str) -> None:
     if not marker.exists():
         return
     final = root / table
-    pbs = set(json.loads(marker.read_text())["pbs"])
+    state = json.loads(marker.read_text())
+    pbs = set(state["pbs"])
+    # the column the swap parked on: _pb for the document tables,
+    # term_bucket/variant_bucket for the fuzzy artifacts
+    col = state.get("col", UPDATE_PB_COL)
     if final.exists():
-        for d in pb_dirs(final, pbs):
+        for d in pb_dirs(final, pbs, col):
             shutil.rmtree(d)
     for d in sorted(
-        (p for p in old.rglob(f"{UPDATE_PB_COL}=*") if p.is_dir()),
+        (p for p in old.rglob(f"{col}=*") if p.is_dir()),
     ):
         dest = final / d.relative_to(old)
         dest.parent.mkdir(parents=True, exist_ok=True)

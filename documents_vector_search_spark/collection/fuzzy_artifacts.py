@@ -10,14 +10,30 @@ deletion index (variant_bucket directories, same md5-bucket scheme as
 the BM25 term_bucket layout) — bytes read ≈ |query deletion variants|
 / N_VARIANT_BUCKETS of a vocabulary-sized table.
 
-Incremental maintenance (updater/deleter): the vocabulary merges a
-DELTA aggregated from exactly the postings rows the update touches
-(fresh minus stale — vocabulary-of-changed-docs-sized, never a
-corpus rescan); the deletion index then regenerates from the merged
-vocabulary — a VOCABULARY-sized job (the variants of a term scatter
-across buckets, so per-term index patching would rewrite most buckets
-anyway). Both land through the same staged ``__tmp``/``__old`` swap
-as every other table.
+Incremental maintenance (updater/deleter) is O(affected buckets), the
+same contract as every other table:
+
+* the vocabulary DELTA aggregates from exactly the postings rows the
+  update touches (fresh minus stale — vocabulary-of-changed-docs-
+  sized, never a corpus rescan);
+* the vocab table is partitioned by ``term_bucket`` (same md5 scheme
+  as postings), so the merge reads and rewrites ONLY the buckets the
+  delta's terms hash into;
+* the deletion index rewrites ONLY the ``variant_bucket`` partitions
+  that deletion variants of changed terms hash into: changed-term rows
+  in those buckets are replaced (anti-join + regenerated variants),
+  unchanged terms' rows in them are carried over byte-equal, and every
+  OTHER bucket directory is never touched (a changed term's index rows
+  can only live in its own variants' buckets, so the carried set is
+  complete by construction — pinned by pytest against the full
+  rebuild).
+
+Both land through the same partition-scoped two-phase swap as the
+document tables (updater._swap_partitions, keyed on term_bucket /
+variant_bucket instead of ``_pb``), with the same ``_PARTIAL.json``
+crash rollback. Collections created before the partitioned-vocab
+layout fall back to the legacy vocabulary-sized full regeneration;
+``refit-fuzzy`` upgrades them in place.
 """
 
 from __future__ import annotations
@@ -58,12 +74,15 @@ def write_fuzzy_artifacts(
     postings: DataFrame | None = None,
     max_edits: int = DEFAULT_MAX_EDITS,
 ) -> None:
-    """Create-time build: vocabulary from the postings table, deletion
+    """Create-time build: vocabulary from the postings table
+    (partitioned by term_bucket so incremental merges prune), deletion
     index partitioned by variant_bucket."""
     if postings is None:
         postings = collection.read("postings")
-    vocab = build_term_dictionary(postings)
-    collection.write(VOCAB_TABLE, vocab)
+    vocab = build_term_dictionary(postings).withColumn(
+        "term_bucket", term_bucket(F.col("term"))
+    )
+    collection.write(VOCAB_TABLE, vocab, partition_by=["term_bucket"])
     collection.write(
         DELETION_INDEX_TABLE,
         deletion_index_df(collection.read(VOCAB_TABLE), max_edits),
@@ -97,13 +116,105 @@ def apply_vocab_delta(
     collection, delta_path: str, max_edits: int = DEFAULT_MAX_EDITS
 ) -> None:
     """Post-swap phase: merge the materialized delta into the
-    vocabulary, drop terms whose count reaches zero, regenerate the
-    deletion index, and swap both tables staged."""
-    import shutil
-
+    vocabulary and deletion index, rewriting ONLY the term_bucket /
+    variant_bucket partitions the changed terms touch (legacy
+    unpartitioned-vocab collections fall back to the full rewrite)."""
     spark = collection.spark
     delta = spark.read.parquet(delta_path)
     vocab = collection.read(VOCAB_TABLE)
+    if "term_bucket" not in vocab.columns:
+        _apply_vocab_delta_full(collection, delta, vocab, max_edits)
+        return
+
+    # ONE delta-sized job yields both affected-bucket sets: the vocab
+    # buckets the changed terms hash into, and the deletion-index
+    # buckets their variants hash into (every index row of a changed
+    # term lives in one of those — a term's rows can only appear under
+    # its own variants' buckets)
+    buckets = (
+        build_deletion_index(delta.select("term"), max_edits=max_edits)
+        .select(
+            term_bucket(F.col("term")).alias("tb"),
+            term_bucket(F.col("variant")).alias("vb"),
+        )
+        .agg(
+            F.collect_set("tb").alias("tbs"),
+            F.collect_set("vb").alias("vbs"),
+        )
+        .collect()
+    )
+    tbs = sorted(buckets[0].tbs or []) if buckets else []
+    vbs = sorted(buckets[0].vbs or []) if buckets else []
+    if not tbs:
+        return  # empty delta — nothing changed
+
+    # merged vocab, affected term buckets only (partition-pruned scan);
+    # every delta term hashes into tbs, so the merge is complete there
+    # and all other buckets are untouched
+    merged = (
+        vocab.filter(F.col("term_bucket").isin(tbs))
+        .drop("term_bucket")
+        .join(delta, "term", "full_outer")
+        .select(
+            "term",
+            (F.coalesce("ctf", F.lit(0)) + F.coalesce("d_ctf", F.lit(0))).alias("ctf"),
+            (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("ctf") > 0)
+        .withColumn("term_bucket", term_bucket(F.col("term")))
+    )
+
+    # deletion index, affected variant buckets only: carry unchanged
+    # terms' rows byte-equal, regenerate the changed (surviving) terms'
+    # rows from the merged vocabulary
+    didx = collection.read(DELETION_INDEX_TABLE)
+    changed_terms = delta.select("term")
+    carried = (
+        didx.filter(F.col("variant_bucket").isin(vbs))
+        .join(F.broadcast(changed_terms), "term", "left_anti")
+    )
+    regenerated = deletion_index_df(
+        merged.join(F.broadcast(changed_terms), "term", "left_semi").drop(
+            "term_bucket"
+        ),
+        max_edits,
+    )
+    new_didx = carried.unionByName(regenerated)
+
+    # same two-phase partition-scoped swap as the document tables,
+    # keyed on the artifacts' own query-pruning columns
+    from documents_vector_search_spark.collection.updater import (
+        _swap_partitions,
+    )
+
+    _swap_partitions(
+        collection,
+        {VOCAB_TABLE: merged, DELETION_INDEX_TABLE: new_didx},
+        partition_cols={
+            VOCAB_TABLE: ["term_bucket"],
+            DELETION_INDEX_TABLE: ["variant_bucket"],
+        },
+        affected_pbs={VOCAB_TABLE: tbs, DELETION_INDEX_TABLE: vbs},
+        swap_cols={
+            VOCAB_TABLE: "term_bucket",
+            DELETION_INDEX_TABLE: "variant_bucket",
+        },
+    )
+
+
+def _apply_vocab_delta_full(
+    collection,
+    delta: DataFrame,
+    vocab: DataFrame,
+    max_edits: int = DEFAULT_MAX_EDITS,
+) -> None:
+    """Legacy path for collections whose vocab predates the
+    term_bucket layout: full-table merge + vocabulary-sized deletion
+    index regeneration through staged whole-table swaps. ``refit-fuzzy``
+    rebuilds into the partitioned layout."""
+    import shutil
+
+    spark = collection.spark
     merged = (
         vocab.join(delta, "term", "full_outer")
         .select(

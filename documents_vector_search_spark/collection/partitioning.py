@@ -49,12 +49,14 @@ def pb_col(key: Column, n_buckets: int) -> Column:
     return (md5_hash64(key.cast("string")) % F.lit(n_buckets)).cast("int")
 
 
-def pb_dirs(root: Path, pbs: set[int]) -> list[Path]:
-    """All ``_pb=X`` directories under ``root`` whose X is in ``pbs`` —
-    ONE tree walk regardless of how many buckets are affected (a
+def pb_dirs(root: Path, pbs: set[int], col: str = UPDATE_PB_COL) -> list[Path]:
+    """All ``<col>=X`` directories under ``root`` whose X is in ``pbs``
+    — ONE tree walk regardless of how many buckets are affected (a
     per-bucket glob would rescan the layout tree O(buckets) times; at
-    production bucket counts that dominates the swap)."""
-    prefix = f"{UPDATE_PB_COL}="
+    production bucket counts that dominates the swap). ``col`` defaults
+    to the update bucket; the fuzzy artifacts swap on their own
+    query-pruning columns (``term_bucket`` / ``variant_bucket``)."""
+    prefix = f"{col}="
     out = []
     for p in root.rglob(f"{prefix}*"):
         if p.is_dir():

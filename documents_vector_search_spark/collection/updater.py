@@ -117,13 +117,17 @@ def _swap_partitions(
     merged: dict[str, DataFrame],
     partition_cols: dict[str, list[str]],
     affected_pbs: dict[str, list[int]],
+    swap_cols: dict[str, str] | None = None,
 ) -> None:
     """Two-phase PARTITION-scoped swap. Phase A stages every merged
     table (affected partitions only) under ``<table>__tmp`` while all
     plans still read the intact originals. Phase B, per table: park the
-    live ``_pb=X`` directories in ``<table>__old`` (with a marker
-    listing X values, for rollback), then move the staged directories
-    in. Phase C removes the parking dirs — the commit point.
+    live ``<col>=X`` directories in ``<table>__old`` (with a marker
+    listing X values and the column, for rollback), then move the
+    staged directories in. Phase C removes the parking dirs — the
+    commit point. ``swap_cols`` names the partition column the swap
+    keys on per table (default ``_pb``; the fuzzy artifacts swap on
+    ``term_bucket`` / ``variant_bucket``).
 
     An affected bucket whose rows were ALL deleted has no staged dir;
     parking alone removes it, which is exactly the merge semantics.
@@ -150,15 +154,16 @@ def _swap_partitions(
         tmp = Path(collection.table_path(f"{table}__tmp"))
         old = live.with_name(f"{table}__old")
         old.mkdir(parents=True, exist_ok=True)
+        col = (swap_cols or {}).get(table, UPDATE_PB_COL)
         (old / "_PARTIAL.json").write_text(
-            json.dumps({"pbs": affected_pbs[table]})
+            json.dumps({"pbs": affected_pbs[table], "col": col})
         )
         # one tree walk per root (not per bucket): at production bucket
         # counts a per-bucket rglob would rescan the whole layout tree
         # O(buckets) times
         wanted = set(affected_pbs[table])
         for src_root, dst_root in ((live, old), (tmp, live)):
-            for d in pb_dirs(src_root, wanted):
+            for d in pb_dirs(src_root, wanted, col):
                 dest = dst_root / d.relative_to(src_root)
                 dest.parent.mkdir(parents=True, exist_ok=True)
                 d.rename(dest)

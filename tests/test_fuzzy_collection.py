@@ -163,6 +163,109 @@ class TestFuzzyArtifacts:
         rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert {r["term"] for r in rows} == {"scan", "scatter"}
 
+    def test_update_rewrites_only_affected_buckets(self, spark, tmp_path):
+        """The O(affected buckets) maintenance contract: an update may
+        rewrite only the term_bucket partitions of the vocab and the
+        variant_bucket partitions of the deletion index that deletion
+        variants of CHANGED terms hash into — every other partition
+        directory must survive byte-identical with its mtime untouched.
+        The maintained index must still equal a full rebuild."""
+        from pathlib import Path
+
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            deletion_index_df,
+        )
+        from documents_vector_search_spark.operators.bm25 import (
+            term_bucket_py,
+        )
+        from documents_vector_search_spark.operators.fuzzy import (
+            deletions_py,
+        )
+
+        coll = Collection(spark, str(tmp_path), "bucketfz")
+        # enough distinct terms that the 64 variant buckets are well
+        # populated and most of them are NOT touched by the update
+        docs = _docs(
+            spark,
+            [
+                (f"d{i}", " ".join(f"term{i}w{j}" for j in range(12)))
+                for i in range(20)
+            ],
+        )
+        create_collection(
+            coll, docs, chunk_size=400, chunk_overlap=0, fuzzy_dictionary=True
+        )
+
+        def snapshot(table):
+            root = Path(coll.table_path(table))
+            return {
+                str(p.relative_to(root)): (p.stat().st_mtime_ns, p.read_bytes())
+                for p in root.rglob("*")
+                if p.is_file()
+            }
+
+        before_didx = snapshot("deletion_index")
+        before_vocab = snapshot("vocab")
+
+        fresh = _docs(
+            spark,
+            [("d0", "zebrafish holograph")],  # replaces d0's 12 terms
+            ts="2024-03-02 00:00:00",
+        )
+        update_collection(coll, fresh)
+
+        # changed terms = d0's old terms (all dropped) + the 2 new ones
+        changed = {f"term0w{j}" for j in range(12)} | {
+            "zebrafish", "holograph"
+        }
+        touched_vb = {
+            term_bucket_py(v) for t in changed for v in deletions_py(t, 1)
+        }
+        touched_tb = {term_bucket_py(t) for t in changed}
+        assert len(touched_vb) < 64  # the test is vacuous otherwise
+
+        def bucket_of(relpath, col):
+            for part in Path(relpath).parts:
+                if part.startswith(f"{col}="):
+                    return int(part.split("=", 1)[1])
+            return None
+
+        after_didx = snapshot("deletion_index")
+        for rel, (mtime, content) in before_didx.items():
+            vb = bucket_of(rel, "variant_bucket")
+            if vb is not None and vb not in touched_vb:
+                assert rel in after_didx, f"untouched bucket file lost: {rel}"
+                assert after_didx[rel] == (mtime, content), (
+                    f"untouched variant_bucket={vb} rewritten: {rel}"
+                )
+        after_vocab = snapshot("vocab")
+        for rel, (mtime, content) in before_vocab.items():
+            tb = bucket_of(rel, "term_bucket")
+            if tb is not None and tb not in touched_tb:
+                assert rel in after_vocab, f"untouched bucket file lost: {rel}"
+                assert after_vocab[rel] == (mtime, content), (
+                    f"untouched term_bucket={tb} rewritten: {rel}"
+                )
+        # and something DID change
+        assert after_didx != before_didx
+        assert after_vocab != before_vocab
+
+        # maintained artifacts == full rebuild (vocab AND deletion index)
+        _vocab_matches_recompute(coll)
+        maintained = {
+            (r["term"], r["ctf"], r["df"], r["variant"], r["variant_bucket"])
+            for r in coll.read("deletion_index").collect()
+        }
+        rebuilt = {
+            (r["term"], r["ctf"], r["df"], r["variant"], r["variant_bucket"])
+            for r in deletion_index_df(
+                build_term_dictionary(
+                    coll.read("postings").select("chunk_id", "term", "tf")
+                )
+            ).collect()
+        }
+        assert maintained == rebuilt
+
     def test_crash_between_vocab_swap_phases_recovers(self, spark, tmp_path):
         """Simulate a crash mid-staged-swap of the vocab table (final
         dir renamed away, __old parked, __tmp still present): the next
