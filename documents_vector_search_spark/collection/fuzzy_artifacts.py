@@ -126,25 +126,7 @@ def apply_vocab_delta(
         _apply_vocab_delta_full(collection, delta, vocab, max_edits)
         return
 
-    # ONE delta-sized job yields both affected-bucket sets: the vocab
-    # buckets the changed terms hash into, and the deletion-index
-    # buckets their variants hash into (every index row of a changed
-    # term lives in one of those — a term's rows can only appear under
-    # its own variants' buckets)
-    buckets = (
-        build_deletion_index(delta.select("term"), max_edits=max_edits)
-        .select(
-            term_bucket(F.col("term")).alias("tb"),
-            term_bucket(F.col("variant")).alias("vb"),
-        )
-        .agg(
-            F.collect_set("tb").alias("tbs"),
-            F.collect_set("vb").alias("vbs"),
-        )
-        .collect()
-    )
-    tbs = sorted(buckets[0].tbs or []) if buckets else []
-    vbs = sorted(buckets[0].vbs or []) if buckets else []
+    tbs, vbs = _affected_buckets(delta, delta_path, max_edits)
     if not tbs:
         return  # empty delta — nothing changed
 
@@ -200,6 +182,62 @@ def apply_vocab_delta(
             DELETION_INDEX_TABLE: "variant_bucket",
         },
     )
+
+
+# below this size the delta is read driver-side with pyarrow instead
+# of paying a Spark job's scheduling overhead just to hash a handful
+# of terms (typical incremental batches); larger deltas take the
+# distributed path
+_DRIVER_DELTA_BYTES = 64 << 20
+
+
+def _affected_buckets(
+    delta: DataFrame, delta_path: str, max_edits: int
+) -> tuple[list[int], list[int]]:
+    """Both affected-bucket sets from the delta: the vocab buckets the
+    changed terms hash into, and the deletion-index buckets their
+    deletion variants hash into (every index row of a changed term
+    lives in one of those — a term's rows can only appear under its own
+    variants' buckets). Small deltas compute driver-side via the
+    engine-portable md5 twins; large ones in ONE delta-sized job."""
+    try:
+        local = Path(delta_path.removeprefix("file:"))
+        size = sum(p.stat().st_size for p in local.rglob("*.parquet"))
+        if size <= _DRIVER_DELTA_BYTES:
+            import pyarrow.parquet as pq
+
+            from documents_vector_search_spark.operators.bm25 import (
+                term_bucket_py,
+            )
+            from documents_vector_search_spark.operators.fuzzy import (
+                deletions_py,
+            )
+
+            terms = pq.read_table(local, columns=["term"])["term"].to_pylist()
+            tbs = {term_bucket_py(t) for t in terms}
+            vbs = {
+                term_bucket_py(v)
+                for t in terms
+                for v in deletions_py(t, max_edits)
+            }
+            return sorted(tbs), sorted(vbs)
+    except OSError:
+        pass  # non-local path (object store) — distributed fallback
+    buckets = (
+        build_deletion_index(delta.select("term"), max_edits=max_edits)
+        .select(
+            term_bucket(F.col("term")).alias("tb"),
+            term_bucket(F.col("variant")).alias("vb"),
+        )
+        .agg(
+            F.collect_set("tb").alias("tbs"),
+            F.collect_set("vb").alias("vbs"),
+        )
+        .collect()
+    )
+    tbs = sorted(buckets[0].tbs or []) if buckets else []
+    vbs = sorted(buckets[0].vbs or []) if buckets else []
+    return tbs, vbs
 
 
 def _apply_vocab_delta_full(
