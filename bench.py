@@ -166,9 +166,12 @@ def main() -> None:
     import shutil
     import tempfile
 
+    build_breakdown: dict[str, float] = {}
     base = tempfile.mkdtemp(prefix="dvss_bench_")
     try:
-        _bench_collection(spark, sf_dir, base, timings, errors)
+        _bench_collection(
+            spark, sf_dir, base, timings, errors, spreads, build_breakdown
+        )
     except Exception as exc:  # noqa: BLE001 — harness must survive
         errors["collection_build"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
@@ -183,6 +186,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "timing": {"runs_per_query": 3, "stat": "median"},
         "spread": spreads,
+        # per-layout build attribution (NOT summed into value — the
+        # core/positional builds exist only to attribute regressions to
+        # a flag; collection_build in `queries` remains the full build)
+        "build_breakdown": build_breakdown,
     }
     if errors:
         out["errors"] = errors
@@ -201,11 +208,22 @@ def main() -> None:
     spark.stop()
 
 
-def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
-    """Indexed-search path: build a collection once (timed), then serve
-    searches against the prebuilt index tables — the reference's actual
-    serving shape (index build amortized across queries). Per-search
-    failures are isolated; a build failure aborts only this section."""
+def _bench_collection(
+    spark, sf_dir, base, timings, errors, spreads, build_breakdown
+) -> None:
+    """Indexed-search path: build a collection (timed per layout), then
+    serve searches against the prebuilt index tables — the reference's
+    actual serving shape (index build amortized across queries).
+    Per-search failures are isolated; a build failure aborts only this
+    section.
+
+    Serving queries are timed warm + median-of-3, the same discipline
+    as the registry queries: the r7 round read 1.3-1.4x "regressions"
+    on indexed_search_bm25/filtered out of single-shot cold timings
+    whose run-to-run spread (measured in r8 STATUS: ±30-40% on this
+    machine) exceeded the reported deltas. indexed_search_hybrid keeps
+    its deliberate cold single-shot role (first-touch cost incl. cache
+    materialization); everything after it reports steady state."""
     from pyspark.sql import functions as F
 
     from documents_vector_search_spark.collection import (
@@ -224,65 +242,99 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("last_modified_at"),
         F.lit("bench").alias("source_type"),
     )
+    # per-layout build attribution: core (flat+postings), +positional,
+    # +fuzzy (the full build, which then serves the searches below).
+    # Raw times, each a fresh collection — the flag cost is the delta
+    # between adjacent keys (single-shot; read them against machine
+    # noise, the committed STATUS records the measured spread).
+    t0 = time.time()
+    create_collection(
+        Collection(spark, base, "bench_core"), docs,
+        chunk_size=500, chunk_overlap=50,
+    )
+    build_breakdown["collection_build_core"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    create_collection(
+        Collection(spark, base, "bench_pos"), docs,
+        chunk_size=500, chunk_overlap=50, positional_postings=True,
+    )
+    build_breakdown["collection_build_positional"] = round(time.time() - t0, 3)
+
     coll = Collection(spark, base, "bench")
     t0 = time.time()
-    # positional postings + fuzzy dictionary: the build now measures the
+    # positional postings + fuzzy dictionary: the build measures the
     # full index family (phrase and suggest serving paths bench below)
     create_collection(
         coll, docs, chunk_size=500, chunk_overlap=50,
         positional_postings=True, fuzzy_dictionary=True,
     )
     timings["collection_build"] = round(time.time() - t0, 3)
+    build_breakdown["collection_build_fuzzy"] = timings["collection_build"]
 
     searcher = CollectionSearcher(coll, cache_tables=True)
-    for qname, kwargs in [
-        ("indexed_search_hybrid", {}),
-        ("indexed_search_hybrid_warm", {}),  # cached index tables
-        ("indexed_search_bm25", {"indexes": ("bm25",)}),
-        ("indexed_search_vector", {"indexes": ("vector",)}),
-        ("indexed_search_filtered", {"metadata_filter": 'lang = "en"'}),
-        ("indexed_search_diverse", {"diversify_lambda": 0.5}),
-        ("indexed_search_expand", {"expand_query": True}),
-        ("indexed_search_snippets", {"include_snippets": True}),
-        ("indexed_search_ql", {"indexes": ("bm25",), "ranker": "ql"}),
-        ("indexed_search_fuzzy", {"fuzzy": True}),
-    ]:
+
+    def _serve(qname, fn, warm_and_median=True):
+        """Time a serving call: one untimed warm run, then median of 3
+        (same discipline as the registry queries). Cold single-shots
+        (warm_and_median=False) time the one run only."""
         try:
-            t0 = time.time()
-            searcher.search(
-                "hash join vector scan", max_chunks=15, **kwargs
-            ).write.format("noop").mode("overwrite").save()
-            timings[qname] = round(time.time() - t0, 3)
+            if warm_and_median:
+                fn()
+                samples = []
+                for _ in range(3):
+                    t0 = time.time()
+                    fn()
+                    samples.append(time.time() - t0)
+                samples.sort()
+                timings[qname] = round(samples[len(samples) // 2], 3)
+                spreads[qname] = round(samples[-1] - samples[0], 3)
+            else:
+                t0 = time.time()
+                fn()
+                timings[qname] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — harness must survive
             errors[qname] = f"{type(exc).__name__}: {exc}"[:500]
+
+    def _search(**kwargs):
+        return lambda: searcher.search(
+            "hash join vector scan", max_chunks=15, **kwargs
+        ).write.format("noop").mode("overwrite").save()
+
+    # first-touch cost (plan compile + table-cache materialization) is
+    # itself a serving number a deployment cares about — keep it cold
+    _serve("indexed_search_hybrid", _search(), warm_and_median=False)
+    _serve("indexed_search_hybrid_warm", _search())
+    _serve("indexed_search_bm25", _search(indexes=("bm25",)))
+    _serve("indexed_search_vector", _search(indexes=("vector",)))
+    _serve("indexed_search_filtered", _search(metadata_filter='lang = "en"'))
+    _serve("indexed_search_diverse", _search(diversify_lambda=0.5))
+    _serve("indexed_search_expand", _search(expand_query=True))
+    _serve("indexed_search_snippets", _search(include_snippets=True))
+    _serve("indexed_search_ql", _search(indexes=("bm25",), ranker="ql"))
+    _serve("indexed_search_fuzzy", _search(fuzzy=True))
 
     # exact phrase over the positional postings (a phrase that MATCHES
     # at this sf, so the intersect-fold work is measured, not just the
     # empty probe)
-    try:
-        t0 = time.time()
-        searcher.search(
+    _serve(
+        "indexed_search_phrase",
+        lambda: searcher.search(
             "hash join", max_chunks=15, indexes=("phrase",)
-        ).write.format("noop").mode("overwrite").save()
-        timings["indexed_search_phrase"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001 — harness must survive
-        errors["indexed_search_phrase"] = f"{type(exc).__name__}: {exc}"[:500]
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # suggest: SymSpell probe of the materialized deletion index
-    try:
-        t0 = time.time()
-        searcher.suggest("hashh joinn vectr").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings["indexed_suggest"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001 — harness must survive
-        errors["indexed_suggest"] = f"{type(exc).__name__}: {exc}"[:500]
+    _serve(
+        "indexed_suggest",
+        lambda: searcher.suggest("hashh joinn vectr")
+        .write.format("noop").mode("overwrite").save(),
+    )
 
     # batch serving: 4 queries in ONE job (search_many) — compare with
     # 4× the warm single-query number to see the scan amortization
-    try:
-        t0 = time.time()
-        searcher.search_many(
+    _serve(
+        "indexed_search_batch4",
+        lambda: searcher.search_many(
             {
                 "q0": "hash join vector scan",
                 "q1": "sort merge",
@@ -290,17 +342,15 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
                 "q3": "key value batch",
             },
             max_chunks=15,
-        ).write.format("noop").mode("overwrite").save()
-        timings["indexed_search_batch4"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001 — harness must survive
-        errors["indexed_search_batch4"] = f"{type(exc).__name__}: {exc}"[:500]
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # batched DIVERSE serving: 4 MMR-diversified queries off ONE
     # union-probe retrieval + per-qid Arrow-batched greedy — compare
     # with 4× indexed_search_diverse for the amortization
-    try:
-        t0 = time.time()
-        searcher.search_many(
+    _serve(
+        "indexed_search_diverse_batch4",
+        lambda: searcher.search_many(
             {
                 "q0": "hash join vector scan",
                 "q1": "sort merge",
@@ -309,12 +359,8 @@ def _bench_collection(spark, sf_dir, base, timings, errors) -> None:
             },
             max_chunks=15,
             diversify_lambda=0.5,
-        ).write.format("noop").mode("overwrite").save()
-        timings["indexed_search_diverse_batch4"] = round(time.time() - t0, 3)
-    except Exception as exc:  # noqa: BLE001 — harness must survive
-        errors["indexed_search_diverse_batch4"] = (
-            f"{type(exc).__name__}: {exc}"[:500]
-        )
+        ).write.format("noop").mode("overwrite").save(),
+    )
 
     # incremental update of a ~0.1% batch: the operation a production
     # deployment runs continuously. Every table buckets by owning-doc

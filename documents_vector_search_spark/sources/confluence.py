@@ -151,11 +151,17 @@ def page_to_canonical(page: dict, base_url: str, cloud: bool = False) -> dict:
     selects the cloud converter's createdBy identity source)."""
     content = page.get("content", page)  # cloud search nests under content
     page_id = str(content.get("id", ""))
-    title = content.get("title", "")
-    ancestors = [
-        a.get("title", "") for a in content.get("ancestors", []) or []
+    # path-of-titles with KEY-PRESENCE semantics, matching
+    # confluence_document_converter.py:70-72 exactly: ancestors without
+    # a title key are skipped entirely (no empty segment), ancestors
+    # whose title IS an empty string keep their segment, and a page
+    # without a title key contributes nothing
+    title_parts = [
+        a["title"] for a in content.get("ancestors", []) or [] if "title" in a
     ]
-    title_path = " -> ".join([*ancestors, title])
+    if "title" in content:
+        title_parts.append(content["title"])
+    title_path = " -> ".join(title_parts)
 
     body_html = (
         ((content.get("body") or {}).get("storage") or {}).get("value")

@@ -115,14 +115,20 @@ def fetch_issues_cloud(
 def flatten_adf(node: Any) -> str:
     """Flatten Atlassian Document Format to text
     (jira_cloud_document_converter.py:67-76: nested content[].text
-    joined with newlines)."""
+    joined with newlines, empty text nodes dropped). The reference
+    reads exactly two levels (doc → block → text nodes); this recurses
+    arbitrarily deep, a deliberate superset that is identical on the
+    two-level shape real ADF documents use — pinned by the reference
+    differential harness (tests/test_converter_differential.py)."""
     if node is None:
         return ""
     if isinstance(node, str):
         return node
     parts: list[str] = []
     if isinstance(node, dict):
-        if "text" in node:
+        # empty text nodes are dropped, matching the reference's
+        # falsy-filtering join (jira_cloud_document_converter.py:76-82)
+        if node.get("text"):
             parts.append(str(node["text"]))
         for child in node.get("content", []) or []:
             flat = flatten_adf(child)
@@ -151,20 +157,44 @@ def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
     key = issue.get("key", "")
     fields = issue.get("fields", {}) or {}
     description = fields.get("description")
-    if cloud and isinstance(description, dict):
-        description = flatten_adf(description)
+    if cloud:
+        # cloud descriptions/comments are ADF documents; the reference
+        # flattens + strips each (jira_cloud_document_converter.py:54-76)
+        description = (
+            flatten_adf(description).strip()
+            if isinstance(description, dict)
+            else (description or "")
+        )
     comments = []
     for c in _get(fields, "comment", "comments", default=[]) or []:
         body = c.get("body")
         if cloud and isinstance(body, dict):
-            body = flatten_adf(body)
+            body = flatten_adf(body).strip()
         if body:
             comments.append(str(body))
 
-    summary = fields.get("summary") or ""
-    # chunk-0 text is "KEY : summary" (jira_document_converter.py:60);
-    # body = summary + description + comments joined by blank lines
-    text_parts = [p for p in [summary, description, *comments] if p]
+    summary = fields.get("summary")
+    # the first text element is the main-info line "KEY : summary"
+    # (jira_document_converter.py:59-60) — it is part of the stored
+    # document text AND becomes chunk 0 downstream; the reference would
+    # render a None summary as the string 'None', we render '' (the one
+    # deliberate robustness delta — Jira always returns a string)
+    main_info = f"{key} : {summary if summary is not None else ''}"
+    # description+comments joined by blank lines, stripped as one unit
+    # (jira_document_converter.py:53-57); the cloud converter also
+    # strips the outer join (jira_cloud_document_converter.py:81-82) —
+    # a no-op here because main_info never starts with whitespace
+    d_and_c = "\n\n".join(str(p) for p in [description, *comments] if p).strip()
+    text = "\n\n".join(p for p in [main_info, d_and_c] if p)
+    # epic: a truthy epic object wins even when it has no key — the
+    # reference does NOT fall through to parent in that case
+    # (jira_document_converter.py:65-72)
+    epic_obj = fields.get("epic")
+    if epic_obj:
+        epic = epic_obj.get("key")
+    else:
+        parent_obj = fields.get("parent")
+        epic = parent_obj.get("key") if parent_obj else None
     metadata = {
         "createdAt": fields.get("created"),
         # reporter, not creator: jira_document_converter.py:89-92 maps
@@ -174,8 +204,7 @@ def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
         "lastModifiedAt": fields.get("updated"),
         "project": key.split("-")[0] if key else None,
         "type": _get(fields, "issuetype", "name"),
-        # jira_document_converter.py:65-72: epic.key, else parent.key
-        "epic": _get(fields, "epic", "key") or _get(fields, "parent", "key"),
+        "epic": epic,
         "priority": _get(fields, "priority", "name"),
         "assignee": (_get(fields, "assignee", "emailAddress") or "").lower() or None,
         "status": _get(fields, "status", "name"),
@@ -184,7 +213,7 @@ def issue_to_canonical(issue: dict, base_url: str, cloud: bool = False) -> dict:
         "id": key,
         "url": f"{base_url.rstrip('/')}/browse/{key}",
         "metadata": {k: str(v) for k, v in metadata.items() if v is not None},
-        "text": "\n\n".join(str(p) for p in text_parts),
+        "text": text,
         "last_modified_at": None,  # parsed from metadata by read_jira_documents
         "source_type": "jira",
     }
