@@ -74,7 +74,7 @@ def cmd_create_files(args) -> int:
         include_pattern=args.include,
         exclude_pattern=args.exclude,
     )
-    manifest = create_collection(coll, docs, **_create_kwargs(args))
+    manifest = create_collection(coll, docs, title_from_text=True, **_create_kwargs(args))
     manifest = _record_reader(
         coll, manifest,
         {"name": "files", "path": args.path, "include": args.include,
@@ -90,7 +90,7 @@ def cmd_create_jira(args) -> int:
 
     coll = _collection(args)
     docs = read_jira_documents(coll.spark, args.url, args.query, token=args.token)
-    manifest = create_collection(coll, docs, **_create_kwargs(args))
+    manifest = create_collection(coll, docs, title_from_text=True, **_create_kwargs(args))
     # token is NOT persisted — it comes from the environment/flag per run
     manifest = _record_reader(
         coll, manifest, {"name": "jira", "url": args.url, "query": args.query}
@@ -109,7 +109,7 @@ def cmd_create_confluence(args) -> int:
     docs = read_confluence_documents(
         coll.spark, args.url, args.query, token=args.token
     )
-    manifest = create_collection(coll, docs, **_create_kwargs(args))
+    manifest = create_collection(coll, docs, title_from_text=True, **_create_kwargs(args))
     manifest = _record_reader(
         coll, manifest,
         {"name": "confluence", "url": args.url, "query": args.query},

@@ -57,22 +57,45 @@ def build_chunks(
     chunk_size: int = 1000,
     chunk_overlap: int = 100,
     title_col: str | None = None,
+    title_from_text: bool = False,
 ) -> DataFrame:
     """Docs → (document_id, chunk_number, indexed_data).
 
     Chunk 0 is the title/main-info chunk (reference
-    jira_document_converter.py:39-51: "KEY : summary" etc.; here
-    ``title_col`` or the document id); chunks 1..N split the body
-    (SURVEY §2.3 T2).
+    jira_document_converter.py:39-51: "KEY : summary" etc.); chunks
+    1..N split the body (SURVEY §2.3 T2).
+
+    ``title_from_text=True`` reproduces the reference converters'
+    chunk topology exactly: every converter (jira main-info,
+    confluence path-of-titles, files relative path) emits a document
+    text of the form "<title line>\\n\\n<body>", chunk 0 is that first
+    element and the splitter sees ONLY the body — so chunk 0 is the
+    title line and body chunks never re-contain it. The create
+    commands for those sources set it (recorded in the manifest as
+    ``titleFromText`` so updates reproduce the topology). Default
+    False keeps the generic behavior for sources whose text has no
+    title line (dataset ingest): chunk 0 = ``title_col`` or the id,
+    body = the whole text.
     """
-    title = F.col(title_col) if title_col else F.col("id")
+    if title_from_text:
+        sep = F.locate("\n\n", F.col("text"))  # 1-based, 0 when absent
+        title = F.when(
+            sep > 0, F.col("text").substr(F.lit(1), sep - 1)
+        ).otherwise(F.col("text"))
+        body_text = F.when(
+            sep > 0, F.col("text").substr(sep + 2, F.length("text"))
+        ).otherwise(F.lit(""))
+        body_src = docs.withColumn("text", body_text)
+    else:
+        title = F.col(title_col) if title_col else F.col("id")
+        body_src = docs
     title_chunks = docs.select(
         F.col("id").alias("document_id"),
         F.lit(0).alias("chunk_number"),
         title.cast("string").alias("indexed_data"),
     )
     body = fixed_window_chunks(
-        docs.filter(F.length("text") > 0),
+        body_src.filter(F.length("text") > 0),
         chunk_size=chunk_size,
         overlap=chunk_overlap,
         id_col="id",
@@ -103,6 +126,7 @@ def create_collection(
     chunk_size: int = 1000,
     chunk_overlap: int = 100,
     title_col: str | None = None,
+    title_from_text: bool = False,
     embedder: Embedder | None = None,
     embedding_dim: int = 16,
     embedder_tag: str | None = None,
@@ -214,7 +238,9 @@ def create_collection(
         )
     docs = collection.read("documents")  # re-read: decouple lineage from source
 
-    chunks = build_chunks(docs, chunk_size, chunk_overlap, title_col)
+    chunks = build_chunks(
+        docs, chunk_size, chunk_overlap, title_col, title_from_text
+    )
     if contiguous_ids:
         chunks = assign_chunk_ids(
             chunks, offset=0, id_col="document_id", chunk_number_col="chunk_number"
@@ -431,6 +457,9 @@ def create_collection(
         converter={
             "splitter": {"chunkSize": chunk_size, "chunkOverlap": chunk_overlap},
             "idStrategy": "counter" if contiguous_ids else "hash",
+            # chunk-0-from-text topology (reference converter parity);
+            # updates must rebuild changed docs' chunks the same way
+            **({"titleFromText": True} if title_from_text else {}),
             # update-bucket count: incremental updates prune and rewrite
             # only the _pb partitions their changed keys hash into
             "updateBuckets": update_buckets,

@@ -276,6 +276,9 @@ def update_collection(
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
     chunk_overlap = splitter.get("chunkOverlap", 100)
+    # chunk-0 topology recorded at create: changed docs must re-chunk
+    # the same way (title line from text vs title_col/id)
+    title_from_text = bool(manifest.converter.get("titleFromText"))
 
     emb_cfg = manifest.converter.get("embedding") or {}
     recorded_dim = emb_cfg.get("dim")
@@ -369,7 +372,9 @@ def update_collection(
     # counter: reference parity — continue from lastIndexItemId
     # (documents_collection_creator.py:129); bounded update batch, so the
     # global window is fine here.
-    built = build_chunks(changed_docs, chunk_size, chunk_overlap, title_col)
+    built = build_chunks(
+        changed_docs, chunk_size, chunk_overlap, title_col, title_from_text
+    )
     if manifest.converter.get("idStrategy", "counter") == "hash":
         from documents_vector_search_spark.collection.creator import (
             _hash_chunk_ids,

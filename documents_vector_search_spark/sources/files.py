@@ -197,11 +197,24 @@ def read_files_documents(
             "text", F.expr("try_cast(content AS STRING)")
         ).drop("content")
 
+    # document text = relative path + blank line + stripped content
+    # (files_document_converter.py:29-34: convert_to_text([rel_path,
+    # content]) with falsy filtering and .strip() at both levels) — the
+    # path line doubles as the title/chunk-0 element, same shape as the
+    # jira/confluence converters. Java \s is ASCII-only where Python
+    # .strip() is unicode — a documented corner, irrelevant for the
+    # ASCII whitespace real files end with.
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"^\s+", ""), r"\s+$", ""
+    )
+    doc_text = F.when(
+        stripped.isNull() | (stripped == ""), F.col("rel_path")
+    ).otherwise(F.concat(F.col("rel_path"), F.lit("\n\n"), stripped))
     return df.select(
         F.col("rel_path").alias("id"),
         F.concat(F.lit("file://"), F.lit(base_path.rstrip("/") + "/"), F.col("rel_path")).alias("url"),
         metadata.alias("metadata"),
-        F.col("text"),
+        doc_text.alias("text"),
         F.col("modificationTime").alias("last_modified_at"),
         F.lit("localFiles").alias("source_type"),
     )

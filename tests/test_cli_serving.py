@@ -494,7 +494,9 @@ class TestServing:
         )
         by_id = {h["document_id"]: h for h in hits}
         hit = by_id["eng/joins.txt"]
-        assert hit["snippet_line"] == 1
+        # document text = "<rel_path>\n\n<content>" (reference files
+        # converter envelope) → the matching content line is line 3
+        assert hit["snippet_line"] == 3
         assert "broadcast hash join" in hit["snippet"]
         # 'join' occurs twice, 'broadcast'/'hash' once each
         assert hit["snippet_hits"] == 4
@@ -913,6 +915,75 @@ class TestEvaluateCLI:
         mean = byq["__mean__"]
         assert mean["mrr"] == round(2 / 3, 6)
         assert mean["recall"] == round((1.0 + 0.5 + 0.0) / 3, 6)
+
+    def test_evaluate_golden_verbatim(self, spark, tmp_path, capsys):
+        """Golden end-to-end: a fixed 4-doc corpus + 3 queries + graded
+        qrels whose every metric is hand-computed from the definitions
+        in operators/ir_eval.py — the CLI's JSON output is asserted
+        VERBATIM, including the trec_eval zero-row for the query that
+        retrieves nothing and the __mean__ row averaging over it."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+        )
+
+        base = str(tmp_path / "goldbase")
+        coll = Collection(spark, base, "evalgold")
+        docs = spark.createDataFrame(
+            [
+                ("d1", "alpha beta gamma"),
+                ("d2", "alpha alpha delta"),   # tf=2 → outranks d1
+                ("d3", "beta epsilon"),
+                ("d4", "zeta eta theta"),
+            ],
+            "id string, text string",
+        ).selectExpr(
+            "id",
+            "concat('doc://', id) AS url",
+            "map('lang', 'en') AS metadata",
+            "text",
+            "timestamp'2024-01-01 00:00:00' AS last_modified_at",
+            "'golden' AS source_type",
+        )
+        create_collection(coll, docs, chunk_size=200, chunk_overlap=0)
+
+        qpath = str(tmp_path / "gq.json")
+        with open(qpath, "w") as fh:
+            json.dump(
+                {"q1": "alpha", "q2": "zeta", "q3": "nomatchterm"}, fh
+            )
+        rpath = str(tmp_path / "gqrels.csv")
+        with open(rpath, "w") as fh:
+            fh.write(
+                "qid,doc_id,rel\n"
+                "q1,d1,1\n"
+                "q1,d2,2\n"
+                "q2,d4,1\n"
+                "q3,d9,1\n"
+            )
+        rc = cli.main(
+            ["evaluate", "evalgold", "--base-path", base,
+             "--queries", qpath, "--qrels", rpath, "--k", "5",
+             "--indexes", "bm25", "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # q1 'alpha': d2 (tf=2) at rank 1 rel=2, d1 at rank 2 rel=1 →
+        #   DCG = 3/log2(2) + 1/log2(3) = IDCG → ndcg 1.0; MRR 1.0;
+        #   P@5 = 2/5; R = 2/2; AP = (1/1 + 2/2)/2 = 1.0
+        # q2 'zeta': d4 at rank 1, the only relevant → all 1.0, P = 1/5
+        # q3 retrieves nothing → zero row; qrels d9 never retrievable
+        # means over ALL THREE queries (trec_eval convention)
+        assert rows == [
+            {"qid": "q1", "ndcg": 1.0, "mrr": 1.0, "precision": 0.4,
+             "recall": 1.0, "ap": 1.0},
+            {"qid": "q2", "ndcg": 1.0, "mrr": 1.0, "precision": 0.2,
+             "recall": 1.0, "ap": 1.0},
+            {"qid": "q3", "ndcg": 0.0, "mrr": 0.0, "precision": 0.0,
+             "recall": 0.0, "ap": 0.0},
+            {"qid": "__mean__", "ndcg": 0.666667, "mrr": 0.666667,
+             "precision": 0.2, "recall": 0.666667, "ap": 0.666667},
+        ]
 
 
 class TestBatchFuzzy:

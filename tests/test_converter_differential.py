@@ -393,3 +393,59 @@ def test_confluence_envelope_matches_reference(ref, case, cloud):
         page_to_canonical(_conf_our_page(spec, cloud), CONF_BASE, cloud=cloud)
     )
     assert got == expected, f"case={case} cloud={cloud}"
+
+
+# ---------------------------------------------------------------------------
+# Chunk topology: with title_from_text (what the source create commands
+# set), our build_chunks must reproduce the reference's chunk list —
+# chunk 0 = the title/main-info line, the splitter sees ONLY the body.
+# The stub splitter returns the body whole, so a generous chunk_size
+# makes the two chunk lists comparable element-for-element.
+# ---------------------------------------------------------------------------
+
+
+def _our_chunks(spark, envelope, chunk_size=10_000):
+    from documents_vector_search_spark.collection.creator import build_chunks
+
+    df = spark.createDataFrame(
+        [(envelope["id"], envelope["text"])], "id string, text string"
+    )
+    rows = build_chunks(
+        df, chunk_size=chunk_size, chunk_overlap=0, title_from_text=True
+    ).collect()
+    return [
+        r.indexed_data for r in sorted(rows, key=lambda r: r.chunk_number)
+    ]
+
+
+@pytest.mark.parametrize(
+    "case", ["full", "null_description", "no_comments", "empty_summary"]
+)
+def test_jira_chunk_topology_matches_reference(ref, spark, case):
+    from documents_vector_search_spark.sources.jira import issue_to_canonical
+
+    issue = JIRA_CASES[case]
+    expected = [
+        c["indexedData"] for c in ref["jira"].convert(issue)[0]["chunks"]
+    ]
+    got = _our_chunks(spark, issue_to_canonical(issue, JIRA_BASE, cloud=False))
+    assert got == expected, f"case={case}"
+
+
+@pytest.mark.parametrize("case", ["full", "empty_body_with_comments"])
+def test_confluence_chunk_topology_matches_reference(ref, spark, case):
+    from documents_vector_search_spark.sources.confluence import (
+        page_to_canonical,
+    )
+
+    spec = CONF_CASES[case]
+    expected = [
+        c["indexedData"]
+        for c in ref["confluence"].convert(_conf_ref_document(spec, False))[0][
+            "chunks"
+        ]
+    ]
+    got = _our_chunks(
+        spark, page_to_canonical(_conf_our_page(spec, False), CONF_BASE)
+    )
+    assert got == expected, f"case={case}"

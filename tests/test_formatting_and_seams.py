@@ -101,10 +101,12 @@ class TestRichParserSeam:
             parser=fake_parser,
         )
         rows = {r.id: r for r in docs.collect()}
-        assert rows["doc.pdf"].text == "PARSEDCONTENT"
-        assert rows["note.txt"].text == "plain note"
+        # reference files_document_converter.py:29-34: parsed parts are
+        # joined with "" then prefixed "<rel_path>\n\n"
+        assert rows["doc.pdf"].text == "doc.pdf\n\nPARSEDCONTENT"
+        assert rows["note.txt"].text == "note.txt\n\nplain note"
 
-    def test_parser_failure_degrades_to_empty_text(self, spark, tmp_path):
+    def test_parser_failure_degrades_to_title_only_text(self, spark, tmp_path):
         (tmp_path / "bad.pdf").write_bytes(b"%PDF broken")
 
         def exploding(content, rel):
@@ -114,7 +116,9 @@ class TestRichParserSeam:
             spark, str(tmp_path), blacklist=["png"], parser=exploding
         )
         rows = docs.collect()
-        assert len(rows) == 1 and rows[0].text == ""
+        # empty content is falsy-filtered by the reference's
+        # convert_to_text, leaving only the path line
+        assert len(rows) == 1 and rows[0].text == "bad.pdf"
 
 
 class TestEmbedderUdfSeam:

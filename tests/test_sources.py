@@ -47,7 +47,9 @@ class TestFilesSource:
         design = rows["eng/specs/design.md"]
         assert design.metadata["folder1"] == "eng"
         assert design.metadata["folder2"] == "specs"
-        assert design.text == "join design doc"
+        # reference files_document_converter.py:29-34: document text is
+        # "<rel_path>\n\n<stripped content>"
+        assert design.text == "eng/specs/design.md\n\njoin design doc"
         assert design.url.endswith("/eng/specs/design.md")
         assert design.source_type == "localFiles"
 
