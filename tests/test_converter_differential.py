@@ -60,6 +60,7 @@ class _SegmentSplitter:
 @pytest.fixture(scope="module")
 def ref():
     """Import the four reference converter classes (oracle only)."""
+    installed_stub = False
     if "bs4" not in sys.modules:
         stub = types.ModuleType("bs4")
 
@@ -72,6 +73,7 @@ def ref():
 
         stub.BeautifulSoup = _NoBs4
         sys.modules["bs4"] = stub
+        installed_stub = True
     sys.path.insert(0, REF_ROOT)
     try:
         from main.sources.confluence.confluence_cloud_document_converter import (
@@ -89,12 +91,16 @@ def ref():
     finally:
         sys.path.remove(REF_ROOT)
     s = _SegmentSplitter()
-    return {
+    yield {
         "jira": JiraDocumentConverter(s),
         "jira_cloud": JiraCloudDocumentConverter(s),
         "confluence": ConfluenceDocumentConverter(s),
         "confluence_cloud": ConfluenceCloudDocumentConverter(s),
     }
+    # remove the poisoned stub so later tests (e.g. the confluence
+    # source's bs4 ImportError fallback) see a clean sys.modules
+    if installed_stub:
+        sys.modules.pop("bs4", None)
 
 
 def _norm_ref(envelope: dict) -> dict:
