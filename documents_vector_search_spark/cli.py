@@ -726,13 +726,16 @@ def cmd_complete(args) -> int:
         has_vocab = bool(coll.manifest().converter.get("fuzzy"))
     except FileNotFoundError:
         has_vocab = False
-    vocab = (
-        coll.read("vocab")
-        if has_vocab
-        else build_term_dictionary(
+    if has_vocab:
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            read_vocab,
+        )
+
+        vocab = read_vocab(coll)  # base + delta-log fold
+    else:
+        vocab = build_term_dictionary(
             coll.read("postings").select("chunk_id", "term", "tf")
         )
-    )
     rows = suggest_prefix(vocab, args.prefix, args.k).collect()
     print(_format([r.asDict(recursive=True) for r in rows], args.format))
     return 0
@@ -742,16 +745,17 @@ def cmd_refit_fuzzy(args) -> int:
     """(Re)build the fuzzy dictionary + deletion index from the
     postings table — enables fuzzy artifacts on an existing collection
     and recovers a dictionary left stale by a crash between an
-    update's main swap and its fuzzy apply."""
+    update's main swap and its fuzzy apply. Implemented as a forced
+    compaction: staged build + swap, delta log retired with it."""
     from documents_vector_search_spark.collection.fuzzy_artifacts import (
-        write_fuzzy_artifacts,
+        compact_fuzzy_artifacts,
     )
 
     coll = _collection(args)
-    write_fuzzy_artifacts(coll)
+    compact_fuzzy_artifacts(coll)
     manifest = coll.manifest()
     manifest.converter.setdefault(
-        "fuzzy", {"maxEdits": 1, "variantBuckets": 64}
+        "fuzzy", {"maxEdits": 1, "variantBuckets": 64, "compactAfter": 8}
     )
     coll.save_manifest(manifest)
     print(_format({"collection": coll.name, "fuzzy": manifest.converter["fuzzy"]},

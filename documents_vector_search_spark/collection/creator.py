@@ -487,9 +487,16 @@ def create_collection(
             # (searcher validates before accepting a phrase query)
             **({"phrase": {"positional": True}} if positional_postings else {}),
             # fuzzy artifacts: suggest/--fuzzy probe the materialized
-            # deletion index (variant-bucket pruned)
+            # deletion index (variant-bucket pruned); updates append to
+            # a delta log compacted every compactAfter batches
             **(
-                {"fuzzy": {"maxEdits": 1, "variantBuckets": 64}}
+                {
+                    "fuzzy": {
+                        "maxEdits": 1,
+                        "variantBuckets": 64,
+                        "compactAfter": 8,
+                    }
+                }
                 if fuzzy_dictionary
                 else {}
             ),

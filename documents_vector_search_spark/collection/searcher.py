@@ -530,6 +530,7 @@ class CollectionSearcher:
         if fuzzy_cfg:
             from documents_vector_search_spark.collection.fuzzy_artifacts import (
                 DELETION_INDEX_TABLE,
+                read_deletion_index,
             )
 
             return spell_corrections(
@@ -537,7 +538,11 @@ class CollectionSearcher:
                 terms,
                 max_edits=min(max_edits, int(fuzzy_cfg.get("maxEdits", 1))),
                 prefer_exact=True,
-                deletion_index=self._read(DELETION_INDEX_TABLE),
+                # base via _read (table cache); delta-log batches folded
+                # in at call time so suggestions see the newest counts
+                deletion_index=read_deletion_index(
+                    self.collection, base=self._read(DELETION_INDEX_TABLE)
+                ),
             )
         vocab = build_term_dictionary(self._read("postings"))
         return spell_corrections(

@@ -206,12 +206,13 @@ def _materialize_fuzzy_delta(
 def _apply_fuzzy_delta(
     collection: Collection, manifest: Manifest, delta_path: str | None
 ) -> None:
-    """Post-swap phase: merge the materialized delta into the
-    vocabulary and regenerate the deletion index (vocabulary-sized),
-    both through staged swaps; remove the delta staging dir."""
+    """Post-swap phase: append the materialized delta as one batch to
+    the fuzzy delta logs (O(changed terms), base untouched), compacting
+    when the log is long; remove the delta staging dir."""
     if delta_path is None:
         return
     from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        DEFAULT_COMPACT_AFTER,
         DEFAULT_MAX_EDITS,
         apply_vocab_delta,
         fuzzy_config,
@@ -222,6 +223,7 @@ def _apply_fuzzy_delta(
         collection,
         delta_path,
         max_edits=int(cfg.get("maxEdits", DEFAULT_MAX_EDITS)),
+        compact_after=int(cfg.get("compactAfter", DEFAULT_COMPACT_AFTER)),
     )
     shutil.rmtree(delta_path, ignore_errors=True)
 
@@ -271,7 +273,11 @@ def update_collection(
     # fuzzy artifacts recover through the same orphan sweep: an
     # interrupted vocab/deletion_index staged swap rolls back to the
     # parked ``__old`` (see _apply_fuzzy_delta)
-    _recover_orphans(collection, list(TABLES) + ["vocab", "deletion_index"])
+    _recover_orphans(
+        collection,
+        list(TABLES)
+        + ["vocab", "deletion_index", "vocab_deltas", "deletion_index_deltas"],
+    )
     manifest = collection.manifest()
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
@@ -696,7 +702,11 @@ def delete_documents(
     # fuzzy artifacts recover through the same orphan sweep: an
     # interrupted vocab/deletion_index staged swap rolls back to the
     # parked ``__old`` (see _apply_fuzzy_delta)
-    _recover_orphans(collection, list(TABLES) + ["vocab", "deletion_index"])
+    _recover_orphans(
+        collection,
+        list(TABLES)
+        + ["vocab", "deletion_index", "vocab_deltas", "deletion_index_deltas"],
+    )
     manifest = collection.manifest()
 
     if isinstance(doc_ids, DataFrame):

@@ -221,13 +221,16 @@ def complete_in_collection(
         has_vocab = bool(coll.manifest().converter.get("fuzzy"))
     except FileNotFoundError:
         has_vocab = False
-    vocab = (
-        coll.read("vocab")
-        if has_vocab
-        else build_term_dictionary(
+    if has_vocab:
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            read_vocab,
+        )
+
+        vocab = read_vocab(coll)  # base + delta-log fold
+    else:
+        vocab = build_term_dictionary(
             coll.read("postings").select("chunk_id", "term", "tf")
         )
-    )
     return [
         r.asDict(recursive=True) for r in suggest_prefix(vocab, prefix, k).collect()
     ]

@@ -34,9 +34,13 @@ def _docs(spark, rows, ts="2024-03-01 00:00:00"):
 
 
 def _vocab_matches_recompute(coll):
+    from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        read_vocab,
+    )
+
     stored = {
         (r["term"], r["ctf"], r["df"])
-        for r in coll.read("vocab").collect()
+        for r in read_vocab(coll).collect()
     }
     recomputed = {
         (r["term"], r["ctf"], r["df"])
@@ -71,6 +75,7 @@ class TestFuzzyArtifacts:
         assert fuzzy_coll.manifest().converter["fuzzy"] == {
             "maxEdits": 1,
             "variantBuckets": 64,
+            "compactAfter": 8,
         }
         didx = fuzzy_coll.read("deletion_index")
         assert {"term", "ctf", "df", "variant", "variant_bucket"} <= set(
@@ -101,14 +106,23 @@ class TestFuzzyArtifacts:
         s = CollectionSearcher(fuzzy_coll)
         got = {r["qraw"]: r["suggestion"] for r in s.suggest("zebrafis").collect()}
         assert got == {"zebrafis": "zebrafish"}
-        # d1's replaced text dropped 'broadcast' from the corpus
-        vocab_terms = {r["term"] for r in fuzzy_coll.read("vocab").collect()}
+        # d1's replaced text dropped 'broadcast' from the corpus — the
+        # fold tombstones it (base row + negative delta nets to 0)
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            read_vocab,
+        )
+
+        vocab_terms = {r["term"] for r in read_vocab(fuzzy_coll).collect()}
         assert "broadcast" not in vocab_terms
 
     def test_delete_maintains_dictionary(self, spark, fuzzy_coll):
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            read_vocab,
+        )
+
         delete_documents(fuzzy_coll, ["d2"])
         _vocab_matches_recompute(fuzzy_coll)
-        vocab_terms = {r["term"] for r in fuzzy_coll.read("vocab").collect()}
+        vocab_terms = {r["term"] for r in read_vocab(fuzzy_coll).collect()}
         assert "salting" not in vocab_terms and "join" in vocab_terms
 
     def test_refit_fuzzy_enables_on_plain_collection(
@@ -163,28 +177,22 @@ class TestFuzzyArtifacts:
         rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert {r["term"] for r in rows} == {"scan", "scatter"}
 
-    def test_update_rewrites_only_affected_buckets(self, spark, tmp_path):
-        """The O(affected buckets) maintenance contract: an update may
-        rewrite only the term_bucket partitions of the vocab and the
-        variant_bucket partitions of the deletion index that deletion
-        variants of CHANGED terms hash into — every other partition
-        directory must survive byte-identical with its mtime untouched.
-        The maintained index must still equal a full rebuild."""
+    def test_update_appends_delta_and_leaves_base_immutable(
+        self, spark, tmp_path
+    ):
+        """The delta-log maintenance contract: an update writes ONE new
+        batch partition to each delta log and touches NOTHING else —
+        every base file of the vocab and deletion index survives
+        byte-identical with its mtime untouched. The folded view must
+        still equal a full rebuild."""
         from pathlib import Path
 
         from documents_vector_search_spark.collection.fuzzy_artifacts import (
             deletion_index_df,
-        )
-        from documents_vector_search_spark.operators.bm25 import (
-            term_bucket_py,
-        )
-        from documents_vector_search_spark.operators.fuzzy import (
-            deletions_py,
+            read_deletion_index,
         )
 
         coll = Collection(spark, str(tmp_path), "bucketfz")
-        # enough distinct terms that the 64 variant buckets are well
-        # populated and most of them are NOT touched by the update
         docs = _docs(
             spark,
             [
@@ -214,47 +222,27 @@ class TestFuzzyArtifacts:
         )
         update_collection(coll, fresh)
 
-        # changed terms = d0's old terms (all dropped) + the 2 new ones
-        changed = {f"term0w{j}" for j in range(12)} | {
-            "zebrafish", "holograph"
-        }
-        touched_vb = {
-            term_bucket_py(v) for t in changed for v in deletions_py(t, 1)
-        }
-        touched_tb = {term_bucket_py(t) for t in changed}
-        assert len(touched_vb) < 64  # the test is vacuous otherwise
+        # base tables are IMMUTABLE between compactions
+        assert snapshot("deletion_index") == before_didx
+        assert snapshot("vocab") == before_vocab
+        # ... and exactly one batch landed in each delta log
+        assert [d.name for d in sorted(
+            Path(coll.table_path("vocab_deltas")).glob("batch=*")
+        )] == ["batch=1"]
+        assert [d.name for d in sorted(
+            Path(coll.table_path("deletion_index_deltas")).glob("batch=*")
+        )] == ["batch=1"]
+        # the delta is O(changed terms), not vocabulary-sized: d0's 12
+        # dropped terms + 2 added = 14 vocab delta rows
+        assert spark.read.parquet(
+            str(Path(coll.table_path("vocab_deltas")) / "batch=1")
+        ).count() == 14
 
-        def bucket_of(relpath, col):
-            for part in Path(relpath).parts:
-                if part.startswith(f"{col}="):
-                    return int(part.split("=", 1)[1])
-            return None
-
-        after_didx = snapshot("deletion_index")
-        for rel, (mtime, content) in before_didx.items():
-            vb = bucket_of(rel, "variant_bucket")
-            if vb is not None and vb not in touched_vb:
-                assert rel in after_didx, f"untouched bucket file lost: {rel}"
-                assert after_didx[rel] == (mtime, content), (
-                    f"untouched variant_bucket={vb} rewritten: {rel}"
-                )
-        after_vocab = snapshot("vocab")
-        for rel, (mtime, content) in before_vocab.items():
-            tb = bucket_of(rel, "term_bucket")
-            if tb is not None and tb not in touched_tb:
-                assert rel in after_vocab, f"untouched bucket file lost: {rel}"
-                assert after_vocab[rel] == (mtime, content), (
-                    f"untouched term_bucket={tb} rewritten: {rel}"
-                )
-        # and something DID change
-        assert after_didx != before_didx
-        assert after_vocab != before_vocab
-
-        # maintained artifacts == full rebuild (vocab AND deletion index)
+        # folded artifacts == full rebuild (vocab AND deletion index)
         _vocab_matches_recompute(coll)
         maintained = {
             (r["term"], r["ctf"], r["df"], r["variant"], r["variant_bucket"])
-            for r in coll.read("deletion_index").collect()
+            for r in read_deletion_index(coll).collect()
         }
         rebuilt = {
             (r["term"], r["ctf"], r["df"], r["variant"], r["variant_bucket"])
@@ -265,6 +253,60 @@ class TestFuzzyArtifacts:
             ).collect()
         }
         assert maintained == rebuilt
+
+    def test_compaction_folds_deltas_into_base(self, spark, tmp_path):
+        """After compactAfter batches the delta log folds into a fresh
+        base: batch dirs retired, the sidecar records the high-water
+        batch id, and the folded view still equals a full rebuild.
+        Suggestions stay correct across the fold."""
+        from pathlib import Path
+
+        coll = Collection(spark, str(tmp_path), "compactfz")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "alpha beta gamma"), ("d2", "beta delta")]),
+            chunk_size=200,
+            chunk_overlap=0,
+            fuzzy_dictionary=True,
+        )
+        manifest = coll.manifest()
+        manifest.converter["fuzzy"]["compactAfter"] = 2
+        coll.save_manifest(manifest)
+
+        update_collection(
+            coll, _docs(spark, [("d3", "epsilon zeta")], ts="2024-03-02 00:00:00")
+        )
+        assert [d.name for d in sorted(
+            Path(coll.table_path("vocab_deltas")).glob("batch=*")
+        )] == ["batch=1"]
+        # second batch reaches the threshold → compaction
+        update_collection(
+            coll, _docs(spark, [("d1", "alpha omega")], ts="2024-03-03 00:00:00")
+        )
+        assert not list(
+            Path(coll.table_path("vocab_deltas")).glob("batch=*")
+        )
+        assert not list(
+            Path(coll.table_path("deletion_index_deltas")).glob("batch=*")
+        )
+        import json as _json
+
+        state = _json.loads(
+            (Path(coll.table_path("vocab")) / "_delta_state.json").read_text()
+        )
+        assert state["compactedThrough"] == 2
+        _vocab_matches_recompute(coll)
+        s = CollectionSearcher(coll)
+        got = {r["qraw"]: r["suggestion"] for r in s.suggest("omeg epsilo").collect()}
+        assert got == {"omeg": "omega", "epsilo": "epsilon"}
+        # the next batch id continues past the compaction high-water mark
+        update_collection(
+            coll, _docs(spark, [("d4", "theta iota")], ts="2024-03-04 00:00:00")
+        )
+        assert [d.name for d in sorted(
+            Path(coll.table_path("vocab_deltas")).glob("batch=*")
+        )] == ["batch=3"]
+        _vocab_matches_recompute(coll)
 
     def test_crash_between_vocab_swap_phases_recovers(self, spark, tmp_path):
         """Simulate a crash mid-staged-swap of the vocab table (final
@@ -309,19 +351,29 @@ class TestFuzzyArtifacts:
             chunk_overlap=0,
             fuzzy_dictionary=True,
         )
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            read_vocab,
+        )
+
         batch = _docs(
             spark, [("d1", "alpha delta delta")], ts="2024-03-02 00:00:00"
         )
         update_collection(coll, batch)
         after_one = sorted(
             (r["term"], r["ctf"], r["df"])
-            for r in coll.read("vocab").collect()
+            for r in read_vocab(coll).collect()
         )
-        update_collection(coll, batch)  # unchanged re-send
+        update_collection(coll, batch)  # unchanged re-send: the second
+        # delta nets to zero, so NO new batch dir may appear
         after_two = sorted(
             (r["term"], r["ctf"], r["df"])
-            for r in coll.read("vocab").collect()
+            for r in read_vocab(coll).collect()
         )
+        from pathlib import Path
+
+        assert [d.name for d in sorted(
+            Path(coll.table_path("vocab_deltas")).glob("batch=*")
+        )] == ["batch=1"]
         assert after_one == after_two
         _vocab_matches_recompute(coll)
         assert ("beta", 1, 1) in after_two      # d1's beta gone, d2's stays
