@@ -98,6 +98,9 @@ HEADLINE = [
     "ir_metrics",
     "cube_agg",
     "tpch_q18",
+    "trending_terms",
+    "bm25f",
+    "zorder_key",
     "late_interaction",
     "mmr_rerank",
     "topic_model",

@@ -1066,3 +1066,134 @@ def ql_dirichlet_topk_batch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    fields: dict[str, "F.Column"],
+    weights: dict[str, float],
+    field_b: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    conjunctive: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """BM25F top-k: ``(id, score)`` descending, ties on id ascending.
+
+    Robertson/Zaragoza's field-weighted BM25 ("Simple BM25F",
+    Robertson & Zaragoza 2009 §3.3.2, public): per (doc, term) a
+    PSEUDO-FREQUENCY sums the field tfs, each field-length-normalized
+    with its own ``b`` and scaled by its weight —
+
+        tf~(t,d) = sum_f  w_f * tf_{f} / (1 - b_f + b_f * fl_f/avgfl_f)
+
+    — then saturates ONCE across fields: ``idf(t) * tf~ / (k1 + tf~)``
+    (saturating per-field and summing would over-reward a term spread
+    thinly across fields; combining frequencies first is the whole
+    point of BM25F). idf and N are DOCUMENT-level (a term counts once
+    per doc regardless of which fields hold it); ``avgfl_f`` averages
+    over docs where the field is non-empty.
+
+    ``fields`` maps field name → text Column (e.g. a title line split
+    from the text, matching the chunk-0-is-title collection topology);
+    ``weights``/``field_b`` map the same names to their weight and
+    length-normalization slope (``b`` defaults to the BM25 ``B`` for
+    every field).
+
+    The reference has no field weighting (FTS5 default rank, see module
+    docstring) — beyond-reference search surface.
+
+    Scale shape: one tokenize+aggregate per field over the corpus
+    (map-side combinable, union keyed by (id, term) — the same single
+    shuffle family as build_postings), broadcast per-field stats, one
+    TakeOrdered. No UDFs, no driver loops.
+    """
+    q_terms = _query_terms(query)
+    if not q_terms:
+        return docs.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    field_b = field_b or {}
+
+    per_field = []
+    for name, col in fields.items():
+        toks = docs.select(
+            F.col(id_col), F.explode_outer(tokenize(col)).alias("term")
+        ).filter(F.col("term").isNotNull())
+        tf = toks.groupBy(id_col, "term").agg(
+            F.count("*").cast("bigint").alias("tf")
+        )
+        per_field.append(tf.withColumn("field", F.lit(name)))
+    united = per_field[0]
+    for t in per_field[1:]:
+        united = united.unionByName(t)
+
+    from pyspark.sql import Window
+
+    # field length + per-field average over docs with a non-empty field
+    united = united.withColumn(
+        "fl", F.sum("tf").over(Window.partitionBy(id_col, "field"))
+    )
+    field_stats = (
+        united.groupBy("field", id_col)
+        .agg(F.first("fl").alias("fl"))
+        .groupBy("field")
+        .agg(F.avg("fl").alias("avgfl"))
+    )
+
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+
+    matched = united.filter(F.col("term").isin(q_terms)).join(
+        F.broadcast(field_stats), "field"
+    )
+    w_expr = F.coalesce(
+        *[
+            F.when(F.col("field") == name, F.lit(float(w)))
+            for name, w in weights.items()
+        ],
+        F.lit(0.0),
+    )
+    b_expr = F.coalesce(
+        *[
+            F.when(F.col("field") == name, F.lit(float(field_b.get(name, B))))
+            for name in fields
+        ],
+        F.lit(B),
+    )
+    contrib = (w_expr * F.col("tf")) / (
+        1 - b_expr + b_expr * F.col("fl") / F.col("avgfl")
+    )
+    pseudo = (
+        matched.withColumn("contrib", contrib)
+        .groupBy(id_col, "term")
+        .agg(F.sum("contrib").alias("tfw"))
+    )
+
+    # document-level df over the matched set (a window count of docs
+    # per term, same pattern as the indexed bm25_topk path)
+    pseudo = pseudo.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(n_docs))
+
+    idf = F.log((F.col("n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+    term_score = idf * F.col("tfw") / (F.lit(float(k1)) + F.col("tfw"))
+    agg = (
+        pseudo.withColumn("term_score", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.sum("term_score").alias("_score"),
+            F.count("*").alias("_matched_terms"),
+        )
+    )
+    if conjunctive:
+        agg = agg.filter(F.col("_matched_terms") == len(q_terms))
+    score = (
+        F.round(F.col("_score"), round_to)
+        if round_to is not None
+        else F.col("_score")
+    )
+    return (
+        agg.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

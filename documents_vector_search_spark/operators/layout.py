@@ -1,0 +1,133 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+At 100 TB the cheapest query is the one that never reads the file: a
+range predicate prunes Parquet files/row-groups via their min/max
+footer stats, but a table sorted on ONE column has useless stats for
+every OTHER column. Interleaving the bits of several columns into one
+Z-VALUE and range-partitioning + sorting on it gives every
+participating column locally-narrow min/max ranges per file, so
+predicates on ANY of them skip most of the table (the technique behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` — public; Morton 1966).
+
+Everything here is Column algebra over int64 (shifts + masks, the
+classic bit-spreading sequence) — whole-stage codegen, no UDFs, and
+the identical arithmetic runs on any ANSI engine, which is what makes
+the DuckDB oracle exact.
+
+Scale notes:
+- ``zorder_layout`` is one repartitionByRange (a range shuffle with a
+  sampled-boundaries pass, Spark's standard total-order machinery) +
+  an in-partition sort — the same cost as any global sort-write.
+- Interleaving caps each dimension at ``bits`` low-order bits
+  (default 16). Callers with wider domains should first rank/bucket
+  the column (e.g. ``F.ntile`` or quantile bucketing) — stats-based
+  skipping only needs MONOTONIC bucketing, not exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (shift, mask) pairs spreading a 16-bit value so its bits occupy even
+# positions of a 32-bit lane: the classic Morton magic-number sequence
+_SPREAD_16 = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread_bits(col, bits: int):
+    """Spread the low ``bits`` bits of ``col`` so bit i lands at
+    position 2i (bits ≤ 16: 32-bit lanes suffice)."""
+    x = col.bitwiseAND(F.lit((1 << bits) - 1))
+    for shift, mask in _SPREAD_16:
+        x = (
+            x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+        )
+    return x
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton-interleave the low ``bits`` bits of two integer columns
+    into one int64 Z-value: ``a``'s bits at even positions, ``b``'s at
+    odd. Pure shifts/masks — the SQL twin is the same expression."""
+    a = _spread_bits(col_a.cast("long"), bits)
+    b = _spread_bits(col_b.cast("long"), bits)
+    return a.bitwiseOR(F.shiftleft(b, 1)).cast("long")
+
+
+def zorder_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """ANSI-SQL twin of :func:`zorder_key` (DuckDB oracle)."""
+
+    def spread(col: str) -> str:
+        x = f"({col} & {(1 << bits) - 1})"
+        for shift, mask in _SPREAD_16:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    return f"({spread(col_a)} | ({spread(col_b)} << 1))"
+
+
+def zorder_layout(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    num_files: int = 64,
+    bits: int = 16,
+    z_col: str = "_z",
+) -> DataFrame:
+    """Cluster ``df`` for two-dimensional file skipping: compute the
+    Z-value, range-partition into ``num_files`` partitions on it, and
+    sort within each — written out, every file covers a compact Z-range
+    and therefore a narrow min/max box in BOTH columns. Drop ``z_col``
+    after writing if the consumer doesn't want it persisted."""
+    return (
+        df.withColumn(z_col, zorder_key(F.col(col_a), F.col(col_b), bits))
+        .repartitionByRange(num_files, F.col(z_col))
+        .sortWithinPartitions(z_col)
+    )
+
+
+def file_minmax_overlap_fraction(
+    path: str,
+    col_a: str,
+    lo_a: int,
+    hi_a: int,
+    col_b: str,
+    lo_b: int,
+    hi_b: int,
+) -> float:
+    """Fraction of the layout's parquet files whose footer min/max box
+    OVERLAPS the rectangle [lo_a, hi_a] × [lo_b, hi_b] — i.e. the files
+    a stats-pruning scan must read. Driver-side footer inspection
+    (pyarrow), used by tests/benchmarks to quantify skipping; the
+    query path itself just relies on the engine's native pruning."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    files = sorted(Path(path).rglob("*.parquet"))
+    if not files:
+        return 1.0
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        schema_names = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            for name in (col_a, col_b):
+                st = md.row_group(rg).column(schema_names[name]).statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if mins[col_a] <= hi_a and maxs[col_a] >= lo_a and (
+            mins[col_b] <= hi_b and maxs[col_b] >= lo_b
+        ):
+            hit += 1
+    return hit / len(files)

@@ -393,6 +393,72 @@ bm25 AS (
 )"""
 
 
+def _bm25f_oracle() -> str:
+    """DuckDB twin of q_bm25f: simple BM25F (k1=1.2) over a
+    title/body token-slice split — per-field length-normalized,
+    weighted tf combined per (doc, term) BEFORE one k1 saturation;
+    document-level df/N; conjunctive."""
+    values = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    n = BM25F_TITLE_TOKENS
+    w_case = "CASE field WHEN 'title' THEN 2.0 ELSE 1.0 END"
+    b_case = "CASE field WHEN 'title' THEN 0.5 ELSE 0.75 END"
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+fields AS (
+  SELECT doc_id, 'title' AS field, toks[1:{n}] AS ftoks FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, toks[{n + 1}:len(toks)] AS ftoks FROM toks
+),
+posting AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
+tf AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf
+  FROM posting GROUP BY 1, 2, 3
+),
+fl AS (SELECT doc_id, field, sum(tf)::BIGINT AS fl FROM tf GROUP BY 1, 2),
+avgfl AS (SELECT field, avg(fl) AS avgfl FROM fl GROUP BY 1),
+corpus AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+qterms AS (SELECT * FROM (VALUES {values}) AS q(term)),
+matched AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+contrib AS (
+  SELECT m.doc_id, m.term,
+         ({w_case}) * m.tf
+           / (1 - ({b_case}) + ({b_case}) * f.fl / a.avgfl) AS c
+  FROM matched m
+  JOIN fl f USING (doc_id, field)
+  JOIN avgfl a USING (field)
+),
+pseudo AS (SELECT doc_id, term, sum(c) AS tfw FROM contrib GROUP BY 1, 2),
+term_df AS (SELECT term, count(*)::BIGINT AS df FROM pseudo GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln((c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tfw / (1.2 + p.tfw) AS term_score
+  FROM pseudo p JOIN term_df d USING (term) CROSS JOIN corpus c
+),
+bm25f AS (
+  SELECT doc_id, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY doc_id HAVING count(*) = {len(BM25_TERMS)}
+)
+SELECT doc_id, score FROM bm25f ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of q_zorder_key: the identical shift/mask Morton
+    interleave (operators/layout.py::zorder_key_sql)."""
+    from documents_vector_search_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    z = zorder_key_sql("l_partkey", "l_suppkey", ZORDER_BITS)
+    return f"""
+SELECT l_orderkey, l_linenumber, {z}::BIGINT AS z
+FROM lineitem
+ORDER BY z ASC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+
+
 def _minhash_cols_sql(num_hashes: int = 8) -> str:
     """Family minima over the staged hex-digest array ``hx`` (one md5
     per shingle; mirror of functions/hashing.py::minhash_from_hex)."""
@@ -2158,6 +2224,74 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
         .orderBy("window_start_us", "rank")
+    )
+
+
+# BM25F field split: the synthetic corpus is single-line, so the
+# "title" field is the first N tokens (the chunk-0-is-title topology
+# collections get from their converters); both engines slice the same
+# token list
+BM25F_TITLE_TOKENS = 6
+BM25F_WEIGHTS = {"title": 2.0, "body": 1.0}
+BM25F_B = {"title": 0.5, "body": 0.75}
+
+
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25F ranking (operators/bm25.py::bm25f_topk,
+    Robertson & Zaragoza's simple BM25F): title = first
+    BM25F_TITLE_TOKENS tokens at weight 2.0 / b 0.5, body = the rest at
+    1.0 / 0.75; per-term pseudo-frequencies combine across fields
+    BEFORE the k1 saturation. Exercises the ranking the collection
+    layer's chunk-0-is-title topology exists for."""
+    from documents_vector_search_spark.functions.text import tokenize
+    from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    title = F.array_join(F.slice(toks, 1, BM25F_TITLE_TOKENS), " ")
+    body = F.array_join(
+        F.slice(
+            toks,
+            F.lit(BM25F_TITLE_TOKENS + 1),
+            F.greatest(
+                F.size(toks) - BM25F_TITLE_TOKENS, F.lit(0)
+            ),
+        ),
+        " ",
+    )
+    return bm25f_topk(
+        docs,
+        BM25_QUERY,
+        10,
+        fields={"title": title, "body": body},
+        weights=BM25F_WEIGHTS,
+        field_b=BM25F_B,
+    )
+
+
+# z-order probe rectangle: mid-range box in both key dimensions
+ZORDER_BITS = 16
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-value computation (operators/layout.py::zorder_key) —
+    the clustering key behind two-dimensional parquet file skipping
+    (Delta/Iceberg OPTIMIZE ZORDER). Pure int64 shift/mask algebra,
+    identical in the oracle; the layout + measured skipping property is
+    pinned in tests/test_layout.py."""
+    from documents_vector_search_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_key(
+                F.col("l_partkey"), F.col("l_suppkey"), ZORDER_BITS
+            ).alias("z"),
+        )
+        .orderBy(F.col("z").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(20)
     )
 
 
@@ -4443,6 +4577,8 @@ ranked AS (
 SELECT window_start_us, window_end_us, term, n, rank
 FROM ranked WHERE rank <= 5 ORDER BY window_start_us, rank
 """,
+        "bm25f": _bm25f_oracle(),
+        "zorder_key": _zorder_oracle(),
         "sessionize": """
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -5264,24 +5400,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver row (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
       ir_metrics, cube_agg, tpch_q18 — judge-green in the r7 verdict's
       own compare run, per the r7 verdict item #1);
-    - position 8: trending_terms, NEW this round (never-green keys
-      must be in-window or rotation --check fails);
-    - positions 9-50: 42 of the 50 keys whose newest driver row is r6.
-      The r7 verdict asked for 43 due-backs; trending_terms's window
-      slot displaces one. The EIGHT r6-green keys slipping to r9, each
-      with named alternate coverage this round: knn_cosine (knn_l2 +
-      knn_l2_filtered in-window, same operator parameterized by
-      metric), ivfpq_search (ivf_ann + pq_adc in-window cover the
-      coarse-quantizer and ADC halves; recall-floor pytest),
-      topic_terms (topic_model in-window + TestTopicRefit),
-      dedup_simhash (simhash_pairs r7-driver-green shares the simhash
-      function), dedup_ngram (documented bounded-only variant; scale
-      path dedup_minhash in-window), events_window (streaming parity
+    - positions 8-10: trending_terms, bm25f, zorder_key — NEW this
+      round (never-green keys must be in-window or rotation --check
+      fails);
+    - positions 11-50: 40 of the 50 keys whose newest driver row is
+      r6. The r7 verdict asked for 43 due-backs; the three new keys'
+      window slots displace three. The TEN r6-green keys slipping to
+      r9, each with named alternate coverage this round: knn_cosine
+      (knn_l2 in-window, same operator parameterized by metric),
+      knn_l2_filtered (knn_l2 + filter_docs in-window cover the knn
+      and filter-compile halves), ivfpq_search (ivf_ann + pq_adc
+      in-window cover the coarse-quantizer and ADC halves;
+      recall-floor pytest), sq8_ann (ivf_ann/pq_adc in-window share
+      the quantized-ANN family; recall-floor pytest), topic_terms
+      (topic_model in-window + TestTopicRefit), dedup_simhash
+      (simhash_pairs r7-driver-green shares the simhash function),
+      dedup_ngram (documented bounded-only variant; scale path
+      dedup_minhash in-window), events_window (streaming parity
       pytest; sessionize in-window), topk_per_group (native window
       rank; group_hits in-window exercises the same rank-filter
       shape), fetch_slice (point fetch + slice pytest in
-      test_collection.py). All eight LEAD the r9 window.
-    - out-of-window tail (51+): the 8 slipped keys first (stalest,
+      test_collection.py). All ten LEAD the r9 window.
+    - out-of-window tail (51+): the 10 slipped keys first (stalest,
       due r9), then the 50 r7-green keys. url_dedup/domain_profile are
       r7-green but their tracking-regex/domain-fallback fix this round
       was re-verified green against the oracle via dev/compare.py
@@ -5299,6 +5439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         # -- new this round (never driver-green) --------------------------
         "trending_terms": q_trending_terms,
+        "bm25f": q_bm25f,
+        "zorder_key": q_zorder_key,
         # -- due back: newest driver-green row is r6 ----------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
@@ -5311,14 +5453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
-        "sq8_ann": q_sq8_ann,
         "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,
         "vocab_stats": q_vocab_stats,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
         "knn_l2": q_knn_l2,
-        "knn_l2_filtered": q_knn_l2_filtered,
         "ann_lsh": q_ann_lsh,
         "rrf_hybrid": q_rrf_hybrid,
         "group_hits": q_group_hits,
@@ -5342,9 +5482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
-        # -- out-of-window (51+): the 8 slipped r6-green keys first
+        # -- out-of-window (51+): the 10 slipped r6-green keys first
         # (stalest — they LEAD the r9 window), then the r7-green tail --
         "knn_cosine": q_knn_cosine,
+        "knn_l2_filtered": q_knn_l2_filtered,
+        "sq8_ann": q_sq8_ann,
         "ivfpq_search": q_ivfpq_search,
         "topic_terms": q_topic_terms,
         "dedup_simhash": q_dedup_simhash,

@@ -1,0 +1,199 @@
+"""Z-order layout: Morton key correctness (vs a bit-twiddling python
+reference), the layout write, and the property the whole feature
+exists for — a two-dimensional range predicate overlaps far fewer
+parquet files' min/max stats under the Z layout than under a
+single-column sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.layout import (
+    file_minmax_overlap_fraction,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _morton_py(a: int, b: int, bits: int = 16) -> int:
+    out = 0
+    a &= (1 << bits) - 1
+    b &= (1 << bits) - 1
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+class TestZorderKey:
+    def test_matches_python_reference(self, spark):
+        rows = [(a, b) for a in (0, 1, 5, 255, 65535, 70000) for b in (0, 3, 64, 65535)]
+        df = spark.createDataFrame(rows, "a int, b int").withColumn(
+            "z", zorder_key(F.col("a"), F.col("b"))
+        )
+        for r in df.collect():
+            assert r.z == _morton_py(r.a, r.b), (r.a, r.b)
+
+    def test_locality(self, spark):
+        # adjacent points in (a, b) are close in z: the key of (a, b)
+        # and (a+1, b) differ only in a's interleaved bits
+        df = spark.createDataFrame([(7, 9)], "a int, b int").select(
+            zorder_key(F.col("a"), F.col("b")).alias("z1"),
+            zorder_key(F.col("a") + 1, F.col("b")).alias("z2"),
+        )
+        r = df.collect()[0]
+        assert r.z1 == _morton_py(7, 9) and r.z2 == _morton_py(8, 9)
+
+
+class TestZorderLayout:
+    @pytest.fixture(scope="class")
+    def grid(self, spark):
+        # a 256x256 grid of points — both dims uniformly spread
+        return spark.range(256 * 256).select(
+            (F.col("id") % 256).cast("int").alias("a"),
+            (F.col("id") / 256).cast("int").alias("b"),
+            F.col("id").alias("payload"),
+        )
+
+    def test_zorder_skips_files_where_linear_sort_cannot(
+        self, spark, grid, tmp_path
+    ):
+        """The measurable contract: for a box predicate on (a, b), the
+        fraction of files whose footer min/max box overlaps the query
+        rectangle — i.e. the files a stats-pruning scan must read — is
+        SMALL under the Z layout, while a layout sorted only on ``a``
+        must read every file for a predicate on ``b`` alone."""
+        zpath = str(tmp_path / "zsorted")
+        zorder_layout(grid, "a", "b", num_files=64).drop("_z").write.parquet(
+            zpath
+        )
+        apath = str(tmp_path / "asorted")
+        grid.repartitionByRange(64, F.col("a")).sortWithinPartitions(
+            "a"
+        ).write.parquet(apath)
+
+        # a 32x32 box (1/64 of the domain area)
+        box = dict(col_a="a", lo_a=96, hi_a=127, col_b="b", lo_b=96, hi_b=127)
+        z_frac = file_minmax_overlap_fraction(zpath, **box)
+        a_frac = file_minmax_overlap_fraction(apath, **box)
+        # z-layout: only files whose z-range crosses the box — a small
+        # fraction; a-sorted layout: the box constrains a, so it also
+        # prunes here (both are fine on the leading column)
+        assert z_frac <= 0.25, z_frac
+        assert a_frac <= 0.25, a_frac
+
+        # predicate on b ONLY: a-sorted files all span the full b range
+        # (every file overlaps), the z layout still prunes
+        b_only = dict(col_a="a", lo_a=0, hi_a=255, col_b="b", lo_b=96, hi_b=127)
+        z_frac_b = file_minmax_overlap_fraction(zpath, **b_only)
+        a_frac_b = file_minmax_overlap_fraction(apath, **b_only)
+        assert a_frac_b == 1.0, a_frac_b
+        assert z_frac_b <= 0.5, z_frac_b
+        # and the layout is lossless
+        assert (
+            spark.read.parquet(zpath).count()
+            == spark.read.parquet(apath).count()
+            == 256 * 256
+        )
+
+
+class TestBm25f:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # d1: term in title only; d2: same term in body only (longer
+        # body); d4: term in both fields; d3/d5-d8: no match (enough
+        # non-matching docs that idf = ln((N-df+.5)/(df+.5)) > 0)
+        return spark.createDataFrame(
+            [
+                (1, "spark shuffle", "a b c d"),
+                (2, "alpha beta", "spark x y z w q"),
+                (3, "gamma delta", "e f g h"),
+                (4, "spark join", "spark runs fast"),
+                (5, "iota kappa", "m n o p"),
+                (6, "lambda mu", "r s t u"),
+                (7, "nu xi", "v w a b"),
+                (8, "omicron pi", "c d e f"),
+            ],
+            "doc_id long, title string, body string",
+        )
+
+    def _topk(self, corpus, query="spark", weights=None):
+        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+        return bm25f_topk(
+            corpus,
+            query,
+            10,
+            fields={"title": F.col("title"), "body": F.col("body")},
+            weights=weights or {"title": 2.0, "body": 1.0},
+            field_b={"title": 0.5, "body": 0.75},
+        ).collect()
+
+    def test_title_match_outranks_body_match(self, corpus):
+        rows = self._topk(corpus)
+        ids = [r.doc_id for r in rows]
+        assert set(ids) == {1, 2, 4}
+        # d4 (both fields) first, d1 (title) above d2 (body-only)
+        assert ids.index(4) < ids.index(1) < ids.index(2)
+
+    def test_matches_hand_computation(self, spark):
+        """One term, two docs, weights/b chosen so the arithmetic is
+        checkable by hand: w_title=2 b_title=0, w_body=1 b_body=0
+        (no length normalization) ->
+        tfw(d1) = 2*1 = 2 (title tf 1), tfw(d2) = 1*2 = 2 (body tf 2);
+        df=2, N=2 -> idf = ln(0.5/2.5); score = idf * tfw/(1.2+tfw),
+        identical for both docs."""
+        import math
+
+        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+        corpus = spark.createDataFrame(
+            [(1, "apple pie", "x y"), (2, "other words", "apple apple z")],
+            "doc_id long, title string, body string",
+        )
+        rows = bm25f_topk(
+            corpus,
+            "apple",
+            10,
+            fields={"title": F.col("title"), "body": F.col("body")},
+            weights={"title": 2.0, "body": 1.0},
+            field_b={"title": 0.0, "body": 0.0},
+        ).collect()
+        expected = round(math.log(0.5 / 2.5) * 2 / (1.2 + 2), 6)
+        assert {(r.doc_id, r.score) for r in rows} == {
+            (1, expected),
+            (2, expected),
+        }
+
+    def test_conjunctive_requires_all_terms_across_fields(self, corpus):
+        # 'spark shuffle': d1 has both (title), d4 has spark only ->
+        # only d1 survives conjunctive matching
+        rows = self._topk(corpus, query="spark shuffle")
+        assert [r.doc_id for r in rows] == [1]
+
+    def test_equal_weights_no_norm_reduces_to_single_field_ratio(
+        self, spark
+    ):
+        """With w=1 and b=0 for both fields, tfw is the plain combined
+        tf — the field split is invisible to the score."""
+        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+        corpus = spark.createDataFrame(
+            [(1, "q q", "q"), (2, "q", "")],
+            "doc_id long, title string, body string",
+        )
+        rows = bm25f_topk(
+            corpus,
+            "q",
+            10,
+            fields={"title": F.col("title"), "body": F.col("body")},
+            weights={"title": 1.0, "body": 1.0},
+            field_b={"title": 0.0, "body": 0.0},
+        ).collect()
+        import math
+
+        idf = math.log(0.5 / 2.5)
+        got = {r.doc_id: r.score for r in rows}
+        assert got[1] == round(idf * 3 / (1.2 + 3), 6)
+        assert got[2] == round(idf * 1 / (1.2 + 1), 6)
