@@ -94,6 +94,7 @@ class CollectionSearcher:
         self._ivf_cfg: dict | None | str = "_unset"
         self._sq_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
+        self._bm25f_stats: dict[str, float] | None = None
 
     @property
     def embedding_dim(self) -> int:
@@ -156,6 +157,7 @@ class CollectionSearcher:
         self._ivf_cfg = "_unset"
         self._sq_cfg = "_unset"
         self._corpus_stats = None
+        self._bm25f_stats = None
         self._embedding_dim = None
 
     # -- internals ---------------------------------------------------------
@@ -449,6 +451,199 @@ class CollectionSearcher:
             coll_len=float(n_chunks) * float(avgdl),
         )
         return hits.select("chunk_id", "score")
+
+    def _bm25f_field_stats(self) -> dict[str, float]:
+        """Per-field average length {field: avgfl} over the index's
+        chunk view (title = chunk 0, body = the rest) — corpus
+        constants, computed once per searcher (one aggregate over
+        doc_stats⋈chunk-meta) and embedded as literals in every BM25F
+        plan, the same zero-jobs-per-query discipline as
+        _bm25_corpus_stats."""
+        if self._bm25f_stats is None:
+            meta = self._read("chunks").select("chunk_id", "chunk_number")
+            ds = self._read("doc_stats").select("chunk_id", "dl")
+            rows = (
+                ds.join(meta, "chunk_id")
+                .withColumn(
+                    "field",
+                    F.when(F.col("chunk_number") == 0, "title").otherwise(
+                        "body"
+                    ),
+                )
+                .groupBy("field")
+                .agg(F.avg("dl").alias("avgfl"))
+                .collect()
+            )
+            self._bm25f_stats = {r["field"]: float(r["avgfl"]) for r in rows}
+        return self._bm25f_stats
+
+    def search_documents_bm25f(
+        self,
+        text: str,
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        field_b: dict[str, float] | None = None,
+        metadata_filter: str | None = None,
+        conjunctive: bool = True,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """DOCUMENT-level field-weighted ranking — ``(document_id,
+        score)`` descending, ties on id. The field split is the
+        collection's chunk topology itself: chunk 0 is the title
+        (reference converter parity, creator.build_chunks), chunks 1..N
+        are the body; BM25F (operators/bm25.py::bm25f_topk docstring
+        for the math) combines per-field length-normalized weighted tfs
+        per (document, term) BEFORE one k1 saturation.
+
+        Plan shape: the SAME pruned-postings scan as BM25 (term_bucket
+        partition pruning + pushed In-list), one chunk-meta join over
+        matched rows only, field lengths computed for CANDIDATE
+        documents only (semi-join), per-field averages embedded as
+        searcher-cached literals, one TakeOrdered. Field lengths count
+        the index's view of the document — with chunk overlap > 0,
+        overlapped tokens count once per chunk (documented: the index
+        IS the corpus being ranked).
+
+        ``metadata_filter`` restricts candidate documents (compiled
+        predicate on the documents table, same mini-language as
+        search()); corpus statistics stay whole-index, matching the
+        FTS5-parity convention of the chunk-level rankers."""
+        from documents_vector_search_spark.operators.bm25 import (
+            B,
+            K1,
+            _query_terms,
+            term_bucket_py,
+        )
+
+        weights = weights or {"title": 2.0, "body": 1.0}
+        field_b = field_b or {"title": 0.5, "body": B}
+        q_terms = _query_terms(text)
+        meta_cols = ["chunk_id", "document_id", "chunk_number"]
+        if not q_terms:
+            return (
+                self._read("chunks")
+                .select("document_id", F.lit(0.0).alias("score"))
+                .limit(0)
+            )
+
+        postings = self._read("postings")
+        if "term_bucket" in postings.columns:
+            buckets = sorted({term_bucket_py(t) for t in q_terms})
+            postings = postings.filter(F.col("term_bucket").isin(buckets))
+        matched = postings.filter(F.col("term").isin(q_terms)).select(
+            "chunk_id", "term", "tf"
+        )
+
+        meta = self._read("chunks").select(*meta_cols)
+        field = F.when(F.col("chunk_number") == 0, "title").otherwise("body")
+        tf = (
+            matched.join(meta, "chunk_id")
+            .withColumn("field", field)
+            .groupBy("document_id", "field", "term")
+            .agg(F.sum("tf").cast("bigint").alias("tf"))
+        )
+
+        if metadata_filter:
+            docs = self._read("documents")
+            pred = compile_filter(
+                metadata_filter,
+                field_types=self.field_types,
+                metadata_map_col="metadata",
+                direct_fields={
+                    "id", "url", "text", "last_modified_at", "source_type",
+                },
+            )
+            allowed_docs = docs.filter(pred).select(
+                F.col("id").alias("document_id")
+            )
+            tf = tf.join(F.broadcast(allowed_docs), "document_id", "left_semi")
+
+        # field lengths for CANDIDATE documents only
+        cand = tf.select("document_id").distinct()
+        fl = (
+            self._read("doc_stats")
+            .select("chunk_id", "dl")
+            .join(meta, "chunk_id")
+            .join(cand, "document_id", "left_semi")
+            .withColumn("field", field)
+            .groupBy("document_id", "field")
+            .agg(F.sum("dl").cast("bigint").alias("fl"))
+        )
+
+        avgfl = self._bm25f_field_stats()
+        w_expr = F.coalesce(
+            *[
+                F.when(F.col("field") == name, F.lit(float(w)))
+                for name, w in weights.items()
+            ],
+            F.lit(0.0),
+        )
+        b_expr = F.coalesce(
+            *[
+                F.when(F.col("field") == name, F.lit(float(b)))
+                for name, b in field_b.items()
+            ],
+            F.lit(B),
+        )
+        avgfl_expr = F.coalesce(
+            *[
+                F.when(F.col("field") == name, F.lit(float(v)))
+                for name, v in avgfl.items()
+            ],
+            F.lit(1.0),
+        )
+        contrib = (w_expr * F.col("tf")) / (
+            1 - b_expr + b_expr * F.col("fl") / avgfl_expr
+        )
+        pseudo = (
+            tf.join(fl, ["document_id", "field"])
+            .withColumn("contrib", contrib)
+            .groupBy("document_id", "term")
+            .agg(F.sum("contrib").alias("tfw"))
+        )
+
+        # document-level df over the whole index: count docs per term
+        # BEFORE the metadata restriction would be the strict
+        # convention — but the restriction above already narrowed tf;
+        # recompute df from the UNRESTRICTED matched set to keep
+        # whole-index statistics
+        df_per_term = (
+            matched.join(meta.select("chunk_id", "document_id"), "chunk_id")
+            .select("document_id", "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("_df"))
+        )
+        try:
+            n_docs = int(self.collection.manifest().numberOfDocuments)
+        except FileNotFoundError:
+            n_docs = meta.select("document_id").distinct().count()
+
+        scored = pseudo.join(F.broadcast(df_per_term), "term")
+        idf = F.log(
+            (F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        term_score = idf * F.col("tfw") / (F.lit(float(K1)) + F.col("tfw"))
+        agg = (
+            scored.withColumn("term_score", term_score)
+            .groupBy("document_id")
+            .agg(
+                F.sum("term_score").alias("_score"),
+                F.count("*").alias("_matched_terms"),
+            )
+        )
+        if conjunctive:
+            agg = agg.filter(F.col("_matched_terms") == len(q_terms))
+        score = (
+            F.round(F.col("_score"), round_to)
+            if round_to is not None
+            else F.col("_score")
+        )
+        return (
+            agg.select("document_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("document_id").asc())
+            .limit(k)
+        )
 
     def _phrase_scored(
         self, text: str, k: int, allowed: DataFrame | None

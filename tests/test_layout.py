@@ -197,3 +197,103 @@ class TestBm25f:
         got = {r.doc_id: r.score for r in rows}
         assert got[1] == round(idf * 3 / (1.2 + 3), 6)
         assert got[2] == round(idf * 1 / (1.2 + 1), 6)
+
+
+class TestBm25fServing:
+    def test_collection_bm25f_matches_adhoc_operator(self, spark, tmp_path):
+        """searcher.search_documents_bm25f over a chunk-0-is-title
+        collection (title_from_text, overlap 0, one body chunk) must
+        equal bm25f_topk over the same corpus with the title/body split
+        done by hand — same fields, same stats, same math."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+        rows = [
+            ("d1", "spark shuffle", "a join b join c"),
+            ("d2", "alpha beta", "spark spark join x y z"),
+            ("d3", "gamma delta", "e f g h join"),
+            ("d4", "spark join", "spark runs fast join"),
+            ("d5", "iota kappa", "m n o p q r"),
+            ("d6", "lambda mu", "r s t u v w"),
+        ]
+        docs = spark.createDataFrame(
+            [
+                (
+                    rid,
+                    f"doc://{rid}",
+                    {"lang": "en"},
+                    f"{title}\n\n{body}",
+                    "2024-03-01 00:00:00",
+                    "golden",
+                )
+                for rid, title, body in rows
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, str(tmp_path), "f")
+        create_collection(
+            coll, docs, chunk_size=1000, chunk_overlap=0, title_from_text=True
+        )
+        got = [
+            (r.document_id, r.score)
+            for r in CollectionSearcher(coll).search_documents_bm25f(
+                "spark join", k=10
+            ).collect()
+        ]
+
+        flat = spark.createDataFrame(
+            rows, "doc_id string, title string, body string"
+        )
+        expected = [
+            (r.doc_id, r.score)
+            for r in bm25f_topk(
+                flat,
+                "spark join",
+                10,
+                fields={"title": F.col("title"), "body": F.col("body")},
+                weights={"title": 2.0, "body": 1.0},
+                field_b={"title": 0.5, "body": 0.75},
+                id_col="doc_id",
+            ).collect()
+        ]
+        assert got == expected and got  # non-empty, identical order+scores
+
+    def test_metadata_filter_restricts_candidates(self, spark, tmp_path):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                ("d1", "doc://d1", {"lang": "en"}, "spark tuning\n\nspark x",
+                 "2024-03-01 00:00:00", "s"),
+                ("d2", "doc://d2", {"lang": "de"}, "spark intern\n\nspark y",
+                 "2024-03-01 00:00:00", "s"),
+                ("d3", "doc://d3", {"lang": "en"}, "other\n\nwords here",
+                 "2024-03-01 00:00:00", "s"),
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, str(tmp_path), "ff")
+        create_collection(
+            coll, docs, chunk_size=1000, chunk_overlap=0, title_from_text=True
+        )
+        got = [
+            r.document_id
+            for r in CollectionSearcher(coll).search_documents_bm25f(
+                "spark", metadata_filter='lang = "en"'
+            ).collect()
+        ]
+        assert got == ["d1"]
