@@ -98,6 +98,7 @@ HEADLINE = [
     "ir_metrics",
     "cube_agg",
     "tpch_q18",
+    "tpch_q5",
     "trending_terms",
     "bm25f",
     "zorder_key",

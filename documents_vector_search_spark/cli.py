@@ -222,6 +222,23 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_search_docs(args) -> int:
+    """Document-level field-weighted ranking (BM25F over the
+    chunk-0-is-title topology) — ``(document_id, score)``."""
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll)
+    rows = searcher.search_documents_bm25f(
+        args.query,
+        k=args.max_documents,
+        weights={"title": args.title_weight, "body": args.body_weight},
+        metadata_filter=args.filter,
+    ).collect()
+    print(_format([r.asDict(recursive=True) for r in rows], args.format))
+    return 0
+
+
 def cmd_suggest(args) -> int:
     """'Did you mean' suggestions per query term."""
     from documents_vector_search_spark.collection import CollectionSearcher
@@ -907,6 +924,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip the first N documents (pagination; deep "
                          "pages want a larger --max-chunks pool)")
     sp.set_defaults(func=cmd_search)
+
+    sp = sub.add_parser("search-docs")
+    common(sp)
+    sp.add_argument("query")
+    sp.add_argument("--max-documents", type=int, default=10)
+    sp.add_argument("--filter")
+    sp.add_argument("--title-weight", type=float, default=2.0,
+                    help="BM25F weight of the title field (chunk 0)")
+    sp.add_argument("--body-weight", type=float, default=1.0,
+                    help="BM25F weight of the body field (chunks 1..N)")
+    sp.set_defaults(func=cmd_search_docs)
 
     sp = sub.add_parser("suggest")
     common(sp)

@@ -302,6 +302,32 @@ def fetch_from_collection(
     )
 
 
+def search_documents_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    query: str,
+    k: int = 10,
+    title_weight: float = 2.0,
+    body_weight: float = 1.0,
+    metadata_filter: str | None = None,
+) -> list[dict]:
+    """Tool: document-level BM25F over the chunk-0-is-title topology
+    (collection/searcher.py::search_documents_bm25f)."""
+    if not query:
+        raise ValueError("query is required")
+    rows = (
+        registry.searcher(collection)
+        .search_documents_bm25f(
+            query,
+            k=k,
+            weights={"title": float(title_weight), "body": float(body_weight)},
+            metadata_filter=metadata_filter,
+        )
+        .collect()
+    )
+    return [r.asDict(recursive=True) for r in rows]
+
+
 def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
     """Wire the two tools into a FastMCP-style app class (injectable for
     tests; the real class comes from ``mcp.server.fastmcp``). Mirrors the
@@ -323,6 +349,14 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
             registry, collection, query, filter, max_chunks, max_documents,
             diversify_lambda, include_snippets, expand_query, indexes, fuzzy,
             ranker,
+        )
+
+    @app.tool()
+    def search_documents(collection: str, query: str, k: int = 10,
+                         title_weight: float = 2.0, body_weight: float = 1.0,
+                         filter: str | None = None) -> list[dict]:
+        return search_documents_in_collection(
+            registry, collection, query, k, title_weight, body_weight, filter
         )
 
     @app.tool()

@@ -180,6 +180,31 @@ class TestCLI:
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert all(r["document_id"].startswith("eng/") for r in out)
 
+    def test_search_docs_bm25f_command(self, base_path, capsys):
+        """search-docs: document-level BM25F — the title field is the
+        files converter's rel-path chunk 0, so a filename term is
+        heavily boosted."""
+        rc = cli.main(
+            [
+                "search-docs", "cli_test", "joins broadcast",
+                "--base-path", base_path, "--format", "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out and out[0]["document_id"] == "eng/joins.txt"
+        assert set(out[0]) == {"document_id", "score"}
+        rc = cli.main(
+            [
+                "search-docs", "cli_test", "joins broadcast",
+                "--base-path", base_path, "--filter", 'folder1 = "hr"',
+                "--format", "json",
+            ]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == []  # conjunctive + filtered away
+
     def test_search_with_snippets_flag(self, base_path, capsys):
         rc = cli.main(
             [
@@ -615,8 +640,13 @@ class TestServing:
         app = build_mcp_app(reg, FakeMCP)
         assert set(app.tools) == {
             "search", "search_many", "fetch", "facets", "suggest",
-            "complete",
+            "complete", "search_documents",
         }
+        doc_hits = app.tools["search_documents"](
+            "cli_test", "sort merge join"
+        )
+        assert any(h["document_id"] == "eng/joins.txt" for h in doc_hits)
+        assert all(set(h) == {"document_id", "score"} for h in doc_hits)
         comp = app.tools["complete"]("cli_test", "sh")
         assert any(r["term"] == "shuffle" for r in comp)
         assert {
