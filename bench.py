@@ -99,6 +99,7 @@ HEADLINE = [
     "cube_agg",
     "tpch_q18",
     "tpch_q5",
+    "heavy_hitters",
     "trending_terms",
     "bm25f",
     "zorder_key",

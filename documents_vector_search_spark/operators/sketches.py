@@ -123,3 +123,105 @@ def fixed_histogram(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+# Exact top-k term frequencies need a corpus-wide groupBy whose state
+# is the FULL distinct-key set — at 100 TB that is 10^9+ keys through
+# the shuffle. The Misra-Gries summary (Misra & Gries 1982; the
+# "space-saving" family — public) bounds the state to ``capacity``
+# counters per partition and still guarantees every key with true
+# frequency > n/capacity survives, with counts underestimated by at
+# most the sketch's decrement total.
+#
+# Spark shape (both levels bounded):
+# 1. Per-partition sketch via Arrow mapInPandas — one vectorized
+#    ``value_counts`` per batch merged into a dict, then the BATCHED
+#    Misra-Gries reduction: when the dict exceeds ``capacity``,
+#    subtract the (capacity+1)-th largest count from every counter and
+#    drop the non-positive ones (equivalent to that many elementwise
+#    decrement rounds, so the classic bound holds). ≤ capacity rows
+#    per partition plus the partition's decrement offset.
+# 2. Merge: union the partition sketches, sum per key (map-side
+#    combinable — the shuffle carries at most partitions × capacity
+#    rows, never the corpus's distinct-key set), sum the offsets, take
+#    the global top-k.
+#
+# Result rows carry (term, est_count, max_underestimate) with
+# est_count ≤ true ≤ est_count + max_underestimate, pinned by tests
+# against exact counts. With capacity ≥ the distinct-key count no
+# decrement ever fires and the sketch IS exact (what the registry
+# oracle exploits).
+
+def _reduce_to_capacity(counters: dict, capacity: int) -> int:
+    """Batched Misra-Gries reduction: shrink ``counters`` to at most
+    ``capacity`` keys by subtracting the (capacity+1)-th largest count
+    from everything; returns the amount subtracted (the decrement
+    offset this round)."""
+    if len(counters) <= capacity:
+        return 0
+    counts = sorted(counters.values(), reverse=True)
+    offset = counts[capacity]  # (capacity+1)-th largest
+    for k in list(counters):
+        c = counters[k] - offset
+        if c > 0:
+            counters[k] = c
+        else:
+            del counters[k]
+    return offset
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``col`` —
+    ``(term, est_count, max_underestimate)`` by est_count descending,
+    ties lexicographic. Never holds more than ``capacity`` counters per
+    partition or in the merge; see the module docstring for the
+    guarantees."""
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("string").alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+
+    def sketch_partition(batches):
+        counters: dict[str, int] = {}
+        offset = 0
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            for term, c in vc.items():
+                counters[term] = counters.get(term, 0) + int(c)
+            offset += _reduce_to_capacity(counters, capacity)
+        yield pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                # one offset row per partition (term NULL): the merge
+                # sums these into the global underestimate bound
+                "offset": [0] * len(counters) + [offset],
+            }
+        )
+
+    sketches = src.mapInPandas(
+        sketch_partition, "term string, cnt long, offset long"
+    )
+
+    merged = sketches.groupBy("term").agg(
+        F.sum("cnt").alias("cnt"), F.sum("offset").alias("offset")
+    )
+    total_offset = merged.filter(F.col("term").isNull()).select(
+        F.coalesce(F.sum("offset"), F.lit(0)).alias("max_underestimate")
+    )
+    return (
+        merged.filter(F.col("term").isNotNull())
+        .select("term", F.col("cnt").alias("est_count"))
+        .crossJoin(F.broadcast(total_offset))
+        .orderBy(F.col("est_count").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -1,0 +1,114 @@
+"""Misra-Gries heavy hitters: exactness at large capacity, the
+under-estimate + survival guarantees in the lossy regime, and the
+bounded-rows shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.sketches import (
+    _reduce_to_capacity,
+    misra_gries_heavy_hitters,
+)
+
+
+class TestReduceToCapacity:
+    def test_noop_under_capacity(self):
+        c = {"a": 5, "b": 3}
+        assert _reduce_to_capacity(c, 4) == 0
+        assert c == {"a": 5, "b": 3}
+
+    def test_subtracts_threshold_and_drops(self):
+        c = {"a": 10, "b": 4, "c": 4, "d": 1}
+        off = _reduce_to_capacity(c, 2)
+        # (capacity+1)-th largest of [10,4,4,1] = 4
+        assert off == 4
+        assert c == {"a": 6}  # b,c,d netted to <= 0
+
+
+class TestHeavyHitters:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # frequencies: t0 appears 400x, t1 200x, t2 100x, then a long
+        # tail of 300 singletons spread over several partitions
+        rows = (
+            ["t0"] * 400 + ["t1"] * 200 + ["t2"] * 100
+            + [f"tail{i}" for i in range(300)]
+        )
+        return spark.createDataFrame(
+            [(v,) for v in rows], "term string"
+        ).repartition(8)
+
+    def test_exact_at_large_capacity(self, spark, skewed):
+        got = misra_gries_heavy_hitters(
+            skewed, "term", k=3, capacity=10_000
+        ).collect()
+        assert [(r.term, r.est_count, r.max_underestimate) for r in got] == [
+            ("t0", 400, 0),
+            ("t1", 200, 0),
+            ("t2", 100, 0),
+        ]
+
+    def test_lossy_regime_guarantees(self, spark, skewed):
+        """capacity 16 forces decrements: heavy keys must still
+        SURVIVE (freq > n/capacity = 1000/16), every estimate must be
+        an under-estimate, and true <= est + max_underestimate."""
+        rows = misra_gries_heavy_hitters(
+            skewed, "term", k=16, capacity=16
+        ).collect()
+        got = {r.term: r for r in rows}
+        bound = rows[0].max_underestimate
+        true = {"t0": 400, "t1": 200, "t2": 100}
+        for t, tc in true.items():
+            assert t in got, f"heavy key {t} evicted"
+            assert got[t].est_count <= tc
+            assert tc <= got[t].est_count + bound
+        # ranking of the three heavies is preserved
+        order = [r.term for r in rows if r.term in true]
+        assert order == ["t0", "t1", "t2"]
+
+    def test_merge_state_is_bounded(self, spark, skewed):
+        """The pre-merge sketch carries at most capacity(+1 offset row)
+        rows per partition — never the distinct-key set."""
+        capacity = 8
+        n_parts = skewed.rdd.getNumPartitions()
+        # replicate the internal first level to count its output rows
+        import pandas as pd
+
+        from documents_vector_search_spark.operators.sketches import (
+            _reduce_to_capacity as red,
+        )
+
+        def sketch_partition(batches):
+            counters = {}
+            offset = 0
+            for pdf in batches:
+                vc = pdf["term"].value_counts()
+                for term, c in vc.items():
+                    counters[term] = counters.get(term, 0) + int(c)
+                offset += red(counters, capacity)
+            yield pd.DataFrame(
+                {
+                    "term": list(counters.keys()) + [None],
+                    "cnt": list(counters.values()) + [0],
+                    "offset": [0] * len(counters) + [offset],
+                }
+            )
+
+        n = (
+            skewed.select(F.col("term"))
+            .mapInPandas(sketch_partition, "term string, cnt long, offset long")
+            .count()
+        )
+        assert n <= n_parts * (capacity + 1)
+
+    def test_no_python_row_udf_in_plan(self, spark, skewed):
+        plan = (
+            misra_gries_heavy_hitters(skewed, "term", k=3, capacity=100)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" in plan
