@@ -518,23 +518,71 @@ class CollectionSearcher:
         weights = weights or {"title": 2.0, "body": 1.0}
         field_b = field_b or {"title": 0.5, "body": B}
         q_terms = _query_terms(text)
-        meta_cols = ["chunk_id", "document_id", "chunk_number"]
         if not q_terms:
             return (
                 self._read("chunks")
                 .select("document_id", F.lit(0.0).alias("score"))
                 .limit(0)
             )
+        pseudo, df_per_term, n_docs = self._bm25f_doc_pseudo(
+            sorted(set(q_terms)), weights, field_b, metadata_filter
+        )
+        scored = pseudo.join(F.broadcast(df_per_term), "term")
+        idf = F.log(
+            (F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        )
+        term_score = idf * F.col("tfw") / (F.lit(float(K1)) + F.col("tfw"))
+        agg = (
+            scored.withColumn("term_score", term_score)
+            .groupBy("document_id")
+            .agg(
+                F.sum("term_score").alias("_score"),
+                F.count("*").alias("_matched_terms"),
+            )
+        )
+        if conjunctive:
+            agg = agg.filter(F.col("_matched_terms") == len(set(q_terms)))
+        score = (
+            F.round(F.col("_score"), round_to)
+            if round_to is not None
+            else F.col("_score")
+        )
+        return (
+            agg.select("document_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("document_id").asc())
+            .limit(k)
+        )
+
+    def _bm25f_doc_pseudo(
+        self,
+        all_terms: list[str],
+        weights: dict[str, float],
+        field_b: dict[str, float],
+        metadata_filter: str | None,
+    ):
+        """Shared QUERY-INDEPENDENT core of the BM25F document rankers:
+        the per-(document, term) combined pseudo-frequency ``tfw`` over
+        the union term set, whole-index document-level ``df`` per term,
+        and the document count. Single and batched searches both fan
+        out from these — the expensive work (pruned postings scan,
+        chunk-meta join, candidate field lengths) happens ONCE however
+        many queries share it."""
+        from documents_vector_search_spark.operators.bm25 import (
+            B,
+            term_bucket_py,
+        )
 
         postings = self._read("postings")
         if "term_bucket" in postings.columns:
-            buckets = sorted({term_bucket_py(t) for t in q_terms})
+            buckets = sorted({term_bucket_py(t) for t in all_terms})
             postings = postings.filter(F.col("term_bucket").isin(buckets))
-        matched = postings.filter(F.col("term").isin(q_terms)).select(
+        matched = postings.filter(F.col("term").isin(all_terms)).select(
             "chunk_id", "term", "tf"
         )
 
-        meta = self._read("chunks").select(*meta_cols)
+        meta = self._read("chunks").select(
+            "chunk_id", "document_id", "chunk_number"
+        )
         field = F.when(F.col("chunk_number") == 0, "title").otherwise("body")
         tf = (
             matched.join(meta, "chunk_id")
@@ -602,11 +650,10 @@ class CollectionSearcher:
             .agg(F.sum("contrib").alias("tfw"))
         )
 
-        # document-level df over the whole index: count docs per term
-        # BEFORE the metadata restriction would be the strict
-        # convention — but the restriction above already narrowed tf;
-        # recompute df from the UNRESTRICTED matched set to keep
-        # whole-index statistics
+        # document-level df over the whole index: computed from the
+        # UNRESTRICTED matched set so a metadata filter narrows
+        # candidates without changing corpus statistics (the engine's
+        # FTS5-parity convention)
         df_per_term = (
             matched.join(meta.select("chunk_id", "document_id"), "chunk_id")
             .select("document_id", "term")
@@ -618,31 +665,91 @@ class CollectionSearcher:
             n_docs = int(self.collection.manifest().numberOfDocuments)
         except FileNotFoundError:
             n_docs = meta.select("document_id").distinct().count()
+        return pseudo, df_per_term, n_docs
 
-        scored = pseudo.join(F.broadcast(df_per_term), "term")
+    def search_documents_bm25f_many(
+        self,
+        queries: dict[str, str] | list[str],
+        k: int = 10,
+        weights: dict[str, float] | None = None,
+        field_b: dict[str, float] | None = None,
+        metadata_filter: str | None = None,
+        conjunctive: bool = True,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Batched document-level BM25F — ``(qid, document_id, score)``
+        per-query descending, ties on id; list queries get qids
+        ``q0..qN``. Q queries pay ONE pruned postings scan: the
+        per-(document, term) pseudo-frequencies are query-independent,
+        so the fan-out (a tiny broadcast ``(qid, term, n_terms)`` map)
+        happens AFTER the expensive work, the same batch-evaluation
+        shape as ``bm25_topk_batch``. Queries that tokenize to nothing
+        are omitted. Batch == per-query pinned by pytest."""
+        from documents_vector_search_spark.operators.bm25 import (
+            B,
+            K1,
+            _query_terms,
+        )
+
+        weights = weights or {"title": 2.0, "body": 1.0}
+        field_b = field_b or {"title": 0.5, "body": B}
+        if isinstance(queries, list):
+            queries = {f"q{i}": q for i, q in enumerate(queries)}
+        q_terms = {
+            qid: sorted(set(terms))
+            for qid, terms in (
+                (qid, _query_terms(q)) for qid, q in queries.items()
+            )
+            if terms
+        }
+        spark = self.collection.spark
+        if not q_terms:
+            return spark.createDataFrame(
+                [], "qid string, document_id string, score double"
+            )
+        all_terms = sorted(set().union(*q_terms.values()))
+        pseudo, df_per_term, n_docs = self._bm25f_doc_pseudo(
+            all_terms, weights, field_b, metadata_filter
+        )
+        qmap = spark.createDataFrame(
+            [
+                (qid, term, len(terms))
+                for qid, terms in sorted(q_terms.items())
+                for term in terms
+            ],
+            ["qid", "term", "_n_terms"],
+        )
+        scored = pseudo.join(F.broadcast(df_per_term), "term").join(
+            F.broadcast(qmap), "term"
+        )
         idf = F.log(
             (F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
         )
         term_score = idf * F.col("tfw") / (F.lit(float(K1)) + F.col("tfw"))
         agg = (
             scored.withColumn("term_score", term_score)
-            .groupBy("document_id")
+            .groupBy("qid", "document_id")
             .agg(
                 F.sum("term_score").alias("_score"),
                 F.count("*").alias("_matched_terms"),
+                F.max("_n_terms").alias("_n_terms"),
             )
         )
         if conjunctive:
-            agg = agg.filter(F.col("_matched_terms") == len(q_terms))
+            agg = agg.filter(F.col("_matched_terms") == F.col("_n_terms"))
         score = (
             F.round(F.col("_score"), round_to)
             if round_to is not None
             else F.col("_score")
         )
+        ranked = agg.select("qid", "document_id", score.alias("score"))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("document_id").asc()
+        )
         return (
-            agg.select("document_id", score.alias("score"))
-            .orderBy(F.col("score").desc(), F.col("document_id").asc())
-            .limit(k)
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
         )
 
     def _phrase_scored(

@@ -297,3 +297,49 @@ class TestBm25fServing:
             ).collect()
         ]
         assert got == ["d1"]
+
+    def test_batch_matches_per_query(self, spark, tmp_path):
+        """search_documents_bm25f_many == per-query
+        search_documents_bm25f for every query, including one that
+        matches nothing."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                ("d1", "doc://d1", {"lang": "en"},
+                 "spark tuning\n\nspark join x", "2024-03-01 00:00:00", "s"),
+                ("d2", "doc://d2", {"lang": "de"},
+                 "join guide\n\njoin join y", "2024-03-01 00:00:00", "s"),
+                ("d3", "doc://d3", {"lang": "en"},
+                 "skew notes\n\nsalting skew z", "2024-03-01 00:00:00", "s"),
+                ("d4", "doc://d4", {"lang": "en"},
+                 "misc\n\nwords only here", "2024-03-01 00:00:00", "s"),
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, str(tmp_path), "fb")
+        create_collection(
+            coll, docs, chunk_size=1000, chunk_overlap=0, title_from_text=True
+        )
+        s = CollectionSearcher(coll)
+        queries = {
+            "a": "spark join", "b": "salting skew", "c": "nomatchterm",
+        }
+        batch = s.search_documents_bm25f_many(queries, k=10).collect()
+        by_qid = {}
+        for r in batch:
+            by_qid.setdefault(r.qid, []).append((r.document_id, r.score))
+        for qid, q in queries.items():
+            single = [
+                (r.document_id, r.score)
+                for r in s.search_documents_bm25f(q, k=10).collect()
+            ]
+            assert by_qid.get(qid, []) == single, qid
+        assert by_qid.get("a") and by_qid.get("b") and "c" not in by_qid
