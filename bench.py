@@ -335,6 +335,20 @@ def _bench_collection(
         .write.format("noop").mode("overwrite").save(),
     )
 
+    # document-level BM25F (title = chunk 0) — single and 4-query
+    # batch off one pruned scan
+    _serve(
+        "indexed_search_docs_bm25f",
+        lambda: searcher.search_documents_bm25f("hash join", k=10)
+        .write.format("noop").mode("overwrite").save(),
+    )
+    _serve(
+        "indexed_search_docs_bm25f_batch4",
+        lambda: searcher.search_documents_bm25f_many(
+            ["hash join", "sort merge", "table window", "key value"], k=10
+        ).write.format("noop").mode("overwrite").save(),
+    )
+
     # batch serving: 4 queries in ONE job (search_many) — compare with
     # 4× the warm single-query number to see the scan amortization
     _serve(

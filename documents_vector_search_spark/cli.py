@@ -555,6 +555,31 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_zorder(args) -> int:
+    """Rewrite a parquet dataset Z-order-clustered on two integer
+    columns (operators/layout.py) — the OPTIMIZE ZORDER analog for
+    plain parquet: every output file covers a narrow min/max box in
+    BOTH columns, so range predicates on either prune files."""
+    from documents_vector_search_spark.operators.layout import zorder_layout
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.read.parquet(args.input)
+    out = zorder_layout(
+        df, args.col_a, args.col_b, num_files=args.num_files
+    )
+    if not args.keep_key:
+        out = out.drop("_z")
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(_format(
+        {"input": args.input, "output": args.output, "rows": n,
+         "cols": [args.col_a, args.col_b], "numFiles": args.num_files},
+        args.format,
+    ))
+    return 0
+
+
 def cmd_refit_sq8(args) -> int:
     """Re-fit SQ8 quantizer bounds after distribution drift
     (collection/refit.py) — O(corpus) by design, so it is an explicit
@@ -1033,6 +1058,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-files", type=int, default=1,
                     help="compact buckets whose dirs exceed this file count")
     sp.set_defaults(func=cmd_compact)
+
+    sp = sub.add_parser("zorder")
+    sp.add_argument("--input", required=True,
+                    help="parquet dataset to rewrite")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--col-a", required=True,
+                    help="first integer clustering column")
+    sp.add_argument("--col-b", required=True,
+                    help="second integer clustering column")
+    sp.add_argument("--num-files", type=int, default=64)
+    sp.add_argument("--keep-key", action="store_true",
+                    help="persist the _z Morton key column")
+    sp.add_argument("--format",
+                    choices=["json", "json_with_indent", "toon"],
+                    default="json_with_indent")
+    sp.set_defaults(func=cmd_zorder)
 
     sp = sub.add_parser("refit-sq8")
     common(sp)

@@ -343,3 +343,33 @@ class TestBm25fServing:
             ]
             assert by_qid.get(qid, []) == single, qid
         assert by_qid.get("a") and by_qid.get("b") and "c" not in by_qid
+
+
+class TestZorderCLI:
+    def test_zorder_command_rewrites_clustered(self, spark, tmp_path, capsys):
+        import json
+
+        from documents_vector_search_spark import cli
+
+        src = str(tmp_path / "src")
+        spark.range(4096).select(
+            (F.col("id") % 64).cast("int").alias("a"),
+            (F.col("id") / 64).cast("int").alias("b"),
+        ).write.parquet(src)
+        dst = str(tmp_path / "dst")
+        rc = cli.main(
+            ["zorder", "--input", src, "--output", dst,
+             "--col-a", "a", "--col-b", "b", "--num-files", "16",
+             "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["rows"] == 4096
+        # rewritten data is lossless and the key column is dropped
+        df = spark.read.parquet(dst)
+        assert df.count() == 4096 and "_z" not in df.columns
+        # clustered: a box predicate on b alone overlaps < all files
+        frac = file_minmax_overlap_fraction(
+            dst, col_a="a", lo_a=0, hi_a=63, col_b="b", lo_b=0, hi_b=15
+        )
+        assert frac < 1.0, frac
