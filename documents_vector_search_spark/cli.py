@@ -702,26 +702,43 @@ def cmd_evaluate(args) -> int:
 
     from pyspark.sql import functions as FF
 
-    searcher = CollectionSearcher(coll, cache_tables=True)
-    ranked = searcher.search_many(
-        queries,
-        max_chunks=max(args.k * 3, 15),
-        max_documents=args.k,
-        indexes=tuple(args.indexes.split(",")),
-        ranker=args.ranker,
-    ).select("qid", FF.col("document_id").alias("doc_id"), "doc_rank")
-    # doc_rank is the best CHUNK rank (not dense per document) —
-    # densify to the 1-based per-query document rank the metrics expect
     from pyspark.sql import Window as W
 
-    ranked = ranked.withColumn(
-        "rank",
-        FF.row_number().over(
-            W.partitionBy("qid").orderBy(
-                FF.col("doc_rank").asc(), FF.col("doc_id").asc()
-            )
-        ),
-    ).drop("doc_rank")
+    searcher = CollectionSearcher(coll, cache_tables=True)
+    if args.indexes == "bm25f":
+        # document-level field-weighted branch: one pruned scan for all
+        # queries (search_documents_bm25f_many), ranks from the
+        # (score desc, id asc) total order
+        ranked = searcher.search_documents_bm25f_many(
+            queries, k=args.k
+        ).select("qid", FF.col("document_id").alias("doc_id"), "score")
+        ranked = ranked.withColumn(
+            "rank",
+            FF.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    FF.col("score").desc(), FF.col("doc_id").asc()
+                )
+            ),
+        ).drop("score")
+    else:
+        ranked = searcher.search_many(
+            queries,
+            max_chunks=max(args.k * 3, 15),
+            max_documents=args.k,
+            indexes=tuple(args.indexes.split(",")),
+            ranker=args.ranker,
+        ).select("qid", FF.col("document_id").alias("doc_id"), "doc_rank")
+        # doc_rank is the best CHUNK rank (not dense per document) —
+        # densify to the 1-based per-query document rank the metrics
+        # expect
+        ranked = ranked.withColumn(
+            "rank",
+            FF.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    FF.col("doc_rank").asc(), FF.col("doc_id").asc()
+                )
+            ),
+        ).drop("doc_rank")
     metrics = ranking_metrics(
         ranked,
         qrels.select(
@@ -1104,7 +1121,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--qrels", required=True,
                     help="parquet/csv with (qid, doc_id, rel)")
     sp.add_argument("--k", type=int, default=10)
-    sp.add_argument("--indexes", default="vector,bm25")
+    sp.add_argument("--indexes", default="vector,bm25",
+                    help='retrieval branches; "bm25f" alone selects '
+                         "the document-level field-weighted ranker")
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
     sp.set_defaults(func=cmd_evaluate)
 

@@ -1016,6 +1016,55 @@ class TestEvaluateCLI:
         ]
 
 
+    def test_evaluate_bm25f_branch(self, spark, tmp_path, capsys):
+        """--indexes bm25f routes through the batched document-level
+        field-weighted ranker: the uniquely-matching query still scores
+        perfect metrics, and the no-match query gets the zero row."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+        )
+
+        base = str(tmp_path / "fbase")
+        coll = Collection(spark, base, "evalf")
+        docs = spark.createDataFrame(
+            [
+                ("d1", "alpha beta gamma"),
+                ("d2", "zeta eta theta"),
+                ("d3", "iota kappa"),
+            ],
+            "id string, text string",
+        ).selectExpr(
+            "id",
+            "concat('doc://', id) AS url",
+            "map('lang', 'en') AS metadata",
+            "text",
+            "timestamp'2024-01-01 00:00:00' AS last_modified_at",
+            "'golden' AS source_type",
+        )
+        create_collection(coll, docs, chunk_size=200, chunk_overlap=0)
+        qpath = str(tmp_path / "q.json")
+        with open(qpath, "w") as fh:
+            json.dump({"q1": "zeta", "q2": "nomatchterm"}, fh)
+        rpath = str(tmp_path / "r.csv")
+        with open(rpath, "w") as fh:
+            fh.write("qid,doc_id,rel\nq1,d2,1\nq2,d9,1\n")
+        rc = cli.main(
+            ["evaluate", "evalf", "--base-path", base,
+             "--queries", qpath, "--qrels", rpath, "--k", "5",
+             "--indexes", "bm25f", "--format", "json"]
+        )
+        assert rc == 0
+        rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        by_qid = {r["qid"]: r for r in rows}
+        assert by_qid["q1"]["ndcg"] == 1.0 and by_qid["q1"]["mrr"] == 1.0
+        assert by_qid["q2"] == {
+            "qid": "q2", "ndcg": 0.0, "mrr": 0.0, "precision": 0.0,
+            "recall": 0.0, "ap": 0.0,
+        }
+        assert by_qid["__mean__"]["ndcg"] == 0.5
+
+
 class TestBatchFuzzy:
     def test_search_many_fuzzy_matches_per_query_fuzzy(self, spark, base_path):
         from documents_vector_search_spark.collection import (
