@@ -100,6 +100,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q5",
     "heavy_hitters",
+    "perplexity_bigram",
     "trending_terms",
     "bm25f",
     "zorder_key",

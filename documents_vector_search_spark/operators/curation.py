@@ -622,6 +622,172 @@ def perplexity_score(
     )
 
 
+def fit_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a Jelinek-Mercer-interpolated bigram language model —
+    ``p(w2|w1) = lam * p_bi(w2|w1) + (1-lam) * p_uni(w2)`` with
+    add-alpha smoothing inside each component (the classic n-gram LM
+    construction; Jelinek & Mercer 1980, public).
+
+    Returns ``(bigrams, fallback)``:
+
+    * ``bigrams (w1, w2, lp2_u)`` — the INTERPOLATED negative log2
+      probability in exact integer micro-units (same quantized-sum
+      idiom as :func:`fit_unigram_lm`), one row per corpus bigram;
+    * ``fallback (term, lp_fb_u)`` — ``-log2((1-lam) * p_uni(term))``,
+      the score of a bigram never seen in training (its p_bi term is
+      taken as 0) — scoring joins this by the SECOND word when the
+      bigram lookup misses.
+
+    Context counts are bigram-exact (occurrences of ``w1`` as a left
+    element, NOT its unigram count — last tokens of documents start no
+    bigram). Cost: one explode per component with term-keyed shuffles
+    (the postings-build shape); corpus totals ride broadcast 1-row
+    joins.
+    """
+    toks = docs.select(tokenize(text_col).alias("toks"))
+    uni = toks.select(F.explode_outer("toks").alias("term")).filter(
+        F.col("term").isNotNull()
+    )
+    tf = uni.groupBy("term").agg(F.count("*").alias("c"))
+    totals = tf.agg(
+        F.sum("c").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    p_uni = (F.col("c") + F.lit(alpha)) / (
+        F.col("_n") + F.lit(alpha) * F.col("_v")
+    )
+    unigram = tf.crossJoin(F.broadcast(totals)).select(
+        "term", p_uni.alias("_p_uni"), F.col("_v")
+    )
+
+    pairs = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(
+                        F.col("toks"), 2, F.size("toks") - 1
+                    ).alias("w2"),
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    p_bi = (F.col("c2") + F.lit(alpha)) / (
+        F.col("c1") + F.lit(alpha) * F.col("_v")
+    )
+    p_interp = F.lit(lam) * p_bi + F.lit(1.0 - lam) * F.col("_p_uni")
+    bigrams = (
+        c2.join(c1, "w1")
+        .join(unigram.select(F.col("term").alias("w2"), "_p_uni", "_v"), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.floor(-F.log2(p_interp) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("lp2_u"),
+        )
+    )
+    fallback = unigram.select(
+        "term",
+        F.floor(
+            -F.log2(F.lit(1.0 - lam) * F.col("_p_uni")) * 1e6 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_fb_u"),
+    )
+    return bigrams, fallback
+
+
+def perplexity_bigram_score(
+    docs: DataFrame,
+    unigram_lm: DataFrame,
+    bigram_lm: DataFrame,
+    fallback_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under the interpolated bigram LM —
+    ``(id, n_tokens, ppl)``, ``ppl = 2^(mean lp)`` over all tokens:
+    the FIRST token of a document scores by the unigram model (it has
+    no context), every later token by the interpolated bigram with the
+    unseen-bigram fallback. Empty documents score 0.0.
+
+    Cost: one explode for first tokens + one for pairs, a (w1, w2)
+    lookup join (term-keyed shuffle, broadcast-able for bounded
+    vocabularies), one doc-key aggregation. No UDFs, no driver loops.
+    """
+    base = docs.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    firsts = (
+        base.filter(F.size("toks") >= 1)
+        .select(F.col(id_col), F.element_at("toks", 1).alias("term"))
+        .join(unigram_lm, "term")
+        .select(F.col(id_col), F.col("lp_u").alias("lp"))
+    )
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                    F.slice(
+                        F.col("toks"), 2, F.size("toks") - 1
+                    ).alias("w2"),
+                )
+            ).alias("pr"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pr.w1").alias("w1"),
+            F.col("pr.w2").alias("w2"),
+        )
+    )
+    scored_pairs = (
+        pairs.join(bigram_lm, ["w1", "w2"], "left")
+        .join(
+            fallback_lm.select(F.col("term").alias("w2"), "lp_fb_u"), "w2"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lp2_u"), F.col("lp_fb_u")).alias("lp"),
+        )
+    )
+    per_doc = (
+        firsts.unionByName(scored_pairs)
+        .groupBy(id_col)
+        .agg(F.sum("lp").alias("_s"), F.count("*").alias("n_tokens"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.pow(
+                        F.lit(2.0),
+                        (F.col("_s").cast("double") / 1e6) / F.col("n_tokens"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ppl"),
+        )
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

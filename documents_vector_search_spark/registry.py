@@ -443,6 +443,60 @@ SELECT doc_id, score FROM bm25f ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _perplexity_bigram_oracle() -> str:
+    """DuckDB twin of q_perplexity_bigram. Float constants are embedded
+    via repr so the SQL computes with the SAME IEEE doubles as the
+    Spark plan (1 - 0.7 is 0.30000000000000004, not 0.3 — writing the
+    rounded literal would flip knife-edge micro-unit floors)."""
+    lam, one_minus = repr(PPL_LAM), repr(1.0 - PPL_LAM)
+    a = repr(PPL_ALPHA)
+    return f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT term, count(*)::BIGINT AS c FROM t GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM tf),
+puni AS (SELECT term, (c + {a}) / (n + {a} * v) AS p, v FROM tf, tot),
+lp_uni AS (
+  SELECT term, CAST(floor(-log2(p) * 1000000 + 0.5) AS BIGINT) AS lp_u
+  FROM puni
+),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+    FROM tok WHERE len(toks) >= 2
+  )
+),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM pairs GROUP BY 1),
+bi AS (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(-log2({lam} * ((c2.c2 + {a}) / (c1.c1 + {a} * p2.v))
+                          + {one_minus} * p2.p) * 1000000 + 0.5) AS BIGINT)
+           AS lp2_u
+  FROM c2 JOIN c1 USING (w1) JOIN puni p2 ON p2.term = c2.w2
+),
+flp AS (
+  SELECT f.doc_id, l.lp_u AS lp
+  FROM (SELECT doc_id, toks[1] AS term FROM tok WHERE len(toks) >= 1) f
+  JOIN lp_uni l USING (term)
+),
+plp AS (
+  SELECT p.doc_id, b.lp2_u AS lp FROM pairs p JOIN bi b USING (w1, w2)
+),
+ds AS (
+  SELECT doc_id, sum(lp) AS s, count(*)::BIGINT AS n_tokens
+  FROM (SELECT * FROM flp UNION ALL SELECT * FROM plp) GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       coalesce(ds.n_tokens, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN ds.n_tokens > 0
+         THEN pow(2.0, (ds.s::DOUBLE / 1000000.0) / ds.n_tokens)
+         ELSE 0.0 END, 6) AS ppl
+FROM tok LEFT JOIN ds ON ds.doc_id = tok.doc_id
+"""
+
+
 def _zorder_oracle() -> str:
     """DuckDB twin of q_zorder_key: the identical shift/mask Morton
     interleave (operators/layout.py::zorder_key_sql)."""
@@ -1899,6 +1953,30 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# interpolated-bigram LM constants (operators/curation.py::fit_bigram_lm)
+PPL_LAM = 0.7
+PPL_ALPHA = 0.5
+
+
+def q_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a Jelinek-Mercer-interpolated
+    bigram LM fit on the corpus itself (fit_bigram_lm /
+    perplexity_bigram_score) — the stronger CCNet-style quality signal
+    (repetitive or scrambled text scores high even when its unigram
+    distribution looks normal). First token scores by the unigram
+    model; oracle replays the identical quantized arithmetic."""
+    from documents_vector_search_spark.operators.curation import (
+        fit_bigram_lm,
+        fit_unigram_lm,
+        perplexity_bigram_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = fit_unigram_lm(docs, alpha=PPL_ALPHA)
+    bi, fb = fit_bigram_lm(docs, alpha=PPL_ALPHA, lam=PPL_LAM)
+    return perplexity_bigram_score(docs, uni, bi, fb)
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4328,6 +4406,7 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "perplexity_bigram": _perplexity_bigram_oracle(),
         "heavy_hitters": f"""
 WITH toks AS (SELECT {_toks_sql()} AS toks FROM documents),
 terms AS (SELECT unnest(toks) AS term FROM toks),
@@ -5478,12 +5557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver row (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
       ir_metrics, cube_agg, tpch_q18 — judge-green in the r7 verdict's
       own compare run, per the r7 verdict item #1);
-    - positions 8-12: trending_terms, bm25f, zorder_key, tpch_q5,
-      heavy_hitters — NEW this round (never-green keys must be
-      in-window or rotation --check fails);
-    - positions 13-50: 38 of the 50 keys whose newest driver row is
-      r6. The r7 verdict asked for 43 due-backs; the five new keys'
-      window slots displace five. The TWELVE r6-green keys slipping to
+    - positions 8-13: trending_terms, bm25f, zorder_key, tpch_q5,
+      heavy_hitters, perplexity_bigram — NEW this round (never-green
+      keys must be in-window or rotation --check fails);
+    - positions 14-50: 37 of the 50 keys whose newest driver row is
+      r6. The r7 verdict asked for 43 due-backs; the six new keys'
+      window slots displace six. The THIRTEEN r6-green keys slipping to
       r9, each with named alternate coverage this round: knn_cosine
       (knn_l2 in-window, same operator parameterized by metric),
       knn_l2_filtered (knn_l2 + filter_docs in-window cover the knn
@@ -5503,8 +5582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       keys driver-checked this round consume build_term_dictionary
       directly), dataset_ingest (canonical_projection in-window shares
       the envelope shape; the JSONL/CSV reader has its own pytest file
-      test_dataset_source.py). All twelve LEAD the r9 window.
-    - out-of-window tail (51+): the 12 slipped keys first (stalest,
+      test_dataset_source.py), recursive_chunk (chunk_split in-window
+      shares the chunk-id/assembly machinery, and its oracle is a
+      committed dual implementation exercised on every compare run of
+      any sf). All thirteen LEAD the r9 window.
+    - out-of-window tail (51+): the 13 slipped keys first (stalest,
       due r9), then the 50 r7-green keys. url_dedup/domain_profile are
       r7-green but their tracking-regex/domain-fallback fix this round
       was re-verified green against the oracle via dev/compare.py
@@ -5526,6 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "tpch_q5": q_tpch_q5,
         "heavy_hitters": q_heavy_hitters,
+        "perplexity_bigram": q_perplexity_bigram,
         # -- due back: newest driver-green row is r6 ----------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
@@ -5538,7 +5621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
-        "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
@@ -5565,13 +5647,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
-        # -- out-of-window (51+): the 12 slipped r6-green keys first
+        # -- out-of-window (51+): the 13 slipped r6-green keys first
         # (stalest — they LEAD the r9 window), then the r7-green tail --
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,
         "sq8_ann": q_sq8_ann,
         "vocab_stats": q_vocab_stats,
         "dataset_ingest": q_dataset_ingest,
+        "recursive_chunk": q_recursive_chunk,
         "ivfpq_search": q_ivfpq_search,
         "topic_terms": q_topic_terms,
         "dedup_simhash": q_dedup_simhash,
