@@ -112,3 +112,42 @@ class TestHeavyHitters:
         )
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" in plan
+
+
+class TestHeavyHittersProperty:
+    def test_guarantees_hold_on_random_streams(self, spark):
+        """Property sweep without a fixed fixture: for several seeded
+        zipf-ish streams and capacities, every estimate is an
+        under-estimate within max_underestimate, and every key with
+        true frequency > n/capacity survives (the Misra-Gries
+        guarantee)."""
+        import random
+
+        for seed in (7, 23, 99):
+            rng = random.Random(seed)
+            # zipf-ish: key k with weight ~ 1/(k+1)
+            keys = [f"k{i}" for i in range(200)]
+            weights = [1.0 / (i + 1) for i in range(200)]
+            stream = rng.choices(keys, weights=weights, k=3000)
+            true = {}
+            for v in stream:
+                true[v] = true.get(v, 0) + 1
+            df = spark.createDataFrame(
+                [(v,) for v in stream], "term string"
+            ).repartition(6)
+            for capacity in (8, 32):
+                rows = misra_gries_heavy_hitters(
+                    df, "term", k=capacity, capacity=capacity
+                ).collect()
+                got = {r.term: r for r in rows}
+                bound = rows[0].max_underestimate if rows else 0
+                n = len(stream)
+                for t, r in got.items():
+                    assert r.est_count <= true[t], (seed, capacity, t)
+                    assert true[t] <= r.est_count + bound, (seed, capacity, t)
+                for t, tc in true.items():
+                    if tc > n / capacity:
+                        assert t in got, (
+                            f"guaranteed-heavy {t} ({tc} > {n}/{capacity}) "
+                            f"evicted at seed={seed}"
+                        )
