@@ -101,6 +101,7 @@ HEADLINE = [
     "tpch_q5",
     "heavy_hitters",
     "perplexity_bigram",
+    "funnel",
     "trending_terms",
     "bm25f",
     "zorder_key",

