@@ -102,6 +102,7 @@ HEADLINE = [
     "heavy_hitters",
     "perplexity_bigram",
     "funnel",
+    "retention",
     "trending_terms",
     "bm25f",
     "zorder_key",

@@ -1955,6 +1955,20 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/retention.py): users
+    cohorted by first-activity week (integer floor on epoch micros —
+    no engine-specific calendar weeks), retention = fraction active k
+    weeks later. Two bounded aggregations + one user-keyed join; the
+    final count's key space is periods², so map-side partials collapse
+    everything before the shuffle."""
+    from documents_vector_search_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf_dir), period_days=7)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -4421,6 +4435,31 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
+        "retention": """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS period
+  FROM events
+),
+coh AS (SELECT user_id, min(period) AS cohort_period FROM act GROUP BY 1),
+sizes AS (
+  SELECT cohort_period, count(*)::BIGINT AS cohort_size FROM coh GROUP BY 1
+),
+j AS (
+  SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+         a.user_id
+  FROM act a JOIN coh c USING (user_id)
+),
+counts AS (
+  SELECT cohort_period, period_offset, count(*)::BIGINT AS n_active
+  FROM j GROUP BY 1, 2
+)
+SELECT c.cohort_period, c.period_offset::BIGINT AS period_offset,
+       c.n_active, s.cohort_size,
+       round(c.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM counts c JOIN sizes s USING (cohort_period)
+ORDER BY cohort_period, period_offset
+""",
         "funnel": f"""
 WITH e AS (
   SELECT user_id, event_type,
@@ -5601,12 +5640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       driver row (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
       ir_metrics, cube_agg, tpch_q18 — judge-green in the r7 verdict's
       own compare run, per the r7 verdict item #1);
-    - positions 8-14: trending_terms, bm25f, zorder_key, tpch_q5,
-      heavy_hitters, perplexity_bigram, funnel — NEW this round
-      (never-green keys must be in-window or rotation --check fails);
-    - positions 15-50: 36 of the 50 keys whose newest driver row is
-      r6. The r7 verdict asked for 43 due-backs; the seven new keys'
-      window slots displace seven. The FOURTEEN r6-green keys slipping to
+    - positions 8-15: trending_terms, bm25f, zorder_key, tpch_q5,
+      heavy_hitters, perplexity_bigram, funnel, retention — NEW this
+      round (never-green keys must be in-window or rotation --check
+      fails);
+    - positions 16-50: 35 of the 50 keys whose newest driver row is
+      r6. The r7 verdict asked for 43 due-backs; the eight new keys'
+      window slots displace eight. The FIFTEEN r6-green keys slipping to
       r9, each with named alternate coverage this round: knn_cosine
       (knn_l2 in-window, same operator parameterized by metric),
       knn_l2_filtered (knn_l2 + filter_docs in-window cover the knn
@@ -5630,9 +5670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the chunk-id/assembly machinery, and its oracle is a
       committed dual implementation exercised on every compare run of
       any sf), span_dedup (line_dedup r7-driver-green shares the
-      token-window span derivation; simhash_pairs covers the hashing).
-      All fourteen LEAD the r9 window.
-    - out-of-window tail (51+): the 14 slipped keys first (stalest,
+      token-window span derivation; simhash_pairs covers the hashing),
+      events_pivot (sessionize + the new funnel/retention keys
+      in-window cover the events loader and its ts normalization;
+      histogram/rollup r7-green cover the agg shapes). All fifteen
+      LEAD the r9 window.
+    - out-of-window tail (51+): the 15 slipped keys first (stalest,
       due r9), then the 50 r7-green keys. url_dedup/domain_profile are
       r7-green but their tracking-regex/domain-fallback fix this round
       was re-verified green against the oracle via dev/compare.py
@@ -5656,6 +5699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "perplexity_bigram": q_perplexity_bigram,
         "funnel": q_funnel,
+        "retention": q_retention,
         # -- due back: newest driver-green row is r6 ----------------------
         "ann_batch": q_ann_batch,
         "quality_classifier": q_quality_classifier,
@@ -5686,14 +5730,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "kmv_distinct": q_kmv_distinct,
-        "events_pivot": q_events_pivot,
         "value_percentiles": q_value_percentiles,
         "decontaminate": q_decontaminate,
         "tpch_q1": q_tpch_q1,
         "revenue_join": q_revenue_join,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
-        # -- out-of-window (51+): the 14 slipped r6-green keys first
+        # -- out-of-window (51+): the 15 slipped r6-green keys first
         # (stalest — they LEAD the r9 window), then the r7-green tail --
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,
@@ -5702,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_ingest": q_dataset_ingest,
         "recursive_chunk": q_recursive_chunk,
         "span_dedup": q_span_dedup,
+        "events_pivot": q_events_pivot,
         "ivfpq_search": q_ivfpq_search,
         "topic_terms": q_topic_terms,
         "dedup_simhash": q_dedup_simhash,
