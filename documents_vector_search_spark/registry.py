@@ -5622,122 +5622,61 @@ FROM j ORDER BY js_c DESC, bucket LIMIT 20
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ordering = driver verification rotation (round 8).
+    """Registry ordering = driver verification rotation (round 9).
 
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 108 keys and a
-    50-row window the full cycle is THREE rounds (ceil(108/50)): no
+    keys added this round, then the stalest keys. With 115 keys and a
+    50-row window the full cycle is THREE rounds (ceil(115/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
     pytest. `python dev/rotation.py --check` enforces the hard rule
     (never-green keys must be in-window) with exit 1.
 
-    Round 8 window:
-    - positions 1-7: the seven r7-late keys that have never had a
-      driver row (tpch_q3, spell_correct, fuzzy_search, suggest_prefix,
-      ir_metrics, cube_agg, tpch_q18 — judge-green in the r7 verdict's
-      own compare run, per the r7 verdict item #1);
-    - positions 8-15: trending_terms, bm25f, zorder_key, tpch_q5,
-      heavy_hitters, perplexity_bigram, funnel, retention — NEW this
-      round (never-green keys must be in-window or rotation --check
-      fails);
+    Round 9 window (exactly the window `dev/rotation.py` printed after
+    r8, per the r8 verdict item #1):
+    - positions 1-15: the fifteen keys whose newest driver row is r6 —
+      the stalest in the registry, named by the r8 verdict as the keys
+      that MUST lead this window (knn_cosine, knn_l2_filtered, sq8_ann,
+      vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
+      events_pivot, ivfpq_search, topic_terms, dedup_simhash,
+      dedup_ngram, events_window, topk_per_group, fetch_slice);
     - positions 16-50: 35 of the 50 keys whose newest driver row is
-      r6. The r7 verdict asked for 43 due-backs; the eight new keys'
-      window slots displace eight. The FIFTEEN r6-green keys slipping to
-      r9, each with named alternate coverage this round: knn_cosine
-      (knn_l2 in-window, same operator parameterized by metric),
-      knn_l2_filtered (knn_l2 + filter_docs in-window cover the knn
-      and filter-compile halves), ivfpq_search (ivf_ann + pq_adc
-      in-window cover the coarse-quantizer and ADC halves;
-      recall-floor pytest), sq8_ann (ivf_ann/pq_adc in-window share
-      the quantized-ANN family; recall-floor pytest), topic_terms
-      (topic_model in-window + TestTopicRefit), dedup_simhash
-      (simhash_pairs r7-driver-green shares the simhash function),
-      dedup_ngram (documented bounded-only variant; scale path
-      dedup_minhash in-window), events_window (streaming parity
-      pytest; sessionize in-window), topk_per_group (native window
-      rank; group_hits in-window exercises the same rank-filter
-      shape), fetch_slice (point fetch + slice pytest in
-      test_collection.py), vocab_stats (postings_build in-window
-      shares the tokenize+aggregate path, and the fuzzy dictionary
-      keys driver-checked this round consume build_term_dictionary
-      directly), dataset_ingest (canonical_projection in-window shares
-      the envelope shape; the JSONL/CSV reader has its own pytest file
-      test_dataset_source.py), recursive_chunk (chunk_split in-window
-      shares the chunk-id/assembly machinery, and its oracle is a
-      committed dual implementation exercised on every compare run of
-      any sf), span_dedup (line_dedup r7-driver-green shares the
-      token-window span derivation; simhash_pairs covers the hashing),
-      events_pivot (sessionize + the new funnel/retention keys
-      in-window cover the events loader and its ts normalization;
-      histogram/rollup r7-green cover the agg shapes). All fifteen
-      LEAD the r9 window.
-    - out-of-window tail (51+): the 15 slipped keys first (stalest,
-      due r9), then the 50 r7-green keys. url_dedup/domain_profile are
-      r7-green but their tracking-regex/domain-fallback fix this round
-      was re-verified green against the oracle via dev/compare.py
-      (commit aaba703).
+      r7, stalest-first. The FIFTEEN r7-green keys slipping to r10,
+      each with named alternate coverage this round: mix_sample
+      (temperature_sample + quality_sample in-window share the
+      sampling-gate module and its weighted-hash machinery), cross_dedup
+      (dedup_cluster/dedup_multi in-window share the banded
+      pair-generation; dedup_minhash r8-driver-green), interval_join
+      (asof_join in-window shares the range-join machinery),
+      shard_export (hash_split in-window covers the deterministic
+      shard-assignment hash; export pytest in test_sampling.py),
+      domain_cap (url_dedup + domain_profile in-window consume the
+      same url_registered_domain — re-oracled with the PSL join this
+      round), prep_to_shards (corpus_prep_gopher in-window covers the
+      prep half, hash_split the shard half), simhash_pairs
+      (dedup_simhash in-window shares the simhash function),
+      cross_embed_dedup (knn_join in-window shares the LSH-bucket
+      join; embedding_neardup r8-driver-green), semdedup (topic_terms
+      in-window shares the KMeans-bucket fit; embedding_neardup
+      r8-green), pool_embeddings (embed_hash in-window shares the
+      embedding functions; operator untouched since r3),
+      repetition (gopher_rules r8-driver-green consumes the repetition
+      signals; c4_rules in-window), pii_redact (c4_rules in-window
+      shares the regex-gate shape; pytest test_curation.py),
+      line_dedup (span_dedup in-window shares the token-window line
+      derivation), perplexity (perplexity_bigram r8-driver-green
+      shares the LM scoring shape), curation_sweep
+      (corpus_prep_gopher + c4_rules in-window compose the identical
+      gates). All fifteen LEAD the r10 window.
+    - out-of-window tail (51+): the 15 slipped r7 keys first (stalest,
+      due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
     return {
-        # -- never driver-green: the seven r7-late keys ------------------
-        "tpch_q3": q_tpch_q3,
-        "spell_correct": q_spell_correct,
-        "fuzzy_search": q_fuzzy_search,
-        "suggest_prefix": q_suggest_prefix,
-        "ir_metrics": q_ir_metrics,
-        "cube_agg": q_cube_agg,
-        "tpch_q18": q_tpch_q18,
-        # -- new this round (never driver-green) --------------------------
-        "trending_terms": q_trending_terms,
-        "bm25f": q_bm25f,
-        "zorder_key": q_zorder_key,
-        "tpch_q5": q_tpch_q5,
-        "heavy_hitters": q_heavy_hitters,
-        "perplexity_bigram": q_perplexity_bigram,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        # -- due back: newest driver-green row is r6 ----------------------
-        "ann_batch": q_ann_batch,
-        "quality_classifier": q_quality_classifier,
-        "quality_classifier_text": q_quality_classifier_text,
-        "gopher_rules": q_gopher_rules,
-        "late_interaction": q_late_interaction,
-        "mmr_rerank": q_mmr_rerank,
-        "topic_model": q_topic_model,
-        "corpus_prep": q_corpus_prep,
-        "token_counts": q_token_counts,
-        "ivf_ann": q_ivf_ann,
-        "pq_adc": q_pq_adc,
-        "postings_build": q_postings_build,
-        "bm25_topk": q_bm25_topk,
-        "knn_l2": q_knn_l2,
-        "ann_lsh": q_ann_lsh,
-        "rrf_hybrid": q_rrf_hybrid,
-        "group_hits": q_group_hits,
-        "chunk_split": q_chunk_split,
-        "filter_docs": q_filter_docs,
-        "incremental_merge": q_incremental_merge,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sig": q_minhash_sig,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_apply": q_dedup_apply,
-        "embedding_neardup": q_embedding_neardup,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "kmv_distinct": q_kmv_distinct,
-        "value_percentiles": q_value_percentiles,
-        "decontaminate": q_decontaminate,
-        "tpch_q1": q_tpch_q1,
-        "revenue_join": q_revenue_join,
-        "sessionize": q_sessionize,
-        "canonical_projection": q_canonical_projection,
-        # -- out-of-window (51+): the 15 slipped r6-green keys first
-        # (stalest — they LEAD the r9 window), then the r7-green tail --
+        # -- due back: newest driver-green row is r6 (stalest) ------------
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,
         "sq8_ann": q_sq8_ann,
@@ -5753,7 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
         "fetch_slice": q_fetch_slice,
-        # r7-green tail (newest driver row r7, due back by r10) ----------
+        # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
         "binary_ann": q_binary_ann,
@@ -5789,6 +5728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_star": q_dedup_cluster_star,
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
+        # -- out-of-window (51+): the 15 slipped r7-green keys first
+        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "mix_sample": q_mix_sample,
         "cross_dedup": q_cross_dedup,
         "interval_join": q_interval_join,
@@ -5804,6 +5745,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
+        # r8-green tail (newest driver row r8, due back by r11) ----------
+        "tpch_q3": q_tpch_q3,
+        "spell_correct": q_spell_correct,
+        "fuzzy_search": q_fuzzy_search,
+        "suggest_prefix": q_suggest_prefix,
+        "ir_metrics": q_ir_metrics,
+        "cube_agg": q_cube_agg,
+        "tpch_q18": q_tpch_q18,
+        "trending_terms": q_trending_terms,
+        "bm25f": q_bm25f,
+        "zorder_key": q_zorder_key,
+        "tpch_q5": q_tpch_q5,
+        "heavy_hitters": q_heavy_hitters,
+        "perplexity_bigram": q_perplexity_bigram,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "ann_batch": q_ann_batch,
+        "quality_classifier": q_quality_classifier,
+        "quality_classifier_text": q_quality_classifier_text,
+        "gopher_rules": q_gopher_rules,
+        "late_interaction": q_late_interaction,
+        "mmr_rerank": q_mmr_rerank,
+        "topic_model": q_topic_model,
+        "corpus_prep": q_corpus_prep,
+        "token_counts": q_token_counts,
+        "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
+        "postings_build": q_postings_build,
+        "bm25_topk": q_bm25_topk,
+        "knn_l2": q_knn_l2,
+        "ann_lsh": q_ann_lsh,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_hits": q_group_hits,
+        "chunk_split": q_chunk_split,
+        "filter_docs": q_filter_docs,
+        "incremental_merge": q_incremental_merge,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_apply": q_dedup_apply,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "kmv_distinct": q_kmv_distinct,
+        "value_percentiles": q_value_percentiles,
+        "decontaminate": q_decontaminate,
+        "tpch_q1": q_tpch_q1,
+        "revenue_join": q_revenue_join,
+        "sessionize": q_sessionize,
+        "canonical_projection": q_canonical_projection,
     }
 
 
