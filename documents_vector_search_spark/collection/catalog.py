@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from documents_vector_search_spark.collection.manifest import Manifest
 
-TABLES = ("documents", "chunks", "embeddings", "postings", "doc_stats")
+TABLES = (
+    "documents",
+    "chunks",
+    "embeddings",
+    "postings",
+    "doc_stats",
+    "field_postings",
+)
 
 
 def rollback_partial_swap(root: Path, table: str) -> None:
@@ -123,8 +130,14 @@ class Collection:
 
     def counts(self) -> dict[str, int]:
         """Live row counts per table (reference E8: faiss.ntotal /
-        Chroma count() / SELECT COUNT(*) — SURVEY §2.4)."""
-        return {t: self.read(t).count() for t in TABLES}
+        Chroma count() / SELECT COUNT(*) — SURVEY §2.4). Tables a given
+        collection doesn't materialize (e.g. field_postings on
+        pre-existing collections) are skipped."""
+        return {
+            t: self.read(t).count()
+            for t in TABLES
+            if (self.root / t).exists() or (self.root / f"{t}__old").exists()
+        }
 
     def manifest(self) -> Manifest:
         return Manifest.load(self.manifest_path)

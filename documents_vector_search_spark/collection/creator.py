@@ -36,7 +36,9 @@ from documents_vector_search_spark.functions.hashing import md5_hash64
 from documents_vector_search_spark.operators.bm25 import (
     N_TERM_BUCKETS,
     build_doc_stats,
+    build_field_postings,
     build_postings,
+    field_text_exprs,
     term_bucket,
 )
 from documents_vector_search_spark.operators.chunking import (
@@ -77,17 +79,13 @@ def build_chunks(
     title line (dataset ingest): chunk 0 = ``title_col`` or the id,
     body = the whole text.
     """
+    # ONE field-split definition shared with build_field_postings and
+    # BM25F serving (operators/bm25.py field_text_exprs)
+    fields = field_text_exprs(title_col, title_from_text)
+    title = fields["title"]
     if title_from_text:
-        sep = F.locate("\n\n", F.col("text"))  # 1-based, 0 when absent
-        title = F.when(
-            sep > 0, F.col("text").substr(F.lit(1), sep - 1)
-        ).otherwise(F.col("text"))
-        body_text = F.when(
-            sep > 0, F.col("text").substr(sep + 2, F.length("text"))
-        ).otherwise(F.lit(""))
-        body_src = docs.withColumn("text", body_text)
+        body_src = docs.withColumn("text", fields["body"])
     else:
-        title = F.col(title_col) if title_col else F.col("id")
         body_src = docs
     title_chunks = docs.select(
         F.col("id").alias("document_id"),
@@ -397,13 +395,44 @@ def create_collection(
             partition_by=[UPDATE_PB_COL],
         )
 
+    def _write_field_postings() -> None:
+        # document-level field postings built from the DOCUMENT text:
+        # the BM25F serving index, exact under any chunk_overlap (see
+        # build_field_postings — chunk-derived field tf/fl double-count
+        # overlap regions). Same pruning layout as postings.
+        fp = build_field_postings(
+            docs, title_col, title_from_text, carry_cols=[UPDATE_PB_COL],
+        ).withColumn("term_bucket", term_bucket(F.col("term")))
+        collection.write(
+            "field_postings",
+            fp.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
+            partition_by=["term_bucket", UPDATE_PB_COL],
+        )
+
     def _gather_stats():
         from documents_vector_search_spark.functions.text import tokenize
 
-        # one job per table: the doc count and the watermark fuse into
+        # one job per table: the doc count, the watermark, and the
+        # per-field length stats (BM25F avgfl numerator/denominator,
+        # persisted so serving never runs a corpus-stats job) fuse into
         # a single aggregate (driver-action count dominates small builds)
+        field_aggs = []
+        for name, col in field_text_exprs(title_col, title_from_text).items():
+            fl = F.size(tokenize(col))
+            # docs where the field is non-empty (bm25f_topk's avgfl
+            # convention) + their total field length
+            field_aggs.append(
+                F.count(F.when(fl > 0, True)).alias(f"_fn_{name}")
+            )
+            field_aggs.append(
+                F.coalesce(F.sum(F.when(fl > 0, fl)), F.lit(0)).alias(
+                    f"_fs_{name}"
+                )
+            )
         doc_row = docs.agg(
-            F.count("*").alias("n"), F.max("last_modified_at").alias("wm")
+            F.count("*").alias("n"),
+            F.max("last_modified_at").alias("wm"),
+            *field_aggs,
         ).first()
         chunk_row = chunks.agg(
             F.count("*").alias("n"),
@@ -412,7 +441,14 @@ def create_collection(
             # runs a corpus-stats job (searcher._bm25_corpus_stats)
             F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
         ).first()
-        return int(doc_row["n"]), chunk_row, doc_row["wm"]
+        field_stats = {
+            name: {
+                "docs": int(doc_row[f"_fn_{name}"]),
+                "sumFl": int(doc_row[f"_fs_{name}"]),
+            }
+            for name in ("title", "body")
+        }
+        return int(doc_row["n"]), chunk_row, doc_row["wm"], field_stats
 
     # the three index builds + the manifest stats all read the SAME
     # materialized chunk table and are independent — run them as
@@ -422,10 +458,11 @@ def create_collection(
     # documents_collection_creator.py:180-181 without its serial loop.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_emb = pool.submit(_write_embeddings)
         f_post = pool.submit(_write_postings)
         f_ds = pool.submit(_write_doc_stats)
+        f_fp = pool.submit(_write_field_postings)
         f_stats = pool.submit(_gather_stats)
         emb_result = f_emb.result()
         ivf_centroids = emb_result.get("centroids")
@@ -433,7 +470,8 @@ def create_collection(
         sq8_bounds = emb_result.get("sq8")
         f_post.result()
         f_ds.result()
-        n_docs, stats, watermark = f_stats.result()
+        f_fp.result()
+        n_docs, stats, watermark, field_stats = f_stats.result()
     if fuzzy_dictionary:
         from documents_vector_search_spark.collection.fuzzy_artifacts import (
             write_fuzzy_artifacts,
@@ -451,6 +489,7 @@ def create_collection(
         numberOfDocuments=n_docs,
         numberOfChunks=n_chunks,
         avgChunkLength=float(stats["avgdl"]) if stats["avgdl"] is not None else None,
+        fieldStats=field_stats,
         lastIndexItemId=(
             int(last_id) if contiguous_ids and last_id is not None else -1
         ),
@@ -460,6 +499,9 @@ def create_collection(
             # chunk-0-from-text topology (reference converter parity);
             # updates must rebuild changed docs' chunks the same way
             **({"titleFromText": True} if title_from_text else {}),
+            # generic-topology title column (field_text_exprs): updates
+            # and deletes re-derive the same field split from this
+            **({"titleCol": title_col} if title_col else {}),
             # update-bucket count: incremental updates prune and rewrite
             # only the _pb partitions their changed keys hash into
             "updateBuckets": update_buckets,

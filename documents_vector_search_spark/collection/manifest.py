@@ -25,6 +25,13 @@ class Manifest:
     # None in manifests written before this field existed — the
     # searcher falls back to computing it.
     avgChunkLength: float | None = None
+    # per-field document-length stats for BM25F serving:
+    # {field: {"docs": n docs where the field is non-empty,
+    #          "sumFl": their total field token length}} — avgfl =
+    # sumFl/docs with zero corpus-stats jobs per searcher. None in
+    # manifests written before field_postings existed (the searcher
+    # falls back to computing it).
+    fieldStats: dict | None = None
     lastIndexItemId: int = -1
     reader: dict = field(default_factory=dict)
     converter: dict = field(

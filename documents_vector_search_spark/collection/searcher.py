@@ -452,29 +452,70 @@ class CollectionSearcher:
         )
         return hits.select("chunk_id", "score")
 
+    def _has_field_postings(self) -> bool:
+        """True when the collection materialized the document-level
+        field_postings table (collections created before it existed
+        serve BM25F off the chunk-derived approximation instead)."""
+        root = self.collection.root
+        return (root / "field_postings").exists() or (
+            root / "field_postings__old"
+        ).exists()
+
     def _bm25f_field_stats(self) -> dict[str, float]:
-        """Per-field average length {field: avgfl} over the index's
-        chunk view (title = chunk 0, body = the rest) — corpus
-        constants, computed once per searcher (one aggregate over
-        doc_stats⋈chunk-meta) and embedded as literals in every BM25F
-        plan, the same zero-jobs-per-query discipline as
-        _bm25_corpus_stats."""
+        """Per-field average DOCUMENT field length {field: avgfl},
+        averaged over documents where the field is non-empty
+        (bm25f_topk's convention) — corpus constants embedded as
+        literals in every BM25F plan.
+
+        Resolution order: the manifest's create/update-maintained
+        ``fieldStats`` (zero jobs, the avgChunkLength discipline), else
+        one aggregate over field_postings, else — collections predating
+        field_postings — per-document sums of chunk dl (approximate
+        when chunk_overlap > 0: overlap tokens count once per chunk)."""
         if self._bm25f_stats is None:
-            meta = self._read("chunks").select("chunk_id", "chunk_number")
-            ds = self._read("doc_stats").select("chunk_id", "dl")
-            rows = (
-                ds.join(meta, "chunk_id")
-                .withColumn(
-                    "field",
-                    F.when(F.col("chunk_number") == 0, "title").otherwise(
-                        "body"
-                    ),
-                )
-                .groupBy("field")
-                .agg(F.avg("dl").alias("avgfl"))
-                .collect()
-            )
-            self._bm25f_stats = {r["field"]: float(r["avgfl"]) for r in rows}
+            stats: dict[str, float] | None = None
+            try:
+                fs = self.collection.manifest().fieldStats
+            except FileNotFoundError:
+                fs = None
+            if fs:
+                stats = {
+                    name: float(rec["sumFl"]) / float(rec["docs"])
+                    for name, rec in fs.items()
+                    if rec.get("docs")
+                }
+            if stats is None:
+                if self._has_field_postings():
+                    rows = (
+                        self._read("field_postings")
+                        .select("document_id", "field", "fl")
+                        .distinct()
+                        .groupBy("field")
+                        .agg(F.avg("fl").alias("avgfl"))
+                        .collect()
+                    )
+                else:
+                    meta = self._read("chunks").select(
+                        "chunk_id", "document_id", "chunk_number"
+                    )
+                    ds = self._read("doc_stats").select("chunk_id", "dl")
+                    rows = (
+                        ds.join(meta, "chunk_id")
+                        .withColumn(
+                            "field",
+                            F.when(
+                                F.col("chunk_number") == 0, "title"
+                            ).otherwise("body"),
+                        )
+                        .groupBy("document_id", "field")
+                        .agg(F.sum("dl").alias("fl"))
+                        .filter(F.col("fl") > 0)
+                        .groupBy("field")
+                        .agg(F.avg("fl").alias("avgfl"))
+                        .collect()
+                    )
+                stats = {r["field"]: float(r["avgfl"]) for r in rows}
+            self._bm25f_stats = stats
         return self._bm25f_stats
 
     def search_documents_bm25f(
@@ -495,14 +536,12 @@ class CollectionSearcher:
         for the math) combines per-field length-normalized weighted tfs
         per (document, term) BEFORE one k1 saturation.
 
-        Plan shape: the SAME pruned-postings scan as BM25 (term_bucket
-        partition pruning + pushed In-list), one chunk-meta join over
-        matched rows only, field lengths computed for CANDIDATE
-        documents only (semi-join), per-field averages embedded as
-        searcher-cached literals, one TakeOrdered. Field lengths count
-        the index's view of the document — with chunk overlap > 0,
-        overlapped tokens count once per chunk (documented: the index
-        IS the corpus being ranked).
+        Plan shape: ONE term_bucket-pruned scan of the document-level
+        field_postings table (tf, fl, and df all exact from the
+        document text — see _bm25f_doc_pseudo, which also documents the
+        chunk-derived legacy fallback for collections predating the
+        table), per-field averages embedded as manifest-backed
+        searcher-cached literals, one TakeOrdered.
 
         ``metadata_filter`` restricts candidate documents (compiled
         predicate on the documents table, same mini-language as
@@ -564,32 +603,55 @@ class CollectionSearcher:
         the per-(document, term) combined pseudo-frequency ``tfw`` over
         the union term set, whole-index document-level ``df`` per term,
         and the document count. Single and batched searches both fan
-        out from these — the expensive work (pruned postings scan,
-        chunk-meta join, candidate field lengths) happens ONCE however
-        many queries share it."""
+        out from these — the expensive work (ONE pruned scan) happens
+        ONCE however many queries share it.
+
+        Primary path: the document-level ``field_postings`` table
+        (operators/bm25.py build_field_postings) — built from the
+        document TEXT at create/update time, so tf, fl, and df are
+        exact under any chunk_overlap, and the whole query is one
+        term_bucket-pruned scan with no chunk-meta join at all.
+        Legacy path (collections predating the table): re-aggregate
+        chunk postings by (document, field) — approximate when
+        chunk_overlap > 0 (overlap tokens count once per chunk)."""
         from documents_vector_search_spark.operators.bm25 import (
             B,
             term_bucket_py,
         )
 
-        postings = self._read("postings")
-        if "term_bucket" in postings.columns:
-            buckets = sorted({term_bucket_py(t) for t in all_terms})
-            postings = postings.filter(F.col("term_bucket").isin(buckets))
-        matched = postings.filter(F.col("term").isin(all_terms)).select(
-            "chunk_id", "term", "tf"
-        )
+        buckets = sorted({term_bucket_py(t) for t in all_terms})
+        if self._has_field_postings():
+            fp = self._read("field_postings")
+            if "term_bucket" in fp.columns:
+                fp = fp.filter(F.col("term_bucket").isin(buckets))
+            matched = fp.filter(F.col("term").isin(all_terms)).select(
+                "document_id", "field", "term", "tf", "fl"
+            )
+            tf = matched
+            doc_term = matched.select("document_id", "term")
+        else:
+            postings = self._read("postings")
+            if "term_bucket" in postings.columns:
+                postings = postings.filter(F.col("term_bucket").isin(buckets))
+            chunk_matched = postings.filter(
+                F.col("term").isin(all_terms)
+            ).select("chunk_id", "term", "tf")
 
-        meta = self._read("chunks").select(
-            "chunk_id", "document_id", "chunk_number"
-        )
-        field = F.when(F.col("chunk_number") == 0, "title").otherwise("body")
-        tf = (
-            matched.join(meta, "chunk_id")
-            .withColumn("field", field)
-            .groupBy("document_id", "field", "term")
-            .agg(F.sum("tf").cast("bigint").alias("tf"))
-        )
+            meta = self._read("chunks").select(
+                "chunk_id", "document_id", "chunk_number"
+            )
+            field = F.when(F.col("chunk_number") == 0, "title").otherwise(
+                "body"
+            )
+            tf = (
+                chunk_matched.join(meta, "chunk_id")
+                .withColumn("field", field)
+                .groupBy("document_id", "field", "term")
+                .agg(F.sum("tf").cast("bigint").alias("tf"))
+            )
+            doc_term = chunk_matched.join(
+                meta.select("chunk_id", "document_id"), "chunk_id"
+            ).select("document_id", "term")
 
         if metadata_filter:
             docs = self._read("documents")
@@ -606,17 +668,20 @@ class CollectionSearcher:
             )
             tf = tf.join(F.broadcast(allowed_docs), "document_id", "left_semi")
 
-        # field lengths for CANDIDATE documents only
-        cand = tf.select("document_id").distinct()
-        fl = (
-            self._read("doc_stats")
-            .select("chunk_id", "dl")
-            .join(meta, "chunk_id")
-            .join(cand, "document_id", "left_semi")
-            .withColumn("field", field)
-            .groupBy("document_id", "field")
-            .agg(F.sum("dl").cast("bigint").alias("fl"))
-        )
+        if "fl" not in tf.columns:
+            # legacy path: field lengths reconstructed from chunk token
+            # counts, for CANDIDATE documents only
+            cand = tf.select("document_id").distinct()
+            fl = (
+                self._read("doc_stats")
+                .select("chunk_id", "dl")
+                .join(meta, "chunk_id")
+                .join(cand, "document_id", "left_semi")
+                .withColumn("field", field)
+                .groupBy("document_id", "field")
+                .agg(F.sum("dl").cast("bigint").alias("fl"))
+            )
+            tf = tf.join(fl, ["document_id", "field"])
 
         avgfl = self._bm25f_field_stats()
         w_expr = F.coalesce(
@@ -644,8 +709,7 @@ class CollectionSearcher:
             1 - b_expr + b_expr * F.col("fl") / avgfl_expr
         )
         pseudo = (
-            tf.join(fl, ["document_id", "field"])
-            .withColumn("contrib", contrib)
+            tf.withColumn("contrib", contrib)
             .groupBy("document_id", "term")
             .agg(F.sum("contrib").alias("tfw"))
         )
@@ -655,16 +719,14 @@ class CollectionSearcher:
         # candidates without changing corpus statistics (the engine's
         # FTS5-parity convention)
         df_per_term = (
-            matched.join(meta.select("chunk_id", "document_id"), "chunk_id")
-            .select("document_id", "term")
-            .distinct()
+            doc_term.distinct()
             .groupBy("term")
             .agg(F.count("*").cast("bigint").alias("_df"))
         )
         try:
             n_docs = int(self.collection.manifest().numberOfDocuments)
         except FileNotFoundError:
-            n_docs = meta.select("document_id").distinct().count()
+            n_docs = self._read("documents").select("id").distinct().count()
         return pseudo, df_per_term, n_docs
 
     def search_documents_bm25f_many(

@@ -59,7 +59,9 @@ from documents_vector_search_spark.collection.partitioning import (
 )
 from documents_vector_search_spark.operators.bm25 import (
     build_doc_stats,
+    build_field_postings,
     build_postings,
+    field_text_exprs,
 )
 from documents_vector_search_spark.operators.chunking import assign_chunk_ids
 
@@ -254,6 +256,46 @@ def _apply_chunk_delta(
         manifest.avgChunkLength = None
 
 
+def _field_stats_from_table(collection: Collection) -> dict:
+    """Exact manifest fieldStats recomputed from the field_postings
+    table (fl repeats per term row, so distinct per (doc, field)
+    first). Convergence backstop for the legacy rewrite path and
+    _exact_recount."""
+    rows = (
+        collection.read("field_postings")
+        .select("document_id", "field", "fl")
+        .distinct()
+        .groupBy("field")
+        .agg(F.count("*").alias("n"), F.sum("fl").alias("s"))
+        .collect()
+    )
+    stats: dict = {name: {"docs": 0, "sumFl": 0} for name in ("title", "body")}
+    for r in rows:
+        stats[r["field"]] = {"docs": int(r["n"]), "sumFl": int(r["s"])}
+    return stats
+
+
+def _apply_field_delta(manifest: Manifest, field_delta: dict) -> None:
+    """Incremental manifest fieldStats (BM25F avgfl numerators and
+    denominators), shared by update (−stale +fresh) and delete
+    (−stale): ``field_delta`` maps side → Row with ``_fn_<field>`` /
+    ``_fs_<field>`` aggregates per field."""
+    if manifest.fieldStats is None:
+        return
+    stale = field_delta.get("stale")
+    fresh = field_delta.get("fresh")
+    for name, rec in manifest.fieldStats.items():
+        dn = ds = 0
+        if stale is not None:
+            dn -= int(stale[f"_fn_{name}"] or 0)
+            ds -= int(stale[f"_fs_{name}"] or 0)
+        if fresh is not None:
+            dn += int(fresh[f"_fn_{name}"] or 0)
+            ds += int(fresh[f"_fs_{name}"] or 0)
+        rec["docs"] = max(0, int(rec["docs"]) + dn)
+        rec["sumFl"] = max(0, int(rec["sumFl"]) + ds)
+
+
 def update_collection(
     collection: Collection,
     changed_docs: DataFrame,
@@ -283,8 +325,10 @@ def update_collection(
     chunk_size = splitter.get("chunkSize", 1000)
     chunk_overlap = splitter.get("chunkOverlap", 100)
     # chunk-0 topology recorded at create: changed docs must re-chunk
-    # the same way (title line from text vs title_col/id)
+    # the same way (title line from text vs title_col/id); the recorded
+    # titleCol backstops callers that don't re-pass it
     title_from_text = bool(manifest.converter.get("titleFromText"))
+    title_col = title_col or manifest.converter.get("titleCol")
 
     emb_cfg = manifest.converter.get("embedding") or {}
     recorded_dim = emb_cfg.get("dim")
@@ -555,6 +599,73 @@ def update_collection(
         .unionByName(fresh_doc_stats)
     )
 
+    # --- field_postings: document-level BM25F index (doc-keyed merge) --
+    # replaced docs drop by anti-join on document_id; fresh rows rebuild
+    # from the batch's TEXT with the collection's recorded field split
+    # (exact under any chunk_overlap — build_field_postings docstring).
+    # Collections created before the table existed skip it (BM25F then
+    # serves the chunk-derived approximation).
+    has_fp = (collection.root / "field_postings").exists()
+    merged_fp = None
+    fp_bucketed = False
+    field_delta = None
+    if has_fp:
+        from documents_vector_search_spark.operators.bm25 import term_bucket
+
+        old_fp = _pruned("field_postings", doc_pbs)
+        fresh_fp = build_field_postings(
+            changed_docs, title_col, title_from_text
+        )
+        if update_buckets:
+            fresh_fp = fresh_fp.withColumn(
+                UPDATE_PB_COL, pb_col(F.col("document_id"), update_buckets)
+            )
+        fp_bucketed = "term_bucket" in old_fp.columns
+        if fp_bucketed:
+            fresh_fp = fresh_fp.withColumn(
+                "term_bucket", term_bucket(F.col("term"))
+            )
+        merged_fp = old_fp.join(
+            changed_ids, old_fp["document_id"] == changed_ids["id"],
+            "left_anti",
+        ).unionByName(fresh_fp)
+
+        # manifest fieldStats delta (BM25F avgfl): per-field non-empty
+        # doc counts and length sums for the replaced docs (pruned +
+        # semi-join, bounded) and the fresh batch — ONE fused job, the
+        # same stale/fresh tagging as the chunk stats above. Must run
+        # BEFORE the swap (it reads the pre-swap documents table).
+        if update_buckets and manifest.fieldStats is not None:
+            from documents_vector_search_spark.functions.text import tokenize
+
+            field_aggs = []
+            for name, col in field_text_exprs(
+                title_col, title_from_text
+            ).items():
+                fl = F.size(tokenize(col))
+                field_aggs.append(
+                    F.count(F.when(fl > 0, True)).alias(f"_fn_{name}")
+                )
+                field_aggs.append(
+                    F.coalesce(F.sum(F.when(fl > 0, fl)), F.lit(0)).alias(
+                        f"_fs_{name}"
+                    )
+                )
+            doc_cols = changed_docs.columns
+            tagged_docs = (
+                docs.join(changed_ids, "id", "left_semi")
+                .select(F.lit("stale").alias("_side"), *doc_cols)
+                .unionByName(
+                    changed_docs.select(
+                        F.lit("fresh").alias("_side"), *doc_cols
+                    )
+                )
+            )
+            field_delta = {
+                r["_side"]: r
+                for r in tagged_docs.groupBy("_side").agg(*field_aggs).collect()
+            }
+
     # fuzzy artifacts (collection/fuzzy_artifacts.py): aggregate the
     # vocabulary DELTA from exactly the postings rows this batch
     # touches and MATERIALIZE it before any swap (post-swap lazy reads
@@ -572,6 +683,7 @@ def update_collection(
         "embeddings": merged_embeddings,
         "postings": merged_postings,
         "doc_stats": merged_doc_stats,
+        **({"field_postings": merged_fp} if merged_fp is not None else {}),
     }
     layout_cols = {
         "documents": [],
@@ -581,6 +693,11 @@ def update_collection(
         ),
         "postings": ["term_bucket"] if postings_bucketed else [],
         "doc_stats": [],
+        **(
+            {"field_postings": ["term_bucket"] if fp_bucketed else []}
+            if merged_fp is not None
+            else {}
+        ),
     }
 
     if update_buckets:
@@ -607,6 +724,8 @@ def update_collection(
             n_fresh=int(fresh_stats["n"] or 0),
             fresh_dl=float(fresh_stats["dl"] or 0),
         )
+        if field_delta is not None:
+            _apply_field_delta(manifest, field_delta)
         if manifest.converter.get("idStrategy", "counter") == "counter":
             last = fresh_stats["last"]
             if last is not None:
@@ -652,6 +771,8 @@ def update_collection(
     manifest.avgChunkLength = (
         float(stats["avgdl"]) if stats["avgdl"] is not None else None
     )
+    if has_fp:
+        manifest.fieldStats = _field_stats_from_table(collection)
     if manifest.converter.get("idStrategy", "counter") == "counter":
         manifest.lastIndexItemId = (
             int(stats["last"]) if stats["last"] is not None else -1
@@ -759,8 +880,32 @@ def delete_documents(
     n_stale = int(stale_row["n"])
     # the proceed/no-op decision reads the DOCUMENTS table — it commits
     # LAST, so a crashed earlier run always re-enters here (chunk-based
-    # evidence may already be gone in a partial state)
-    n_docs_deleted = docs.join(ids, "id", "left_semi").count()
+    # evidence may already be gone in a partial state). fieldStats
+    # decrements (BM25F avgfl) fuse into the same job: the deleted
+    # docs' per-field non-empty counts and length sums.
+    has_fp = (collection.root / "field_postings").exists()
+    field_aggs = []
+    if has_fp and manifest.fieldStats is not None:
+        from documents_vector_search_spark.functions.text import tokenize
+
+        title_from_text = bool(manifest.converter.get("titleFromText"))
+        title_col = manifest.converter.get("titleCol")
+        for name, col in field_text_exprs(title_col, title_from_text).items():
+            fl = F.size(tokenize(col))
+            field_aggs.append(
+                F.count(F.when(fl > 0, True)).alias(f"_fn_{name}")
+            )
+            field_aggs.append(
+                F.coalesce(F.sum(F.when(fl > 0, fl)), F.lit(0)).alias(
+                    f"_fs_{name}"
+                )
+            )
+    del_row = (
+        docs.join(ids, "id", "left_semi")
+        .agg(F.count("*").alias("n"), *field_aggs)
+        .first()
+    )
+    n_docs_deleted = int(del_row["n"])
     if n_docs_deleted == 0 and n_stale == 0:
         # Unknown ids / fully-completed prior delete — but a prior run
         # may have died AFTER the final documents swap committed and
@@ -802,6 +947,17 @@ def delete_documents(
         "doc_stats": _pruned("doc_stats").join(
             stale_chunks, "chunk_id", "left_anti"
         ),
+        **(
+            {
+                "field_postings": _pruned("field_postings").join(
+                    ids,
+                    F.col("document_id") == ids["id"],
+                    "left_anti",
+                )
+            }
+            if has_fp
+            else {}
+        ),
         "chunks": chunks.join(
             ids, chunks["document_id"] == ids["id"], "left_anti"
         ),
@@ -819,6 +975,17 @@ def delete_documents(
             ["term_bucket"] if "term_bucket" in merged["postings"].columns else []
         ),
         "doc_stats": [],
+        **(
+            {
+                "field_postings": (
+                    ["term_bucket"]
+                    if "term_bucket" in merged["field_postings"].columns
+                    else []
+                )
+            }
+            if has_fp
+            else {}
+        ),
     }
 
     if update_buckets:
@@ -837,6 +1004,8 @@ def delete_documents(
             _apply_chunk_delta(
                 manifest, n_stale=n_stale, stale_dl=float(stale_row["dl"])
             )
+            if field_aggs:
+                _apply_field_delta(manifest, {"stale": del_row})
             _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
             collection.save_manifest(manifest)
             return manifest
@@ -871,5 +1040,7 @@ def _exact_recount(collection, manifest: Manifest) -> Manifest:
     manifest.avgChunkLength = (
         float(stats["avgdl"]) if stats["avgdl"] is not None else None
     )
+    if (collection.root / "field_postings").exists():
+        manifest.fieldStats = _field_stats_from_table(collection)
     collection.save_manifest(manifest)
     return manifest

@@ -133,6 +133,96 @@ def build_doc_stats(
     )
 
 
+def field_text_exprs(
+    title_col: str | None = None,
+    title_from_text: bool = False,
+    text_col: str = "text",
+) -> dict[str, "F.Column"]:
+    """``{"title": Column, "body": Column}`` — THE document field split,
+    shared by the chunk topology (collection/creator.py build_chunks),
+    :func:`build_field_postings`, and BM25F serving so the three can't
+    drift.
+
+    ``title_from_text=True`` reproduces the reference converters'
+    ``"<title line>\\n\\n<body>"`` envelope (reference
+    jira_document_converter.py:39-51): title = the text before the
+    first blank line (the whole text when none), body = the rest (empty
+    when none). The generic topology (dataset ingest) keeps body = the
+    WHOLE text and title = ``title_col`` (or the id)."""
+    text = F.col(text_col)
+    if title_from_text:
+        sep = F.locate("\n\n", text)  # 1-based, 0 when absent
+        title = F.when(sep > 0, text.substr(F.lit(1), sep - 1)).otherwise(
+            text
+        )
+        body = F.when(sep > 0, text.substr(sep + 2, F.length(text))).otherwise(
+            F.lit("")
+        )
+    else:
+        title = F.col(title_col) if title_col else F.col("id")
+        body = text
+    return {"title": title.cast("string"), "body": body.cast("string")}
+
+
+def build_field_postings(
+    docs: DataFrame,
+    title_col: str | None = None,
+    title_from_text: bool = False,
+    id_col: str = "id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Document-LEVEL field postings ``(document_id, field, term, tf,
+    fl)`` — the BM25F serving index (searcher.search_documents_bm25f).
+
+    Built from the DOCUMENT TEXT with the same field split as the chunk
+    topology (:func:`field_text_exprs`), NOT by re-aggregating chunk
+    postings: chunk overlap duplicates overlap-region tokens into
+    adjacent chunks and splits tokens straddling chunk boundaries, so
+    chunk-derived field tf/fl are only approximate. This table is exact
+    under any ``chunk_overlap``.
+
+    ``fl`` denormalizes the field's token length into every row (the
+    ``with_dl`` pattern of :func:`build_postings`). Empty fields yield
+    no rows, so per-field averages over this table are averages over
+    documents where the field is non-empty — exactly
+    :func:`bm25f_topk`'s ``avgfl`` convention.
+
+    Scale shape: one explode + one (document, term) groupBy per field,
+    unioned — the same single-shuffle family as build_postings; callers
+    partition the write by (term_bucket, _pb) so query terms prune
+    partitions and incremental updates rewrite only affected buckets.
+    Row count is bounded by the plain postings table's (per-document
+    aggregation, no chunk duplication)."""
+    from pyspark.sql import Window
+
+    carry = list(carry_cols or [])
+    fields = field_text_exprs(title_col, title_from_text, text_col=text_col)
+    per_field = []
+    for name, col in fields.items():
+        tokens = docs.select(
+            F.col(id_col).alias("document_id"),
+            *[F.col(c) for c in carry],
+            F.explode_outer(tokenize(col)).alias("term"),
+        ).filter(F.col("term").isNotNull())
+        tf = (
+            tokens.groupBy("document_id", *carry, "term")
+            .agg(F.count("*").cast("bigint").alias("tf"))
+            .withColumn(
+                "fl",
+                F.sum("tf")
+                .over(Window.partitionBy("document_id"))
+                .cast("bigint"),
+            )
+            .withColumn("field", F.lit(name))
+        )
+        per_field.append(tf)
+    out = per_field[0]
+    for t in per_field[1:]:
+        out = out.unionByName(t)
+    return out.select("document_id", "field", "term", "tf", "fl", *carry)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

@@ -200,27 +200,18 @@ class TestBm25f:
 
 
 class TestBm25fServing:
-    def test_collection_bm25f_matches_adhoc_operator(self, spark, tmp_path):
-        """searcher.search_documents_bm25f over a chunk-0-is-title
-        collection (title_from_text, overlap 0, one body chunk) must
-        equal bm25f_topk over the same corpus with the title/body split
-        done by hand — same fields, same stats, same math."""
-        from documents_vector_search_spark.collection import (
-            Collection,
-            CollectionSearcher,
-            create_collection,
-        )
-        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+    BM25F_ROWS = [
+        ("d1", "spark shuffle", "a join b join c"),
+        ("d2", "alpha beta", "spark spark join x y z"),
+        ("d3", "gamma delta", "e f g h join"),
+        ("d4", "spark join", "spark runs fast join join spark data"),
+        ("d5", "iota kappa", "m n o p q r"),
+        ("d6", "lambda mu", "r s t u v w"),
+    ]
 
-        rows = [
-            ("d1", "spark shuffle", "a join b join c"),
-            ("d2", "alpha beta", "spark spark join x y z"),
-            ("d3", "gamma delta", "e f g h join"),
-            ("d4", "spark join", "spark runs fast join"),
-            ("d5", "iota kappa", "m n o p q r"),
-            ("d6", "lambda mu", "r s t u v w"),
-        ]
-        docs = spark.createDataFrame(
+    @staticmethod
+    def _bm25f_docs(spark, rows):
+        return spark.createDataFrame(
             [
                 (
                     rid,
@@ -237,9 +228,60 @@ class TestBm25fServing:
         ).withColumn(
             "last_modified_at", F.col("last_modified_at").cast("timestamp")
         )
+
+    @staticmethod
+    def _bm25f_expected(spark, rows, query="spark join", k=10):
+        from documents_vector_search_spark.operators.bm25 import bm25f_topk
+
+        flat = spark.createDataFrame(
+            rows, "doc_id string, title string, body string"
+        )
+        return [
+            (r.doc_id, r.score)
+            for r in bm25f_topk(
+                flat,
+                query,
+                k,
+                fields={"title": F.col("title"), "body": F.col("body")},
+                weights={"title": 2.0, "body": 1.0},
+                field_b={"title": 0.5, "body": 0.75},
+                id_col="doc_id",
+            ).collect()
+        ]
+
+    @pytest.mark.parametrize(
+        "chunk_size,chunk_overlap",
+        [
+            (1000, 0),  # one body chunk per doc
+            (12, 0),  # multi-chunk bodies, no overlap
+            (12, 5),  # multi-chunk bodies WITH overlap: chunk-derived
+            # tf/fl would double-count overlap tokens — exactness comes
+            # from the document-level field_postings table
+        ],
+    )
+    def test_collection_bm25f_matches_adhoc_operator(
+        self, spark, tmp_path, chunk_size, chunk_overlap
+    ):
+        """searcher.search_documents_bm25f over a chunk-0-is-title
+        collection must equal bm25f_topk over the same corpus with the
+        title/body split done by hand — same fields, same stats, same
+        math — for single- and multi-chunk bodies and ANY overlap (the
+        serving index is the document-level field_postings table, built
+        from the document text, not from overlapping chunks)."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+
+        rows = self.BM25F_ROWS
         coll = Collection(spark, str(tmp_path), "f")
         create_collection(
-            coll, docs, chunk_size=1000, chunk_overlap=0, title_from_text=True
+            coll,
+            self._bm25f_docs(spark, rows),
+            chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap,
+            title_from_text=True,
         )
         got = [
             (r.document_id, r.score)
@@ -247,23 +289,98 @@ class TestBm25fServing:
                 "spark join", k=10
             ).collect()
         ]
+        expected = self._bm25f_expected(spark, rows)
+        assert got == expected and got  # non-empty, identical order+scores
 
-        flat = spark.createDataFrame(
-            rows, "doc_id string, title string, body string"
+    def test_bm25f_exact_after_update_and_delete(self, spark, tmp_path):
+        """field_postings and the manifest's fieldStats stay exact
+        through the incremental paths: after an update (one changed +
+        one new doc) and a delete, serving still equals bm25f_topk over
+        the corpus' CURRENT state, and fieldStats equals a recount."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
         )
-        expected = [
-            (r.doc_id, r.score)
-            for r in bm25f_topk(
-                flat,
-                "spark join",
-                10,
-                fields={"title": F.col("title"), "body": F.col("body")},
-                weights={"title": 2.0, "body": 1.0},
-                field_b={"title": 0.5, "body": 0.75},
-                id_col="doc_id",
+        from documents_vector_search_spark.collection.updater import (
+            delete_documents,
+            update_collection,
+        )
+
+        rows = self.BM25F_ROWS
+        coll = Collection(spark, str(tmp_path), "fu")
+        create_collection(
+            coll,
+            self._bm25f_docs(spark, rows),
+            chunk_size=12,
+            chunk_overlap=5,
+            title_from_text=True,
+        )
+
+        # replace d2 (body gains a spark), add d7
+        changed = [
+            ("d2", "alpha beta", "spark spark spark join x y"),
+            ("d7", "nu xi spark", "join join brand new spark doc"),
+        ]
+        update_collection(coll, self._bm25f_docs(spark, changed))
+        current = {r[0]: r for r in rows} | {r[0]: r for r in changed}
+        delete_documents(coll, ["d3"])
+        del current["d3"]
+
+        searcher = CollectionSearcher(coll)
+        got = [
+            (r.document_id, r.score)
+            for r in searcher.search_documents_bm25f("spark join", k=10)
+            .collect()
+        ]
+        expected = self._bm25f_expected(spark, list(current.values()))
+        assert got == expected and got
+
+        # manifest fieldStats == exact recount from the live table
+        from documents_vector_search_spark.collection.updater import (
+            _field_stats_from_table,
+        )
+
+        assert coll.manifest().fieldStats == _field_stats_from_table(coll)
+
+    def test_bm25f_legacy_collection_without_field_postings(
+        self, spark, tmp_path
+    ):
+        """Collections created before field_postings existed still
+        serve BM25F off the chunk-derived path: with overlap 0 and
+        whole-field chunks the approximation is exact, so it must match
+        the operator; the searcher must not touch the absent table."""
+        import shutil
+
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+
+        rows = self.BM25F_ROWS
+        coll = Collection(spark, str(tmp_path), "fl")
+        create_collection(
+            coll,
+            self._bm25f_docs(spark, rows),
+            chunk_size=1000,
+            chunk_overlap=0,
+            title_from_text=True,
+        )
+        # simulate a pre-field_postings collection
+        shutil.rmtree(coll.root / "field_postings")
+        m = coll.manifest()
+        m.fieldStats = None
+        coll.save_manifest(m)
+
+        got = [
+            (r.document_id, r.score)
+            for r in CollectionSearcher(coll).search_documents_bm25f(
+                "spark join", k=10
             ).collect()
         ]
-        assert got == expected and got  # non-empty, identical order+scores
+        expected = self._bm25f_expected(spark, rows)
+        assert got == expected and got
 
     def test_metadata_filter_restricts_candidates(self, spark, tmp_path):
         from documents_vector_search_spark.collection import (
