@@ -15,9 +15,19 @@ oracle reproduces the exact same stage decisions with per-user
 row_number sequences.
 
 Scale notes (100 TB): one shuffle keyed by user; per-user state is the
-user's own event list (the same bound sessionization already accepts —
-skewed power users are the caveat, and a ts-bucketed pre-aggregation
-is the escape hatch). The output is K rows.
+user's own event list — the same bound sessionization already accepts.
+For skewed power users, ``ts_bucket`` opts into the two-level escape
+hatch: events first aggregate per (user, time bucket) into a bounded
+COMPOSABLE segment summary, then the per-user fold runs over segment
+summaries instead of raw events, so no single task ever materializes a
+power user's full event list. The summary exploits that funnel state
+entering a segment is fully characterized by HOW MANY stages are
+already filled (stages fill strictly in order, and every event in a
+later time bucket is later than every event in an earlier one): it is
+the (k+1)-row table "stage timestamps this segment would contribute if
+entered with j stages filled", and segments compose left-to-right with
+an element-wise coalesce — identical results to the direct fold, still
+zero UDFs. The output is K rows.
 
 Steps must be distinct event types (a repeated step would need
 first-unfilled-match tie-breaking that the single-pass transform does
@@ -30,31 +40,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel_stage_times(
-    events: DataFrame,
-    steps: list[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """Per-user earliest funnel completion — ``(user, stage_ts)`` where
-    ``stage_ts[k]`` is when the user first completed step k AFTER
-    completing step k-1 (null = never reached)."""
-    if len(set(steps)) != len(steps):
-        raise ValueError("funnel steps must be distinct event types")
-    k = len(steps)
+def _stage_fold(steps: list[str], k: int):
+    """The funnel accumulator step: acc = array of k stage timestamps
+    (null = unreached), e = (ts, eid, tp) event struct."""
     steps_arr = F.array(*[F.lit(s) for s in steps])
-
-    ordered = F.sort_array(
-        F.collect_list(
-            F.struct(
-                F.col(ts_col).alias("ts"),
-                F.col("event_id").alias("eid"),
-                F.col(type_col).alias("tp"),
-            )
-        )
-    )
-    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
 
     def step_fold(acc, e):
         def upd(i):
@@ -71,8 +60,95 @@ def funnel_stage_times(
 
         return F.transform(F.sequence(F.lit(0), F.lit(k - 1)), upd)
 
-    return events.groupBy(F.col(user_col).alias("user")).agg(
-        F.aggregate(ordered, init, step_fold).alias("stage_ts")
+    return step_fold
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    ts_bucket: str | None = None,
+) -> DataFrame:
+    """Per-user earliest funnel completion — ``(user, stage_ts)`` where
+    ``stage_ts[k]`` is when the user first completed step k AFTER
+    completing step k-1 (null = never reached).
+
+    ``ts_bucket`` (e.g. ``"1 day"``) enables the skew escape hatch:
+    per-(user, bucket) composable partial folds, then a per-user fold
+    over bucket summaries — identical results (property-tested), with
+    per-task state bounded by a power user's busiest bucket instead of
+    their lifetime event count."""
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    step_fold = _stage_fold(steps, k)
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    ev_struct = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(event_id_col).alias("eid"),
+        F.col(type_col).alias("tp"),
+    )
+
+    if ts_bucket is None:
+        ordered = F.sort_array(F.collect_list(ev_struct))
+        return events.groupBy(F.col(user_col).alias("user")).agg(
+            F.aggregate(ordered, init, step_fold).alias("stage_ts")
+        )
+
+    # --- skew escape hatch: two-level fold -----------------------------
+    # Level 1: per (user, time bucket) — sort the bucket's events and
+    # fold them k+1 times, once per possible entry state j = number of
+    # stages already filled on entry. Entry stages get a sentinel
+    # non-null timestamp so prev_ok passes; the sentinel never reaches
+    # the output (the level-2 coalesce prefers the accumulator, which is
+    # non-null exactly on those stages). Buckets partition time, so
+    # every event here is later than every event of earlier buckets —
+    # the entry COUNT is the complete cross-bucket state.
+    sentinel = F.to_timestamp(F.lit("1900-01-01 00:00:00"))
+
+    def entry_init(j: int):
+        return F.array(
+            *[
+                (sentinel if i < j else F.lit(None).cast("timestamp"))
+                for i in range(k)
+            ]
+        )
+
+    bucket_start = F.window(F.col(ts_col), ts_bucket).start
+    per_bucket = events.groupBy(
+        F.col(user_col).alias("user"),
+        bucket_start.alias("_bkt"),
+    ).agg(F.sort_array(F.collect_list(ev_struct)).alias("_evs"))
+    summary = F.array(
+        *[
+            F.aggregate(F.col("_evs"), entry_init(j), step_fold)
+            for j in range(k + 1)
+        ]
+    )
+    segments = per_bucket.select(
+        "user", F.struct(F.col("_bkt").alias("b"), summary.alias("s")).alias("_seg")
+    )
+
+    # Level 2: per user — fold bucket summaries in time order. The
+    # per-user state is (#buckets × (k+1) × k) timestamps: bounded by
+    # the funnel's time span, independent of the user's event count.
+    def seg_fold(acc, seg):
+        filled = F.size(F.filter(acc, lambda x: x.isNotNull()))
+        contrib = F.element_at(seg["s"], filled + 1)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.coalesce(
+                F.element_at(acc, i + 1), F.element_at(contrib, i + 1)
+            ),
+        )
+
+    ordered_segs = F.sort_array(F.collect_list(F.col("_seg")))
+    return segments.groupBy("user").agg(
+        F.aggregate(ordered_segs, init, seg_fold).alias("stage_ts")
     )
 
 
@@ -82,13 +158,18 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    event_id_col: str = "event_id",
     round_to: int = 6,
+    ts_bucket: str | None = None,
 ) -> DataFrame:
     """Stage-conversion report — ``(stage, step, n_users,
     pct_of_first)`` ordered by stage; ``n_users`` = users whose
     earliest-completion walk reached the stage, ``pct_of_first``
-    relative to stage 1."""
-    stage_ts = funnel_stage_times(events, steps, user_col, ts_col, type_col)
+    relative to stage 1. Always K rows — an empty event stream reports
+    every stage with ``n_users`` 0."""
+    stage_ts = funnel_stage_times(
+        events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
+    )
     per_stage = (
         stage_ts.select(
             F.posexplode(F.col("stage_ts")).alias("pos", "t")
@@ -96,8 +177,12 @@ def funnel_report(
         .groupBy("pos")
         .agg(F.count("t").alias("n_users"))  # count() skips nulls
     )
-    first = per_stage.filter(F.col("pos") == 0).select(
-        F.col("n_users").alias("_n0")
+    # single-row even on EMPTY input (agg over zero rows still yields
+    # one row), so the broadcast join below always produces K rows
+    first = per_stage.agg(
+        F.coalesce(
+            F.max(F.when(F.col("pos") == 0, F.col("n_users"))), F.lit(0)
+        ).alias("_n0")
     )
     steps_df = events.sparkSession.createDataFrame(
         [(i, s) for i, s in enumerate(steps)], "pos int, step string"

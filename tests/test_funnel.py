@@ -72,3 +72,86 @@ class TestFunnel:
         df = funnel_report(events, ["view", "click", "purchase"])
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_empty_input_reports_all_stages_zero(self, events):
+        rows = funnel_report(
+            events.limit(0), ["view", "click", "purchase"]
+        ).collect()
+        assert [(r.stage, r.step, r.n_users, r.pct_of_first) for r in rows] == [
+            (1, "view", 0, 0.0),
+            (2, "click", 0, 0.0),
+            (3, "purchase", 0, 0.0),
+        ]
+
+    def test_custom_event_id_column(self, events):
+        renamed = events.withColumnRenamed("event_id", "eid_custom")
+        got = {
+            r.user: [t and str(t) for t in r.stage_ts]
+            for r in funnel_stage_times(
+                renamed,
+                ["view", "click", "purchase"],
+                event_id_col="eid_custom",
+            ).collect()
+        }
+        # u4's same-ts tie still breaks on the renamed id column
+        assert got[4][1] == "2024-01-01 00:00:00"
+
+
+class TestFunnelSkewHatch:
+    def test_bucketed_matches_direct_on_fixture(self, events):
+        direct = {
+            r.user: r.stage_ts
+            for r in funnel_stage_times(
+                events, ["view", "click", "purchase"]
+            ).collect()
+        }
+        bucketed = {
+            r.user: r.stage_ts
+            for r in funnel_stage_times(
+                events, ["view", "click", "purchase"], ts_bucket="1 minute"
+            ).collect()
+        }
+        assert bucketed == direct
+
+    def test_power_user_property(self, spark):
+        """One user with ~1e5 events spanning months: the ts-bucketed
+        two-level fold must produce IDENTICAL stage_ts to the direct
+        fold, and its plan must stay UDF-free. Deterministic event
+        types from a hash so completions happen mid-stream at
+        unpredictable offsets."""
+        n = 100_000
+        ev = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                F.lit(7).alias("user_id"),
+                (
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.make_interval(secs=F.col("id").cast("double") * 97)
+                ).alias("ts"),
+                F.element_at(
+                    F.array(
+                        F.lit("view"), F.lit("click"), F.lit("purchase"),
+                        F.lit("noise_a"), F.lit("noise_b"), F.lit("noise_c"),
+                        F.lit("noise_d"), F.lit("noise_e"),
+                    ),
+                    ((F.xxhash64(F.col("id")) % 8 + 8) % 8 + 1).cast("int"),
+                ).alias("event_type"),
+            )
+        )
+        steps = ["view", "click", "purchase"]
+        direct = funnel_stage_times(ev, steps).collect()
+        bucketed_df = funnel_stage_times(ev, steps, ts_bucket="1 day")
+        bucketed = bucketed_df.collect()
+        assert len(direct) == len(bucketed) == 1
+        assert bucketed[0].stage_ts == direct[0].stage_ts
+        assert all(t is not None for t in direct[0].stage_ts)
+        plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_report_with_bucket_matches_direct(self, events):
+        a = funnel_report(events, ["view", "click", "purchase"]).collect()
+        b = funnel_report(
+            events, ["view", "click", "purchase"], ts_bucket="1 minute"
+        ).collect()
+        assert a == b
