@@ -26,6 +26,12 @@ Every transform is a Column expression over RE2-compatible regexes
 so a corpus-wide normalize is one map-only codegen'd scan;
 ``url_dedup_report`` adds the single norm-url-keyed shuffle that makes
 it a dedup operator.
+
+Registered domains are PSL-aware: ``with_registered_domain`` joins the
+committed public-suffix snapshot (operators/psl_data.py) with two
+broadcast probes — ``shop.example.co.uk`` groups as ``example.co.uk``,
+each ``*.github.io`` site stays a separate registrant — falling back
+to last-two-labels for unlisted TLDs (the PSL default rule).
 """
 
 from __future__ import annotations
@@ -83,14 +89,90 @@ def url_host(url: Column) -> Column:
 
 
 def url_registered_domain(host: Column) -> Column:
-    """Last two dot-labels of the host — the documented approximation
-    of the registrable domain (a public-suffix list is a data file, not
-    an algorithm; callers with one can join it instead). A single-label
-    host (``localhost``) is returned unchanged — the extract regex
-    needs a dot, so the no-match '' falls back to the host itself
-    (otherwise a domain blocklist could never match such hosts)."""
+    """Last two dot-labels of the host — the FALLBACK registrable
+    domain, exactly the public-suffix algorithm's default rule ``*``
+    (the TLD itself is the suffix when no listed rule matches).
+    :func:`with_registered_domain` layers the PSL snapshot's
+    multi-label suffixes on top of this; use it unless the host set is
+    known to contain no ``co.uk``-class domains. A single-label host
+    (``localhost``) is returned unchanged — the extract regex needs a
+    dot, so the no-match '' falls back to the host itself (otherwise a
+    domain blocklist could never match such hosts)."""
     ext = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 0)
     return F.when(ext != "", ext).otherwise(host)
+
+
+def load_public_suffixes(spark) -> DataFrame:
+    """The committed PSL snapshot (operators/psl_data.py — 2- and
+    3-label plain rules) as a one-column ``suffix`` DataFrame, the
+    default suffix table of :func:`with_registered_domain`."""
+    from documents_vector_search_spark.operators.psl_data import (
+        PUBLIC_SUFFIXES,
+    )
+
+    return spark.createDataFrame(
+        [(s,) for s in PUBLIC_SUFFIXES], "suffix string"
+    )
+
+
+def with_registered_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Add the PSL-aware registered domain of ``host_col``: the
+    longest listed public suffix plus one label (so
+    ``shop.example.co.uk`` → ``example.co.uk``), last-two-labels for
+    unlisted TLDs (the PSL default rule), and the host itself when the
+    host IS a public suffix or single-label.
+
+    ``suffixes``: one ``suffix`` column of 2- and 3-label plain rules;
+    defaults to the committed snapshot (psl_data.py) — pass the full,
+    current list here to upgrade coverage without code changes.
+
+    Scale shape: the suffix table is kilobytes, so the longest-match is
+    TWO map-side broadcast hash left-joins (3-label candidates, then
+    2-label) — no corpus shuffle; everything else is Column algebra.
+    Wildcard/exception PSL rules are out of snapshot scope (see
+    psl_data.py)."""
+    if suffixes is None:
+        suffixes = load_public_suffixes(df.sparkSession)
+    n_labels = F.size(F.split(F.col("suffix"), "\\."))
+    psl2 = suffixes.filter(n_labels == 2).select(
+        F.col("suffix").alias("_psl_c2"), F.lit(True).alias("_psl_m2")
+    )
+    psl3 = suffixes.filter(n_labels == 3).select(
+        F.col("suffix").alias("_psl_c3"), F.lit(True).alias("_psl_m3")
+    )
+
+    host = F.col(host_col)
+    labs = F.split(host, "\\.")
+    n = F.size(labs)
+
+    def last_k(k: int) -> Column:
+        return F.array_join(F.slice(labs, -k, k), ".")
+
+    staged = df.withColumn(
+        "_psl_c2", F.when(n >= 2, last_k(2))
+    ).withColumn("_psl_c3", F.when(n >= 3, last_k(3)))
+    joined = staged.join(F.broadcast(psl3), "_psl_c3", "left").join(
+        F.broadcast(psl2), "_psl_c2", "left"
+    )
+    domain = (
+        F.when(
+            F.col("_psl_m3").isNotNull(),
+            F.when(n >= 4, last_k(4)).otherwise(host),
+        )
+        .when(
+            F.col("_psl_m2").isNotNull(),
+            F.when(n >= 3, last_k(3)).otherwise(host),
+        )
+        .otherwise(url_registered_domain(host))
+    )
+    return joined.withColumn(domain_col, domain).drop(
+        "_psl_c2", "_psl_c3", "_psl_m2", "_psl_m3"
+    )
 
 
 def url_report(
@@ -99,15 +181,18 @@ def url_report(
     url_col: str = "url",
 ) -> DataFrame:
     """Map-only per-document URL signals:
-    ``(id, norm_url, host, domain)`` — one codegen'd scan, the
-    normalize pass a blocklist join or URL-keyed dedup builds on."""
+    ``(id, norm_url, host, domain)`` — one codegen'd scan (plus the
+    PSL broadcast probes of with_registered_domain), the normalize pass
+    a blocklist join or URL-keyed dedup builds on."""
     norm = url_normalize(F.col(url_col))
     host = url_host(norm)
-    return docs.select(
+    staged = docs.select(
         F.col(id_col),
         norm.alias("norm_url"),
         host.alias("host"),
-        url_registered_domain(host).alias("domain"),
+    )
+    return with_registered_domain(staged).select(
+        id_col, "norm_url", "host", "domain"
     )
 
 
@@ -144,12 +229,11 @@ def domain_gate(
     ones) is kilobytes-to-megabytes against a 100 TB corpus, so it is
     BROADCAST and the gate is a map-side ``left_anti`` hash join — no
     corpus shuffle, plan-assertable (pytest checks BroadcastHashJoin
-    LeftAnti)."""
+    LeftAnti); the PSL probes of with_registered_domain are broadcast
+    too, so the whole gate stays shuffle-free."""
     host = url_host(url_normalize(F.col(url_col)))
-    staged = docs.select(
-        *docs.columns,
-        host.alias("host"),
-        url_registered_domain(host).alias("domain"),
+    staged = with_registered_domain(
+        docs.select(*docs.columns, host.alias("host"))
     )
     bl = blocklist.select(F.col(block_col).alias("domain")).distinct()
     return staged.join(F.broadcast(bl), "domain", "left_anti")

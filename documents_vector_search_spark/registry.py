@@ -210,8 +210,27 @@ def _ensure_assets_seeded() -> None:
                     os.path.join(_COMMITTED_ASSETS_DIR, name),
                     os.path.join(_ASSETS_DIR, name),
                 )
+    # the PSL snapshot is GENERATED from operators/psl_data.py (python
+    # data, not a committed parquet) so the Spark side and the DuckDB
+    # oracle joins always read the identical table
+    if not os.path.exists(PSL_PATH):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from documents_vector_search_spark.operators.psl_data import (
+            PUBLIC_SUFFIXES,
+        )
+
+        pq.write_table(
+            pa.table({"suffix": list(PUBLIC_SUFFIXES)}), PSL_PATH
+        )
     _ASSETS_SEEDED = True
 IVF_CENTROIDS_PATH = os.path.join(_ASSETS_DIR, "ivf_centroids.parquet")
+
+# public-suffix snapshot (generated at seed time from
+# operators/psl_data.py) — the oracle's join table for the
+# PSL-aware registered-domain derivation in url_dedup
+PSL_PATH = os.path.join(_ASSETS_DIR, "psl_snapshot.parquet")
 
 # fitted PQ codebooks, persisted by q_pq_adc for its oracle (same
 # run-ordering contract as IVF_CENTROIDS_PATH)
@@ -881,14 +900,23 @@ def _synthetic_url_expr():
     """Deterministic messy-URL Column for the url keys: mixed
     scheme/host case, explicit default ports, tracking params, and
     fragments — with ``doc_id % 200`` path collisions so distinct raw
-    URLs normalize to shared keys. Replayed verbatim by the oracles."""
+    URLs normalize to shared keys, and a ``doc_id % 11`` TLD mix that
+    exercises the PSL join (co.uk/com.au registry suffixes, a private
+    hosting suffix, and the plain-.com fallback). Replayed verbatim by
+    the oracles."""
     pid = F.col("doc_id") % 200
+    tld = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit(".Example.CO.UK"))
+        .when(F.col("doc_id") % 11 == 1, F.lit(".Example.COM.AU"))
+        .when(F.col("doc_id") % 11 == 2, F.lit(".Example.GitHub.IO"))
+        .otherwise(F.lit(".Example.COM"))
+    )
     url = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
             F.lit("http://")
         ),
         F.upper(F.col("source")),
-        F.lit(".Example.COM"),
+        tld,
         F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(
             F.lit(":80")
         ),
@@ -946,19 +974,29 @@ def q_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # per-doc round to 6 BEFORE aggregating, then sum in integer
+    # MICRO-UNITS and round the mean with explicit floor(x+0.5): both
+    # engines then run the identical exact-integer sum and the
+    # identical IEEE division, so a group mean landing on a rounding
+    # boundary (observed: avg 0.4500025) cannot flip between Spark's
+    # and DuckDB's round() implementations
+    q6 = F.round(quality_expr(tokenize("text"), "text"), 6)
     staged = docs.select(
         url_host(url_normalize(_synthetic_url_expr())).alias("host"),
         F.col("lang"),
         F.col("n_chars"),
-        quality_expr(tokenize("text"), "text").alias("quality"),
+        F.floor(q6 * 1e6 + 0.5).cast("bigint").alias("q_micro"),
     )
+    mean6 = lambda s, n: F.floor(s / n + 0.5) / F.lit(1e6)  # noqa: E731
     return (
         staged.groupBy("host")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.count_distinct("lang").cast("bigint").alias("n_langs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            mean6(F.sum("q_micro"), F.count("*")).alias("avg_quality"),
+            mean6(
+                F.sum("n_chars") * F.lit(1e6), F.count("*")
+            ).alias("avg_chars"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
         .orderBy("host")
@@ -5092,7 +5130,11 @@ SELECT * FROM m
 WITH raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
-    || upper(source) || '.Example.COM'
+    || upper(source)
+    || (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK'
+             WHEN doc_id % 11 = 1 THEN '.Example.COM.AU'
+             WHEN doc_id % 11 = 2 THEN '.Example.GitHub.IO'
+             ELSE '.Example.COM' END)
     || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
     || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
     || (CASE WHEN doc_id % 3 = 0
@@ -5134,13 +5176,38 @@ r AS (
   SELECT doc_id, norm_url,
     lower(regexp_extract(norm_url, '{_HOST_RE}', 1)) AS host
   FROM s4
+),
+l AS (
+  SELECT doc_id, norm_url, host,
+    string_split(host, '.') AS labs, len(string_split(host, '.')) AS nl
+  FROM r
+),
+c AS (
+  SELECT *,
+    CASE WHEN nl >= 2
+         THEN array_to_string(list_slice(labs, nl - 1, nl), '.') END AS c2,
+    CASE WHEN nl >= 3
+         THEN array_to_string(list_slice(labs, nl - 2, nl), '.') END AS c3
+  FROM l
+),
+j AS (
+  SELECT c.*, p3.suffix AS m3, p2.suffix AS m2
+  FROM c
+  LEFT JOIN read_parquet('{PSL_PATH}') p3 ON c.c3 = p3.suffix
+  LEFT JOIN read_parquet('{PSL_PATH}') p2 ON c.c2 = p2.suffix
 )
 SELECT doc_id, norm_url, host,
-  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0) <> ''
+  CASE WHEN m3 IS NOT NULL AND nl >= 4
+       THEN array_to_string(list_slice(labs, nl - 3, nl), '.')
+       WHEN m3 IS NOT NULL THEN host
+       WHEN m2 IS NOT NULL AND nl >= 3
+       THEN array_to_string(list_slice(labs, nl - 2, nl), '.')
+       WHEN m2 IS NOT NULL THEN host
+       WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0) <> ''
        THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0)
        ELSE host END AS domain,
   row_number() OVER (PARTITION BY norm_url ORDER BY doc_id) = 1 AS keep
-FROM r
+FROM j
 """
     # temperature sampling: pow is the one libm step engines can differ
     # on by an ulp — the smoothed share rounds to 9 before any further
@@ -5199,7 +5266,11 @@ FROM ranked WHERE rank < 3
 WITH raw AS (
   SELECT doc_id, lang, n_chars, text,
     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
-    || upper(source) || '.Example.COM'
+    || upper(source)
+    || (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK'
+             WHEN doc_id % 11 = 1 THEN '.Example.COM.AU'
+             WHEN doc_id % 11 = 2 THEN '.Example.GitHub.IO'
+             ELSE '.Example.COM' END)
     || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
     || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
     || (CASE WHEN doc_id % 3 = 0
@@ -5216,20 +5287,20 @@ h AS (
 ),
 q AS (
   SELECT host, lang, n_chars,
-    round((least(len(toks) / 100.0, 1.0)
+    CAST(floor(round((least(len(toks) / 100.0, 1.0)
       + CASE WHEN length(text) > 0
           THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text)
           ELSE 0.0 END
       + least(CASE WHEN len(toks) > 0
           THEN len(list_filter(toks, w -> list_contains({en_list}, w)))::DOUBLE / len(toks)
-          ELSE 0.0 END * 5, 1.0)) / 3, 6) AS quality
+          ELSE 0.0 END * 5, 1.0)) / 3, 6) * 1e6 + 0.5) AS BIGINT) AS q_micro
   FROM h
 )
 SELECT host,
   count(*)::BIGINT AS n_docs,
   count(DISTINCT lang)::BIGINT AS n_langs,
-  round(avg(quality), 6) AS avg_quality,
-  round(avg(n_chars), 6) AS avg_chars,
+  floor(sum(q_micro)::DOUBLE / count(*) + 0.5) / 1e6 AS avg_quality,
+  floor(sum(n_chars)::DOUBLE * 1e6 / count(*) + 0.5) / 1e6 AS avg_chars,
   sum(n_chars)::BIGINT AS total_chars
 FROM q GROUP BY host ORDER BY host
 """

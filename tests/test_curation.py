@@ -535,6 +535,46 @@ class TestUrlOps:
         # is the domain (a blocklist entry 'localhost' must match)
         assert rows[3].host == "localhost" and rows[3].domain == "localhost"
 
+    def test_public_suffix_registered_domains(self, spark):
+        """co.uk/com.au-class hosts group on the PSL-listed suffix plus
+        one label, 3-label private suffixes (s3.amazonaws.com,
+        github.io) keep the subdomain as the registrant, a host that IS
+        a public suffix returns itself, and unlisted TLDs keep the
+        last-two-labels fallback."""
+        from documents_vector_search_spark.operators.urls import url_report
+
+        cases = [
+            (1, "https://Shop.Example.CO.UK/a", "example.co.uk"),
+            (2, "http://www.news.example.com.au/b", "example.com.au"),
+            (3, "https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+            (4, "https://user.github.io/repo", "user.github.io"),
+            (5, "http://co.uk/", "co.uk"),  # host IS a public suffix
+            (6, "http://deep.sub.example.org/x", "example.org"),  # fallback
+            (7, "http://school.act.edu.au/x", "school.act.edu.au"),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u, _ in cases], ["doc_id", "url"]
+        )
+        rows = {r.doc_id: r.domain for r in url_report(df).collect()}
+        assert rows == {i: d for i, _, d in cases}
+
+    def test_custom_suffix_table_overrides_snapshot(self, spark):
+        from documents_vector_search_spark.operators.urls import (
+            with_registered_domain,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a.b.custom.tld"), (2, "x.example.co.uk")],
+            ["doc_id", "host"],
+        )
+        suffixes = spark.createDataFrame([("custom.tld",)], ["suffix"])
+        rows = {
+            r.doc_id: r.domain
+            for r in with_registered_domain(df, suffixes=suffixes).collect()
+        }
+        # custom table wins; co.uk is NOT in it, so fallback applies
+        assert rows == {1: "b.custom.tld", 2: "co.uk"}
+
     def test_dedup_keeps_min_id_per_norm_url(self, spark):
         from documents_vector_search_spark.operators.urls import (
             url_dedup_report,
@@ -558,7 +598,9 @@ class TestUrlOps:
 
         df = spark.createDataFrame([(1, "http://a.com/x")], ["doc_id", "url"])
         plan = url_report(df)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
+        # the PSL probes are BROADCAST exchanges (map-side); the corpus
+        # itself must never shuffle
+        assert "Exchange hashpartitioning" not in plan
         assert "BatchEvalPython" not in plan
 
 
