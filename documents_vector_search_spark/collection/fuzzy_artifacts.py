@@ -245,34 +245,57 @@ def _next_batch_id(collection) -> int:
     return high + 1
 
 
-def _append_batch(
-    collection, deltas_table: str, batch_id: int, df: DataFrame,
+def _stage_batch(
+    collection, deltas_table: str, df: DataFrame,
     partition_by: list[str] | None = None,
-) -> None:
-    """Stage one batch under ``<table>__tmp`` and publish it with a
-    directory rename — existing batches and the base are never
-    touched; a crash leaves either nothing or the whole batch."""
+) -> Path:
+    """Materialize one batch under ``<table>__tmp`` (the slow Spark
+    write) WITHOUT publishing it — existing batches and the base are
+    never touched."""
     tmp = Path(collection.table_path(f"{deltas_table}__tmp"))
     shutil.rmtree(tmp, ignore_errors=True)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp))
+    return tmp
+
+
+def _publish_batch(
+    collection, deltas_table: str, batch_id: int, tmp: Path
+) -> None:
+    """Publish a staged batch with one directory rename."""
     dest = Path(collection.table_path(deltas_table)) / f"batch={batch_id}"
     dest.parent.mkdir(parents=True, exist_ok=True)
     tmp.rename(dest)
 
 
+def _committed_batches(collection) -> set[int]:
+    """Batch ids the append COMMITTED: apply_vocab_delta renames the
+    vocab batch LAST, so presence in the vocab log is the commit
+    marker — a deletion-index batch without its vocab twin is the
+    orphan of a crash between the two renames and must stay invisible
+    to readers until GC'd."""
+    return {b for b, _ in _batch_dirs(collection, VOCAB_DELTAS_TABLE)}
+
+
 def _gc_retired_batches(collection) -> None:
     """Drop batch dirs a compaction has absorbed (id ≤ the base's
-    compactedThrough) and any orphaned staging dir — lazy, idempotent."""
+    compactedThrough), deletion-index batches whose vocab twin never
+    committed (crash between the adjacent renames — the updater re-runs
+    the whole batch, so the orphan is superseded), and any orphaned
+    staging dir — lazy, idempotent."""
+    committed = _committed_batches(collection)
     for deltas_table, base_table in (
         (VOCAB_DELTAS_TABLE, VOCAB_TABLE),
         (DELETION_INDEX_DELTAS_TABLE, DELETION_INDEX_TABLE),
     ):
         ct = _compacted_through(collection, base_table)
         for batch_id, d in _batch_dirs(collection, deltas_table):
-            if batch_id <= ct:
+            if batch_id <= ct or (
+                deltas_table == DELETION_INDEX_DELTAS_TABLE
+                and batch_id not in committed
+            ):
                 shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(
             collection.table_path(f"{deltas_table}__tmp"), ignore_errors=True
@@ -315,21 +338,27 @@ def apply_vocab_delta(
         "variant",
         "variant_bucket",
     )
-    # deletion index first, vocab second: a crash between the two
-    # leaves one probe one batch stale (documented contract) and the
-    # next batch id is computed across BOTH logs so ids never collide
-    _append_batch(
+    # single-commit append: BOTH batches are fully staged (the slow
+    # Spark writes) before either publishes, then the two renames run
+    # adjacently with the VOCAB rename as the commit point — readers
+    # treat a deletion-index batch without its vocab twin as
+    # uncommitted (_committed_batches), so a crash anywhere in this
+    # sequence leaves both probes serving the same committed state;
+    # the next batch id is computed across BOTH logs so an orphan can
+    # never collide with a live id
+    tmp_didx = _stage_batch(
         collection,
         DELETION_INDEX_DELTAS_TABLE,
-        batch_id,
         # keyed repartition: one file per touched bucket, and a huge
         # backfill delta still fans out across the bucket count
         didx_delta.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")),
         partition_by=["variant_bucket"],
     )
-    _append_batch(
-        collection, VOCAB_DELTAS_TABLE, batch_id, delta.repartition(1)
+    tmp_vocab = _stage_batch(
+        collection, VOCAB_DELTAS_TABLE, delta.repartition(1)
     )
+    _publish_batch(collection, DELETION_INDEX_DELTAS_TABLE, batch_id, tmp_didx)
+    _publish_batch(collection, VOCAB_DELTAS_TABLE, batch_id, tmp_vocab)
     live = _batch_dirs(collection, VOCAB_DELTAS_TABLE)
     if len(live) >= compact_after:
         compact_fuzzy_artifacts(collection, max_edits)
@@ -341,11 +370,18 @@ def apply_vocab_delta(
 def _live_delta_df(collection, deltas_table: str, base_table: str):
     batches = _batch_dirs(collection, deltas_table)
     ct = _compacted_through(collection, base_table)
-    live = [str(d) for b, d in batches if b > ct]
+    live = [(b, d) for b, d in batches if b > ct]
+    if deltas_table == DELETION_INDEX_DELTAS_TABLE:
+        # exclude uncommitted orphans of a crash between the adjacent
+        # publish renames (vocab commits last — see _committed_batches)
+        committed = _committed_batches(collection)
+        live = [(b, d) for b, d in live if b in committed]
     if not live:
         return None
     root = str(Path(collection.table_path(deltas_table)))
-    return collection.spark.read.option("basePath", root).parquet(*live)
+    return collection.spark.read.option("basePath", root).parquet(
+        *[str(d) for _, d in live]
+    )
 
 
 def read_vocab(collection, base: DataFrame | None = None) -> DataFrame:

@@ -338,6 +338,75 @@ class TestFuzzyArtifacts:
         _vocab_matches_recompute(coll)
         assert not old_dir.exists() and not tmp_dir.exists()
 
+    def test_crash_between_publish_renames_keeps_probes_consistent(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Inject a crash BETWEEN the two adjacent batch-publish renames
+        (deletion index published, vocab not): the vocab rename is the
+        commit point, so both probes must keep serving the SAME
+        committed (pre-update) state — the orphaned deletion-index
+        batch stays invisible — and a forced compaction (refit-fuzzy)
+        reconciles both with the postings truth and GCs the orphan."""
+        from pathlib import Path
+
+        from documents_vector_search_spark.collection import fuzzy_artifacts as fa
+
+        coll = Collection(spark, str(tmp_path), "crashpub")
+        create_collection(
+            coll,
+            _docs(spark, [("d1", "alpha beta gamma"), ("d2", "beta delta")]),
+            chunk_size=200,
+            chunk_overlap=0,
+            fuzzy_dictionary=True,
+        )
+        before_vocab = sorted(
+            (r["term"], r["ctf"], r["df"])
+            for r in fa.read_vocab(coll).collect()
+        )
+        before_didx = sorted(
+            (r["term"], r["variant"], r["ctf"])
+            for r in fa.read_deletion_index(coll).collect()
+        )
+
+        real_publish = fa._publish_batch
+
+        def crash_on_vocab(collection, deltas_table, batch_id, tmp):
+            if deltas_table == fa.VOCAB_DELTAS_TABLE:
+                raise RuntimeError("injected crash between renames")
+            real_publish(collection, deltas_table, batch_id, tmp)
+
+        monkeypatch.setattr(fa, "_publish_batch", crash_on_vocab)
+        with pytest.raises(RuntimeError, match="injected"):
+            update_collection(
+                coll,
+                _docs(spark, [("d3", "epsilon beta")], ts="2024-03-02 00:00:00"),
+            )
+        monkeypatch.setattr(fa, "_publish_batch", real_publish)
+
+        # the orphan IS on disk, but invisible to both probes
+        didx_batches = sorted(
+            Path(coll.table_path(fa.DELETION_INDEX_DELTAS_TABLE)).glob("batch=*")
+        )
+        assert len(didx_batches) == 1
+        assert not list(
+            Path(coll.table_path(fa.VOCAB_DELTAS_TABLE)).glob("batch=*")
+        )
+        assert sorted(
+            (r["term"], r["ctf"], r["df"])
+            for r in fa.read_vocab(coll).collect()
+        ) == before_vocab
+        assert sorted(
+            (r["term"], r["variant"], r["ctf"])
+            for r in fa.read_deletion_index(coll).collect()
+        ) == before_didx
+
+        # recovery: compaction rebuilds from postings, orphan GC'd
+        fa.compact_fuzzy_artifacts(coll)
+        _vocab_matches_recompute(coll)
+        assert not list(
+            Path(coll.table_path(fa.DELETION_INDEX_DELTAS_TABLE)).glob("batch=*")
+        )
+
     def test_unchanged_rerun_is_idempotent(self, spark, tmp_path):
         """Re-sending the same batch (the watermark-overlap case) must
         leave the dictionary exactly as one application would —
