@@ -714,6 +714,7 @@ def perplexity_bigram_score(
     fallback_lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    oov_lp_micro: int | None = None,
 ) -> DataFrame:
     """Per-document perplexity under the interpolated bigram LM —
     ``(id, n_tokens, ppl)``, ``ppl = 2^(mean lp)`` over all tokens:
@@ -721,17 +722,35 @@ def perplexity_bigram_score(
     no context), every later token by the interpolated bigram with the
     unseen-bigram fallback. Empty documents score 0.0.
 
+    Out-of-vocabulary handling: with ``oov_lp_micro=None`` (default)
+    the scored documents MUST share the LM's training vocabulary —
+    tokens outside it are dropped from both the log-prob sum and
+    ``n_tokens`` (the registry's self-scoring use). To score text from
+    outside the training corpus, pass an explicit OOV log2-prob in
+    micro-units (e.g. the LM's add-alpha unseen mass); unknown tokens
+    then take that penalty instead of silently vanishing.
+
     Cost: one explode for first tokens + one for pairs, a (w1, w2)
     lookup join (term-keyed shuffle, broadcast-able for bounded
     vocabularies), one doc-key aggregation. No UDFs, no driver loops.
     """
     base = docs.select(F.col(id_col), tokenize(text_col).alias("toks"))
-    firsts = (
-        base.filter(F.size("toks") >= 1)
-        .select(F.col(id_col), F.element_at("toks", 1).alias("term"))
-        .join(unigram_lm, "term")
-        .select(F.col(id_col), F.col("lp_u").alias("lp"))
+    oov = (
+        F.lit(int(oov_lp_micro)).cast("bigint")
+        if oov_lp_micro is not None
+        else None
     )
+    firsts = base.filter(F.size("toks") >= 1).select(
+        F.col(id_col), F.element_at("toks", 1).alias("term")
+    )
+    if oov is None:
+        firsts = firsts.join(unigram_lm, "term").select(
+            F.col(id_col), F.col("lp_u").alias("lp")
+        )
+    else:
+        firsts = firsts.join(unigram_lm, "term", "left").select(
+            F.col(id_col), F.coalesce(F.col("lp_u"), oov).alias("lp")
+        )
     pairs = (
         base.filter(F.size("toks") >= 2)
         .select(
@@ -751,16 +770,27 @@ def perplexity_bigram_score(
             F.col("pr.w2").alias("w2"),
         )
     )
-    scored_pairs = (
-        pairs.join(bigram_lm, ["w1", "w2"], "left")
-        .join(
-            fallback_lm.select(F.col("term").alias("w2"), "lp_fb_u"), "w2"
+    fb = fallback_lm.select(F.col("term").alias("w2"), "lp_fb_u")
+    if oov is None:
+        scored_pairs = (
+            pairs.join(bigram_lm, ["w1", "w2"], "left")
+            .join(fb, "w2")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("lp2_u"), F.col("lp_fb_u")).alias("lp"),
+            )
         )
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("lp2_u"), F.col("lp_fb_u")).alias("lp"),
+    else:
+        scored_pairs = (
+            pairs.join(bigram_lm, ["w1", "w2"], "left")
+            .join(fb, "w2", "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(
+                    F.col("lp2_u"), F.col("lp_fb_u"), oov
+                ).alias("lp"),
+            )
         )
-    )
     per_doc = (
         firsts.unionByName(scored_pairs)
         .groupBy(id_col)

@@ -121,13 +121,22 @@ def file_minmax_overlap_fraction(
         }
         mins: dict[str, int] = {}
         maxs: dict[str, int] = {}
+        must_read = False
         for rg in range(md.num_row_groups):
             for name in (col_a, col_b):
                 st = md.row_group(rg).column(schema_names[name]).statistics
+                if st is None or not st.has_min_max:
+                    # stats disabled/absent for this column: the engine
+                    # cannot prune the file either — count it as a hit
+                    must_read = True
+                    break
                 mins[name] = min(mins.get(name, st.min), st.min)
                 maxs[name] = max(maxs.get(name, st.max), st.max)
-        if mins[col_a] <= hi_a and maxs[col_a] >= lo_a and (
-            mins[col_b] <= hi_b and maxs[col_b] >= lo_b
+            if must_read:
+                break
+        if must_read or (
+            mins[col_a] <= hi_a and maxs[col_a] >= lo_a
+            and mins[col_b] <= hi_b and maxs[col_b] >= lo_b
         ):
             hit += 1
     return hit / len(files)

@@ -90,6 +90,39 @@ class TestBigramPerplexity:
         # the unseen-bigram doc really exercised the fallback
         assert ("the", "dog") not in lp2 and ("dog", "sat") not in lp2
 
+    def test_oov_tokens_take_the_explicit_penalty(self, spark):
+        """Scoring text OUTSIDE the training vocabulary: with the
+        default (documented shared-vocabulary contract) OOV tokens drop
+        from both the sum and n_tokens; with an explicit oov_lp_micro
+        every token scores — unknown firsts and unknown fallback words
+        take the penalty, so n_tokens equals the real token count."""
+        fit_df = spark.createDataFrame(
+            [("f1", "the cat sat"), ("f2", "the cat ran")],
+            "doc_id string, text string",
+        )
+        uni = fit_unigram_lm(fit_df, alpha=ALPHA)
+        bi, fb = fit_bigram_lm(fit_df, alpha=ALPHA, lam=LAM)
+        score_df = spark.createDataFrame(
+            [("s1", "zebra the cat qux")],  # zebra + qux are OOV
+            "doc_id string, text string",
+        )
+        dropped = perplexity_bigram_score(
+            score_df, uni, bi, fb, id_col="doc_id"
+        ).collect()[0]
+        # default: OOV first token and OOV pair-target vanish
+        assert dropped.n_tokens < 4
+
+        oov_lp = 25_000_000  # ~2^-25 per token, a harsh penalty
+        scored = perplexity_bigram_score(
+            score_df, uni, bi, fb, id_col="doc_id", oov_lp_micro=oov_lp
+        ).collect()[0]
+        assert scored.n_tokens == 4
+        # reference: zebra(first, OOV) + (zebra,the)->fallback(the)
+        # + (the,cat) seen + (cat,qux)->OOV
+        lp_u, lp2, lp_fb = _py_lm(["the cat sat", "the cat ran"])
+        s = oov_lp + lp_fb["the"] + lp2[("the", "cat")] + oov_lp
+        assert scored.ppl == round(2.0 ** ((s / 1e6) / 4), 6)
+
     def test_repetition_scores_lower_than_scrambled(self, spark):
         """The signal the bigram model adds over unigram: a scrambled
         permutation has the SAME unigram distribution but much higher
