@@ -50,6 +50,9 @@ def _create_kwargs(args) -> dict:
         "update_buckets": args.update_buckets,
         "positional_postings": args.positional_postings,
         "fuzzy_dictionary": args.fuzzy_dictionary,
+        "zorder_by": (
+            tuple(args.zorder_by.split(",")) if args.zorder_by else None
+        ),
     }
 
 
@@ -905,6 +908,9 @@ def build_parser() -> argparse.ArgumentParser:
             # materialized term dictionary + SymSpell deletion index:
             # suggest/--fuzzy probe a bucket-pruned artifact
             sp.add_argument("--fuzzy-dictionary", action="store_true")
+            # documents-table Z-order layout: "colA,colB" of two
+            # integer-castable/timestamp columns; compact re-clusters
+            sp.add_argument("--zorder-by", default=None)
 
     sp = sub.add_parser("create-files")
     common(sp, create=True)

@@ -55,6 +55,18 @@ def bucket_file_counts(table_root: Path) -> dict[int, dict[str, int]]:
     return out
 
 
+def _zorder_config(collection: Collection, table: str) -> dict | None:
+    """The manifest's recorded Z-order layout for ``table`` (create's
+    ``zorder_by``), or None."""
+    try:
+        cfg = collection.manifest().converter.get("zorder")
+    except FileNotFoundError:
+        return None
+    if cfg and cfg.get("table") == table and len(cfg.get("cols", [])) == 2:
+        return cfg
+    return None
+
+
 def compact_collection(
     collection: Collection,
     tables: list[str] | None = None,
@@ -91,23 +103,46 @@ def compact_collection(
             continue
         df = collection.read(table).filter(F.col(UPDATE_PB_COL).isin(frag))
         pcols = [c for c in _LAYOUT_COLS if c in df.columns] + [UPDATE_PB_COL]
-        # repartition BY the partition columns (+ an id salt when more
-        # writers per dir are requested): all rows of one (dir, salt)
-        # land in one task -> exactly output_files_per_dir files per dir
-        keys = [F.col(c) for c in pcols]
-        if output_files_per_dir > 1:
-            first_data = next(
-                c for c in df.columns if c not in pcols
+        zcfg = _zorder_config(collection, table)
+        if zcfg:
+            # the manifest records a Z-order layout for this table:
+            # re-cluster the fragmented buckets instead of a plain
+            # coalesce, restoring the create-time file-skipping boxes
+            # updates degraded (the ingest-then-OPTIMIZE lifecycle)
+            from documents_vector_search_spark.operators.layout import (
+                zorder_within_partitions,
             )
-            keys.append(
-                F.pmod(
-                    F.crc32(F.col(first_data).cast("string")),
-                    F.lit(output_files_per_dir),
+
+            rewritten = zorder_within_partitions(
+                df,
+                UPDATE_PB_COL,
+                zcfg["cols"][0],
+                zcfg["cols"][1],
+                num_files=max(
+                    len(frag) * output_files_per_dir, output_files_per_dir
+                ),
+                bits=int(zcfg.get("bits", 16)),
+            )
+        else:
+            # repartition BY the partition columns (+ an id salt when
+            # more writers per dir are requested): all rows of one
+            # (dir, salt) land in one task -> exactly
+            # output_files_per_dir files per dir
+            keys = [F.col(c) for c in pcols]
+            if output_files_per_dir > 1:
+                first_data = next(
+                    c for c in df.columns if c not in pcols
                 )
-            )
+                keys.append(
+                    F.pmod(
+                        F.crc32(F.col(first_data).cast("string")),
+                        F.lit(output_files_per_dir),
+                    )
+                )
+            rewritten = df.repartition(*keys)
         _swap_partitions(
             collection,
-            {table: df.repartition(*keys)},
+            {table: rewritten},
             partition_cols={table: pcols},
             affected_pbs={table: frag},
         )

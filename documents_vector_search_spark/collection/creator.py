@@ -140,6 +140,9 @@ def create_collection(
     update_buckets: int = 8,
     positional_postings: bool = False,
     fuzzy_dictionary: bool = False,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_files: int = 64,
+    zorder_bits: int = 16,
 ) -> Manifest:
     """Create (wipe + rebuild) a collection from canonical documents.
 
@@ -198,6 +201,14 @@ def create_collection(
     stable ``_pb`` bucket of its delete key so incremental updates
     rewrite only affected partitions — see collection/partitioning.py
     for sizing (default 8 suits test corpora; 100 TB wants 1024+).
+
+    ``zorder_by=(colA, colB)``: Z-cluster the DOCUMENTS table on two
+    integer-castable/timestamp columns (operators/layout.py) so range
+    predicates on either prune parquet files via footer stats — the
+    Delta/Iceberg OPTIMIZE ZORDER BY layout as a create option.
+    Recorded in the manifest; incremental updates degrade clustering
+    in the rewritten buckets only, and compact_collection re-clusters
+    them from the record (the standard ingest-then-OPTIMIZE lifecycle).
     """
     if ann_planes and ivf_nlist:
         raise ValueError("ann_planes and ivf_nlist are mutually exclusive")
@@ -205,6 +216,8 @@ def create_collection(
         raise ValueError("pq_m requires ivf_nlist (IVFPQ layout)")
     if sq8 and pq_m:
         raise ValueError("sq8 and pq_m are mutually exclusive quantizers")
+    if zorder_by is not None and len(zorder_by) != 2:
+        raise ValueError("zorder_by takes exactly two column names")
     collection.destroy()
     embed = embedder or default_embedder(embedding_dim)
 
@@ -216,9 +229,23 @@ def create_collection(
     def doc_pb(col_name: str) -> Column:
         return pb_col(F.col(col_name), update_buckets)
 
+    docs_out = docs.withColumn(UPDATE_PB_COL, doc_pb("id"))
+    if zorder_by:
+        from documents_vector_search_spark.operators.layout import (
+            zorder_within_partitions,
+        )
+
+        docs_out = zorder_within_partitions(
+            docs_out,
+            UPDATE_PB_COL,
+            zorder_by[0],
+            zorder_by[1],
+            num_files=zorder_files,
+            bits=zorder_bits,
+        )
     collection.write(
         "documents",
-        docs.withColumn(UPDATE_PB_COL, doc_pb("id")),
+        docs_out,
         partition_by=[UPDATE_PB_COL],
     )
     # an empty source writes zero parquet files under the partitioned
@@ -502,6 +529,20 @@ def create_collection(
             # generic-topology title column (field_text_exprs): updates
             # and deletes re-derive the same field split from this
             **({"titleCol": title_col} if title_col else {}),
+            # documents-table Z-order layout: compact_collection reads
+            # this to re-cluster buckets an update fragmented
+            **(
+                {
+                    "zorder": {
+                        "table": "documents",
+                        "cols": list(zorder_by),
+                        "bits": zorder_bits,
+                        "files": zorder_files,
+                    }
+                }
+                if zorder_by
+                else {}
+            ),
             # update-bucket count: incremental updates prune and rewrite
             # only the _pb partitions their changed keys hash into
             "updateBuckets": update_buckets,

@@ -91,6 +91,53 @@ def zorder_layout(
     )
 
 
+def zorder_long_expr(df: DataFrame, col: str):
+    """Integer view of a z-order dimension column: timestamps map to
+    unix micros (monotonic), numerics cast to long. Strings/maps are
+    rejected — parquet footer stats can't range-prune them through a
+    hash, so z-ordering them would claim skipping it cannot deliver."""
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"zorder column '{col}' not in {df.columns}")
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(col))
+    if dt in ("bigint", "int", "smallint", "tinyint", "long", "date",
+              "double", "float", "decimal") or dt.startswith("decimal"):
+        return F.col(col).cast("long")
+    raise ValueError(
+        f"zorder column '{col}' has type {dt}; z-order needs an "
+        "integer-castable or timestamp column (bucket/rank other types "
+        "monotonically first)"
+    )
+
+
+def zorder_within_partitions(
+    df: DataFrame,
+    partition_col: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 64,
+    bits: int = 16,
+) -> DataFrame:
+    """Z-cluster a table that is ALSO dir-partitioned (the collection
+    layout: partitionBy(_pb)): range-partition on (partition_col,
+    z-value) and sort within tasks, so each output file inside every
+    partition directory covers a compact Z-range — narrow min/max boxes
+    in both dimensions, composing with the _pb update pruning. The
+    Z-value interleaves the low ``bits`` bits of each column's integer
+    view (zorder_long_expr); callers with wider domains should bucket
+    monotonically first (module docstring)."""
+    z = zorder_key(
+        zorder_long_expr(df, col_a), zorder_long_expr(df, col_b), bits
+    )
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col(partition_col), F.col("_z"))
+        .sortWithinPartitions(partition_col, "_z")
+        .drop("_z")
+    )
+
+
 def file_minmax_overlap_fraction(
     path: str,
     col_a: str,

@@ -462,6 +462,99 @@ class TestBm25fServing:
         assert by_qid.get("a") and by_qid.get("b") and "c" not in by_qid
 
 
+class TestZorderCollection:
+    @staticmethod
+    def _grid_docs(spark, n=4096, side=64):
+        return spark.range(n).select(
+            F.concat(F.lit("d"), F.col("id")).alias("id"),
+            F.concat(F.lit("doc://"), F.col("id")).alias("url"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+            F.concat(F.lit("text body "), F.col("id")).alias("text"),
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias(
+                "last_modified_at"
+            ),
+            F.lit("grid").alias("source_type"),
+            (F.col("id") % side).cast("int").alias("x"),
+            (F.col("id") / side).cast("int").alias("y"),
+        )
+
+    def test_create_zorder_by_skips_files_and_records_manifest(
+        self, spark, tmp_path
+    ):
+        """create_collection(zorder_by=(x, y)) must leave the DOCUMENTS
+        table's parquet files with compact min/max boxes in BOTH
+        columns — MEASURED via the footer inspector against the same
+        corpus created without the option — and record the layout in
+        the manifest for compaction."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+        )
+
+        docs = self._grid_docs(spark)
+        zc = Collection(spark, str(tmp_path), "zc")
+        create_collection(
+            zc, docs, update_buckets=2, zorder_by=("x", "y"),
+            zorder_files=16,
+        )
+        # baseline: same corpus hash-scrambled (a spark.range source
+        # arrives y-ordered, which would make the baseline accidentally
+        # clustered) — every file then spans nearly the full grid
+        lc = Collection(spark, str(tmp_path), "lc")
+        create_collection(lc, docs.repartition(32, "id"), update_buckets=2)
+
+        # z-tile-aligned 16x16 box (16 files over a 64x64 grid = one
+        # aligned quadrant per file)
+        box = dict(col_a="x", lo_a=32, hi_a=47, col_b="y", lo_b=32, hi_b=47)
+        z_frac = file_minmax_overlap_fraction(zc.table_path("documents"), **box)
+        l_frac = file_minmax_overlap_fraction(lc.table_path("documents"), **box)
+        assert z_frac <= 0.5, z_frac
+        assert l_frac == 1.0, l_frac  # unordered layout: every file hit
+
+        cfg = zc.manifest().converter["zorder"]
+        assert cfg == {
+            "table": "documents", "cols": ["x", "y"], "bits": 16,
+            "files": 16,
+        }
+        # layout is lossless and searchable
+        assert zc.read("documents").count() == 4096
+
+    def test_compact_restores_clustering_after_update(self, spark, tmp_path):
+        """An update fragments the rewritten buckets (plain merge
+        writes); compact_collection must re-cluster them from the
+        manifest record so the skipping boxes come back."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+            update_collection,
+        )
+        from documents_vector_search_spark.collection.compactor import (
+            compact_collection,
+        )
+
+        docs = self._grid_docs(spark)
+        coll = Collection(spark, str(tmp_path), "zu")
+        create_collection(
+            coll, docs, update_buckets=2, zorder_by=("x", "y"),
+            zorder_files=16,
+        )
+        batch = self._grid_docs(spark).filter(F.col("x") < 2).withColumn(
+            "last_modified_at", F.to_timestamp(F.lit("2024-03-02 00:00:00"))
+        )
+        update_collection(coll, batch)
+        report = compact_collection(
+            coll, tables=["documents"], max_files_per_dir=1,
+            output_files_per_dir=8,
+        )
+        assert "documents" in report
+        box = dict(col_a="x", lo_a=32, hi_a=47, col_b="y", lo_b=32, hi_b=47)
+        frac = file_minmax_overlap_fraction(
+            coll.table_path("documents"), **box
+        )
+        assert frac < 1.0, frac
+        assert coll.read("documents").count() == 4096
+
+
 class TestZorderCLI:
     def test_zorder_command_rewrites_clustered(self, spark, tmp_path, capsys):
         import json
