@@ -225,3 +225,83 @@ def misra_gries_heavy_hitters(
         .orderBy(F.col("est_count").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+# -- count-min sketch --------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    value: Column,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``value`` frequencies — ``(d, bucket, cnt)``
+    with depth × width counters (Cormode & Muthukrishnan, "An improved
+    data stream summary: the count-min sketch and its applications",
+    2005 — public). Row ``d`` uses the repo's salted md5 hash family
+    (functions/hashing.py) so the sketch is bit-identical in any
+    engine and the ESTIMATES are oracle-checkable, unlike engine-
+    internal approx aggregates.
+
+    Guarantees: a point estimate never underestimates; overestimates
+    by more than 2N/width happen with probability ≤ 2^-depth (N =
+    stream length).
+
+    Scale shape (100 TB): one projection exploding each value into its
+    ``depth`` (row, bucket) coordinates + ONE aggregation whose key
+    space is depth × width — map-side combinable into a tiny bounded
+    reduce, the same shape however large the stream. The sketch is
+    mergeable across corpora by summing counters."""
+    coords = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (md5_hash64(value.cast("string"), salt=d) % width).cast(
+                        "int"
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket")
+    )
+    return coords.groupBy("d", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates — ``(item, est)``, ``est`` = min over
+    the sketch's rows of the counter at ``h_d(item)`` (an untouched
+    bucket counts 0). The sketch is depth × width rows, so the lookup
+    is a BROADCAST join against however many probe items — no shuffle
+    of anything unbounded."""
+    probes = items.select(
+        F.col(item_col),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        md5_hash64(F.col(item_col).cast("string"), salt=d)
+                        % width
+                    ).cast("int")
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("est")
+        )
+    )

@@ -175,3 +175,58 @@ def fingerprint(
             F.transform("shingles", lambda s: md5_hash64(s))
         ).alias("fingerprint"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — ``(id, term, tfidf,
+    rank)``, rank 1..k by (score desc, term asc): the classic
+    extractive summary/labeling signal a corpus browser or
+    weak-supervision pipeline reads per document.
+
+    Convention: sklearn's smooth idf (public), ``idf = ln((1 + N) /
+    (1 + df)) + 1`` with raw tf — every constant explicit so the SQL
+    oracle reproduces the doubles bit-for-bit; scores round to
+    ``round_to`` BEFORE ranking (the engine-wide tie discipline).
+
+    Scale shape (100 TB): tokenize+tf is one (id, term) shuffle
+    (map-side combinable), df one term-keyed aggregate; the df join is
+    term-keyed (vocabularies are broadcast-able when bounded); the
+    final top-k is a per-document window rank — no global sort, no
+    UDFs, no driver loops."""
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    tf = (
+        base.select(F.col(id_col), F.explode_outer("_toks").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    df_per_term = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    idf = F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(df_per_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(F.col("tf") * idf, round_to).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

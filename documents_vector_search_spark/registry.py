@@ -2102,6 +2102,111 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top 20 customers by
+    revenue lost to returns in one quarter. Plan shape: the order-date
+    filter pushes into the orders scan and l_returnflag='R' into the
+    lineitem scan BEFORE their single equi-join shuffle; the nation dim
+    broadcasts; customer attributes ride the groupBy key (the classic
+    Q10 shape); the final top-20 is a TakeOrdered, not a global sort.
+    Exact integer-cents revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(disc_c) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (operators/paths.py::transition_matrix): every (event → next event)
+    pair per user in (ts, event_id) order, row-normalized — ONE
+    user-keyed shuffle + a |types|²-key aggregate, no self-joins."""
+    from documents_vector_search_spark.operators.paths import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_events(spark, sf_dir)).orderBy(
+        "from_type", "to_type"
+    )
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies (operators/sketches.py::
+    cms_build/cms_estimate, depth 4 × width 256): estimates for the 20
+    most frequent document tokens, alongside the true counts. The
+    md5-derived sketch is bit-identical in any engine, so the
+    ESTIMATES are oracle-checked, and the (est ≥ true) guarantee is
+    visible in the output."""
+    from documents_vector_search_spark.functions.text import tokenize
+    from documents_vector_search_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode_outer(tokenize("text")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    truth = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    cms = cms_build(terms, F.col("term"), depth=4, width=256)
+    est = cms_estimate(cms, truth.select("term"), item_col="term",
+                       depth=4, width=256)
+    return (
+        truth.join(est, "term")
+        .select("term", "true_n", "est")
+        .orderBy(F.col("true_n").desc(), F.col("term").asc())
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/text_analysis.py::
+    tfidf_keywords, sklearn smooth-idf convention) for the first 50
+    documents — bounded output, full-corpus statistics."""
+    from documents_vector_search_spark.operators.text_analysis import (
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, id_col="doc_id", text_col="text", k=3)
+    return out.filter(F.col("doc_id") < 50).orderBy("doc_id", "rank")
+
+
+def q_field_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level field postings (operators/bm25.py::
+    build_field_postings — the BM25F serving index): built from the
+    document TEXT with the generic topology (title = the ``source``
+    column, body = the whole text), so field tf/fl are exact under any
+    chunk overlap. ``(document_id, field, term, tf, fl)``."""
+    from documents_vector_search_spark.operators.bm25 import (
+        build_field_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        "text",
+        F.col("source").alias("src_title"),
+    )
+    return build_field_postings(docs, title_col="src_title")
+
+
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase top-10 via positional postings
     (operators/phrase.py): term-pruned index scan → one groupBy(id)
@@ -3480,6 +3585,44 @@ SELECT e.vec_id,
        round({_l2_sql("e.embedding::DOUBLE[]", _vec_sql(QUERY_VEC))}, 6) AS distance
 FROM embeddings e JOIN short s ON s.vec_id = e.vec_id
 ORDER BY distance, e.vec_id LIMIT 10
+"""
+
+
+def _cms_counts_oracle(depth: int = 4, width: int = 256) -> str:
+    """Count-min sketch oracle: the identical salted-md5 bucket per
+    (term, row) as operators/sketches.py::cms_build, the same
+    min-over-rows estimate, for the top-20 true-count tokens."""
+    from documents_vector_search_spark.functions.hashing import (
+        md5_hash64_sql,
+    )
+
+    coord_rows = "\nUNION ALL\n".join(
+        f"SELECT term, {d} AS d, ({md5_hash64_sql('term', salt=d)} % {width})"
+        "::INT AS bucket FROM terms"
+        for d in range(depth)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT term, true_n, {d} AS d, "
+        f"({md5_hash64_sql('term', salt=d)} % {width})::INT AS bucket "
+        "FROM truth"
+        for d in range(depth)
+    )
+    return f"""
+WITH tok AS (SELECT {_toks_sql()} AS toks FROM documents),
+terms AS (SELECT unnest(toks) AS term FROM tok),
+truth AS (
+  SELECT term, count(*)::BIGINT AS true_n FROM terms GROUP BY 1
+  ORDER BY true_n DESC, term ASC LIMIT 20
+),
+coords AS ({coord_rows}),
+cms AS (SELECT d, bucket, count(*)::BIGINT AS cnt FROM coords GROUP BY 1, 2),
+probes AS ({probe_rows})
+SELECT p.term, p.true_n,
+       min(coalesce(cms.cnt, 0))::BIGINT AS est
+FROM probes p
+LEFT JOIN cms ON p.d = cms.d AND p.bucket = cms.bucket
+GROUP BY p.term, p.true_n
+ORDER BY p.true_n DESC, p.term ASC
 """
 
 
@@ -5684,6 +5827,85 @@ SELECT bucket, a_cnt, b_cnt,
              + 0.5 * (q * ln(q / (0.5 * (p + q)))), 7) AS js_c
 FROM j ORDER BY js_c DESC, bucket LIMIT 20
 """
+    d["tpch_q10"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+    d["event_paths"] = """
+WITH e AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+t AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+  FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM t ORDER BY from_type, to_type
+"""
+    d["tfidf_keywords"] = f"""
+WITH tok AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         )::INT AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked
+WHERE rank <= 3 AND doc_id < 50
+ORDER BY doc_id, rank
+"""
+    d["cms_counts"] = _cms_counts_oracle()
+    d["field_postings"] = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS document_id, source, text
+  FROM documents
+),
+ttf AS (
+  SELECT document_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT document_id, unnest({_toks_sql("source")}) AS term FROM base)
+  GROUP BY 1, 2
+),
+btf AS (
+  SELECT document_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT document_id, unnest({_toks_sql("text")}) AS term FROM base)
+  GROUP BY 1, 2
+)
+SELECT document_id, 'title' AS field, term, tf,
+       (sum(tf) OVER (PARTITION BY document_id))::BIGINT AS fl
+FROM ttf
+UNION ALL
+SELECT document_id, 'body' AS field, term, tf,
+       (sum(tf) OVER (PARTITION BY document_id))::BIGINT AS fl
+FROM btf
+"""
     return d
 
 
@@ -5706,17 +5928,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest. `python dev/rotation.py --check` enforces the hard rule
     (never-green keys must be in-window) with exit 1.
 
-    Round 9 window (exactly the window `dev/rotation.py` printed after
-    r8, per the r8 verdict item #1):
+    Round 9 window (the window `dev/rotation.py` printed after r8 per
+    the r8 verdict item #1, with the five keys NEW this round inserted
+    after the hard due-backs — never-green keys must be in-window or
+    rotation --check exits 1):
     - positions 1-15: the fifteen keys whose newest driver row is r6 —
       the stalest in the registry, named by the r8 verdict as the keys
       that MUST lead this window (knn_cosine, knn_l2_filtered, sq8_ann,
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-50: 35 of the 50 keys whose newest driver row is
-      r7, stalest-first. The FIFTEEN r7-green keys slipping to r10,
-      each with named alternate coverage this round: mix_sample
+    - positions 16-20: the five keys NEW this round (tpch_q10,
+      event_paths, cms_counts, tfidf_keywords, field_postings);
+    - positions 21-50: 30 of the 50 keys whose newest driver row is
+      r7, stalest-first. The TWENTY r7-green keys slipping to r10,
+      each with named alternate coverage this round: dedup_cluster /
+      dedup_multi / dedup_cluster_star (dedup_minhash r8-driver-green
+      shares the banded pair generation all three cluster; the CC
+      label-prop/star algorithms have their own convergence pytest in
+      test_dedup.py), hash_split (cluster_split in-window shares the
+      split-assignment machinery; deterministic-gate pytest),
+      quality_sample (quality r8-driver-green provides the identical
+      score; temperature_sample in-window shares the hash gate),
+      mix_sample
       (temperature_sample + quality_sample in-window share the
       sampling-gate module and its weighted-hash machinery), cross_dedup
       (dedup_cluster/dedup_multi in-window share the banded
@@ -5741,8 +5975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All fifteen LEAD the r10 window.
-    - out-of-window tail (51+): the 15 slipped r7 keys first (stalest,
+      gates). All twenty LEAD the r10 window.
+    - out-of-window tail (51+): the 20 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -5763,6 +5997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "topk_per_group": q_topk_per_group,
         "fetch_slice": q_fetch_slice,
+        # -- new this round (never driver-green: must be in-window) -------
+        "tpch_q10": q_tpch_q10,
+        "event_paths": q_event_paths,
+        "cms_counts": q_cms_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "field_postings": q_field_postings,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -5794,13 +6034,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "knn_batch": q_knn_batch,
         "bm25_batch": q_bm25_batch,
+        # -- out-of-window (51+): the 20 slipped r7-green keys first
+        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "dedup_cluster": q_dedup_cluster,
         "dedup_multi": q_dedup_multi,
         "dedup_cluster_star": q_dedup_cluster_star,
         "hash_split": q_hash_split,
         "quality_sample": q_quality_sample,
-        # -- out-of-window (51+): the 15 slipped r7-green keys first
-        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "mix_sample": q_mix_sample,
         "cross_dedup": q_cross_dedup,
         "interval_join": q_interval_join,

@@ -1,0 +1,107 @@
+"""Event path transitions (operators/paths.py) and TF-IDF keywords
+(operators/text_analysis.py::tfidf_keywords)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.paths import (
+    event_transitions,
+    transition_matrix,
+)
+from documents_vector_search_spark.operators.text_analysis import (
+    tfidf_keywords,
+)
+
+
+def _events(spark):
+    rows = [
+        # u1: view -> click -> view -> purchase
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "view"),
+        (4, 1, "2024-01-01 00:03:00", "purchase"),
+        # u2: view -> view (same ts: event_id breaks the tie) -> click
+        (5, 2, "2024-01-01 00:00:00", "view"),
+        (6, 2, "2024-01-01 00:00:00", "view"),
+        (7, 2, "2024-01-01 00:01:00", "click"),
+        # u3: a single event -> no transition
+        (8, 3, "2024-01-01 00:00:00", "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+class TestEventTransitions:
+    def test_counts(self, spark):
+        got = {
+            (r.from_type, r.to_type): r.n
+            for r in event_transitions(_events(spark)).collect()
+        }
+        assert got == {
+            ("view", "click"): 2,    # u1 first pair, u2 second pair
+            ("click", "view"): 1,    # u1
+            ("view", "purchase"): 1, # u1
+            ("view", "view"): 1,     # u2 same-ts pair, id-ordered
+        }
+
+    def test_row_normalized_probabilities(self, spark):
+        got = {
+            (r.from_type, r.to_type): r.p
+            for r in transition_matrix(_events(spark)).collect()
+        }
+        assert got[("view", "click")] == 0.5    # 2 of 4 view-exits
+        assert got[("view", "view")] == 0.25
+        assert got[("view", "purchase")] == 0.25
+        assert got[("click", "view")] == 1.0
+
+    def test_single_user_keyed_shuffle_no_udf(self, spark):
+        df = transition_matrix(_events(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestTfidfKeywords:
+    def test_matches_hand_computation(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry date"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = tfidf_keywords(docs, k=2).collect()
+        got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in rows}
+
+        def idf(df):
+            return math.log((1 + 3) / (1 + df)) + 1
+
+        # doc 1: apple tf=2 df=1, banana tf=1 df=2
+        assert got[(1, 1)] == ("apple", round(2 * idf(1), 6))
+        assert got[(1, 2)] == ("banana", round(1 * idf(2), 6))
+        # doc 3: cherry tf=3 df=2 beats date tf=1 df=1
+        assert got[(3, 1)] == ("cherry", round(3 * idf(2), 6))
+        assert got[(3, 2)] == ("date", round(1 * idf(1), 6))
+
+    def test_ties_break_on_term_and_k_bounds_output(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "zeta alpha mid mid")], "doc_id long, text string"
+        )
+        rows = tfidf_keywords(docs, k=3).collect()
+        assert [r.term for r in sorted(rows, key=lambda r: r.rank)] == [
+            "mid", "alpha", "zeta"  # tf 2 first, then tf-1 ties by term
+        ]
+        assert all(r.rank <= 3 for r in rows)
+
+    def test_plan_udf_free(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        plan = (
+            tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan

@@ -151,3 +151,63 @@ class TestHeavyHittersProperty:
                             f"guaranteed-heavy {t} ({tc} > {n}/{capacity}) "
                             f"evicted at seed={seed}"
                         )
+
+
+class TestCountMinSketch:
+    """operators/sketches.py::cms_build/cms_estimate — the CMS
+    guarantees: never underestimates, exact when width >> vocabulary,
+    bounded overestimate driven by collisions."""
+
+    def _stream(self, spark, counts: dict[str, int]):
+        rows = [(t,) for t, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "v string")
+
+    def test_never_underestimates_and_exact_when_wide(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        truth = {f"t{i}": (i % 7) + 1 for i in range(40)}
+        df = self._stream(spark, truth)
+        items = spark.createDataFrame(
+            [(t,) for t in truth], "item string"
+        )
+        # narrow sketch: collisions guaranteed (40 keys, width 8) but
+        # estimates must never fall below the true count
+        narrow = cms_build(df, F.col("v"), depth=4, width=8)
+        est = {
+            r.item: r.est
+            for r in cms_estimate(narrow, items, depth=4, width=8).collect()
+        }
+        assert all(est[t] >= n for t, n in truth.items())
+        # wide sketch: effectively collision-free -> exact
+        wide = cms_build(df, F.col("v"), depth=4, width=4096)
+        est_w = {
+            r.item: r.est
+            for r in cms_estimate(wide, items, depth=4, width=4096).collect()
+        }
+        assert est_w == truth
+
+    def test_unseen_item_estimates_from_empty_buckets(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        df = self._stream(spark, {"a": 3})
+        cms = cms_build(df, F.col("v"), depth=4, width=4096)
+        items = spark.createDataFrame([("zzz_unseen",)], "item string")
+        [r] = cms_estimate(cms, items, depth=4, width=4096).collect()
+        assert r.est == 0
+
+    def test_sketch_is_bounded_and_plan_udf_free(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            cms_build,
+        )
+
+        df = self._stream(spark, {f"k{i}": 2 for i in range(200)})
+        cms = cms_build(df, F.col("v"), depth=3, width=16)
+        assert cms.count() <= 3 * 16
+        plan = cms._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
