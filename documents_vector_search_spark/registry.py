@@ -2129,6 +2129,91 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion-revenue share: one month of lineitem
+    joined to the part dim (BROADCAST — parts are small relative to
+    facts at any scale), CASE-split revenue, single-row percentage.
+    The ship-date filter pushes into the lineitem scan; integer-cents
+    sums make the division's operands exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_c).otherwise(0))
+            / F.sum(disc_c),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions over
+    lineitem⋈part. The interesting plan property: Catalyst pushes the
+    COMMON disjunction parts into both scans (part prunes on the OR of
+    brand/size boxes before the broadcast join; lineitem on the OR of
+    quantity ranges), so the join probes pre-filtered sides instead of
+    filtering after the join. Single-row integer-cents revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg((F.sum(disc_c) / 100.0).alias("revenue"))
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (operators/profiling.py::
+    skew_report) over events.user_id — the planning view read before
+    keying a pipeline stage on a candidate column: heaviest keys, their
+    row share, and the salt bucket count that would level each."""
+    from documents_vector_search_spark.operators.profiling import (
+        skew_report,
+    )
+
+    return skew_report(_events(spark, sf_dir), "user_id", top_k=5)
+
+
+def q_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel skew escape hatch under the SAME oracle as `funnel`:
+    funnel_report with ts_bucket='1 day' runs the two-level composable
+    fold (operators/funnel.py — per-(user, day) partial summaries, then
+    a per-user fold over summaries, bounding task state for power
+    users) and must produce byte-identical stage counts."""
+    from documents_vector_search_spark.operators.funnel import funnel_report
+
+    return funnel_report(
+        _events(spark, sf_dir), FUNNEL_STEPS, ts_bucket="1 day"
+    )
+
+
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over user event streams
     (operators/paths.py::transition_matrix): every (event → next event)
@@ -5883,6 +5968,42 @@ WHERE rank <= 3 AND doc_id < 50
 ORDER BY doc_id, rank
 """
     d["cms_counts"] = _cms_counts_oracle()
+    d["tpch_q14"] = """
+SELECT round(100.0
+  * sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        ELSE 0 END)
+  / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+    d["tpch_q19"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+    d["skew_report"] = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+SELECT key, n,
+       round(n::DOUBLE / total, 6) AS share,
+       greatest(1, ceil(n * n_keys / total::DOUBLE))::INT AS salt_factor
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, key ASC LIMIT 5
+"""
+    # the skew-hatch twin computes the identical report through the
+    # two-level fold — SAME oracle as the direct funnel
+    d["funnel_bucketed"] = d["funnel"]
     d["field_postings"] = f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS document_id, source, text
@@ -5938,11 +6059,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-20: the five keys NEW this round (tpch_q10,
-      event_paths, cms_counts, tfidf_keywords, field_postings);
-    - positions 21-50: 30 of the 50 keys whose newest driver row is
-      r7, stalest-first. The TWENTY r7-green keys slipping to r10,
-      each with named alternate coverage this round: dedup_cluster /
+    - positions 16-24: the nine keys NEW this round (tpch_q10,
+      event_paths, cms_counts, tfidf_keywords, field_postings,
+      tpch_q14, tpch_q19, skew_report, funnel_bucketed);
+    - positions 25-50: 26 of the 50 keys whose newest driver row is
+      r7, stalest-first. The TWENTY-FOUR r7-green keys slipping to
+      r10, each with named alternate coverage this round:
+      watermark_max (incremental_merge r8-driver-green consumes the
+      watermark; U1 streaming pytest), asof_join (its committed
+      dual-implementation differential pytest,
+      test_asof_differential.py; interval_join shares the range-join
+      family), knn_batch (knn_cosine + knn_l2_filtered in-window share
+      the exact-knn operator; ann_batch r8-driver-green covers the
+      batched union-probe shape), bm25_batch (bm25_rm3 + ql_dirichlet
+      in-window share the pruned-postings scan; bm25_topk
+      r8-driver-green; batch-equals-per-query pytest), dedup_cluster /
       dedup_multi / dedup_cluster_star (dedup_minhash r8-driver-green
       shares the banded pair generation all three cluster; the CC
       label-prop/star algorithms have their own convergence pytest in
@@ -5975,8 +6106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All twenty LEAD the r10 window.
-    - out-of-window tail (51+): the 20 slipped r7 keys first (stalest,
+      gates). All twenty-four LEAD the r10 window.
+    - out-of-window tail (51+): the 24 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6003,6 +6134,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "tfidf_keywords": q_tfidf_keywords,
         "field_postings": q_field_postings,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "skew_report": q_skew_report,
+        "funnel_bucketed": q_funnel_bucketed,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6030,12 +6165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "pack_sequences": q_pack_sequences,
         "filter_events": q_filter_events,
+        # -- out-of-window (51+): the 24 slipped r7-green keys first
+        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "watermark_max": q_watermark_max,
         "asof_join": q_asof_join,
         "knn_batch": q_knn_batch,
         "bm25_batch": q_bm25_batch,
-        # -- out-of-window (51+): the 20 slipped r7-green keys first
-        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "dedup_cluster": q_dedup_cluster,
         "dedup_multi": q_dedup_multi,
         "dedup_cluster_star": q_dedup_cluster_star,

@@ -105,3 +105,27 @@ class TestTfidfKeywords:
             tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan
+
+
+class TestSkewReport:
+    def test_shares_and_salt_factors(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            skew_report,
+        )
+
+        # 10 rows: key 'a' holds 6, 'b' 3, 'c' 1 -> avg 10/3
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+        df = spark.createDataFrame(rows, "k string")
+        got = {r.key: r for r in skew_report(df, "k", top_k=3).collect()}
+        assert got["a"].n == 6 and got["a"].share == 0.6
+        assert got["a"].salt_factor == 2   # ceil(6 / (10/3)) = ceil(1.8)
+        assert got["b"].salt_factor == 1   # below average stays 1
+        assert got["c"].salt_factor == 1
+
+    def test_top_k_bounds_output(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            skew_report,
+        )
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+        assert skew_report(df, "k", top_k=5).count() == 5
