@@ -137,3 +137,83 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+TRANSITIONS_OUTPUT_SCHEMA = (
+    "user_id string, from_type string, to_type string"
+)
+# last-seen event per user: epoch seconds + the (event_id, type)
+# tiebreaker/payload
+TRANSITIONS_STATE_SCHEMA = "ts double, eid long, tp string"
+
+
+def transitions_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/paths.py::event_transitions: emit
+    one ``(user, from_type, to_type)`` row per adjacent pair in each
+    user's (ts, event_id)-ordered stream, INCLUDING the pair that
+    spans a micro-batch boundary — the per-user last event lives in
+    the state store across batches and restarts. Downstream, the same
+    ``groupBy(from_type, to_type).count()`` as the batch operator
+    turns the emitted pairs into the transition matrix.
+
+    Late events — arriving after a LATER (ts, event_id) event of the
+    same user has already been absorbed into state — are dropped (the
+    watermark contract: an upstream ``withWatermark`` bounds how late
+    that can happen; within one micro-batch, order doesn't matter
+    because the batch sorts before folding).
+
+    Scale shape: state is ONE row per active user (O(users), not
+    O(events)); the state store shuffles on the user key once — the
+    same bound as sessionize_stream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold_transitions(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, last_eid, last_tp = state.get
+        else:
+            last_ts = last_eid = last_tp = None
+
+        rows: list[tuple[float, int, str]] = []
+        for pdf in pdfs:
+            ts = pdf[ts_col].astype("int64") / 1e9
+            for t, e, tp in zip(ts, pdf[event_id_col], pdf[type_col]):
+                rows.append((float(t), int(e), str(tp)))
+        rows.sort()
+
+        out_from: list[str] = []
+        out_to: list[str] = []
+        for t, e, tp in rows:
+            if last_ts is not None and (t, e) < (last_ts, last_eid):
+                continue  # late: a later event already extended state
+            if last_tp is not None:
+                out_from.append(last_tp)
+                out_to.append(tp)
+            last_ts, last_eid, last_tp = t, e, tp
+
+        if last_ts is not None:
+            state.update((float(last_ts), int(last_eid), str(last_tp)))
+        if out_from:
+            yield pd.DataFrame(
+                {
+                    "user_id": [str(key[0])] * len(out_from),
+                    "from_type": out_from,
+                    "to_type": out_to,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold_transitions,
+        outputStructType=TRANSITIONS_OUTPUT_SCHEMA,
+        stateStructType=TRANSITIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1063,3 +1063,116 @@ class TestTrendingParity:
         assert batch_windows - stream_windows == {max(batch_windows)}
         for key, val in got.items():
             assert batch[key] == val, key
+
+
+class TestTransitionsStream:
+    """streaming/stateful.py::transitions_stream — the batch
+    event_transitions twin with per-user last-event state carried
+    across micro-batches and restarts."""
+
+    def test_counts_match_batch_across_microbatches(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.operators.paths import (
+            event_transitions,
+        )
+        from documents_vector_search_spark.streaming.stateful import (
+            transitions_stream,
+        )
+
+        src = tmp_path / "tr_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "tr_ckpt")
+        out = str(tmp_path / "tr_out")
+        schema = "event_id long, user_id string, ts timestamp, event_type string"
+        base = datetime(2024, 1, 1)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                transitions_stream(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        b1 = [
+            (1, "u1", base, "view"),
+            (2, "u1", base + timedelta(seconds=10), "click"),
+            (3, "u2", base, "view"),
+        ]
+        # batch 2 spans the boundary: u1 click->purchase and u2
+        # view->click only exist if state carried the last events over
+        b2 = [
+            (4, "u1", base + timedelta(seconds=20), "purchase"),
+            (5, "u2", base + timedelta(seconds=30), "click"),
+        ]
+        run_batch(b1)
+        run_batch(b2)
+
+        streamed = (
+            spark.read.parquet(out)
+            .groupBy("from_type", "to_type")
+            .count()
+            .collect()
+        )
+        got = {(r.from_type, r.to_type): r["count"] for r in streamed}
+
+        batch_df = spark.createDataFrame(b1 + b2, schema)
+        expected = {
+            (r.from_type, r.to_type): r.n
+            for r in event_transitions(batch_df).collect()
+        }
+        assert got == expected
+        assert got[("click", "purchase")] == 1  # the cross-batch pair
+
+    def test_late_event_is_dropped(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.streaming.stateful import (
+            transitions_stream,
+        )
+
+        src = tmp_path / "tr_late"
+        src.mkdir()
+        ckpt = str(tmp_path / "tr_late_ckpt")
+        out = str(tmp_path / "tr_late_out")
+        schema = "event_id long, user_id string, ts timestamp, event_type string"
+        base = datetime(2024, 1, 1)
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                transitions_stream(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_batch([(1, "u1", base + timedelta(seconds=60), "view")])
+        # arrives in a LATER batch but is event-time EARLIER than the
+        # absorbed state: dropped, no retroactive transition
+        run_batch([(2, "u1", base, "click")])
+        run_batch([(3, "u1", base + timedelta(seconds=120), "purchase")])
+
+        rows = spark.read.parquet(out).collect()
+        got = {(r.from_type, r.to_type) for r in rows}
+        assert got == {("view", "purchase")}
