@@ -2189,6 +2189,97 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral shipping volume: revenue between two
+    nations per ship year, in both directions. The (supplier-nation,
+    customer-nation) pair filter applies as a residual on the joined
+    row (the classic Q7 shape); nation broadcasts twice under two
+    aliases; the ship-date range pushes into the lineitem scan; one
+    orders⋈lineitem shuffle. Exact integer-cents volume."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
+    )
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(disc_c) / 100.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join
+    customers to (priority-filtered) orders so zero-order customers
+    land in the c_count=0 bucket, then a two-level aggregation whose
+    second key space is tiny. The left join shuffles once on custkey;
+    both aggregations are map-side combinable."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: per-supplier revenue over one
+    quarter, then the supplier(s) achieving the maximum. Integer-cents
+    revenue makes the max EQUALITY deterministic (the doubles-compare
+    trap Q15 is famous for); the max is a one-row broadcast joined
+    back — no second pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_c).alias("_rev_c")
+    )
+    top = rev.agg(F.max("_rev_c").alias("_max_c"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev_c") == F.col("_max_c"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rev_c") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics (operators/profiling.py::
     skew_report) over events.user_id — the planning view read before
@@ -5989,6 +6080,53 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
    OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
        AND l_quantity BETWEEN 20 AND 50)
 """
+    d["tpch_q7"] = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(disc_c) AS BIGINT) / 100.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS disc_c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+    d["tpch_q13"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON o.o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+    d["tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = supplier_no
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+ORDER BY s_suppkey
+"""
     d["skew_report"] = """
 WITH counts AS (
   SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS n
@@ -6059,12 +6197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-24: the nine keys NEW this round (tpch_q10,
+    - positions 16-27: the twelve keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
-      tpch_q14, tpch_q19, skew_report, funnel_bucketed);
-    - positions 25-50: 26 of the 50 keys whose newest driver row is
-      r7, stalest-first. The TWENTY-FOUR r7-green keys slipping to
+      tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
+      tpch_q13, tpch_q15);
+    - positions 28-50: 23 of the 50 keys whose newest driver row is
+      r7, stalest-first. The TWENTY-SEVEN r7-green keys slipping to
       r10, each with named alternate coverage this round:
+      histogram (value_percentiles r8-driver-green covers the
+      distribution-profile family; rollup in-window; fixed_histogram
+      property pytest in test_sketches.py), pack_sequences (its
+      first-fit-deterministic pytest; token_counts r8-driver-green
+      feeds it), filter_events (filter_docs r8-driver-green shares the
+      filter compiler; events_window + events_pivot in-window cover
+      the events loader),
       watermark_max (incremental_merge r8-driver-green consumes the
       watermark; U1 streaming pytest), asof_join (its committed
       dual-implementation differential pytest,
@@ -6106,8 +6252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All twenty-four LEAD the r10 window.
-    - out-of-window tail (51+): the 24 slipped r7 keys first (stalest,
+      gates). All twenty-seven LEAD the r10 window.
+    - out-of-window tail (51+): the 27 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6138,6 +6284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "skew_report": q_skew_report,
         "funnel_bucketed": q_funnel_bucketed,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6162,11 +6311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "embed_hash": q_embed_hash,
         "knn_join": q_knn_join,
+        # -- out-of-window (51+): the 27 slipped r7-green keys first
+        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "histogram": q_histogram,
         "pack_sequences": q_pack_sequences,
         "filter_events": q_filter_events,
-        # -- out-of-window (51+): the 24 slipped r7-green keys first
-        # (stalest — they LEAD the r10 window), then the r8-green tail --
         "watermark_max": q_watermark_max,
         "asof_join": q_asof_join,
         "knn_batch": q_knn_batch,
