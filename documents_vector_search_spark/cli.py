@@ -624,6 +624,38 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_skew(args) -> int:
+    """Shuffle-key skew diagnostics over a collection table column
+    (operators/profiling.py::skew_report): heaviest keys, row share,
+    and the salt bucket count that would level each — the planning
+    check before keying a maintenance pipeline on a candidate column."""
+    from documents_vector_search_spark.operators.profiling import (
+        skew_report,
+    )
+
+    coll = _collection(args)
+    rows = skew_report(
+        coll.read(args.table), args.key, top_k=args.top
+    ).collect()
+    print(_format(
+        {
+            "table": args.table,
+            "key": args.key,
+            "topKeys": [
+                {
+                    "key": r.key,
+                    "n": r.n,
+                    "share": r.share,
+                    "saltFactor": r.salt_factor,
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
 def cmd_export_shards(args) -> int:
     """Export the collection's documents as deterministic training
     shards (operators/export.py): shard=K parquet dirs in a
@@ -1132,6 +1164,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "the document-level field-weighted ranker")
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
     sp.set_defaults(func=cmd_evaluate)
+
+    sp = sub.add_parser("skew")
+    common(sp)
+    sp.add_argument("--table", default="documents")
+    sp.add_argument("--key", default="id")
+    sp.add_argument("--top", type=int, default=5)
+    sp.set_defaults(func=cmd_skew)
 
     sp = sub.add_parser("stats")
     common(sp)

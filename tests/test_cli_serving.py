@@ -126,6 +126,23 @@ class TestCLI:
         assert report["exportedDocuments"] == stats["rowCounts"]["documents"]
         assert spark.read.parquet(out).count() == report["exportedDocuments"]
 
+    def test_skew_reports_chunk_ownership(self, base_path, capsys):
+        """`skew` on chunks keyed by document_id: every document owns
+        at least its title chunk, shares sum ≤ 1, salt factors ≥ 1."""
+        rc = cli.main(
+            [
+                "skew", "cli_test", "--base-path", base_path,
+                "--table", "chunks", "--key", "document_id",
+                "--top", "3", "--format", "json",
+            ]
+        )
+        assert rc == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["table"] == "chunks" and rep["key"] == "document_id"
+        assert 1 <= len(rep["topKeys"]) <= 3
+        assert all(k["n"] >= 1 and k["saltFactor"] >= 1 for k in rep["topKeys"])
+        assert sum(k["share"] for k in rep["topKeys"]) <= 1.0 + 1e-9
+
     def test_search_many_returns_qid_keyed_rows(self, base_path, capsys):
         rc = cli.main(
             [
