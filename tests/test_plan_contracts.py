@@ -278,3 +278,37 @@ class TestRound7PlanContracts:
         assert "PushedFilters: [" in plan and "doc_id" in (
             plan.split("PushedFilters")[1].split("]")[0]
         )
+
+    def test_bm25f_serving_prunes_field_postings_partitions(
+        self, spark, tmp_path
+    ):
+        """search_documents_bm25f's plan must read ONLY the query
+        terms' term_bucket partitions of the document-level
+        field_postings table (the same pruning contract as BM25's
+        postings scan) and end in a TakeOrdered, not a global sort."""
+        from pyspark.sql import functions as F
+
+        from documents_vector_search_spark.collection import (
+            Collection,
+            CollectionSearcher,
+            create_collection,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (f"d{i}", f"doc://{i}", {"k": "v"},
+                 f"title {i}\n\nspark join body {i}",
+                 "2024-03-01 00:00:00", "s")
+                for i in range(6)
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, str(tmp_path), "fpplan")
+        create_collection(coll, docs, title_from_text=True)
+        df = CollectionSearcher(coll).search_documents_bm25f("spark join")
+        plan = _plan(df)
+        assert "PartitionFilters" in plan and "term_bucket" in plan
+        assert "TakeOrderedAndProject" in plan
