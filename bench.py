@@ -122,6 +122,19 @@ HEADLINE = [
     "events_window",
     "sessionize",
     "multimodal",
+    # round 9 additions
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q19",
+    "event_paths",
+    "funnel_bucketed",
+    "skew_report",
+    "cms_counts",
+    "tfidf_keywords",
+    "field_postings",
 ]
 
 

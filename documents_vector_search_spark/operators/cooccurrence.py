@@ -1,0 +1,112 @@
+"""Item co-occurrence from interaction events (recommender prep).
+
+The classic collaborative-filtering preprocessing: from a (user, item)
+interaction log, count how often item pairs share a user and normalize
+by item popularity (lift) — the input of item-item recommenders,
+"related items" panels, and co-click relevance mining over search logs.
+
+Scale design (100 TB of events): the naive per-user pair explosion is
+quadratic in a power user's item count. ``max_items_per_user`` caps
+each user's contribution FIRST (top-N items per user by interaction
+count, deterministic ties) — the standard production trick — so the
+user-keyed self-join that forms pairs has bounded multiplicity: at most
+N(N−1)/2 pairs per user, however many raw events they have. The cap
+itself is a per-user window over the already-aggregated (user, item)
+counts, not over raw events.
+
+Everything is exact relational algebra (no sampling, no sketches), so
+the DuckDB oracle replays it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_item_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """``(user, item, n)`` interaction counts — ONE map-side-combinable
+    aggregation over the log."""
+    return events.groupBy(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+def item_cooccurrence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    max_items_per_user: int = 50,
+    min_pair_users: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-pair co-occurrence — ``(item_a, item_b, n_users, lift)``
+    with ``item_a < item_b``:
+
+    - ``n_users`` = users interacting with BOTH items (each user capped
+      to their ``max_items_per_user`` most-interacted items, ties by
+      item ascending — deterministic);
+    - ``lift`` = n_users · U / (u_a · u_b) over the capped sets (U =
+      capped users total, u_x = users holding item x): >1 means the
+      pair co-occurs more than popularity alone predicts.
+
+    Pairs seen by fewer than ``min_pair_users`` users are dropped (the
+    long noise tail — and the filter applies BEFORE lift math, so the
+    output is bounded by genuinely shared pairs)."""
+    ui = user_item_counts(events, user_col, item_col)
+    w = Window.partitionBy("user").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    capped = (
+        ui.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_items_per_user)
+        .select("user", "item")
+    )
+
+    left = capped.select("user", F.col("item").alias("item_a"))
+    right = capped.select("user", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "user")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .filter(F.col("n_users") >= min_pair_users)
+    )
+
+    item_users = capped.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("u")
+    )
+    totals = capped.select("user").distinct().agg(
+        F.count("*").cast("bigint").alias("_total_users")
+    )
+    # popularity joins are keyed on item and left UNHINTED: AQE
+    # broadcasts the catalog when it is bounded (the common case) and
+    # falls back to a keyed shuffle for truly huge catalogs — forcing
+    # broadcast here would OOM exactly when the catalog is largest
+    return (
+        pairs.join(
+            item_users.select(F.col("item").alias("item_a"),
+                              F.col("u").alias("_ua")),
+            "item_a",
+        )
+        .join(
+            item_users.select(F.col("item").alias("item_b"),
+                              F.col("u").alias("_ub")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            F.round(
+                F.col("n_users") * F.col("_total_users")
+                / (F.col("_ua") * F.col("_ub")),
+                round_to,
+            ).alias("lift"),
+        )
+    )

@@ -2280,6 +2280,29 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence with per-user caps
+    (operators/cooccurrence.py::item_cooccurrence — the collaborative-
+    filtering prep): item ids parsed from the events' ``props`` JSON,
+    each user capped to their 20 most-interacted items BEFORE the
+    user-keyed pair self-join bounds the quadratic blowup; top-20
+    pairs by shared users with popularity-normalized lift."""
+    from documents_vector_search_spark.operators.cooccurrence import (
+        item_cooccurrence,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+    ).filter(F.col("item_id").isNotNull())
+    out = item_cooccurrence(
+        ev, "user_id", "item_id", max_items_per_user=20, min_pair_users=2
+    )
+    return out.orderBy(
+        F.col("n_users").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(20)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics (operators/profiling.py::
     skew_report) over events.user_id — the planning view read before
@@ -6127,6 +6150,38 @@ FROM rev JOIN supplier ON s_suppkey = supplier_no
 WHERE rev_c = (SELECT max(rev_c) FROM rev)
 ORDER BY s_suppkey
 """
+    d["item_cooc"] = """
+WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+ui AS (
+  SELECT user_id AS u, item_id AS item, count(*)::BIGINT AS n
+  FROM ev GROUP BY 1, 2
+),
+capped AS (
+  SELECT u, item FROM (
+    SELECT u, item,
+           row_number() OVER (PARTITION BY u ORDER BY n DESC, item ASC) AS r
+    FROM ui
+  ) WHERE r <= 20
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b ON a.u = b.u AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+iu AS (SELECT item, count(*)::BIGINT AS nu FROM capped GROUP BY 1),
+tot AS (SELECT count(DISTINCT u)::BIGINT AS total_users FROM capped)
+SELECT item_a, item_b, n_users,
+       round(n_users::DOUBLE * total_users / (ua.nu * ub.nu), 6) AS lift
+FROM pairs
+JOIN iu ua ON ua.item = item_a
+JOIN iu ub ON ub.item = item_b
+CROSS JOIN tot
+ORDER BY n_users DESC, item_a ASC, item_b ASC
+LIMIT 20
+"""
     d["skew_report"] = """
 WITH counts AS (
   SELECT CAST(user_id AS VARCHAR) AS key, count(*)::BIGINT AS n
@@ -6197,13 +6252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-27: the twelve keys NEW this round (tpch_q10,
+    - positions 16-28: the thirteen keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
-      tpch_q13, tpch_q15);
-    - positions 28-50: 23 of the 50 keys whose newest driver row is
-      r7, stalest-first. The TWENTY-SEVEN r7-green keys slipping to
+      tpch_q13, tpch_q15, item_cooc);
+    - positions 29-50: 22 of the 50 keys whose newest driver row is
+      r7, stalest-first. The TWENTY-EIGHT r7-green keys slipping to
       r10, each with named alternate coverage this round:
+      knn_join (its LSH scale-path twin's recall-floor pytest;
+      knn_cosine in-window shares the distance math; hard_negatives
+      in-window shares the bounded exact-join shape),
       histogram (value_percentiles r8-driver-green covers the
       distribution-profile family; rollup in-window; fixed_histogram
       property pytest in test_sketches.py), pack_sequences (its
@@ -6252,8 +6310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All twenty-seven LEAD the r10 window.
-    - out-of-window tail (51+): the 27 slipped r7 keys first (stalest,
+      gates). All twenty-eight LEAD the r10 window.
+    - out-of-window tail (51+): the 28 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6287,6 +6345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "item_cooc": q_item_cooc,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6310,9 +6369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_price": q_median_price,
         "multimodal": q_multimodal,
         "embed_hash": q_embed_hash,
-        "knn_join": q_knn_join,
-        # -- out-of-window (51+): the 27 slipped r7-green keys first
+        # -- out-of-window (51+): the 28 slipped r7-green keys first
         # (stalest — they LEAD the r10 window), then the r8-green tail --
+        "knn_join": q_knn_join,
         "histogram": q_histogram,
         "pack_sequences": q_pack_sequences,
         "filter_events": q_filter_events,

@@ -129,3 +129,47 @@ class TestSkewReport:
 
         df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
         assert skew_report(df, "k", top_k=5).count() == 5
+
+
+class TestItemCooccurrence:
+    def test_counts_and_lift(self, spark):
+        from documents_vector_search_spark.operators.cooccurrence import (
+            item_cooccurrence,
+        )
+
+        # u1: {1,2,3}; u2: {1,2}; u3: {2,3}; u4: {1}
+        rows = [
+            (1, 1), (1, 2), (1, 3),
+            (2, 1), (2, 2),
+            (3, 2), (3, 3),
+            (4, 1),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, item_id long")
+        got = {
+            (r.item_a, r.item_b): (r.n_users, r.lift)
+            for r in item_cooccurrence(
+                ev, max_items_per_user=10, min_pair_users=2
+            ).collect()
+        }
+        # pair (1,2): users u1,u2 -> n=2; U=4, u_1=3, u_2=3 -> lift 8/9
+        assert got[(1, 2)] == (2, round(2 * 4 / (3 * 3), 6))
+        # pair (2,3): users u1,u3 -> n=2; u_3=2 -> lift 8/6
+        assert got[(2, 3)] == (2, round(2 * 4 / (3 * 2), 6))
+        # pair (1,3): only u1 -> below min_pair_users, dropped
+        assert (1, 3) not in got
+
+    def test_cap_bounds_power_user_pairs(self, spark):
+        from documents_vector_search_spark.operators.cooccurrence import (
+            item_cooccurrence,
+        )
+
+        # one user interacts with 100 items; cap 5 -> pairs only among
+        # the 5 most-interacted (ties by item asc -> items 0..4 kept
+        # since every count is 1)
+        rows = [(1, i) for i in range(100)] + [(2, i) for i in range(5)]
+        ev = spark.createDataFrame(rows, "user_id long, item_id long")
+        pairs = item_cooccurrence(
+            ev, max_items_per_user=5, min_pair_users=2
+        ).collect()
+        got = {(r.item_a, r.item_b) for r in pairs}
+        assert got == {(a, b) for a in range(5) for b in range(5) if a < b}
