@@ -624,6 +624,20 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Collection integrity scan (collection/doctor.py): manifest
+    counts vs stored truth, derived-table 1:1 invariants, incremental-
+    stat drift (avgdl, BM25F fieldStats), staging leftovers, fuzzy
+    delta-log orphans; --deep adds referential scans. Exit 1 when any
+    check fails so cron/CI can gate on it."""
+    from documents_vector_search_spark.collection.doctor import doctor_report
+
+    coll = _collection(args)
+    report = doctor_report(coll, deep=args.deep)
+    print(_format(report, args.format))
+    return 0 if report["ok"] else 1
+
+
 def cmd_skew(args) -> int:
     """Shuffle-key skew diagnostics over a collection table column
     (operators/profiling.py::skew_report): heaviest keys, row share,
@@ -1164,6 +1178,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "the document-level field-weighted ranker")
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
     sp.set_defaults(func=cmd_evaluate)
+
+    sp = sub.add_parser("doctor")
+    common(sp)
+    sp.add_argument("--deep", action="store_true")
+    sp.set_defaults(func=cmd_doctor)
 
     sp = sub.add_parser("skew")
     common(sp)
