@@ -53,3 +53,95 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), count)  # slice() is 1-based
     return F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization for web-text curation
+# ---------------------------------------------------------------------------
+# ONE definition consumed by the Column builders below AND the DuckDB
+# oracle fragments (clean_text_sql / ascii_fold_sql) so the two dialects
+# cannot drift. Both engines operate on UTF-8 code points, and
+# translate()/regexp_replace() exist with identical 1:1 semantics in
+# Spark and DuckDB.
+
+# smart punctuation → ASCII (1:1, translate-able)
+PUNCT_SRC = "‘’‚‛“”„–— ­′″"
+PUNCT_DST = "''''\"\"\"--  '\""
+# 1:N rewrites that translate() cannot express
+PUNCT_MULTI = [("…", "..."), ("«", '"'), ("»", '"')]
+# C0/C1 control characters except \t and \n (\r normalizes to \n first)
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+# Latin accent folding (1:1). Multi-char folds follow in FOLD_MULTI.
+FOLD_SRC = (
+    "àáâãäåèéêë"
+    "ìíîïòóôõö"
+    "ùúûüçñýÿ"
+    "ÀÁÂÃÄÅÈÉÊË"
+    "ÌÍÎÏÒÓÔÕÖ"
+    "ÙÚÛÜÇÑÝ"
+)
+FOLD_DST = (
+    "aaaaaaeeee"
+    "iiiiooooo"
+    "uuuucnyy"
+    "AAAAAAEEEE"
+    "IIIIOOOOO"
+    "UUUUCNY"
+)
+FOLD_MULTI = [
+    ("ß", "ss"), ("œ", "oe"), ("Œ", "OE"),
+    ("æ", "ae"), ("Æ", "AE"), ("ø", "o"), ("Ø", "O"),
+]
+
+
+def clean_text(text: Column | str) -> Column:
+    """Web-text cleanup as ONE codegen'd expression: CRLF/CR → LF,
+    smart quotes/dashes/nbsp/ellipsis → ASCII, C0/C1 control chars
+    stripped, space/tab runs collapsed to one space, spaces trimmed
+    around newlines and at the ends. Idempotent."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(col, "\\r\\n?", "\n")
+    out = F.translate(out, PUNCT_SRC, PUNCT_DST)
+    for src, dst in PUNCT_MULTI:
+        out = F.regexp_replace(out, src, dst)
+    out = F.regexp_replace(out, CONTROL_RE, "")
+    out = F.regexp_replace(out, "[ \\t]+", " ")
+    out = F.regexp_replace(out, " ?\\n ?", "\n")
+    return F.btrim(out)
+
+
+def ascii_fold(text: Column | str) -> Column:
+    """Fold common Latin accents/ligatures to ASCII (à→a, ß→ss, œ→oe)
+    — the deterministic, auditable subset of NFKD+strip that covers
+    the bulk of Western-European web text. Characters outside the
+    mapping pass through unchanged (folding is NOT transliteration)."""
+    col = F.col(text) if isinstance(text, str) else text
+    out = F.translate(col, FOLD_SRC, FOLD_DST)
+    for src, dst in FOLD_MULTI:
+        out = F.regexp_replace(out, src, dst)
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def clean_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`clean_text` (oracle builder)."""
+    out = f"regexp_replace({expr}, '\\r\\n?', chr(10), 'g')"
+    out = f"translate({out}, {_sql_quote(PUNCT_SRC)}, {_sql_quote(PUNCT_DST)})"
+    for src, dst in PUNCT_MULTI:
+        out = f"replace({out}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    out = f"regexp_replace({out}, '{CONTROL_RE}', '', 'g')"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    out = f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    return f"trim({out})"
+
+
+def ascii_fold_sql(expr: str) -> str:
+    """DuckDB twin of :func:`ascii_fold` (oracle builder)."""
+    out = f"translate({expr}, {_sql_quote(FOLD_SRC)}, {_sql_quote(FOLD_DST)})"
+    for src, dst in FOLD_MULTI:
+        out = f"replace({out}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    return out

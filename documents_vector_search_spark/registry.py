@@ -2280,6 +2280,37 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode web-text cleanup (functions/text.py::clean_text +
+    ascii_fold): smart quotes/dashes/nbsp/ellipsis → ASCII, CRLF → LF,
+    control chars stripped, space runs collapsed, Latin accents
+    folded. The corpus is deterministically dirtied first (curly
+    quotes, em-dash, café/naïve, a BEL control char, tab runs) so the
+    oracle exercises every rule; both engines share ONE rewrite-chain
+    definition (clean_text_sql / ascii_fold_sql)."""
+    from documents_vector_search_spark.functions.text import (
+        ascii_fold,
+        clean_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“Quote” — café …\t\t"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\r\nnaïve  test \x07"),
+        ).otherwise(F.lit(" plain ")),
+        F.col("text"),
+        F.lit("  "),
+    )
+    cleaned = clean_text(messy)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean"),
+        ascii_fold(cleaned).alias("folded"),
+    )
+
+
 def q_item_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item co-occurrence with per-user caps
     (operators/cooccurrence.py::item_cooccurrence — the collaborative-
@@ -6150,6 +6181,23 @@ FROM rev JOIN supplier ON s_suppkey = supplier_no
 WHERE rev_c = (SELECT max(rev_c) FROM rev)
 ORDER BY s_suppkey
 """
+    from documents_vector_search_spark.functions.text import (
+        ascii_fold_sql,
+        clean_text_sql,
+    )
+
+    _messy = (
+        "'“Quote” — café …' || chr(9) || chr(9) || "
+        "CASE WHEN doc_id % 3 = 0 THEN chr(13) || chr(10) || "
+        "'naïve' || chr(160) || ' test ' || chr(7) "
+        "ELSE ' plain ' END || text || '  '"
+    )
+    d["normalize_text"] = f"""
+WITH c AS (
+  SELECT doc_id, {clean_text_sql(_messy)} AS clean FROM documents
+)
+SELECT doc_id, clean, {ascii_fold_sql("clean")} AS folded FROM c
+"""
     d["item_cooc"] = """
 WITH ev AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id
@@ -6252,13 +6300,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-28: the thirteen keys NEW this round (tpch_q10,
+    - positions 16-29: the fourteen keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
-      tpch_q13, tpch_q15, item_cooc);
-    - positions 29-50: 22 of the 50 keys whose newest driver row is
-      r7, stalest-first. The TWENTY-EIGHT r7-green keys slipping to
+      tpch_q13, tpch_q15, item_cooc, normalize_text);
+    - positions 30-50: 21 of the 50 keys whose newest driver row is
+      r7, stalest-first. The TWENTY-NINE r7-green keys slipping to
       r10, each with named alternate coverage this round:
+      embed_hash (hash_embedding_expr is the embedder every in-window
+      knn/ann key consumes — any drift would redden those),
       knn_join (its LSH scale-path twin's recall-floor pytest;
       knn_cosine in-window shares the distance math; hard_negatives
       in-window shares the bounded exact-join shape),
@@ -6310,8 +6360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All twenty-eight LEAD the r10 window.
-    - out-of-window tail (51+): the 28 slipped r7 keys first (stalest,
+      gates). All twenty-nine LEAD the r10 window.
+    - out-of-window tail (51+): the 29 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6346,6 +6396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "item_cooc": q_item_cooc,
+        "normalize_text": q_normalize_text,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6368,9 +6419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "median_price": q_median_price,
         "multimodal": q_multimodal,
-        "embed_hash": q_embed_hash,
-        # -- out-of-window (51+): the 28 slipped r7-green keys first
+        # -- out-of-window (51+): the 29 slipped r7-green keys first
         # (stalest — they LEAD the r10 window), then the r8-green tail --
+        "embed_hash": q_embed_hash,
         "knn_join": q_knn_join,
         "histogram": q_histogram,
         "pack_sequences": q_pack_sequences,

@@ -173,3 +173,51 @@ class TestItemCooccurrence:
         ).collect()
         got = {(r.item_a, r.item_b) for r in pairs}
         assert got == {(a, b) for a in range(5) for b in range(5) if a < b}
+
+
+class TestTextNormalization:
+    def test_clean_text_rules(self, spark):
+        from documents_vector_search_spark.functions.text import clean_text
+
+        rows = [
+            (1, "“Hi” — there…"),
+            (2, "a\r\nb\rc"),                 # CRLF and CR -> LF
+            (3, "x\t\t y  z"),                # whitespace runs collapse
+            (4, "bell\x07strip"),             # control char stripped
+            (5, "  pad  \n  ded  "),          # trim + around-newline
+            (6, "nb sp"),                # nbsp -> space
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r.i: r.c
+            for r in df.select("i", clean_text("t").alias("c")).collect()
+        }
+        assert got[1] == '"Hi" - there...'  # en/em dashes fold to '-'
+        assert got[2] == "a\nb\nc"
+        assert got[3] == "x y z"
+        assert got[4] == "bellstrip"
+        assert got[5] == "pad\nded"
+        assert got[6] == "nb sp"
+
+    def test_clean_text_idempotent(self, spark):
+        from documents_vector_search_spark.functions.text import clean_text
+
+        df = spark.createDataFrame(
+            [(1, "“A” – b…\tc  d\r\n e")], "i long, t string"
+        )
+        once = df.select(clean_text("t").alias("c"))
+        twice = once.select(clean_text("c").alias("c"))
+        assert once.collect() == twice.collect()
+
+    def test_ascii_fold(self, spark):
+        from documents_vector_search_spark.functions.text import ascii_fold
+
+        rows = [(1, "café naïve"), (2, "straße œuvre"), (3, "Ångström Ø")]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r.i: r.f
+            for r in df.select("i", ascii_fold("t").alias("f")).collect()
+        }
+        assert got[1] == "cafe naive"
+        assert got[2] == "strasse oeuvre"
+        assert got[3] == "Angstrom O"
