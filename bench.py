@@ -135,6 +135,8 @@ HEADLINE = [
     "cms_counts",
     "tfidf_keywords",
     "field_postings",
+    "item_cooc",
+    "normalize_text",
 ]
 
 
