@@ -473,6 +473,57 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_url_dedup(args) -> int:
+    """URL-keyed first-wins dedup over a collection's documents — the
+    zero-content-comparison maintenance tier (operators/urls.py,
+    PSL-aware domains): canonicalize every document's url, keep the
+    minimum id per normal form, write the keep/drop report beside the
+    collection; ``--apply`` DELETES the drops through the
+    O(affected-buckets) updater. Documents with a null/empty url are
+    excluded from the report entirely and always kept."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.urls import (
+        url_dedup_report,
+    )
+
+    coll = _collection(args)
+    docs = coll.read("documents").select(
+        F.col("id").alias("doc_id"), "url"
+    ).filter(F.col("url").isNotNull() & (F.col("url") != ""))
+    report = url_dedup_report(docs)
+    out = args.output or f"{args.base_path}/{args.collection}/url_dedup_report"
+    report.write.mode("overwrite").parquet(out)
+    stored = coll.spark.read.parquet(out)
+    n_drop = stored.filter(~F.col("keep")).count()
+    n_urls = stored.select("norm_url").distinct().count()
+    n_docs = stored.count()
+    applied = False
+    if args.apply and n_drop:
+        from documents_vector_search_spark.collection.updater import (
+            delete_documents,
+        )
+
+        delete_documents(
+            coll,
+            stored.filter(~F.col("keep")).select(F.col("doc_id").alias("id")),
+        )
+        applied = True
+    print(
+        _format(
+            {
+                "documentsWithUrl": n_docs,
+                "normalizedUrls": n_urls,
+                "duplicates": n_drop,
+                "applied": applied,
+                "output": out,
+            },
+            args.format,
+        )
+    )
+    return 0
+
+
 def cmd_topics(args) -> int:
     """Topic profile (+ optional tf-idf term labels) over a
     collection's chunk embeddings (operators/topics.py) — the
@@ -1079,6 +1130,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--apply", action="store_true")
     sp.add_argument("--output", default=None)
     sp.set_defaults(func=cmd_dedup)
+
+    sp = sub.add_parser("url-dedup")
+    common(sp)
+    sp.add_argument("--apply", action="store_true")
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(func=cmd_url_dedup)
 
     sp = sub.add_parser("topics")
     common(sp)

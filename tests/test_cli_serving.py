@@ -1141,3 +1141,53 @@ class TestBatchFuzzy:
                 .orderBy("rank").collect()
             ]
             assert got == single and got, qid
+
+
+class TestUrlDedupCli:
+    def test_report_and_apply(self, spark, tmp_path, capsys):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                ("a1", "HTTP://Site.com/x?utm_source=f", {}, "alpha text",
+                 "2024-03-01 00:00:00", "s"),
+                ("a2", "http://site.com/x", {}, "beta text",
+                 "2024-03-01 00:00:00", "s"),
+                ("b1", "http://site.com/other", {}, "gamma text",
+                 "2024-03-01 00:00:00", "s"),
+                ("c1", None, {}, "no url text",
+                 "2024-03-01 00:00:00", "s"),
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, str(tmp_path), "urldd")
+        create_collection(coll, docs)
+
+        rc = cli.main(
+            ["url-dedup", "urldd", "--base-path", str(tmp_path),
+             "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # c1 (null url) excluded; a1+a2 collide on http://site.com/x
+        assert out["documentsWithUrl"] == 3
+        assert out["normalizedUrls"] == 2
+        assert out["duplicates"] == 1 and out["applied"] is False
+
+        rc = cli.main(
+            ["url-dedup", "urldd", "--base-path", str(tmp_path),
+             "--apply", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["applied"] is True
+        ids = {r.id for r in coll.read("documents").collect()}
+        # min-id a1 survives; the null-url doc untouched
+        assert ids == {"a1", "b1", "c1"}
+        assert coll.manifest().numberOfDocuments == 3
