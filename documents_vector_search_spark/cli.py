@@ -675,6 +675,30 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_similar(args) -> int:
+    """More-like-this: the documents most similar to a STORED document
+    (collection/searcher.py::more_like_this) — vector method pools the
+    source's chunk vectors and probes the vector index; bm25 method
+    selects the source's most informative terms (tf·idf, the Lucene
+    MoreLikeThis recipe) and runs a disjunctive BM25F query."""
+    from documents_vector_search_spark.collection import CollectionSearcher
+
+    coll = _collection(args)
+    searcher = CollectionSearcher(coll)
+    rows = searcher.more_like_this(
+        args.document_id,
+        k=args.k,
+        method=args.method,
+        max_terms=args.max_terms,
+        metadata_filter=args.filter,
+    ).collect()
+    print(_format(
+        [{"document_id": r.document_id, "score": r.score} for r in rows],
+        args.format,
+    ))
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Collection integrity scan (collection/doctor.py): manifest
     counts vs stored truth, derived-table 1:1 invariants, incremental-
@@ -1235,6 +1259,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "the document-level field-weighted ranker")
     sp.add_argument("--ranker", default="bm25", choices=["bm25", "ql"])
     sp.set_defaults(func=cmd_evaluate)
+
+    sp = sub.add_parser("similar")
+    common(sp)
+    sp.add_argument("document_id")
+    sp.add_argument("--method", choices=["vector", "bm25"], default="vector")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--max-terms", type=int, default=10)
+    sp.add_argument("--filter", default=None)
+    sp.set_defaults(func=cmd_similar)
 
     sp = sub.add_parser("doctor")
     common(sp)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.collection.catalog import Collection
+from documents_vector_search_spark.collection.partitioning import UPDATE_PB_COL
 from documents_vector_search_spark.operators.bm25 import bm25_topk
 from documents_vector_search_spark.operators.embedding import hash_embedding_py
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
@@ -860,6 +861,170 @@ class CollectionSearcher:
                 "chunk_id", F.col("phrase_tf").cast("double").alias("score")
             )
             .orderBy(F.col("score").desc(), F.col("chunk_id").asc())
+            .limit(k)
+        )
+
+    def more_like_this(
+        self,
+        document_id: str,
+        k: int = 10,
+        method: str = "vector",
+        max_terms: int = 10,
+        metadata_filter: str | None = None,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """Documents most similar to a STORED document — ``(document_id,
+        score)`` descending, the source excluded. Beyond-reference
+        serving surface (the reference can only query by text); both
+        methods compose the engine's existing pruned paths:
+
+        - ``method="vector"``: mean-pool the source's chunk vectors
+          (a point lookup, _pb-pruned), probe the vector index with the
+          pooled vector — the SAME ANN/IVF/SQ8 pruning as text queries
+          (:meth:`_vector_scored` qv override) — and rank documents by
+          their best chunk's negated-L2 score.
+        - ``method="bm25"``: select the source's ``max_terms`` most
+          informative terms (tf driver-side from ONE fetched document;
+          df for just those candidate terms from the term_bucket-pruned
+          document-level index — the Lucene MoreLikeThis recipe), then
+          run a DISJUNCTIVE BM25F query over field_postings.
+        """
+        if method not in ("vector", "bm25"):
+            raise ValueError(f"unknown more_like_this method: {method!r}")
+        import re
+
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+
+        try:
+            ub = self.collection.manifest().converter.get("updateBuckets")
+        except FileNotFoundError:
+            ub = None
+
+        def _pruned_to_doc(df: DataFrame) -> DataFrame:
+            # partition-prune the point lookup to the owning bucket
+            if ub and UPDATE_PB_COL in df.columns:
+                return df.filter(
+                    F.col(UPDATE_PB_COL) == md5_hash64_py(document_id) % ub
+                )
+            return df
+
+        if method == "vector":
+            own_chunks = _pruned_to_doc(self._read("chunks")).filter(
+                F.col("document_id") == document_id
+            ).select("chunk_id")
+            own_vecs = (
+                _pruned_to_doc(self._read("embeddings"))
+                .join(F.broadcast(own_chunks), "chunk_id", "left_semi")
+                .select("vector")
+            )
+            pooled = own_vecs.agg(
+                F.array(
+                    *[
+                        F.avg(F.element_at("vector", i + 1))
+                        for i in range(self.embedding_dim)
+                    ]
+                ).alias("qv")
+            ).first()
+            if pooled is None or pooled["qv"] is None or pooled["qv"][0] is None:
+                raise KeyError(f"document not found: {document_id!r}")
+            qv = [float(x) for x in pooled["qv"]]
+            allowed = self._allowed_chunks(metadata_filter)
+            pool = max(k * 5, 50)
+            hits = self._vector_scored("", pool, allowed, qv=qv)
+            meta = self._read("chunks").select("chunk_id", "document_id")
+            best = (
+                hits.join(meta, "chunk_id")
+                .filter(F.col("document_id") != document_id)
+                .groupBy("document_id")
+                .agg(F.max("score").alias("_s"))
+            )
+            score = (
+                F.round(F.col("_s"), round_to)
+                if round_to is not None
+                else F.col("_s")
+            )
+            return (
+                best.select("document_id", score.alias("score"))
+                .orderBy(F.col("score").desc(), F.col("document_id").asc())
+                .limit(k)
+            )
+
+        # --- bm25: term selection, then disjunctive BM25F ----------------
+        row = _pruned_to_doc(self._read("documents")).filter(
+            F.col("id") == document_id
+        ).select("text").first()
+        if row is None:
+            raise KeyError(f"document not found: {document_id!r}")
+        tokens = re.findall(r"[a-z0-9]+", (row["text"] or "").lower())
+        if not tokens:
+            return (
+                self._read("documents")
+                .select(F.col("id").alias("document_id"),
+                        F.lit(0.0).alias("score"))
+                .limit(0)
+            )
+        tf: dict[str, int] = {}
+        for t in tokens:
+            tf[t] = tf.get(t, 0) + 1
+        candidates = sorted(tf)
+
+        from documents_vector_search_spark.operators.bm25 import (
+            term_bucket_py,
+        )
+
+        if self._has_field_postings():
+            fp = self._read("field_postings")
+            if "term_bucket" in fp.columns:
+                buckets = sorted({term_bucket_py(t) for t in candidates})
+                fp = fp.filter(F.col("term_bucket").isin(buckets))
+            df_rows = (
+                fp.filter(F.col("term").isin(candidates))
+                .select("document_id", "term")
+                .distinct()
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .collect()
+            )
+        else:
+            postings = self._read("postings")
+            if "term_bucket" in postings.columns:
+                buckets = sorted({term_bucket_py(t) for t in candidates})
+                postings = postings.filter(F.col("term_bucket").isin(buckets))
+            df_rows = (
+                postings.filter(F.col("term").isin(candidates))
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+                .collect()
+            )
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        try:
+            n_docs = max(int(self.collection.manifest().numberOfDocuments), 1)
+        except FileNotFoundError:
+            n_docs = max(len(df_map), 1)
+        import math
+
+        scored_terms = sorted(
+            (
+                (
+                    -tf[t] * math.log(1 + n_docs / (1 + df_map.get(t, 0))),
+                    t,
+                )
+                for t in candidates
+            ),
+        )[:max_terms]
+        query = " ".join(t for _, t in scored_terms)
+        hits = self.search_documents_bm25f(
+            query,
+            k=k + 1,
+            metadata_filter=metadata_filter,
+            conjunctive=False,
+            round_to=round_to,
+        )
+        return (
+            hits.filter(F.col("document_id") != document_id)
+            .orderBy(F.col("score").desc(), F.col("document_id").asc())
             .limit(k)
         )
 

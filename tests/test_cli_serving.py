@@ -1191,3 +1191,87 @@ class TestUrlDedupCli:
         # min-id a1 survives; the null-url doc untouched
         assert ids == {"a1", "b1", "c1"}
         assert coll.manifest().numberOfDocuments == 3
+
+
+class TestMoreLikeThis:
+    @pytest.fixture(scope="class")
+    def mlt_coll(self, spark, tmp_path_factory):
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+        )
+
+        base = str(tmp_path_factory.mktemp("mlt"))
+        docs = spark.createDataFrame(
+            [
+                ("spark1", "u1", {}, "spark shuffle\n\nbroadcast join "
+                 "strategies and shuffle partitions in spark",
+                 "2024-03-01 00:00:00", "s"),
+                ("spark2", "u2", {}, "spark tuning\n\nshuffle partitions "
+                 "and broadcast join tuning in spark engines",
+                 "2024-03-01 00:00:00", "s"),
+                ("cook1", "u3", {}, "pasta guide\n\nboil the pasta and "
+                 "season the sauce with basil",
+                 "2024-03-01 00:00:00", "s"),
+                ("cook2", "u4", {}, "sauce notes\n\nseason tomato sauce "
+                 "with basil and garlic for pasta",
+                 "2024-03-01 00:00:00", "s"),
+                ("misc1", "u5", {}, "meeting notes\n\nagenda review and "
+                 "action items from tuesday",
+                 "2024-03-01 00:00:00", "s"),
+            ],
+            "id string, url string, metadata map<string,string>, "
+            "text string, last_modified_at string, source_type string",
+        ).withColumn(
+            "last_modified_at", F.col("last_modified_at").cast("timestamp")
+        )
+        coll = Collection(spark, base, "mlt")
+        create_collection(coll, docs, title_from_text=True)
+        return base, coll
+
+    def test_vector_method_ranks_the_twin_first(self, mlt_coll):
+        from documents_vector_search_spark.collection import (
+            CollectionSearcher,
+        )
+
+        _, coll = mlt_coll
+        rows = CollectionSearcher(coll).more_like_this(
+            "spark1", k=3, method="vector"
+        ).collect()
+        ids = [r.document_id for r in rows]
+        assert "spark1" not in ids           # source excluded
+        assert ids[0] == "spark2"            # the near-twin wins
+
+    def test_bm25_method_ranks_the_twin_first(self, mlt_coll):
+        from documents_vector_search_spark.collection import (
+            CollectionSearcher,
+        )
+
+        _, coll = mlt_coll
+        rows = CollectionSearcher(coll).more_like_this(
+            "cook1", k=3, method="bm25", max_terms=6
+        ).collect()
+        ids = [r.document_id for r in rows]
+        assert "cook1" not in ids
+        assert ids[0] == "cook2"
+
+    def test_unknown_document_raises(self, mlt_coll):
+        from documents_vector_search_spark.collection import (
+            CollectionSearcher,
+        )
+
+        _, coll = mlt_coll
+        with pytest.raises(KeyError, match="nope"):
+            CollectionSearcher(coll).more_like_this("nope", method="bm25")
+        with pytest.raises(KeyError, match="nope"):
+            CollectionSearcher(coll).more_like_this("nope", method="vector")
+
+    def test_cli_similar(self, mlt_coll, capsys):
+        base, _ = mlt_coll
+        rc = cli.main(
+            ["similar", "mlt", "spark2", "--base-path", base,
+             "--method", "bm25", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out[0]["document_id"] == "spark1"
