@@ -328,6 +328,32 @@ def search_documents_in_collection(
     return [r.asDict(recursive=True) for r in rows]
 
 
+def similar_documents_in_collection(
+    registry: CollectionRegistry,
+    collection: str,
+    document_id: str,
+    k: int = 10,
+    method: str = "vector",
+    max_terms: int = 10,
+    metadata_filter: str | None = None,
+) -> list[dict]:
+    """Tool: more-like-this — documents most similar to a stored one
+    (collection/searcher.py::more_like_this; vector pooling or tf·idf
+    term selection + disjunctive BM25F)."""
+    rows = (
+        registry.searcher(collection)
+        .more_like_this(
+            document_id,
+            k=k,
+            method=method,
+            max_terms=max_terms,
+            metadata_filter=metadata_filter,
+        )
+        .collect()
+    )
+    return [r.asDict(recursive=True) for r in rows]
+
+
 def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
     """Wire the two tools into a FastMCP-style app class (injectable for
     tests; the real class comes from ``mcp.server.fastmcp``). Mirrors the
@@ -357,6 +383,16 @@ def build_mcp_app(registry: CollectionRegistry, fastmcp_cls):
                          filter: str | None = None) -> list[dict]:
         return search_documents_in_collection(
             registry, collection, query, k, title_weight, body_weight, filter
+        )
+
+    @app.tool()
+    def similar_documents(collection: str, document_id: str, k: int = 10,
+                          method: str = "vector",
+                          max_terms: int = 10,
+                          filter: str | None = None) -> list[dict]:
+        return similar_documents_in_collection(
+            registry, collection, document_id, k=k, method=method,
+            max_terms=max_terms, metadata_filter=filter,
         )
 
     @app.tool()

@@ -657,8 +657,16 @@ class TestServing:
         app = build_mcp_app(reg, FakeMCP)
         assert set(app.tools) == {
             "search", "search_many", "fetch", "facets", "suggest",
-            "complete", "search_documents",
+            "complete", "search_documents", "similar_documents",
         }
+        # wiring only (ranking behavior is pinned in TestMoreLikeThis);
+        # this corpus' documents share no terms, so bm25 MLT correctly
+        # finds nothing — the tool must still answer with a clean list
+        sim = app.tools["similar_documents"](
+            "cli_test", "eng/joins.txt", method="bm25", max_terms=6
+        )
+        assert isinstance(sim, list)
+        assert all(h["document_id"] != "eng/joins.txt" for h in sim)
         doc_hits = app.tools["search_documents"](
             "cli_test", "sort merge join"
         )
