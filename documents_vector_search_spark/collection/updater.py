@@ -609,6 +609,7 @@ def update_collection(
     merged_fp = None
     fp_bucketed = False
     field_delta = None
+    field_delta_df = None
     if has_fp:
         from documents_vector_search_spark.operators.bm25 import term_bucket
 
@@ -661,21 +662,34 @@ def update_collection(
                     )
                 )
             )
-            field_delta = {
-                r["_side"]: r
-                for r in tagged_docs.groupBy("_side").agg(*field_aggs).collect()
-            }
+            field_delta_df = tagged_docs.groupBy("_side").agg(*field_aggs)
 
     # fuzzy artifacts (collection/fuzzy_artifacts.py): aggregate the
     # vocabulary DELTA from exactly the postings rows this batch
     # touches and MATERIALIZE it before any swap (post-swap lazy reads
     # of the postings path would see merged data and double-count).
-    fuzzy_delta_path = _materialize_fuzzy_delta(
-        collection,
-        manifest,
-        fresh_postings,
-        old_postings.join(stale_chunks, "chunk_id", "left_semi"),
-    )
+    # The fieldStats delta collect is an independent pre-swap read, so
+    # the two driver actions run as concurrent jobs instead of summing.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fuzzy() -> str | None:
+        return _materialize_fuzzy_delta(
+            collection,
+            manifest,
+            fresh_postings,
+            old_postings.join(stale_chunks, "chunk_id", "left_semi"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        f_fuzzy = _pool.submit(_fuzzy)
+        f_field = (
+            _pool.submit(field_delta_df.collect)
+            if field_delta_df is not None
+            else None
+        )
+        fuzzy_delta_path = f_fuzzy.result()
+        if f_field is not None:
+            field_delta = {r["_side"]: r for r in f_field.result()}
 
     merged = {
         "documents": merged_docs,
