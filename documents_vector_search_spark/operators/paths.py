@@ -69,3 +69,69 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / row_total, round_to).alias("p"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM segmentation — ``(user, recency_days, frequency, monetary,
+    r, f, m, segment)``: the classic customer-value view (recency since
+    the stream's last event, event count, value sum), each scored
+    1..``buckets`` by ntile over (metric, user) — the user tiebreaker
+    makes the quantile assignment a total order, so any engine
+    reproduces the same segments. ``segment`` concatenates r·f·m
+    ("555" = best).
+
+    Scale shape: ONE user-keyed aggregation over the events (map-side
+    combinable), then three rank windows over the AGGREGATED user table
+    — O(users) rows, not O(events); the corpus max-ts is a broadcast
+    one-row aggregate. Monetary sums in integer cents so the ordering
+    under ties is exact cross-engine. The unpartitioned ntile windows
+    are the exact-quantile design for user tables that fit a sort
+    (hundreds of millions of rows); at billions of users swap them for
+    approx-quantile cut points broadcast onto the table — the scores
+    then lose the exact-tie guarantee, which is why the exact form is
+    the default."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("_mon_c"),
+    )
+    corpus_max = events.agg(F.max(ts_col).alias("_cmax"))
+    staged = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user",
+        F.round(
+            (F.unix_micros("_cmax") - F.unix_micros("_last"))
+            / F.lit(86400.0 * 1e6),
+            round_to,
+        ).alias("recency_days"),
+        "frequency",
+        (F.col("_mon_c") / 100.0).alias("monetary"),
+        F.col("_mon_c").alias("_mc"),
+    )
+    # recency: SMALLER is better -> ntile ascending on (recency, user)
+    # scores must INVERT so 5 = most recent
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("user").asc())
+    m_w = Window.orderBy(F.col("_mc").asc(), F.col("user").asc())
+    out = staged.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(buckets + 1) - F.ntile(buckets).over(r_w)).cast("int").alias("r"),
+        F.ntile(buckets).over(f_w).cast("int").alias("f"),
+        F.ntile(buckets).over(m_w).cast("int").alias("m"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")),
+    )

@@ -2280,6 +2280,18 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the event stream
+    (operators/paths.py::rfm_segments): recency/frequency/monetary per
+    user, each ntile-scored 1..5 under a (metric, user) total order so
+    the quantile assignment is engine-exact; monetary sums in integer
+    cents. One event aggregation + three rank windows over the
+    bounded user table."""
+    from documents_vector_search_spark.operators.paths import rfm_segments
+
+    return rfm_segments(_events(spark, sf_dir)).orderBy("user")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode web-text cleanup (functions/text.py::clean_text +
     ascii_fold): smart quotes/dashes/nbsp/ellipsis → ASCII, CRLF → LF,
@@ -6198,6 +6210,36 @@ WITH c AS (
 )
 SELECT doc_id, clean, {ascii_fold_sql("clean")} AS folded FROM c
 """
+    d["rfm_segments"] = """
+WITH per_user AS (
+  SELECT user_id AS "user",
+         max(ts) AS last_ts,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS mon_c
+  FROM events GROUP BY user_id
+),
+cmax AS (SELECT max(ts) AS corpus_max FROM events),
+staged AS (
+  SELECT "user",
+         round(epoch_us(corpus_max - last_ts) / (86400.0 * 1e6), 6)
+           AS recency_days,
+         frequency,
+         mon_c / 100.0 AS monetary,
+         mon_c
+  FROM per_user CROSS JOIN cmax
+),
+scored AS (
+  SELECT "user", recency_days, frequency, monetary,
+    (6 - ntile(5) OVER (ORDER BY recency_days ASC, "user" ASC))::INT AS r,
+    ntile(5) OVER (ORDER BY frequency ASC, "user" ASC)::INT AS f,
+    ntile(5) OVER (ORDER BY mon_c ASC, "user" ASC)::INT AS m
+  FROM staged
+)
+SELECT "user", recency_days, frequency, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM scored ORDER BY "user"
+"""
     d["item_cooc"] = """
 WITH ev AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item_id
@@ -6300,13 +6342,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-29: the fourteen keys NEW this round (tpch_q10,
+    - positions 16-30: the fifteen keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
-      tpch_q13, tpch_q15, item_cooc, normalize_text);
-    - positions 30-50: 21 of the 50 keys whose newest driver row is
-      r7, stalest-first. The TWENTY-NINE r7-green keys slipping to
+      tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments);
+    - positions 31-50: 20 of the 50 keys whose newest driver row is
+      r7, stalest-first. The THIRTY r7-green keys slipping to
       r10, each with named alternate coverage this round:
+      multimodal (its own pytest file covers the mapInPandas
+      plumbing — schema, batch shape, deterministic fake decode —
+      which IS the operator; the loader is shared with embed ingest),
       embed_hash (hash_embedding_expr is the embedder every in-window
       knn/ann key consumes — any drift would redden those),
       knn_join (its LSH scale-path twin's recall-floor pytest;
@@ -6336,20 +6381,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       quality_sample (quality r8-driver-green provides the identical
       score; temperature_sample in-window shares the hash gate),
       mix_sample
-      (temperature_sample + quality_sample in-window share the
-      sampling-gate module and its weighted-hash machinery), cross_dedup
-      (dedup_cluster/dedup_multi in-window share the banded
-      pair-generation; dedup_minhash r8-driver-green), interval_join
-      (asof_join in-window shares the range-join machinery),
-      shard_export (hash_split in-window covers the deterministic
-      shard-assignment hash; export pytest in test_sampling.py),
+      (temperature_sample in-window shares the sampling-gate module
+      and its weighted-hash machinery), cross_dedup
+      (dedup_minhash r8-driver-green shares the banded
+      pair-generation; bipartite-variant pytest), interval_join
+      (the asof differential pytest, test_asof_differential.py,
+      exercises the shared range-join machinery; binned-join pytest),
+      shard_export (cluster_split in-window covers the deterministic
+      split-assignment hash family; export pytest in test_export.py),
       domain_cap (url_dedup + domain_profile in-window consume the
       same url_registered_domain — re-oracled with the PSL join this
       round), prep_to_shards (corpus_prep_gopher in-window covers the
-      prep half, hash_split the shard half), simhash_pairs
+      prep half; the shard half's assignment has its own pytest),
+      simhash_pairs
       (dedup_simhash in-window shares the simhash function),
-      cross_embed_dedup (knn_join in-window shares the LSH-bucket
-      join; embedding_neardup r8-driver-green), semdedup (topic_terms
+      cross_embed_dedup (embedding_neardup r8-driver-green shares
+      the SRP-bucket machinery; recall pytest), semdedup (topic_terms
       in-window shares the KMeans-bucket fit; embedding_neardup
       r8-green), pool_embeddings (embed_hash in-window shares the
       embedding functions; operator untouched since r3),
@@ -6360,8 +6407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All twenty-nine LEAD the r10 window.
-    - out-of-window tail (51+): the 29 slipped r7 keys first (stalest,
+      gates). All thirty LEAD the r10 window.
+    - out-of-window tail (51+): the 30 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6397,6 +6444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "item_cooc": q_item_cooc,
         "normalize_text": q_normalize_text,
+        "rfm_segments": q_rfm_segments,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
