@@ -12,9 +12,10 @@ domain would let a single hosting provider blow through domain caps).
 Deliberately NOT the full list:
 - single-label TLDs are omitted — an unlisted suffix falls back to the
   last-two-labels rule, which is exactly the PSL default rule ``*``;
-- wildcard (``*.ck``) and exception (``!www.ck``) rules are out of
-  scope for the snapshot (rare, and representable only with extra rule
-  machinery);
+- wildcard rules are carried as their one-label parents
+  (``WILDCARD_PARENTS``: ``*.ck`` → ``ck``) with the published
+  exceptions (``EXCEPTION_RULES``: ``!www.ck``); deeper wildcards
+  (``*.x.jp`` city rules) are omitted;
 - operators accept a caller-supplied suffix table
   (operators/urls.py::with_registered_domain), so a deployment can
   drop in the complete, current list as a one-column DataFrame without
@@ -79,7 +80,6 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng",
     "ac.ke", "co.ke", "go.ke", "ne.ke", "or.ke", "sc.ke",
     "com.pk", "edu.pk", "gov.pk", "net.pk", "org.pk",
-    "com.bd", "edu.bd", "gov.bd", "net.bd", "org.bd",
     # ---- private section: hosting providers (subdomain = site) ----
     "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
     "herokuapp.com", "netlify.app", "vercel.app", "web.app",
@@ -87,3 +87,14 @@ PUBLIC_SUFFIXES: tuple[str, ...] = (
     "cloudfront.net", "appspot.com", "neocities.org", "readthedocs.io",
     "s3.amazonaws.com",
 )
+
+# one-label parents of the PSL's ``*.<tld>`` wildcard rules: EVERY
+# second-level label under these is itself a public suffix (so a
+# registrable name has ≥3 labels there), except the names below
+WILDCARD_PARENTS: tuple[str, ...] = (
+    "bd", "ck", "er", "jm", "kh", "mm", "np", "pg",
+)
+
+# ``!name`` exception rules: the name IS registrable even though a
+# wildcard would make it a public suffix
+EXCEPTION_RULES: tuple[str, ...] = ("www.ck",)

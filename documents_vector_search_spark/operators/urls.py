@@ -129,13 +129,22 @@ def with_registered_domain(
 
     ``suffixes``: one ``suffix`` column of 2- and 3-label plain rules;
     defaults to the committed snapshot (psl_data.py) — pass the full,
-    current list here to upgrade coverage without code changes.
+    current list here to upgrade coverage without code changes. The
+    snapshot's wildcard rules (``*.ck``-class: every second-level
+    label under the parent is a public suffix) and their ``!name``
+    exceptions apply as literal in-lists; exceptions beat wildcards,
+    and a longer explicit rule beats a wildcard-derived one (the PSL
+    prevailing-rule order).
 
     Scale shape: the suffix table is kilobytes, so the longest-match is
     TWO map-side broadcast hash left-joins (3-label candidates, then
-    2-label) — no corpus shuffle; everything else is Column algebra.
-    Wildcard/exception PSL rules are out of snapshot scope (see
-    psl_data.py)."""
+    2-label) plus two literal in-list checks — no corpus shuffle;
+    everything else is Column algebra."""
+    from documents_vector_search_spark.operators.psl_data import (
+        EXCEPTION_RULES,
+        WILDCARD_PARENTS,
+    )
+
     if suffixes is None:
         suffixes = load_public_suffixes(df.sparkSession)
     n_labels = F.size(F.split(F.col("suffix"), "\\."))
@@ -159,13 +168,22 @@ def with_registered_domain(
     joined = staged.join(F.broadcast(psl3), "_psl_c3", "left").join(
         F.broadcast(psl2), "_psl_c2", "left"
     )
+    # precedence (the PSL prevailing-rule order): exception rules win
+    # outright, then the longest matching suffix — explicit 3-label,
+    # then explicit-2-label OR wildcard-derived 2-label (same length),
+    # then the default last-two-labels rule
+    is_exception = F.when(n >= 2, last_k(2)).isin(list(EXCEPTION_RULES))
+    wildcard_hit = F.element_at(labs, -1).isin(list(WILDCARD_PARENTS)) & (
+        n >= 2
+    )
     domain = (
-        F.when(
+        F.when(is_exception, last_k(2))
+        .when(
             F.col("_psl_m3").isNotNull(),
             F.when(n >= 4, last_k(4)).otherwise(host),
         )
         .when(
-            F.col("_psl_m2").isNotNull(),
+            F.col("_psl_m2").isNotNull() | wildcard_hit,
             F.when(n >= 3, last_k(3)).otherwise(host),
         )
         .otherwise(url_registered_domain(host))

@@ -909,6 +909,7 @@ def _synthetic_url_expr():
         F.when(F.col("doc_id") % 11 == 0, F.lit(".Example.CO.UK"))
         .when(F.col("doc_id") % 11 == 1, F.lit(".Example.COM.AU"))
         .when(F.col("doc_id") % 11 == 2, F.lit(".Example.GitHub.IO"))
+        .when(F.col("doc_id") % 11 == 3, F.lit(".Example.Foo.CK"))
         .otherwise(F.lit(".Example.COM"))
     )
     url = F.concat(
@@ -5511,6 +5512,13 @@ SELECT * FROM m
         _TRACKING_RE,
     )
 
+    from documents_vector_search_spark.operators.psl_data import (
+        EXCEPTION_RULES as _PSL_EXC,
+        WILDCARD_PARENTS as _PSL_WILD,
+    )
+
+    _psl_exceptions = ", ".join(f"'{e}'" for e in _PSL_EXC)
+    _psl_wildcards = ", ".join(f"'{w}'" for w in _PSL_WILD)
     d["url_dedup"] = f"""
 WITH raw AS (
   SELECT doc_id,
@@ -5519,6 +5527,7 @@ WITH raw AS (
     || (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK'
              WHEN doc_id % 11 = 1 THEN '.Example.COM.AU'
              WHEN doc_id % 11 = 2 THEN '.Example.GitHub.IO'
+             WHEN doc_id % 11 = 3 THEN '.Example.Foo.CK'
              ELSE '.Example.COM' END)
     || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
     || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)
@@ -5582,12 +5591,16 @@ j AS (
   LEFT JOIN read_parquet('{PSL_PATH}') p2 ON c.c2 = p2.suffix
 )
 SELECT doc_id, norm_url, host,
-  CASE WHEN m3 IS NOT NULL AND nl >= 4
+  CASE WHEN nl >= 2 AND c2 IN ({_psl_exceptions})
+       THEN c2
+       WHEN m3 IS NOT NULL AND nl >= 4
        THEN array_to_string(list_slice(labs, nl - 3, nl), '.')
        WHEN m3 IS NOT NULL THEN host
-       WHEN m2 IS NOT NULL AND nl >= 3
+       WHEN (m2 IS NOT NULL OR (nl >= 2 AND labs[nl] IN ({_psl_wildcards})))
+            AND nl >= 3
        THEN array_to_string(list_slice(labs, nl - 2, nl), '.')
-       WHEN m2 IS NOT NULL THEN host
+       WHEN m2 IS NOT NULL OR (nl >= 2 AND labs[nl] IN ({_psl_wildcards}))
+       THEN host
        WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0) <> ''
        THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 0)
        ELSE host END AS domain,
@@ -5655,6 +5668,7 @@ WITH raw AS (
     || (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK'
              WHEN doc_id % 11 = 1 THEN '.Example.COM.AU'
              WHEN doc_id % 11 = 2 THEN '.Example.GitHub.IO'
+             WHEN doc_id % 11 = 3 THEN '.Example.Foo.CK'
              ELSE '.Example.COM' END)
     || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
     || '/' || lang || '/doc/' || CAST(doc_id % 200 AS VARCHAR)

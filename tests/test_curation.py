@@ -558,6 +558,27 @@ class TestUrlOps:
         rows = {r.doc_id: r.domain for r in url_report(df).collect()}
         assert rows == {i: d for i, _, d in cases}
 
+    def test_wildcard_and_exception_rules(self, spark):
+        """*.ck-class wildcards: every second-level label under the
+        parent is a public suffix, so registrables have 3 labels —
+        except the published !www.ck exception, which IS registrable;
+        exceptions beat wildcards (the PSL prevailing-rule order)."""
+        from documents_vector_search_spark.operators.urls import url_report
+
+        cases = [
+            (1, "http://shop.foo.ck/a", "shop.foo.ck"),   # *.ck
+            (2, "http://deep.shop.foo.ck/a", "shop.foo.ck"),
+            (3, "http://foo.ck/a", "foo.ck"),  # IS a public suffix
+            (4, "http://www.ck/a", "www.ck"),  # !www.ck exception
+            (5, "http://sub.www.ck/a", "www.ck"),
+            (6, "http://x.example.bd/a", "x.example.bd"),  # *.bd
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u, _ in cases], ["doc_id", "url"]
+        )
+        rows = {r.doc_id: r.domain for r in url_report(df).collect()}
+        assert rows == {i: d for i, _, d in cases}
+
     def test_custom_suffix_table_overrides_snapshot(self, spark):
         from documents_vector_search_spark.operators.urls import (
             with_registered_domain,
