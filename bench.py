@@ -137,6 +137,7 @@ HEADLINE = [
     "field_postings",
     "item_cooc",
     "normalize_text",
+    "rfm_segments",
 ]
 
 
