@@ -221,3 +221,102 @@ class TestTextNormalization:
         assert got[1] == "cafe naive"
         assert got[2] == "strasse oeuvre"
         assert got[3] == "Angstrom O"
+
+
+class TestNormalizationParity:
+    """The oracle contract hinges on clean_text/ascii_fold meaning the
+    SAME thing in Spark (Java) and DuckDB (RE2 + translate): drive both
+    engines over one generated batch of adversarial strings — every
+    mapped character, controls, mixed whitespace, random combinations —
+    and require byte-identical outputs plus idempotence."""
+
+    @staticmethod
+    def _nasty_strings():
+        import random
+
+        from documents_vector_search_spark.functions.text import (
+            FOLD_MULTI,
+            FOLD_SRC,
+            PUNCT_MULTI,
+            PUNCT_SRC,
+        )
+
+        alphabet = (
+            list("abc XY12.\t\n")
+            + list(PUNCT_SRC)
+            + [s for s, _ in PUNCT_MULTI]
+            + list(FOLD_SRC)
+            + [s for s, _ in FOLD_MULTI]
+            + ["\x07", "\x1f", "\x7f", "\r", "\r\n", "  ", "é́"]
+        )
+        rng = random.Random(20260815)
+        rows = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(200)
+        ]
+        # plus every mapped char alone and at the edges
+        rows += [c for c in PUNCT_SRC + FOLD_SRC]
+        rows += [f" {c}x\n" for c, _ in PUNCT_MULTI + FOLD_MULTI]
+        return [(i, s) for i, s in enumerate(rows)]
+
+    def test_clean_text_matches_duckdb_and_is_idempotent(self, spark):
+        import duckdb
+
+        from documents_vector_search_spark.functions.text import (
+            clean_text,
+            clean_text_sql,
+        )
+
+        rows = self._nasty_strings()
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r.i: (r.c1, r.c2)
+            for r in df.select(
+                "i",
+                clean_text("t").alias("c1"),
+                clean_text(clean_text("t")).alias("c2"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "src",
+            __import__("pandas").DataFrame(rows, columns=["i", "t"]),
+        )
+        oracle = dict(
+            con.execute(
+                f"SELECT i, {clean_text_sql('t')} FROM src"
+            ).fetchall()
+        )
+        for i, _ in rows:
+            assert got[i][0] == got[i][1], f"not idempotent at {i}"
+            assert got[i][0] == oracle[i], (
+                f"dialect drift at {i}: spark={got[i][0]!r} "
+                f"duck={oracle[i]!r}"
+            )
+
+    def test_ascii_fold_matches_duckdb(self, spark):
+        import duckdb
+
+        from documents_vector_search_spark.functions.text import (
+            ascii_fold,
+            ascii_fold_sql,
+        )
+
+        rows = self._nasty_strings()
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = {
+            r.i: r.f
+            for r in df.select("i", ascii_fold("t").alias("f")).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "src",
+            __import__("pandas").DataFrame(rows, columns=["i", "t"]),
+        )
+        oracle = dict(
+            con.execute(
+                f"SELECT i, {ascii_fold_sql('t')} FROM src"
+            ).fetchall()
+        )
+        for i, _ in rows:
+            assert got[i] == oracle[i], f"dialect drift at {i}"
