@@ -207,3 +207,57 @@ def funnel_report(
         )
         .orderBy("stage")
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    round_to: int = 6,
+    ts_bucket: str | None = None,
+) -> DataFrame:
+    """Time-to-convert distribution — ONE row ``(n_entered,
+    n_converted, conversion_rate, p25_seconds, p50_seconds,
+    p75_seconds, p90_seconds, mean_seconds)`` over users whose
+    earliest-completion walk reached the LAST step: latency = stage K
+    timestamp − stage 1 timestamp. Percentiles use Spark's
+    ``percentile()`` ≡ DuckDB's ``quantile_cont`` linear interpolation
+    (the engine's value_percentiles convention), so even quantiles are
+    oracle-exact; empty conversions yield nulls.
+
+    Cost: the funnel fold itself (one user-keyed shuffle, or the
+    ts_bucket two-level form) + one single-row aggregation."""
+    st = funnel_stage_times(
+        events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
+    )
+    k = len(steps)
+    first = F.element_at("stage_ts", 1)
+    last = F.element_at("stage_ts", k)
+    secs = F.when(
+        last.isNotNull(),
+        (F.unix_micros(last) - F.unix_micros(first)) / F.lit(1e6),
+    )
+    pct = lambda p, name: F.round(  # noqa: E731
+        F.expr(f"percentile(_secs, {p})"), round_to
+    ).alias(name)
+    staged = st.select(
+        first.alias("_f"), last.alias("_l"), secs.alias("_secs")
+    )
+    return staged.agg(
+        F.count("_f").cast("bigint").alias("n_entered"),
+        F.count("_l").cast("bigint").alias("n_converted"),
+        F.round(
+            F.when(
+                F.count("_f") > 0, F.count("_l") / F.count("_f")
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("conversion_rate"),
+        pct(0.25, "p25_seconds"),
+        pct(0.5, "p50_seconds"),
+        pct(0.75, "p75_seconds"),
+        pct(0.9, "p90_seconds"),
+        F.round(F.avg("_secs"), round_to).alias("mean_seconds"),
+    )

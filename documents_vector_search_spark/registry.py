@@ -2281,6 +2281,20 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-convert distribution (operators/funnel.py::
+    funnel_latency): entered/converted counts, conversion rate, and
+    p25/p50/p75/p90 + mean seconds from first to last stage over the
+    earliest-completion walks — percentile() ≡ quantile_cont, the
+    value_percentiles convention. One funnel fold + one single-row
+    aggregate."""
+    from documents_vector_search_spark.operators.funnel import (
+        funnel_latency,
+    )
+
+    return funnel_latency(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation over the event stream
     (operators/paths.py::rfm_segments): recency/frequency/monetary per
@@ -6224,6 +6238,49 @@ WITH c AS (
 )
 SELECT doc_id, clean, {ascii_fold_sql("clean")} AS folded FROM c
 """
+    d["funnel_latency"] = f"""
+WITH e AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+s1 AS (
+  SELECT user_id, min(seq) AS q FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.seq) AS q FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.seq > s1.q GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.seq) AS q FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.seq > s2.q GROUP BY 1
+),
+t1 AS (
+  SELECT s1.user_id, e.ts AS ts1
+  FROM s1 JOIN e ON e.user_id = s1.user_id AND e.seq = s1.q
+),
+t3 AS (
+  SELECT s3.user_id, e.ts AS ts3
+  FROM s3 JOIN e ON e.user_id = s3.user_id AND e.seq = s3.q
+),
+lat AS (
+  SELECT epoch_us(ts3 - ts1) / 1e6 AS secs
+  FROM t3 JOIN t1 USING (user_id)
+)
+SELECT
+  (SELECT count(*) FROM s1)::BIGINT AS n_entered,
+  (SELECT count(*) FROM s3)::BIGINT AS n_converted,
+  round(CASE WHEN (SELECT count(*) FROM s1) > 0
+        THEN (SELECT count(*) FROM s3)::DOUBLE / (SELECT count(*) FROM s1)
+        ELSE 0.0 END, 6) AS conversion_rate,
+  round(quantile_cont(secs, 0.25), 6) AS p25_seconds,
+  round(quantile_cont(secs, 0.5), 6) AS p50_seconds,
+  round(quantile_cont(secs, 0.75), 6) AS p75_seconds,
+  round(quantile_cont(secs, 0.9), 6) AS p90_seconds,
+  round(avg(secs), 6) AS mean_seconds
+FROM lat
+"""
     d["rfm_segments"] = """
 WITH per_user AS (
   SELECT user_id AS "user",
@@ -6356,13 +6413,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-30: the fifteen keys NEW this round (tpch_q10,
+    - positions 16-31: the sixteen keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
-      tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments);
-    - positions 31-50: 20 of the 50 keys whose newest driver row is
-      r7, stalest-first. The THIRTY r7-green keys slipping to
+      tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
+      funnel_latency);
+    - positions 32-50: 19 of the 50 keys whose newest driver row is
+      r7, stalest-first. The THIRTY-ONE r7-green keys slipping to
       r10, each with named alternate coverage this round:
+      median_price (value_percentiles r8-driver-green and the new
+      in-window funnel_latency share the percentile ≡ quantile_cont
+      convention; rollup in-window shares the agg shape),
       multimodal (its own pytest file covers the mapInPandas
       plumbing — schema, batch shape, deterministic fake decode —
       which IS the operator; the loader is shared with embed ingest),
@@ -6421,8 +6482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       derivation), perplexity (perplexity_bigram r8-driver-green
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
-      gates). All thirty LEAD the r10 window.
-    - out-of-window tail (51+): the 30 slipped r7 keys first (stalest,
+      gates). All thirty-one LEAD the r10 window.
+    - out-of-window tail (51+): the 31 slipped r7 keys first (stalest,
       due r10), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6459,6 +6520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cooc": q_item_cooc,
         "normalize_text": q_normalize_text,
         "rfm_segments": q_rfm_segments,
+        "funnel_latency": q_funnel_latency,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,

@@ -155,3 +155,27 @@ class TestFunnelSkewHatch:
             events, ["view", "click", "purchase"], ts_bucket="1 minute"
         ).collect()
         assert a == b
+
+
+class TestFunnelLatency:
+    def test_latency_stats(self, events):
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_latency,
+        )
+
+        [r] = funnel_latency(events, ["view", "click", "purchase"]).collect()
+        # u1 u2 u3 u4 entered; only u1 converted (120s view->purchase)
+        assert r.n_entered == 4 and r.n_converted == 1
+        assert r.conversion_rate == 0.25
+        assert r.p50_seconds == 120.0 and r.mean_seconds == 120.0
+
+    def test_no_conversions_yields_null_percentiles(self, events):
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_latency,
+        )
+
+        [r] = funnel_latency(
+            events, ["view", "click", "signup_never_happens"]
+        ).collect()
+        assert r.n_converted == 0 and r.p50_seconds is None
+        assert r.n_entered == 4
