@@ -138,6 +138,7 @@ HEADLINE = [
     "item_cooc",
     "normalize_text",
     "rfm_segments",
+    "funnel_latency",
 ]
 
 
