@@ -66,6 +66,11 @@ def item_cooccurrence(
         .filter(F.col("_r") <= max_items_per_user)
         .select("user", "item")
     )
+    # FOUR consumers read `capped` (both join sides, item popularity,
+    # the user total); without materialization each re-runs the event
+    # scan + cap window — 4 corpus passes. One checkpoint caps it at
+    # one pass over a frame already reduced to ≤ users × N rows.
+    capped = capped.localCheckpoint()
 
     left = capped.select("user", F.col("item").alias("item_a"))
     right = capped.select("user", F.col("item").alias("item_b"))
