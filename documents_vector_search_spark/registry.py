@@ -6395,8 +6395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 115 keys and a
-    50-row window the full cycle is THREE rounds (ceil(115/50)): no
+    keys added this round, then the stalest keys. With 131 keys and a
+    50-row window the full cycle is THREE rounds (ceil(131/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
