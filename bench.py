@@ -139,6 +139,12 @@ HEADLINE = [
     "normalize_text",
     "rfm_segments",
     "funnel_latency",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q17",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

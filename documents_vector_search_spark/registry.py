@@ -2281,6 +2281,216 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order priority checking: count orders per
+    priority, in one quarter, that had at least one late-shipped line
+    (the testdata has no commit/receipt dates, so "late" adapts to
+    l_shipdate > o_orderdate). The EXISTS becomes a LEFT SEMI join —
+    Spark never materializes the multi-line blowup, and the quarter
+    filter pushes into the orders scan while lineitem ships only its
+    two join columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: NATION_7's share of
+    EUROPE-customer revenue for ECONOMY parts, per order year. All
+    four dims (filtered part, supplier, nation×2, region) broadcast;
+    the only big shuffle is orders⋈lineitem; the two-year date range
+    pushes into the orders scan. The share is exact-integer-cents
+    sums divided once and floored to micros — the deterministic-ratio
+    recipe (both engines floor the SAME IEEE division)."""
+    part_f = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region_eu = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = nation.join(
+        F.broadcast(region_eu), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    df = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n_cust), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(n_supp), F.col("sn_key") == F.col("s_nationkey"))
+    )
+    per_year = df.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(F.lit(0))
+        ).alias("_num_c"),
+        F.sum(vol).alias("_den_c"),
+    )
+    return per_year.select(
+        "o_year",
+        (
+            F.floor(F.col("_num_c") * 1000000.0 / F.col("_den_c") + 0.5).cast(
+                "bigint"
+            )
+            / 1000000.0
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit: discounted revenue for
+    parts whose name contains a substring, grouped by supplier nation
+    and order year (the testdata has no partsupp, so profit adapts to
+    revenue without the supplycost term). The part filter broadcasts
+    a key-only dim; supplier and nation broadcast; one
+    orders⋈lineitem shuffle; exact integer cents."""
+    partw = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(partw), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg((F.sum(disc_c) / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken, for one brand. The correlated per-part average becomes
+    a WINDOW over the brand-filtered lines — ONE lineitem scan and ONE
+    partkey shuffle instead of the classic scan-twice self-join — and
+    the 0.2×avg comparison is exact integer algebra
+    (5·qty·cnt < Σqty), immune to float-avg boundary flips. The /7
+    divisor is the testdata's seven order years."""
+    from pyspark.sql import Window
+
+    brand = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    qty_i = F.col("l_quantity").cast("bigint")
+    w = Window.partitionBy("l_partkey")
+    lif = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("_sum_q", F.sum(qty_i).over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+    )
+    price_c = _cents(F.col("l_extendedprice"))
+    return lif.filter(5 * qty_i * F.col("_cnt") < F.col("_sum_q")).agg(
+        (F.sum(price_c) / 700.0).alias("avg_yearly")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: suppliers
+    that were the SOLE late shipper (l_shipdate > o_orderdate + 30
+    days — the testdata's receipt/commit-date proxy) in a
+    multi-supplier order. The classic EXISTS + NOT-EXISTS lineitem
+    self-joins collapse into ONE orderkey-grouped aggregate
+    (distinct-supplier count, distinct-late count, and max() as the
+    sole-late extractor), then a broadcast supplier⋈nation decorate —
+    one big shuffle total, no self-join."""
+    lo = _t(spark, sf_dir, "lineitem").join(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(late_supp).alias("_n_late"),
+        F.max(late_supp).alias("_late_supp"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("_late_supp"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity: customers in a set of
+    nations (the testdata has no phone, so country codes adapt to
+    nation keys) whose balance beats the positive-balance average and
+    who never ordered. The scalar-subquery average broadcasts as a
+    one-row (Σ, n) crossJoin and the comparison is exact integers
+    (bal·n > Σ); the NOT EXISTS is a LEFT ANTI join against orders —
+    the one shuffle. Balances in integer cents."""
+    codes = [1, 5, 9, 13, 17, 21, 23]
+    pool = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(codes))
+        .withColumn("_bal_c", _cents(F.col("c_acctbal")))
+    )
+    stats = pool.filter(F.col("_bal_c") > 0).agg(
+        F.sum("_bal_c").alias("_sum_c"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(F.col("_bal_c") * F.col("_cnt") > F.col("_sum_c"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            (F.sum("_bal_c") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel time-to-convert distribution (operators/funnel.py::
     funnel_latency): entered/converted counts, conversion rate, and
@@ -6221,6 +6431,113 @@ FROM rev JOIN supplier ON s_suppkey = supplier_no
 WHERE rev_c = (SELECT max(rev_c) FROM rev)
 ORDER BY s_suppkey
 """
+    d["tpch_q4"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    d["tpch_q8"] = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS vol_c,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+per_year AS (
+  SELECT o_year,
+         sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_c ELSE 0 END) AS num_c,
+         sum(vol_c) AS den_c
+  FROM base GROUP BY o_year
+)
+SELECT o_year,
+       CAST(floor(num_c * 1000000.0 / den_c + 0.5) AS BIGINT) / 1000000.0
+         AS mkt_share
+FROM per_year
+ORDER BY o_year
+"""
+    d["tpch_q9"] = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY 1, 2 DESC
+"""
+    d["tpch_q17"] = """
+WITH lif AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'
+),
+win AS (
+  SELECT price_c, qty,
+         sum(qty) OVER (PARTITION BY l_partkey) AS sum_q,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM lif
+)
+SELECT CAST(sum(price_c) AS BIGINT) / 700.0 AS avg_yearly
+FROM win WHERE 5 * qty * cnt < sum_q
+"""
+    d["tpch_q21"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+              THEN l_suppkey END AS late_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT late_supp) AS n_late,
+         max(late_supp) AS late_supp
+  FROM lo GROUP BY 1
+)
+SELECT s_name, n_name AS nation, count(*)::BIGINT AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = late_supp
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+"""
+    d["tpch_q22"] = """
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 23)
+),
+st AS (
+  SELECT sum(bal_c) AS sum_c, count(*) AS cnt FROM pool WHERE bal_c > 0
+)
+SELECT c_nationkey AS cntrycode, count(*)::BIGINT AS numcust,
+       CAST(sum(bal_c) AS BIGINT) / 100.0 AS totacctbal
+FROM pool CROSS JOIN st
+WHERE bal_c * cnt > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
     from documents_vector_search_spark.functions.text import (
         ascii_fold_sql,
         clean_text_sql,
@@ -6395,8 +6712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 131 keys and a
-    50-row window the full cycle is THREE rounds (ceil(131/50)): no
+    keys added this round, then the stalest keys. With 137 keys and a
+    50-row window the full cycle is THREE rounds (ceil(137/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -6413,14 +6730,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-31: the sixteen keys NEW this round (tpch_q10,
+    - positions 16-37: the twenty-two keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
-      funnel_latency);
-    - positions 32-50: 19 of the 50 keys whose newest driver row is
-      r7, stalest-first. The THIRTY-ONE r7-green keys slipping to
-      r10, each with named alternate coverage this round:
+      funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
+      tpch_q22);
+    - positions 38-50: 13 of the 50 keys whose newest driver row is
+      r7, stalest-first. Six keys the late TPC-H block displaced from
+      the window, each judge-sweep green at sf0.1 this round with
+      named sibling coverage: domain_profile (url_dedup IN-window
+      consumes the same with_registered_domain + PSL join re-oracled
+      this round), temperature_sample (its weighted-hash gate module
+      has a deterministic pytest; the sampling family's quantile
+      math is shared with in-window rfm_segments' ntile discipline),
+      hard_negatives (knn_cosine + knn_l2_filtered in-window share
+      the exact-knn distance math; the LSH scale twin has a recall
+      pytest), cluster_split (deterministic split-assignment pytest;
+      topic_terms in-window shares the KMeans bucket fit),
+      rollup (cube_agg r8-driver-green shares the grouping-set agg
+      shape), set_ops (pure set algebra with its own pytest). All
+      six join the THIRTY-ONE r7-green keys slipping to r10, each
+      with named alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
       in-window funnel_latency share the percentile ≡ quantile_cont
       convention; rollup in-window shares the agg shape),
@@ -6483,8 +6814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 31 slipped r7 keys first (stalest,
-      due r10), then the 50 r8-green keys.
+    - out-of-window tail (51+): the 37 slipped r7 keys first (stalest,
+      due r10 — the six displaced by the late TPC-H block, then the
+      31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
     return {
@@ -6521,6 +6853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "rfm_segments": q_rfm_segments,
         "funnel_latency": q_funnel_latency,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6535,6 +6873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
+        # -- window boundary: the six keys below were displaced from the
+        # r9 window by the six late-round TPC-H additions (never-green
+        # keys must be in-window); each has named alternate coverage in
+        # the docstring and a judge dev/compare sweep this round --------
         "domain_profile": q_domain_profile,
         "temperature_sample": q_temperature_sample,
         "hard_negatives": q_hard_negatives,

@@ -312,3 +312,71 @@ class TestRound7PlanContracts:
         plan = _plan(df)
         assert "PartitionFilters" in plan and "term_bucket" in plan
         assert "TakeOrderedAndProject" in plan
+
+    def test_tpch_q4_exists_is_semi_join_never_blowup(self, spark):
+        """Q4's EXISTS must compile to a LEFT SEMI join (one probe per
+        order, no multi-line row blowup before the aggregate), with
+        the quarter filter pushed into the orders scan."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q4(spark, SF))
+        assert "LeftSemi" in plan
+        assert "PushedFilters" in plan and "o_orderdate" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q8_dims_broadcast(self, spark):
+        """Q8's seven-table star: part/supplier/nation×2/region all
+        broadcast; the only sort-merge candidates are the two fact
+        shuffles (orders⋈lineitem, customer⋈that)."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q8(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert plan.count("SortMergeJoin") <= 2
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q9_single_fact_shuffle(self, spark):
+        """Q9: the name-filtered part is a key-only broadcast, supplier
+        and nation broadcast, so the only possible sort-merge join is
+        orders⋈lineitem."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q9(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert plan.count("SortMergeJoin") <= 1
+
+    def test_tpch_q17_one_scan_one_window(self, spark):
+        """Q17's correlated per-part average must be a WINDOW over the
+        brand-filtered lines — one lineitem scan, one partkey exchange
+        — not the classic scan-twice self-join."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q17(spark, SF))
+        assert "Window" in plan
+        assert plan.count("hashpartitioning(l_partkey") == 1
+        assert "SortMergeJoin" not in plan  # brand dim broadcasts
+
+    def test_tpch_q21_no_self_join(self, spark):
+        """Q21's EXISTS + NOT-EXISTS must be ONE orderkey aggregate
+        (sole-late extraction via count-distinct + max), never a
+        lineitem self-join; supplier/nation decorate via broadcast."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q21(spark, SF))
+        # lineitem appears once as a scan (plus orders) — a self-join
+        # would scan it at least twice
+        assert plan.count("lineitem.parquet") <= 1 or plan.count(
+            "Scan parquet"
+        ) <= 2
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q22_anti_join_and_one_row_stats(self, spark):
+        """Q22: the scalar average is a one-row broadcast (nested-loop
+        over exactly one build row), and NOT EXISTS is a LEFT ANTI
+        join against orders."""
+        from documents_vector_search_spark import registry
+
+        plan = _plan(registry.q_tpch_q22(spark, SF))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
