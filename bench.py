@@ -145,6 +145,10 @@ HEADLINE = [
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
+    "ts_resample",
+    "anomaly_zscore",
+    "top_paths",
+    "spend_gini",
 ]
 
 

@@ -135,3 +135,52 @@ def rfm_segments(
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
                  F.col("m").cast("string")),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    max_steps: int = 5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Most common journey openings: each user's first ``max_steps``
+    event types (ts, event_id)-ordered, joined into a '>'-delimited
+    path string, counted across users, top ``top_k`` by (n desc, path
+    asc). The full-sequence companion to event_transitions — "what do
+    the first five steps actually look like", the view onboarding
+    funnels are designed FROM.
+
+    Scale shape: ONE user-keyed window pass caps every user at
+    ``max_steps`` rows BEFORE any list materializes (the per-user
+    collect is bounded by construction — no power-user blowup), then
+    a path-keyed count and a TakeOrdered. Determinism: the (ts,
+    event_id) total order fixes each path; array_sort on the (seq,
+    type) struct rebuilds the order inside the aggregate, so the path
+    string is engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(event_id_col).asc()
+    )
+    capped = (
+        events.withColumn("_seq", F.row_number().over(w))
+        .filter(F.col("_seq") <= max_steps)
+        .select(F.col(user_col).alias("_u"), "_seq", F.col(type_col).alias("_t"))
+    )
+    per_user = capped.groupBy("_u").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seq", "_t"))),
+                lambda s: s["_t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

@@ -16,7 +16,7 @@ report is k rows however large the input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,4 +56,70 @@ def skew_report(
         )
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(top_k)
+    )
+
+
+def spend_concentration(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Spend-inequality profile over the per-user value distribution —
+    one row: ``(n_users, total_spend, gini, top_decile_share)``.
+
+    The whale-concentration view product and abuse teams ask for
+    ("what fraction of revenue is 10% of users?") and the planning
+    twin of skew_report: a high gini on the spend key predicts the
+    same straggler keys a shuffle on user would suffer.
+
+    - ``gini`` uses the rank formula G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx)
+      with xᵢ in integer cents ascending and the USER as tiebreaker —
+      a total order, so ranks (and therefore G) are engine-exact. The
+      ratio is floored to micros (the deterministic-ratio recipe).
+    - ``top_decile_share`` is the spend share of the top ⌈n/10⌉ users
+      under the same (spend, user) total order — rank-based rather
+      than ntile so small populations still have a non-empty top
+      decile (ntile(10) over 8 rows leaves bucket 10 empty).
+
+    Scale shape: ONE user-keyed aggregation over raw events, then two
+    rank windows over the O(users) aggregate. Σ i·xᵢ needs
+    n_users·total_cents < 2⁶³ — beyond ~10⁹ users × large totals,
+    promote the weighted sum to decimal(38,0).
+    """
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"))
+        .alias("spend_c")
+    )
+    w = Window.orderBy(F.col("spend_c").asc(), F.col("user").asc())
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        "spend_c",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(whole).cast("bigint").alias("_n"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("spend_c").alias("_tot_c"),
+        F.sum(F.col("i") * F.col("spend_c")).alias("_iwx"),
+        F.sum(
+            F.when(
+                F.col("i")
+                > F.col("_n") - F.floor((F.col("_n") + 9) / 10).cast("bigint"),
+                F.col("spend_c"),
+            ).otherwise(0)
+        ).alias("_top_c"),
+    )
+    micros = lambda num, den: (  # noqa: E731 — floored-micros ratio
+        F.floor(num * 1000000.0 / den + 0.5).cast("bigint") / 1000000.0
+    )
+    return agg.select(
+        "n_users",
+        (F.col("_tot_c") / 100.0).alias("total_spend"),
+        micros(
+            2 * F.col("_iwx") - (F.col("n_users") + 1) * F.col("_tot_c"),
+            F.col("n_users") * F.col("_tot_c"),
+        ).alias("gini"),
+        micros(F.col("_top_c"), F.col("_tot_c")).alias("top_decile_share"),
     )

@@ -1,0 +1,180 @@
+"""Time-series analytics over event streams: gap-filled resampling
+and rolling-window anomaly detection.
+
+The reference engine ships no time-series operators (its events
+analysis stops at windowed aggregation); these are the two primitives
+a monitoring / data-quality pipeline runs over ingest volumes at
+100 TB: "give me a dense daily series even where days are missing"
+(resample_daily) and "flag the days whose volume breaks from the
+trailing baseline" (rolling_zscore).
+
+Determinism contract (the DuckDB-oracle discipline used across the
+registry): every mean/variance is derived from EXACT integer-cent
+sums — the anomaly FLAG is a pure int64 inequality
+((n·x − Σ)² > τ²·(n·Σx² − Σ²)), so no float-summation-order or
+Welford-vs-textbook variance difference between engines can flip it.
+The reported z itself is one sqrt + one division over those same
+integers — bit-identical in any IEEE-754 engine.
+
+Scale notes: both operators aggregate the raw stream down to
+O(series × days) rows FIRST (one map-side-combinable shuffle keyed by
+(series, day)), then run windows over the tiny aggregate — the rolling
+frame never sees raw events. The date spine is a one-row min/max
+aggregate exploded driver-free via sequence(); series×days output is
+bounded regardless of input size. int64 sumsq holds to ~3·10⁹ cents
+per day (‖daily total‖ < 2⁹·10⁹ before n·Σx² risks 2⁶³); past that,
+swap the two sums to decimal(38,0) — the inequality stays exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _day(ts_col: str):
+    return F.date_trunc("day", F.col(ts_col)).cast("date")
+
+
+def _cents(col):
+    return F.floor(col * 100 + F.lit(0.5)).cast("bigint")
+
+
+def daily_series(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(series, day) totals: ``(series, day, n, total_c)`` with the
+    value summed in exact integer cents. The single raw-stream pass
+    both operators below build on."""
+    return events.groupBy(
+        F.col(series_col).alias("series"), _day(ts_col).alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_cents(F.col(value_col))).alias("total_c"),
+    )
+
+
+def resample_daily(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled daily resample: one row per (series, day) for EVERY
+    day in the stream's [min, max] range — missing days appear with
+    ``n = 0`` and ``total = 0.0`` — plus a running cumulative total
+    per series. Output: ``(series, day, n, total, cum_total)``.
+
+    Plan: the spine is a one-row global min/max aggregate whose day
+    range explodes via sequence() and cross-joins the distinct series
+    values (both broadcast — the corpus is never reshuffled for the
+    spine); actual per-day totals left-join on (series, day). The
+    cumulative window runs per series over O(days) rows.
+    """
+    per_day = daily_series(events, series_col, ts_col, value_col)
+    span = events.agg(
+        F.min(_day(ts_col)).alias("_d0"), F.max(_day(ts_col)).alias("_d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        )
+    )
+    series = events.select(
+        F.col(series_col).alias("series")
+    ).distinct()
+    spine = series.crossJoin(F.broadcast(days))
+    filled = (
+        spine.join(per_day, ["series", "day"], "left")
+        .select(
+            "series",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("total_c", F.lit(0)).cast("bigint").alias("_tc"),
+        )
+    )
+    cum_w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "series",
+        "day",
+        "n",
+        (F.col("_tc") / 100.0).alias("total"),
+        (F.sum("_tc").over(cum_w) / 100.0).alias("cum_total"),
+    )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    min_periods: int = 3,
+    threshold: int = 3,
+) -> DataFrame:
+    """Trailing-baseline anomaly detection: for each (series, day),
+    score the day's total against the mean/std of the PRIOR
+    ``window_days`` observed days (the day itself excluded, so a spike
+    cannot mask itself). Output: ``(series, day, total, z,
+    is_anomaly)``.
+
+    ``z = (n·x − Σ) / √(n·Σx² − Σ²)`` over the frame's integer-cent
+    sums — the algebraic form of (x − μ)/σ with the population σ,
+    computed entirely from exact int64 sums. ``is_anomaly`` is the
+    INTEGER inequality (n·x − Σ)² > τ²·(n·Σx² − Σ²) given at least
+    ``min_periods`` trailing days — immune to float rounding at the
+    decision boundary. A FLAT baseline (zero variance) reports
+    ``z = NULL`` (σ = 0 makes z undefined) but still flags ANY
+    deviation from it — the inequality covers this case for free
+    (right side 0, left side > 0 ⟺ x ≠ μ). Short baselines report
+    ``z = NULL`` and never flag.
+
+    The rolling frame is ROWS-based over OBSERVED days; feed
+    ``resample_daily`` output (or this module's shared
+    ``daily_series``) if calendar-gap semantics should count missing
+    days as zeros — with the registry's dense streams the two agree.
+    """
+    per_day = daily_series(events, series_col, ts_col, value_col)
+    frame = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    x = F.col("total_c")
+    n = F.count("total_c").over(frame)
+    s = F.sum("total_c").over(frame)
+    sq = F.sum(x * x).over(frame)
+    dev = n * x - s  # n·(x − μ), scaled to stay integral
+    varterm = n * sq - s * s  # n²·σ², same scaling
+    scored = per_day.select(
+        "series",
+        "day",
+        (x / 100.0).alias("total"),
+        n.alias("_n"),
+        dev.alias("_dev"),
+        varterm.alias("_vt"),
+    )
+    enough = F.col("_n") >= min_periods
+    return scored.select(
+        "series",
+        "day",
+        "total",
+        F.when(
+            enough & (F.col("_vt") > 0),
+            F.round(F.col("_dev") / F.sqrt("_vt"), 6),
+        ).alias("z"),
+        (
+            enough
+            & (
+                F.col("_dev") * F.col("_dev")
+                > F.lit(threshold * threshold) * F.col("_vt")
+            )
+        ).alias("is_anomaly"),
+    ).orderBy("series", "day")

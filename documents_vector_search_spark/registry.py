@@ -2281,6 +2281,53 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample per event type (operators/
+    timeseries.py::resample_daily): dense (series, day) spine from a
+    one-row min/max aggregate + broadcast crossJoin, zeros for missing
+    days, running cumulative total per series. One raw-stream
+    aggregation; windows run over the O(series×days) aggregate."""
+    from documents_vector_search_spark.operators.timeseries import (
+        resample_daily,
+    )
+
+    return resample_daily(_events(spark, sf_dir)).orderBy("series", "day")
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline anomaly detection (operators/timeseries.py::
+    rolling_zscore): each day's total scored against the prior 7
+    observed days; z from exact integer-cent sums; the anomaly FLAG is
+    a pure int64 inequality, immune to float boundary flips."""
+    from documents_vector_search_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    return rolling_zscore(_events(spark, sf_dir))
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 5-step journey openings (operators/paths.py::
+    top_paths): per-user row_number cap BEFORE any list materializes,
+    then a path-keyed count and TakeOrdered-10 under the (n desc,
+    path asc) total order."""
+    from documents_vector_search_spark.operators.paths import top_paths
+
+    return top_paths(_events(spark, sf_dir))
+
+
+def q_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality profile (operators/profiling.py::
+    spend_concentration): Gini by the rank formula over integer-cent
+    user totals with user tiebreaks (engine-exact ranks), plus the
+    top-decile spend share; both ratios floored to micros."""
+    from documents_vector_search_spark.operators.profiling import (
+        spend_concentration,
+    )
+
+    return spend_concentration(_events(spark, sf_dir))
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style order priority checking: count orders per
     priority, in one quarter, that had at least one late-shipped line
@@ -6538,6 +6585,104 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    _per_day = """
+  SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_c
+  FROM events GROUP BY 1, 2
+"""
+    d["ts_resample"] = f"""
+WITH per_day AS ({_per_day}),
+span AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+srs AS (SELECT DISTINCT event_type AS series FROM events),
+filled AS (
+  SELECT srs.series, days.day,
+         coalesce(n, 0)::BIGINT AS n,
+         coalesce(total_c, 0)::BIGINT AS tc
+  FROM srs CROSS JOIN days
+  LEFT JOIN per_day p ON p.series = srs.series AND p.day = days.day
+)
+SELECT series, day, n, tc / 100.0 AS total,
+       CAST(sum(tc) OVER (PARTITION BY series ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) / 100.0 AS cum_total
+FROM filled
+ORDER BY series, day
+"""
+    d["anomaly_zscore"] = f"""
+WITH per_day AS ({_per_day}),
+win AS (
+  SELECT series, day, total_c,
+         CAST(count(total_c) OVER fr AS BIGINT) AS n,
+         CAST(sum(total_c) OVER fr AS BIGINT) AS s,
+         CAST(sum(total_c * total_c) OVER fr AS BIGINT) AS sq
+  FROM per_day
+  WINDOW fr AS (PARTITION BY series ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT series, day, total_c / 100.0 AS total,
+       CASE WHEN n >= 3 AND n * sq - s * s > 0
+            THEN round((n * total_c - s) / sqrt(n * sq - s * s), 6)
+       END AS z,
+       coalesce(n >= 3
+                AND (n * total_c - s) * (n * total_c - s)
+                    > 9 * (n * sq - s * s), FALSE) AS is_anomaly
+FROM win
+ORDER BY series, day
+"""
+    d["top_paths"] = """
+WITH seqd AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS seq
+  FROM events
+),
+per_user AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY seq) AS path
+  FROM seqd WHERE seq <= 5 GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n
+FROM per_user GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+    d["spend_gini"] = """
+WITH per_user AS (
+  SELECT user_id AS u,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT spend_c,
+         row_number() OVER (ORDER BY spend_c, u) AS i,
+         count(*) OVER () AS nn
+  FROM per_user
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_users,
+         CAST(sum(spend_c) AS BIGINT) AS tot_c,
+         CAST(sum(i * spend_c) AS BIGINT) AS iwx,
+         CAST(sum(CASE WHEN i > nn - (nn + 9) // 10 THEN spend_c ELSE 0 END)
+              AS BIGINT) AS top_c
+  FROM ranked
+)
+SELECT n_users, tot_c / 100.0 AS total_spend,
+       CAST(floor((2 * iwx - (n_users + 1) * tot_c) * 1000000.0
+                  / (n_users * tot_c) + 0.5) AS BIGINT) / 1000000.0 AS gini,
+       CAST(floor(top_c * 1000000.0 / tot_c + 0.5) AS BIGINT) / 1000000.0
+         AS top_decile_share
+FROM agg
+"""
     from documents_vector_search_spark.functions.text import (
         ascii_fold_sql,
         clean_text_sql,
@@ -6712,8 +6857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 137 keys and a
-    50-row window the full cycle is THREE rounds (ceil(137/50)): no
+    keys added this round, then the stalest keys. With 141 keys and a
+    50-row window the full cycle is THREE rounds (ceil(141/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -6730,28 +6875,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-37: the twenty-two keys NEW this round (tpch_q10,
+    - positions 16-41: the twenty-six keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
-      tpch_q22);
-    - positions 38-50: 13 of the 50 keys whose newest driver row is
-      r7, stalest-first. Six keys the late TPC-H block displaced from
-      the window, each judge-sweep green at sf0.1 this round with
-      named sibling coverage: domain_profile (url_dedup IN-window
-      consumes the same with_registered_domain + PSL join re-oracled
-      this round), temperature_sample (its weighted-hash gate module
-      has a deterministic pytest; the sampling family's quantile
-      math is shared with in-window rfm_segments' ntile discipline),
-      hard_negatives (knn_cosine + knn_l2_filtered in-window share
-      the exact-knn distance math; the LSH scale twin has a recall
-      pytest), cluster_split (deterministic split-assignment pytest;
-      topic_terms in-window shares the KMeans bucket fit),
-      rollup (cube_agg r8-driver-green shares the grouping-set agg
-      shape), set_ops (pure set algebra with its own pytest). All
-      six join the THIRTY-ONE r7-green keys slipping to r10, each
-      with named alternate coverage this round:
+      tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini);
+    - positions 42-50: 9 of the 50 keys whose newest driver row is
+      r7, stalest-first, with url_dedup kept in-window ahead of
+      tpch_q6 because its PSL longest-match join is NEW code this
+      round. Ten keys the late additions displaced from the window,
+      each judge-sweep green at sf0.1 this round with named sibling
+      coverage: tpch_q6 (its pushdown plan pytest; tpch_q1
+      r8-driver-green and six new in-window TPC-H keys share the
+      scan-agg shape), corpus_drift (lang_id + quality
+      r8-driver-green provide the profiled signals; drift pytest),
+      corpus_prep_gopher (gopher_rules r8-driver-green composes the
+      identical gates; corpus_prep r8-green shares the prep shape),
+      c4_rules (the C4 gate pytest in test_curation.py; gopher_rules
+      r8-green shares the gate-composition shape), domain_profile
+      (url_dedup IN-window consumes the same with_registered_domain
+      + PSL join re-oracled this round), temperature_sample (its
+      weighted-hash gate module has a deterministic pytest; the
+      sampling family's quantile math is shared with in-window
+      rfm_segments' ntile discipline), hard_negatives (knn_cosine +
+      knn_l2_filtered in-window share the exact-knn distance math;
+      the LSH scale twin has a recall pytest), cluster_split
+      (deterministic split-assignment pytest; topic_terms in-window
+      shares the KMeans bucket fit), rollup (cube_agg
+      r8-driver-green shares the grouping-set agg shape), set_ops
+      (pure set algebra with its own pytest). All ten join the
+      THIRTY-ONE r7-green keys slipping to r10, each with named
+      alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
       in-window funnel_latency share the percentile ≡ quantile_cont
       convention; rollup in-window shares the agg shape),
@@ -6814,8 +6969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 37 slipped r7 keys first (stalest,
-      due r10 — the six displaced by the late TPC-H block, then the
+    - out-of-window tail (51+): the 41 slipped r7 keys first (stalest,
+      due r10 — the ten displaced by the late additions, then the
       31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -6859,6 +7014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        "ts_resample": q_ts_resample,
+        "anomaly_zscore": q_anomaly_zscore,
+        "top_paths": q_top_paths,
+        "spend_gini": q_spend_gini,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -6867,16 +7026,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,
-        "tpch_q6": q_tpch_q6,
+        "url_dedup": q_url_dedup,
         "knn_rocchio": q_knn_rocchio,
+        # -- window boundary: the ten keys below were displaced from the
+        # r9 window by the ten late-round additions (six TPC-H + four
+        # timeseries/journey keys; never-green keys must be in-window);
+        # each has named alternate coverage in the docstring and a judge
+        # dev/compare sweep this round ----------------------------------
+        "tpch_q6": q_tpch_q6,
         "corpus_drift": q_corpus_drift,
         "corpus_prep_gopher": q_corpus_prep_gopher,
         "c4_rules": q_c4_rules,
-        "url_dedup": q_url_dedup,
-        # -- window boundary: the six keys below were displaced from the
-        # r9 window by the six late-round TPC-H additions (never-green
-        # keys must be in-window); each has named alternate coverage in
-        # the docstring and a judge dev/compare sweep this round --------
         "domain_profile": q_domain_profile,
         "temperature_sample": q_temperature_sample,
         "hard_negatives": q_hard_negatives,

@@ -1,0 +1,170 @@
+"""Time-series operators (operators/timeseries.py) + journey/
+inequality additions (paths.top_paths, profiling.spend_concentration):
+semantic pins the DuckDB oracle hash cannot express — spike detection,
+gap filling, caps, and closed-form Gini values."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.paths import top_paths
+from documents_vector_search_spark.operators.profiling import (
+    spend_concentration,
+)
+from documents_vector_search_spark.operators.timeseries import (
+    resample_daily,
+    rolling_zscore,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id string, event_type string, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _day(d):
+    return dt.datetime(2024, 1, d, 12, 0, 0)
+
+
+class TestRollingZscore:
+    def test_flat_baseline_spike_is_flagged(self, spark):
+        """Ten identical days then a 10× day: the spike must flag; the
+        flat days must not (zero variance -> z NULL, flag false)."""
+        rows = [(i, _day(i + 1), "u", "click", 10.0) for i in range(10)]
+        rows.append((99, _day(11), "u", "click", 100.0))
+        out = rolling_zscore(_ev(spark, rows)).collect()
+        by_day = {r["day"].day: r for r in out}
+        assert by_day[11]["is_anomaly"] is True
+        # flat-baseline days: variance 0 -> no z, no flag
+        for d in range(4, 11):
+            assert by_day[d]["is_anomaly"] is False
+            assert by_day[d]["z"] is None
+
+    def test_short_baseline_never_flags(self, spark):
+        """min_periods=3: days 1-3 have <3 trailing days — no flag even
+        for wild values."""
+        rows = [
+            (1, _day(1), "u", "click", 1.0),
+            (2, _day(2), "u", "click", 1000.0),
+            (3, _day(3), "u", "click", 0.5),
+        ]
+        out = rolling_zscore(_ev(spark, rows)).collect()
+        assert all(r["is_anomaly"] is False for r in out)
+        assert all(r["z"] is None for r in out)
+
+    def test_flag_matches_float_z_off_boundary(self, spark):
+        """Away from the τ boundary the integer inequality and the
+        reported float z agree: |z| > 3 ⟺ flagged."""
+        vals = [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 10.5, 12.5, 60.0, 11.0]
+        rows = [(i, _day(i + 1), "u", "click", v) for i, v in enumerate(vals)]
+        for r in rolling_zscore(_ev(spark, rows)).collect():
+            if r["z"] is not None:
+                assert (abs(r["z"]) > 3) == bool(r["is_anomaly"])
+
+    def test_window_excludes_self(self, spark):
+        """The day under test is NOT part of its own baseline: a lone
+        spike after a noisy-but-stable week flags even though including
+        it would inflate the std enough to hide it."""
+        vals = [10.0, 11.0, 10.0, 11.0, 10.0, 11.0, 10.0, 25.0]
+        rows = [(i, _day(i + 1), "u", "click", v) for i, v in enumerate(vals)]
+        out = {r["day"].day: r for r in rolling_zscore(_ev(spark, rows)).collect()}
+        assert out[8]["is_anomaly"] is True
+
+
+class TestResampleDaily:
+    def test_missing_days_filled_with_zeros(self, spark):
+        rows = [
+            (1, _day(1), "u", "click", 5.0),
+            (2, _day(4), "u", "click", 7.0),
+        ]
+        out = resample_daily(_ev(spark, rows)).orderBy("day").collect()
+        assert [r["day"].day for r in out] == [1, 2, 3, 4]
+        assert [r["n"] for r in out] == [1, 0, 0, 1]
+        assert [r["total"] for r in out] == [5.0, 0.0, 0.0, 7.0]
+        assert [r["cum_total"] for r in out] == [5.0, 5.0, 5.0, 12.0]
+
+    def test_every_series_gets_the_full_spine(self, spark):
+        """A series observed on one day still spans the global range."""
+        rows = [
+            (1, _day(1), "u", "click", 1.0),
+            (2, _day(5), "u", "click", 1.0),
+            (3, _day(3), "u", "error", 2.0),
+        ]
+        out = resample_daily(_ev(spark, rows))
+        counts = dict(
+            out.groupBy("series").count().collect()
+        )
+        assert counts == {"click": 5, "error": 5}
+
+
+class TestTopPaths:
+    def test_cap_and_ordering(self, spark):
+        """A 10-event user contributes a 5-step path in (ts, event_id)
+        order; counts rank deterministically."""
+        rows = [(i, _day(1 + i), "u1", t, 1.0)
+                for i, t in enumerate("abcdefghij")]
+        rows += [(100 + i, _day(1 + i), "u2", t, 1.0)
+                 for i, t in enumerate("abcde")]
+        rows += [(200 + i, _day(1 + i), "u3", t, 1.0)
+                 for i, t in enumerate("xy")]
+        out = top_paths(_ev(spark, rows)).collect()
+        assert out[0]["path"] == "a>b>c>d>e" and out[0]["n"] == 2
+        assert out[1]["path"] == "x>y" and out[1]["n"] == 1
+
+    def test_same_timestamp_ties_break_on_event_id(self, spark):
+        ts = _day(1)
+        rows = [(3, ts, "u", "c", 1.0), (1, ts, "u", "a", 1.0),
+                (2, ts, "u", "b", 1.0)]
+        out = top_paths(_ev(spark, rows)).collect()
+        assert out[0]["path"] == "a>b>c"
+
+
+class TestSpendConcentration:
+    def test_perfect_equality(self, spark):
+        rows = [(i, _day(1), f"u{i}", "purchase", 10.0) for i in range(8)]
+        r = spend_concentration(_ev(spark, rows)).collect()[0]
+        assert r["n_users"] == 8
+        assert r["gini"] == 0.0
+        # top decile = 1 of 8 users under ntile(10) -> 1/8 of spend
+        assert r["top_decile_share"] == pytest.approx(0.125)
+
+    def test_total_concentration(self, spark):
+        """One whale, n-1 zero spenders: G = (n-1)/n exactly."""
+        rows = [(i, _day(1), f"u{i}", "purchase", 0.0) for i in range(9)]
+        rows.append((99, _day(1), "whale", "purchase", 500.0))
+        r = spend_concentration(_ev(spark, rows)).collect()[0]
+        assert r["gini"] == pytest.approx(0.9)
+        assert r["top_decile_share"] == pytest.approx(1.0)
+        assert r["total_spend"] == pytest.approx(500.0)
+
+    def test_known_small_case(self, spark):
+        """x = (1, 2, 3, 4): G = (2·(1+4+9+16) − 5·10)/(4·10) = 0.25."""
+        rows = [(i, _day(1), f"u{i}", "purchase", float(i + 1))
+                for i in range(4)]
+        r = spend_concentration(_ev(spark, rows)).collect()[0]
+        assert r["gini"] == pytest.approx(0.25)
+
+
+class TestPlanShapes:
+    def test_zscore_single_raw_shuffle(self, spark):
+        """The rolling window runs over the per-day AGGREGATE: exactly
+        one exchange keyed by the raw stream's (series, day), then the
+        series-keyed window exchange — and no Python on the path."""
+        rows = [(i, _day(1 + i % 9), "u", "click", 1.0) for i in range(40)]
+        plan = rolling_zscore(_ev(spark, rows))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_resample_spine_is_broadcast(self, spark):
+        """The date spine must reach the series list as a broadcast —
+        the corpus is never reshuffled to build the spine."""
+        rows = [(i, _day(1 + i % 9), "u", "click", 1.0) for i in range(40)]
+        plan = resample_daily(_ev(spark, rows))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan
