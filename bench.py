@@ -149,6 +149,8 @@ HEADLINE = [
     "anomaly_zscore",
     "top_paths",
     "spend_gini",
+    "boilerplate_strip",
+    "collocations",
 ]
 
 

@@ -991,3 +991,85 @@ def line_dedup(
             .alias("n_lines_removed"),
         )
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_pct: int = 5,
+    min_df: int = 2,
+    min_line_len: int = 1,
+    line_sep: str = r"\r\n|\r|\n",
+    out_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: drop every line that
+    appears in more than ``max_doc_pct`` percent of documents (and at
+    least ``min_df`` documents) — headers, footers, cookie banners,
+    nav chrome: the lines whose very ubiquity proves they are not
+    content. The frequency-threshold complement of line_dedup (which
+    keeps FIRST occurrences; this keeps NONE of a too-common line).
+    ``(id, text, n_lines_kept, n_lines_removed)``.
+
+    The threshold compare is pure integers (df·100 ≥ pct·N) — no
+    float boundary at the cut. Lines shorter than ``min_line_len``
+    are exempt (structure, not content — and the degenerate hot keys
+    a line-keyed shuffle must not funnel into one partition).
+
+    Cost: one line-keyed distinct+aggregate for document frequencies
+    (map-side combinable), one line-keyed join to flag (the boilerplate
+    side is small by construction — only lines crossing the ubiquity
+    threshold — so AQE broadcasts it), one doc-keyed reassembly.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.split(F.col(text_col), line_sep, -1)).alias(
+            "_pos", "_line"
+        ),
+    ).filter(F.col("_line").isNotNull())
+    eligible = F.length(F.col("_line")) >= min_line_len
+    line_df = (
+        lines.filter(eligible)
+        .select("_id", "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count("*").cast("bigint").alias("_df"))
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("_n"))
+    boiler = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("_df") >= min_df)
+            & (F.col("_df") * 100 >= F.lit(max_doc_pct) * F.col("_n"))
+        )
+        .select("_line", F.lit(True).alias("_is_b"))
+    )
+    flagged = lines.join(boiler, "_line", "left")
+    kept_struct = F.when(
+        F.col("_is_b").isNull(), F.struct(F.col("_pos"), F.col("_line"))
+    )
+    agg = flagged.groupBy("_id").agg(
+        F.array_sort(F.collect_list(kept_struct)).alias("_arr"),
+        F.sum(F.when(F.col("_is_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+    )
+    totals = docs.select(F.col(id_col))
+    return (
+        totals.join(agg, totals[id_col] == agg["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("_arr"), lambda x: x["_line"]), out_sep
+                ),
+                F.lit(""),
+            ).alias("text"),
+            F.coalesce(F.size("_arr"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines_kept"),
+            F.coalesce(F.col("n_lines_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -230,3 +230,82 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-wide collocation extraction: the ``top_k`` adjacent token
+    pairs by pointwise mutual information — ``(w1, w2, n, pmi,
+    rank)``, PMI in bits = (ln p(ab) − ln p(a) − ln p(b)) / ln 2 with
+    p(ab) over the bigram total and p(·) over the unigram total
+    (Church & Hanks 1990). The "which word pairs are a unit" signal
+    tokenizer and phrase-mining pipelines start from.
+
+    Determinism: every count is an exact int64; the three ln() calls
+    run on the same int/int doubles in both engines (the tfidf ln
+    precedent) and the ln 2 divisor is a literal, so the rounded score
+    ranks identically; ties break (pmi desc, w1, w2). ``min_count``
+    filters noise pairs BEFORE the joins.
+
+    Scale shape: one (w1, w2)-keyed aggregate over exploded bigrams
+    (map-side combinable; the bigram structs come from ONE
+    slice+transform per document — no self-join), two term-keyed
+    joins onto the unigram table, two one-row broadcast totals, and a
+    TakeOrdered — no global sort, no UDFs.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(tokenize(text_col).alias("_toks"))
+    uni = (
+        base.select(F.explode("_toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+                "(x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("_nu"))
+    n_big = pairs.agg(F.count("*").cast("bigint").alias("_nb"))
+    ua = uni.select(F.col("t").alias("w1"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("t").alias("w2"), F.col("c").alias("_cb"))
+    ln2 = 0.6931471805599453
+    scored = (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                (
+                    F.log(F.col("n") / F.col("_nb"))
+                    - F.log(F.col("_ca") / F.col("_nu"))
+                    - F.log(F.col("_cb") / F.col("_nu"))
+                )
+                / F.lit(ln2),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -2281,6 +2281,51 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (operators/curation.py::
+    boilerplate_strip): lines in >5% of documents are dropped
+    everywhere. Input derives deterministically — token-window lines
+    (the line_dedup derivation) plus footer lines injected by doc_id
+    residue (%2 → 50% df, %5 → 20% df, both stripped; %97 → ~1% df,
+    kept) — every derivation replayed verbatim by the oracle. The
+    ubiquity threshold is pure integers (df·100 ≥ pct·N)."""
+    from documents_vector_search_spark.operators.curation import (
+        boilerplate_strip,
+    )
+
+    docs = _with_token_lines(_t(spark, sf_dir, "documents"))
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\ncorpus exporter footer v1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 97 == 0, F.lit("\nrare promo line")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return boilerplate_strip(staged)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocations (operators/text_analysis.py::
+    pmi_collocations): top-50 adjacent token pairs by pointwise mutual
+    information in bits, min_count 5, ties (pmi desc, w1, w2). Exact
+    integer counts; ln on identical int/int doubles in both engines."""
+    from documents_vector_search_spark.operators.text_analysis import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily resample per event type (operators/
     timeseries.py::resample_daily): dense (series, day) spine from a
@@ -6585,6 +6630,80 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    _toks9 = _toks_sql()
+    d["boilerplate_strip"] = f"""
+WITH tok AS (SELECT doc_id, {_toks9} AS toks FROM documents),
+rl AS (
+  SELECT doc_id, CASE WHEN len(toks) > 0 THEN
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+                     i -> array_to_string(toks[i*8+1:i*8+8], ' ')),
+      chr(10))
+    ELSE '' END AS text
+  FROM tok
+),
+staged AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || 'corpus exporter footer v1' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+    || CASE WHEN doc_id % 97 = 0
+            THEN chr(10) || 'rare promo line' ELSE '' END AS text
+  FROM rl
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+l AS (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, unnest(ls) AS line
+      FROM sp),
+dfl AS (
+  SELECT line, count(DISTINCT doc_id)::BIGINT AS df
+  FROM l WHERE length(line) >= 1 GROUP BY line
+),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+b AS (SELECT line FROM dfl, nd WHERE df >= 2 AND df * 100 >= 5 * n_docs),
+fl AS (
+  SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS isb
+  FROM l LEFT JOIN b ON b.line = l.line
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT isb), '') AS text,
+       CAST(count(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_lines_kept,
+       CAST(count(*) FILTER (WHERE isb) AS BIGINT) AS n_lines_removed
+FROM fl GROUP BY doc_id
+"""
+    d["collocations"] = f"""
+WITH tok AS (SELECT {_toks9} AS toks FROM documents),
+uc AS (
+  SELECT t, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t
+),
+pairs AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tok
+),
+bc AS (
+  SELECT w1, w2, count(*)::BIGINT AS n
+  FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5
+),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS nuni FROM uc),
+nb AS (SELECT count(*)::BIGINT AS nbig FROM pairs),
+scored AS (
+  SELECT w1, w2, n,
+         round((ln(n / nbig) - ln(ca.c / nuni) - ln(cb.c / nuni))
+               / 0.6931471805599453, 6) AS pmi
+  FROM bc
+  JOIN uc ca ON ca.t = w1
+  JOIN uc cb ON cb.t = w2
+  CROSS JOIN nu CROSS JOIN nb
+)
+SELECT w1, w2, n, pmi,
+       row_number() OVER (ORDER BY pmi DESC, w1, w2)::INT AS rank
+FROM scored
+QUALIFY rank <= 50
+ORDER BY rank
+"""
     _per_day = """
   SELECT event_type AS series, CAST(date_trunc('day', ts) AS DATE) AS day,
          count(*)::BIGINT AS n,
@@ -6857,8 +6976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 141 keys and a
-    50-row window the full cycle is THREE rounds (ceil(141/50)): no
+    keys added this round, then the stalest keys. With 143 keys and a
+    50-row window the full cycle is THREE rounds (ceil(143/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -6875,18 +6994,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       vocab_stats, dataset_ingest, recursive_chunk, span_dedup,
       events_pivot, ivfpq_search, topic_terms, dedup_simhash,
       dedup_ngram, events_window, topk_per_group, fetch_slice);
-    - positions 16-41: the twenty-six keys NEW this round (tpch_q10,
+    - positions 16-43: the twenty-eight keys NEW this round (tpch_q10,
       event_paths, cms_counts, tfidf_keywords, field_postings,
       tpch_q14, tpch_q19, skew_report, funnel_bucketed, tpch_q7,
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
-      tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini);
-    - positions 42-50: 9 of the 50 keys whose newest driver row is
+      tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
+      boilerplate_strip, collocations);
+    - positions 44-50: 7 of the 50 keys whose newest driver row is
       r7, stalest-first, with url_dedup kept in-window ahead of
-      tpch_q6 because its PSL longest-match join is NEW code this
-      round. Ten keys the late additions displaced from the window,
-      each judge-sweep green at sf0.1 this round with named sibling
-      coverage: tpch_q6 (its pushdown plan pytest; tpch_q1
+      earlier-listed keys because its PSL longest-match join is NEW
+      code this round. Twelve keys the late additions displaced from
+      the window, each judge-sweep green at sf0.1 this round with
+      named sibling coverage: dsir_select (its map-only TakeOrdered
+      plan pytest at test_plan_contracts.py:259 + the importance-
+      weight pytest in test_expansion_and_dsir.py), knn_rocchio
+      (knn_cosine in-window shares the distance math; the Rocchio
+      feedback-vector pytest in test_expansion_and_dsir.py),
+      tpch_q6 (its pushdown plan pytest; tpch_q1
       r8-driver-green and six new in-window TPC-H keys share the
       scan-agg shape), corpus_drift (lang_id + quality
       r8-driver-green provide the profiled signals; drift pytest),
@@ -6904,7 +7029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (deterministic split-assignment pytest; topic_terms in-window
       shares the KMeans bucket fit), rollup (cube_agg
       r8-driver-green shares the grouping-set agg shape), set_ops
-      (pure set algebra with its own pytest). All ten join the
+      (pure set algebra with its own pytest). All twelve join the
       THIRTY-ONE r7-green keys slipping to r10, each with named
       alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
@@ -6969,8 +7094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 41 slipped r7 keys first (stalest,
-      due r10 — the ten displaced by the late additions, then the
+    - out-of-window tail (51+): the 43 slipped r7 keys first (stalest,
+      due r10 — the twelve displaced by the late additions, then the
       31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -7018,6 +7143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "top_paths": q_top_paths,
         "spend_gini": q_spend_gini,
+        "boilerplate_strip": q_boilerplate_strip,
+        "collocations": q_collocations,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
@@ -7025,14 +7152,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "facet_counts": q_facet_counts,
         "bm25_rm3": q_bm25_rm3,
-        "dsir_select": q_dsir_select,
         "url_dedup": q_url_dedup,
+        # -- window boundary: the twelve keys below were displaced from
+        # the r9 window by the twelve late-round additions (six TPC-H,
+        # four timeseries/journey, two corpus-prep keys; never-green
+        # keys must be in-window); each has named alternate coverage in
+        # the docstring and a judge dev/compare sweep this round --------
+        "dsir_select": q_dsir_select,
         "knn_rocchio": q_knn_rocchio,
-        # -- window boundary: the ten keys below were displaced from the
-        # r9 window by the ten late-round additions (six TPC-H + four
-        # timeseries/journey keys; never-green keys must be in-window);
-        # each has named alternate coverage in the docstring and a judge
-        # dev/compare sweep this round ----------------------------------
         "tpch_q6": q_tpch_q6,
         "corpus_drift": q_corpus_drift,
         "corpus_prep_gopher": q_corpus_prep_gopher,
