@@ -151,6 +151,7 @@ HEADLINE = [
     "spend_gini",
     "boilerplate_strip",
     "collocations",
+    "bucketed_join",
 ]
 
 

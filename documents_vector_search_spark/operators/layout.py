@@ -187,3 +187,45 @@ def file_minmax_overlap_fraction(
         ):
             hit += 1
     return hit / len(files)
+
+
+def write_bucketed(
+    df: DataFrame,
+    spark,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str,
+    sort_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a Spark BUCKETED table: rows hash-assigned to
+    ``num_buckets`` files by ``bucket_col``, the bucket spec recorded
+    in the catalog. Two tables bucketed the same way on their join key
+    then join with ZERO Exchange — the scan itself satisfies the
+    join's distribution requirement, so a 100 TB fact⋈fact join skips
+    both shuffles entirely (the reason warehouses pre-bucket their
+    biggest joins; SMB join in Hive terms). Complements zorder_layout:
+    Z-order buys file SKIPPING for range predicates, bucketing buys
+    shuffle-FREE equi-joins.
+
+    The input is repartitioned onto its bucket assignment first so
+    each bucket lands as ONE file per write (no small-file spray, and
+    single-file buckets keep the sorted-scan optimization available
+    when ``sort_cols`` start with the bucket column).
+
+    ``path`` makes the table external (data where the caller says,
+    catalog entry disposable); an existing entry is dropped first so
+    re-writes relocate cleanly. Returns the freshly-registered table.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = (
+        df.repartition(num_buckets, F.col(bucket_col))
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)

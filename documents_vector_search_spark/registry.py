@@ -2281,6 +2281,52 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (operators/layout.py::write_bucketed):
+    orders and customer are persisted as 16-bucket tables hashed on
+    their join key, then joined WITHOUT either side shuffling — the
+    bucketed scans satisfy the join's distribution requirement (the
+    pre-bucketed fact⋈fact pattern; zero-Exchange property pinned
+    with broadcast disabled in tests/test_layout.py). Reports revenue
+    per market segment; the oracle runs the same join on the raw
+    views — bucketing must be invisible to results."""
+    import re as _re
+
+    from documents_vector_search_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    tok = _re.sub(r"[^a-zA-Z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = os.path.join(_ASSETS_DIR, "bucketed", tok)
+    o = write_bucketed(
+        _t(spark, sf_dir, "orders"),
+        spark,
+        f"dvss_bkt_orders_{tok}",
+        "o_custkey",
+        16,
+        os.path.join(base, "orders"),
+        sort_cols=("o_custkey",),
+    )
+    c = write_bucketed(
+        _t(spark, sf_dir, "customer"),
+        spark,
+        f"dvss_bkt_customer_{tok}",
+        "c_custkey",
+        16,
+        os.path.join(base, "customer"),
+        sort_cols=("c_custkey",),
+    )
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal (operators/curation.py::
     boilerplate_strip): lines in >5% of documents are dropped
@@ -6630,6 +6676,14 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    d["bucketed_join"] = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
     _toks9 = _toks_sql()
     d["boilerplate_strip"] = f"""
 WITH tok AS (SELECT doc_id, {_toks9} AS toks FROM documents),
@@ -6976,8 +7030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 143 keys and a
-    50-row window the full cycle is THREE rounds (ceil(143/50)): no
+    keys added this round, then the stalest keys. With 144 keys and a
+    50-row window the full cycle is THREE rounds (ceil(144/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -7000,13 +7054,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
       tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
-      boilerplate_strip, collocations);
-    - positions 44-50: 7 of the 50 keys whose newest driver row is
+      boilerplate_strip, collocations, bucketed_join — 29 keys,
+      positions 16-44);
+    - positions 45-50: 6 of the 50 keys whose newest driver row is
       r7, stalest-first, with url_dedup kept in-window ahead of
       earlier-listed keys because its PSL longest-match join is NEW
-      code this round. Twelve keys the late additions displaced from
-      the window, each judge-sweep green at sf0.1 this round with
-      named sibling coverage: dsir_select (its map-only TakeOrdered
+      code this round. Thirteen keys the late additions displaced
+      from the window, each judge-sweep green at sf0.1 this round
+      with named sibling coverage: bm25_rm3 (ql_dirichlet +
+      phrase_search in-window share the pruned-postings scan; the
+      RM3 expansion pytest in test_expansion_and_dsir.py),
+      dsir_select (its map-only TakeOrdered
       plan pytest at test_plan_contracts.py:259 + the importance-
       weight pytest in test_expansion_and_dsir.py), knn_rocchio
       (knn_cosine in-window shares the distance math; the Rocchio
@@ -7029,7 +7087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (deterministic split-assignment pytest; topic_terms in-window
       shares the KMeans bucket fit), rollup (cube_agg
       r8-driver-green shares the grouping-set agg shape), set_ops
-      (pure set algebra with its own pytest). All twelve join the
+      (pure set algebra with its own pytest). All thirteen join the
       THIRTY-ONE r7-green keys slipping to r10, each with named
       alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
@@ -7094,9 +7152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 43 slipped r7 keys first (stalest,
-      due r10 — the twelve displaced by the late additions, then the
-      31 named below), then the 50 r8-green keys.
+    - out-of-window tail (51+): the 44 slipped r7 keys first (stalest,
+      due r10 — the thirteen displaced by the late additions, then
+      the 31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
     return {
@@ -7145,19 +7203,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spend_gini": q_spend_gini,
         "boilerplate_strip": q_boilerplate_strip,
         "collocations": q_collocations,
+        "bucketed_join": q_bucketed_join,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
         "binary_ann": q_binary_ann,
         "snippets": q_snippets,
         "facet_counts": q_facet_counts,
-        "bm25_rm3": q_bm25_rm3,
         "url_dedup": q_url_dedup,
-        # -- window boundary: the twelve keys below were displaced from
-        # the r9 window by the twelve late-round additions (six TPC-H,
-        # four timeseries/journey, two corpus-prep keys; never-green
-        # keys must be in-window); each has named alternate coverage in
-        # the docstring and a judge dev/compare sweep this round --------
+        # -- window boundary: the thirteen keys below were displaced
+        # from the r9 window by the thirteen late-round additions (six
+        # TPC-H, four timeseries/journey, two corpus-prep, one layout
+        # key; never-green keys must be in-window); each has named
+        # alternate coverage in the docstring and a judge dev/compare
+        # sweep this round ----------------------------------------------
+        "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,
         "knn_rocchio": q_knn_rocchio,
         "tpch_q6": q_tpch_q6,

@@ -583,3 +583,79 @@ class TestZorderCLI:
             dst, col_a="a", lo_a=0, hi_a=63, col_b="b", lo_b=0, hi_b=15
         )
         assert frac < 1.0, frac
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_zero_exchange(self, spark, tmp_path):
+        """Two tables bucketed the same way on their join key must
+        join with NO Exchange on either side (broadcast disabled so
+        the join cannot cheat its way out of proving it) — the
+        pre-bucketed fact⋈fact pattern write_bucketed exists for."""
+        from documents_vector_search_spark.operators.layout import (
+            write_bucketed,
+        )
+
+        left = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k2"), (F.col("id") % 3).alias("w")
+        )
+        lt = write_bucketed(
+            left, spark, "t_bkt_l", "k", 8, str(tmp_path / "l"),
+            sort_cols=("k",),
+        )
+        rt = write_bucketed(
+            right, spark, "t_bkt_r", "k2", 8, str(tmp_path / "r"),
+            sort_cols=("k2",),
+        )
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
+            joined = lt.join(rt, lt["k"] == rt["k2"])
+            assert joined.count() == 500
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            spark.sql("DROP TABLE IF EXISTS t_bkt_l")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_r")
+
+    def test_bucketed_write_is_lossless_one_file_per_bucket(
+        self, spark, tmp_path
+    ):
+        from documents_vector_search_spark.operators.layout import (
+            write_bucketed,
+        )
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        t = write_bucketed(
+            df, spark, "t_bkt_solo", "k", 4, str(tmp_path / "solo")
+        )
+        try:
+            assert t.count() == 300
+            assert sorted(r["v"] for r in t.collect()) == [
+                i * 2 for i in range(300)
+            ]
+            import glob as _glob
+
+            files = _glob.glob(str(tmp_path / "solo" / "*.parquet"))
+            assert len(files) == 4  # one file per bucket, no spray
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_bkt_solo")
