@@ -217,3 +217,130 @@ def transitions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "series string, day timestamp, total double, z double, "
+    "is_anomaly boolean"
+)
+# per-series trailing baseline: the OPEN day's accumulator plus the
+# last `window` CLOSED days' (epoch-day, integer-cent total) pairs —
+# bounded at window+1 entries per series regardless of stream length
+ANOMALY_STATE_SCHEMA = (
+    "open_day double, open_total long, days array<double>, "
+    "totals array<long>"
+)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    min_periods: int = 3,
+    threshold: int = 3,
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.py::rolling_zscore: as a
+    day CLOSES (a later day's first event arrives for the series), its
+    total is scored against the trailing ``window_days`` closed days
+    with the SAME exact-integer algebra as the batch operator — z from
+    int64 sums, the flag a pure integer inequality — and one
+    ``(series, day, total, z, is_anomaly)`` row is emitted.
+
+    Contracts (mirroring the batch twin's observed-days frame):
+    - A day emits only when a LATER day arrives for its series; the
+      final open day of a stream is never scored (it could still
+      receive events). Late events for an already-closed day are
+      dropped — put ``withWatermark(ts_col, ...)`` upstream to bound
+      how late that can happen.
+    - State per series is the open-day accumulator plus at most
+      ``window_days`` closed (day, total) pairs — O(series ×
+      window), not O(events) and not O(days streamed).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    day_secs = 86400.0
+
+    def score(x, trail_totals):
+        n = len(trail_totals)
+        if n < min_periods:
+            return None, False
+        s = sum(trail_totals)
+        sq = sum(t * t for t in trail_totals)
+        dev = n * x - s
+        vt = n * sq - s * s
+        flagged = dev * dev > threshold * threshold * vt
+        if vt <= 0:
+            return None, flagged
+        z = dev / math.sqrt(vt)
+        return math.floor(z * 1e6 + 0.5) / 1e6, flagged
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            open_day, open_total, days, totals = state.get
+            days, totals = list(days), list(totals)
+        else:
+            open_day, open_total, days, totals = None, 0, [], []
+
+        per_day: dict[float, int] = {}
+        for pdf in pdfs:
+            secs = pdf[ts_col].astype("int64") / 1e9
+            for t, v in zip(secs, pdf[value_col]):
+                d = math.floor(t / day_secs) * day_secs
+                per_day[d] = per_day.get(d, 0) + int(
+                    math.floor(v * 100 + 0.5)
+                )
+
+        out: list[tuple[float, int]] = []
+        for d in sorted(per_day):
+            if open_day is not None and d < open_day:
+                continue  # late for a closed day: dropped (watermark)
+            if open_day is None:
+                open_day, open_total = d, 0
+            elif d > open_day:
+                out.append((open_day, open_total))
+                open_day, open_total = d, 0
+            open_total += per_day[d]
+
+        if open_day is not None:
+            new_days = (days + [d for d, _ in out])[-window_days:]
+            new_totals = (totals + [t for _, t in out])[-window_days:]
+            state.update(
+                (
+                    float(open_day),
+                    int(open_total),
+                    [float(x) for x in new_days],
+                    [int(x) for x in new_totals],
+                )
+            )
+        if out:
+            rows = []
+            # score each closed day against the trail AS OF its close:
+            # the batch-start trail plus the days closed before it in
+            # this batch, trimmed to the window
+            for i, (d, tot) in enumerate(out):
+                trail = (totals + [t for _, t in out[:i]])[-window_days:]
+                z, flagged = score(tot, trail)
+                rows.append((d, tot, z, flagged))
+            yield pd.DataFrame(
+                {
+                    "series": [str(key[0])] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="s"),
+                    "total": [r[1] / 100.0 for r in rows],
+                    "z": [r[2] for r in rows],
+                    "is_anomaly": [r[3] for r in rows],
+                }
+            )
+
+    return events.groupBy(series_col).applyInPandasWithState(
+        fold,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -168,3 +168,120 @@ class TestPlanShapes:
             .executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestAnomalyStream:
+    """streaming/stateful.py::anomaly_stream — the rolling_zscore twin
+    with per-series trailing-baseline state across micro-batches."""
+
+    def test_matches_batch_on_closed_days(self, spark, tmp_path):
+        """Two micro-batches splitting a 12-day series mid-window (and
+        a query restart between them): every day closed by the stream
+        must score exactly as the batch operator scores it; the final
+        open day must not be emitted."""
+        import datetime as dt
+
+        from documents_vector_search_spark.streaming.stateful import (
+            anomaly_stream,
+        )
+
+        src = tmp_path / "an_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "an_ckpt")
+        out = str(tmp_path / "an_out")
+        schema = ("event_id long, ts timestamp, user_id string, "
+                  "event_type string, value double")
+        vals = [10.0, 12.0, 11.0, 13.0, 9.0, 11.5, 10.5, 12.5,
+                60.0, 11.0, 10.0, 12.0]
+        rows = [
+            (i, dt.datetime(2024, 1, i + 1, 12, 0, 0), "u", "click", v)
+            for i, v in enumerate(vals)
+        ]
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        def run(batch_rows):
+            spark.createDataFrame(batch_rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+            q = (
+                anomaly_stream(
+                    spark.readStream.schema(schema).parquet(str(src))
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(rows[:7])   # days 1-7; day 7 stays open
+        run(rows[7:])   # days 8-12 after a restart; day 12 stays open
+
+        got = {
+            r["day"].day: r
+            for r in spark.read.parquet(out).collect()
+        }
+        expected = {
+            r["day"].day: r
+            for r in rolling_zscore(_ev(spark, rows)).collect()
+        }
+        assert set(got) == {d for d in expected if d != 12}  # 12 open
+        for d, g in got.items():
+            e = expected[d]
+            assert g["total"] == e["total"], d
+            assert bool(g["is_anomaly"]) == bool(e["is_anomaly"]), d
+            if e["z"] is None:
+                assert g["z"] is None, d
+            else:
+                assert g["z"] == pytest.approx(e["z"], abs=1e-6), d
+        assert got[9]["is_anomaly"] is True  # the 60.0 spike
+
+    def test_late_day_dropped_and_state_bounded(self, spark, tmp_path):
+        """An event for an already-closed day is dropped; the trailing
+        state never exceeds window_days entries."""
+        import datetime as dt
+
+        from documents_vector_search_spark.streaming.stateful import (
+            anomaly_stream,
+        )
+
+        src = tmp_path / "an2_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "an2_ckpt")
+        out = str(tmp_path / "an2_out")
+        schema = ("event_id long, ts timestamp, user_id string, "
+                  "event_type string, value double")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        def run(batch_rows):
+            spark.createDataFrame(batch_rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+            q = (
+                anomaly_stream(
+                    spark.readStream.schema(schema).parquet(str(src)),
+                    window_days=3,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        b1 = [(i, dt.datetime(2024, 1, i + 1), "u", "click", 10.0)
+              for i in range(6)]
+        run(b1)
+        # day 2 is long closed: this event must not resurface it
+        run([(99, dt.datetime(2024, 1, 2, 6), "u", "click", 500.0),
+             (100, dt.datetime(2024, 1, 7), "u", "click", 10.0)])
+
+        got = spark.read.parquet(out).collect()
+        days = sorted(r["day"].day for r in got)
+        assert days == [1, 2, 3, 4, 5, 6]  # each day exactly once
+        d2 = [r for r in got if r["day"].day == 2][0]
+        assert d2["total"] == 10.0  # the late 500.0 never landed
