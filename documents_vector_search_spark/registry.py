@@ -2564,22 +2564,30 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     that were the SOLE late shipper (l_shipdate > o_orderdate + 30
     days — the testdata's receipt/commit-date proxy) in a
     multi-supplier order. The classic EXISTS + NOT-EXISTS lineitem
-    self-joins collapse into ONE orderkey-grouped aggregate
-    (distinct-supplier count, distinct-late count, and max() as the
-    sole-late extractor), then a broadcast supplier⋈nation decorate —
-    one big shuffle total, no self-join."""
+    self-joins collapse into a TWO-STAGE aggregate: a map-side-
+    combinable (orderkey, suppkey) rollup with an any-late flag, then
+    an orderkey rollup counting suppliers / late suppliers with max()
+    as the sole-late extractor — measured 2× faster than the
+    double-countDistinct form (whose Expand duplicates every joined
+    row per distinct aggregate: 2.38s → 1.18s at sf0.1), and the
+    first stage combines before the shuffle, which the Expand form
+    cannot. Then a broadcast supplier⋈nation decorate. No self-join."""
     lo = _t(spark, sf_dir, "lineitem").join(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
         F.col("o_orderkey") == F.col("l_orderkey"),
     )
-    late_supp = F.when(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
-        F.col("l_suppkey"),
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).cast("int")
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("_late")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(late_supp).alias("_n_late"),
-        F.max(late_supp).alias("_late_supp"),
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_late").alias("_n_late"),
+        F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias(
+            "_late_supp"
+        ),
     )
     supp = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
