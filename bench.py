@@ -152,6 +152,7 @@ HEADLINE = [
     "boilerplate_strip",
     "collocations",
     "bucketed_join",
+    "salted_join",
 ]
 
 

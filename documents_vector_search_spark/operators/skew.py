@@ -60,3 +60,51 @@ def salted_aggregate(
         for name, (fn, _c) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spread equi-join: every left row gets a deterministic salt
+    in [0, ``num_salts``); the right side replicates once per salt
+    value; the join runs on (key, salt), so a mega-key's rows spread
+    over ``num_salts`` tasks instead of funneling into one straggler.
+    Result-identical to ``left.join(right, key, how)`` — each left row
+    meets exactly ONE replica of each matching right row.
+
+    The manual fallback for the joins AQE's skew splitting cannot fix
+    (skew invisible to runtime stats, or a build side that defeats
+    the sort-merge splitter); ``skew_report`` names the keys and the
+    salt factor to use. The right side REPLICATES ×num_salts: it must
+    be the smaller input, and if it broadcasts anyway, broadcast() —
+    salting a broadcast join is pure overhead.
+
+    Only ``inner`` and ``left`` joins preserve semantics (an unmatched
+    RIGHT row would surface once per replica under right/full/anti).
+    The salt hashes all left columns — deterministic under task
+    retries (a nondeterministic salt is illegal in a join key), with
+    the documented caveat that byte-identical duplicate left rows
+    share a salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join preserves only inner/left semantics, got {how!r}"
+        )
+    lt = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), num_salts),
+    )
+    rt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    joined = lt.join(
+        rt,
+        (lt[left_key] == rt[right_key]) & (lt["_salt"] == rt["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

@@ -2281,6 +2281,39 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread equi-join (operators/skew.py::salted_join): the
+    events stream with a synthetic mega-key (every third event
+    rewritten to one whale user) enriched against its per-user
+    dimension through an 8-salt join — the whale's rows spread over 8
+    tasks instead of one straggler. The oracle runs the PLAIN join:
+    salting must be invisible to results."""
+    from documents_vector_search_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir)
+    sk = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("whale_user"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("user"),
+        "event_type",
+        _cents(F.col("value")).alias("_v_c"),
+    )
+    dim = sk.groupBy(F.col("user").alias("du")).agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum("_v_c").alias("_tot_c"),
+    )
+    return (
+        salted_join(sk, dim, "user", "du", num_salts=8)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("n_total").cast("bigint").alias("joined_weight"),
+            (F.sum("_tot_c").cast("bigint") / 100.0).alias("joined_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join (operators/layout.py::write_bucketed):
     orders and customer are persisted as 16-bucket tables hashed on
@@ -6684,6 +6717,25 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    d["salted_join"] = """
+WITH sk AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'whale_user'
+              ELSE CAST(user_id AS VARCHAR) END AS u,
+         event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+dim AS (
+  SELECT u, count(*)::BIGINT AS n_total, CAST(sum(v_c) AS BIGINT) AS tot_c
+  FROM sk GROUP BY u
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(n_total) AS BIGINT) AS joined_weight,
+       CAST(sum(tot_c) AS BIGINT) / 100.0 AS joined_value
+FROM sk JOIN dim USING (u)
+GROUP BY event_type
+ORDER BY event_type
+"""
     d["bucketed_join"] = """
 SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -7038,8 +7090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 144 keys and a
-    50-row window the full cycle is THREE rounds (ceil(144/50)): no
+    keys added this round, then the stalest keys. With 145 keys and a
+    50-row window the full cycle is THREE rounds (ceil(145/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -7062,14 +7114,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
       tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
-      boilerplate_strip, collocations, bucketed_join — 29 keys,
-      positions 16-44);
-    - positions 45-50: 6 of the 50 keys whose newest driver row is
+      boilerplate_strip, collocations, bucketed_join, salted_join —
+      30 keys, positions 16-45);
+    - positions 46-50: 5 of the 50 keys whose newest driver row is
       r7, stalest-first, with url_dedup kept in-window ahead of
       earlier-listed keys because its PSL longest-match join is NEW
-      code this round. Thirteen keys the late additions displaced
+      code this round. Fourteen keys the late additions displaced
       from the window, each judge-sweep green at sf0.1 this round
-      with named sibling coverage: bm25_rm3 (ql_dirichlet +
+      with named sibling coverage: facet_counts (its
+      single-aggregation plan pytest; cube_agg r8-driver-green shares
+      the grouped-count shape), bm25_rm3 (ql_dirichlet +
       phrase_search in-window share the pruned-postings scan; the
       RM3 expansion pytest in test_expansion_and_dsir.py),
       dsir_select (its map-only TakeOrdered
@@ -7095,7 +7149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (deterministic split-assignment pytest; topic_terms in-window
       shares the KMeans bucket fit), rollup (cube_agg
       r8-driver-green shares the grouping-set agg shape), set_ops
-      (pure set algebra with its own pytest). All thirteen join the
+      (pure set algebra with its own pytest). All fourteen join the
       THIRTY-ONE r7-green keys slipping to r10, each with named
       alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
@@ -7160,8 +7214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 44 slipped r7 keys first (stalest,
-      due r10 — the thirteen displaced by the late additions, then
+    - out-of-window tail (51+): the 45 slipped r7 keys first (stalest,
+      due r10 — the fourteen displaced by the late additions, then
       the 31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -7212,19 +7266,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "collocations": q_collocations,
         "bucketed_join": q_bucketed_join,
+        "salted_join": q_salted_join,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
         "binary_ann": q_binary_ann,
         "snippets": q_snippets,
-        "facet_counts": q_facet_counts,
         "url_dedup": q_url_dedup,
-        # -- window boundary: the thirteen keys below were displaced
-        # from the r9 window by the thirteen late-round additions (six
-        # TPC-H, four timeseries/journey, two corpus-prep, one layout
-        # key; never-green keys must be in-window); each has named
+        # -- window boundary: the fourteen keys below were displaced
+        # from the r9 window by the fourteen late-round additions (six
+        # TPC-H, four timeseries/journey, two corpus-prep, the
+        # bucketed-join layout key, and the salted-join skew key;
+        # never-green keys must be in-window); each has named
         # alternate coverage in the docstring and a judge dev/compare
         # sweep this round ----------------------------------------------
+        "facet_counts": q_facet_counts,
         "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,
         "knn_rocchio": q_knn_rocchio,

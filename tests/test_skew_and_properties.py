@@ -369,3 +369,77 @@ class TestUrlNormalizeProperties:
         ).collect()
         for r in rows:
             assert r.n1 == r.n2, (r.n1, r.n2)
+
+
+class TestSaltedJoin:
+    """operators/skew.py::salted_join — result-identical skew-spread
+    equi-join (the manual fix skew_report's salt_factor points at)."""
+
+    def _tables(self, spark):
+        from pyspark.sql import functions as F
+
+        left = spark.range(0, 1000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("whale"))
+            .otherwise(F.concat(F.lit("u"), F.col("id")))
+            .alias("k"),
+            (F.col("id") % 13).alias("v"),
+        )
+        # duplicate keys on the right: whale matches 2 rows, u7 matches 1
+        right = spark.createDataFrame(
+            [("whale", 100), ("whale", 200), ("u7", 7), ("ghost", -1)],
+            "rk string, w int",
+        )
+        return left, right
+
+    def test_inner_matches_plain_join(self, spark):
+        from documents_vector_search_spark.operators.skew import salted_join
+
+        left, right = self._tables(spark)
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(left, right, "k", "rk", 8).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in left.join(
+                right, left["k"] == right["rk"], "inner"
+            ).collect()
+        )
+        assert got == want and len(got) == 1001  # 500*2 whale + u7
+
+    def test_left_matches_plain_join(self, spark):
+        from documents_vector_search_spark.operators.skew import salted_join
+
+        left, right = self._tables(spark)
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(left, right, "k", "rk", 8, how="left")
+            .collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in left.join(
+                right, left["k"] == right["rk"], "left"
+            ).collect()
+        )
+        assert got == want
+        # unmatched left rows appear exactly once despite 8 replicas
+        assert sum(1 for k, _, w in got if w is None) == 499
+
+    def test_rejects_semantics_breaking_how(self, spark):
+        from documents_vector_search_spark.operators.skew import salted_join
+
+        left, right = self._tables(spark)
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, right, "k", "rk", 8, how="right")
+
+    def test_join_key_carries_the_salt(self, spark):
+        """The physical join keys must include _salt — otherwise the
+        whole point (splitting the hot key's hash bucket) is lost."""
+        from documents_vector_search_spark.operators.skew import salted_join
+
+        left, right = self._tables(spark)
+        plan = salted_join(left, right, "k", "rk", 8)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "_salt" in plan
+        assert "Generate explode" in plan or "Generate" in plan
