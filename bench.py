@@ -153,6 +153,8 @@ HEADLINE = [
     "collocations",
     "bucketed_join",
     "salted_join",
+    "attribution",
+    "ab_test",
 ]
 
 

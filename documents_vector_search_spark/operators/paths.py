@@ -184,3 +184,78 @@ def top_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, credit the FIRST and the LAST non-conversion
+    event type preceding it in the user's (ts, event_id)-ordered
+    stream, then aggregate per channel — ``(channel, first_touch_n,
+    first_touch_revenue, last_touch_n, last_touch_revenue)``.
+    Conversions with no preceding channel land in ``(none)``. The
+    marketing-analytics sibling of funnel/retention/event_paths.
+
+    Scale shape: ONE user-keyed window pass carries both candidate
+    channels (first/last ignore-nulls over the running frame — no
+    self-join against the conversion set), then two channel-keyed
+    aggregates over conversions only and a full outer join of two
+    |channels|-row tables. Revenue in exact integer cents.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(event_id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    channel_ev = F.when(
+        F.col(type_col) != conversion_type, F.col(type_col)
+    )
+    conv = (
+        events.withColumn(
+            "_ft", F.first(channel_ev, ignorenulls=True).over(w)
+        )
+        .withColumn("_lt", F.last(channel_ev, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .withColumn(
+            "_v_c",
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    ft = conv.groupBy(
+        F.coalesce(F.col("_ft"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("first_touch_n"),
+        F.sum("_v_c").alias("_fr_c"),
+    )
+    lt = conv.groupBy(
+        F.coalesce(F.col("_lt"), F.lit("(none)")).alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("last_touch_n"),
+        F.sum("_v_c").alias("_lr_c"),
+    )
+    return (
+        ft.join(lt, "channel", "outer")
+        .select(
+            "channel",
+            F.coalesce("first_touch_n", F.lit(0))
+            .cast("bigint")
+            .alias("first_touch_n"),
+            (F.coalesce("_fr_c", F.lit(0)) / 100.0).alias(
+                "first_touch_revenue"
+            ),
+            F.coalesce("last_touch_n", F.lit(0))
+            .cast("bigint")
+            .alias("last_touch_n"),
+            (F.coalesce("_lr_c", F.lit(0)) / 100.0).alias(
+                "last_touch_revenue"
+            ),
+        )
+        .orderBy("channel")
+    )

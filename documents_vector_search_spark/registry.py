@@ -2281,6 +2281,26 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/paths.py::
+    attribution): one user-keyed window pass carries both candidate
+    channels via ignore-nulls first/last over the running frame — no
+    self-join against the conversion set; revenue in exact cents."""
+    from documents_vector_search_spark.operators.paths import attribution
+
+    return attribution(_events(spark, sf_dir))
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout (operators/experiments.py::
+    ab_test): users hash 50/50 through the md5 family (stable across
+    engines/runs), per-user purchase totals as the intent-to-treat
+    metric, Welch z from exact integer sums, lift floored to micros."""
+    from documents_vector_search_spark.operators.experiments import ab_test
+
+    return ab_test(_events(spark, sf_dir))
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-spread equi-join (operators/skew.py::salted_join): the
     events stream with a synthetic mega-key (every third event
@@ -6717,6 +6737,75 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    d["attribution"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM events
+),
+conv AS (SELECT * FROM e WHERE event_type = 'purchase'),
+f AS (
+  SELECT coalesce(ft, '(none)') AS channel,
+         count(*)::BIGINT AS first_touch_n,
+         CAST(sum(v_c) AS BIGINT) AS fr_c
+  FROM conv GROUP BY 1
+),
+l AS (
+  SELECT coalesce(lt, '(none)') AS channel,
+         count(*)::BIGINT AS last_touch_n,
+         CAST(sum(v_c) AS BIGINT) AS lr_c
+  FROM conv GROUP BY 1
+)
+SELECT coalesce(f.channel, l.channel) AS channel,
+       coalesce(first_touch_n, 0)::BIGINT AS first_touch_n,
+       coalesce(fr_c, 0) / 100.0 AS first_touch_revenue,
+       coalesce(last_touch_n, 0)::BIGINT AS last_touch_n,
+       coalesce(lr_c, 0) / 100.0 AS last_touch_revenue
+FROM f FULL OUTER JOIN l ON f.channel = l.channel
+ORDER BY channel
+"""
+    from documents_vector_search_spark.functions.hashing import (
+        md5_hash64_sql as _md5sql,
+    )
+
+    _vh = _md5sql("u", salt=0)
+    d["ab_test"] = f"""
+WITH per_user AS (
+  SELECT CAST(user_id AS VARCHAR) AS u,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x_c
+  FROM events GROUP BY 1
+),
+v AS (SELECT x_c, {_vh} % 2 AS variant FROM per_user),
+st AS (
+  SELECT variant, count(*)::BIGINT AS n, CAST(sum(x_c) AS BIGINT) AS s,
+         CAST(sum(x_c * x_c) AS BIGINT) AS sq
+  FROM v GROUP BY variant
+),
+a AS (SELECT n AS n_a, s AS s_a, sq AS sq_a FROM st WHERE variant = 0),
+b AS (SELECT n AS n_b, s AS s_b, sq AS sq_b FROM st WHERE variant = 1)
+SELECT n_a, n_b,
+       round(s_a / n_a / 100.0, 6) AS mean_a,
+       round(s_b / n_b / 100.0, 6) AS mean_b,
+       CAST(floor((s_a * n_b - s_b * n_a) * 1000000.0 / (s_b * n_a) + 0.5)
+            AS BIGINT) / 1000000.0 AS lift,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         round((s_a / n_a / 100.0 - s_b / n_b / 100.0) * 100.0
+               / sqrt(((n_a * sq_a - s_a * s_a) / (n_a * (n_a - 1))) / n_a
+                    + ((n_b * sq_b - s_b * s_b) / (n_b * (n_b - 1))) / n_b),
+               6)
+       END AS z
+FROM a CROSS JOIN b
+"""
     d["salted_join"] = """
 WITH sk AS (
   SELECT CASE WHEN event_id % 3 = 0 THEN 'whale_user'
@@ -7090,8 +7179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 145 keys and a
-    50-row window the full cycle is THREE rounds (ceil(145/50)): no
+    keys added this round, then the stalest keys. With 147 keys and a
+    50-row window the full cycle is THREE rounds (ceil(147/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -7114,14 +7203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tpch_q13, tpch_q15, item_cooc, normalize_text, rfm_segments,
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
       tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
-      boilerplate_strip, collocations, bucketed_join, salted_join —
-      30 keys, positions 16-45);
-    - positions 46-50: 5 of the 50 keys whose newest driver row is
+      boilerplate_strip, collocations, bucketed_join, salted_join,
+      attribution, ab_test — 32 keys, positions 16-47);
+    - positions 48-50: 3 of the 50 keys whose newest driver row is
       r7, stalest-first, with url_dedup kept in-window ahead of
       earlier-listed keys because its PSL longest-match join is NEW
-      code this round. Fourteen keys the late additions displaced
+      code this round. Sixteen keys the late additions displaced
       from the window, each judge-sweep green at sf0.1 this round
-      with named sibling coverage: facet_counts (its
+      with named sibling coverage: binary_ann (its Hamming
+      recall-floor pytest in test_phrase_ql_binary.py; sq8_ann +
+      ivfpq_search in-window share the quantized-ANN serving path),
+      snippets (its line-derivation pushdown plan pytest; phrase_search
+      in-window shares the pruned-postings scan), facet_counts (its
       single-aggregation plan pytest; cube_agg r8-driver-green shares
       the grouped-count shape), bm25_rm3 (ql_dirichlet +
       phrase_search in-window share the pruned-postings scan; the
@@ -7149,7 +7242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (deterministic split-assignment pytest; topic_terms in-window
       shares the KMeans bucket fit), rollup (cube_agg
       r8-driver-green shares the grouping-set agg shape), set_ops
-      (pure set algebra with its own pytest). All fourteen join the
+      (pure set algebra with its own pytest). All sixteen join the
       THIRTY-ONE r7-green keys slipping to r10, each with named
       alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
@@ -7214,8 +7307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 45 slipped r7 keys first (stalest,
-      due r10 — the fourteen displaced by the late additions, then
+    - out-of-window tail (51+): the 47 slipped r7 keys first (stalest,
+      due r10 — the sixteen displaced by the late additions, then
       the 31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -7267,19 +7360,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "bucketed_join": q_bucketed_join,
         "salted_join": q_salted_join,
+        "attribution": q_attribution,
+        "ab_test": q_ab_test,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
         "ql_dirichlet": q_ql_dirichlet,
-        "binary_ann": q_binary_ann,
-        "snippets": q_snippets,
         "url_dedup": q_url_dedup,
-        # -- window boundary: the fourteen keys below were displaced
-        # from the r9 window by the fourteen late-round additions (six
-        # TPC-H, four timeseries/journey, two corpus-prep, the
-        # bucketed-join layout key, and the salted-join skew key;
+        # -- window boundary: the sixteen keys below were displaced
+        # from the r9 window by the sixteen late-round additions (six
+        # TPC-H, four timeseries/journey, two corpus-prep, two
+        # join-strategy/layout, and two experimentation keys;
         # never-green keys must be in-window); each has named
         # alternate coverage in the docstring and a judge dev/compare
         # sweep this round ----------------------------------------------
+        "binary_ann": q_binary_ann,
+        "snippets": q_snippets,
         "facet_counts": q_facet_counts,
         "bm25_rm3": q_bm25_rm3,
         "dsir_select": q_dsir_select,

@@ -285,3 +285,104 @@ class TestAnomalyStream:
         assert days == [1, 2, 3, 4, 5, 6]  # each day exactly once
         d2 = [r for r in got if r["day"].day == 2][0]
         assert d2["total"] == 10.0  # the late 500.0 never landed
+
+
+class TestAttribution:
+    def test_first_and_last_touch_credits(self, spark):
+        """view→click→buy(10)→email→buy(20): first-touch credits view
+        for both conversions; last-touch splits click/email."""
+        rows = [
+            (1, _day(1), "u", "view", 0.0),
+            (2, _day(2), "u", "click", 0.0),
+            (3, _day(3), "u", "purchase", 10.0),
+            (4, _day(4), "u", "email", 0.0),
+            (5, _day(5), "u", "purchase", 20.0),
+        ]
+        from documents_vector_search_spark.operators.paths import attribution
+
+        out = {r["channel"]: r for r in
+               attribution(_ev(spark, rows)).collect()}
+        assert out["view"]["first_touch_n"] == 2
+        assert out["view"]["first_touch_revenue"] == 30.0
+        assert out["view"]["last_touch_n"] == 0
+        assert out["click"]["last_touch_n"] == 1
+        assert out["click"]["last_touch_revenue"] == 10.0
+        assert out["email"]["last_touch_n"] == 1
+        assert out["email"]["last_touch_revenue"] == 20.0
+
+    def test_conversion_without_channel_is_none_bucket(self, spark):
+        rows = [
+            (1, _day(1), "u", "purchase", 5.0),
+            (2, _day(2), "u", "view", 0.0),
+            (3, _day(3), "u", "purchase", 7.0),
+        ]
+        from documents_vector_search_spark.operators.paths import attribution
+
+        out = {r["channel"]: r for r in
+               attribution(_ev(spark, rows)).collect()}
+        assert out["(none)"]["first_touch_n"] == 1
+        assert out["(none)"]["first_touch_revenue"] == 5.0
+        assert out["view"]["last_touch_n"] == 1
+        assert out["view"]["last_touch_revenue"] == 7.0
+
+
+class TestAbTest:
+    def test_assignment_is_md5_stable(self, spark):
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+        from documents_vector_search_spark.operators.experiments import (
+            assign_variant,
+        )
+
+        df = spark.createDataFrame(
+            [(f"user{i}",) for i in range(40)], "u string"
+        ).select("u", assign_variant(F.col("u")).alias("v"))
+        for r in df.collect():
+            assert r["v"] == md5_hash64_py(r["u"]) % 2
+
+    def test_welch_z_matches_reference_math(self, spark):
+        """Closed-form check against a plain-Python Welch computation
+        over the same deterministic assignment."""
+        import math
+
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+        from documents_vector_search_spark.operators.experiments import (
+            ab_test,
+        )
+
+        rows = []
+        spend = {}
+        for i in range(60):
+            u = f"u{i}"
+            v = (i % 7) * 2.5 + 1.0
+            rows.append((i, _day(1 + i % 20), u, "purchase", v))
+            spend[u] = spend.get(u, 0) + round(v * 100)
+            if i % 3 == 0:  # noise events must not count
+                rows.append((1000 + i, _day(2), u, "view", 99.0))
+        r = ab_test(_ev(spark, rows)).collect()[0]
+        xa = [c for u, c in spend.items() if md5_hash64_py(str(u)) % 2 == 0]
+        xb = [c for u, c in spend.items() if md5_hash64_py(str(u)) % 2 == 1]
+        assert r["n_a"] == len(xa) and r["n_b"] == len(xb)
+        ma, mb = sum(xa) / len(xa), sum(xb) / len(xb)
+        va = sum((x - ma) ** 2 for x in xa) / (len(xa) - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (len(xb) - 1)
+        z = (ma - mb) / math.sqrt(va / len(xa) + vb / len(xb))
+        assert r["z"] == pytest.approx(z, abs=1e-5)
+        assert r["mean_a"] == pytest.approx(ma / 100.0, abs=1e-6)
+
+    def test_intent_to_treat_includes_non_converters(self, spark):
+        """A user with only view events still lands in a variant with
+        metric 0 — the denominator is ASSIGNED users."""
+        rows = [(1, _day(1), "buyer", "purchase", 10.0),
+                (2, _day(1), "lurker1", "view", 0.0),
+                (3, _day(1), "lurker2", "view", 0.0),
+                (4, _day(1), "lurker3", "view", 0.0)]
+        from documents_vector_search_spark.operators.experiments import (
+            ab_test,
+        )
+
+        r = ab_test(_ev(spark, rows)).collect()[0]
+        assert r["n_a"] + r["n_b"] == 4
