@@ -155,6 +155,7 @@ HEADLINE = [
     "salted_join",
     "attribution",
     "ab_test",
+    "tpch_q12",
 ]
 
 

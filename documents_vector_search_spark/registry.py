@@ -2281,6 +2281,51 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-delay priority analysis: lines bucketed
+    by delay class (the testdata has no shipmode/commit/receipt dates,
+    so the classes adapt to shipdate − orderdate: ≤30d on-time, ≤90d
+    late, else very_late), counting high-priority (1-URGENT/2-HIGH)
+    vs lower-priority orders per class within one ship year — Q12's
+    join + conditional-aggregation shape. One orders⋈lineitem shuffle;
+    the year filter pushes into the lineitem scan; the aggregate is
+    3 keys × 2 counters, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay_class = (
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            F.lit("on_time"),
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit("late"),
+        )
+        .otherwise(F.lit("very_late"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch conversion attribution (operators/paths.py::
     attribution): one user-keyed window pass carries both candidate
@@ -6737,6 +6782,20 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    d["tpch_q12"] = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'on_time'
+            WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'late'
+            ELSE 'very_late' END AS delay_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY delay_class
+ORDER BY delay_class
+"""
     d["attribution"] = """
 WITH e AS (
   SELECT user_id, event_type,
@@ -7179,8 +7238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 147 keys and a
-    50-row window the full cycle is THREE rounds (ceil(147/50)): no
+    keys added this round, then the stalest keys. With 148 keys and a
+    50-row window the full cycle is THREE rounds (ceil(148/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
@@ -7204,13 +7263,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
       tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
       boilerplate_strip, collocations, bucketed_join, salted_join,
-      attribution, ab_test — 32 keys, positions 16-47);
-    - positions 48-50: 3 of the 50 keys whose newest driver row is
-      r7, stalest-first, with url_dedup kept in-window ahead of
-      earlier-listed keys because its PSL longest-match join is NEW
-      code this round. Sixteen keys the late additions displaced
-      from the window, each judge-sweep green at sf0.1 this round
-      with named sibling coverage: binary_ann (its Hamming
+      attribution, ab_test, tpch_q12 — 33 keys, positions 16-48);
+    - positions 49-50: 2 of the 50 keys whose newest driver row is
+      r7 (phrase_search, stalest-first head, and url_dedup, kept
+      in-window ahead of earlier-listed keys because its PSL
+      longest-match join is NEW code this round). Seventeen keys the
+      late additions displaced from the window, each judge-sweep
+      green at sf0.1 this round with named sibling coverage:
+      ql_dirichlet (its QL-vs-BM25 scoring pytest in
+      test_phrase_ql_binary.py; phrase_search in-window shares the
+      pruned-postings scan), binary_ann (its Hamming
       recall-floor pytest in test_phrase_ql_binary.py; sq8_ann +
       ivfpq_search in-window share the quantized-ANN serving path),
       snippets (its line-derivation pushdown plan pytest; phrase_search
@@ -7242,7 +7304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (deterministic split-assignment pytest; topic_terms in-window
       shares the KMeans bucket fit), rollup (cube_agg
       r8-driver-green shares the grouping-set agg shape), set_ops
-      (pure set algebra with its own pytest). All sixteen join the
+      (pure set algebra with its own pytest). All seventeen join the
       THIRTY-ONE r7-green keys slipping to r10, each with named
       alternate coverage this round:
       median_price (value_percentiles r8-driver-green and the new
@@ -7307,8 +7369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       shares the LM scoring shape), curation_sweep
       (corpus_prep_gopher + c4_rules in-window compose the identical
       gates). All thirty-one LEAD the r10 window.
-    - out-of-window tail (51+): the 47 slipped r7 keys first (stalest,
-      due r10 — the sixteen displaced by the late additions, then
+    - out-of-window tail (51+): the 48 slipped r7 keys first (stalest,
+      due r10 — the seventeen displaced by the late additions, then
       the 31 named below), then the 50 r8-green keys.
     """
     _ensure_assets_seeded()
@@ -7362,17 +7424,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "attribution": q_attribution,
         "ab_test": q_ab_test,
+        "tpch_q12": q_tpch_q12,
         # -- due back: newest driver-green row is r7, stalest-first -------
         "phrase_search": q_phrase_search,
-        "ql_dirichlet": q_ql_dirichlet,
         "url_dedup": q_url_dedup,
-        # -- window boundary: the sixteen keys below were displaced
-        # from the r9 window by the sixteen late-round additions (six
-        # TPC-H, four timeseries/journey, two corpus-prep, two
+        # -- window boundary: the seventeen keys below were displaced
+        # from the r9 window by the seventeen late-round additions
+        # (seven TPC-H, four timeseries/journey, two corpus-prep, two
         # join-strategy/layout, and two experimentation keys;
         # never-green keys must be in-window); each has named
         # alternate coverage in the docstring and a judge dev/compare
         # sweep this round ----------------------------------------------
+        "ql_dirichlet": q_ql_dirichlet,
         "binary_ann": q_binary_ann,
         "snippets": q_snippets,
         "facet_counts": q_facet_counts,
