@@ -634,6 +634,52 @@ def cmd_zorder(args) -> int:
     return 0
 
 
+def cmd_anomaly(args) -> int:
+    """Trailing-baseline anomaly scan over an event parquet
+    (operators/timeseries.py::rolling_zscore): per-series daily totals
+    scored against their prior window; the flag is a pure integer
+    inequality. Prints flagged days (or all scored days with --all);
+    exit 1 when anomalies exist so cron/CI can gate on it."""
+    from documents_vector_search_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    scored = rolling_zscore(
+        spark.read.parquet(args.input),
+        series_col=args.series_col,
+        ts_col=args.ts_col,
+        value_col=args.value_col,
+        window_days=args.window,
+        threshold=args.threshold,
+    )
+    rows = scored.collect() if args.all else scored.filter(
+        scored["is_anomaly"]
+    ).collect()
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    print(_format(
+        {
+            "input": args.input,
+            "windowDays": args.window,
+            "threshold": args.threshold,
+            "nAnomalies": n_anom,
+            "days": [
+                {
+                    "series": r["series"],
+                    "day": str(r["day"]),
+                    "total": r["total"],
+                    "z": r["z"],
+                    "isAnomaly": bool(r["is_anomaly"]),
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 1 if n_anom else 0
+
+
 def cmd_refit_sq8(args) -> int:
     """Re-fit SQ8 quantizer bounds after distribution drift
     (collection/refit.py) — O(corpus) by design, so it is an explicit
@@ -1208,6 +1254,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-files", type=int, default=1,
                     help="compact buckets whose dirs exceed this file count")
     sp.set_defaults(func=cmd_compact)
+
+    sp = sub.add_parser("anomaly")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--series-col", default="event_type")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--window", type=int, default=7)
+    sp.add_argument("--threshold", type=int, default=3)
+    sp.add_argument("--all", action="store_true",
+                    help="print every scored day, not only anomalies")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_anomaly)
 
     sp = sub.add_parser("zorder")
     sp.add_argument("--input", required=True,

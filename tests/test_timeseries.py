@@ -386,3 +386,31 @@ class TestAbTest:
 
         r = ab_test(_ev(spark, rows)).collect()[0]
         assert r["n_a"] + r["n_b"] == 4
+
+
+class TestAnomalyCLI:
+    def test_cli_flags_spike_and_exit_code(self, spark, tmp_path, capsys):
+        import json
+
+        from documents_vector_search_spark import cli
+
+        rows = [(i, _day(i + 1), "u", "click", 10.0) for i in range(10)]
+        rows.append((99, _day(11), "u", "click", 100.0))
+        src = str(tmp_path / "ev")
+        _ev(spark, rows).write.parquet(src)
+        rc = cli.main(["anomaly", "--input", src, "--format", "json"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 1  # anomalies exist -> gate-able exit code
+        assert out["nAnomalies"] == 1
+        assert out["days"][0]["day"].startswith("2024-01-11")
+
+    def test_cli_quiet_corpus_exits_zero(self, spark, tmp_path, capsys):
+        from documents_vector_search_spark import cli
+
+        rows = [(i, _day(i + 1), "u", "click", 10.0 + (i % 2))
+                for i in range(10)]
+        src = str(tmp_path / "ev_ok")
+        _ev(spark, rows).write.parquet(src)
+        rc = cli.main(["anomaly", "--input", src])
+        capsys.readouterr()
+        assert rc == 0
