@@ -156,6 +156,8 @@ HEADLINE = [
     "attribution",
     "ab_test",
     "tpch_q12",
+    "snapshot_diff",
+    "pagerank",
 ]
 
 

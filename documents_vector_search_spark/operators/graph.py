@@ -1,0 +1,171 @@
+"""Iterative graph algorithms as edge-keyed DataFrame loops.
+
+PageRank is the representative: importance propagation over a weighted
+directed graph (Page et al. 1999), the standard quality prior for
+web-corpus curation (a CommonCrawl-style host graph) and the "which
+state actually matters" view of an event-transition graph.
+
+Spark shape — the canonical iterative-dataflow pattern:
+- the EDGE table is the big, partition-stable input; each iteration is
+  one ``edges ⋈ ranks`` join (ranks repartition to the edge key) plus
+  one ``groupBy(dst)`` aggregate. Nothing is ever collected; node and
+  edge counts can be arbitrary.
+- lineage is cut every ``checkpoint_every`` iterations with
+  ``localCheckpoint`` — without this, 10+ self-referential joins build
+  a plan Catalyst re-optimizes from scratch each pass and the DAG
+  explodes at scale.
+- all rank arithmetic is INTEGER (micro-units with explicit integer
+  division), so the fixpoint trajectory is bit-identical in any
+  engine — that is what lets a SQL oracle replay the loop unrolled.
+
+Dangling mass: nodes with no out-edges leak their rank (the classic
+simplification; re-injecting it needs one extra one-row aggregate per
+iteration — noted, not built, because rank ORDER is what curation
+consumes and leakage preserves it for the damping factors in use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "PR_SCALE"]
+
+# rank unit: 1.0 of probability mass == PR_SCALE integer units.
+# 1e12 keeps six significant digits even for million-node graphs
+# (base term PR_SCALE/N stays ≥ 1e6).
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank; returns ``(node, rank_micro,
+    rank)`` where ``rank_micro`` is the exact int64 trajectory value
+    (PR_SCALE-scaled probability) and ``rank`` its float rendering.
+
+    ``PR(v) = (1-d)/N + d · Σ_{u→v} PR(u) · w(u,v) / W_out(u)`` with
+    ``d = damping_pct/100``, evaluated ``iterations`` times from the
+    uniform start, entirely in integer units: every division is an
+    explicit int64 floor-div, so two engines replaying the loop agree
+    bit-for-bit. Unweighted graphs pass ``weight=None`` (every edge
+    weight 1 — the division is then by out-degree).
+
+    The node set is ``src ∪ dst`` (sinks participate; sources feed).
+    Per-iteration cost: one join shuffled on ``src`` + one aggregate
+    shuffled on ``dst`` — both keyed shuffles AQE can coalesce, no
+    driver-side state beyond the loop counter.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    w_col = (
+        F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
+    )
+    # out-weight per source, carried ON the edge row so the iteration
+    # join is single-key; weights must be positive
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    e = e.join(out_w, "_src").localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("rank_micro"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = (PR_SCALE * (100 - damping_pct)) // (100 * n_nodes)
+    init = PR_SCALE // n_nodes
+
+    ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                # d/100 · r · w/out_w as an int64 floor-div chain in
+                # THIS order: (r·w) DIV out_w ≤ r (w ≤ out_w always),
+                # so the later ·damping_pct stays ≤ 100·PR_SCALE and
+                # the only large product is r·w — safe while
+                # w ≤ ~4·10⁶ at r = PR_SCALE (document bound, not UB:
+                # heavier edges should pre-scale their weights)
+                F.expr(
+                    f"((r * _w) DIV _out_w * {damping_pct}) DIV 100"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.coalesce(F.col("in_mass"), F.lit(0)).cast("bigint")
+                ).alias("r"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+def pagerank_unrolled_sql(
+    edges_cte: str,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """The oracle twin: the SAME integer trajectory as :func:`pagerank`
+    unrolled into chained CTEs (standard SQL forbids aggregates in a
+    recursive term, so the loop unrolls — fine for a fixed iteration
+    count). ``edges_cte`` must define relation ``edges(src, dst, w)``.
+    Returns a full query ending in ``SELECT node, rank_micro, rank``.
+    """
+    parts = [
+        f"WITH {edges_cte}",
+        "ew AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w"
+        " FROM edges)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM edges"
+        "  UNION SELECT dst AS node FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"r{i + 1} AS ("
+            f"SELECT nodes.node, CAST(({scale} * {100 - damping_pct})"
+            f" // (100 * nn.n) + coalesce(m.in_mass, 0) AS BIGINT) AS r"
+            " FROM nodes CROSS JOIN nn LEFT JOIN ("
+            "SELECT ew.dst AS node,"
+            f" sum((r{i}.r * ew.w) // ew.out_w"
+            f" * {damping_pct} // 100) AS in_mass"
+            f" FROM ew JOIN r{i} ON ew.src = r{i}.node GROUP BY ew.dst"
+            ") m ON m.node = nodes.node)"
+        )
+    parts.append(
+        f"SELECT node, r AS rank_micro, r / {float(scale)} AS rank"
+        f" FROM r{iterations}"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]

@@ -4073,6 +4073,74 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_snapshots(spark: SparkSession, sf_dir: str):
+    """The snapshot_diff workload: orders as last night's snapshot and
+    a deterministically-perturbed tonight's snapshot — keys %97 gone
+    (source deletes), %5 repriced (+10.00, captured in exact cents),
+    %11==3 re-keyed +100000000 (source inserts). Both engines replay
+    the identical derivation."""
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        "o_orderstatus",
+    )
+    kept = old.filter(F.col("o_orderkey") % 97 != 0)
+    new = kept.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("price_c") + F.lit(1000)
+        )
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+        "o_orderstatus",
+    )
+    inserts = kept.filter(F.col("o_orderkey") % 11 == 3).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "price_c",
+        F.lit("O").alias("o_orderstatus"),
+    )
+    return old, new.unionByName(inserts)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly snapshot CDC (operators/cdc.py::snapshot_diff): the
+    changeset between two full dumps of the orders table — added /
+    removed / changed rows with old+new values, from ONE key-shuffled
+    full-outer join with a null-safe column compare evaluated inside
+    codegen. Bucketing both snapshots on the key (write_bucketed)
+    makes the nightly diff zero-Exchange at 100 TB."""
+    from documents_vector_search_spark.operators.cdc import snapshot_diff
+
+    old, new = _orders_snapshots(spark, sf_dir)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["price_c", "o_orderstatus"]
+    ).orderBy("o_orderkey", "status")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph importance over the event-transition graph
+    (operators/graph.py::pagerank): 10 damped iterations in EXACT
+    integer micro-units — each iteration one edges⋈ranks join + one
+    dst-keyed aggregate, lineage cut by localCheckpoint — so the SQL
+    oracle replays the identical trajectory unrolled. The quality
+    prior a web-corpus curation pipeline computes over its host
+    graph, here over event types (same plan shape at any node
+    count)."""
+    from documents_vector_search_spark.operators.graph import pagerank
+    from documents_vector_search_spark.operators.paths import (
+        event_transitions,
+    )
+
+    edges = event_transitions(_events(spark, sf_dir)).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").alias("w"),
+    )
+    return pagerank(edges, weight="w", iterations=10).orderBy(
+        F.desc("rank_micro"), "node"
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -6796,6 +6864,53 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 GROUP BY delay_class
 ORDER BY delay_class
 """
+    d["snapshot_diff"] = """
+WITH old_s AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+),
+kept AS (SELECT * FROM old_s WHERE o_orderkey % 97 <> 0),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN price_c + 1000
+              ELSE price_c END AS price_c,
+         o_orderstatus
+  FROM kept
+  UNION ALL
+  SELECT o_orderkey + 100000000, price_c, 'O'
+  FROM kept WHERE o_orderkey % 11 = 3
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       o.price_c AS old_price_c, o.o_orderstatus AS old_o_orderstatus,
+       n.price_c AS new_price_c, n.o_orderstatus AS new_o_orderstatus
+FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.price_c IS DISTINCT FROM n.price_c
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+ORDER BY o_orderkey, status
+"""
+    from documents_vector_search_spark.operators.graph import (
+        pagerank_unrolled_sql,
+    )
+
+    _pr_edges = """edges AS (
+  SELECT src, dst, count(*)::BIGINT AS w FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+)"""
+    d["pagerank"] = (
+        pagerank_unrolled_sql(_pr_edges, iterations=10, damping_pct=85)
+        + "\nORDER BY rank_micro DESC, node"
+    )
     d["attribution"] = """
 WITH e AS (
   SELECT user_id, event_type,
@@ -7263,11 +7378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       funnel_latency, tpch_q4, tpch_q8, tpch_q9, tpch_q17, tpch_q21,
       tpch_q22, ts_resample, anomaly_zscore, top_paths, spend_gini,
       boilerplate_strip, collocations, bucketed_join, salted_join,
-      attribution, ab_test, tpch_q12 — 33 keys, positions 16-48);
-    - positions 49-50: 2 of the 50 keys whose newest driver row is
-      r7 (phrase_search, stalest-first head, and url_dedup, kept
-      in-window ahead of earlier-listed keys because its PSL
-      longest-match join is NEW code this round). Seventeen keys the
+      attribution, ab_test, tpch_q12, snapshot_diff, pagerank — 35
+      keys, positions 16-50). The never-green budget is EXHAUSTED:
+      15 r6-stale + 35 never-green fills the window, so phrase_search
+      and url_dedup (both r7) moved just past the boundary with named
+      coverage (see the window-boundary comment in the dict) and lead
+      the r10 due-backs. Seventeen keys the
       late additions displaced from the window, each judge-sweep
       green at sf0.1 this round with named sibling coverage:
       ql_dirichlet (its QL-vs-BM25 scoring pytest in
@@ -7425,7 +7541,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "ab_test": q_ab_test,
         "tpch_q12": q_tpch_q12,
-        # -- due back: newest driver-green row is r7, stalest-first -------
+        "snapshot_diff": q_snapshot_diff,
+        "pagerank": q_pagerank,
+        # -- window boundary (never-green budget exhausted: 15 r6-stale
+        # + 35 never-green fills all 50 slots). phrase_search and
+        # url_dedup (both r7) were displaced by the two newest keys;
+        # coverage: phrase_search's pruned-postings scan is shared by
+        # r8-driver-green bm25_topk/bm25f and pinned by its positional-
+        # index pytest; url_dedup's PSL longest-match has the
+        # co.uk/com.au/wildcard/exception pytest battery and the judge
+        # sf0.01/sf0.1 sweeps this round ---------------------------------
         "phrase_search": q_phrase_search,
         "url_dedup": q_url_dedup,
         # -- window boundary: the seventeen keys below were displaced

@@ -1,0 +1,162 @@
+"""CDC operators (operators/cdc.py) and iterative graph algorithms
+(operators/graph.py): semantic pins the registry's DuckDB oracle hash
+cannot express — NULL-transition change detection, SCD2 version
+chaining with no-op collapse, PageRank invariants (sink accumulation,
+symmetry, damping limit) and the Spark-vs-pure-Python trajectory."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from documents_vector_search_spark.operators.cdc import scd2_apply, snapshot_diff
+from documents_vector_search_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    pagerank_unrolled_sql,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestSnapshotDiff:
+    SCHEMA = "k bigint, a string, b double"
+
+    def test_statuses(self, spark):
+        old = _df(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], self.SCHEMA)
+        new = _df(spark, [(2, "y", 2.0), (3, "z", 9.0), (4, "w", 4.0)], self.SCHEMA)
+        out = {
+            r["k"]: r
+            for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        }
+        assert out[1]["status"] == "removed" and out[1]["new_a"] is None
+        assert 2 not in out  # unchanged rows drop
+        assert out[3]["status"] == "changed"
+        assert out[3]["old_b"] == 3.0 and out[3]["new_b"] == 9.0
+        assert out[4]["status"] == "added" and out[4]["old_a"] is None
+
+    def test_null_transitions_register_as_changes(self, spark):
+        """NULL→value and value→NULL must be 'changed', not swallowed
+        by three-valued logic — the eqNullSafe contract."""
+        old = _df(spark, [(1, None, 1.0), (2, "y", 2.0), (3, None, 3.0)], self.SCHEMA)
+        new = _df(spark, [(1, "x", 1.0), (2, None, 2.0), (3, None, 3.0)], self.SCHEMA)
+        out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["a"]).collect()}
+        assert out == {1: "changed", 2: "changed"}  # 3: NULL==NULL unchanged
+
+    def test_composite_key(self, spark):
+        old = _df(spark, [(1, "p", 1.0), (1, "q", 2.0)], self.SCHEMA)
+        new = _df(spark, [(1, "p", 5.0), (1, "q", 2.0)], self.SCHEMA)
+        rows = snapshot_diff(old, new, ["k", "a"], ["b"]).collect()
+        assert len(rows) == 1
+        assert rows[0]["k"] == 1 and rows[0]["a"] == "p"
+        assert rows[0]["status"] == "changed"
+
+
+class TestScd2Apply:
+    DIM = "k bigint, attr string"
+    CH = "k bigint, attr string, effective_ts bigint"
+
+    def test_version_chain(self, spark):
+        cur = _df(spark, [(1, "v0")], self.DIM)
+        ch = _df(spark, [(1, "v1", 100), (1, "v2", 200)], self.CH)
+        rows = sorted(
+            scd2_apply(cur, ch, ["k"], ["attr"]).collect(),
+            key=lambda r: (r["valid_from"] is not None, r["valid_from"] or 0),
+        )
+        assert [r["attr"] for r in rows] == ["v0", "v1", "v2"]
+        assert rows[0]["valid_from"] is None and rows[0]["valid_to"] == 100
+        assert rows[1]["valid_from"] == 100 and rows[1]["valid_to"] == 200
+        assert rows[2]["valid_to"] is None and rows[2]["is_current"] is True
+        assert [r["is_current"] for r in rows[:2]] == [False, False]
+
+    def test_noop_change_collapses(self, spark):
+        """A change row carrying the same attribute values produces no
+        version — warehouse MERGE semantics."""
+        cur = _df(spark, [(1, "v0")], self.DIM)
+        ch = _df(spark, [(1, "v0", 100), (1, "v1", 200)], self.CH)
+        rows = scd2_apply(cur, ch, ["k"], ["attr"]).collect()
+        assert len(rows) == 2
+        attrs = {r["attr"]: r for r in rows}
+        assert attrs["v0"]["valid_to"] == 200  # closes at the REAL change
+        assert attrs["v1"]["is_current"] is True
+
+    def test_new_key_arrives_via_changes(self, spark):
+        cur = _df(spark, [(1, "a")], self.DIM)
+        ch = _df(spark, [(2, "b", 50)], self.CH)
+        rows = {r["k"]: r for r in scd2_apply(cur, ch, ["k"], ["attr"]).collect()}
+        assert rows[2]["valid_from"] == 50 and rows[2]["is_current"] is True
+        assert rows[1]["is_current"] is True  # untouched key stays open
+
+
+def _pure_python_pagerank(edges, iterations=10, damping_pct=85):
+    """Reference trajectory: same integer arithmetic, no Spark."""
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = (PR_SCALE * (100 - damping_pct)) // (100 * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iterations):
+        mass = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            mass[d] += (r[s] * w) // out_w[s] * damping_pct // 100
+        r = {v: base + mass[v] for v in nodes}
+    return r
+
+
+class TestPagerank:
+    EDGES = "src string, dst string, w bigint"
+
+    def test_matches_pure_python_trajectory(self, spark):
+        edges = [
+            ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+            ("c", "a", 1), ("c", "d", 1), ("d", "a", 5),
+        ]
+        expect = _pure_python_pagerank(edges)
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(
+                _df(spark, edges, self.EDGES), weight="w"
+            ).collect()
+        }
+        assert got == expect
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        """a→b→c→a with equal weights: ranks must stay exactly equal."""
+        edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+        rows = pagerank(_df(spark, edges, self.EDGES)).collect()
+        assert len({r["rank_micro"] for r in rows}) == 1
+
+    def test_sink_outranks_sources(self, spark):
+        """Two sources feeding one sink: the sink holds strictly more
+        mass after any iterations."""
+        edges = [("s1", "hub", 1), ("s2", "hub", 1)]
+        got = {r["node"]: r["rank_micro"] for r in pagerank(_df(spark, edges, self.EDGES)).collect()}
+        assert got["hub"] > got["s1"] == got["s2"]
+
+    def test_unrolled_sql_replays_trajectory(self, spark):
+        """The oracle generator and the DataFrame loop agree on DuckDB
+        — the cross-engine exactness contract, tested end-to-end."""
+        import duckdb
+
+        edges = [
+            ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+            ("c", "a", 1), ("c", "d", 1), ("d", "a", 5),
+        ]
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE raw_edges AS SELECT * FROM (VALUES "
+            + ", ".join(f"('{s}', '{d}', {w})" for s, d, w in edges)
+            + ") t(src, dst, w)"
+        )
+        sql = pagerank_unrolled_sql("edges AS (SELECT * FROM raw_edges)")
+        oracle = {n: m for n, m, _ in con.sql(sql).fetchall()}
+        expect = _pure_python_pagerank(edges)
+        assert oracle == expect
+
+    def test_damping_pct_validated(self, spark):
+        with pytest.raises(ValueError):
+            pagerank(_df(spark, [("a", "b", 1)], self.EDGES), damping_pct=100)
