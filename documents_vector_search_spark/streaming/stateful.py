@@ -344,3 +344,100 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = "user_id string, stage long, stage_ts timestamp"
+# per-user funnel progress: k stage timestamps (epoch seconds, -1 =
+# unreached) + the last absorbed (ts, event_id) for late-event
+# detection — one bounded row per user regardless of event volume
+FUNNEL_STATE_SCHEMA = "stages array<double>, last_ts double, last_eid long"
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/funnel.py::funnel_stage_times — the
+    REAL-TIME funnel. Emits one append-mode row ``(user, stage,
+    stage_ts)`` the moment a user first completes stage ``stage``
+    (1-based) having already completed every earlier stage; a stage
+    fires AT MOST ONCE per user, so the emitted stream is exactly the
+    conversion-moment log, and a plain
+    ``groupBy(stage).count()`` downstream is the live funnel report.
+
+    Semantics match the batch operator under the same (ts, event_id)
+    total order: within a micro-batch events are sorted before
+    folding; an event arriving in a LATER batch but event-time-earlier
+    than the last absorbed event is dropped (the transitions_stream
+    watermark contract — upstream ``withWatermark`` bounds how much
+    can be lost, and the parity pytest pins stream == batch when
+    batches split in order).
+
+    Scale shape: state is ONE fixed-width row per user (k stage
+    slots), shuffled once on the user key per micro-batch — the same
+    O(active users) bound as sessionize_stream; a production deploy
+    would add an event-time TTL timeout to evict users whose funnel
+    window has lapsed (the sessionize idle_flush pattern)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            stages, last_ts, last_eid = state.get
+            stages = list(stages)
+        else:
+            stages = [-1.0] * k
+            last_ts = last_eid = None
+
+        rows: list[tuple[float, int, str]] = []
+        for pdf in pdfs:
+            ts = pdf[ts_col].astype("int64") / 1e9
+            for t, e, tp in zip(ts, pdf[event_id_col], pdf[type_col]):
+                rows.append((float(t), int(e), str(tp)))
+        rows.sort()
+
+        fired: list[tuple[int, float]] = []
+        for t, e, tp in rows:
+            if last_ts is not None and (t, e) < (last_ts, last_eid):
+                continue  # late: state already moved past this instant
+            last_ts, last_eid = t, e
+            n_filled = sum(1 for s in stages if s >= 0)
+            if n_filled < k and step_idx.get(tp) == n_filled:
+                stages[n_filled] = t
+                fired.append((n_filled + 1, t))
+
+        state.update(
+            (
+                [float(s) for s in stages],
+                float(last_ts) if last_ts is not None else -1.0,
+                int(last_eid) if last_eid is not None else -1,
+            )
+        )
+        if fired:
+            yield pd.DataFrame(
+                {
+                    "user_id": [str(key[0])] * len(fired),
+                    "stage": [s for s, _ in fired],
+                    "stage_ts": pd.to_datetime(
+                        [t for _, t in fired], unit="s"
+                    ),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

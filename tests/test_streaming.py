@@ -1176,3 +1176,124 @@ class TestTransitionsStream:
         rows = spark.read.parquet(out).collect()
         got = {(r.from_type, r.to_type) for r in rows}
         assert got == {("view", "purchase")}
+
+
+class TestFunnelStream:
+    """streaming/stateful.py::funnel_stream — the real-time funnel
+    twin of operators/funnel.py::funnel_stage_times: stage completions
+    emitted append-mode at the moment they happen, state carried
+    across micro-batches and query restarts."""
+
+    STEPS = ["view", "click", "purchase"]
+    SCHEMA = "event_id long, user_id string, ts timestamp, event_type string"
+
+    def _run_batch(self, spark, rows, src, ckpt, out):
+        from documents_vector_search_spark.streaming.stateful import (
+            funnel_stream,
+        )
+
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(self.SCHEMA).parquet(str(src))
+
+        def sink(batch_df, _batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            funnel_stream(stream, self.STEPS)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_matches_batch_funnel_across_microbatches(self, spark, tmp_path):
+        """Stage completions spanning a micro-batch boundary (and a
+        query restart — each run_batch is a fresh query on the same
+        checkpoint) must match the batch fold exactly, including the
+        out-of-order step that must NOT fire and the each-stage-
+        fires-once rule."""
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_stage_times,
+        )
+
+        src = tmp_path / "fn_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "fn_ckpt")
+        out = str(tmp_path / "fn_out")
+        base = datetime(2024, 1, 1)
+
+        def at(s):
+            return base + timedelta(seconds=s)
+
+        # u1 completes across the boundary; u2 clicks BEFORE viewing
+        # (click must not fire), then converts properly; u3 stalls
+        b1 = [
+            (1, "u1", at(0), "view"),
+            (2, "u1", at(10), "click"),
+            (3, "u2", at(0), "click"),
+            (4, "u2", at(20), "view"),
+            (5, "u3", at(0), "view"),
+        ]
+        b2 = [
+            (6, "u1", at(30), "purchase"),
+            (7, "u2", at(40), "click"),
+            (8, "u1", at(50), "view"),  # repeat after completion: no-op
+            (9, "u3", at(60), "view"),  # repeat of stage 1: no re-fire
+        ]
+        self._run_batch(spark, b1, src, ckpt, out)
+        self._run_batch(spark, b2, src, ckpt, out)
+
+        streamed = spark.read.parquet(out).collect()
+        got = {}
+        for r in streamed:
+            key = (r.user_id, r.stage)
+            assert key not in got, f"stage fired twice: {key}"
+            got[key] = r.stage_ts
+
+        batch = funnel_stage_times(
+            spark.createDataFrame(b1 + b2, self.SCHEMA), self.STEPS
+        ).collect()
+        expected = {
+            (r.user, i + 1): ts
+            for r in batch
+            for i, ts in enumerate(r.stage_ts)
+            if ts is not None
+        }
+        assert got == expected
+        assert ("u2", 2) in got  # the cross-batch stage-2 fill
+        assert ("u3", 2) not in got
+
+    def test_late_event_does_not_rewrite_history(self, spark, tmp_path):
+        """An event arriving a batch late but event-time-earlier than
+        absorbed state is dropped — no retroactive stage fill."""
+        from datetime import datetime, timedelta
+
+        src = tmp_path / "fn_late"
+        src.mkdir()
+        ckpt = str(tmp_path / "fn_late_ckpt")
+        out = str(tmp_path / "fn_late_out")
+        base = datetime(2024, 1, 1)
+
+        self._run_batch(
+            spark, [(1, "u1", base + timedelta(seconds=60), "click")],
+            src, ckpt, out,
+        )
+        # the view that WOULD have enabled the click, arriving late
+        self._run_batch(spark, [(2, "u1", base, "view")], src, ckpt, out)
+        self._run_batch(
+            spark,
+            [(3, "u1", base + timedelta(seconds=120), "view")],
+            src, ckpt, out,
+        )
+
+        rows = spark.read.parquet(out).collect()
+        got = {(r.user_id, r.stage) for r in rows}
+        # the late view dropped; the on-time view fires stage 1; the
+        # click preceded it so stage 2 never fires
+        assert got == {("u1", 1)}
