@@ -680,6 +680,52 @@ def cmd_anomaly(args) -> int:
     return 1 if n_anom else 0
 
 
+def cmd_diff(args) -> int:
+    """Snapshot CDC (operators/cdc.py::snapshot_diff): the changeset
+    between two parquet snapshots of the same table — added / removed /
+    changed row counts (and optionally the full changeset written to
+    parquet for downstream merge). Exit 1 when the snapshots differ so
+    a nightly pipeline can gate re-indexing on actual change."""
+    from documents_vector_search_spark.operators.cdc import snapshot_diff
+    from documents_vector_search_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = [c.strip() for c in args.key.split(",") if c.strip()]
+    if args.compare:
+        cmp_cols = [c.strip() for c in args.compare.split(",") if c.strip()]
+    else:
+        cmp_cols = [c for c in old.columns if c not in keys]
+    changes = snapshot_diff(old, new, keys, cmp_cols)
+    if args.output:
+        changes.write.mode("overwrite").parquet(args.output)
+        changes = spark.read.parquet(args.output)  # count what was written
+    counts = {
+        r["status"]: r["n"]
+        for r in changes.groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    print(_format(
+        {
+            "old": args.old,
+            "new": args.new,
+            "keyColumns": keys,
+            "compareColumns": cmp_cols,
+            "added": counts.get("added", 0),
+            "removed": counts.get("removed", 0),
+            "changed": counts.get("changed", 0),
+            "totalChanges": total,
+            "changesetPath": args.output,
+        },
+        args.format,
+    ))
+    return 1 if total else 0
+
+
 def cmd_refit_sq8(args) -> int:
     """Re-fit SQ8 quantizer bounds after distribution drift
     (collection/refit.py) — O(corpus) by design, so it is an explicit
@@ -1283,6 +1329,20 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["json", "json_with_indent", "toon"],
                     default="json_with_indent")
     sp.set_defaults(func=cmd_zorder)
+
+    sp = sub.add_parser("diff")
+    sp.add_argument("--old", required=True, help="previous snapshot parquet")
+    sp.add_argument("--new", required=True, help="current snapshot parquet")
+    sp.add_argument("--key", required=True,
+                    help="comma-separated key column(s)")
+    sp.add_argument("--compare", default=None,
+                    help="comma-separated columns to compare "
+                         "(default: every non-key column of --old)")
+    sp.add_argument("--output", default=None,
+                    help="write the full changeset parquet here")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_diff)
 
     sp = sub.add_parser("refit-sq8")
     common(sp)

@@ -1283,3 +1283,50 @@ class TestMoreLikeThis:
         assert rc == 0
         out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out[0]["document_id"] == "spark1"
+
+
+class TestDiffCli:
+    def test_changeset_counts_and_exit_codes(self, spark, tmp_path, capsys):
+        schema = "k bigint, v string, w double"
+        old_p = str(tmp_path / "snap_old")
+        new_p = str(tmp_path / "snap_new")
+        out_p = str(tmp_path / "changeset")
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], schema
+        ).write.parquet(old_p)
+        spark.createDataFrame(
+            [(2, "b", 2.0), (3, "c", 9.0), (4, "d", 4.0)], schema
+        ).write.parquet(new_p)
+
+        rc = cli.main(
+            ["diff", "--old", old_p, "--new", new_p, "--key", "k",
+             "--output", out_p, "--format", "json"]
+        )
+        assert rc == 1  # differences exist -> gate fires
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert (out["added"], out["removed"], out["changed"]) == (1, 1, 1)
+        assert out["compareColumns"] == ["v", "w"]
+        written = {r.status for r in spark.read.parquet(out_p).collect()}
+        assert written == {"added", "removed", "changed"}
+
+        # identical snapshots: clean exit, empty changeset
+        rc = cli.main(
+            ["diff", "--old", old_p, "--new", old_p, "--key", "k",
+             "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["totalChanges"] == 0
+
+    def test_compare_subset_ignores_other_columns(self, spark, tmp_path,
+                                                  capsys):
+        schema = "k bigint, v string, noise double"
+        old_p = str(tmp_path / "sub_old")
+        new_p = str(tmp_path / "sub_new")
+        spark.createDataFrame([(1, "a", 1.0)], schema).write.parquet(old_p)
+        spark.createDataFrame([(1, "a", 99.0)], schema).write.parquet(new_p)
+        rc = cli.main(
+            ["diff", "--old", old_p, "--new", new_p, "--key", "k",
+             "--compare", "v", "--format", "json"]
+        )
+        assert rc == 0  # noise column excluded from the compare set
