@@ -160,3 +160,81 @@ class TestPagerank:
     def test_damping_pct_validated(self, spark):
         with pytest.raises(ValueError):
             pagerank(_df(spark, [("a", "b", 1)], self.EDGES), damping_pct=100)
+
+
+class TestScd2DuckdbParity:
+    """scd2_apply has no registry slot this round (the 50-key window
+    is full — see the registry docstring), so its oracle-grade check
+    lives here: an inline DuckDB twin replays the same version fold
+    over the same rows and must agree exactly. Slated for a queries()
+    slot in the r10 window."""
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from documents_vector_search_spark.operators.cdc import scd2_apply
+
+        cur = [(k, f"v{k}") for k in range(1, 8)]
+        ch = [
+            (1, "v1b", 100), (1, "v1c", 300), (1, "v1b", 200),
+            (2, "v2", 100),            # no-op vs current -> collapses
+            (3, "v3b", 100), (3, "v3b", 200),   # second is a no-op
+            (9, "new", 50),            # key not in the dimension
+        ]
+        got = sorted(
+            (
+                (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in scd2_apply(
+                    spark.createDataFrame(cur, "k bigint, attr string"),
+                    spark.createDataFrame(
+                        ch, "k bigint, attr string, effective_ts bigint"
+                    ),
+                    ["k"],
+                    ["attr"],
+                ).collect()
+            ),
+            key=lambda t: (t[0], t[2] is not None, t[2] or 0, t[1]),
+        )
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE cur AS SELECT * FROM (VALUES "
+            + ", ".join(f"({k}, '{a}')" for k, a in cur)
+            + ") t(k, attr)"
+        )
+        con.sql(
+            "CREATE TABLE ch AS SELECT * FROM (VALUES "
+            + ", ".join(f"({k}, '{a}', {ts})" for k, a, ts in ch)
+            + ") t(k, attr, effective_ts)"
+        )
+        rows = con.sql(
+            """
+WITH versions AS (
+  SELECT k, attr, CAST(NULL AS BIGINT) AS valid_from FROM cur
+  UNION ALL
+  SELECT k, attr, effective_ts FROM ch
+),
+ordered AS (
+  SELECT *,
+         row_number() OVER w AS rn,
+         lag(attr) OVER w AS prev_attr
+  FROM versions
+  WINDOW w AS (PARTITION BY k
+               ORDER BY valid_from ASC NULLS FIRST, attr ASC NULLS FIRST)
+),
+kept AS (
+  SELECT * FROM ordered
+  WHERE rn = 1 OR attr IS DISTINCT FROM prev_attr
+)
+SELECT k, attr, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY k
+              ORDER BY valid_from ASC NULLS FIRST, attr ASC NULLS FIRST)
+ORDER BY k, valid_from IS NOT NULL, coalesce(valid_from, 0), attr
+"""
+        ).fetchall()
+        expect = [tuple(r) for r in rows]
+        assert got == expect
