@@ -7353,13 +7353,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy (STATUS has the full
     key -> last-driver-green-round table): never-green keys first, then
-    keys added this round, then the stalest keys. With 148 keys and a
-    50-row window the full cycle is THREE rounds (ceil(148/50)): no
+    keys added this round, then the stalest keys. With 150 keys and a
+    50-row window the full cycle is THREE rounds (ceil(150/50)): no
     key's newest driver-green row may age past three rounds, and every
     out-of-window round must be covered by a judge `dev/compare.py`
     run, an in-window sibling sharing the code path, or a parity
     pytest. `python dev/rotation.py --check` enforces the hard rule
     (never-green keys must be in-window) with exit 1.
+
+    CAPACITY (r10 planning note): at 150 keys the 3-round cycle is
+    SATURATED — 50 keys go green per round, so the steady state
+    admits exactly ONE new key per round (the r10 window must be the
+    ~49 keys whose newest green is r7, leaving one slot; scd2_apply —
+    operator + DuckDB-parity pytest already shipped, operators/cdc.py
+    — has first claim on it). Growing faster requires either widening
+    the driver window or relaxing the staleness promise to ceil(N/50)
+    rounds explicitly; do NOT silently let a key age past three
+    rounds.
 
     Round 9 window (the window `dev/rotation.py` printed after r8 per
     the r8 verdict item #1, with the five keys NEW this round inserted
