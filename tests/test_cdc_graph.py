@@ -238,3 +238,63 @@ ORDER BY k, valid_from IS NOT NULL, coalesce(valid_from, 0), attr
         ).fetchall()
         expect = [tuple(r) for r in rows]
         assert got == expect
+
+
+class TestSnapshotDiffProperty:
+    """Hypothesis sweep: snapshot_diff vs a dict-based reference on
+    random snapshot pairs — statuses partition correctly, unchanged
+    keys never leak, and the changeset plus the old snapshot always
+    reconstructs the new one (the CDC soundness property)."""
+
+    @staticmethod
+    def _reference(old, new):
+        out = {}
+        for k in old.keys() | new.keys():
+            if k not in new:
+                out[k] = "removed"
+            elif k not in old:
+                out[k] = "added"
+            elif old[k] != new[k]:
+                out[k] = "changed"
+        return out
+
+    def test_random_snapshots(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        snap = st.dictionaries(
+            st.integers(min_value=0, max_value=30),
+            st.tuples(
+                st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+                st.integers(min_value=-3, max_value=3),
+            ),
+            max_size=20,
+        )
+
+        @given(snap, snap)
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def check(old, new):
+            schema = "k bigint, a string, b bigint"
+            old_df = spark.createDataFrame(
+                [(k, v[0], v[1]) for k, v in old.items()] or [], schema
+            )
+            new_df = spark.createDataFrame(
+                [(k, v[0], v[1]) for k, v in new.items()] or [], schema
+            )
+            rows = snapshot_diff(old_df, new_df, ["k"], ["a", "b"]).collect()
+            got = {r["k"]: r["status"] for r in rows}
+            assert got == self._reference(old, new)
+            # reconstruction: old + changeset == new
+            rebuilt = dict(old)
+            for r in rows:
+                if r["status"] == "removed":
+                    rebuilt.pop(r["k"])
+                else:
+                    rebuilt[r["k"]] = (r["new_a"], r["new_b"])
+            assert rebuilt == new
+
+        check()
