@@ -107,6 +107,44 @@ def build_chunks(
     return title_chunks.unionByName(body_chunks)
 
 
+class _StageTimer:
+    """Opt-in stage timing (``DVSS_TIMING=1``): prints one
+    ``[dvss-timing] stage=<name> sec=<t>`` line per stage so build
+    regressions attribute to a stage instead of a 6-second blob.
+    Thread-safe (the index fan-out runs stages concurrently); no-op —
+    a single env read — when the flag is unset."""
+
+    def __init__(self, scope: str):
+        import os
+
+        self.enabled = bool(os.environ.get("DVSS_TIMING"))
+        self.scope = scope
+
+    class _Span:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            import time
+
+            self.t0 = time.time()
+            return self
+
+        def __exit__(self, *exc):
+            import time
+
+            if self.timer.enabled:
+                print(
+                    f"[dvss-timing] scope={self.timer.scope} "
+                    f"stage={self.name} sec={time.time() - self.t0:.3f}",
+                    flush=True,
+                )
+            return False
+
+    def stage(self, name: str) -> "_StageTimer._Span":
+        return self._Span(self, name)
+
+
 def _hash_chunk_ids(chunks: DataFrame) -> DataFrame:
     """Order-free 60-bit chunk ids from (document_id, chunk_number) —
     the scale path (no global sort; collision odds ~n²/2⁶¹)."""
@@ -229,6 +267,7 @@ def create_collection(
     def doc_pb(col_name: str) -> Column:
         return pb_col(F.col(col_name), update_buckets)
 
+    _timer = _StageTimer(f"create:{collection.name}")
     docs_out = docs.withColumn(UPDATE_PB_COL, doc_pb("id"))
     if zorder_by:
         from documents_vector_search_spark.operators.layout import (
@@ -243,11 +282,12 @@ def create_collection(
             num_files=zorder_files,
             bits=zorder_bits,
         )
-    collection.write(
-        "documents",
-        docs_out,
-        partition_by=[UPDATE_PB_COL],
-    )
+    with _timer.stage("documents_write"):
+        collection.write(
+            "documents",
+            docs_out,
+            partition_by=[UPDATE_PB_COL],
+        )
     # an empty source writes zero parquet files under the partitioned
     # layout, and every later stage (and any future read) would die on
     # schema inference — fail HERE with a clear message instead. File
@@ -280,11 +320,12 @@ def create_collection(
         )
     else:
         chunks = _hash_chunk_ids(chunks)
-    collection.write(
-        "chunks",
-        chunks.withColumn(UPDATE_PB_COL, doc_pb("document_id")),
-        partition_by=[UPDATE_PB_COL],
-    )
+    with _timer.stage("chunks_write"):
+        collection.write(
+            "chunks",
+            chunks.withColumn(UPDATE_PB_COL, doc_pb("document_id")),
+            partition_by=[UPDATE_PB_COL],
+        )
     chunks = collection.read("chunks")  # one materialized pass feeds 3 indexes
 
     emb_df = chunks.select(
@@ -485,12 +526,18 @@ def create_collection(
     # documents_collection_creator.py:180-181 without its serial loop.
     from concurrent.futures import ThreadPoolExecutor
 
+    def _timed_call(name, fn):
+        with _timer.stage(name):
+            return fn()
+
     with ThreadPoolExecutor(max_workers=5) as pool:
-        f_emb = pool.submit(_write_embeddings)
-        f_post = pool.submit(_write_postings)
-        f_ds = pool.submit(_write_doc_stats)
-        f_fp = pool.submit(_write_field_postings)
-        f_stats = pool.submit(_gather_stats)
+        f_emb = pool.submit(_timed_call, "embeddings", _write_embeddings)
+        f_post = pool.submit(_timed_call, "postings", _write_postings)
+        f_ds = pool.submit(_timed_call, "doc_stats", _write_doc_stats)
+        f_fp = pool.submit(
+            _timed_call, "field_postings", _write_field_postings
+        )
+        f_stats = pool.submit(_timed_call, "manifest_stats", _gather_stats)
         emb_result = f_emb.result()
         ivf_centroids = emb_result.get("centroids")
         pq_codebooks = emb_result.get("codebooks")
@@ -506,7 +553,8 @@ def create_collection(
 
         # reads the postings table just written (vocabulary aggregate +
         # vocabulary-sized deletion-index explode)
-        write_fuzzy_artifacts(collection)
+        with _timer.stage("fuzzy_artifacts"):
+            write_fuzzy_artifacts(collection)
     n_chunks, last_id = stats["n"], stats["last"]
     # lastIndexItemId is only meaningful under the counter strategy
     # (updates continue from it); hash ids record -1

@@ -140,12 +140,19 @@ def _swap_partitions(
     # creator) so job-scheduling overhead overlaps instead of summing.
     from concurrent.futures import ThreadPoolExecutor
 
+    from documents_vector_search_spark.collection.creator import _StageTimer
+
+    _timer = _StageTimer(f"swap:{collection.name}")
+
     def _stage(item) -> None:
         table, df = item
-        writer = df.write.mode("overwrite")
-        if partition_cols[table]:
-            writer = writer.partitionBy(*partition_cols[table])
-        writer.parquet(str(Path(collection.table_path(f"{table}__tmp"))))
+        with _timer.stage(f"stage_write:{table}"):
+            writer = df.write.mode("overwrite")
+            if partition_cols[table]:
+                writer = writer.partitionBy(*partition_cols[table])
+            writer.parquet(
+                str(Path(collection.table_path(f"{table}__tmp")))
+            )
 
     with ThreadPoolExecutor(max_workers=len(merged)) as pool:
         list(pool.map(_stage, merged.items()))
