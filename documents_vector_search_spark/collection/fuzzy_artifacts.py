@@ -302,28 +302,29 @@ def _gc_retired_batches(collection) -> None:
         )
 
 
-def apply_vocab_delta(
+def stage_vocab_delta(
     collection,
     delta_path: str,
     max_edits: int = DEFAULT_MAX_EDITS,
-    compact_after: int = DEFAULT_COMPACT_AFTER,
-) -> None:
-    """Post-swap phase of an update/delete: append the materialized
-    (term, d_ctf, d_df) delta as one batch to BOTH delta logs —
-    O(changed terms × avg_len) rows written, the base untouched — then
-    compact when the log reaches ``compact_after`` batches. Legacy
-    unpartitioned-vocab collections fall back to the full rewrite."""
+) -> dict | None:
+    """Staging half of the delta append: materialize BOTH batch dirs
+    under ``<table>__tmp`` (the slow Spark writes, run as two
+    concurrent driver jobs). Touches ONLY staging dirs — never the
+    base, the live logs, or any swapped table — so the updater runs it
+    CONCURRENTLY with its partition swap; a crash here leaves orphan
+    ``__tmp`` dirs that ``_gc_retired_batches`` sweeps. Returns the
+    handle :func:`publish_vocab_delta` consumes (None = empty delta,
+    ``{"legacy": True}`` = unpartitioned-vocab collection, whose full
+    rewrite must wait for publish time because it rewrites the base)."""
     spark = collection.spark
     delta = spark.read.parquet(delta_path)
     vocab = collection.read(VOCAB_TABLE)
     if "term_bucket" not in vocab.columns:
-        _apply_vocab_delta_full(collection, delta, vocab, max_edits)
-        return
+        return {"legacy": True}
     if not delta.head(1):
-        return  # empty delta (idempotent re-send) — nothing changed
+        return None  # empty delta (idempotent re-send) — nothing changed
 
     _gc_retired_batches(collection)
-    batch_id = _next_batch_id(collection)
     didx_delta = deletion_index_df(
         delta.select(
             "term",
@@ -338,30 +339,79 @@ def apply_vocab_delta(
         "variant",
         "variant_bucket",
     )
-    # single-commit append: BOTH batches are fully staged (the slow
-    # Spark writes) before either publishes, then the two renames run
-    # adjacently with the VOCAB rename as the commit point — readers
-    # treat a deletion-index batch without its vocab twin as
-    # uncommitted (_committed_batches), so a crash anywhere in this
-    # sequence leaves both probes serving the same committed state;
-    # the next batch id is computed across BOTH logs so an orphan can
-    # never collide with a live id
-    tmp_didx = _stage_batch(
-        collection,
-        DELETION_INDEX_DELTAS_TABLE,
-        # keyed repartition: one file per touched bucket, and a huge
-        # backfill delta still fans out across the bucket count
-        didx_delta.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")),
-        partition_by=["variant_bucket"],
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_didx = pool.submit(
+            _stage_batch,
+            collection,
+            DELETION_INDEX_DELTAS_TABLE,
+            # keyed repartition: one file per touched bucket, and a huge
+            # backfill delta still fans out across the bucket count
+            didx_delta.repartition(
+                N_VARIANT_BUCKETS, F.col("variant_bucket")
+            ),
+            ["variant_bucket"],
+        )
+        f_vocab = pool.submit(
+            _stage_batch, collection, VOCAB_DELTAS_TABLE, delta.repartition(1)
+        )
+        return {"tmp_didx": f_didx.result(), "tmp_vocab": f_vocab.result()}
+
+
+def publish_vocab_delta(
+    collection,
+    staged: dict | None,
+    delta_path: str,
+    max_edits: int = DEFAULT_MAX_EDITS,
+    compact_after: int = DEFAULT_COMPACT_AFTER,
+) -> None:
+    """Publish half: the two adjacent directory renames with the VOCAB
+    rename as the commit point — readers treat a deletion-index batch
+    without its vocab twin as uncommitted (_committed_batches), so a
+    crash anywhere in this sequence leaves both probes serving the
+    same committed state; the next batch id is computed across BOTH
+    logs so an orphan can never collide with a live id. Must run AFTER
+    the document-table swap commits (a delta published before it would
+    leave fuzzy one batch AHEAD of postings on a crash)."""
+    if staged is None:
+        return
+    if staged.get("legacy"):
+        spark = collection.spark
+        _apply_vocab_delta_full(
+            collection,
+            spark.read.parquet(delta_path),
+            collection.read(VOCAB_TABLE),
+            max_edits,
+        )
+        return
+    batch_id = _next_batch_id(collection)
+    _publish_batch(
+        collection, DELETION_INDEX_DELTAS_TABLE, batch_id, staged["tmp_didx"]
     )
-    tmp_vocab = _stage_batch(
-        collection, VOCAB_DELTAS_TABLE, delta.repartition(1)
+    _publish_batch(
+        collection, VOCAB_DELTAS_TABLE, batch_id, staged["tmp_vocab"]
     )
-    _publish_batch(collection, DELETION_INDEX_DELTAS_TABLE, batch_id, tmp_didx)
-    _publish_batch(collection, VOCAB_DELTAS_TABLE, batch_id, tmp_vocab)
     live = _batch_dirs(collection, VOCAB_DELTAS_TABLE)
     if len(live) >= compact_after:
         compact_fuzzy_artifacts(collection, max_edits)
+
+
+def apply_vocab_delta(
+    collection,
+    delta_path: str,
+    max_edits: int = DEFAULT_MAX_EDITS,
+    compact_after: int = DEFAULT_COMPACT_AFTER,
+) -> None:
+    """Stage + publish in one call (the non-overlapped form; the
+    updater overlaps staging with its partition swap instead)."""
+    publish_vocab_delta(
+        collection,
+        stage_vocab_delta(collection, delta_path, max_edits),
+        delta_path,
+        max_edits,
+        compact_after,
+    )
 
 
 # -- folded readers ---------------------------------------------------------

@@ -212,26 +212,61 @@ def _materialize_fuzzy_delta(
     return path
 
 
-def _apply_fuzzy_delta(
+def _stage_fuzzy_delta(
     collection: Collection, manifest: Manifest, delta_path: str | None
+) -> dict | None:
+    """Staging half of the fuzzy append (fuzzy_artifacts.
+    stage_vocab_delta): touches only ``__tmp`` dirs, so the updater
+    runs it CONCURRENTLY with the partition swap."""
+    if delta_path is None:
+        return None
+    from documents_vector_search_spark.collection.fuzzy_artifacts import (
+        DEFAULT_MAX_EDITS,
+        fuzzy_config,
+        stage_vocab_delta,
+    )
+
+    cfg = fuzzy_config(manifest) or {}
+    return stage_vocab_delta(
+        collection,
+        delta_path,
+        max_edits=int(cfg.get("maxEdits", DEFAULT_MAX_EDITS)),
+    )
+
+
+_NOT_STAGED = object()  # "stage at publish time" marker (≠ None = empty)
+
+
+def _apply_fuzzy_delta(
+    collection: Collection,
+    manifest: Manifest,
+    delta_path: str | None,
+    staged: dict | None | object = _NOT_STAGED,
 ) -> None:
-    """Post-swap phase: append the materialized delta as one batch to
-    the fuzzy delta logs (O(changed terms), base untouched), compacting
-    when the log is long; remove the delta staging dir."""
+    """Post-swap phase: publish the staged delta batch to the fuzzy
+    delta logs (O(changed terms), base untouched), compacting when the
+    log is long; remove the delta staging dir. Callers that did not
+    pre-stage leave ``staged`` at the default and stage here (None is
+    a real pre-staged result meaning the delta was empty)."""
     if delta_path is None:
         return
     from documents_vector_search_spark.collection.fuzzy_artifacts import (
         DEFAULT_COMPACT_AFTER,
         DEFAULT_MAX_EDITS,
-        apply_vocab_delta,
         fuzzy_config,
+        publish_vocab_delta,
+        stage_vocab_delta,
     )
 
     cfg = fuzzy_config(manifest) or {}
-    apply_vocab_delta(
+    max_edits = int(cfg.get("maxEdits", DEFAULT_MAX_EDITS))
+    if staged is _NOT_STAGED:
+        staged = stage_vocab_delta(collection, delta_path, max_edits)
+    publish_vocab_delta(
         collection,
+        staged,
         delta_path,
-        max_edits=int(cfg.get("maxEdits", DEFAULT_MAX_EDITS)),
+        max_edits=max_edits,
         compact_after=int(cfg.get("compactAfter", DEFAULT_COMPACT_AFTER)),
     )
     shutil.rmtree(delta_path, ignore_errors=True)
@@ -322,11 +357,20 @@ def update_collection(
     # fuzzy artifacts recover through the same orphan sweep: an
     # interrupted vocab/deletion_index staged swap rolls back to the
     # parked ``__old`` (see _apply_fuzzy_delta)
-    _recover_orphans(
-        collection,
-        list(TABLES)
-        + ["vocab", "deletion_index", "vocab_deltas", "deletion_index_deltas"],
-    )
+    from documents_vector_search_spark.collection.creator import _StageTimer
+
+    _timer = _StageTimer(f"update:{collection.name}")
+    with _timer.stage("recover_orphans"):
+        _recover_orphans(
+            collection,
+            list(TABLES)
+            + [
+                "vocab",
+                "deletion_index",
+                "vocab_deltas",
+                "deletion_index_deltas",
+            ],
+        )
     manifest = collection.manifest()
     splitter = manifest.converter.get("splitter", {})
     chunk_size = splitter.get("chunkSize", 1000)
@@ -376,13 +420,14 @@ def update_collection(
     n_batch = 0
     batch_watermark = None
     if update_buckets:
-        batch_row = changed_docs.agg(
-            F.collect_set(
-                pb_col(F.col("id"), update_buckets)
-            ).alias("pbs"),
-            F.count("*").alias("n"),
-            F.max("last_modified_at").alias("wm"),
-        ).first()
+        with _timer.stage("batch_stats"):
+            batch_row = changed_docs.agg(
+                F.collect_set(
+                    pb_col(F.col("id"), update_buckets)
+                ).alias("pbs"),
+                F.count("*").alias("n"),
+                F.max("last_modified_at").alias("wm"),
+            ).first()
         doc_pbs = sorted(batch_row["pbs"])
         n_batch = int(batch_row["n"])
         batch_watermark = batch_row["wm"]
@@ -414,13 +459,16 @@ def update_collection(
     # semi-join) — materialized once, every consumer broadcasts rows
     # instead of re-running the pruned read + semi-join.
     chunks = _pruned("chunks", doc_pbs)
-    stale_chunks = (
-        chunks.join(
-            changed_ids, chunks["document_id"] == changed_ids["id"], "left_semi"
+    with _timer.stage("stale_chunk_ids"):
+        stale_chunks = (
+            chunks.join(
+                changed_ids,
+                chunks["document_id"] == changed_ids["id"],
+                "left_semi",
+            )
+            .select("chunk_id")
+            .localCheckpoint()
         )
-        .select("chunk_id")
-        .localCheckpoint()
-    )
 
     # --- fresh chunks: ids per the collection's recorded strategy ---------
     # hash (default): deterministic on (document_id, chunk_number) — a
@@ -454,7 +502,8 @@ def update_collection(
     # — without the checkpoint each of those ~8 driver actions re-runs
     # the chunking lineage, and job-count overhead (not data) dominates
     # the update. Batch-sized, so the materialization is trivially small.
-    fresh_chunks = fresh_chunks.localCheckpoint()
+    with _timer.stage("fresh_chunks_build"):
+        fresh_chunks = fresh_chunks.localCheckpoint()
 
     merged_chunks = (
         chunks.join(stale_chunks, "chunk_id", "left_anti").unionByName(fresh_chunks)
@@ -482,17 +531,18 @@ def update_collection(
                 fresh_chunks.select(F.lit("fresh").alias("_side"), *cols)
             )
         )
-        side_rows = {
-            r["_side"]: r
-            for r in tagged.groupBy("_side")
-            .agg(
-                F.count("*").alias("n"),
-                F.max("chunk_id").alias("last"),
-                F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
-                F.countDistinct("document_id").alias("n_docs"),
-            )
-            .collect()
-        }
+        with _timer.stage("chunk_side_stats"):
+            side_rows = {
+                r["_side"]: r
+                for r in tagged.groupBy("_side")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.max("chunk_id").alias("last"),
+                    F.sum(F.size(tokenize("indexed_data"))).alias("dl"),
+                    F.countDistinct("document_id").alias("n_docs"),
+                )
+                .collect()
+            }
         empty = {"n": 0, "last": None, "dl": 0, "n_docs": 0}
         stale_stats = side_rows.get("stale", empty)
         fresh_stats = side_rows.get("fresh", empty)
@@ -688,15 +738,16 @@ def update_collection(
         )
 
     with ThreadPoolExecutor(max_workers=2) as _pool:
-        f_fuzzy = _pool.submit(_fuzzy)
-        f_field = (
-            _pool.submit(field_delta_df.collect)
-            if field_delta_df is not None
-            else None
-        )
-        fuzzy_delta_path = f_fuzzy.result()
-        if f_field is not None:
-            field_delta = {r["_side"]: r for r in f_field.result()}
+        with _timer.stage("fuzzy_and_field_deltas"):
+            f_fuzzy = _pool.submit(_fuzzy)
+            f_field = (
+                _pool.submit(field_delta_df.collect)
+                if field_delta_df is not None
+                else None
+            )
+            fuzzy_delta_path = f_fuzzy.result()
+            if f_field is not None:
+                field_delta = {r["_side"]: r for r in f_field.result()}
 
     merged = {
         "documents": merged_docs,
@@ -725,15 +776,25 @@ def update_collection(
         # replaced-doc count was fused into the stale-stats job above
         n_replaced = int(stale_stats["n_docs"] or 0)
 
-        # every table buckets by owning-document id → ONE affected set
-        _swap_partitions(
-            collection,
-            merged,
-            partition_cols={
-                t: cols + [UPDATE_PB_COL] for t, cols in layout_cols.items()
-            },
-            affected_pbs={t: doc_pbs for t in merged},
-        )
+        # every table buckets by owning-document id → ONE affected set.
+        # The fuzzy delta's two batch-dir stagings touch only __tmp
+        # dirs (stage_vocab_delta contract), so they run CONCURRENTLY
+        # with the swap — only the publish renames wait for the commit.
+        with _timer.stage("partition_swap"):
+            with ThreadPoolExecutor(max_workers=1) as _sp:
+                f_fuzzy_staged = _sp.submit(
+                    _stage_fuzzy_delta, collection, manifest, fuzzy_delta_path
+                )
+                _swap_partitions(
+                    collection,
+                    merged,
+                    partition_cols={
+                        t: cols + [UPDATE_PB_COL]
+                        for t, cols in layout_cols.items()
+                    },
+                    affected_pbs={t: doc_pbs for t in merged},
+                )
+                fuzzy_staged = f_fuzzy_staged.result()
 
         manifest.numberOfDocuments = (
             manifest.numberOfDocuments - n_replaced + n_batch
@@ -764,7 +825,10 @@ def update_collection(
                 or new_wm > manifest.lastModifiedDocumentTime
             ):
                 manifest.lastModifiedDocumentTime = new_wm
-        _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
+        with _timer.stage("fuzzy_delta_publish"):
+            _apply_fuzzy_delta(
+                collection, manifest, fuzzy_delta_path, staged=fuzzy_staged
+            )
         collection.save_manifest(manifest)
         return manifest
 
@@ -1010,14 +1074,24 @@ def delete_documents(
     }
 
     if update_buckets:
-        _swap_partitions(
-            collection,
-            merged,
-            partition_cols={
-                t: cols + [UPDATE_PB_COL] for t, cols in layout_cols.items()
-            },
-            affected_pbs={t: doc_pbs for t in merged},
-        )
+        # fuzzy staging overlaps the swap, same as update_collection
+        # (stage_vocab_delta touches only __tmp dirs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _sp:
+            f_fuzzy_staged = _sp.submit(
+                _stage_fuzzy_delta, collection, manifest, fuzzy_delta_path
+            )
+            _swap_partitions(
+                collection,
+                merged,
+                partition_cols={
+                    t: cols + [UPDATE_PB_COL]
+                    for t, cols in layout_cols.items()
+                },
+                affected_pbs={t: doc_pbs for t in merged},
+            )
+            fuzzy_staged = f_fuzzy_staged.result()
         if not partial_recovery:
             manifest.numberOfDocuments = max(
                 0, manifest.numberOfDocuments - n_docs_deleted
@@ -1027,18 +1101,25 @@ def delete_documents(
             )
             if field_aggs:
                 _apply_field_delta(manifest, {"stale": del_row})
-            _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
+            _apply_fuzzy_delta(
+                collection, manifest, fuzzy_delta_path, staged=fuzzy_staged
+            )
             collection.save_manifest(manifest)
             return manifest
-    else:
-        _swap_all(
-            collection,
-            merged,
-            partition_cols={
-                t: cols for t, cols in layout_cols.items() if cols
-            },
+        # partial-recovery re-run falls through to the exact recount
+        _apply_fuzzy_delta(
+            collection, manifest, fuzzy_delta_path, staged=fuzzy_staged
         )
-    # legacy path and partial-recovery re-runs: exact recount
+        return _exact_recount(collection, manifest)
+
+    _swap_all(
+        collection,
+        merged,
+        partition_cols={
+            t: cols for t, cols in layout_cols.items() if cols
+        },
+    )
+    # legacy path: exact recount
     _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
     return _exact_recount(collection, manifest)
 
