@@ -58,7 +58,15 @@ from documents_vector_search_spark.operators.similarity_join import (
     knn_join_exact,
     knn_join_lsh,
 )
-from documents_vector_search_spark.operators.skew import salted_aggregate
+from documents_vector_search_spark.operators.cdc import (
+    scd2_apply,
+    snapshot_diff,
+)
+from documents_vector_search_spark.operators.graph import pagerank
+from documents_vector_search_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
 from documents_vector_search_spark.operators.fetch import fetch_lines
 from documents_vector_search_spark.operators.group_hits import group_hits_by_document
 from documents_vector_search_spark.operators.knn import (
@@ -146,4 +154,8 @@ __all__ = [
     "pii_redact",
     "repetition_signals",
     "vocab_stats",
+    "snapshot_diff",
+    "scd2_apply",
+    "pagerank",
+    "salted_join",
 ]
