@@ -298,3 +298,34 @@ class TestSnapshotDiffProperty:
             assert rebuilt == new
 
         check()
+
+
+class TestPagerankRandomGraph:
+    def test_larger_random_graph_trajectory(self, spark):
+        """60-node / ~240-edge deterministic pseudo-random graph: the
+        Spark loop must reproduce the pure-Python integer trajectory
+        EXACTLY (the cross-engine contract at a size where float
+        implementations would have long diverged), and total mass must
+        stay bounded by PR_SCALE (leak-only dangling model)."""
+        rng_state = 123456789
+        edges = []
+        for i in range(240):
+            # xorshift-ish LCG: deterministic, no random module needed
+            rng_state = (1103515245 * rng_state + 12345) % (2**31)
+            s = rng_state % 60
+            rng_state = (1103515245 * rng_state + 12345) % (2**31)
+            d = rng_state % 60
+            if s == d:
+                continue
+            w = 1 + (s + d) % 7
+            edges.append((f"n{s}", f"n{d}", w))
+        expect = _pure_python_pagerank(edges, iterations=10)
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(
+                _df(spark, edges, "src string, dst string, w bigint"),
+                weight="w",
+            ).collect()
+        }
+        assert got == expect
+        assert sum(got.values()) <= PR_SCALE
