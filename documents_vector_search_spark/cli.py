@@ -726,6 +726,47 @@ def cmd_diff(args) -> int:
     return 1 if total else 0
 
 
+def cmd_pagerank(args) -> int:
+    """Graph importance over an edge parquet (operators/graph.py::
+    pagerank): the host-graph quality prior of a web-corpus curation
+    pipeline. Prints the top-k nodes; optionally writes the full rank
+    table for joining back onto documents."""
+    from documents_vector_search_spark.operators.graph import pagerank
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    edges = spark.read.parquet(args.edges)
+    ranks = pagerank(
+        edges,
+        src=args.src_col,
+        dst=args.dst_col,
+        weight=args.weight_col,
+        iterations=args.iterations,
+        damping_pct=args.damping_pct,
+    )
+    if args.output:
+        ranks.write.mode("overwrite").parquet(args.output)
+        ranks = spark.read.parquet(args.output)
+    from pyspark.sql import functions as F
+
+    top = ranks.orderBy(F.desc("rank_micro"), "node").limit(args.top).collect()
+    print(_format(
+        {
+            "edges": args.edges,
+            "iterations": args.iterations,
+            "dampingPct": args.damping_pct,
+            "ranksPath": args.output,
+            "top": [
+                {"node": r["node"], "rank": r["rank"],
+                 "rankMicro": r["rank_micro"]}
+                for r in top
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
 def cmd_refit_sq8(args) -> int:
     """Re-fit SQ8 quantizer bounds after distribution drift
     (collection/refit.py) — O(corpus) by design, so it is an explicit
@@ -1343,6 +1384,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", default="json",
                     choices=["json", "indent", "toon"])
     sp.set_defaults(func=cmd_diff)
+
+    sp = sub.add_parser("pagerank")
+    sp.add_argument("--edges", required=True,
+                    help="edge parquet (src, dst[, weight])")
+    sp.add_argument("--src-col", default="src")
+    sp.add_argument("--dst-col", default="dst")
+    sp.add_argument("--weight-col", default=None,
+                    help="edge weight column (default: unweighted)")
+    sp.add_argument("--iterations", type=int, default=10)
+    sp.add_argument("--damping-pct", type=int, default=85)
+    sp.add_argument("--top", type=int, default=20)
+    sp.add_argument("--output", default=None,
+                    help="write the full rank table parquet here")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_pagerank)
 
     sp = sub.add_parser("refit-sq8")
     common(sp)

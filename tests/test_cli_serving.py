@@ -1330,3 +1330,25 @@ class TestDiffCli:
              "--compare", "v", "--format", "json"]
         )
         assert rc == 0  # noise column excluded from the compare set
+
+
+class TestPagerankCli:
+    def test_top_nodes_and_rank_table(self, spark, tmp_path, capsys):
+        edges_p = str(tmp_path / "edges")
+        out_p = str(tmp_path / "ranks")
+        spark.createDataFrame(
+            [("s1", "hub", 1), ("s2", "hub", 1), ("hub", "s1", 1)],
+            "src string, dst string, w bigint",
+        ).write.parquet(edges_p)
+        rc = cli.main(
+            ["pagerank", "--edges", edges_p, "--weight-col", "w",
+             "--output", out_p, "--top", "2", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # hub and s1 trade mass around the cycle; s2 (a pure source,
+        # nothing feeds it) must rank below both at any iteration count
+        assert {t["node"] for t in out["top"]} == {"hub", "s1"}
+        assert len(out["top"]) == 2
+        ranks = {r.node for r in spark.read.parquet(out_p).collect()}
+        assert ranks == {"s1", "s2", "hub"}
