@@ -59,6 +59,7 @@ from documents_vector_search_spark.operators.similarity_join import (
     knn_join_lsh,
 )
 from documents_vector_search_spark.operators.cdc import (
+    apply_changeset,
     scd2_apply,
     snapshot_diff,
 )
@@ -155,6 +156,7 @@ __all__ = [
     "repetition_signals",
     "vocab_stats",
     "snapshot_diff",
+    "apply_changeset",
     "scd2_apply",
     "pagerank",
     "salted_join",

@@ -329,3 +329,43 @@ class TestPagerankRandomGraph:
         }
         assert got == expect
         assert sum(got.values()) <= PR_SCALE
+
+
+class TestApplyChangeset:
+    """The CDC roundtrip law: old + snapshot_diff(old, new) == new,
+    now at the DataFrame level (the replica-patch path)."""
+
+    SCHEMA = "k bigint, a string, b double"
+
+    def test_roundtrip_reconstructs_new(self, spark):
+        from documents_vector_search_spark.operators.cdc import (
+            apply_changeset,
+        )
+
+        old = _df(
+            spark,
+            [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (5, "q", 5.0)],
+            self.SCHEMA,
+        )
+        new = _df(
+            spark,
+            [(2, "y", 2.0), (3, "z", 3.0), (4, "w", 4.0), (5, "q", 5.0)],
+            self.SCHEMA,
+        )
+        changes = snapshot_diff(old, new, ["k"], ["a", "b"])
+        rebuilt = apply_changeset(old, changes, ["k"], ["a", "b"])
+        got = sorted(tuple(r) for r in rebuilt.collect())
+        expect = sorted(tuple(r) for r in new.collect())
+        assert got == expect
+
+    def test_empty_changeset_is_identity(self, spark):
+        from documents_vector_search_spark.operators.cdc import (
+            apply_changeset,
+        )
+
+        old = _df(spark, [(1, "x", 1.0), (2, "y", 2.0)], self.SCHEMA)
+        changes = snapshot_diff(old, old, ["k"], ["a", "b"])
+        rebuilt = apply_changeset(old, changes, ["k"], ["a", "b"])
+        assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
+            tuple(r) for r in old.collect()
+        )
