@@ -378,9 +378,17 @@ def publish_vocab_delta(
         return
     if staged.get("legacy"):
         spark = collection.spark
+        # re-read at publish time (after the document swap) so the full
+        # rewrite sees the post-swap state; short-circuit an empty
+        # delta — the bucketed path no-ops in stage_vocab_delta, and
+        # without this mirror an idempotent empty re-send would pay the
+        # whole O(vocab) legacy rewrite for nothing
+        delta = spark.read.parquet(delta_path)
+        if not delta.head(1):
+            return
         _apply_vocab_delta_full(
             collection,
-            spark.read.parquet(delta_path),
+            delta,
             collection.read(VOCAB_TABLE),
             max_edits,
         )

@@ -61,9 +61,13 @@ def snapshot_diff(
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
+    # eqNullSafe so a NULL-valued key matches itself: with plain `=` a
+    # NULL-keyed row would surface as both 'removed' and 'added' and the
+    # roundtrip law old+diff==new would break (duplicate row), because
+    # apply_changeset's anti-join could never drop the old row either.
     cond = None
     for k in key_cols:
-        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = eq if cond is None else (cond & eq)
     joined = o.join(n, cond, "full_outer")
     same = F.lit(True)
@@ -169,9 +173,18 @@ def apply_changeset(
     carried by a changeset; the output has exactly those columns."""
     key_cols = list(key_cols)
     compare_cols = list(compare_cols)
-    touched = changes.select(*key_cols)
+    # null-safe anti-join (mirrors snapshot_diff's eqNullSafe join): a
+    # name-based anti-join uses plain `=`, which would silently KEEP a
+    # NULL-keyed old row that the changeset marks removed/changed
+    touched = changes.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in key_cols]
+    ).dropDuplicates()
+    anti_cond = None
+    for k in key_cols:
+        eq = F.col(k).eqNullSafe(F.col(f"_ck_{k}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
     kept = old.select(*key_cols, *compare_cols).join(
-        touched, key_cols, "left_anti"
+        touched, anti_cond, "left_anti"
     )
     incoming = changes.filter(F.col("status") != "removed").select(
         *key_cols,

@@ -18,10 +18,17 @@ Spark shape — the canonical iterative-dataflow pattern:
   division), so the fixpoint trajectory is bit-identical in any
   engine — that is what lets a SQL oracle replay the loop unrolled.
 
-Dangling mass: nodes with no out-edges leak their rank (the classic
-simplification; re-injecting it needs one extra one-row aggregate per
-iteration — noted, not built, because rank ORDER is what curation
-consumes and leakage preserves it for the damping factors in use).
+Dangling mass: nodes with no out-edges re-inject their damped rank
+uniformly (the standard correction) via ONE extra one-row aggregate
+per iteration, broadcast into the rank update — so Σrank stays ≈
+PR_SCALE (mass conservation, pytest-pinned on a sink-heavy graph)
+instead of leaking through sinks.
+
+Weight hygiene: NULL / zero / negative weights are filtered when the
+edge frame is built (they would otherwise break engine parity — Spark
+DIV truncates toward zero while DuckDB ``//`` floors, and NULLs
+silently drop contributions), so the bit-identical-trajectory contract
+holds by construction.
 """
 
 from __future__ import annotations
@@ -50,16 +57,23 @@ def pagerank(
     rank)`` where ``rank_micro`` is the exact int64 trajectory value
     (PR_SCALE-scaled probability) and ``rank`` its float rendering.
 
-    ``PR(v) = (1-d)/N + d · Σ_{u→v} PR(u) · w(u,v) / W_out(u)`` with
-    ``d = damping_pct/100``, evaluated ``iterations`` times from the
-    uniform start, entirely in integer units: every division is an
-    explicit int64 floor-div, so two engines replaying the loop agree
-    bit-for-bit. Unweighted graphs pass ``weight=None`` (every edge
-    weight 1 — the division is then by out-degree).
+    ``PR(v) = (1-d)/N + d · Σ_{u→v} PR(u) · w(u,v) / W_out(u)
+    + d · D / N`` with ``d = damping_pct/100`` and ``D`` the summed
+    rank of dangling (out-edge-less) nodes, evaluated ``iterations``
+    times from the uniform start, entirely in integer units: every
+    division is an explicit int64 floor-div, so two engines replaying
+    the loop agree bit-for-bit. Unweighted graphs pass ``weight=None``
+    (every edge weight 1 — the division is then by out-degree).
+
+    Edges whose weight is NULL or ≤ 0 are dropped up front (see the
+    module docstring — parity would break on them); the node set and
+    the dangling set are derived from the FILTERED edges, identically
+    in :func:`pagerank_unrolled_sql`.
 
     The node set is ``src ∪ dst`` (sinks participate; sources feed).
     Per-iteration cost: one join shuffled on ``src`` + one aggregate
-    shuffled on ``dst`` — both keyed shuffles AQE can coalesce, no
+    shuffled on ``dst`` + one ONE-ROW dangling-mass aggregate
+    broadcast into the update — keyed shuffles AQE can coalesce, no
     driver-side state beyond the loop counter.
     """
     if not 0 < damping_pct < 100:
@@ -69,9 +83,9 @@ def pagerank(
     )
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w_col.alias("_w")
-    )
+    ).filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
     # out-weight per source, carried ON the edge row so the iteration
-    # join is single-key; weights must be positive
+    # join is single-key
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
     e = e.join(out_w, "_src").localCheckpoint(eager=False)
 
@@ -90,6 +104,11 @@ def pagerank(
         )
     base = (PR_SCALE * (100 - damping_pct)) // (100 * n_nodes)
     init = PR_SCALE // n_nodes
+
+    # dangling = nodes with no (positive-weight) out-edge; computed once
+    dangling = nodes.join(
+        e.select(F.col("_src").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=False)
 
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
     for i in range(iterations):
@@ -110,13 +129,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
+        # dangling mass: ONE-row aggregate (D ≤ PR_SCALE so D·d fits
+        # int64 with 6 orders of margin), redistributed uniformly
+        dmass = ranks.join(dangling, "node", "left_semi").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("bigint").alias("_dm")
+        )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
                 (
                     F.lit(base).cast("bigint")
                     + F.coalesce(F.col("in_mass"), F.lit(0)).cast("bigint")
+                    + F.expr(
+                        f"(_dm * {damping_pct}) DIV (100 * {n_nodes})"
+                    )
                 ).alias("r"),
             )
         )
@@ -138,26 +166,40 @@ def pagerank_unrolled_sql(
     """The oracle twin: the SAME integer trajectory as :func:`pagerank`
     unrolled into chained CTEs (standard SQL forbids aggregates in a
     recursive term, so the loop unrolls — fine for a fixed iteration
-    count). ``edges_cte`` must define relation ``edges(src, dst, w)``.
+    count). ``edges_cte`` must define relation ``edges(src, dst, w)``;
+    the same NULL/≤0 weight filter and the same per-iteration
+    dangling-mass redistribution are replayed here.
     Returns a full query ending in ``SELECT node, rank_micro, rank``.
     """
     parts = [
         f"WITH {edges_cte}",
         "ew AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w"
-        " FROM edges)",
+        " FROM edges WHERE w IS NOT NULL AND w > 0)",
         "nodes AS (SELECT DISTINCT node FROM"
-        " (SELECT src AS node FROM edges"
-        "  UNION SELECT dst AS node FROM edges))",
+        " (SELECT src AS node FROM ew"
+        "  UNION SELECT dst AS node FROM ew))",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS r"
+        "dang AS (SELECT n2.node FROM nodes n2 LEFT JOIN"
+        " (SELECT DISTINCT src FROM ew) s ON n2.node = s.src"
+        " WHERE s.src IS NULL)",
+        # MATERIALIZED: each r{i} is referenced TWICE (dangling mass +
+        # contribution join); an inlining planner would otherwise
+        # re-evaluate the whole chain per reference — 2^iterations
+        f"r0 AS MATERIALIZED (SELECT node, CAST({scale} // n AS BIGINT) AS r"
         " FROM nodes CROSS JOIN nn)",
     ]
     for i in range(iterations):
         parts.append(
-            f"r{i + 1} AS ("
+            f"d{i} AS (SELECT CAST(coalesce(sum(r{i}.r), 0) AS BIGINT)"
+            f" AS dm FROM r{i} JOIN dang ON r{i}.node = dang.node)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED ("
             f"SELECT nodes.node, CAST(({scale} * {100 - damping_pct})"
-            f" // (100 * nn.n) + coalesce(m.in_mass, 0) AS BIGINT) AS r"
-            " FROM nodes CROSS JOIN nn LEFT JOIN ("
+            f" // (100 * nn.n) + coalesce(m.in_mass, 0)"
+            f" + (d{i}.dm * {damping_pct}) // (100 * nn.n)"
+            " AS BIGINT) AS r"
+            f" FROM nodes CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN ("
             "SELECT ew.dst AS node,"
             f" sum((r{i}.r * ew.w) // ew.out_w"
             f" * {damping_pct} // 100) AS in_mass"

@@ -93,29 +93,11 @@ def rfm_segments(
     one-row aggregate. Monetary sums in integer cents so the ordering
     under ties is exact cross-engine. The unpartitioned ntile windows
     are the exact-quantile design for user tables that fit a sort
-    (hundreds of millions of rows); at billions of users swap them for
-    approx-quantile cut points broadcast onto the table — the scores
-    then lose the exact-tie guarantee, which is why the exact form is
-    the default."""
-    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
-        F.max(ts_col).alias("_last"),
-        F.count("*").cast("bigint").alias("frequency"),
-        F.sum(
-            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
-        ).alias("_mon_c"),
-    )
-    corpus_max = events.agg(F.max(ts_col).alias("_cmax"))
-    staged = per_user.crossJoin(F.broadcast(corpus_max)).select(
-        "user",
-        F.round(
-            (F.unix_micros("_cmax") - F.unix_micros("_last"))
-            / F.lit(86400.0 * 1e6),
-            round_to,
-        ).alias("recency_days"),
-        "frequency",
-        (F.col("_mon_c") / 100.0).alias("monetary"),
-        F.col("_mon_c").alias("_mc"),
-    )
+    (hundreds of millions of rows); at billions of users use
+    :func:`rfm_segments_approx` — broadcast approx-quantile cut
+    points, no unpartitioned window — whose scores lose the exact-tie
+    guarantee, which is why the exact form is the default."""
+    staged = _rfm_staged(events, user_col, ts_col, value_col, round_to)
     # recency: SMALLER is better -> ntile ascending on (recency, user)
     # scores must INVERT so 5 = most recent
     r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user").asc())
@@ -129,6 +111,93 @@ def rfm_segments(
         (F.lit(buckets + 1) - F.ntile(buckets).over(r_w)).cast("int").alias("r"),
         F.ntile(buckets).over(f_w).cast("int").alias("f"),
         F.ntile(buckets).over(m_w).cast("int").alias("m"),
+    )
+    return out.withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")),
+    )
+
+
+def _rfm_staged(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    round_to: int,
+) -> DataFrame:
+    """Shared RFM staging: one user-keyed aggregation (map-side
+    combinable) + a broadcast one-row corpus-max — the metric table
+    both the exact (ntile) and approx (cut-point) scorers consume."""
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(ts_col).alias("_last"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("_mon_c"),
+    )
+    corpus_max = events.agg(F.max(ts_col).alias("_cmax"))
+    return per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user",
+        F.round(
+            (F.unix_micros("_cmax") - F.unix_micros("_last"))
+            / F.lit(86400.0 * 1e6),
+            round_to,
+        ).alias("recency_days"),
+        "frequency",
+        (F.col("_mon_c") / 100.0).alias("monetary"),
+        F.col("_mon_c").alias("_mc"),
+    )
+
+
+def rfm_segments_approx(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+    round_to: int = 6,
+    accuracy: int = 100000,
+) -> DataFrame:
+    """Billion-user scale path for :func:`rfm_segments` — same output
+    schema, but r/f/m come from ``approx_percentile`` cut points
+    (one broadcast one-row aggregate) applied as a map-only when-chain
+    instead of three unpartitioned ntile windows. The plan has NO
+    Window operator and no single-partition sort (pytest-asserted), so
+    it scales to user tables that can't be globally sorted.
+
+    Scoring rule: score = 1 + #(cuts < metric) with cuts at fractions
+    i/buckets — equal metric values always land in the same bucket
+    (unlike ntile's user-tiebreak split), and boundary assignment can
+    differ from ntile by one bucket exactly where quantile ties sit;
+    the parity pytest pins exact == approx on a tie-free fixture whose
+    bucket boundaries are unambiguous."""
+    staged = _rfm_staged(events, user_col, ts_col, value_col, round_to)
+    fr = [i / buckets for i in range(1, buckets)]
+    cuts = staged.agg(
+        F.percentile_approx("recency_days", fr, accuracy).alias("_rcuts"),
+        F.percentile_approx("frequency", fr, accuracy).alias("_fcuts"),
+        F.percentile_approx("_mc", fr, accuracy).alias("_mcuts"),
+    )
+
+    def _score(metric: str, cuts_col: str):
+        # 1 + #(cuts strictly below the value): JVM-side array fold
+        return F.expr(
+            f"1 + aggregate({cuts_col}, 0, "
+            f"(acc, c) -> acc + CASE WHEN {metric} > c THEN 1 ELSE 0 END)"
+        ).cast("int")
+
+    out = staged.crossJoin(F.broadcast(cuts)).select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary",
+        # recency: smaller is better -> invert the ascending score
+        (F.lit(buckets + 1) - _score("recency_days", "_rcuts"))
+        .cast("int")
+        .alias("r"),
+        _score("frequency", "_fcuts").alias("f"),
+        _score("_mc", "_mcuts").alias("m"),
     )
     return out.withColumn(
         "segment",

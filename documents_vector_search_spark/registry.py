@@ -2735,6 +2735,251 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- partsupp twin: the testdata ships no partsupp, so both engines
+# derive the SAME deterministic table from part ⋈ supplier-count —
+# 4 suppliers per part (distinct because 13·i mod n_supp is distinct
+# for the testdata's power-of-ten supplier counts), hash-derived
+# availqty and integer-cent supplycost. This unlocks the four TPC-H
+# shapes (Q2/Q11/Q16/Q20) the r9 verdict named as the only missing
+# relational family members.
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp(ps_partkey, ps_suppkey, ps_availqty,
+    ps_supplycost_c): part ⋈ broadcast 4-row index ⋈ broadcast one-row
+    supplier count — map-only after two broadcast nested-loop joins,
+    never a shuffle; the DuckDB twin is _PARTSUPP_CTE."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    ns = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ns")
+    )
+    idx = spark.range(4).select(F.col("id").alias("_i"))
+    sk = (F.col("p_partkey") * 7 + F.col("_i") * 13) % F.col("_ns")
+    return (
+        part.crossJoin(F.broadcast(idx))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.cast("bigint").alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1)
+            .cast("bigint")
+            .alias("ps_availqty"),
+            (
+                (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11) % 100000
+                + 100
+            )
+            .cast("bigint")
+            .alias("ps_supplycost_c"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 7 + i.i * 13) % ns.n AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 31 + ((p_partkey * 7 + i.i * 13) % ns.n) * 17)
+              % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((p_partkey * 37 + ((p_partkey * 7 + i.i * 13) % ns.n) * 11)
+              % 100000 + 100 AS BIGINT) AS ps_supplycost_c
+  FROM part
+  CROSS JOIN (VALUES (0), (1), (2), (3)) i(i)
+  CROSS JOIN (SELECT count(*) AS n FROM supplier) ns
+)"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for ECONOMY parts of size
+    < 15, the EUROPE supplier(s) charging the per-part minimum
+    supplycost. The correlated min-cost subquery becomes a WINDOW over
+    the region-filtered partsupp — ONE partsupp derivation and ONE
+    partkey shuffle instead of the classic build-partsupp-twice plan;
+    supplier⋈nation⋈region broadcast. Costs compared in exact integer
+    cents, so min-equality never flips on float rounding."""
+    from pyspark.sql import Window
+
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    w = Window.partitionBy("ps_partkey")
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .withColumn("_min_c", F.min("ps_supplycost_c").over(w))
+        .filter(F.col("ps_supplycost_c") == F.col("_min_c"))
+    )
+    return cand.select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        F.col("ps_partkey").alias("p_partkey"),
+        "p_brand",
+        (F.col("ps_supplycost_c") / 100.0).alias("ps_supplycost"),
+    ).orderBy(
+        F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+    ).limit(100)
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part inventory value
+    (supplycost · availqty, exact integer cents) for one nation's
+    suppliers, kept when the part's value exceeds 1/1000 of the
+    nation's total — the group-vs-global HAVING. The scalar total is a
+    one-row aggregate broadcast via crossJoin; the comparison is
+    integer (value·1000 > total), so the cut never flips on float
+    division. One partkey shuffle over the nation-pruned partsupp."""
+    nat_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .withColumn(
+            "_val_c", F.col("ps_supplycost_c") * F.col("ps_availqty")
+        )
+    )
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.sum("_val_c").cast("bigint").alias("_part_val_c")
+    )
+    total = per_part.agg(
+        F.sum("_part_val_c").cast("bigint").alias("_total_c")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_part_val_c") * 1000 > F.col("_total_c"))
+        .select(
+            "ps_partkey", (F.col("_part_val_c") / 100.0).alias("value")
+        )
+        .orderBy(F.desc("_part_val_c"), "ps_partkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counting: distinct suppliers per
+    (brand, type, size) for parts outside one brand / one type family
+    / a size list, excluding "complaint" suppliers (the testdata has
+    no s_comment, so the complaint set adapts to the deterministic
+    s_suppkey % 17 == 0 — same rule in the oracle). Broadcast anti-
+    join for the exclusion, then one grouped countDistinct."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (~F.col("p_type").startswith("MEDIUM"))
+            & F.col("p_size").isin([1, 4, 7, 10, 13, 16, 19, 22])
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 17 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-stock suppliers: suppliers in one REGION
+    (AMERICA — a single nation leaves the testdata's 4-supplier
+    intersection empty at sf0.01) holding availqty > half the 1996
+    shipped quantity of a 'red' part they supply. The correlated
+    half-sum subquery becomes ONE (partkey, suppkey) lineitem
+    aggregate (map-side combinable) joined to the part-pruned
+    partsupp; the comparison is exact integers (2·availqty > Σqty).
+    One shuffle on the pair key, then a broadcast semi-join down to
+    suppliers."""
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("_qty"))
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(red_parts), F.col("p_partkey") == F.col("ps_partkey")
+        )
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    reg_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "AMERICA"
+                )
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        reg_supp.join(
+            excess, F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel time-to-convert distribution (operators/funnel.py::
     funnel_latency): entered/converted counts, conversion rate, and
@@ -4139,6 +4384,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="w", iterations=10).orderBy(
         F.desc("rank_micro"), "node"
     )
+
+
+def _scd2_workload(spark: SparkSession, sf_dir: str):
+    """The scd2_apply workload: orders as the open dimension and three
+    deterministic change waves — %7==1 repriced +10.00 at ts 100,
+    %13==3 re-sends its CURRENT values at ts 150 (a no-op for keys the
+    first wave missed — exercises the collapse; a real change where
+    the waves overlap), %11==2 status→'F' at ts 200 (a no-op for
+    already-'F' keys). Both engines replay the identical derivation."""
+    cur = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+        "o_orderstatus",
+    )
+    ch1 = cur.filter(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey",
+        (F.col("price_c") + F.lit(1000)).alias("price_c"),
+        "o_orderstatus",
+        F.lit(100).cast("bigint").alias("effective_ts"),
+    )
+    ch2 = cur.filter(F.col("o_orderkey") % 13 == 3).select(
+        "o_orderkey",
+        "price_c",
+        "o_orderstatus",
+        F.lit(150).cast("bigint").alias("effective_ts"),
+    )
+    ch3 = cur.filter(F.col("o_orderkey") % 11 == 2).select(
+        "o_orderkey",
+        "price_c",
+        F.lit("F").alias("o_orderstatus"),
+        F.lit(200).cast("bigint").alias("effective_ts"),
+    )
+    return cur, ch1.unionByName(ch2).unionByName(ch3)
+
+
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD fold (operators/cdc.py::scd2_apply): fold three
+    deterministic change waves into the orders dimension — full
+    version history with valid_from/valid_to chaining, no-op collapse,
+    and is_current flags, from ONE window over (key, effective_ts).
+    Linear in the CHANGE volume, never the history size (the open
+    dimension contributes one row per key)."""
+    from documents_vector_search_spark.operators.cdc import scd2_apply
+
+    cur, changes = _scd2_workload(spark, sf_dir)
+    return scd2_apply(
+        cur, changes, ["o_orderkey"], ["price_c", "o_orderstatus"]
+    ).orderBy("o_orderkey", F.col("valid_from").asc_nulls_first())
 
 
 # ===========================================================================
@@ -6850,6 +7143,86 @@ WHERE bal_c * cnt > sum_c
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY 1 ORDER BY 1
 """
+    d["tpch_q2"] = f"""
+WITH {_PARTSUPP_CTE},
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps.*, p.p_brand, es.s_acctbal, es.s_name, es.n_name,
+         min(ps.ps_supplycost_c) OVER (PARTITION BY ps.ps_partkey) AS min_c
+  FROM partsupp ps
+  JOIN (SELECT p_partkey, p_brand FROM part
+        WHERE p_type = 'ECONOMY' AND p_size < 15) p
+    ON p.p_partkey = ps.ps_partkey
+  JOIN eu_supp es ON es.s_suppkey = ps.ps_suppkey
+)
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+       ps_supplycost_c / 100.0 AS ps_supplycost
+FROM cand WHERE ps_supplycost_c = min_c
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+    d["tpch_q11"] = f"""
+WITH {_PARTSUPP_CTE},
+nat_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT ps_partkey,
+         CAST(sum(ps_supplycost_c * ps_availqty) AS BIGINT) AS part_val_c
+  FROM partsupp JOIN nat_supp ON s_suppkey = ps_suppkey
+  GROUP BY ps_partkey
+),
+tot AS (SELECT CAST(sum(part_val_c) AS BIGINT) AS total_c FROM per_part)
+SELECT ps_partkey, part_val_c / 100.0 AS value
+FROM per_part CROSS JOIN tot
+WHERE part_val_c * 1000 > total_c
+ORDER BY part_val_c DESC, ps_partkey
+"""
+    d["tpch_q16"] = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+    d["tpch_q20"] = f"""
+WITH {_PARTSUPP_CTE},
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+    ON rp.p_partkey = ps_partkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE 2 * ps_availqty > qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey AND r_name = 'AMERICA'
+WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_suppkey
+"""
     d["tpch_q12"] = """
 SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'on_time'
             WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'late'
@@ -6893,6 +7266,56 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR o.price_c IS DISTINCT FROM n.price_c
    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
 ORDER BY o_orderkey, status
+"""
+    d["scd2_apply"] = """
+WITH cur AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         o_orderstatus
+  FROM orders
+),
+ch AS (
+  SELECT o_orderkey, price_c + 1000 AS price_c, o_orderstatus,
+         CAST(100 AS BIGINT) AS effective_ts
+  FROM cur WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, price_c, o_orderstatus, CAST(150 AS BIGINT)
+  FROM cur WHERE o_orderkey % 13 = 3
+  UNION ALL
+  SELECT o_orderkey, price_c, 'F', CAST(200 AS BIGINT)
+  FROM cur WHERE o_orderkey % 11 = 2
+),
+versions AS (
+  SELECT o_orderkey, price_c, o_orderstatus,
+         CAST(NULL AS BIGINT) AS valid_from
+  FROM cur
+  UNION ALL
+  SELECT o_orderkey, price_c, o_orderstatus, effective_ts FROM ch
+),
+ordered AS (
+  SELECT *, row_number() OVER w AS rn,
+         lag(price_c) OVER w AS prev_p,
+         lag(o_orderstatus) OVER w AS prev_s
+  FROM versions
+  WINDOW w AS (PARTITION BY o_orderkey
+               ORDER BY valid_from ASC NULLS FIRST,
+                        price_c ASC NULLS FIRST,
+                        o_orderstatus ASC NULLS FIRST)
+),
+kept AS (
+  SELECT * FROM ordered
+  WHERE rn = 1 OR price_c IS DISTINCT FROM prev_p
+     OR o_orderstatus IS DISTINCT FROM prev_s
+)
+SELECT o_orderkey, price_c, o_orderstatus, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY o_orderkey
+              ORDER BY valid_from ASC NULLS FIRST,
+                       price_c ASC NULLS FIRST,
+                       o_orderstatus ASC NULLS FIRST)
+ORDER BY o_orderkey, valid_from ASC NULLS FIRST
 """
     from documents_vector_search_spark.operators.graph import (
         pagerank_unrolled_sql,
@@ -7501,6 +7924,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ensure_assets_seeded()
     return {
+        # -- new this round (never driver-green: must lead the window) ----
+        "scd2_apply": q_scd2_apply,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         # -- due back: newest driver-green row is r6 (stalest) ------------
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,

@@ -347,10 +347,14 @@ def anomaly_stream(
 
 
 FUNNEL_OUTPUT_SCHEMA = "user_id string, stage long, stage_ts timestamp"
-# per-user funnel progress: k stage timestamps (epoch seconds, -1 =
-# unreached) + the last absorbed (ts, event_id) for late-event
-# detection — one bounded row per user regardless of event volume
-FUNNEL_STATE_SCHEMA = "stages array<double>, last_ts double, last_eid long"
+# per-user funnel progress: k stage timestamps (int64 epoch NANOSECONDS,
+# -1 = unreached) + the last absorbed (ts, event_id) for late-event
+# detection — one bounded row per user regardless of event volume.
+# int64 ns, not float seconds: float64 collapses sub-~0.24µs ts
+# differences at current epochs, which could flip the (ts, event_id)
+# total order and the late-event gate vs the batch operator's exact
+# nanosecond ordering for near-tie events.
+FUNNEL_STATE_SCHEMA = "stages array<long>, last_ts long, last_eid long"
 
 
 def funnel_stream(
@@ -399,14 +403,15 @@ def funnel_stream(
             stages = [-1.0] * k
             last_ts = last_eid = None
 
-        rows: list[tuple[float, int, str]] = []
+        rows: list[tuple[int, int, str]] = []
         for pdf in pdfs:
-            ts = pdf[ts_col].astype("int64") / 1e9
+            # raw int64 nanoseconds — exact, unlike float64 seconds
+            ts = pdf[ts_col].astype("int64")
             for t, e, tp in zip(ts, pdf[event_id_col], pdf[type_col]):
-                rows.append((float(t), int(e), str(tp)))
+                rows.append((int(t), int(e), str(tp)))
         rows.sort()
 
-        fired: list[tuple[int, float]] = []
+        fired: list[tuple[int, int]] = []
         for t, e, tp in rows:
             if last_ts is not None and (t, e) < (last_ts, last_eid):
                 continue  # late: state already moved past this instant
@@ -418,8 +423,8 @@ def funnel_stream(
 
         state.update(
             (
-                [float(s) for s in stages],
-                float(last_ts) if last_ts is not None else -1.0,
+                [int(s) for s in stages],
+                int(last_ts) if last_ts is not None else -1,
                 int(last_eid) if last_eid is not None else -1,
             )
         )
@@ -429,7 +434,7 @@ def funnel_stream(
                     "user_id": [str(key[0])] * len(fired),
                     "stage": [s for s, _ in fired],
                     "stage_ts": pd.to_datetime(
-                        [t for _, t in fired], unit="s"
+                        [t for _, t in fired], unit="ns"
                     ),
                 }
             )

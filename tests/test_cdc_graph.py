@@ -91,7 +91,10 @@ class TestScd2Apply:
 
 
 def _pure_python_pagerank(edges, iterations=10, damping_pct=85):
-    """Reference trajectory: same integer arithmetic, no Spark."""
+    """Reference trajectory: same integer arithmetic (incl. the
+    NULL/≤0 weight filter and dangling-mass redistribution), no
+    Spark."""
+    edges = [(s, d, w) for s, d, w in edges if w is not None and w > 0]
     out_w = {}
     for s, _, w in edges:
         out_w[s] = out_w.get(s, 0) + w
@@ -100,10 +103,12 @@ def _pure_python_pagerank(edges, iterations=10, damping_pct=85):
     base = (PR_SCALE * (100 - damping_pct)) // (100 * n)
     r = {v: PR_SCALE // n for v in nodes}
     for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if v not in out_w)
+        share = dm * damping_pct // (100 * n)
         mass = {v: 0 for v in nodes}
         for s, d, w in edges:
             mass[d] += (r[s] * w) // out_w[s] * damping_pct // 100
-        r = {v: base + mass[v] for v in nodes}
+        r = {v: base + mass[v] + share for v in nodes}
     return r
 
 
@@ -160,6 +165,46 @@ class TestPagerank:
     def test_damping_pct_validated(self, spark):
         with pytest.raises(ValueError):
             pagerank(_df(spark, [("a", "b", 1)], self.EDGES), damping_pct=100)
+
+    def test_invalid_weights_filtered(self, spark):
+        """NULL / zero / negative weights drop before anything else —
+        the engine-parity contract (Spark DIV truncates toward zero,
+        DuckDB // floors; NULLs silently eat contributions). The
+        trajectory must equal pure-Python on the FILTERED edge list,
+        and a node reachable only via invalid edges must vanish."""
+        edges = [
+            ("a", "b", 3), ("b", "a", 2),
+            ("a", "x", None), ("b", "x", 0), ("x", "a", -5),
+        ]
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(
+                _df(spark, edges, self.EDGES), weight="w"
+            ).collect()
+        }
+        assert "x" not in got
+        assert got == _pure_python_pagerank(edges)
+
+    def test_sink_heavy_mass_conservation(self, spark):
+        """VERDICT r9 item #4: with dangling mass re-injected, Σrank
+        stays ≈ PR_SCALE on a sink-heavy graph (three sources feeding
+        two pure sinks). Under the old leak-only model Σrank decayed
+        geometrically — this asserts the correction is live."""
+        edges = [
+            ("s1", "k1", 1), ("s2", "k1", 2), ("s3", "k2", 1),
+            ("s1", "k2", 1),
+        ]
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(
+                _df(spark, edges, self.EDGES), weight="w"
+            ).collect()
+        }
+        total = sum(got.values())
+        # floor-div rounding loses < (n_nodes + n_edges + 1) units per
+        # iteration; anything above 99.9% of PR_SCALE proves no leak
+        assert PR_SCALE >= total > PR_SCALE * 999 // 1000
+        assert got == _pure_python_pagerank(edges)
 
 
 class TestScd2DuckdbParity:

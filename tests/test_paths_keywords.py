@@ -320,3 +320,72 @@ class TestNormalizationParity:
         )
         for i, _ in rows:
             assert got[i] == oracle[i], f"dialect drift at {i}"
+
+
+class TestRfmApproxScalePath:
+    """rfm_segments_approx (operators/paths.py) — the billion-user
+    path the r9 verdict asked for: broadcast approx-quantile cut
+    points instead of three unpartitioned ntile windows. Parity with
+    the exact scorer on a tie-free fixture whose bucket boundaries
+    are unambiguous, and a plan contract: NO Window operator (the
+    single-partition sort is exactly what this path exists to avoid)."""
+
+    @staticmethod
+    def _fixture(spark):
+        # 25 users / 5 buckets: user u has u events (frequency = u,
+        # distinct), per-event value u (monetary = u², distinct), and
+        # last event at t0 + u minutes (recency distinct) — every
+        # metric is tie-free and 25 % 5 == 0, so ntile boundaries and
+        # quantile cut points coincide exactly
+        rows = []
+        eid = 0
+        for u in range(1, 26):
+            for j in range(u):
+                eid += 1
+                rows.append(
+                    (eid, f"u{u:02d}", f"2024-01-01 00:{u:02d}:00",
+                     float(u))
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, user_id string, ts_s string, value double"
+        ).select(
+            "event_id", "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        )
+
+    def test_matches_exact_ntile_on_tie_free_fixture(self, spark):
+        from documents_vector_search_spark.operators.paths import (
+            rfm_segments,
+            rfm_segments_approx,
+        )
+
+        ev = self._fixture(spark)
+        exact = {
+            r["user"]: (r["r"], r["f"], r["m"], r["segment"])
+            for r in rfm_segments(ev).collect()
+        }
+        approx = {
+            r["user"]: (r["r"], r["f"], r["m"], r["segment"])
+            for r in rfm_segments_approx(ev).collect()
+        }
+        assert exact == approx
+        assert len(exact) == 25
+        # each score 1..5 appears exactly 5 times per dimension
+        for dim in range(3):
+            from collections import Counter
+
+            c = Counter(v[dim] for v in exact.values())
+            assert c == {s: 5 for s in range(1, 6)}
+
+    def test_plan_has_no_window(self, spark):
+        from documents_vector_search_spark.operators.paths import (
+            rfm_segments,
+            rfm_segments_approx,
+        )
+
+        ev = self._fixture(spark)
+        plan_approx = rfm_segments_approx(ev)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan_approx
+        # the exact path DOES window — the contrast proves the assert bites
+        plan_exact = rfm_segments(ev)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan_exact
