@@ -158,6 +158,13 @@ HEADLINE = [
     "tpch_q12",
     "snapshot_diff",
     "pagerank",
+    # round 10 additions
+    "scd2_apply",
+    "mlt_vector",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q16",
+    "tpch_q20",
 ]
 
 

@@ -64,6 +64,14 @@ from documents_vector_search_spark.operators.cdc import (
     snapshot_diff,
 )
 from documents_vector_search_spark.operators.graph import pagerank
+from documents_vector_search_spark.operators.paths import (
+    rfm_segments,
+    rfm_segments_approx,
+)
+from documents_vector_search_spark.operators.profiling import (
+    host_profile,
+    skew_report,
+)
 from documents_vector_search_spark.operators.skew import (
     salted_aggregate,
     salted_join,
@@ -159,5 +167,9 @@ __all__ = [
     "apply_changeset",
     "scd2_apply",
     "pagerank",
+    "rfm_segments",
+    "rfm_segments_approx",
+    "host_profile",
+    "skew_report",
     "salted_join",
 ]

@@ -123,3 +123,72 @@ def spend_concentration(
         ).alias("gini"),
         micros(F.col("_top_c"), F.col("_tot_c")).alias("top_decile_share"),
     )
+
+
+def host_profile(
+    staged: DataFrame,
+    salt_hosts: int | None = None,
+) -> DataFrame:
+    """Per-host corpus profile — ``(host, n_docs, n_langs,
+    avg_quality, avg_chars, total_chars)`` over a staged frame with
+    columns ``host, lang, n_chars, q_micro`` (quality pre-rounded to
+    integer micro-units; see registry.q_domain_profile for the
+    derivation). The reporting view a Dolma-style pipeline reads
+    before setting mixing weights.
+
+    ``salt_hosts=None`` (default): ONE host-keyed aggregation with
+    map-side partials — right for host cardinalities where no single
+    host exceeds a task.
+
+    ``salt_hosts=k``: the skew hatch ``skew_report`` sizes (its
+    ``salt_factor`` column IS this k) — at web scale a handful of
+    mega-hosts (the wikipedia.org problem) funnel into single
+    reducers. The decomposable metrics run through
+    ``operators/skew.py::salted_aggregate`` (partials on (host, salt),
+    finish on host), and ``n_langs`` — not salt-decomposable as an
+    algebra — becomes a distinct (host, lang) pair reduction whose
+    map-side partial dedup collapses the mega-host to O(langs) rows
+    BEFORE its shuffle, then a host-keyed count. Result-identical to
+    the unsalted form (pytest-pinned); both joins move O(hosts) rows.
+    """
+    from documents_vector_search_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    mean6 = lambda s, n: F.floor(s / n + 0.5) / F.lit(1e6)  # noqa: E731
+    if salt_hosts is None:
+        return staged.groupBy("host").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("lang").cast("bigint").alias("n_langs"),
+            mean6(F.sum("q_micro"), F.count("*")).alias("avg_quality"),
+            mean6(F.sum("n_chars") * F.lit(1e6), F.count("*")).alias(
+                "avg_chars"
+            ),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    metrics = salted_aggregate(
+        staged,
+        ["host"],
+        {
+            "n_docs": ("count", "*"),
+            "_sum_q": ("sum", "q_micro"),
+            "total_chars": ("sum", "n_chars"),
+        },
+        num_salts=salt_hosts,
+    )
+    langs = (
+        staged.select("host", "lang")
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_langs"))
+    )
+    return metrics.join(langs, "host").select(
+        "host",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_langs",
+        mean6(F.col("_sum_q"), F.col("n_docs")).alias("avg_quality"),
+        mean6(F.col("total_chars") * F.lit(1e6), F.col("n_docs")).alias(
+            "avg_chars"
+        ),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+    )

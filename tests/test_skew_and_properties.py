@@ -443,3 +443,60 @@ class TestSaltedJoin:
             .queryExecution().executedPlan().toString()
         assert "_salt" in plan
         assert "Generate explode" in plan or "Generate" in plan
+
+
+class TestHostProfileSaltHatch:
+    """host_profile (operators/profiling.py) — the skew_report →
+    salted_aggregate consumer the r9 verdict asked for: the salted
+    form must be result-identical to the unsalted groupBy, and its
+    plan must show the two-phase shape (a partial aggregate keyed by
+    (host, _salt) before the host-keyed finish)."""
+
+    @staticmethod
+    def _staged(spark):
+        # one mega-host (the wikipedia.org problem) + a long tail,
+        # multiple langs per host so n_langs exercises the distinct-
+        # pair reduction
+        rows = []
+        for i in range(400):
+            rows.append(("big.example.org", f"l{i % 5}", 100 + i, i * 1000))
+        for h in range(30):
+            for j in range(3):
+                rows.append((f"tail{h}.net", f"l{j % 2}", 50 + j, j * 500))
+        return spark.createDataFrame(
+            rows, "host string, lang string, n_chars long, q_micro long"
+        )
+
+    def test_salted_matches_unsalted(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            host_profile,
+        )
+
+        staged = self._staged(spark)
+        plain = {r["host"]: tuple(r) for r in host_profile(staged).collect()}
+        salted = {
+            r["host"]: tuple(r)
+            for r in host_profile(staged, salt_hosts=8).collect()
+        }
+        assert plain == salted
+        assert plain["big.example.org"][1] == 400  # n_docs
+        assert plain["big.example.org"][2] == 5  # n_langs
+
+    def test_salted_plan_is_two_phase(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            host_profile,
+            skew_report,
+        )
+
+        staged = self._staged(spark)
+        plan = (
+            host_profile(staged, salt_hosts=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_salt" in plan  # partials keyed by (host, _salt)
+        # and skew_report is the sizing tool: the mega-host's
+        # salt_factor is the k you'd pass
+        rep = {r["key"]: r for r in skew_report(staged, "host").collect()}
+        assert rep["big.example.org"]["salt_factor"] > 1
