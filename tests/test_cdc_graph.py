@@ -89,6 +89,61 @@ class TestScd2Apply:
         assert rows[2]["valid_from"] == 50 and rows[2]["is_current"] is True
         assert rows[1]["is_current"] is True  # untouched key stays open
 
+    def test_chain_invariants_random_changes(self, spark):
+        """Hypothesis sweep of the SCD2 laws on random change sets:
+        per key exactly ONE open (is_current) row; versions chain
+        (valid_to == next valid_from under the fold's total order); no
+        two consecutive versions carry equal attributes (no-op
+        collapse); every surviving version's attr appears in the
+        inputs."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        changes = st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),  # key
+                st.sampled_from(["a", "b", "c"]),  # attr
+                st.integers(min_value=1, max_value=6),  # ts
+            ),
+            max_size=12,
+            unique=True,
+        )
+
+        @given(changes)
+        @settings(
+            max_examples=20,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        def check(ch):
+            cur = [(k, f"v{k}") for k in (1, 2)]
+            out = scd2_apply(
+                _df(spark, cur, self.DIM),
+                _df(spark, ch, self.CH),
+                ["k"],
+                ["attr"],
+            ).collect()
+            by_key: dict[int, list] = {}
+            for r in out:
+                by_key.setdefault(r["k"], []).append(r)
+            for k, rows in by_key.items():
+                rows.sort(
+                    key=lambda r: (
+                        r["valid_from"] is not None,
+                        r["valid_from"] or 0,
+                        r["attr"],
+                    )
+                )
+                assert sum(1 for r in rows if r["is_current"]) == 1
+                assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+                for a, b in zip(rows, rows[1:]):
+                    assert a["valid_to"] == b["valid_from"]
+                    assert a["attr"] != b["attr"]  # no-op collapsed
+                allowed = {f"v{k}"} | {a for kk, a, _ in ch if kk == k}
+                assert all(r["attr"] in allowed for r in rows)
+
+        check()
+
 
 def _pure_python_pagerank(edges, iterations=10, damping_pct=85):
     """Reference trajectory: same integer arithmetic (incl. the
@@ -208,11 +263,11 @@ class TestPagerank:
 
 
 class TestScd2DuckdbParity:
-    """scd2_apply has no registry slot this round (the 50-key window
-    is full — see the registry docstring), so its oracle-grade check
-    lives here: an inline DuckDB twin replays the same version fold
-    over the same rows and must agree exactly. Slated for a queries()
-    slot in the r10 window."""
+    """Inline DuckDB twin of scd2_apply: replays the same version fold
+    over the same rows and must agree exactly. Since r10 the operator
+    ALSO has a registry key (window position 1) against the orders
+    workload; this pin survives as the NULL-heavy small-fixture check
+    the registry corpus can't exercise."""
 
     def test_matches_duckdb_twin(self, spark):
         import duckdb
