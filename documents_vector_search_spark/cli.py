@@ -726,6 +726,56 @@ def cmd_diff(args) -> int:
     return 1 if total else 0
 
 
+def cmd_scd2(args) -> int:
+    """Type-2 SCD fold (operators/cdc.py::scd2_apply): fold a changes
+    parquet (attributes + an effective-timestamp column) into an open
+    dimension parquet, writing the full version history
+    (valid_from/valid_to/is_current, no-op versions collapsed). The
+    warehouse-MERGE companion to `diff` — diff a nightly dump, then
+    scd2 the changeset into the history table."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.cdc import scd2_apply
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    current = spark.read.parquet(args.current)
+    changes = spark.read.parquet(args.changes)
+    keys = [c.strip() for c in args.key.split(",") if c.strip()]
+    if args.attrs:
+        attrs = [c.strip() for c in args.attrs.split(",") if c.strip()]
+    else:
+        attrs = [
+            c
+            for c in current.columns
+            if c not in keys and c != args.effective_ts_col
+        ]
+    history = scd2_apply(
+        current, changes, keys, attrs, effective_ts_col=args.effective_ts_col
+    )
+    history.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = written.agg(
+        F.count(F.lit(1)).alias("versions"),
+        F.sum(F.col("is_current").cast("int")).alias("open_rows"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("keys"),
+    ).first()
+    print(_format(
+        {
+            "current": args.current,
+            "changes": args.changes,
+            "keyColumns": keys,
+            "attrColumns": attrs,
+            "historyPath": args.output,
+            "versions": stats["versions"],
+            "openRows": stats["open_rows"],
+            "keys": stats["keys"],
+        },
+        args.format,
+    ))
+    return 0
+
+
 def cmd_pagerank(args) -> int:
     """Graph importance over an edge parquet (operators/graph.py::
     pagerank): the host-graph quality prior of a web-corpus curation
@@ -1384,6 +1434,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", default="json",
                     choices=["json", "indent", "toon"])
     sp.set_defaults(func=cmd_diff)
+
+    sp = sub.add_parser("scd2")
+    sp.add_argument("--current", required=True,
+                    help="open dimension parquet (one row per key)")
+    sp.add_argument("--changes", required=True,
+                    help="changes parquet (attrs + effective-ts column)")
+    sp.add_argument("--key", required=True,
+                    help="comma-separated key column(s)")
+    sp.add_argument("--attrs", default=None,
+                    help="comma-separated attribute columns "
+                         "(default: every non-key, non-ts column of "
+                         "--current)")
+    sp.add_argument("--effective-ts-col", default="effective_ts")
+    sp.add_argument("--output", required=True,
+                    help="write the version-history parquet here")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_scd2)
 
     sp = sub.add_parser("pagerank")
     sp.add_argument("--edges", required=True,

@@ -1352,3 +1352,33 @@ class TestPagerankCli:
         assert len(out["top"]) == 2
         ranks = {r.node for r in spark.read.parquet(out_p).collect()}
         assert ranks == {"s1", "s2", "hub"}
+
+
+class TestScd2Cli:
+    def test_fold_changes_into_history(self, spark, tmp_path, capsys):
+        cur_p = str(tmp_path / "dim")
+        ch_p = str(tmp_path / "changes")
+        out_p = str(tmp_path / "history")
+        spark.createDataFrame(
+            [(1, "v0"), (2, "w0")], "k bigint, attr string"
+        ).write.parquet(cur_p)
+        spark.createDataFrame(
+            [(1, "v1", 100), (1, "v2", 200), (2, "w0", 150)],
+            "k bigint, attr string, effective_ts bigint",
+        ).write.parquet(ch_p)
+        rc = cli.main(
+            ["scd2", "--current", cur_p, "--changes", ch_p,
+             "--key", "k", "--output", out_p, "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # key 1: v0 -> v1 -> v2 (3 versions); key 2: the ts-150 re-send
+        # is a no-op and collapses (1 version)
+        assert out["versions"] == 4 and out["openRows"] == 2
+        assert out["keys"] == 2 and out["attrColumns"] == ["attr"]
+        hist = spark.read.parquet(out_p)
+        open_attrs = {
+            r["k"]: r["attr"]
+            for r in hist.filter("is_current").collect()
+        }
+        assert open_attrs == {1: "v2", 2: "w0"}
