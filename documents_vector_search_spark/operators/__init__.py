@@ -61,6 +61,7 @@ from documents_vector_search_spark.operators.similarity_join import (
 from documents_vector_search_spark.operators.cdc import (
     apply_changeset,
     scd2_apply,
+    scd2_as_of,
     snapshot_diff,
 )
 from documents_vector_search_spark.operators.graph import pagerank
@@ -166,6 +167,7 @@ __all__ = [
     "snapshot_diff",
     "apply_changeset",
     "scd2_apply",
+    "scd2_as_of",
     "pagerank",
     "rfm_segments",
     "rfm_segments_approx",

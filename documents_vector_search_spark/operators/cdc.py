@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "apply_changeset", "scd2_apply"]
+__all__ = ["snapshot_diff", "apply_changeset", "scd2_apply", "scd2_as_of"]
 
 
 def snapshot_diff(
@@ -152,6 +152,30 @@ def scd2_apply(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_as_of(
+    history: DataFrame,
+    ts: int,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time read over a :func:`scd2_apply` history: the one
+    version per key whose validity interval contains ``ts`` (epoch
+    micros int64, the registry convention) — ``valid_from <= ts <
+    valid_to`` with NULL bounds open on that side. Keys that first
+    appear after ``ts`` produce no row, so the result is exactly the
+    dimension as it stood at ``ts``.
+
+    Map-only: one codegen'd filter over the history scan (with the
+    history partitioned or z-ordered on the key, a per-key probe also
+    prunes); the is_current/validity columns drop because the output
+    IS a plain dimension snapshot."""
+    from_ok = F.col(valid_from_col).isNull() | (F.col(valid_from_col) <= ts)
+    to_ok = F.col(valid_to_col).isNull() | (F.col(valid_to_col) > ts)
+    return history.filter(from_ok & to_ok).drop(
+        valid_from_col, valid_to_col, "is_current"
+    )
 
 
 def apply_changeset(

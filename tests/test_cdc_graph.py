@@ -469,3 +469,57 @@ class TestApplyChangeset:
         assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
             tuple(r) for r in old.collect()
         )
+
+
+class TestScd2AsOf:
+    """scd2_as_of: the point-in-time law — reading the history as of
+    ts equals folding only the changes with effective_ts <= ts and
+    keeping each key's open row. Checked at every instant of a
+    three-wave change set, plus the before-first-appearance hole."""
+
+    def test_as_of_equals_prefix_fold(self, spark):
+        from documents_vector_search_spark.operators.cdc import (
+            scd2_apply,
+            scd2_as_of,
+        )
+
+        cur = [(1, "v0"), (2, "w0")]
+        ch = [
+            (1, "v1", 100), (1, "v2", 200), (2, "w1", 150),
+            (3, "new", 120),  # key born at 120
+        ]
+        cur_df = spark.createDataFrame(cur, "k bigint, attr string")
+        ch_df = spark.createDataFrame(
+            ch, "k bigint, attr string, effective_ts bigint"
+        )
+        history = scd2_apply(cur_df, ch_df, ["k"], ["attr"])
+        for ts in (0, 99, 100, 119, 120, 150, 199, 200, 300):
+            got = {
+                r["k"]: r["attr"]
+                for r in scd2_as_of(history, ts).collect()
+            }
+            # reference: replay changes up to ts over the dict
+            expect = dict(cur)
+            for k, a, ets in sorted(ch, key=lambda t: t[2]):
+                if ets <= ts:
+                    expect[k] = a
+            assert got == expect, f"as-of {ts}"
+
+    def test_current_read_matches_is_current(self, spark):
+        from documents_vector_search_spark.operators.cdc import (
+            scd2_apply,
+            scd2_as_of,
+        )
+
+        cur_df = spark.createDataFrame([(1, "a")], "k bigint, attr string")
+        ch_df = spark.createDataFrame(
+            [(1, "b", 10)], "k bigint, attr string, effective_ts bigint"
+        )
+        history = scd2_apply(cur_df, ch_df, ["k"], ["attr"])
+        far_future = 1 << 60
+        as_of = {(r["k"], r["attr"]) for r in scd2_as_of(history, far_future).collect()}
+        open_rows = {
+            (r["k"], r["attr"])
+            for r in history.filter("is_current").select("k", "attr").collect()
+        }
+        assert as_of == open_rows == {(1, "b")}
