@@ -66,6 +66,8 @@ from documents_vector_search_spark.operators.cdc import (
 )
 from documents_vector_search_spark.operators.graph import pagerank
 from documents_vector_search_spark.operators.paths import (
+    attribution,
+    attribution_multitouch,
     rfm_segments,
     rfm_segments_approx,
 )
@@ -169,6 +171,8 @@ __all__ = [
     "scd2_apply",
     "scd2_as_of",
     "pagerank",
+    "attribution",
+    "attribution_multitouch",
     "rfm_segments",
     "rfm_segments_approx",
     "host_profile",

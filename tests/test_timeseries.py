@@ -414,3 +414,116 @@ class TestAnomalyCLI:
         rc = cli.main(["anomaly", "--input", src])
         capsys.readouterr()
         assert rc == 0
+
+
+class TestAttributionMultitouch:
+    """attribution_multitouch (operators/paths.py): linear and
+    U-shaped credit over the touches since the previous conversion —
+    semantics pins plus a DuckDB twin replaying the same windows and
+    integer floor-division (the oracle-grade check; no registry slot —
+    rotation capacity is saturated at 156 keys, registry candidate
+    when capacity allows)."""
+
+    ROWS = [
+        # u1: view,click -> buy(10); email -> buy(20); trailing view
+        (1, _day(1), "u1", "view", 0.0),
+        (2, _day(2), "u1", "click", 0.0),
+        (3, _day(3), "u1", "purchase", 10.0),
+        (4, _day(4), "u1", "email", 0.0),
+        (5, _day(5), "u1", "purchase", 20.0),
+        (6, _day(6), "u1", "view", 0.0),       # after last conv: dropped
+        # u2: three touches then one conversion (position: 40/20/40)
+        (7, _day(1), "u2", "view", 0.0),
+        (8, _day(2), "u2", "email", 0.0),
+        (9, _day(3), "u2", "click", 0.0),
+        (10, _day(4), "u2", "purchase", 100.0),
+        # u3: conversion with no touches: contributes nothing
+        (11, _day(1), "u3", "purchase", 7.0),
+    ]
+
+    def test_linear_credits(self, spark):
+        from documents_vector_search_spark.operators.paths import (
+            attribution_multitouch,
+        )
+
+        out = {
+            r["channel"]: r
+            for r in attribution_multitouch(_ev(spark, self.ROWS)).collect()
+        }
+        # u1 conv1 (10): view+click share 5/5; conv2 (20): email alone;
+        # u2 conv (100): view/email/click share 33.333333 each (floor)
+        assert out["view"]["touches"] == 2
+        assert out["view"]["conversions_touched"] == 2
+        assert abs(out["view"]["credit"] - (5.0 + 100.0 / 3)) < 1e-4
+        assert abs(out["click"]["credit"] - (5.0 + 100.0 / 3)) < 1e-4
+        assert abs(out["email"]["credit"] - (20.0 + 100.0 / 3)) < 1e-4
+        # conservation: total credit <= total converted value with
+        # touches (30 + 100), within floor loss
+        total = sum(r["credit"] for r in out.values())
+        assert 129.999 < total <= 130.0
+
+    def test_position_credits(self, spark):
+        from documents_vector_search_spark.operators.paths import (
+            attribution_multitouch,
+        )
+
+        out = {
+            r["channel"]: r
+            for r in attribution_multitouch(
+                _ev(spark, self.ROWS), model="position"
+            ).collect()
+        }
+        # u2's 100: view(first)=40, click(last)=40, email(middle)=20;
+        # u1 conv1 n=2: 5/5, conv2 n=1: email gets all 20
+        assert abs(out["view"]["credit"] - 45.0) < 1e-6
+        assert abs(out["click"]["credit"] - 45.0) < 1e-6
+        assert abs(out["email"]["credit"] - 40.0) < 1e-6
+
+    def test_matches_duckdb_twin_linear(self, spark):
+        import duckdb
+
+        from documents_vector_search_spark.operators.paths import (
+            attribution_multitouch,
+        )
+
+        got = sorted(
+            (r["channel"], r["touches"], r["conversions_touched"],
+             round(r["credit"], 6))
+            for r in attribution_multitouch(_ev(spark, self.ROWS)).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE ev AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({i}, TIMESTAMP '{ts}', '{u}', '{t}', {v})"
+                for i, ts, u, t, v in self.ROWS
+            )
+            + ") t(event_id, ts, user_id, event_type, value)"
+        )
+        rows = con.sql("""
+WITH staged AS (
+  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS g
+  FROM ev
+),
+grp AS (
+  SELECT *,
+    sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id, g) AS n,
+    max(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000 END)
+      OVER (PARTITION BY user_id, g) AS conv_vm
+  FROM staged WHERE g > 0
+),
+touches AS (
+  SELECT event_type AS channel, user_id, g, conv_vm // n AS credit_m
+  FROM grp
+  WHERE event_type <> 'purchase' AND conv_vm IS NOT NULL
+)
+SELECT channel, count(*)::BIGINT AS touches,
+       count(DISTINCT (user_id, g))::BIGINT AS conversions_touched,
+       round(sum(credit_m) / 1e8, 6) AS credit
+FROM touches GROUP BY channel ORDER BY channel
+""").fetchall()
+        assert got == [tuple(r) for r in rows]
