@@ -71,6 +71,10 @@ from documents_vector_search_spark.operators.paths import (
     rfm_segments,
     rfm_segments_approx,
 )
+from documents_vector_search_spark.operators.retention import (
+    cohort_retention,
+    survival_curve,
+)
 from documents_vector_search_spark.operators.profiling import (
     host_profile,
     skew_report,
@@ -177,5 +181,7 @@ __all__ = [
     "rfm_segments_approx",
     "host_profile",
     "skew_report",
+    "cohort_retention",
+    "survival_curve",
     "salted_join",
 ]

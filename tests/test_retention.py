@@ -57,3 +57,85 @@ class TestRetention:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan
+
+
+class TestSurvivalCurve:
+    """survival_curve (operators/retention.py): the Kaplan-Meier
+    product-limit estimator vs a pure-Python reference on a censoring
+    mix, plus the at-risk bookkeeping laws and the factor==0
+    degenerate step (ln(0)-is-NULL trap handled explicitly)."""
+
+    @staticmethod
+    def _events(spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    @staticmethod
+    def _km_reference(lifetimes, churn_gap_days, corpus_max_day):
+        """(user -> (first_day, last_day)) -> [(d, n, churned, censored,
+        S)] in pure Python floats."""
+        obs = []
+        for first, last in lifetimes.values():
+            dur = last - first
+            churned = (corpus_max_day - last) > churn_gap_days
+            obs.append((dur, churned))
+        out, s = [], 1.0
+        for d in sorted({d for d, _ in obs}):
+            n = sum(1 for dd, _ in obs if dd >= d)
+            ch = sum(1 for dd, c in obs if dd == d and c)
+            ce = sum(1 for dd, c in obs if dd == d and not c)
+            s *= 1.0 - ch / n
+            out.append((d, n, ch, ce, round(s, 6)))
+        return out
+
+    def test_matches_python_km(self, spark):
+        from documents_vector_search_spark.operators.retention import (
+            survival_curve,
+        )
+
+        # corpus max = day 30. churn gap 5: last-day <= 24 churned.
+        lifetimes = {
+            "u1": (0, 2),    # churned at 2
+            "u2": (0, 2),    # churned at 2
+            "u3": (1, 4),    # churned at 3
+            "u4": (0, 28),   # censored at 28
+            "u5": (2, 30),   # censored at 28
+            "u6": (0, 0),    # churned at 0
+        }
+        rows, eid = [], 0
+        for u, (f, l) in lifetimes.items():
+            for day in (f, l):
+                eid += 1
+                rows.append((eid, u, f"2024-01-{day + 1:02d} 00:00:00"))
+        got = [
+            (r["duration_days"], r["n_at_risk"], r["churned"],
+             r["censored"], r["survival"])
+            for r in survival_curve(
+                self._events(spark, rows), churn_gap_days=5
+            ).collect()
+        ]
+        assert got == self._km_reference(lifetimes, 5, 30)
+        # bookkeeping law: at-risk drops by exactly churned+censored
+        for (d1, n1, c1, e1, _), (d2, n2, _, _, _) in zip(got, got[1:]):
+            assert n2 == n1 - c1 - e1
+
+    def test_everyone_churns_at_once_hits_zero(self, spark):
+        from documents_vector_search_spark.operators.retention import (
+            survival_curve,
+        )
+
+        rows = [
+            (1, "a", "2024-01-01 00:00:00"), (2, "a", "2024-01-03 00:00:00"),
+            (3, "b", "2024-01-01 00:00:00"), (4, "b", "2024-01-03 00:00:00"),
+            # a late lone user supplies the corpus max so a and b churn
+            (5, "z", "2024-02-01 00:00:00"),
+        ]
+        got = {
+            r["duration_days"]: r["survival"]
+            for r in survival_curve(
+                self._events(spark, rows), churn_gap_days=3
+            ).collect()
+        }
+        # a and b both churn at duration 2; z censored at 0
+        assert got[2] == 0.0
