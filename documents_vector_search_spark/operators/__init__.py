@@ -71,6 +71,10 @@ from documents_vector_search_spark.operators.paths import (
     rfm_segments,
     rfm_segments_approx,
 )
+from documents_vector_search_spark.operators.cooccurrence import (
+    association_rules,
+    item_cooccurrence,
+)
 from documents_vector_search_spark.operators.retention import (
     cohort_retention,
     survival_curve,
@@ -183,5 +187,7 @@ __all__ = [
     "skew_report",
     "cohort_retention",
     "survival_curve",
+    "association_rules",
+    "item_cooccurrence",
     "salted_join",
 ]

@@ -115,3 +115,106 @@ def item_cooccurrence(
             ).alias("lift"),
         )
     )
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    max_items_per_user: int = 50,
+    min_pair_users: int = 2,
+    min_confidence: float = 0.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Directed association rules over the same capped user-item sets
+    as :func:`item_cooccurrence` — ``(antecedent, consequent, n_both,
+    n_antecedent, support, confidence, lift)``, one row per DIRECTION
+    of each surviving pair (Agrawal & Srikant 1994's measures, minus
+    the frequent-itemset recursion: at pair depth the cap + threshold
+    already bound the blowup):
+
+    - ``support``   = n_both / U (capped users total);
+    - ``confidence``= n_both / n_antecedent — P(consequent | antecedent),
+      the "customers who bought A also bought B" number;
+    - ``lift``      = confidence / (n_consequent / U), identical for
+      both directions.
+
+    Rules below ``min_confidence`` drop AFTER the symmetric pair count
+    (so the thresholds compose: min_pair_users bounds the pair table,
+    min_confidence prunes the directed view). Same scale shape as
+    item_cooccurrence: the cap runs BEFORE the pair self-join, one
+    checkpointed pass feeds all consumers, popularity joins stay
+    AQE-chosen."""
+    ui = user_item_counts(events, user_col, item_col)
+    w = Window.partitionBy("user").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    capped = (
+        ui.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_items_per_user)
+        .select("user", "item")
+        .localCheckpoint()
+    )
+    left = capped.select("user", F.col("item").alias("item_a"))
+    right = capped.select("user", F.col("item").alias("item_b"))
+    pairs = (
+        left.join(right, "user")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_users)
+    )
+    item_users = capped.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u")
+    )
+    totals = capped.select("user").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("_total_users")
+    )
+    # directed view: each pair contributes a->b and b->a
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    return (
+        directed.join(
+            item_users.select(
+                F.col("item").alias("antecedent"), F.col("u").alias("_na")
+            ),
+            "antecedent",
+        )
+        .join(
+            item_users.select(
+                F.col("item").alias("consequent"), F.col("u").alias("_nc")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.col("_na").alias("n_antecedent"),
+            F.round(F.col("n_both") / F.col("_total_users"), round_to).alias(
+                "support"
+            ),
+            F.round(F.col("n_both") / F.col("_na"), round_to).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both") * F.col("_total_users")
+                / (F.col("_na") * F.col("_nc")),
+                round_to,
+            ).alias("lift"),
+        )
+        .filter(F.col("confidence") >= min_confidence)
+        .orderBy(
+            F.col("confidence").desc(), "antecedent", "consequent"
+        )
+    )

@@ -389,3 +389,71 @@ class TestRfmApproxScalePath:
         # the exact path DOES window — the contrast proves the assert bites
         plan_exact = rfm_segments(ev)._jdf.queryExecution().executedPlan().toString()
         assert "Window" in plan_exact
+
+
+class TestAssociationRules:
+    """association_rules (operators/cooccurrence.py): directed
+    confidence/support/lift vs a pure-Python reference, the
+    direction asymmetry (conf(a->b) != conf(b->a) when popularity
+    differs), and the lift symmetry law."""
+
+    @staticmethod
+    def _events(spark, rows):
+        return spark.createDataFrame(rows, "user_id string, item_id string")
+
+    def test_measures_match_python(self, spark):
+        from documents_vector_search_spark.operators.cooccurrence import (
+            association_rules,
+        )
+
+        # 4 users: bread+milk 3x, bread alone 1x, milk+eggs 1x
+        baskets = {
+            "u1": {"bread", "milk"},
+            "u2": {"bread", "milk"},
+            "u3": {"bread", "milk", "eggs"},
+            "u4": {"bread"},
+        }
+        rows = [(u, i) for u, items in baskets.items() for i in items]
+        got = {
+            (r["antecedent"], r["consequent"]): (
+                r["n_both"], r["n_antecedent"], r["support"],
+                r["confidence"], r["lift"],
+            )
+            for r in association_rules(
+                self._events(spark, rows), min_pair_users=1
+            ).collect()
+        }
+        U = len(baskets)
+        items = {"bread", "milk", "eggs"}
+        n = {i: sum(1 for b in baskets.values() if i in b) for i in items}
+        expect = {}
+        for a in items:
+            for c in items:
+                if a == c:
+                    continue
+                both = sum(1 for b in baskets.values() if a in b and c in b)
+                if both < 1:
+                    continue
+                expect[(a, c)] = (
+                    both, n[a], round(both / U, 6),
+                    round(both / n[a], 6),
+                    round(both * U / (n[a] * n[c]), 6),
+                )
+        assert got == expect
+        # asymmetry: milk->bread is certain, bread->milk is 3/4
+        assert got[("milk", "bread")][3] == 1.0
+        assert got[("bread", "milk")][3] == 0.75
+        # lift symmetric across directions
+        assert got[("bread", "milk")][4] == got[("milk", "bread")][4]
+
+    def test_min_confidence_prunes(self, spark):
+        from documents_vector_search_spark.operators.cooccurrence import (
+            association_rules,
+        )
+
+        rows = [("u1", "a"), ("u1", "b"), ("u2", "a"), ("u3", "a")]
+        out = association_rules(
+            self._events(spark, rows), min_pair_users=1, min_confidence=0.9
+        ).collect()
+        # only b->a survives (1/1); a->b is 1/3
+        assert [(r["antecedent"], r["consequent"]) for r in out] == [("b", "a")]
