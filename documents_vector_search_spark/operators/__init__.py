@@ -71,6 +71,11 @@ from documents_vector_search_spark.operators.paths import (
     rfm_segments,
     rfm_segments_approx,
 )
+from documents_vector_search_spark.operators.timeseries import (
+    cusum_changepoints,
+    resample_daily,
+    rolling_zscore,
+)
 from documents_vector_search_spark.operators.cooccurrence import (
     association_rules,
     item_cooccurrence,
@@ -189,5 +194,8 @@ __all__ = [
     "survival_curve",
     "association_rules",
     "item_cooccurrence",
+    "cusum_changepoints",
+    "resample_daily",
+    "rolling_zscore",
     "salted_join",
 ]

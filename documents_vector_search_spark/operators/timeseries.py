@@ -178,3 +178,83 @@ def rolling_zscore(
             )
         ).alias("is_anomaly"),
     ).orderBy("series", "day")
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack_pct: int = 50,
+    threshold_pct: int = 500,
+) -> DataFrame:
+    """Per-series CUSUM level-shift detection (Page 1954) over the
+    daily totals — ``(series, day, total_c, cusum_hi_c, cusum_lo_c,
+    shift_up, shift_down)``: the monitoring question rolling_zscore
+    cannot answer ("did the LEVEL move and stay moved", vs "is this
+    one day an outlier").
+
+    Standard one-sided CUSUMs against the series' global mean μ with
+    slack k = μ·slack_pct/100 and decision h = μ·threshold_pct/100:
+    ``S⁺_t = max(0, S⁺_{t-1} + x_t − μ − k)`` flags up-shifts, the
+    mirror S⁻ flags down-shifts. The recurrence LOOKS sequential, but
+    clamp-at-zero running sums have a closed form — ``S⁺_t = C_t −
+    min_{j≤t} C_j`` over the prefix sums C of the deviations — so both
+    sides compute as ONE cumulative sum + ONE running extremum per
+    series: two window passes over the O(series × days) aggregate,
+    never the raw stream.
+
+    EXACT integers throughout: deviations are day-total cents scaled
+    ×100·n_days minus the integer-cent global sum apportioned per day
+    (so μ never becomes a float), and both CUSUMs and the flags are
+    int64 algebra — no float drift can flip a flag between engines.
+    """
+    from pyspark.sql import Window
+
+    base = daily_series(events, series_col, ts_col, value_col)
+    tot = base.groupBy("series").agg(
+        F.sum("total_c").cast("bigint").alias("_sum_c"),
+        F.count(F.lit(1)).cast("bigint").alias("_days"),
+    )
+    # work in units of (cents × days): x_scaled = total_c · days,
+    # μ_scaled = Σc; slack and threshold scale identically, so the
+    # comparisons are exact integer inequalities
+    staged = base.join(tot, "series").select(
+        "series",
+        "day",
+        "total_c",
+        (F.col("total_c") * F.col("_days")).alias("_x"),
+        F.col("_sum_c").alias("_mu"),
+        F.col("_days").alias("_d"),
+    )
+    dev_hi = F.col("_x") - F.col("_mu") - F.expr(
+        f"_mu * {slack_pct} DIV 100"
+    )
+    dev_lo = F.col("_x") - F.col("_mu") + F.expr(
+        f"_mu * {slack_pct} DIV 100"
+    )
+    w_cum = (
+        Window.partitionBy("series")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        staged.withColumn("_c_hi", F.sum(dev_hi).over(w_cum))
+        .withColumn("_c_lo", F.sum(dev_lo).over(w_cum))
+        .withColumn("_m_hi", F.min(F.least(F.col("_c_hi"), F.lit(0))).over(w_cum))
+        .withColumn("_m_lo", F.max(F.greatest(F.col("_c_lo"), F.lit(0))).over(w_cum))
+    )
+    s_hi = F.col("_c_hi") - F.col("_m_hi")
+    s_lo = F.col("_m_lo") - F.col("_c_lo")
+    h = F.expr(f"_mu * {threshold_pct} DIV 100")
+    return staged.select(
+        "series",
+        "day",
+        "total_c",
+        # report in plain cents (floor-div by days) for readability;
+        # the FLAGS compare in the exact scaled units
+        F.expr("(_c_hi - _m_hi) DIV _d").alias("cusum_hi_c"),
+        F.expr("(_m_lo - _c_lo) DIV _d").alias("cusum_lo_c"),
+        (s_hi > h).alias("shift_up"),
+        (s_lo > h).alias("shift_down"),
+    ).orderBy("series", "day")

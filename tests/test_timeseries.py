@@ -527,3 +527,72 @@ SELECT channel, count(*)::BIGINT AS touches,
 FROM touches GROUP BY channel ORDER BY channel
 """).fetchall()
         assert got == [tuple(r) for r in rows]
+
+
+class TestCusumChangepoints:
+    """cusum_changepoints (operators/timeseries.py): the clamp-at-zero
+    closed form (prefix sum minus running extremum) must equal the
+    textbook sequential recurrence exactly, and a deliberate level
+    shift must flag while the pre-shift plateau stays quiet."""
+
+    @staticmethod
+    def _reference(xs, slack_pct, threshold_pct):
+        """Sequential Page (1954) recurrence in scaled integer units."""
+        d = len(xs)
+        mu = sum(xs)  # x scaled by d, mu = plain sum
+        k = mu * slack_pct // 100
+        h = mu * threshold_pct // 100
+        s_hi = s_lo = 0
+        out = []
+        for x in xs:
+            xs_scaled = x * d
+            s_hi = max(0, s_hi + xs_scaled - mu - k)
+            s_lo = max(0, s_lo - (xs_scaled - mu + k))
+            out.append((s_hi > h, s_lo > h))
+        return out
+
+    def test_matches_sequential_recurrence(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        # 6 quiet days at ~100 then a sustained jump to 400
+        vals = [100.0, 102.0, 98.0, 101.0, 99.0, 100.0,
+                400.0, 410.0, 390.0, 405.0]
+        rows = [
+            (i + 1, _day(i + 1), "u", "volume", v)
+            for i, v in enumerate(vals)
+        ]
+        got = [
+            (r["shift_up"], r["shift_down"])
+            for r in cusum_changepoints(
+                _ev(spark, rows), threshold_pct=100
+            ).collect()
+        ]
+        expect = self._reference(
+            [int(v * 100) for v in vals], 50, 100
+        )
+        assert got == expect
+        assert got[0][0] is False and got[-1][0] is True  # shift caught
+        assert not any(dn for _, dn in got)  # no down-shift here
+
+    def test_down_shift_flags_mirror(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+
+        vals = [400.0, 410.0, 390.0, 405.0, 100.0, 102.0, 98.0, 99.0,
+                101.0, 100.0]
+        rows = [
+            (i + 1, _day(i + 1), "u", "volume", v)
+            for i, v in enumerate(vals)
+        ]
+        got = [
+            (r["shift_up"], r["shift_down"])
+            for r in cusum_changepoints(
+                _ev(spark, rows), slack_pct=20, threshold_pct=100
+            ).collect()
+        ]
+        expect = self._reference([int(v * 100) for v in vals], 20, 100)
+        assert got == expect
+        assert got[-1][1] is True and got[0][1] is False
