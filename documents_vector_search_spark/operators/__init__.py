@@ -71,6 +71,11 @@ from documents_vector_search_spark.operators.paths import (
     rfm_segments,
     rfm_segments_approx,
 )
+from documents_vector_search_spark.operators.funnel import (
+    funnel_report,
+    funnel_stage_times,
+    funnel_windowed,
+)
 from documents_vector_search_spark.operators.timeseries import (
     cusum_changepoints,
     resample_daily,
@@ -197,5 +202,8 @@ __all__ = [
     "cusum_changepoints",
     "resample_daily",
     "rolling_zscore",
+    "funnel_report",
+    "funnel_stage_times",
+    "funnel_windowed",
     "salted_join",
 ]

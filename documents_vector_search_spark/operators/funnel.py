@@ -261,3 +261,89 @@ def funnel_latency(
         pct(0.9, "p90_seconds"),
         F.round(F.avg("_secs"), round_to).alias("mean_seconds"),
     )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    steps: list[str],
+    window: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+) -> DataFrame:
+    """Conversion-window funnel — ``(user, stage_ts)`` like
+    funnel_stage_times, but every stage must land within ``window``
+    (an INTERVAL string, e.g. ``"7 days"``) of the attempt's FIRST
+    stage, with GREEDY RESTART: when the active attempt's window
+    lapses, the next step-1 event opens a fresh attempt. The output is
+    the user's first COMPLETED attempt (all nulls after the last
+    reached stage of the final attempt otherwise) — the semantics
+    product-analytics tools ship, and the one an unbounded funnel
+    can't emulate ("signed up in January, purchased in June" is not a
+    conversion).
+
+    Greedy means step-1 events INSIDE an active attempt do not fork
+    parallel attempts (state stays O(k) per user; a retroactive
+    best-entry search would need O(attempts) state). Consequence,
+    documented and pytest-pinned: a conversion reachable only from a
+    mid-attempt entry is missed. This matches the standard
+    sessionized-funnel contract.
+
+    Same shape as the direct fold: ONE user-keyed sorted-array
+    aggregate, no UDF — the fold is a Column expression, so the whole
+    operator stays in whole-stage codegen."""
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    win = F.expr(f"INTERVAL {window}")
+
+    ev_struct = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(event_id_col).alias("eid"),
+        F.col(type_col).alias("tp"),
+    )
+    # acc = struct(done: array<ts> (the completed attempt; null until
+    # one completes), cur: array<ts> (the active attempt's stage times))
+    empty = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+    init = F.struct(
+        F.lit(None).cast("array<timestamp>").alias("done"),
+        empty.alias("cur"),
+    )
+
+    def step(acc, e):
+        done = acc["done"]
+        # expire the active attempt when the event falls outside the
+        # window of its entry (stage-1) timestamp
+        entry = F.element_at(acc["cur"], 1)
+        expired = entry.isNotNull() & (e["ts"] > entry + win)
+        cur = F.when(expired, empty).otherwise(acc["cur"])
+
+        def upd(i):
+            prev_ok = F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(cur, i).isNotNull()
+            )
+            cond = (
+                F.element_at(cur, i + 1).isNull()
+                & (F.element_at(steps_arr, i + 1) == e["tp"])
+                & prev_ok
+            )
+            return F.when(cond, e["ts"]).otherwise(F.element_at(cur, i + 1))
+
+        nxt = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), upd)
+        completed = F.element_at(nxt, k).isNotNull()
+        return F.when(done.isNotNull(), acc).otherwise(
+            F.struct(
+                F.when(completed, nxt)
+                .otherwise(F.lit(None).cast("array<timestamp>"))
+                .alias("done"),
+                nxt.alias("cur"),
+            )
+        )
+
+    ordered = F.sort_array(F.collect_list(ev_struct))
+    folded = F.aggregate(ordered, init, step)
+    return events.groupBy(F.col(user_col).alias("user")).agg(
+        F.coalesce(folded["done"], folded["cur"]).alias("stage_ts")
+    )

@@ -179,3 +179,134 @@ class TestFunnelLatency:
         ).collect()
         assert r.n_converted == 0 and r.p50_seconds is None
         assert r.n_entered == 4
+
+
+class TestFunnelWindowed:
+    """funnel_windowed: conversion-window semantics with greedy
+    restart — a pure-Python greedy reference replayed on random-ish
+    fixtures, plus the three contract pins (expiry restarts, late
+    conversion rejected, mid-attempt entry NOT forked)."""
+
+    STEPS = ["view", "click", "purchase"]
+
+    @staticmethod
+    def _ev(spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    @classmethod
+    def _greedy(cls, evs, window_s):
+        """Pure-Python greedy windowed funnel over (ts_s, eid, tp)."""
+        import datetime as dt
+
+        done, cur = None, [None] * len(cls.STEPS)
+        for ts_s, eid, tp in sorted(evs):
+            if done:
+                break
+            t = dt.datetime.fromisoformat(ts_s)
+            if cur[0] is not None and (
+                t - dt.datetime.fromisoformat(cur[0])
+            ).total_seconds() > window_s:
+                cur = [None] * len(cls.STEPS)
+            n = sum(1 for x in cur if x is not None)
+            if n < len(cls.STEPS) and cls.STEPS[n] == tp:
+                cur[n] = ts_s
+                if n + 1 == len(cls.STEPS):
+                    done = list(cur)
+        return done or cur
+
+    def test_expiry_restarts_and_converts(self, spark):
+        rows = [
+            # attempt 1 opens at 00:00, expires (window 10 min)
+            (1, 1, "2024-01-01 00:00:00", "view"),
+            (2, 1, "2024-01-01 00:05:00", "click"),
+            # attempt 2: full conversion inside the window
+            (3, 1, "2024-01-01 00:20:00", "view"),
+            (4, 1, "2024-01-01 00:21:00", "click"),
+            (5, 1, "2024-01-01 00:25:00", "purchase"),
+        ]
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_windowed,
+        )
+
+        out = funnel_windowed(
+            self._ev(spark, rows), self.STEPS, "10 minutes"
+        ).collect()
+        got = [str(t)[:19] if t else None for t in out[0]["stage_ts"]]
+        assert got == ["2024-01-01 00:20:00", "2024-01-01 00:21:00",
+                       "2024-01-01 00:25:00"]
+
+    def test_late_conversion_rejected_unbounded_accepts(self, spark):
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", "view"),
+            (2, 1, "2024-01-01 00:01:00", "click"),
+            (3, 1, "2024-06-01 00:00:00", "purchase"),  # months later
+        ]
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_stage_times,
+            funnel_windowed,
+        )
+
+        win = funnel_windowed(
+            self._ev(spark, rows), self.STEPS, "7 days"
+        ).collect()[0]["stage_ts"]
+        unb = funnel_stage_times(self._ev(spark, rows), self.STEPS).collect()[
+            0
+        ]["stage_ts"]
+        assert unb[2] is not None  # unbounded funnel converts
+        assert win[2] is None  # windowed rejects; the June purchase
+        # also expired the attempt, so stage 1/2 reset too
+        assert win[0] is None and win[1] is None
+
+    def test_greedy_no_fork_documented(self, spark):
+        """A second view INSIDE the active attempt does not fork: the
+        conversion reachable only from that later entry is missed —
+        the documented greedy contract."""
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", "view"),
+            (2, 1, "2024-01-01 00:09:00", "view"),    # mid-attempt entry
+            (3, 1, "2024-01-01 00:12:00", "click"),   # in window of e2 only
+            (4, 1, "2024-01-01 00:15:00", "purchase"),
+        ]
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_windowed,
+        )
+
+        out = funnel_windowed(
+            self._ev(spark, rows), self.STEPS, "10 minutes"
+        ).collect()[0]["stage_ts"]
+        # attempt from e1 expired at e3 (00:12 > 00:10); greedy restart
+        # needs a NEW view after expiry, so nothing converts
+        assert out[2] is None
+
+    def test_matches_python_greedy_sweep(self, spark):
+        """Deterministic pseudo-random schedules, Spark == greedy
+        reference user-for-user."""
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_windowed,
+        )
+
+        state, rows, eid = 987654321, [], 0
+        per_user = {}
+        types = ["view", "click", "purchase", "noise"]
+        for u in range(1, 21):
+            evs = []
+            for j in range(12):
+                state = (1103515245 * state + 12345) % (2**31)
+                minute = state % 120
+                state = (1103515245 * state + 12345) % (2**31)
+                tp = types[state % 4]
+                eid += 1
+                ts_s = f"2024-01-01 {minute // 60:02d}:{minute % 60:02d}:00"
+                evs.append((ts_s, eid, tp))
+                rows.append((eid, u, ts_s, tp))
+            per_user[u] = evs
+        out = {
+            r["user"]: [str(t)[:19] if t else None for t in r["stage_ts"]]
+            for r in funnel_windowed(
+                self._ev(spark, rows), self.STEPS, "30 minutes"
+            ).collect()
+        }
+        for u, evs in per_user.items():
+            assert out[u] == self._greedy(evs, 1800), f"user {u}"
