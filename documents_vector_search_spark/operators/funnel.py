@@ -161,15 +161,26 @@ def funnel_report(
     event_id_col: str = "event_id",
     round_to: int = 6,
     ts_bucket: str | None = None,
+    window: str | None = None,
 ) -> DataFrame:
     """Stage-conversion report — ``(stage, step, n_users,
     pct_of_first)`` ordered by stage; ``n_users`` = users whose
     earliest-completion walk reached the stage, ``pct_of_first``
     relative to stage 1. Always K rows — an empty event stream reports
-    every stage with ``n_users`` 0."""
-    stage_ts = funnel_stage_times(
-        events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
-    )
+    every stage with ``n_users`` 0. ``window`` switches the walk to
+    :func:`funnel_windowed` (conversion-window, greedy restart);
+    ``window`` and ``ts_bucket`` are mutually exclusive (the windowed
+    fold carries its own attempt state)."""
+    if window is not None and ts_bucket is not None:
+        raise ValueError("window and ts_bucket are mutually exclusive")
+    if window is not None:
+        stage_ts = funnel_windowed(
+            events, steps, window, user_col, ts_col, type_col, event_id_col
+        )
+    else:
+        stage_ts = funnel_stage_times(
+            events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
+        )
     per_stage = (
         stage_ts.select(
             F.posexplode(F.col("stage_ts")).alias("pos", "t")

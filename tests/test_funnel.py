@@ -310,3 +310,22 @@ class TestFunnelWindowed:
         }
         for u, evs in per_user.items():
             assert out[u] == self._greedy(evs, 1800), f"user {u}"
+
+
+class TestFunnelReportWindowPlumb:
+    def test_windowed_report_and_exclusivity(self, spark, events):
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_report,
+        )
+
+        rows = funnel_report(
+            events, ["view", "click", "purchase"], window="1 minute"
+        ).collect()
+        # u1's purchase at +2min EXPIRES its attempt (greedy reset, no
+        # later re-entry), dropping u1 everywhere; u2/u3/u4 keep their
+        # in-window stages; stage 3 converts nobody
+        assert [(r.stage, r.n_users) for r in rows] == [(1, 3), (2, 2), (3, 0)]
+        with pytest.raises(ValueError):
+            funnel_report(
+                events, ["view", "click"], window="1 day", ts_bucket="1 day"
+            )
