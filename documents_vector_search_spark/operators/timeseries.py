@@ -187,6 +187,7 @@ def cusum_changepoints(
     value_col: str = "value",
     slack_pct: int = 50,
     threshold_pct: int = 500,
+    target_c: int | None = None,
 ) -> DataFrame:
     """Per-series CUSUM level-shift detection (Page 1954) over the
     daily totals — ``(series, day, total_c, cusum_hi_c, cusum_lo_c,
@@ -208,25 +209,42 @@ def cusum_changepoints(
     ×100·n_days minus the integer-cent global sum apportioned per day
     (so μ never becomes a float), and both CUSUMs and the flags are
     int64 algebra — no float drift can flip a flag between engines.
+
+    ``target_c`` switches to the classical KNOWN-target form: μ is the
+    given integer-cent level (no data-derived mean, no ×days scaling)
+    — the form whose streaming twin
+    (streaming/stateful.py::cusum_stream) carries (S⁺, S⁻) as O(1)
+    state per series and emits the identical trajectory
+    (restart-parity pytest).
     """
     from pyspark.sql import Window
 
     base = daily_series(events, series_col, ts_col, value_col)
-    tot = base.groupBy("series").agg(
-        F.sum("total_c").cast("bigint").alias("_sum_c"),
-        F.count(F.lit(1)).cast("bigint").alias("_days"),
-    )
-    # work in units of (cents × days): x_scaled = total_c · days,
-    # μ_scaled = Σc; slack and threshold scale identically, so the
-    # comparisons are exact integer inequalities
-    staged = base.join(tot, "series").select(
-        "series",
-        "day",
-        "total_c",
-        (F.col("total_c") * F.col("_days")).alias("_x"),
-        F.col("_sum_c").alias("_mu"),
-        F.col("_days").alias("_d"),
-    )
+    if target_c is not None:
+        staged = base.select(
+            "series",
+            "day",
+            "total_c",
+            F.col("total_c").alias("_x"),
+            F.lit(int(target_c)).cast("bigint").alias("_mu"),
+            F.lit(1).cast("bigint").alias("_d"),
+        )
+    else:
+        tot = base.groupBy("series").agg(
+            F.sum("total_c").cast("bigint").alias("_sum_c"),
+            F.count(F.lit(1)).cast("bigint").alias("_days"),
+        )
+        # work in units of (cents × days): x_scaled = total_c · days,
+        # μ_scaled = Σc; slack and threshold scale identically, so the
+        # comparisons are exact integer inequalities
+        staged = base.join(tot, "series").select(
+            "series",
+            "day",
+            "total_c",
+            (F.col("total_c") * F.col("_days")).alias("_x"),
+            F.col("_sum_c").alias("_mu"),
+            F.col("_days").alias("_d"),
+        )
     dev_hi = F.col("_x") - F.col("_mu") - F.expr(
         f"_mu * {slack_pct} DIV 100"
     )

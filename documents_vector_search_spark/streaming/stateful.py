@@ -446,3 +446,103 @@ def funnel_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = (
+    "series string, day timestamp, total double, "
+    "cusum_hi_c long, cusum_lo_c long, shift_up boolean, shift_down boolean"
+)
+# per-series CUSUM state: the open day accumulator + the two one-sided
+# cumulative sums (integer cents) — O(1) per series, the smallest
+# stateful-analytics footprint in the engine
+CUSUM_STATE_SCHEMA = "open_day double, open_total long, s_hi long, s_lo long"
+
+
+def cusum_stream(
+    events: DataFrame,
+    target_c: int,
+    slack_pct: int = 50,
+    threshold_pct: int = 500,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.py::cusum_changepoints
+    with a KNOWN target level (``target_c`` integer cents — the
+    classical Page 1954 online form): per closed day, update the two
+    one-sided cumulative sums and emit ``(series, day, total,
+    cusum_hi_c, cusum_lo_c, shift_up, shift_down)`` exactly as the
+    batch operator computes them (restart-parity pytest).
+
+    Same day-close contract as anomaly_stream: a day emits only when a
+    later day arrives for its series; late events for a closed day are
+    dropped (bound it with ``withWatermark`` upstream). State is FOUR
+    scalars per series — not the history, not the window — because the
+    CUSUM recurrence is online by construction.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    day_secs = 86400.0
+    k = target_c * slack_pct // 100
+    h = target_c * threshold_pct // 100
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            open_day, open_total, s_hi, s_lo = state.get
+        else:
+            open_day, open_total, s_hi, s_lo = None, 0, 0, 0
+
+        per_day: dict[float, int] = {}
+        for pdf in pdfs:
+            secs = pdf[ts_col].astype("int64") / 1e9
+            for t, v in zip(secs, pdf[value_col]):
+                d = math.floor(t / day_secs) * day_secs
+                per_day[d] = per_day.get(d, 0) + int(
+                    math.floor(v * 100 + 0.5)
+                )
+
+        closed: list[tuple[float, int]] = []
+        for d in sorted(per_day):
+            if open_day is not None and d < open_day:
+                continue  # late for a closed day: dropped (watermark)
+            if open_day is None:
+                open_day, open_total = d, 0
+            elif d > open_day:
+                closed.append((open_day, open_total))
+                open_day, open_total = d, 0
+            open_total += per_day[d]
+
+        rows = []
+        for d, tot in closed:
+            s_hi = max(0, s_hi + tot - target_c - k)
+            s_lo = max(0, s_lo - (tot - target_c + k))
+            rows.append((d, tot, s_hi, s_lo, s_hi > h, s_lo > h))
+
+        if open_day is not None:
+            state.update(
+                (float(open_day), int(open_total), int(s_hi), int(s_lo))
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "series": [str(key[0])] * len(rows),
+                    "day": pd.to_datetime([r[0] for r in rows], unit="s"),
+                    "total": [r[1] / 100.0 for r in rows],
+                    "cusum_hi_c": [r[2] for r in rows],
+                    "cusum_lo_c": [r[3] for r in rows],
+                    "shift_up": [r[4] for r in rows],
+                    "shift_down": [r[5] for r in rows],
+                }
+            )
+
+    return events.groupBy(series_col).applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -596,3 +596,74 @@ class TestCusumChangepoints:
         expect = self._reference([int(v * 100) for v in vals], 20, 100)
         assert got == expect
         assert got[-1][1] is True and got[0][1] is False
+
+
+class TestCusumStream:
+    """streaming/stateful.py::cusum_stream — the known-target CUSUM
+    twin: days closed by the stream (across a restart) must carry the
+    SAME (S+, S-, flags) trajectory as the batch operator's
+    target_c form."""
+
+    def test_matches_batch_target_form_across_restart(self, spark, tmp_path):
+        import datetime as dt
+
+        from documents_vector_search_spark.operators.timeseries import (
+            cusum_changepoints,
+        )
+        from documents_vector_search_spark.streaming.stateful import (
+            cusum_stream,
+        )
+
+        src = tmp_path / "cu_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "cu_ckpt")
+        out = str(tmp_path / "cu_out")
+        schema = ("event_id long, ts timestamp, user_id string, "
+                  "event_type string, value double")
+        vals = [100.0, 102.0, 98.0, 101.0, 99.0, 100.0,
+                400.0, 410.0, 390.0, 405.0]
+        rows = [
+            (i, dt.datetime(2024, 1, i + 1, 12), "u", "click", v)
+            for i, v in enumerate(vals)
+        ]
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        def run(batch_rows):
+            spark.createDataFrame(batch_rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+            q = (
+                cusum_stream(
+                    spark.readStream.schema(schema).parquet(str(src)),
+                    target_c=10000,  # 100.00 — the quiet level
+                    threshold_pct=100,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(rows[:6])   # days 1-6; day 6 stays open
+        run(rows[6:])   # restart; days 7-10, day 10 stays open
+
+        got = {
+            r["day"].day: (r["cusum_hi_c"], r["cusum_lo_c"],
+                           bool(r["shift_up"]), bool(r["shift_down"]))
+            for r in spark.read.parquet(out).collect()
+        }
+        expected = {
+            r["day"].day: (r["cusum_hi_c"], r["cusum_lo_c"],
+                           bool(r["shift_up"]), bool(r["shift_down"]))
+            for r in cusum_changepoints(
+                _ev(spark, rows), target_c=10000, threshold_pct=100
+            ).collect()
+        }
+        assert set(got) == {d for d in expected if d != 10}  # 10 open
+        for d, g in got.items():
+            assert g == expected[d], f"day {d}"
+        # the sustained 400-level shift must have flagged by day 9
+        assert got[9][2] is True
