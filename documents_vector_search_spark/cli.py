@@ -896,6 +896,43 @@ def cmd_doctor(args) -> int:
     return 0 if report["ok"] else 1
 
 
+def cmd_profile(args) -> int:
+    """Per-column data-quality profile of ANY parquet path
+    (operators/profiling.py::table_profile): nulls, distincts, min/max,
+    string lengths — the first look at an unfamiliar drop, before any
+    pipeline trusts it. One aggregation pass however many columns."""
+    from documents_vector_search_spark.operators.profiling import (
+        table_profile,
+    )
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    rows = table_profile(
+        spark.read.parquet(args.path), exact_distinct=args.exact
+    ).collect()
+    print(_format(
+        {
+            "path": args.path,
+            "nRows": rows[0]["n_rows"] if rows else 0,
+            "columns": [
+                {
+                    "column": r["column"],
+                    "dtype": r["dtype"],
+                    "nNulls": r["n_nulls"],
+                    "nullFrac": r["null_frac"],
+                    "nDistinct": r["n_distinct"],
+                    "min": r["min"],
+                    "max": r["max"],
+                    "avgLen": r["avg_len"],
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
 def cmd_skew(args) -> int:
     """Shuffle-key skew diagnostics over a collection table column
     (operators/profiling.py::skew_report): heaviest keys, row share,
@@ -1517,6 +1554,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--deep", action="store_true")
     sp.set_defaults(func=cmd_doctor)
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("path", help="parquet path to profile")
+    sp.add_argument("--exact", action="store_true",
+                    help="exact distinct counts (default: HLL approx)")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_profile)
 
     sp = sub.add_parser("skew")
     common(sp)

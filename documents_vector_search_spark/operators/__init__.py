@@ -92,6 +92,7 @@ from documents_vector_search_spark.operators.retention import (
 from documents_vector_search_spark.operators.profiling import (
     host_profile,
     skew_report,
+    table_profile,
 )
 from documents_vector_search_spark.operators.skew import (
     salted_aggregate,
@@ -195,6 +196,7 @@ __all__ = [
     "rfm_segments_approx",
     "host_profile",
     "skew_report",
+    "table_profile",
     "cohort_retention",
     "survival_curve",
     "association_rules",

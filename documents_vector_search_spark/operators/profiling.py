@@ -192,3 +192,95 @@ def host_profile(
         ),
         F.col("total_chars").cast("bigint").alias("total_chars"),
     )
+
+
+def table_profile(
+    df: DataFrame,
+    exact_distinct: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-column data-quality profile of ANY DataFrame —
+    ``(column, dtype, n_rows, n_nulls, null_frac, n_distinct, min,
+    max, avg_len)`` — the first thing a pipeline runs over an
+    unfamiliar parquet drop before trusting it (the generic sibling of
+    the collection-specific `doctor`).
+
+    ONE aggregation pass computes every column's stats side by side
+    (Spark evaluates all aggregate expressions in a single scan with
+    map-side partials), then the one-row wide result unpivots
+    driver-free via stack(). min/max/avg_len render as strings so the
+    schema is column-count-independent. ``n_distinct`` uses
+    approx_count_distinct (HLL, one pass, mergeable) by default —
+    ``exact_distinct=True`` swaps in countDistinct when the Expand
+    cost is acceptable.
+    """
+    from pyspark.sql.types import NumericType, StringType
+
+    n_rows = F.count(F.lit(1))
+    aggs: list = [n_rows.cast("bigint").alias("_n")]
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        nn = F.sum(c.isNull().cast("int")).cast("bigint")
+        nd = (
+            F.count_distinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        ).cast("bigint")
+        if isinstance(f.dataType, StringType):
+            avg_len = F.round(F.avg(F.length(c)), round_to).cast("string")
+        elif isinstance(f.dataType, NumericType):
+            avg_len = F.lit(None).cast("string")
+        else:
+            avg_len = F.lit(None).cast("string")
+        try_minmax = isinstance(f.dataType, (NumericType, StringType)) or (
+            f.dataType.typeName() in ("timestamp", "date", "timestamp_ntz")
+        )
+        mn = (
+            F.min(c).cast("string")
+            if try_minmax
+            else F.lit(None).cast("string")
+        )
+        mx = (
+            F.max(c).cast("string")
+            if try_minmax
+            else F.lit(None).cast("string")
+        )
+        aggs.extend(
+            [
+                nn.alias(f"_nn_{f.name}"),
+                nd.alias(f"_nd_{f.name}"),
+                mn.alias(f"_mn_{f.name}"),
+                mx.alias(f"_mx_{f.name}"),
+                avg_len.alias(f"_al_{f.name}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stack_parts = []
+    for f in df.schema.fields:
+        stack_parts.append(
+            f"'{f.name}', '{f.dataType.simpleString()}', "
+            f"`_nn_{f.name}`, `_nd_{f.name}`, `_mn_{f.name}`, "
+            f"`_mx_{f.name}`, `_al_{f.name}`"
+        )
+    k = len(df.schema.fields)
+    stacked = wide.selectExpr(
+        "_n",
+        f"stack({k}, {', '.join(stack_parts)}) AS "
+        "(column, dtype, n_nulls, n_distinct, min, max, avg_len)",
+    )
+    return stacked.select(
+        "column",
+        "dtype",
+        F.col("_n").alias("n_rows"),
+        "n_nulls",
+        F.round(
+            F.when(F.col("_n") > 0, F.col("n_nulls") / F.col("_n")).otherwise(
+                F.lit(0.0)
+            ),
+            round_to,
+        ).alias("null_frac"),
+        "n_distinct",
+        "min",
+        "max",
+        "avg_len",
+    ).orderBy("column")

@@ -1382,3 +1382,18 @@ class TestScd2Cli:
             for r in hist.filter("is_current").collect()
         }
         assert open_attrs == {1: "v2", 2: "w0"}
+
+
+class TestProfileCli:
+    def test_profiles_any_parquet(self, spark, tmp_path, capsys):
+        p = str(tmp_path / "drop")
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "ccc")], "k bigint, s string"
+        ).write.parquet(p)
+        rc = cli.main(["profile", p, "--exact", "--format", "json"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["nRows"] == 3
+        cols = {c["column"]: c for c in out["columns"]}
+        assert cols["s"]["nNulls"] == 1 and cols["s"]["nDistinct"] == 2
+        assert cols["k"]["min"] == "1" and cols["k"]["max"] == "3"

@@ -500,3 +500,55 @@ class TestHostProfileSaltHatch:
         # salt_factor is the k you'd pass
         rep = {r["key"]: r for r in skew_report(staged, "host").collect()}
         assert rep["big.example.org"]["salt_factor"] > 1
+
+
+class TestTableProfile:
+    """table_profile (operators/profiling.py): per-column stats vs a
+    hand computation, exact-distinct toggle, non-orderable columns
+    render NULL min/max, and the whole profile is ONE aggregation
+    pass (plan contract: a single Aggregate pair, no join)."""
+
+    @staticmethod
+    def _df(spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha", 1.5, ["x"]),
+                (2, None, 2.5, ["y", "z"]),
+                (3, "beta", None, []),
+                (3, "gamma", 4.5, None),
+            ],
+            "id bigint, name string, score double, tags array<string>",
+        )
+
+    def test_stats_match_hand_computation(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            table_profile,
+        )
+
+        prof = {
+            r["column"]: r
+            for r in table_profile(self._df(spark), exact_distinct=True).collect()
+        }
+        assert set(prof) == {"id", "name", "score", "tags"}
+        assert all(r["n_rows"] == 4 for r in prof.values())
+        assert prof["id"]["n_nulls"] == 0 and prof["id"]["n_distinct"] == 3
+        assert prof["id"]["min"] == "1" and prof["id"]["max"] == "3"
+        assert prof["name"]["n_nulls"] == 1
+        assert prof["name"]["null_frac"] == 0.25
+        assert prof["name"]["avg_len"] == "4.666667"  # alpha/beta/gamma
+        assert prof["score"]["min"] == "1.5" and prof["score"]["max"] == "4.5"
+        assert prof["tags"]["min"] is None and prof["tags"]["max"] is None
+        assert prof["tags"]["n_nulls"] == 1
+
+    def test_single_pass_plan(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            table_profile,
+        )
+
+        plan = (
+            table_profile(self._df(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # one scan, no per-column jobs
