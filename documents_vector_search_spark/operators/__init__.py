@@ -90,6 +90,7 @@ from documents_vector_search_spark.operators.retention import (
     survival_curve,
 )
 from documents_vector_search_spark.operators.profiling import (
+    fk_check,
     host_profile,
     skew_report,
     table_profile,
@@ -197,6 +198,7 @@ __all__ = [
     "host_profile",
     "skew_report",
     "table_profile",
+    "fk_check",
     "cohort_retention",
     "survival_curve",
     "association_rules",

@@ -284,3 +284,52 @@ def table_profile(
         "max",
         "avg_len",
     ).orderBy("column")
+
+
+def fk_check(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: "list[tuple[str, str]] | list[str]",
+    sample: int = 5,
+) -> dict:
+    """Referential-integrity check: how many ``child`` rows point at a
+    key absent from ``parent`` — the join-quality companion to
+    :func:`table_profile` (a fact table whose dimension lookups
+    silently null out is the classic quiet corruption after a partial
+    load). ``keys``: child→parent column pairs, or bare names shared
+    by both sides.
+
+    Returns ``{"child_rows", "orphan_rows", "orphan_frac",
+    "sample": [key tuples]}``. ONE left-anti join keyed on the FK (the
+    parent side deduplicates to keys first, so the anti-join build
+    side is the key set, not the dimension) + one count; the sample is
+    a bounded ``limit(sample)`` collect. NULL FKs count as orphans
+    (they fail every equality join) — filter them upstream if NULL
+    means intentionally-unlinked."""
+    pairs = [
+        (k, k) if isinstance(k, str) else (k[0], k[1]) for k in keys
+    ]
+    pk = parent.select(
+        *[F.col(p).alias(f"_pk_{c}") for c, p in pairs]
+    ).dropDuplicates()
+    cond = None
+    for c, _p in pairs:
+        eq = F.col(c).eqNullSafe(F.col(f"_pk_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    orphans = child.join(pk, cond, "left_anti")
+    child_rows = child.count()
+    orphan_rows = orphans.count()
+    sample_rows = [
+        tuple(r[c] for c, _p in pairs)
+        for r in orphans.select(*[c for c, _p in pairs])
+        .limit(sample)
+        .collect()
+    ]
+    return {
+        "child_rows": child_rows,
+        "orphan_rows": orphan_rows,
+        "orphan_frac": (
+            round(orphan_rows / child_rows, 6) if child_rows else 0.0
+        ),
+        "sample": sample_rows,
+    }

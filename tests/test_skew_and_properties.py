@@ -552,3 +552,33 @@ class TestTableProfile:
             .toString()
         )
         assert "Join" not in plan  # one scan, no per-column jobs
+
+
+class TestFkCheck:
+    def test_orphans_found_and_sampled(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            fk_check,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99), (4, None)], "id bigint, fk bigint"
+        )
+        parent = spark.createDataFrame(
+            [(10,), (20,), (30,)], "pk bigint"
+        )
+        out = fk_check(child, parent, [("fk", "pk")])
+        assert out["child_rows"] == 4 and out["orphan_rows"] == 2
+        assert out["orphan_frac"] == 0.5
+        assert sorted(s[0] for s in out["sample"] if s[0] is not None) == [99]
+        # NULL fk counts as orphan (eqNullSafe: NULL matches only NULL)
+        assert any(s[0] is None for s in out["sample"])
+
+    def test_clean_child_passes(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            fk_check,
+        )
+
+        child = spark.createDataFrame([(1, "a")], "id bigint, k string")
+        parent = spark.createDataFrame([("a",), ("b",)], "k string")
+        out = fk_check(child, parent, ["k"])
+        assert out["orphan_rows"] == 0 and out["sample"] == []
