@@ -3,6 +3,13 @@
 from documents_vector_search_spark.streaming.curation import curate_stream
 from documents_vector_search_spark.streaming.dedup import dedup_stream
 from documents_vector_search_spark.streaming.neardup import NearDupGate
+from documents_vector_search_spark.streaming.stateful import (
+    anomaly_stream,
+    cusum_stream,
+    funnel_stream,
+    sessionize_stream,
+    transitions_stream,
+)
 from documents_vector_search_spark.streaming.incremental import (
     OVERLAP_MINUTES,
     incremental_dataset_update,
@@ -18,6 +25,11 @@ __all__ = [
     "curate_stream",
     "dedup_stream",
     "NearDupGate",
+    "anomaly_stream",
+    "cusum_stream",
+    "funnel_stream",
+    "sessionize_stream",
+    "transitions_stream",
     "incremental_dataset_update",
     "incremental_files_update",
     "run_streaming_update",
