@@ -229,6 +229,7 @@ def funnel_latency(
     event_id_col: str = "event_id",
     round_to: int = 6,
     ts_bucket: str | None = None,
+    window: str | None = None,
 ) -> DataFrame:
     """Time-to-convert distribution — ONE row ``(n_entered,
     n_converted, conversion_rate, p25_seconds, p50_seconds,
@@ -240,10 +241,20 @@ def funnel_latency(
     oracle-exact; empty conversions yield nulls.
 
     Cost: the funnel fold itself (one user-keyed shuffle, or the
-    ts_bucket two-level form) + one single-row aggregation."""
-    st = funnel_stage_times(
-        events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
-    )
+    ts_bucket two-level form) + one single-row aggregation. ``window``
+    switches the walk to :func:`funnel_windowed` (mutually exclusive
+    with ``ts_bucket``) — the latency of conversions that happened
+    WITHIN the window, the number a campaign report actually wants."""
+    if window is not None and ts_bucket is not None:
+        raise ValueError("window and ts_bucket are mutually exclusive")
+    if window is not None:
+        st = funnel_windowed(
+            events, steps, window, user_col, ts_col, type_col, event_id_col
+        )
+    else:
+        st = funnel_stage_times(
+            events, steps, user_col, ts_col, type_col, event_id_col, ts_bucket
+        )
     k = len(steps)
     first = F.element_at("stage_ts", 1)
     last = F.element_at("stage_ts", k)

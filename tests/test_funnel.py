@@ -329,3 +329,34 @@ class TestFunnelReportWindowPlumb:
             funnel_report(
                 events, ["view", "click"], window="1 day", ts_bucket="1 day"
             )
+
+
+class TestFunnelLatencyWindowPlumb:
+    def test_windowed_latency_counts_windowed_walks(self, spark):
+        from documents_vector_search_spark.operators.funnel import (
+            funnel_latency,
+        )
+
+        rows = [
+            # u1 converts in 2 minutes (inside a 5-minute window)
+            (1, 1, "2024-01-01 00:00:00", "view"),
+            (2, 1, "2024-01-01 00:01:00", "click"),
+            (3, 1, "2024-01-01 00:02:00", "purchase"),
+            # u2's purchase lands an hour later: outside the window
+            (4, 2, "2024-01-01 00:00:00", "view"),
+            (5, 2, "2024-01-01 00:01:00", "click"),
+            (6, 2, "2024-01-01 01:00:00", "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        steps = ["view", "click", "purchase"]
+        unb = funnel_latency(ev, steps).collect()[0]
+        win = funnel_latency(ev, steps, window="5 minutes").collect()[0]
+        assert unb["n_converted"] == 2
+        assert win["n_converted"] == 1
+        assert win["p50_seconds"] == 120.0
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            funnel_latency(ev, steps, window="1 day", ts_bucket="1 day")
