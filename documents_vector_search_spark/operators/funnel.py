@@ -314,7 +314,13 @@ def funnel_windowed(
 
     Same shape as the direct fold: ONE user-keyed sorted-array
     aggregate, no UDF — the fold is a Column expression, so the whole
-    operator stays in whole-stage codegen."""
+    operator stays in whole-stage codegen. Scale note: the per-user
+    event list materializes like the direct fold's; the ts_bucket
+    composability hatch does NOT port here (an attempt's cross-bucket
+    state is (entry_ts, fill count), not a fill count alone, so bucket
+    summaries would need one fold per possible entry timestamp) — for
+    pathological power users, pre-filter to the funnel's event types
+    first, which bounds the list by steps actually taken."""
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
     k = len(steps)

@@ -7866,6 +7866,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - out-of-window tail (51+): the six slipped r7 keys first (stalest,
       due r11), then the 50 r8-green keys (due r11/r12), then the 50
       r9-green keys (newest).
+
+    REGISTRY CANDIDATES (operators shipped pytest-pinned this round,
+    queued for keys when window capacity allows, in this order):
+    scd2_as_of (prefix-fold law is SQL-expressible), survival_curve
+    (KM product over the duration table unrolls to window SQL),
+    association_rules (directed measures over capped baskets),
+    cusum_changepoints (closed form is two SQL windows),
+    funnel_windowed (per-user greedy walk needs the row_number
+    sequence oracle idiom q_funnel already uses), table_profile /
+    attribution_multitouch (both have inline DuckDB twins in tests).
+    Each new key displaces an out-of-window due-back — restate the
+    ceil(N/50) arithmetic when adding any.
     """
     _ensure_assets_seeded()
     return {
