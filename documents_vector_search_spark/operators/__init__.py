@@ -85,6 +85,10 @@ from documents_vector_search_spark.operators.cooccurrence import (
     association_rules,
     item_cooccurrence,
 )
+from documents_vector_search_spark.operators.sessions import (
+    session_metrics,
+    sessionize,
+)
 from documents_vector_search_spark.operators.retention import (
     cohort_retention,
     survival_curve,
@@ -201,6 +205,8 @@ __all__ = [
     "fk_check",
     "cohort_retention",
     "survival_curve",
+    "sessionize",
+    "session_metrics",
     "association_rules",
     "item_cooccurrence",
     "cusum_changepoints",

@@ -139,3 +139,75 @@ class TestSurvivalCurve:
         }
         # a and b both churn at duration 2; z censored at 0
         assert got[2] == 0.0
+
+
+class TestSessionizeAndMetrics:
+    """operators/sessions.py: batch sessionize (the reusable twin of
+    the registry's q_sessionize and streaming sessionize_stream) and
+    the one-row quality rollup."""
+
+    @staticmethod
+    def _ev(spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_sessions_split_on_gap(self, spark):
+        from documents_vector_search_spark.operators.sessions import (
+            sessionize,
+        )
+
+        rows = [
+            (1, "u1", "2024-01-01 00:00:00"),
+            (2, "u1", "2024-01-01 00:10:00"),   # same session (gap 30m)
+            (3, "u1", "2024-01-01 01:00:00"),   # 50m gap: new session
+            (4, "u2", "2024-01-01 00:00:00"),   # bounce
+        ]
+        got = {
+            (r["user"], r["session_id"]): (r["n_events"], r["duration_s"])
+            for r in sessionize(self._ev(spark, rows)).collect()
+        }
+        assert got[("u1", 1)] == (2, 600.0)
+        assert got[("u1", 2)] == (1, 0.0)
+        assert got[("u2", 1)] == (1, 0.0)
+
+    def test_metrics_rollup(self, spark):
+        from documents_vector_search_spark.operators.sessions import (
+            session_metrics,
+        )
+
+        rows = [
+            (1, "u1", "2024-01-01 00:00:00"),
+            (2, "u1", "2024-01-01 00:10:00"),
+            (3, "u1", "2024-01-01 01:00:00"),
+            (4, "u2", "2024-01-01 00:00:00"),
+        ]
+        m = session_metrics(self._ev(spark, rows)).collect()[0]
+        assert m["n_sessions"] == 3 and m["n_users"] == 2
+        assert m["sessions_per_user"] == 1.5
+        assert m["bounce_rate"] == round(2 / 3, 6)
+        assert m["avg_events"] == round(4 / 3, 6)
+        assert m["p50_duration_s"] == 0.0
+
+    def test_matches_registry_sessionize(self, spark):
+        """The reusable operator must draw the same boundaries as the
+        oracle-checked registry query on the shared events table."""
+        from documents_vector_search_spark.operators.sessions import (
+            sessionize,
+        )
+        from documents_vector_search_spark import registry
+
+        sf = "/root/testdata/sf0.001"
+        reg = {
+            (r["user_id"], r["session_id"]): (
+                r["n_events"], r["session_start_us"], r["session_end_us"]
+            )
+            for r in registry.q_sessionize(spark, sf).collect()
+        }
+        ops = {
+            (r["user"], r["session_id"]): (
+                r["n_events"], r["session_start_us"], r["session_end_us"]
+            )
+            for r in sessionize(registry._events(spark, sf)).collect()
+        }
+        assert reg == ops
