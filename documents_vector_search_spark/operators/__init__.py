@@ -64,7 +64,10 @@ from documents_vector_search_spark.operators.cdc import (
     scd2_as_of,
     snapshot_diff,
 )
-from documents_vector_search_spark.operators.graph import pagerank
+from documents_vector_search_spark.operators.graph import (
+    pagerank,
+    personalized_pagerank,
+)
 from documents_vector_search_spark.operators.paths import (
     attribution,
     attribution_multitouch,
@@ -195,6 +198,7 @@ __all__ = [
     "scd2_apply",
     "scd2_as_of",
     "pagerank",
+    "personalized_pagerank",
     "attribution",
     "attribution_multitouch",
     "rfm_segments",

@@ -523,3 +523,87 @@ class TestScd2AsOf:
             for r in history.filter("is_current").select("k", "attr").collect()
         }
         assert as_of == open_rows == {(1, "b")}
+
+
+def _pure_python_ppr(edges, seeds, iterations=10, damping_pct=85):
+    """Personalized twin of _pure_python_pagerank: teleport + dangling
+    mass to the seed set only, uniform-over-seeds start."""
+    edges = [(s, d, w) for s, d, w in edges if w is not None and w > 0]
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    in_graph = [v for v in nodes if v in set(seeds)]
+    ns = len(in_graph)
+    base = (PR_SCALE * (100 - damping_pct)) // (100 * ns)
+    r = {v: (PR_SCALE // ns if v in set(seeds) else 0) for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r[v] for v in nodes if v not in out_w)
+        share = dm * damping_pct // (100 * ns)
+        mass = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            mass[d] += (r[s] * w) // out_w[s] * damping_pct // 100
+        r = {
+            v: (base + share if v in set(seeds) else 0) + mass[v]
+            for v in nodes
+        }
+    return r
+
+
+class TestPersonalizedPagerank:
+    EDGES = "src string, dst string, w bigint"
+
+    def test_matches_pure_python_trajectory(self, spark):
+        from documents_vector_search_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = [
+            ("seed", "a", 2), ("a", "b", 1), ("b", "seed", 1),
+            ("c", "d", 3), ("d", "c", 1),  # island unreachable from seed
+            ("a", "sink", 1),              # dangling node
+        ]
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in personalized_pagerank(
+                _df(spark, edges, self.EDGES), seeds=["seed"], weight="w"
+            ).collect()
+        }
+        assert got == _pure_python_ppr(edges, ["seed"])
+        # the island never receives teleport or link mass: exactly 0
+        assert got["c"] == 0 and got["d"] == 0
+        # seed-reachable nodes hold everything
+        assert got["seed"] > 0 and got["a"] > 0 and got["b"] > 0
+
+    def test_seed_validation(self, spark):
+        import pytest as _pt
+
+        from documents_vector_search_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        df = _df(spark, [("a", "b", 1)], self.EDGES)
+        with _pt.raises(ValueError):
+            personalized_pagerank(df, seeds=[])
+        with _pt.raises(ValueError):
+            personalized_pagerank(df, seeds=["nope"])
+
+    def test_multi_seed_mass_conservation(self, spark):
+        """Teleport + dangling both target seeds: with every node
+        seed-reachable, Sigma-rank stays ~PR_SCALE."""
+        from documents_vector_search_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        edges = [
+            ("s1", "x", 1), ("s2", "x", 1), ("x", "s1", 1), ("x", "y", 1),
+        ]  # y is dangling
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in personalized_pagerank(
+                _df(spark, edges, self.EDGES), seeds=["s1", "s2"], weight="w"
+            ).collect()
+        }
+        assert got == _pure_python_ppr(edges, ["s1", "s2"])
+        total = sum(got.values())
+        assert PR_SCALE >= total > PR_SCALE * 999 // 1000
