@@ -786,14 +786,29 @@ def cmd_pagerank(args) -> int:
 
     spark = get_spark()
     edges = spark.read.parquet(args.edges)
-    ranks = pagerank(
-        edges,
-        src=args.src_col,
-        dst=args.dst_col,
-        weight=args.weight_col,
-        iterations=args.iterations,
-        damping_pct=args.damping_pct,
-    )
+    if args.seeds:
+        from documents_vector_search_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        ranks = personalized_pagerank(
+            edges,
+            seeds=[s.strip() for s in args.seeds.split(",") if s.strip()],
+            src=args.src_col,
+            dst=args.dst_col,
+            weight=args.weight_col,
+            iterations=args.iterations,
+            damping_pct=args.damping_pct,
+        )
+    else:
+        ranks = pagerank(
+            edges,
+            src=args.src_col,
+            dst=args.dst_col,
+            weight=args.weight_col,
+            iterations=args.iterations,
+            damping_pct=args.damping_pct,
+        )
     if args.output:
         ranks.write.mode("overwrite").parquet(args.output)
         ranks = spark.read.parquet(args.output)
@@ -1497,6 +1512,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dst-col", default="dst")
     sp.add_argument("--weight-col", default=None,
                     help="edge weight column (default: unweighted)")
+    sp.add_argument("--seeds", default=None,
+                    help="comma-separated seed nodes: personalized "
+                         "PageRank (teleport + dangling mass to seeds)")
     sp.add_argument("--iterations", type=int, default=10)
     sp.add_argument("--damping-pct", type=int, default=85)
     sp.add_argument("--top", type=int, default=20)

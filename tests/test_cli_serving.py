@@ -1397,3 +1397,21 @@ class TestProfileCli:
         cols = {c["column"]: c for c in out["columns"]}
         assert cols["s"]["nNulls"] == 1 and cols["s"]["nDistinct"] == 2
         assert cols["k"]["min"] == "1" and cols["k"]["max"] == "3"
+
+
+class TestPersonalizedPagerankCli:
+    def test_seeds_flag_runs_ppr(self, spark, tmp_path, capsys):
+        edges_p = str(tmp_path / "pedges")
+        spark.createDataFrame(
+            [("seed", "a", 1), ("a", "seed", 1), ("b", "c", 1)],
+            "src string, dst string, w bigint",
+        ).write.parquet(edges_p)
+        rc = cli.main(
+            ["pagerank", "--edges", edges_p, "--weight-col", "w",
+             "--seeds", "seed", "--top", "4", "--format", "json"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        ranks = {t["node"]: t["rankMicro"] for t in out["top"]}
+        assert ranks["seed"] > 0 and ranks["a"] > 0
+        assert ranks["b"] == 0 and ranks["c"] == 0  # off the seed island
