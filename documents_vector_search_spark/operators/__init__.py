@@ -65,6 +65,7 @@ from documents_vector_search_spark.operators.cdc import (
     snapshot_diff,
 )
 from documents_vector_search_spark.operators.graph import (
+    graph_profile,
     pagerank,
     personalized_pagerank,
 )
@@ -199,6 +200,7 @@ __all__ = [
     "scd2_as_of",
     "pagerank",
     "personalized_pagerank",
+    "graph_profile",
     "attribution",
     "attribution_multitouch",
     "rfm_segments",

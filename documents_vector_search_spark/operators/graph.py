@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "personalized_pagerank", "PR_SCALE"]
+__all__ = ["pagerank", "personalized_pagerank", "graph_profile", "PR_SCALE"]
 
 # rank unit: 1.0 of probability mass == PR_SCALE integer units.
 # 1e12 keeps six significant digits even for million-node graphs
@@ -319,4 +319,90 @@ def personalized_pagerank(
         "node",
         F.col("r").alias("rank_micro"),
         (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )
+
+
+def graph_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row structural health check of a directed graph —
+    ``(n_nodes, n_edges, n_sources, n_sinks, n_isolated_pairs,
+    reciprocity, max_out_degree, max_in_degree, avg_degree)`` — the
+    look a pipeline takes at a host graph before spending a PageRank
+    on it (a reciprocity near 1 means a link farm / mirror cluster; a
+    huge max degree names the supernode that needs the salted path).
+
+    Invalid weights filter exactly like :func:`pagerank`, so the
+    profiled graph IS the graph the rank loop would see. Cost: the
+    edge scan + two degree aggregates + one self-join of the DISTINCT
+    edge set against its transpose for reciprocity (keyed shuffle on
+    the pair, O(edges))."""
+    w_col = (
+        F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    )
+    e = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+        )
+        .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .select("_s", "_d")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_d")
+    )
+    in_deg = e.groupBy(F.col("_d").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_d")
+    )
+    nodes = out_deg.join(in_deg, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_d", F.lit(0)).alias("out_d"),
+        F.coalesce("in_d", F.lit(0)).alias("in_d"),
+    )
+    recip = e.join(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")),
+        ["_s", "_d"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n_recip"))
+    stats = nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("out_d").cast("bigint").alias("n_edges"),
+        F.sum((F.col("in_d") == 0).cast("int")).cast("bigint").alias(
+            "n_sources"
+        ),
+        F.sum((F.col("out_d") == 0).cast("int")).cast("bigint").alias(
+            "n_sinks"
+        ),
+        F.max("out_d").alias("max_out_degree"),
+        F.max("in_d").alias("max_in_degree"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(recip))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_sources",
+            "n_sinks",
+            F.round(
+                F.when(
+                    F.col("n_edges") > 0,
+                    F.col("_n_recip") / F.col("n_edges"),
+                ).otherwise(0.0),
+                round_to,
+            ).alias("reciprocity"),
+            "max_out_degree",
+            "max_in_degree",
+            F.round(
+                F.when(
+                    F.col("n_nodes") > 0,
+                    F.col("n_edges") / F.col("n_nodes"),
+                ).otherwise(0.0),
+                round_to,
+            ).alias("avg_degree"),
+        )
     )

@@ -607,3 +607,29 @@ class TestPersonalizedPagerank:
         assert got == _pure_python_ppr(edges, ["s1", "s2"])
         total = sum(got.values())
         assert PR_SCALE >= total > PR_SCALE * 999 // 1000
+
+
+class TestGraphProfile:
+    def test_counts_and_reciprocity(self, spark):
+        from documents_vector_search_spark.operators.graph import (
+            graph_profile,
+        )
+
+        edges = [
+            ("a", "b", 1), ("b", "a", 1),   # reciprocal pair
+            ("a", "c", 2), ("c", "d", 1),
+            ("x", "d", None),               # invalid weight: ignored
+            ("a", "b", 5),                  # duplicate edge: deduped
+        ]
+        r = graph_profile(
+            spark.createDataFrame(
+                edges, "src string, dst string, w bigint"
+            ),
+            weight="w",
+        ).collect()[0]
+        assert r["n_nodes"] == 4 and r["n_edges"] == 4
+        assert r["n_sources"] == 0  # every node has an in-edge
+        assert r["n_sinks"] == 1  # d never links out
+        assert r["reciprocity"] == 0.5  # a<->b is 2 of 4 edges
+        assert r["max_out_degree"] == 2 and r["max_in_degree"] == 1
+        assert r["avg_degree"] == 1.0
