@@ -190,6 +190,85 @@ class TestStatefulSessionization:
         assert r.session_start == base
         assert r.session_end == base + timedelta(seconds=20)
 
+    def test_closed_sessions_match_batch_operator(self, spark, tmp_path):
+        """Stream == batch twin: every session the stream CLOSES must
+        match operators/sessions.py::sessionize row-for-row (the
+        per-user final session stays open in the stream and is the
+        only difference)."""
+        from datetime import datetime, timedelta
+
+        from documents_vector_search_spark.operators.sessions import (
+            sessionize,
+        )
+        from documents_vector_search_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        src = tmp_path / "sessp_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "sessp_ckpt")
+        out = str(tmp_path / "sessp_out")
+        schema = "user_id string, ts timestamp"
+        base = datetime(2024, 1, 1)
+        rows = [
+            ("u1", base),
+            ("u1", base + timedelta(seconds=30)),
+            ("u1", base + timedelta(seconds=200)),   # new session
+            ("u1", base + timedelta(seconds=210)),
+            ("u1", base + timedelta(seconds=500)),   # third session
+            ("u2", base),
+            ("u2", base + timedelta(seconds=300)),   # closes u2's first
+        ]
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        def run(batch_rows):
+            spark.createDataFrame(batch_rows, schema).coalesce(1) \
+                .write.mode("append").parquet(str(src))
+            q = (
+                sessionize_stream(
+                    spark.readStream.schema(schema).parquet(str(src)),
+                    gap_seconds=60,
+                    ts_col="ts",
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run(rows[:4])
+        run(rows[4:])
+
+        streamed = {
+            (r["user_id"], int(r["session_start"].timestamp()),
+             int(r["session_end"].timestamp()), r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+        ev = spark.createDataFrame(
+            [(i + 1, u, t) for i, (u, t) in enumerate(rows)],
+            "event_id long, user_id string, ts timestamp",
+        )
+        batch = sessionize(ev, gap_seconds=60)
+        # drop each user's LAST session (still open in the stream)
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as SF
+
+        w = W.partitionBy("user").orderBy(SF.col("session_id").desc())
+        closed = (
+            batch.withColumn("_rn", SF.row_number().over(w))
+            .filter("_rn > 1")
+        )
+        expected = {
+            (r["user"], r["session_start_us"] // 1_000_000,
+             r["session_end_us"] // 1_000_000, r["n_events"])
+            for r in closed.collect()
+        }
+        assert streamed == expected
+
     def test_idle_flush_event_time_timeout(self, spark, tmp_path):
         """idle_flush: the watermark passing end+gap closes u1's session
         even though u1 never sends another event — the state store stays
