@@ -216,6 +216,67 @@ def pagerank_unrolled_sql(
     return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
 
 
+def personalized_pagerank_unrolled_sql(
+    edges_cte: str,
+    seeds: "list[str]",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> str:
+    """Oracle twin of :func:`personalized_pagerank` — the same exact
+    int64 trajectory unrolled into chained MATERIALIZED CTEs (the
+    :func:`pagerank_unrolled_sql` discipline), with the teleport base
+    AND the dangling mass re-injected into the SEED SET only and the
+    divisor the count of seeds present in the graph's node set.
+    ``seeds`` are string literals (quoted here — keep them free of
+    quotes, they name graph nodes)."""
+    seed_list = ", ".join("'" + s.replace("'", "''") + "'" for s in seeds)
+    parts = [
+        f"WITH {edges_cte}",
+        "ew AS (SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS out_w"
+        " FROM edges WHERE w IS NOT NULL AND w > 0)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM ew"
+        "  UNION SELECT dst AS node FROM ew))",
+        f"ns AS (SELECT count(*) AS n FROM nodes"
+        f" WHERE node IN ({seed_list}))",
+        "dang AS (SELECT n2.node FROM nodes n2 LEFT JOIN"
+        " (SELECT DISTINCT src FROM ew) s ON n2.node = s.src"
+        " WHERE s.src IS NULL)",
+        # seed-concentrated uniform start; non-seeds begin at 0
+        f"r0 AS MATERIALIZED (SELECT node,"
+        f" CAST(CASE WHEN node IN ({seed_list})"
+        f" THEN {scale} // n ELSE 0 END AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN ns)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"d{i} AS (SELECT CAST(coalesce(sum(r{i}.r), 0) AS BIGINT)"
+            f" AS dm FROM r{i} JOIN dang ON r{i}.node = dang.node)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED ("
+            "SELECT nodes.node, CAST("
+            f"CASE WHEN nodes.node IN ({seed_list})"
+            f" THEN ({scale} * {100 - damping_pct}) // (100 * ns.n)"
+            f" + (d{i}.dm * {damping_pct}) // (100 * ns.n)"
+            " ELSE 0 END"
+            " + coalesce(m.in_mass, 0)"
+            " AS BIGINT) AS r"
+            f" FROM nodes CROSS JOIN ns CROSS JOIN d{i} LEFT JOIN ("
+            "SELECT ew.dst AS node,"
+            f" sum((r{i}.r * ew.w) // ew.out_w"
+            f" * {damping_pct} // 100) AS in_mass"
+            f" FROM ew JOIN r{i} ON ew.src = r{i}.node GROUP BY ew.dst"
+            ") m ON m.node = nodes.node)"
+        )
+    parts.append(
+        f"SELECT node, r AS rank_micro, r / {float(scale)} AS rank"
+        f" FROM r{iterations}"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: "list",
@@ -330,15 +391,19 @@ def graph_profile(
     round_to: int = 6,
 ) -> DataFrame:
     """One-row structural health check of a directed graph —
-    ``(n_nodes, n_edges, n_sources, n_sinks, n_isolated_pairs,
-    reciprocity, max_out_degree, max_in_degree, avg_degree)`` — the
+    ``(n_nodes, n_edges, n_sources, n_sinks, reciprocity,
+    max_out_degree, max_in_degree, avg_degree)`` — the
     look a pipeline takes at a host graph before spending a PageRank
     on it (a reciprocity near 1 means a link farm / mirror cluster; a
     huge max degree names the supernode that needs the salted path).
 
     Invalid weights filter exactly like :func:`pagerank`, so the
-    profiled graph IS the graph the rank loop would see. Cost: the
-    edge scan + two degree aggregates + one self-join of the DISTINCT
+    profiled graph IS the graph the rank loop would see. Self-loops
+    ``(a, a)`` are NEVER counted as reciprocal (an edge trivially
+    matches its own transpose — event-transition graphs commonly have
+    self-loops and counting them would inflate the link-farm signal);
+    they do count in ``n_edges`` and the degrees. Cost: the edge scan
+    + two degree aggregates + one self-join of the DISTINCT
     edge set against its transpose for reciprocity (keyed shuffle on
     the pair, O(edges))."""
     w_col = (
@@ -364,11 +429,15 @@ def graph_profile(
         F.coalesce("out_d", F.lit(0)).alias("out_d"),
         F.coalesce("in_d", F.lit(0)).alias("in_d"),
     )
-    recip = e.join(
-        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")),
-        ["_s", "_d"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n_recip"))
+    recip = (
+        e.filter(F.col("_s") != F.col("_d"))
+        .join(
+            e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")),
+            ["_s", "_d"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n_recip"))
+    )
     stats = nodes.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum("out_d").cast("bigint").alias("n_edges"),

@@ -219,7 +219,7 @@ def table_profile(
     n_rows = F.count(F.lit(1))
     aggs: list = [n_rows.cast("bigint").alias("_n")]
     for f in df.schema.fields:
-        c = F.col(f"`{f.name}`")
+        c = F.col("`" + f.name.replace("`", "``") + "`")
         nn = F.sum(c.isNull().cast("int")).cast("bigint")
         nd = (
             F.count_distinct(c)
@@ -255,12 +255,23 @@ def table_profile(
             ]
         )
     wide = df.agg(*aggs)
+
+    # column names are interpolated into the stack() SQL — escape
+    # quotes in literals ('' doubling) and backticks in identifiers
+    # (`` doubling) so a name containing either can't break the parse
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    def _ident(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
     stack_parts = []
     for f in df.schema.fields:
         stack_parts.append(
-            f"'{f.name}', '{f.dataType.simpleString()}', "
-            f"`_nn_{f.name}`, `_nd_{f.name}`, `_mn_{f.name}`, "
-            f"`_mx_{f.name}`, `_al_{f.name}`"
+            f"{_lit(f.name)}, {_lit(f.dataType.simpleString())}, "
+            f"{_ident('_nn_' + f.name)}, {_ident('_nd_' + f.name)}, "
+            f"{_ident('_mn_' + f.name)}, {_ident('_mx_' + f.name)}, "
+            f"{_ident('_al_' + f.name)}"
         )
     k = len(df.schema.fields)
     stacked = wide.selectExpr(
@@ -286,6 +297,42 @@ def table_profile(
     ).orderBy("column")
 
 
+def fk_report(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: "list[tuple[str, str]] | list[str]",
+    round_to: int = 6,
+) -> DataFrame:
+    """Declarative one-row twin of :func:`fk_check` — ``(child_rows,
+    orphan_rows, orphan_frac)`` as a DataFrame, no driver-side action:
+    ONE left join against the deduplicated parent key set + ONE
+    aggregate, so it composes into larger plans and the registry's
+    oracle harness can hash it. Same NULL contract as fk_check: plain
+    equality, so a NULL child FK is always an orphan (a NULL parent
+    key never absorbs it)."""
+    pairs = [
+        (k, k) if isinstance(k, str) else (k[0], k[1]) for k in keys
+    ]
+    pk = parent.select(
+        *[F.col(p).alias(f"_pk_{c}") for c, p in pairs]
+    ).dropDuplicates()
+    cond = None
+    for c, _p in pairs:
+        eq = F.col(c) == F.col(f"_pk_{c}")
+        cond = eq if cond is None else (cond & eq)
+    first_pk = f"_pk_{pairs[0][0]}"
+    joined = child.join(pk, cond, "left")
+    n = F.count(F.lit(1)).cast("bigint")
+    orphans = F.sum(F.col(first_pk).isNull().cast("int")).cast("bigint")
+    return joined.agg(
+        n.alias("child_rows"),
+        orphans.alias("orphan_rows"),
+        F.round(
+            F.when(n > 0, orphans / n).otherwise(F.lit(0.0)), round_to
+        ).alias("orphan_frac"),
+    )
+
+
 def fk_check(
     child: DataFrame,
     parent: DataFrame,
@@ -304,8 +351,10 @@ def fk_check(
     parent side deduplicates to keys first, so the anti-join build
     side is the key set, not the dimension) + one count; the sample is
     a bounded ``limit(sample)`` collect. NULL FKs count as orphans
-    (they fail every equality join) — filter them upstream if NULL
-    means intentionally-unlinked."""
+    UNCONDITIONALLY — the join condition is plain equality, so a NULL
+    child key never matches even when the parent key set itself
+    contains a NULL (eqNullSafe would silently pair them) — filter
+    them upstream if NULL means intentionally-unlinked."""
     pairs = [
         (k, k) if isinstance(k, str) else (k[0], k[1]) for k in keys
     ]
@@ -314,7 +363,7 @@ def fk_check(
     ).dropDuplicates()
     cond = None
     for c, _p in pairs:
-        eq = F.col(c).eqNullSafe(F.col(f"_pk_{c}"))
+        eq = F.col(c) == F.col(f"_pk_{c}")
         cond = eq if cond is None else (cond & eq)
     orphans = child.join(pk, cond, "left_anti")
     child_rows = child.count()

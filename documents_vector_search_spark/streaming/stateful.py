@@ -454,8 +454,12 @@ CUSUM_OUTPUT_SCHEMA = (
 )
 # per-series CUSUM state: the open day accumulator + the two one-sided
 # cumulative sums (integer cents) — O(1) per series, the smallest
-# stateful-analytics footprint in the engine
-CUSUM_STATE_SCHEMA = "open_day double, open_total long, s_hi long, s_lo long"
+# stateful-analytics footprint in the engine. open_day is an integer
+# day index (epoch ns DIV 86400e9), never float seconds: float64
+# collapses sub-~0.24us timestamp differences, which could bucket an
+# event within ~0.2us of midnight into the wrong day vs the batch
+# daily_series truncation (same fix as funnel_stream's int64-ns state).
+CUSUM_STATE_SCHEMA = "open_day long, open_total long, s_hi long, s_lo long"
 
 
 def cusum_stream(
@@ -484,7 +488,7 @@ def cusum_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    day_secs = 86400.0
+    day_ns = 86400 * 10**9
     k = target_c * slack_pct // 100
     h = target_c * threshold_pct // 100
 
@@ -496,16 +500,16 @@ def cusum_stream(
         else:
             open_day, open_total, s_hi, s_lo = None, 0, 0, 0
 
-        per_day: dict[float, int] = {}
+        per_day: dict[int, int] = {}
         for pdf in pdfs:
-            secs = pdf[ts_col].astype("int64") / 1e9
-            for t, v in zip(secs, pdf[value_col]):
-                d = math.floor(t / day_secs) * day_secs
+            day_idx = pdf[ts_col].astype("int64") // day_ns
+            for d, v in zip(day_idx, pdf[value_col]):
+                d = int(d)
                 per_day[d] = per_day.get(d, 0) + int(
                     math.floor(v * 100 + 0.5)
                 )
 
-        closed: list[tuple[float, int]] = []
+        closed: list[tuple[int, int]] = []
         for d in sorted(per_day):
             if open_day is not None and d < open_day:
                 continue  # late for a closed day: dropped (watermark)
@@ -524,13 +528,15 @@ def cusum_stream(
 
         if open_day is not None:
             state.update(
-                (float(open_day), int(open_total), int(s_hi), int(s_lo))
+                (int(open_day), int(open_total), int(s_hi), int(s_lo))
             )
         if rows:
             yield pd.DataFrame(
                 {
                     "series": [str(key[0])] * len(rows),
-                    "day": pd.to_datetime([r[0] for r in rows], unit="s"),
+                    "day": pd.to_datetime(
+                        [r[0] * 86400 for r in rows], unit="s"
+                    ),
                     "total": [r[1] / 100.0 for r in rows],
                     "cusum_hi_c": [r[2] for r in rows],
                     "cusum_lo_c": [r[3] for r in rows],

@@ -633,3 +633,20 @@ class TestGraphProfile:
         assert r["reciprocity"] == 0.5  # a<->b is 2 of 4 edges
         assert r["max_out_degree"] == 2 and r["max_in_degree"] == 1
         assert r["avg_degree"] == 1.0
+
+    def test_self_loop_not_reciprocal(self, spark):
+        # (a,a) matches its own transpose; it must NOT count as
+        # reciprocal (r10 ADVICE — event-transition graphs commonly
+        # carry self-loops and counting them inflates the link-farm
+        # signal). It still counts in n_edges and the degrees.
+        from documents_vector_search_spark.operators.graph import (
+            graph_profile,
+        )
+
+        edges = [("a", "a"), ("a", "b"), ("b", "a"), ("c", "d")]
+        r = graph_profile(
+            spark.createDataFrame(edges, "src string, dst string")
+        ).collect()[0]
+        assert r["n_edges"] == 4
+        assert r["reciprocity"] == 0.5  # only a<->b, not (a,a)
+        assert r["max_out_degree"] == 2  # a -> {a, b}

@@ -553,6 +553,20 @@ class TestTableProfile:
         )
         assert "Join" not in plan  # one scan, no per-column jobs
 
+    def test_hostile_column_names(self, spark):
+        # names carrying a quote, a backtick, and a backslash must not
+        # break the interpolated stack() SQL (r10 ADVICE)
+        from documents_vector_search_spark.operators.profiling import (
+            table_profile,
+        )
+
+        df = spark.createDataFrame([(1, "x")], ["id", "plain"])
+        for hostile in ("it's", "tick`mark", "back\\slash"):
+            renamed = df.withColumnRenamed("plain", hostile)
+            prof = {r["column"]: r for r in table_profile(renamed).collect()}
+            assert hostile in prof, hostile
+            assert prof[hostile]["n_nulls"] == 0
+
 
 class TestFkCheck:
     def test_orphans_found_and_sampled(self, spark):
@@ -570,8 +584,24 @@ class TestFkCheck:
         assert out["child_rows"] == 4 and out["orphan_rows"] == 2
         assert out["orphan_frac"] == 0.5
         assert sorted(s[0] for s in out["sample"] if s[0] is not None) == [99]
-        # NULL fk counts as orphan (eqNullSafe: NULL matches only NULL)
+        # NULL fk counts as orphan (plain equality: NULL matches nothing)
         assert any(s[0] is None for s in out["sample"])
+
+    def test_null_parent_key_does_not_absorb_null_fk(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            fk_check,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10), (2, None)], "id bigint, fk bigint"
+        )
+        parent = spark.createDataFrame(
+            [(10,), (None,)], "pk bigint"
+        )
+        out = fk_check(child, parent, [("fk", "pk")])
+        # a NULL parent key must NOT legitimize NULL child FKs
+        assert out["orphan_rows"] == 1
+        assert out["sample"] == [(None,)]
 
     def test_clean_child_passes(self, spark):
         from documents_vector_search_spark.operators.profiling import (
