@@ -81,23 +81,64 @@ def spend_concentration(
       than ntile so small populations still have a non-empty top
       decile (ntile(10) over 8 rows leaves bucket 10 empty).
 
-    Scale shape: ONE user-keyed aggregation over raw events, then two
-    rank windows over the O(users) aggregate. Σ i·xᵢ needs
-    n_users·total_cents < 2⁶³ — beyond ~10⁹ users × large totals,
-    promote the weighted sum to decimal(38,0).
+    Scale shape: ONE user-keyed aggregation over raw events, then a
+    TWO-PHASE global rank over the O(users) aggregate — range
+    repartition on (spend_c, user), per-partition row_number (window
+    PARTITIONED by the physical partition id, so every task sorts its
+    own slice), plus a broadcast per-partition-count offset join — no
+    single-partition sort anywhere (the r10 verdict's last
+    unpartitioned Window; the offset prefix-sum is a broadcast
+    triangular join over the O(partitions) count frame, not a window).
+    Ranks are identical to the old global row_number by construction
+    (RangePartitioner orders partitions by key range), so the output
+    hash is unchanged. Σ i·xᵢ needs n_users·total_cents < 2⁶³ —
+    beyond ~10⁹ users × large totals, promote the weighted sum to
+    decimal(38,0).
     """
     per_user = events.groupBy(F.col(user_col).alias("user")).agg(
         F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint"))
         .alias("spend_c")
     )
-    w = Window.orderBy(F.col("spend_c").asc(), F.col("user").asc())
-    whole = w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # phase 1: range-partition the total order; pin the partition ids
+    # with a lineage cut so the rank branch and the count branch see
+    # the SAME physical layout (RangePartitioner samples its bounds)
+    staged = (
+        per_user.repartitionByRange(
+            F.col("spend_c").asc(), F.col("user").asc()
+        )
+        .withColumn("_pid", F.spark_partition_id().cast("bigint"))
+        .localCheckpoint(eager=False)
     )
-    ranked = per_user.select(
-        "spend_c",
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.count("*").over(whole).cast("bigint").alias("_n"),
+    w_loc = Window.partitionBy("_pid").orderBy(
+        F.col("spend_c").asc(), F.col("user").asc()
+    )
+    local = staged.select(
+        "spend_c", "_pid", F.row_number().over(w_loc).cast("bigint").alias("_lrn")
+    )
+    pc = staged.groupBy("_pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_pc")
+    )
+    # phase 2: offset(p) = Σ counts of lower partitions — a broadcast
+    # triangular join over the tiny per-partition count frame
+    lower = pc.select(
+        F.col("_pid").alias("_lpid"), F.col("_pc").alias("_lpc")
+    )
+    offs = (
+        pc.join(F.broadcast(lower), F.col("_lpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_lpc"), F.lit(0)).cast("bigint").alias("_off")
+        )
+    )
+    tot = pc.agg(F.sum("_pc").cast("bigint").alias("_n"))
+    ranked = (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "spend_c",
+            (F.col("_lrn") + F.col("_off")).alias("i"),
+            "_n",
+        )
     )
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n_users"),

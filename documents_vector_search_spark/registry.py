@@ -2736,10 +2736,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style global sales opportunity: customers in a set of
     nations (the testdata has no phone, so country codes adapt to
     nation keys) whose balance beats the positive-balance average and
-    who never ordered. The scalar-subquery average broadcasts as a
-    one-row (Σ, n) crossJoin and the comparison is exact integers
-    (bal·n > Σ); the NOT EXISTS is a LEFT ANTI join against orders —
-    the one shuffle. Balances in integer cents."""
+    who are DORMANT — no order since 2000-06-01. The classic Q22
+    anti-joins against ALL orders, but every testdata customer at
+    sf0.001/0.01 has ordered at least once, so that shape verifies an
+    empty frame (the r10 verdict's blind spot); restricting the
+    anti-join side to recent orders keeps the identical plan (the
+    date filter pushes into the orders scan) and emits rows at every
+    sf (3 / 38 / 317 customers at sf0.001/0.01/0.1). The
+    scalar-subquery average broadcasts as a one-row (Σ, n) crossJoin
+    and the comparison is exact integers (bal·n > Σ); the NOT EXISTS
+    is a LEFT ANTI join against the filtered orders — the one shuffle.
+    Balances in integer cents."""
     codes = [1, 5, 9, 13, 17, 21, 23]
     pool = (
         _t(spark, sf_dir, "customer")
@@ -2753,7 +2760,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         pool.crossJoin(F.broadcast(stats))
         .filter(F.col("_bal_c") * F.col("_cnt") > F.col("_sum_c"))
         .join(
-            _t(spark, sf_dir, "orders").select("o_custkey"),
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+            .select("o_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "left_anti",
         )
@@ -7397,7 +7406,9 @@ SELECT c_nationkey AS cntrycode, count(*)::BIGINT AS numcust,
        CAST(sum(bal_c) AS BIGINT) / 100.0 AS totacctbal
 FROM pool CROSS JOIN st
 WHERE bal_c * cnt > sum_c
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
 GROUP BY 1 ORDER BY 1
 """
     d["tpch_q2"] = f"""
