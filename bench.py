@@ -165,6 +165,21 @@ HEADLINE = [
     "tpch_q11",
     "tpch_q16",
     "tpch_q20",
+    # round 11 additions
+    "scd2_as_of",
+    "funnel_windowed",
+    "attribution_multitouch",
+    "survival_curve",
+    "association_rules",
+    "cusum_changepoints",
+    "table_profile",
+    "fk_check",
+    "personalized_pagerank",
+    "graph_profile",
+    "session_metrics",
+    "soft_dedup",
+    "active_users",
+    "unimax_mix",
 ]
 
 

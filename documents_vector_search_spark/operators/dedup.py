@@ -50,6 +50,39 @@ def exact_dedup(
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING exact duplicates, keep
+    every copy with sampling weight ``1/dup_count`` (the inverse-
+    duplication reweighting of SoftDedup, He et al. 2024 — total
+    effective mass per content group stays 1, so common boilerplate is
+    down-weighted rather than decimated and rare text keeps full
+    weight). Returns ``(doc_id, content_hash, dup_count, weight)`` —
+    one row per INPUT document, the loss-weighting sidecar a training
+    loader joins on.
+
+    Scale shape: the same 60-bit content-hash key as
+    :func:`exact_dedup` but via ONE window count over the hash
+    partition (a single uniform shuffle — no join back, no skew: the
+    hash key is uniform by construction)."""
+    hashed = docs.select(
+        F.col(id_col),
+        md5_hash64(F.col(text_col)).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        id_col,
+        "content_hash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"),
+    ).withColumn(
+        "weight", F.round(F.lit(1.0) / F.col("dup_count"), round_to)
+    )
+
+
 def with_shingles(
     docs: DataFrame,
     shingle_words: int = 3,

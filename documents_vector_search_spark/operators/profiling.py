@@ -59,6 +59,60 @@ def skew_report(
     )
 
 
+def value_percentiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    probs: "tuple[float, ...]" = (0.25, 0.5, 0.75, 0.95),
+    approx: bool = False,
+    accuracy: int = 10000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group value percentiles — ``(group, p25, p50, ..., n)`` —
+    with an explicit EXACT-vs-APPROX contract (the RFM pattern:
+    rfm_segments vs rfm_segments_approx):
+
+    - ``approx=False`` (default, the oracle-checked registry path):
+      Spark's ``percentile()`` — linear interpolation, identical to
+      DuckDB's quantile_cont. Scale hatch needed because the exact
+      aggregate buffers each group's FULL value multiset in the
+      aggregation buffer — at extreme per-group cardinality (billions
+      of rows in one group) that buffer, not a shuffle, is the failure
+      mode.
+    - ``approx=True``: ``approx_percentile()`` — Greenwald-Khanna
+      summaries, O(accuracy) memory per group, mergeable map-side, the
+      100 TB path. CONTRACT ON WHERE THE TWO DIFFER: the approx result
+      is always an ELEMENT of the group (no interpolation), with rank
+      error bounded by n/accuracy. The two are numerically IDENTICAL
+      exactly when the group's row count is <= accuracy AND the
+      requested rank p*(n-1)+1 lands on an integer (tie-free fixture
+      pytest pins both the match and a deliberate p95 mismatch).
+
+    One aggregation keyed by ``group_col``, map-side combinable in the
+    approx path."""
+    names = [f"p{round(p * 100):d}" for p in probs]
+    if approx:
+        aggs = [
+            F.round(
+                F.expr(
+                    f"approx_percentile({value_col}, {p}, {accuracy})"
+                ),
+                round_to,
+            ).alias(nm)
+            for p, nm in zip(probs, names)
+        ]
+    else:
+        aggs = [
+            F.round(F.expr(f"percentile({value_col}, {p})"), round_to).alias(
+                nm
+            )
+            for p, nm in zip(probs, names)
+        ]
+    return df.groupBy(group_col).agg(
+        *aggs, F.count("*").alias("n")
+    )
+
+
 def spend_concentration(
     events: DataFrame,
     user_col: str = "user_id",

@@ -325,6 +325,98 @@ def temperature_mix(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: "int | Column",
+    max_epochs: int = 2,
+    lang_col: str = "lang",
+    token_col: str = "ws_tokens",
+    round_to: int = 6,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): split a
+    token budget across languages as uniformly as possible subject to a
+    per-language repeat cap — no language is sampled for more than
+    ``max_epochs`` passes over its data, and the freed budget spreads
+    over the rest. Input is ``(lang, token_count)`` rows (one per doc);
+    output one row per language: ``(lang, n_docs, tokens_total,
+    cap_tokens, alloc_tokens, epochs_used)``.
+
+    UniMax's sequential loop is a WATER-FILL, computed closed-form:
+    sort languages by cap ascending; language i is FULLY funded iff
+    ``prefix(i-1) + cap_i · (k-i+1) <= B`` (monotone in i, so the full
+    set is a prefix); the rest share ``(B - Σ full caps) DIV m``
+    equally (exact int64 floor — the ≤ m-token remainder stays
+    unallocated, identically in any engine).
+
+    Scale shape: ONE lang-keyed aggregate over the corpus (map-side
+    combinable), then windows over the O(languages) table — bounded
+    and tiny (the resample-spine convention), never the corpus.
+    ``budget_tokens`` may be a literal or a one-row-derived Column
+    (broadcast crossJoin upstream)."""
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("bigint").alias("tokens_total"),
+    ]
+    if isinstance(budget_tokens, Column):
+        # a per-row-constant budget column (e.g. derived from a
+        # broadcast one-row total) survives the aggregate via max
+        aggs.append(F.max(budget_tokens).cast("bigint").alias("_b"))
+    per_lang = docs.groupBy(F.col(lang_col).alias("lang")).agg(*aggs)
+    if not isinstance(budget_tokens, Column):
+        per_lang = per_lang.withColumn(
+            "_b", F.lit(int(budget_tokens)).cast("bigint")
+        )
+    staged = per_lang.select(
+        "lang",
+        "n_docs",
+        "tokens_total",
+        (F.col("tokens_total") * F.lit(int(max_epochs)))
+        .cast("bigint")
+        .alias("cap_tokens"),
+        "_b",
+    )
+    w = Window.orderBy(F.col("cap_tokens").asc(), F.col("lang").asc())
+    whole = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    staged = staged.select(
+        "*",
+        F.count(F.lit(1)).over(whole).cast("bigint").alias("_k"),
+        F.row_number().over(w).cast("bigint").alias("_i"),
+        F.coalesce(F.sum("cap_tokens").over(prev), F.lit(0))
+        .cast("bigint")
+        .alias("_prefix"),
+    )
+    full = (
+        F.col("_prefix")
+        + F.col("cap_tokens") * (F.col("_k") - F.col("_i") + 1)
+        <= F.col("_b")
+    )
+    staged = staged.withColumn("_full", full.cast("int"))
+    staged = staged.select(
+        "*",
+        F.sum(F.when(F.col("_full") == 1, F.col("cap_tokens")).otherwise(0))
+        .over(whole)
+        .cast("bigint")
+        .alias("_p_full"),
+        (F.col("_k") - F.sum("_full").over(whole)).cast("bigint").alias("_m"),
+    )
+    alloc = F.when(F.col("_full") == 1, F.col("cap_tokens")).otherwise(
+        F.expr("(_b - _p_full) DIV _m")
+    )
+    return staged.select(
+        "lang",
+        "n_docs",
+        "tokens_total",
+        "cap_tokens",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.round(
+            alloc / F.col("tokens_total"), round_to
+        ).alias("epochs_used"),
+    ).orderBy("lang")
+
+
 def cluster_safe_split(
     df: DataFrame,
     id_col: str,

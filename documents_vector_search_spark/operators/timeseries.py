@@ -180,6 +180,49 @@ def rolling_zscore(
     ).orderBy("series", "day")
 
 
+def active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling active-user counts — ``(day, dau, wau)`` where ``dau``
+    is the day's distinct users and ``wau`` the distinct users across
+    the ``window_days`` window ENDING at that day (the DAU/WAU staple;
+    window_days=30 gives MAU).
+
+    Scale shape — no per-day rescan and no range self-join over the
+    raw stream: distinct (user, day) pairs first (one dedup shuffle,
+    output bounded by users×days), then each pair EXPLODES to the
+    ``window_days`` rolling windows it serves (map-side fan-out, the
+    end clipped at the corpus max day via a broadcast one-row
+    aggregate) and ONE day-keyed distinct count finishes. Days with no
+    activity emit no row (the gap-filled convention is
+    :func:`resample_daily`'s job)."""
+    ud = events.select(
+        _day(ts_col).alias("day"), F.col(user_col).alias("user")
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    span = events.agg(F.max(_day(ts_col)).alias("_dmax"))
+    contrib = ud.crossJoin(F.broadcast(span)).select(
+        "user",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(
+                    F.col("_dmax"), F.date_add(F.col("day"), window_days - 1)
+                ),
+            )
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count_distinct("user").cast("bigint").alias("wau")
+    )
+    return dau.join(wau, "day").orderBy("day")
+
+
 def cusum_changepoints(
     events: DataFrame,
     series_col: str = "event_type",

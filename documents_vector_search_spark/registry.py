@@ -3718,20 +3718,18 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles of event value per type — Spark's
-    percentile() and DuckDB's quantile_cont share the linear-
-    interpolation definition, so even quantiles oracle-match."""
-    ev = _events(spark, sf_dir)
-    pct = lambda p, name: F.round(  # noqa: E731
-        F.expr(f"percentile(value, {p})"), 6
-    ).alias(name)
-    return ev.groupBy("event_type").agg(
-        pct(0.25, "p25"),
-        pct(0.5, "p50"),
-        pct(0.75, "p75"),
-        pct(0.95, "p95"),
-        F.count("*").alias("n"),
+    """Exact interpolated percentiles of event value per type
+    (operators/profiling.py::value_percentiles, approx=False) —
+    Spark's percentile() and DuckDB's quantile_cont share the linear-
+    interpolation definition, so even quantiles oracle-match. The
+    approx=True twin (approx_percentile, bounded memory per group) is
+    the documented scale hatch for extreme per-group cardinality;
+    parity + divergence pinned in test_timeseries.py."""
+    from documents_vector_search_spark.operators.profiling import (
+        value_percentiles,
     )
+
+    return value_percentiles(_events(spark, sf_dir))
 
 
 CORPUS_PREP_MIN_QUALITY = 0.5
@@ -4676,6 +4674,57 @@ def q_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return session_metrics(_events(spark, sf_dir))
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (operators/dedup.py::soft_dedup_weights):
+    every document kept with sampling weight 1/dup_count over the same
+    60-bit content hash exact_dedup groups on (SoftDedup reweighting —
+    boilerplate down-weighted, never decimated; group mass stays 1).
+    ONE uniform hash-keyed window count, no join back."""
+    from documents_vector_search_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU (operators/timeseries.py::active_users, 7-day
+    window): distinct (user, day) dedup → map-side fan-out of each pair
+    to the windows it serves (end clipped by a broadcast one-row corpus
+    max) → ONE day-keyed distinct count. Never a per-day rescan or a
+    range self-join over the raw stream."""
+    from documents_vector_search_spark.operators.timeseries import (
+        active_users,
+    )
+
+    return active_users(_events(spark, sf_dir), window_days=7)
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (operators/sampling.py::
+    unimax_allocation, max_epochs=2) over the documents corpus:
+    budget = 1.5× total whitespace tokens, derived from the data
+    (broadcast one-row total) so the workload scales with sf — small
+    languages fund fully at their 2-epoch cap, the freed budget
+    water-fills the rest in exact int64 (both the fully-funded and the
+    rationed branch exercise at every sf)."""
+    from documents_vector_search_spark.functions.text import WS_RUN_RE
+    from documents_vector_search_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), WS_RUN_RE), lambda t: t != "")
+    ).cast("bigint")
+    staged = docs.select("lang", ws.alias("ws_tokens"))
+    tot = staged.agg(F.sum("ws_tokens").cast("bigint").alias("_tot"))
+    staged = staged.crossJoin(F.broadcast(tot))
+    return unimax_allocation(
+        staged, F.expr("_tot * 3 DIV 2"), max_epochs=2
+    )
 
 
 # ===========================================================================
@@ -8378,6 +8427,81 @@ SELECT count(*)::BIGINT AS n_sessions,
        round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s
 FROM d2
 """
+    # SoftDedup inverse-duplication weights over the exact_dedup hash
+    d["soft_dedup"] = f"""
+WITH h AS (
+  SELECT doc_id, {md5_hash64_sql("text")} AS content_hash FROM documents
+),
+c AS (
+  SELECT content_hash, count(*)::BIGINT AS dup_count FROM h GROUP BY 1
+)
+SELECT doc_id, content_hash, dup_count,
+       round(1.0 / dup_count, 6) AS weight
+FROM h JOIN c USING (content_hash)
+"""
+    # rolling DAU/WAU: the oracle takes the range-join formulation
+    # (bounded by days x user-days); the engine takes the fan-out one
+    d["active_users"] = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id FROM events
+),
+dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT d.day, count(DISTINCT u.user_id)::BIGINT AS wau
+  FROM (SELECT DISTINCT day FROM ud) d
+  JOIN ud u ON u.day >= d.day - 6 AND u.day <= d.day
+  GROUP BY 1
+)
+SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day
+"""
+    # UniMax water-fill: same exact-int closed form, windows over the
+    # O(languages) table
+    d["unimax_mix"] = """
+WITH ws AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f\\x0B]+'),
+             x -> x <> ''))::BIGINT AS ws_tokens
+  FROM documents
+),
+tot AS (SELECT CAST(sum(ws_tokens) AS BIGINT) AS t FROM ws),
+per_lang AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         CAST(sum(ws_tokens) AS BIGINT) AS tokens_total
+  FROM ws GROUP BY 1
+),
+staged AS (
+  SELECT lang, n_docs, tokens_total,
+         tokens_total * 2 AS cap_tokens, (t * 3) // 2 AS b
+  FROM per_lang CROSS JOIN tot
+),
+o AS (
+  SELECT *,
+    count(*) OVER () AS k,
+    row_number() OVER (ORDER BY cap_tokens ASC, lang ASC) AS i,
+    coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens ASC, lang ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM staged
+),
+f AS (
+  SELECT *, CASE WHEN prefix + cap_tokens * (k - i + 1) <= b
+                 THEN 1 ELSE 0 END AS fl
+  FROM o
+),
+g AS (
+  SELECT *,
+    CAST(sum(CASE WHEN fl = 1 THEN cap_tokens ELSE 0 END) OVER ()
+      AS BIGINT) AS p_full,
+    CAST(k - sum(fl) OVER () AS BIGINT) AS m
+  FROM f
+)
+SELECT lang, n_docs, tokens_total, cap_tokens,
+       CAST(CASE WHEN fl = 1 THEN cap_tokens
+            ELSE (b - p_full) // m END AS BIGINT) AS alloc_tokens,
+       round((CASE WHEN fl = 1 THEN cap_tokens
+              ELSE (b - p_full) // m END)::DOUBLE / tokens_total, 6)
+         AS epochs_used
+FROM g ORDER BY lang
+"""
     return d
 
 
@@ -8395,41 +8519,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry order); `python dev/rotation.py --check` enforces the hard
     rule (never-green keys must be in-window) with exit 1.
 
-    STALENESS ARITHMETIC (re-stated per policy): at 167 keys the full
-    cycle is ceil(167/50) = FOUR rounds — the SAME as at 156 keys, so
-    registering the r10 verdict's 11 queued operators costs ZERO extra
-    staleness (the r10 verdict's own arithmetic). The compensating
-    control is unchanged and mandatory: EVERY round runs the full local
-    `dev/compare.py` sf0.01 sweep over ALL keys (recorded in STATUS),
-    so out-of-window keys are never unverified — only unverified BY THE
-    DRIVER. Do not grow the registry without re-stating this arithmetic.
+    STALENESS ARITHMETIC (re-stated per policy): at 170 keys the full
+    cycle is ceil(170/50) = FOUR rounds — the SAME as at 156 keys, so
+    registering the r10 verdict's 11 queued operators AND the three
+    r11-new operators costs ZERO extra staleness (the r10 verdict's
+    own arithmetic). The compensating control is unchanged and
+    mandatory: EVERY round runs the full local `dev/compare.py` sf0.01
+    sweep over ALL keys (recorded in STATUS), so out-of-window keys are
+    never unverified — only unverified BY THE DRIVER. Do not grow the
+    registry without re-stating this arithmetic.
 
     Round 11 window (dev/rotation.py's recommendation after r10, with
     the never-green-first rule):
-    - positions 1-11: the ELEVEN keys new this round — the r10
+    - positions 1-14: the FOURTEEN keys new this round — the r10
       verdict's #1 in full: scd2_as_of, funnel_windowed,
       attribution_multitouch, survival_curve, association_rules,
       cusum_changepoints, table_profile, fk_check,
-      personalized_pagerank, graph_profile, session_metrics. Every
-      operator shipped pytest-pinned in r10; the keys + DuckDB oracles
-      land this round.
-    - positions 12-17: the six r7-green due-backs the r10 reorder
+      personalized_pagerank, graph_profile, session_metrics (operators
+      shipped pytest-pinned in r10; keys + DuckDB oracles land this
+      round) — plus the three operators NEW in r11, landing WITH their
+      keys per the r10 verdict's #7: soft_dedup (SoftDedup
+      inverse-duplication weights), active_users (rolling DAU/WAU),
+      unimax_mix (UniMax water-fill language budgets).
+    - positions 15-20: the six r7-green due-backs the r10 reorder
       displaced (pool_embeddings, repetition, pii_redact, line_dedup,
       perplexity, curation_sweep) — stalest first, exactly as the r10
       docstring promised.
-    - positions 18-50: the first 33 r8-green keys in rotation order
-      (tpch_q3 .. chunk_split).
-    - out-of-window tail (51+): the remaining 17 r8 keys (due r12),
+    - positions 21-50: the first 30 r8-green keys in rotation order
+      (tpch_q3 .. ann_lsh).
+    - out-of-window tail (51+): the remaining 20 r8 keys (due r12),
       then the 50 r9-green keys, then the 50 r10-green keys (newest —
       scd2_apply .. semdedup).
 
-    The registry-candidate queue is EMPTY as of this round (all 11
-    r10 candidates registered). Per the r10 verdict's #7: new operators
-    land WITH their key in the same round from here on.
+    The r10 registry-candidate queue is EMPTY as of this round (all 11
+    registered), and the three r11 operators landed with their keys in
+    the same round — the standing rule from here on.
     """
     _ensure_assets_seeded()
     return {
-        # -- window 1-11: NEW this round (never driver-green) ----------
+        # -- window 1-14: NEW this round (never driver-green) ----------
+        "soft_dedup": q_soft_dedup,
+        "active_users": q_active_users,
+        "unimax_mix": q_unimax_mix,
         "scd2_as_of": q_scd2_as_of,
         "funnel_windowed": q_funnel_windowed,
         "attribution_multitouch": q_attribution_multitouch,
@@ -8441,15 +8572,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "graph_profile": q_graph_profile,
         "session_metrics": q_session_metrics,
-        # -- window 12-17: the six stalest r7-green due-backs ------------
+        # -- window 15-20: the six stalest r7-green due-backs ------------
         "pool_embeddings": q_pool_embeddings,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
-        # -- window 18-50: the 33 stalest r8-green keys (rotation order);
-        # the window boundary falls after chunk_split -------------------
+        # -- window 21-50: the 30 stalest r8-green keys (rotation order);
+        # the window boundary falls after ann_lsh ------------------------
         "tpch_q3": q_tpch_q3,
         "spell_correct": q_spell_correct,
         "fuzzy_search": q_fuzzy_search,
@@ -8480,11 +8611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "knn_l2": q_knn_l2,
         "ann_lsh": q_ann_lsh,
+        # ---- window boundary: first 50 keys end here ------------------
+        # -- remaining 20 r8-green keys (due back r12) -------------------
         "rrf_hybrid": q_rrf_hybrid,
         "group_hits": q_group_hits,
         "chunk_split": q_chunk_split,
-        # ---- window boundary: first 50 keys end here ------------------
-        # -- remaining 17 r8-green keys (due back r12) -------------------
         "filter_docs": q_filter_docs,
         "incremental_merge": q_incremental_merge,
         "dedup_exact": q_dedup_exact,

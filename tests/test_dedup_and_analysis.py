@@ -49,6 +49,52 @@ class TestExactDedup:
         assert got[3] == 1 and got[4] == 1
 
 
+class TestSoftDedupWeights:
+    """soft_dedup_weights (operators/dedup.py): inverse-duplication
+    reweighting — one row per input doc, group mass 1, consistency
+    with exact_dedup's groups, and the plan stays a single window
+    (no join back)."""
+
+    def test_weights_and_group_mass(self, dup_docs):
+        from documents_vector_search_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        rows = {r.doc_id: r for r in soft_dedup_weights(dup_docs).collect()}
+        assert set(rows) == {1, 2, 3, 4}  # every input doc kept
+        assert rows[1]["dup_count"] == rows[2]["dup_count"] == 2
+        assert rows[1]["weight"] == rows[2]["weight"] == 0.5
+        assert rows[3]["weight"] == 1.0 and rows[4]["weight"] == 1.0
+        # group mass: sum of weights per hash == 1 (up to round_to)
+        assert rows[1]["content_hash"] == rows[2]["content_hash"]
+        assert rows[1]["weight"] + rows[2]["weight"] == pytest.approx(1.0)
+
+    def test_consistent_with_exact_dedup(self, dup_docs):
+        from documents_vector_search_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        groups = {
+            r.content_hash: r.dup_count
+            for r in exact_dedup(dup_docs).collect()
+        }
+        for r in soft_dedup_weights(dup_docs).collect():
+            assert groups[r.content_hash] == r.dup_count
+
+    def test_single_shuffle_no_join(self, dup_docs):
+        from documents_vector_search_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        plan = (
+            soft_dedup_weights(dup_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # window count, not a count-join-back
+
+
 class TestMinHashLSH:
     def test_finds_planted_near_dup(self, dup_docs):
         pairs = minhash_lsh_pairs(dup_docs, threshold=0.5).collect()

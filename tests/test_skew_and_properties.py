@@ -612,3 +612,101 @@ class TestFkCheck:
         parent = spark.createDataFrame([("a",), ("b",)], "k string")
         out = fk_check(child, parent, ["k"])
         assert out["orphan_rows"] == 0 and out["sample"] == []
+
+
+class TestUnimaxAllocation:
+    """unimax_allocation (operators/sampling.py): the closed-form
+    water-fill must equal the sequential UniMax loop, respect caps,
+    spend the budget tight (remainder < #rationed langs), and handle
+    the all-full / none-full edges."""
+
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, "lang string, ws_tokens bigint")
+
+    @staticmethod
+    def _reference(sizes: dict, budget: int, max_epochs: int) -> dict:
+        """Sequential water-fill: ascending caps, fund fully while the
+        equal-share for the remaining langs covers the cap."""
+        caps = sorted(
+            ((lang, s * max_epochs) for lang, s in sizes.items()),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        alloc, remaining = {}, budget
+        k = len(caps)
+        for idx, (lang, cap) in enumerate(caps):
+            slots = k - idx
+            if cap * slots <= remaining:
+                alloc[lang] = cap
+                remaining -= cap
+            else:
+                share = remaining // slots
+                for lang2, _cap2 in caps[idx:]:
+                    alloc[lang2] = share
+                break
+        return alloc
+
+    def test_matches_sequential_reference_sweep(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        sizes = {"en": 1000, "fr": 300, "de": 250, "zh": 120, "ko": 40}
+        rows = [(lang, s) for lang, s in sizes.items()]
+        for budget in (100, 700, 1710, 2500, 3419, 3420, 9999):
+            got = {
+                r["lang"]: r["alloc_tokens"]
+                for r in unimax_allocation(
+                    self._docs(spark, rows), budget, max_epochs=2
+                ).collect()
+            }
+            assert got == self._reference(sizes, budget, 2), budget
+
+    def test_caps_and_tight_fill(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        rows = [("en", 1000), ("fr", 300), ("de", 250), ("zh", 120)]
+        out = unimax_allocation(self._docs(spark, rows), 2000, max_epochs=2)
+        rs = {r["lang"]: r for r in out.collect()}
+        for lang, s in rows:
+            assert rs[lang]["alloc_tokens"] <= rs[lang]["cap_tokens"]
+            assert rs[lang]["cap_tokens"] == 2 * s
+        spent = sum(r["alloc_tokens"] for r in rs.values())
+        n_rationed = sum(
+            1 for r in rs.values() if r["alloc_tokens"] < r["cap_tokens"]
+        )
+        assert spent <= 2000 and 2000 - spent < max(n_rationed, 1)
+
+    def test_all_full_when_budget_covers_everything(self, spark):
+        from documents_vector_search_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        rows = [("en", 100), ("fr", 50)]
+        rs = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                self._docs(spark, rows), 10_000, max_epochs=3
+            ).collect()
+        }
+        assert rs["en"]["alloc_tokens"] == 300
+        assert rs["fr"]["alloc_tokens"] == 150
+        assert rs["en"]["epochs_used"] == 3.0
+
+    def test_per_doc_rows_aggregate(self, spark):
+        """Input is one row per DOC; the operator aggregates to langs."""
+        from documents_vector_search_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        rows = [("en", 10)] * 7 + [("fr", 20)] * 2
+        rs = {
+            r["lang"]: r
+            for r in unimax_allocation(
+                self._docs(spark, rows), 1000, max_epochs=1
+            ).collect()
+        }
+        assert rs["en"]["n_docs"] == 7 and rs["en"]["tokens_total"] == 70
+        assert rs["fr"]["n_docs"] == 2 and rs["fr"]["tokens_total"] == 40

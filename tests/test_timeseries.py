@@ -192,6 +192,107 @@ class TestSpendConcentration:
         assert r["top_decile_share"] == pytest.approx(top, abs=1e-9)
 
 
+class TestActiveUsers:
+    """active_users (operators/timeseries.py): DAU/WAU laws on a hand
+    fixture plus a brute-force parity sweep — wau(d) must equal the
+    distinct-user union of the trailing window, computed naively."""
+
+    def test_hand_fixture(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            active_users,
+        )
+
+        rows = [
+            (1, _day(1), "a", "click", 1.0),
+            (2, _day(1), "b", "click", 1.0),
+            (3, _day(3), "a", "click", 1.0),
+            (4, _day(9), "c", "click", 1.0),  # > 7 days after day 1
+        ]
+        out = {r["day"].day: r for r in active_users(_ev(spark, rows)).collect()}
+        assert set(out) == {1, 3, 9}  # inactive days emit no row
+        assert out[1]["dau"] == 2 and out[1]["wau"] == 2
+        assert out[3]["dau"] == 1 and out[3]["wau"] == 2  # a,b in window
+        # day 9's window is days 3-9: a (day 3) still in, day-1 users out
+        assert out[9]["dau"] == 1 and out[9]["wau"] == 2
+
+    def test_brute_force_parity(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            active_users,
+        )
+
+        rows = [
+            (i, _day(1 + (i * 7) % 20), f"u{i % 11}", "click", 1.0)
+            for i in range(120)
+        ]
+        got = {
+            r["day"].day: (r["dau"], r["wau"])
+            for r in active_users(_ev(spark, rows), window_days=7).collect()
+        }
+        days: dict[int, set] = {}
+        for i, ts, u, _t, _v in rows:
+            days.setdefault(ts.day, set()).add(u)
+        for d, users in days.items():
+            wau = set()
+            for back in range(7):
+                wau |= days.get(d - back, set())
+            assert got[d] == (len(users), len(wau)), d
+
+    def test_wau_at_least_dau_and_single_day_equal(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            active_users,
+        )
+
+        rows = [(i, _day(5), f"u{i}", "click", 1.0) for i in range(6)]
+        out = active_users(_ev(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0]["dau"] == out[0]["wau"] == 6
+
+
+class TestValuePercentilesContract:
+    """value_percentiles (operators/profiling.py): the exact-vs-approx
+    contract — identical on integer-rank quantiles of a tie-free
+    fixture, and the approx path returns an ELEMENT (never an
+    interpolation) where the exact path interpolates."""
+
+    ROWS = [
+        (i, _day(1), f"u{i}", "a", float(v))
+        for i, v in enumerate([10, 20, 30, 40, 50])
+    ]
+
+    def test_exact_equals_approx_on_integer_ranks(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            value_percentiles,
+        )
+
+        ev = _ev(spark, self.ROWS)
+        # n=5: ranks p*(n-1)+1 = 2, 3, 4 — all integer, both paths exact
+        exact = value_percentiles(ev, probs=(0.25, 0.5, 0.75)).collect()[0]
+        approx = value_percentiles(
+            ev, probs=(0.25, 0.5, 0.75), approx=True
+        ).collect()[0]
+        assert (exact["p25"], exact["p50"], exact["p75"]) == (20.0, 30.0, 40.0)
+        assert (approx["p25"], approx["p50"], approx["p75"]) == (
+            20.0,
+            30.0,
+            40.0,
+        )
+        assert exact["n"] == approx["n"] == 5
+
+    def test_p95_divergence_is_the_documented_one(self, spark):
+        from documents_vector_search_spark.operators.profiling import (
+            value_percentiles,
+        )
+
+        ev = _ev(spark, self.ROWS)
+        exact = value_percentiles(ev, probs=(0.95,)).collect()[0]
+        approx = value_percentiles(ev, probs=(0.95,), approx=True).collect()[0]
+        # exact interpolates: rank 0.95*4+1 = 4.8 -> 40 + 0.8*10
+        assert exact["p95"] == pytest.approx(48.0)
+        # approx returns an element of the group, never an interpolation
+        assert approx["p95"] in (40.0, 50.0)
+        assert approx["p95"] != exact["p95"]
+
+
 class TestPlanShapes:
     def test_zscore_single_raw_shuffle(self, spark):
         """The rolling window runs over the per-day AGGREGATE: exactly
