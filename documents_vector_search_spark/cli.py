@@ -948,6 +948,113 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_fk(args) -> int:
+    """Referential-integrity probe between two parquet paths
+    (operators/profiling.py::fk_check): how many child rows point at a
+    key absent from the parent — exit 1 when orphans exceed the
+    tolerance, so a load pipeline can gate on it like `doctor`."""
+    from documents_vector_search_spark.operators.profiling import fk_check
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    keys = [
+        tuple(k.split("=", 1)) if "=" in k else k
+        for k in args.key
+    ]
+    rep = fk_check(
+        spark.read.parquet(args.child),
+        spark.read.parquet(args.parent),
+        keys,
+        sample=args.sample,
+    )
+    print(_format(
+        {
+            "child": args.child,
+            "parent": args.parent,
+            "childRows": rep["child_rows"],
+            "orphanRows": rep["orphan_rows"],
+            "orphanFrac": rep["orphan_frac"],
+            "sample": [list(s) for s in rep["sample"]],
+        },
+        args.format,
+    ))
+    return 1 if rep["orphan_frac"] > args.max_orphan_frac else 0
+
+
+def cmd_dau(args) -> int:
+    """Rolling DAU/WAU active-user curve over an events parquet
+    (operators/timeseries.py::active_users)."""
+    from documents_vector_search_spark.operators.timeseries import (
+        active_users,
+    )
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    rows = active_users(
+        spark.read.parquet(args.path),
+        window_days=args.window_days,
+        user_col=args.user_col,
+        ts_col=args.ts_col,
+    ).collect()
+    print(_format(
+        {
+            "path": args.path,
+            "windowDays": args.window_days,
+            "days": [
+                {"day": str(r["day"]), "dau": r["dau"], "wau": r["wau"]}
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
+def cmd_unimax(args) -> int:
+    """UniMax language-budget allocation over a documents parquet
+    (operators/sampling.py::unimax_allocation): whitespace token counts
+    per language, water-filled under per-language epoch caps."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.functions.text import WS_RUN_RE
+    from documents_vector_search_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.path)
+    ws = F.size(
+        F.filter(F.split(F.col(args.text_col), WS_RUN_RE), lambda t: t != "")
+    ).cast("bigint")
+    staged = docs.select(
+        F.col(args.lang_col).alias("lang"), ws.alias("ws_tokens")
+    )
+    rows = unimax_allocation(
+        staged, args.budget_tokens, max_epochs=args.max_epochs
+    ).collect()
+    print(_format(
+        {
+            "path": args.path,
+            "budgetTokens": args.budget_tokens,
+            "maxEpochs": args.max_epochs,
+            "languages": [
+                {
+                    "lang": r["lang"],
+                    "nDocs": r["n_docs"],
+                    "tokensTotal": r["tokens_total"],
+                    "capTokens": r["cap_tokens"],
+                    "allocTokens": r["alloc_tokens"],
+                    "epochsUsed": r["epochs_used"],
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
 def cmd_skew(args) -> int:
     """Shuffle-key skew diagnostics over a collection table column
     (operators/profiling.py::skew_report): heaviest keys, row share,
@@ -1580,6 +1687,46 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", default="json",
                     choices=["json", "indent", "toon"])
     sp.set_defaults(func=cmd_profile)
+
+    sp = sub.add_parser("fk")
+    sp.add_argument("child", help="child parquet path")
+    sp.add_argument("parent", help="parent parquet path")
+    sp.add_argument(
+        "--key",
+        action="append",
+        required=True,
+        help="FK column; childcol=parentcol when names differ"
+        " (repeatable for composite keys)",
+    )
+    sp.add_argument("--sample", type=int, default=5)
+    sp.add_argument(
+        "--max-orphan-frac",
+        type=float,
+        default=0.0,
+        help="exit 1 when orphan_frac exceeds this",
+    )
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_fk)
+
+    sp = sub.add_parser("dau")
+    sp.add_argument("path", help="events parquet path")
+    sp.add_argument("--window-days", type=int, default=7)
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_dau)
+
+    sp = sub.add_parser("unimax")
+    sp.add_argument("path", help="documents parquet path")
+    sp.add_argument("--budget-tokens", type=int, required=True)
+    sp.add_argument("--max-epochs", type=int, default=2)
+    sp.add_argument("--lang-col", default="lang")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_unimax)
 
     sp = sub.add_parser("skew")
     common(sp)

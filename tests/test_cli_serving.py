@@ -1415,3 +1415,65 @@ class TestPersonalizedPagerankCli:
         ranks = {t["node"]: t["rankMicro"] for t in out["top"]}
         assert ranks["seed"] > 0 and ranks["a"] > 0
         assert ranks["b"] == 0 and ranks["c"] == 0  # off the seed island
+
+
+class TestFkCli:
+    def test_orphans_gate_exit_code(self, spark, tmp_path, capsys):
+        child_p = str(tmp_path / "child")
+        parent_p = str(tmp_path / "parent")
+        spark.createDataFrame(
+            [(1, 10), (2, 99)], "id bigint, fk bigint"
+        ).write.parquet(child_p)
+        spark.createDataFrame([(10,)], "pk bigint").write.parquet(parent_p)
+        rc = cli.main(["fk", child_p, parent_p, "--key", "fk=pk"])
+        assert rc == 1  # orphan_frac 0.5 > default tolerance 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["orphanRows"] == 1 and out["childRows"] == 2
+        rc = cli.main(
+            ["fk", child_p, parent_p, "--key", "fk=pk",
+             "--max-orphan-frac", "0.6"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+
+
+class TestDauCli:
+    def test_rolling_curve(self, spark, tmp_path, capsys):
+        import datetime as dt
+
+        p = str(tmp_path / "ev")
+        rows = [
+            (1, dt.datetime(2024, 1, 1), "a", "click", 1.0),
+            (2, dt.datetime(2024, 1, 3), "b", "click", 1.0),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id string,"
+            " event_type string, value double",
+        ).write.parquet(p)
+        rc = cli.main(["dau", p, "--window-days", "7"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        days = {d["day"]: d for d in out["days"]}
+        assert days["2024-01-01"]["wau"] == 1
+        assert days["2024-01-03"]["dau"] == 1
+        assert days["2024-01-03"]["wau"] == 2
+
+
+class TestUnimaxCli:
+    def test_allocation(self, spark, tmp_path, capsys):
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [("en", "one two three four"), ("fr", "un deux")],
+            "lang string, text string",
+        ).write.parquet(p)
+        rc = cli.main(
+            ["unimax", p, "--budget-tokens", "100", "--max-epochs", "2"]
+        )
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        langs = {d["lang"]: d for d in out["languages"]}
+        # both caps (8, 4) fit the budget: fully funded at 2 epochs
+        assert langs["en"]["allocTokens"] == 8
+        assert langs["fr"]["allocTokens"] == 4
+        assert langs["fr"]["epochsUsed"] == 2.0
