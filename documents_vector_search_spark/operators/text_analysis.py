@@ -304,8 +304,12 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
-    )
+    # two-phase top-k (the spend_gini r11 discipline): orderBy+limit is
+    # a TakeOrdered — per-partition partial top-k, never a
+    # single-partition sort of the full bigram table — and the rank
+    # window then runs over ONLY the top_k survivors (bounded by the
+    # parameter, not the vocabulary)
+    order = [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    topk = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
