@@ -180,6 +180,8 @@ HEADLINE = [
     "soft_dedup",
     "active_users",
     "unimax_mix",
+    "ngram_novelty",
+    "corpus_jaccard",
 ]
 
 

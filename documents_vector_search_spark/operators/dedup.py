@@ -99,6 +99,63 @@ def with_shingles(
     ).select(F.col("id").alias(id_col), "shingles")
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty — ``(doc_id, n_shingles, n_novel,
+    novelty)`` where ``novelty`` is the fraction of the document's
+    DISTINCT word shingles that appear in NO other document: the
+    complementary quality signal to the dedup family (a doc can dodge
+    every near-dup pair yet be assembled almost entirely from corpus
+    boilerplate — low novelty names it; high novelty marks genuinely
+    fresh text worth upweighting).
+
+    Scale shape: distinct shingles per doc (the with_shingles map-only
+    pass), explode, ONE gram-keyed document-frequency aggregate
+    (map-side combinable; shingles are distinct per doc so count(*) IS
+    the doc frequency), join the df back on the gram (hot boilerplate
+    grams are the skew risk — AQE skew-join splits them; the join
+    output is bounded by the exploded rows), then one doc-keyed
+    aggregate. Docs with no shingles (empty text) keep a row with
+    novelty 0.0 via the final left join."""
+    sh = with_shingles(docs, shingle_words, id_col, text_col)
+    exploded = sh.select(
+        F.col(id_col), F.explode("shingles").alias("_gram")
+    )
+    dfreq = exploded.groupBy("_gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    per_doc = (
+        exploded.join(dfreq, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias(
+            "n_shingles"
+        ),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_novel", F.lit(0))
+                / F.coalesce("n_shingles", F.lit(0)),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("novelty"),
+    )
+
+
 def minhash_band_rows(
     docs: DataFrame,
     num_hashes: int = 8,

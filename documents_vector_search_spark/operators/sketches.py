@@ -84,6 +84,67 @@ FROM topk
 """
 
 
+def corpus_jaccard(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    shingle_words: int = 3,
+    k: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """KMV-sketch Jaccard similarity between two CORPORA's shingle sets
+    — one row ``(k_used, n_common, jaccard_est)``: "how much does
+    source A's text overlap source B's" without ever materializing
+    either shingle set (the cross-source contamination / provenance
+    question a 100 TB mixing pipeline asks before blending corpora).
+
+    Standard k-minimum-values estimator (Beyer et al. 2007): per side,
+    the k smallest distinct md5 shingle hashes (the
+    :func:`kmv_candidates` bounded pass — ≤ k rows per Arrow batch, so
+    each side reduces to ≤ k rows however large the corpus); then over
+    the k smallest of the UNION, the fraction present in both sketches
+    estimates J(A, B). Deterministic md5 hashing makes the estimate
+    bit-identical in any engine — oracle-checkable, like
+    :func:`kmv_distinct`. The merge is a full-outer join of two ≤ k-row
+    frames: driver-free, constant-size."""
+    from documents_vector_search_spark.operators.dedup import with_shingles
+
+    def sketch(docs: DataFrame, tag: str) -> DataFrame:
+        sh = with_shingles(docs, shingle_words, id_col, text_col)
+        hashes = sh.select(F.explode("shingles").alias("_g")).select(
+            md5_hash64(F.col("_g")).alias("h")
+        )
+        return (
+            kmv_candidates(hashes, k)
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(k)
+            .select("h", F.lit(1).alias(f"_in_{tag}"))
+        )
+
+    merged = sketch(docs_a, "a").join(sketch(docs_b, "b"), "h", "full_outer")
+    top_union = (
+        merged.select(
+            "h",
+            F.coalesce("_in_a", F.lit(0)).alias("_a"),
+            F.coalesce("_in_b", F.lit(0)).alias("_b"),
+        )
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+    n_common = F.sum((F.col("_a") * F.col("_b"))).cast("bigint")
+    k_used = F.count(F.lit(1)).cast("bigint")
+    return top_union.agg(
+        k_used.alias("k_used"),
+        n_common.alias("n_common"),
+        F.round(
+            F.when(k_used > 0, n_common / k_used).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("jaccard_est"),
+    )
+
+
 def fixed_histogram(
     df: DataFrame,
     value: Column,

@@ -4727,6 +4727,37 @@ def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty (operators/dedup.py::ngram_novelty):
+    the fraction of each doc's distinct 3-word shingles appearing in NO
+    other document — the boilerplate-assembly signal the pairwise dedup
+    family can't see. One gram-keyed df aggregate + one join back + one
+    doc-keyed aggregate."""
+    from documents_vector_search_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level KMV Jaccard (operators/sketches.py::corpus_jaccard)
+    between two overlapping document subsets (doc_id % 2 == 0 vs
+    doc_id % 3 == 0 — docs at % 6 belong to both, so the estimate is
+    non-trivially between 0 and 1): each side reduces to its k=256
+    smallest distinct md5 shingle hashes before any join, so the
+    cross-corpus similarity question never materializes a shingle
+    set."""
+    from documents_vector_search_spark.operators.sketches import (
+        corpus_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_jaccard(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        k=256,
+    )
+
+
 # ===========================================================================
 # oracle SQL (DuckDB dialect, tables pre-registered as views)
 # ===========================================================================
@@ -8502,6 +8533,52 @@ SELECT lang, n_docs, tokens_total, cap_tokens,
          AS epochs_used
 FROM g ORDER BY lang
 """
+    # per-doc shingle novelty: df over the SAME distinct 3-gram idiom
+    d["ngram_novelty"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM ex GROUP BY 1),
+per_doc AS (
+  SELECT ex.doc_id, count(*)::BIGINT AS n_shingles,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM ex JOIN dfreq USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(n_novel, 0)::BIGINT AS n_novel,
+       round(CASE WHEN coalesce(n_shingles, 0) > 0
+             THEN coalesce(n_novel, 0)::DOUBLE / n_shingles
+             ELSE 0.0 END, 6) AS novelty
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+    # corpus-level KMV Jaccard between two doc subsets: the naive
+    # distinct-sort-limit twin of the bounded mapInPandas sketch
+    _cj_h = md5_hash64_sql("gram")
+    d["corpus_jaccard"] = f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM tok),
+ka AS (SELECT DISTINCT {_cj_h} AS h FROM (
+         SELECT unnest(shingles) AS gram FROM sh WHERE doc_id % 2 = 0)
+       ORDER BY h ASC LIMIT 256),
+kb AS (SELECT DISTINCT {_cj_h} AS h FROM (
+         SELECT unnest(shingles) AS gram FROM sh WHERE doc_id % 3 = 0)
+       ORDER BY h ASC LIMIT 256),
+merged AS (
+  SELECT coalesce(ka.h, kb.h) AS h,
+         CASE WHEN ka.h IS NOT NULL THEN 1 ELSE 0 END AS a,
+         CASE WHEN kb.h IS NOT NULL THEN 1 ELSE 0 END AS b
+  FROM ka FULL OUTER JOIN kb ON ka.h = kb.h
+),
+topu AS (SELECT * FROM merged ORDER BY h ASC LIMIT 256)
+SELECT count(*)::BIGINT AS k_used,
+       CAST(sum(a * b) AS BIGINT) AS n_common,
+       round(CASE WHEN count(*) > 0
+             THEN sum(a * b)::DOUBLE / count(*) ELSE 0.0 END, 6)
+         AS jaccard_est
+FROM topu
+"""
     return d
 
 
@@ -8519,9 +8596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry order); `python dev/rotation.py --check` enforces the hard
     rule (never-green keys must be in-window) with exit 1.
 
-    STALENESS ARITHMETIC (re-stated per policy): at 170 keys the full
-    cycle is ceil(170/50) = FOUR rounds — the SAME as at 156 keys, so
-    registering the r10 verdict's 11 queued operators AND the three
+    STALENESS ARITHMETIC (re-stated per policy): at 172 keys the full
+    cycle is ceil(172/50) = FOUR rounds — the SAME as at 156 keys, so
+    registering the r10 verdict's 11 queued operators AND the five
     r11-new operators costs ZERO extra staleness (the r10 verdict's
     own arithmetic). The compensating control is unchanged and
     mandatory: EVERY round runs the full local `dev/compare.py` sf0.01
@@ -8531,23 +8608,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 11 window (dev/rotation.py's recommendation after r10, with
     the never-green-first rule):
-    - positions 1-14: the FOURTEEN keys new this round — the r10
+    - positions 1-16: the SIXTEEN keys new this round — the r10
       verdict's #1 in full: scd2_as_of, funnel_windowed,
       attribution_multitouch, survival_curve, association_rules,
       cusum_changepoints, table_profile, fk_check,
       personalized_pagerank, graph_profile, session_metrics (operators
       shipped pytest-pinned in r10; keys + DuckDB oracles land this
-      round) — plus the three operators NEW in r11, landing WITH their
+      round) — plus the five operators NEW in r11, landing WITH their
       keys per the r10 verdict's #7: soft_dedup (SoftDedup
       inverse-duplication weights), active_users (rolling DAU/WAU),
-      unimax_mix (UniMax water-fill language budgets).
-    - positions 15-20: the six r7-green due-backs the r10 reorder
+      unimax_mix (UniMax water-fill language budgets), ngram_novelty
+      (per-doc boilerplate-assembly signal), corpus_jaccard
+      (cross-corpus KMV similarity sketch).
+    - positions 17-22: the six r7-green due-backs the r10 reorder
       displaced (pool_embeddings, repetition, pii_redact, line_dedup,
       perplexity, curation_sweep) — stalest first, exactly as the r10
       docstring promised.
-    - positions 21-50: the first 30 r8-green keys in rotation order
-      (tpch_q3 .. ann_lsh).
-    - out-of-window tail (51+): the remaining 20 r8 keys (due r12),
+    - positions 23-50: the first 28 r8-green keys in rotation order
+      (tpch_q3 .. bm25_topk).
+    - out-of-window tail (51+): the remaining 22 r8 keys (due r12),
       then the 50 r9-green keys, then the 50 r10-green keys (newest —
       scd2_apply .. semdedup).
 
@@ -8557,10 +8636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     _ensure_assets_seeded()
     return {
-        # -- window 1-14: NEW this round (never driver-green) ----------
+        # -- window 1-16: NEW this round (never driver-green) ----------
         "soft_dedup": q_soft_dedup,
         "active_users": q_active_users,
         "unimax_mix": q_unimax_mix,
+        "ngram_novelty": q_ngram_novelty,
+        "corpus_jaccard": q_corpus_jaccard,
         "scd2_as_of": q_scd2_as_of,
         "funnel_windowed": q_funnel_windowed,
         "attribution_multitouch": q_attribution_multitouch,
@@ -8572,15 +8653,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "graph_profile": q_graph_profile,
         "session_metrics": q_session_metrics,
-        # -- window 15-20: the six stalest r7-green due-backs ------------
+        # -- window 17-22: the six stalest r7-green due-backs ------------
         "pool_embeddings": q_pool_embeddings,
         "repetition": q_repetition,
         "pii_redact": q_pii_redact,
         "line_dedup": q_line_dedup,
         "perplexity": q_perplexity,
         "curation_sweep": q_curation_sweep,
-        # -- window 21-50: the 30 stalest r8-green keys (rotation order);
-        # the window boundary falls after ann_lsh ------------------------
+        # -- window 23-50: the 28 stalest r8-green keys (rotation order);
+        # the window boundary falls after bm25_topk ----------------------
         "tpch_q3": q_tpch_q3,
         "spell_correct": q_spell_correct,
         "fuzzy_search": q_fuzzy_search,
@@ -8609,10 +8690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
+        # ---- window boundary: first 50 keys end here ------------------
+        # -- remaining 22 r8-green keys (due back r12) -------------------
         "knn_l2": q_knn_l2,
         "ann_lsh": q_ann_lsh,
-        # ---- window boundary: first 50 keys end here ------------------
-        # -- remaining 20 r8-green keys (due back r12) -------------------
         "rrf_hybrid": q_rrf_hybrid,
         "group_hits": q_group_hits,
         "chunk_split": q_chunk_split,

@@ -95,6 +95,70 @@ class TestSoftDedupWeights:
         assert "Join" not in plan  # window count, not a count-join-back
 
 
+class TestNgramNovelty:
+    """ngram_novelty (operators/dedup.py): duplicated text scores 0,
+    unique text scores 1, empty text keeps a zero row, and the score
+    equals a brute-force shingle-df computation."""
+
+    def test_dups_zero_unique_one(self, dup_docs, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        rows = {r.doc_id: r for r in ngram_novelty(dup_docs).collect()}
+        # docs 1+2 are identical: every shingle has df >= 2 -> novelty 0
+        assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+        # doc 4 shares no 3-gram with anything -> fully novel
+        assert rows[4]["novelty"] == 1.0
+        # doc 3 differs from 1/2 by one word: mixed
+        assert 0.0 < rows[3]["novelty"] < 1.0
+
+    def test_empty_text_keeps_zero_row(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some words here"), (2, "")], ["doc_id", "text"]
+        )
+        rows = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+        assert set(rows) == {1, 2}
+        assert rows[1]["novelty"] == 1.0
+
+    def test_matches_brute_force(self, spark):
+        from documents_vector_search_spark.operators.dedup import (
+            ngram_novelty,
+        )
+
+        texts = {
+            i: " ".join(
+                f"w{(i * 7 + j * 3) % 15}" for j in range(5 + i % 4)
+            )
+            for i in range(12)
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        got = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+
+        def py_shingles(t):
+            toks = t.split()
+            if len(toks) <= 3:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        all_sh = {i: py_shingles(t) for i, t in texts.items()}
+        for i, sh in all_sh.items():
+            others = set().union(
+                *(s for j, s in all_sh.items() if j != i)
+            )
+            novel = len(sh - others)
+            assert got[i]["n_shingles"] == len(sh), i
+            assert got[i]["n_novel"] == novel, i
+
+
 class TestMinHashLSH:
     def test_finds_planted_near_dup(self, dup_docs):
         pairs = minhash_lsh_pairs(dup_docs, threshold=0.5).collect()

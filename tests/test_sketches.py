@@ -211,3 +211,62 @@ class TestCountMinSketch:
         assert cms.count() <= 3 * 16
         plan = cms._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestCorpusJaccard:
+    """corpus_jaccard (operators/sketches.py): with fewer than k
+    distinct shingle hashes the KMV sketch IS the full set, so the
+    estimate must equal the exact Jaccard; identity and disjointness
+    are pinned as the boundary cases."""
+
+    @staticmethod
+    def _docs(spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_identical_corpora_score_one(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            corpus_jaccard,
+        )
+
+        docs = self._docs(
+            spark, [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta")]
+        )
+        r = corpus_jaccard(docs, docs).collect()[0]
+        assert r["jaccard_est"] == 1.0
+        assert r["n_common"] == r["k_used"]
+
+    def test_disjoint_corpora_score_zero(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            corpus_jaccard,
+        )
+
+        a = self._docs(spark, [(1, "one two three four five")])
+        b = self._docs(spark, [(2, "six seven eight nine ten")])
+        r = corpus_jaccard(a, b).collect()[0]
+        assert r["jaccard_est"] == 0.0 and r["n_common"] == 0
+
+    def test_exact_when_under_k(self, spark):
+        from documents_vector_search_spark.operators.sketches import (
+            corpus_jaccard,
+        )
+
+        def py_shingles(t):
+            toks = t.split()
+            if len(toks) <= 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        texts_a = {i: " ".join(f"w{(i + j) % 9}" for j in range(6))
+                   for i in range(6)}
+        texts_b = {i: " ".join(f"w{(i + j) % 9}" for j in range(6))
+                   for i in range(3, 9)}
+        a = self._docs(spark, list(texts_a.items()))
+        b = self._docs(spark, list(texts_b.items()))
+        sa = set().union(*(py_shingles(t) for t in texts_a.values()))
+        sb = set().union(*(py_shingles(t) for t in texts_b.values()))
+        exact = len(sa & sb) / len(sa | sb)
+        r = corpus_jaccard(a, b, k=256).collect()[0]
+        # < 256 distinct shingles total: the sketch is the full set
+        assert r["k_used"] == len(sa | sb)
+        assert r["n_common"] == len(sa & sb)
+        assert abs(r["jaccard_est"] - round(exact, 6)) < 1e-9
