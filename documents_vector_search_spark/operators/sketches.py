@@ -111,9 +111,19 @@ def corpus_jaccard(
     from documents_vector_search_spark.operators.dedup import with_shingles
 
     def sketch(docs: DataFrame, tag: str) -> DataFrame:
-        sh = with_shingles(docs, shingle_words, id_col, text_col)
-        hashes = sh.select(F.explode("shingles").alias("_g")).select(
-            md5_hash64(F.col("_g")).alias("h")
+        # repartition between the shingle build and the explode (the
+        # expression runs once scan-side, downstream work spreads), and
+        # explode_outer + isNotNull to dodge InferFiltersFromGenerate
+        # re-inlining the whole shingle expression into the scan filter
+        # (the ngram_novelty lesson; word_shingles never emits an empty
+        # array so the outer NULL row never occurs)
+        sh = with_shingles(docs, shingle_words, id_col, text_col).repartition(
+            F.col(id_col)
+        )
+        hashes = (
+            sh.select(F.explode_outer("shingles").alias("_g"))
+            .filter(F.col("_g").isNotNull())
+            .select(md5_hash64(F.col("_g")).alias("h"))
         )
         return (
             kmv_candidates(hashes, k)
