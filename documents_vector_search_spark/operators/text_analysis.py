@@ -260,20 +260,30 @@ def pmi_collocations(
     """
     from pyspark.sql import Window
 
+    # explode_outer + isNotNull on both generates: plain explode lets
+    # InferFiltersFromGenerate push a size(...) > 0 predicate into the
+    # scan that re-inlines the tokenizer per filter (the ngram_novelty
+    # lesson, operators/dedup.py) — the outer NULL rows are filtered
+    # right after, same row set
     base = docs.select(tokenize(text_col).alias("_toks"))
     uni = (
-        base.select(F.explode("_toks").alias("t"))
+        base.select(F.explode_outer("_toks").alias("t"))
+        .filter(F.col("t").isNotNull())
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    pairs = base.select(
-        F.explode(
-            F.expr(
-                "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
-                "(x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    pairs = (
+        base.select(
+            F.explode_outer(
+                F.expr(
+                    "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+                    "(x, i) -> struct(x AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.w1", "p.w2")
+    )
     big = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("n"))
