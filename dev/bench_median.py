@@ -72,7 +72,16 @@ def main() -> int:
         )
         for k in keys
     }
+    # per-query run support: a 0.0 spread over one surviving run is NOT
+    # the same signal as a 0.0 spread over all runs (ADVICE r11)
+    n_runs_present = {
+        k: sum(1 for a in artifacts if k in a["queries"]) for k in keys
+    }
     base = artifacts[-1]
+    inner_runs = sorted(
+        {a.get("timing", {}).get("runs_per_query") for a in artifacts}
+        - {None}
+    )
     out = {
         "metric": base["metric"],
         "value": round(sum(queries.values()), 3),
@@ -80,7 +89,12 @@ def main() -> int:
         "queries": queries,
         "sf": base["sf"],
         "timing": {
-            "runs_per_query": 3,
+            # read from the run artifacts, never hardcoded (ADVICE r11)
+            "runs_per_query": (
+                inner_runs[0] if len(inner_runs) == 1 else inner_runs
+            ),
+            "outer_runs": n_runs,
+            "n_runs_present": n_runs_present,
             "stat": "median",
             "selection": f"per-query median across {n_runs} full bench.py"
             " runs (r10 VERDICT #4: the committed artifact is no longer"

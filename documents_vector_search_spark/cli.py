@@ -978,7 +978,13 @@ def cmd_fk(args) -> int:
         },
         args.format,
     ))
-    return 1 if rep["orphan_frac"] > args.max_orphan_frac else 0
+    # gate on the UNROUNDED ratio: orphan_frac is rounded to 6 places
+    # for display, so 4e-7 would read 0.0 and slip past a zero
+    # tolerance despite real orphan rows (ADVICE r11)
+    frac = (
+        rep["orphan_rows"] / rep["child_rows"] if rep["child_rows"] else 0.0
+    )
+    return 1 if frac > args.max_orphan_frac else 0
 
 
 def cmd_dau(args) -> int:

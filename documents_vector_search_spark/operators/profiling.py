@@ -90,7 +90,17 @@ def value_percentiles(
 
     One aggregation keyed by ``group_col``, map-side combinable in the
     approx path."""
-    names = [f"p{round(p * 100):d}" for p in probs]
+    # collision-proof names from the full decimal: 0.25 -> p25,
+    # 0.125 -> p12_5 (Python round() would banker's-round 0.125 to p12
+    # and collapse e.g. 0.245/0.25 both onto p25 — duplicate output
+    # columns break any downstream select-by-name)
+    names = [
+        "p" + (f"{p * 100:.10f}".rstrip("0").rstrip(".").replace(".", "_")
+               or "0")
+        for p in probs
+    ]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile column names: {names}")
     if approx:
         aggs = [
             F.round(

@@ -198,7 +198,15 @@ def active_users(
     end clipped at the corpus max day via a broadcast one-row
     aggregate) and ONE day-keyed distinct count finishes. Days with no
     activity emit no row (the gap-filled convention is
-    :func:`resample_daily`'s job)."""
+    :func:`resample_daily`'s job).
+
+    COST NOTE: the fan-out amplifies the deduped (user, day) table by
+    ×``window_days`` rows BEFORE the distinct count — ×7 for WAU, ×30
+    for MAU. That input is already bounded by users×active-days (never
+    the raw stream), so the amplified row count is users×days×window —
+    fine at ×7/×30; for very large windows (e.g. a ×365 YAU) prefer a
+    sketch-merge design (one HLL/KMV sketch per day, windows merge
+    O(window) sketches) over this exact form."""
     ud = events.select(
         _day(ts_col).alias("day"), F.col(user_col).alias("user")
     ).distinct()

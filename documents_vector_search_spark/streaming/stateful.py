@@ -459,6 +459,12 @@ CUSUM_OUTPUT_SCHEMA = (
 # collapses sub-~0.24us timestamp differences, which could bucket an
 # event within ~0.2us of midnight into the wrong day vs the batch
 # daily_series truncation (same fix as funnel_stream's int64-ns state).
+# CHECKPOINT COMPATIBILITY: open_day changed double -> long in r11.
+# A cusum_stream restarted from a checkpoint written before that
+# change fails Spark's state-schema validation (or, on versions
+# without validation, misreads the stored doubles as longs) — discard
+# the old checkpoint directory and replay from the source when
+# upgrading across the schema change.
 CUSUM_STATE_SCHEMA = "open_day long, open_total long, s_hi long, s_lo long"
 
 

@@ -1436,6 +1436,35 @@ class TestFkCli:
         assert rc == 0
         capsys.readouterr()
 
+    def test_gate_uses_unrounded_ratio(
+        self, spark, tmp_path, monkeypatch, capsys
+    ):
+        """ADVICE r11: an orphan fraction of 4e-7 rounds to 0.0 in the
+        displayed report but must still fail the default 0.0 tolerance
+        — the exit gate compares orphan_rows/child_rows unrounded."""
+        from documents_vector_search_spark.operators import profiling
+
+        child_p = str(tmp_path / "child")
+        parent_p = str(tmp_path / "parent")
+        spark.createDataFrame(
+            [(1, 10)], "id bigint, fk bigint"
+        ).write.parquet(child_p)
+        spark.createDataFrame([(10,)], "pk bigint").write.parquet(parent_p)
+
+        def fake_fk_check(child, parent, keys, sample=5):
+            return {
+                "child_rows": 2_500_000,
+                "orphan_rows": 1,
+                "orphan_frac": 0.0,  # round(4e-7, 6)
+                "sample": [],
+            }
+
+        monkeypatch.setattr(profiling, "fk_check", fake_fk_check)
+        rc = cli.main(["fk", child_p, parent_p, "--key", "fk=pk"])
+        assert rc == 1
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["orphanFrac"] == 0.0  # display stays rounded
+
 
 class TestDauCli:
     def test_rolling_curve(self, spark, tmp_path, capsys):

@@ -292,6 +292,20 @@ class TestValuePercentilesContract:
         assert approx["p95"] in (40.0, 50.0)
         assert approx["p95"] != exact["p95"]
 
+    def test_fractional_percent_names_cannot_collide(self, spark):
+        """ADVICE r11: p-column names derive from the full decimal —
+        0.125 is p12_5 (Python round() would banker's-round it to p12)
+        and near-misses like 0.245 vs 0.25 stay distinct columns."""
+        from documents_vector_search_spark.operators.profiling import (
+            value_percentiles,
+        )
+
+        ev = _ev(spark, self.ROWS)
+        out = value_percentiles(ev, probs=(0.125, 0.245, 0.25))
+        assert out.columns[1:4] == ["p12_5", "p24_5", "p25"]
+        with pytest.raises(ValueError, match="duplicate"):
+            value_percentiles(ev, probs=(0.25, 0.25))
+
 
 class TestPlanShapes:
     def test_zscore_single_raw_shuffle(self, spark):
