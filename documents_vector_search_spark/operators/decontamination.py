@@ -193,6 +193,127 @@ def contamination_report(
     )
 
 
+def benchmark_hit_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    suite_col: str | None = None,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The BENCHMARK-side view of contamination — per benchmark
+    document ``(bench_id[, suite], shared_ngrams, compromised)``: how
+    many of ITS distinct ``n``-grams appear anywhere in the training
+    corpus. :func:`contamination_report` answers "which training docs
+    to drop"; this answers the signoff question "which eval examples
+    are compromised" — the two reports count the SAME gram matches
+    from opposite sides.
+
+    Scale shape (training side is the 100 TB side, benchmark is tiny):
+    1. benchmark grams (with their doc ids) — small by definition;
+    2. the DISTINCT benchmark gram set BROADCASTS into a semi-join
+       that filters the training corpus's gram stream scan-side — the
+       training side never shuffles grams the benchmark doesn't have;
+    3. the surviving training grams distinct into a set BOUNDED by
+       |benchmark grams| (the semi-join guarantees it), which
+       broadcasts back onto the per-benchmark-doc gram list;
+    4. one aggregation keyed by benchmark doc id.
+    No step shuffles anything proportional to the training corpus
+    except the semi-join's bounded survivors."""
+    bench_cols = [F.col(bench_id_col)] + (
+        [F.col(suite_col)] if suite_col else []
+    )
+    bd_grams = benchmark.select(
+        *bench_cols,
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(bench_text_col), n))
+        ).alias("gram"),
+    )
+    train_grams = docs.select(
+        F.explode(F.array_distinct(word_shingles(tokenize(text_col), n))).alias(
+            "gram"
+        )
+    )
+    if hash_grams:
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64,
+        )
+
+        bd_grams = bd_grams.select(
+            *bench_cols, md5_hash64(F.col("gram")).alias("gram")
+        )
+        train_grams = train_grams.select(
+            md5_hash64(F.col("gram")).alias("gram")
+        )
+    bench_gram_set = bd_grams.select("gram").distinct()
+    hot = (
+        train_grams.join(F.broadcast(bench_gram_set), "gram", "left_semi")
+        .distinct()
+    )
+    hits = (
+        bd_grams.join(F.broadcast(hot), "gram")
+        .groupBy(*[c for c in ([bench_id_col] + ([suite_col] if suite_col else []))])
+        .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
+    )
+    base = benchmark.select(*bench_cols)
+    join_keys = [bench_id_col] + ([suite_col] if suite_col else [])
+    return base.join(hits, join_keys, "left").select(
+        *bench_cols,
+        F.coalesce(F.col("shared_ngrams"), F.lit(0)).alias("shared_ngrams"),
+        (
+            F.coalesce(F.col("shared_ngrams"), F.lit(0)) >= F.lit(min_hits)
+        ).alias("compromised"),
+    )
+
+
+def benchmark_contamination_rate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    bench_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    suite_col: str = "suite",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-benchmark-SUITE contamination rollup — ``(suite,
+    n_bench_docs, n_compromised, contamination_rate)`` ordered by
+    suite: the one number a decontamination signoff quotes ("3.2% of
+    suite X's examples share a 13-gram with training data"). One keyed
+    aggregate over :func:`benchmark_hit_report`; the rate is the
+    engine's deterministic micro-floored ratio (exact int64 division,
+    bit-identical in any engine)."""
+    rep = benchmark_hit_report(
+        docs,
+        benchmark,
+        n,
+        min_hits,
+        bench_id_col,
+        text_col,
+        bench_text_col,
+        suite_col=suite_col,
+        hash_grams=hash_grams,
+    )
+    agg = rep.groupBy(suite_col).agg(
+        F.count("*").cast("bigint").alias("n_bench_docs"),
+        F.sum(F.col("compromised").cast("bigint"))
+        .cast("bigint")
+        .alias("n_compromised"),
+    )
+    return agg.select(
+        F.col(suite_col).alias("suite"),
+        "n_bench_docs",
+        "n_compromised",
+        (
+            F.expr("n_compromised * 1000000 DIV n_bench_docs") / F.lit(1e6)
+        ).alias("contamination_rate"),
+    ).orderBy("suite")
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

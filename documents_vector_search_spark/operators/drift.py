@@ -31,6 +31,93 @@ DRIFT_BUCKETS = 256
 DRIFT_MAX_N = 2
 
 
+def psi_report(
+    df: DataFrame,
+    in_side_a: Column,
+    value_col: str = "value",
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    round_to: int = 7,
+) -> DataFrame:
+    """Population Stability Index over equi-width numeric bins — the
+    BI-facing twin of :func:`corpus_drift_report` (same A-vs-complement
+    split contract, numeric column instead of hashed text grams).
+    Output: one row per bin 0..n_bins-1, ``(bin, a_cnt, b_cnt,
+    psi_c)`` ordered by bin; ``sum(psi_c)`` is the total PSI (the
+    credit-scoring monitoring staple: <0.1 stable, 0.1-0.25 shifting,
+    >0.25 drifted).
+
+    Binning is EXACT integer arithmetic: values go to cents
+    (floor(x·100+0.5)), edges are integer cents, and the bin id is one
+    int64 floor-division — so the same row lands in the same bin in
+    any engine (a float ``(x-lo)/width`` could straddle an edge by one
+    ulp between engines). ``(hi-lo)·100`` must divide by ``n_bins``;
+    out-of-range values clamp into the edge bins (the standard PSI
+    convention — drifted mass beyond the fit range still counts).
+    ``psi_c = (p-q)·ln(p/q)`` with add-one smoothing over
+    ``total + n_bins`` so empty bins stay defined (the corpus_drift
+    recipe), rounded to ``round_to``.
+
+    Spark shape: one map-side bin assignment + ONE conditional
+    aggregation over ``n_bins`` keys, a broadcast one-row totals join,
+    then map-only math over the broadcast ``n_bins``-row dense spine
+    (sequence(), driver-free) — identical cost profile to
+    corpus_drift_report, bin count bounds every post-scan stage."""
+    lo_c = int(round(lo * 100))
+    hi_c = int(round(hi * 100))
+    if hi_c <= lo_c or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    if (hi_c - lo_c) % n_bins:
+        raise ValueError(
+            f"(hi-lo)*100 = {hi_c - lo_c} cents must divide by"
+            f" n_bins = {n_bins} for exact integer bin edges"
+        )
+    width_c = (hi_c - lo_c) // n_bins
+    x_c = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+    # clamp BEFORE the division so DIV only ever sees non-negative
+    # operands (Spark DIV truncates, DuckDB // floors — they agree
+    # only on non-negatives; the registry-wide convention)
+    clamped = F.least(F.lit(hi_c - 1), F.greatest(F.lit(lo_c), x_c))
+    bin_id = (
+        (clamped - F.lit(lo_c)) - ((clamped - F.lit(lo_c)) % F.lit(width_c))
+    ) / F.lit(width_c)
+    bin_id = bin_id.cast("int")
+    counts = df.select(
+        in_side_a.alias("_a"), bin_id.alias("bin")
+    ).groupBy("bin").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("b_cnt"),
+    )
+    spine = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+        .select(F.col("bin").cast("int").alias("bin"))
+    )
+    dense = spine.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("a_cnt", F.lit(0)).cast("bigint").alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).cast("bigint").alias("b_cnt"),
+    )
+    totals = dense.agg(
+        (F.sum("a_cnt") + F.lit(n_bins)).alias("_ta"),
+        (F.sum("b_cnt") + F.lit(n_bins)).alias("_tb"),
+    )
+    joined = dense.crossJoin(F.broadcast(totals))
+    p = (F.col("a_cnt") + F.lit(1)).cast("double") / F.col("_ta").cast(
+        "double"
+    )
+    q = (F.col("b_cnt") + F.lit(1)).cast("double") / F.col("_tb").cast(
+        "double"
+    )
+    return joined.select(
+        "bin",
+        "a_cnt",
+        "b_cnt",
+        F.round((p - q) * F.log(p / q), round_to).alias("psi_c"),
+    ).orderBy("bin")
+
+
 def corpus_drift_report(
     docs: DataFrame,
     in_side_a: Column,

@@ -231,6 +231,142 @@ def active_users(
     return dau.join(wau, "day").orderBy("day")
 
 
+def user_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-user inter-event timing profile — ``(user, n_events,
+    n_gaps, mean_gap_s, cv, burstiness)`` ordered by user: the
+    activity-rhythm signal behind bot/abuse triage and engagement
+    segmentation. ``burstiness`` is the Goh-Barabási coefficient
+    B = (σ−μ)/(σ+μ) over the user's inter-event gaps (Goh & Barabási,
+    "Burstiness and memory in complex systems", EPL 2008 — public):
+    −1 for a metronome, →0 Poisson, →1 heavy-tailed bursts. ``cv`` is
+    the coefficient of variation σ/μ of the same gaps.
+
+    Determinism contract (the rolling_zscore recipe): gaps are exact
+    int64 SECONDS (micros floor-divided by 10⁶ — both engines floor on
+    the non-negative operand), μ and σ derive from the exact sums
+    S = Σgap and Q = Σgap²: ``mean_gap_s`` is the micro-floored ratio
+    S·10⁶ DIV n, ``cv = √(n·Q − S²)/S`` and ``B = (√(n·Q − S²) − S)
+    /(√(n·Q − S²) + S)`` (population σ; the n cancels), each one sqrt
+    + one division over int64s, rounded to ``round_to`` — IEEE-exact
+    in any engine. A user whose gaps are all zero (S = 0) reports
+    NULL cv/burstiness (μ = 0 leaves both undefined). int64 bound:
+    n·Q needs Σgap² · n < 2⁶³ — holds to ~30-year spans at 10⁵ events
+    per user; past that, lift the two sums to decimal(38,0).
+
+    Tie handling: rows sharing a timestamp contribute zero gaps; the
+    gap MULTISET is a function of the user's sorted timestamp sequence
+    alone, so the window's tie order cannot change any output.
+
+    Scale shape: one lag window PARTITIONED by user, then one
+    aggregation on the same key — the exchange is reused (one shuffle
+    of (user, ts) pairs total), output is O(users)."""
+    t_us = F.unix_micros(F.col(ts_col))
+    gap = F.expr(
+        # micros -> whole seconds; non-negative by the window order
+        "(_t_us - _prev_us) DIV 1000000"
+    )
+    staged = (
+        events.select(F.col(user_col).alias("user"), t_us.alias("_t_us"))
+        .withColumn(
+            "_prev_us",
+            F.lag("_t_us").over(
+                Window.partitionBy("user").orderBy("_t_us")
+            ),
+        )
+        .withColumn("_gap", gap)
+    )
+    agg = staged.groupBy("user").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("_gap").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("_gap"), F.lit(0)).cast("bigint").alias("_s"),
+        F.coalesce(F.sum(F.col("_gap") * F.col("_gap")), F.lit(0))
+        .cast("bigint")
+        .alias("_q"),
+    )
+    r = F.sqrt(
+        (F.col("n_gaps") * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+            "double"
+        )
+    )
+    s_pos = F.col("_s") > 0
+    return (
+        agg.filter(F.col("n_gaps") >= min_gaps)
+        .select(
+            "user",
+            "n_events",
+            "n_gaps",
+            (F.expr("_s * 1000000 DIV n_gaps") / F.lit(1e6)).alias(
+                "mean_gap_s"
+            ),
+            F.when(s_pos, F.round(r / F.col("_s"), round_to)).alias("cv"),
+            F.when(
+                s_pos, F.round((r - F.col("_s")) / (r + F.col("_s")), round_to)
+            ).alias("burstiness"),
+        )
+        .orderBy("user")
+    )
+
+
+def dau_kmv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-day APPROXIMATE distinct active users via the KMV sketch —
+    ``(day, k_used, est_dau)`` ordered by day: the bounded-state form
+    of :func:`active_users`' exact DAU, and the batch anchor of the
+    streaming twin (streaming/stateful.py::dau_stream). Deterministic
+    (md5-hashed users, Beyer et al. 2007 estimator — the
+    operators/sketches.py recipe per day-group), so the estimate
+    itself is oracle-checkable AND the stream==batch parity is exact.
+
+    Per day the k smallest distinct user hashes survive: a day with
+    d ≤ k distinct users keeps ALL d hashes (k_used = d, estimate
+    (d−1)/U(d) from the complete sketch); relative error ~1/√k
+    beyond that.
+
+    Scale shape: distinct (day, user-hash) dedup (the same bounded
+    first pass as active_users), a day-keyed top-k rank over a
+    ≤ users-per-day frame, then one O(days × k) aggregate. State per
+    day is k hashes — the contract that makes the STREAMING form
+    viable where exact distinct-user state is unbounded."""
+    from documents_vector_search_spark.functions.hashing import md5_hash64
+
+    dh = events.select(
+        _day(ts_col).alias("day"),
+        md5_hash64(F.col(user_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy(F.col("h").asc())
+    topk = dh.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    space = float(1 << 60)  # md5_hash64 is 60-bit (sketches.py)
+    return (
+        topk.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.max("h").alias("_kth"),
+        )
+        .select(
+            "day",
+            "k_used",
+            F.round(
+                (F.col("k_used") - 1) / (F.col("_kth") / F.lit(space)),
+                round_to,
+            ).alias("est_dau"),
+        )
+        .orderBy("day")
+    )
+
+
 def cusum_changepoints(
     events: DataFrame,
     series_col: str = "event_type",

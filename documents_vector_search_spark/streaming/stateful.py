@@ -468,6 +468,80 @@ CUSUM_OUTPUT_SCHEMA = (
 CUSUM_STATE_SCHEMA = "open_day long, open_total long, s_hi long, s_lo long"
 
 
+DAU_OUTPUT_SCHEMA = "day date, k_used long, est_dau double"
+# per-day KMV sketch state: the <= k smallest distinct md5 user
+# hashes, sorted ascending. THE approx-distinct contract that makes
+# streaming DAU viable at all: exact distinct-user state is unbounded
+# (one entry per user per day — millions of longs per day at scale),
+# so exact DAU stays batch-only (operators/timeseries.py::
+# active_users); the stream carries O(k) longs per day (~2 KB at
+# k=256, ~1/sqrt(k) ~ 6% relative error) and, because KMV is
+# deterministic (Beyer et al. 2007 over md5 hashes), the stream's
+# final per-day estimate equals operators/timeseries.py::dau_kmv
+# BIT-EXACTLY (parity pytest) — not "approximately the same sketch",
+# the same number.
+DAU_STATE_SCHEMA = "hashes array<long>"
+
+
+def dau_stream(
+    events: DataFrame,
+    k: int = 256,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.py::dau_kmv — per-day
+    approximate distinct active users with BOUNDED state (see
+    DAU_STATE_SCHEMA for the contract). Emits ``(day, k_used,
+    est_dau)`` for every day a micro-batch touches, with the estimate
+    REFINED as the day's sketch absorbs more users: downstream sinks
+    upsert on ``day`` (append mode re-emits the day's row each batch
+    that updates it; the LAST row per day is the day's answer and
+    equals the batch dau_kmv estimate exactly). Unlike the day-close
+    operators (anomaly/cusum) nothing waits for a later day — a
+    dashboard reads today's DAU all day long.
+
+    The user hash is computed SPARK-side (functions/hashing.py
+    md5_hash64 over the stringified user id) before the stateful fold,
+    so the sketch is bit-identical to every batch KMV in the engine;
+    the fold itself only merges int64s and keeps the k smallest
+    distinct."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from documents_vector_search_spark.functions.hashing import md5_hash64
+
+    space = float(1 << 60)  # md5_hash64 is 60-bit (sketches.py)
+    keyed = events.select(
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+        md5_hash64(F.col(user_col).cast("string")).alias("h"),
+    )
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        kept = list(state.get[0]) if state.exists else []
+        merged = set(kept)
+        for pdf in pdfs:
+            merged.update(int(h) for h in pdf["h"])
+        kept = sorted(merged)[:k]
+        state.update((kept,))
+        k_used = len(kept)
+        kth = kept[-1]
+        est = round((k_used - 1) / (kth / space), round_to) if kth else 0.0
+        yield pd.DataFrame(
+            {"day": [key[0]], "k_used": [k_used], "est_dau": [est]}
+        )
+
+    return keyed.groupBy("day").applyInPandasWithState(
+        fold,
+        outputStructType=DAU_OUTPUT_SCHEMA,
+        stateStructType=DAU_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def cusum_stream(
     events: DataFrame,
     target_c: int,

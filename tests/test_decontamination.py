@@ -154,3 +154,94 @@ class TestApply:
         docs, bench = corpora
         kept = {r.doc_id for r in decontaminate(docs, bench, n=5).collect()}
         assert kept == {2, 3, 5}
+
+
+class TestBenchmarkSide:
+    """The flipped view (benchmark_hit_report / contamination_rate):
+    the signoff numbers — which EVAL docs are compromised, per suite."""
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text about spark shuffle tuning"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [
+                # s1: one compromised (5-gram inside doc 1), one clean
+                (100, "the quick brown fox jumps high", "s1"),
+                (101, "nothing here matches any training text", "s1"),
+                # s2: compromised short doc (< 5 tokens -> whole-text
+                # shingle, a substring-run of doc 2's token stream)
+                (102, "text about spark shuffle tuning", "s2"),
+            ],
+            ["doc_id", "text", "suite"],
+        )
+        return docs, bench
+
+    def test_hit_report_counts_per_bench_doc(self, spark):
+        from documents_vector_search_spark.operators.decontamination import (
+            benchmark_hit_report,
+        )
+
+        docs, bench = self._frames(spark)
+        got = {
+            r.doc_id: (r.shared_ngrams, r.compromised)
+            for r in benchmark_hit_report(
+                docs, bench, n=5, suite_col="suite"
+            ).collect()
+        }
+        assert got[100] == (1, True)   # "the quick brown fox jumps"
+        assert got[101] == (0, False)
+        assert got[102] == (1, True)
+
+    def test_rate_rollup_micro_floored(self, spark):
+        from documents_vector_search_spark.operators.decontamination import (
+            benchmark_contamination_rate,
+        )
+
+        docs, bench = self._frames(spark)
+        got = {
+            r.suite: (r.n_bench_docs, r.n_compromised, r.contamination_rate)
+            for r in benchmark_contamination_rate(docs, bench, n=5).collect()
+        }
+        assert got == {"s1": (2, 1, 0.5), "s2": (1, 1, 1.0)}
+
+    def test_min_hits_threshold(self, spark):
+        from documents_vector_search_spark.operators.decontamination import (
+            benchmark_hit_report,
+        )
+
+        docs, bench = self._frames(spark)
+        got = {
+            r.doc_id: r.compromised
+            for r in benchmark_hit_report(
+                docs, bench, n=5, min_hits=2, suite_col="suite"
+            ).collect()
+        }
+        assert got == {100: False, 101: False, 102: False}
+
+    def test_both_sides_count_the_same_matches(self, spark):
+        """Conservation: total gram matches seen from the training side
+        (contamination_report) equals the total seen from the benchmark
+        side when train and bench gram sets are deduped per doc on both
+        reports' own keys — here each matched gram is counted once per
+        (doc, gram) pair on its own side, so equality holds on this
+        fixture where no gram repeats across docs of one side."""
+        from documents_vector_search_spark.operators.decontamination import (
+            benchmark_hit_report,
+            contamination_report,
+        )
+
+        docs, bench = self._frames(spark)
+        train_total = sum(
+            r.contaminated_ngrams
+            for r in contamination_report(docs, bench, n=5).collect()
+        )
+        bench_total = sum(
+            r.shared_ngrams
+            for r in benchmark_hit_report(docs, bench, n=5).collect()
+        )
+        assert train_total == bench_total == 2

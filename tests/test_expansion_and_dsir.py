@@ -402,3 +402,59 @@ class TestCorpusDrift:
             df.repartition(5), F.col("lang") == "en"
         ).collect()
         assert a == b
+
+
+class TestPsiDrift:
+    def _df(self, spark, vals_a, vals_b):
+        rows = [(float(v), True) for v in vals_a] + [
+            (float(v), False) for v in vals_b
+        ]
+        return spark.createDataFrame(rows, ["value", "is_a"])
+
+    def test_identical_sides_near_zero_and_dense(self, spark):
+        from documents_vector_search_spark.operators.drift import psi_report
+
+        vals = [v % 100 for v in range(500)]
+        df = self._df(spark, vals, vals)
+        out = psi_report(df, F.col("is_a"), n_bins=10, lo=0.0, hi=100.0)
+        rows = out.collect()
+        assert [r.bin for r in rows] == list(range(10))  # dense spine
+        assert all(r.psi_c == 0.0 for r in rows)
+        assert all(r.a_cnt == r.b_cnt == 50 for r in rows)
+
+    def test_shift_is_positive_and_localized(self, spark):
+        from documents_vector_search_spark.operators.drift import psi_report
+
+        # A sits in [0, 50), B in [50, 100): total PSI large, and each
+        # bin's contribution is positive (p != q everywhere)
+        df = self._df(
+            spark, [v % 50 for v in range(300)],
+            [50 + v % 50 for v in range(300)],
+        )
+        rows = psi_report(
+            df, F.col("is_a"), n_bins=10, lo=0.0, hi=100.0
+        ).collect()
+        total = sum(r.psi_c for r in rows)
+        assert total > 0.25  # the classic "drifted" threshold
+        assert all(r.psi_c > 0 for r in rows)
+
+    def test_out_of_range_clamps_into_edge_bins(self, spark):
+        from documents_vector_search_spark.operators.drift import psi_report
+
+        df = self._df(spark, [-5.0, 120.0], [55.0])
+        rows = {
+            r.bin: (r.a_cnt, r.b_cnt)
+            for r in psi_report(
+                df, F.col("is_a"), n_bins=10, lo=0.0, hi=100.0
+            ).collect()
+        }
+        assert rows[0] == (1, 0)  # -5 clamps down
+        assert rows[9] == (1, 0)  # 120 clamps up
+        assert rows[5] == (0, 1)
+
+    def test_indivisible_range_raises(self, spark):
+        from documents_vector_search_spark.operators.drift import psi_report
+
+        df = self._df(spark, [1.0], [2.0])
+        with pytest.raises(ValueError, match="divide"):
+            psi_report(df, F.col("is_a"), n_bins=3, lo=0.0, hi=1.0)

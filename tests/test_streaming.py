@@ -1376,3 +1376,107 @@ class TestFunnelStream:
         # the late view dropped; the on-time view fires stage 1; the
         # click preceded it so stage 2 never fires
         assert got == {("u1", 1)}
+
+
+class TestDauStream:
+    """Streaming KMV DAU (stateful.py::dau_stream): bounded O(k) state
+    per day, refined per micro-batch, and the FINAL per-day estimate
+    equals the batch dau_kmv sketch bit-exactly — across micro-batches
+    and a query restart (each _run_batch is a fresh query on the same
+    checkpoint)."""
+
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id string,"
+        " event_type string, value double"
+    )
+
+    def _run_batch(self, spark, rows, src, ckpt, out, k=256):
+        from pyspark.sql import functions as F
+
+        from documents_vector_search_spark.streaming.stateful import (
+            dau_stream,
+        )
+
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(self.SCHEMA).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("_b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            dau_stream(stream, k=k)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_final_estimates_match_batch_kmv(self, spark, tmp_path):
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from documents_vector_search_spark.operators.timeseries import (
+            dau_kmv,
+        )
+
+        src = tmp_path / "dau_events"
+        src.mkdir()
+        ckpt = str(tmp_path / "dau_ckpt")
+        out = str(tmp_path / "dau_out")
+
+        def at(d, h, u):
+            return datetime(2024, 1, d, h)
+
+        # day 1 users split ACROSS batches (sketch must merge), day 2
+        # only in batch 2; repeats must not change the sketch
+        b1 = [
+            (i, datetime(2024, 1, 1, i % 24), f"u{i % 4}", "a", 1.0)
+            for i in range(8)
+        ]
+        b2 = [
+            (100 + i, datetime(2024, 1, 1, i % 24), f"u{i % 7}", "a", 1.0)
+            for i in range(14)
+        ] + [
+            (200 + i, datetime(2024, 1, 2, i % 24), f"u{i % 3}", "a", 1.0)
+            for i in range(6)
+        ]
+        self._run_batch(spark, b1, src, ckpt, out, k=5)
+        self._run_batch(spark, b2, src, ckpt, out, k=5)
+
+        streamed = spark.read.parquet(out)
+        # the contract: downstream upserts on day — take the LAST
+        # emitted row per day
+        last = {
+            r.day: (r.k_used, r.est_dau)
+            for r in streamed.withColumn(
+                "_rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("day")
+                    .orderBy(F.col("_b").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .collect()
+        }
+        batch = {
+            r.day: (r.k_used, r.est_dau)
+            for r in dau_kmv(
+                spark.createDataFrame(b1 + b2, self.SCHEMA), k=5
+            ).collect()
+        }
+        assert last == batch
+        # day 1 has 7 distinct users but k=5 caps the sketch
+        day1 = [d for d in last if d.day == 1][0]
+        assert last[day1][0] == 5
+        # refinement really happened: batch 1's day-1 row differs from
+        # the final (4 users then 7 through a k=5 sketch)
+        day1_rows = streamed.filter(F.col("day") == F.lit(day1)).collect()
+        assert len(day1_rows) == 2

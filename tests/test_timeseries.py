@@ -825,3 +825,114 @@ class TestCusumStream:
             assert g == expected[d], f"day {d}"
         # the sustained 400-level shift must have flagged by day 9
         assert got[9][2] is True
+
+
+class TestUserBurstiness:
+    def _fixture(self, spark):
+        base = dt.datetime(2024, 1, 1)
+
+        def at(s):
+            return base + dt.timedelta(seconds=s)
+
+        rows = (
+            # metronome: gaps 10, 10, 10
+            [(i, at(s), "metro", "a", 1.0) for i, s in enumerate([0, 10, 20, 30])]
+            # bursty: gaps 1, 1, 100
+            + [(10 + i, at(s), "burst", "a", 1.0) for i, s in enumerate([0, 1, 2, 102])]
+            # one event: no gaps -> filtered by min_gaps
+            + [(20, at(0), "lone", "a", 1.0)]
+            # all ties: gaps 0, 0 -> S = 0 -> NULL cv/burstiness
+            + [(30 + i, at(7), "tied", "a", 1.0) for i in range(3)]
+        )
+        return _ev(spark, rows)
+
+    def test_metronome_and_burst_exact(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            user_burstiness,
+        )
+
+        got = {
+            r.user: r for r in user_burstiness(self._fixture(spark)).collect()
+        }
+        m = got["metro"]
+        assert (m.n_events, m.n_gaps, m.mean_gap_s) == (4, 3, 10.0)
+        assert m.cv == 0.0 and m.burstiness == -1.0  # zero variance
+        b = got["burst"]
+        # S=102, Q=10002, n=3: r=sqrt(3*10002-102^2)=sqrt(19602)
+        import math
+
+        r = math.sqrt(19602)
+        assert b.mean_gap_s == 34.0
+        assert b.cv == round(r / 102, 6)
+        assert b.burstiness == round((r - 102) / (r + 102), 6)
+        assert b.burstiness > 0  # bursty side of Poisson
+
+    def test_min_gaps_filter_and_null_contract(self, spark):
+        from documents_vector_search_spark.operators.timeseries import (
+            user_burstiness,
+        )
+
+        got = {
+            r.user: r for r in user_burstiness(self._fixture(spark)).collect()
+        }
+        assert "lone" not in got  # n_gaps 0 < min_gaps
+        t = got["tied"]  # gaps all zero: mean 0, sigma/mu undefined
+        assert (t.n_gaps, t.mean_gap_s) == (2, 0.0)
+        assert t.cv is None and t.burstiness is None
+
+    def test_tie_order_cannot_change_gaps(self, spark):
+        """The gap multiset depends only on the sorted ts values —
+        shuffling row order (and event ids) must not move any metric."""
+        from documents_vector_search_spark.operators.timeseries import (
+            user_burstiness,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows1 = [
+            (1, base, "u", "a", 1.0),
+            (2, base, "u", "a", 1.0),
+            (3, base + dt.timedelta(seconds=30), "u", "a", 1.0),
+        ]
+        rows2 = [rows1[1], rows1[2], rows1[0]]
+        a = user_burstiness(_ev(spark, rows1)).collect()[0]
+        b = user_burstiness(_ev(spark, rows2)).collect()[0]
+        assert (a.mean_gap_s, a.cv, a.burstiness) == (
+            b.mean_gap_s,
+            b.cv,
+            b.burstiness,
+        )
+
+
+class TestDauKmv:
+    def test_under_k_keeps_all_hashes_and_matches_reference(self, spark):
+        from documents_vector_search_spark.functions.hashing import (
+            md5_hash64_py,
+        )
+        from documents_vector_search_spark.operators.timeseries import dau_kmv
+
+        rows = []
+        eid = 0
+        for d, users in [(1, 5), (2, 3)]:
+            for u in range(users):
+                for _ in range(2):  # repeats must not change the sketch
+                    rows.append((eid, _day(d), f"u{u}", "a", 1.0))
+                    eid += 1
+        got = {r.day.isoformat(): r for r in dau_kmv(_ev(spark, rows)).collect()}
+        assert got["2024-01-01"].k_used == 5
+        assert got["2024-01-02"].k_used == 3
+        # the estimate is the exact KMV formula over the md5 hashes
+        for day, users in [("2024-01-01", 5), ("2024-01-02", 3)]:
+            hs = sorted(md5_hash64_py(f"u{u}") for u in range(users))
+            est = round((users - 1) / (hs[-1] / float(1 << 60)), 6)
+            assert got[day].est_dau == est
+
+    def test_k_caps_the_sketch(self, spark):
+        from documents_vector_search_spark.operators.timeseries import dau_kmv
+
+        rows = [
+            (i, _day(1), f"u{i}", "a", 1.0) for i in range(50)
+        ]
+        out = dau_kmv(_ev(spark, rows), k=8).collect()[0]
+        assert out.k_used == 8
+        # 50 distinct users, k=8: estimate within the ~1/sqrt(k) band
+        assert 20 < out.est_dau < 120
