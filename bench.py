@@ -182,6 +182,10 @@ HEADLINE = [
     "unimax_mix",
     "ngram_novelty",
     "corpus_jaccard",
+    "contamination_rate",
+    "psi_drift",
+    "burstiness",
+    "dau_kmv",
 ]
 
 

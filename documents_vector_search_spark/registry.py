@@ -4356,6 +4356,81 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-suite contamination rollup
+    (operators/decontamination.py::benchmark_contamination_rate): the
+    docs with id % 50 == 0 play the eval suites (grouped by lang as
+    the suite key), the rest are the training corpus — for each suite,
+    the fraction of its docs sharing a 5-gram with training data: the
+    decontamination signoff number. Training grams reduce through a
+    BROADCAST semi-join on the (small) benchmark gram set before
+    anything shuffles."""
+    from documents_vector_search_spark.operators.decontamination import (
+        benchmark_contamination_rate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        "doc_id", "text", F.col("lang").alias("suite")
+    )
+    train = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return benchmark_contamination_rate(train, bench, n=DECON_N)
+
+
+# PSI workload knobs: January 2024 splits at the 16th; events.value
+# spans [0, ~560] across sfs -> 20 exact bins of 30.00 over [0, 600]
+PSI_BINS = 20
+PSI_LO = 0.0
+PSI_HI = 600.0
+PSI_CUT = "2024-01-16"
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over the event-value distribution
+    (operators/drift.py::psi_report): first half of January vs the
+    second, 20 exact integer-cent bins over [0, 600] — the BI-facing
+    numeric-drift twin of corpus_drift's hashed-gram JS divergence.
+    One conditional aggregation over n_bins keys; sum(psi_c) is the
+    drift gauge."""
+    from documents_vector_search_spark.operators.drift import psi_report
+
+    ev = _events(spark, sf_dir)
+    return psi_report(
+        ev,
+        F.col("ts") < F.to_timestamp(F.lit(PSI_CUT)),
+        value_col="value",
+        n_bins=PSI_BINS,
+        lo=PSI_LO,
+        hi=PSI_HI,
+    )
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event burstiness profile
+    (operators/timeseries.py::user_burstiness): exact int64-second
+    gaps from one user-keyed lag window, Goh-Barabási B and CV from
+    the exact gap sums — the activity-rhythm signal behind bot triage.
+    O(users) output."""
+    from documents_vector_search_spark.operators.timeseries import (
+        user_burstiness,
+    )
+
+    ev = _events(spark, sf_dir)
+    return user_burstiness(ev).withColumnRenamed("user", "user_id")
+
+
+def q_dau_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KMV-sketch active users
+    (operators/timeseries.py::dau_kmv): the bounded-state approximate
+    twin of active_users' exact DAU and the batch anchor of
+    streaming/stateful.py::dau_stream (stream==batch parity is
+    bit-exact because the md5-based sketch is deterministic — which is
+    also why the ESTIMATE itself oracle-checks)."""
+    from documents_vector_search_spark.operators.timeseries import dau_kmv
+
+    return dau_kmv(_events(spark, sf_dir))
+
+
 def _orders_snapshots(spark: SparkSession, sf_dir: str):
     """The snapshot_diff workload: orders as last night's snapshot and
     a deterministically-perturbed tonight's snapshot — keys %97 gone
@@ -8579,6 +8654,110 @@ SELECT count(*)::BIGINT AS k_used,
          AS jaccard_est
 FROM topu
 """
+    # benchmark-side contamination rate: the decontaminate gram match
+    # with the sides flipped, rolled up per suite (lang of bench docs)
+    d["contamination_rate"] = f"""
+WITH tok AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, lang, {_shingles_sql(DECON_N)} AS shingles FROM tok),
+bg AS (SELECT doc_id, lang AS suite, unnest(shingles) AS gram FROM sh
+       WHERE doc_id % {DECON_BENCH_MOD} = 0),
+tg AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh
+       WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+hits AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS shared
+  FROM bg JOIN tg USING (gram) GROUP BY 1
+),
+bd AS (SELECT doc_id, lang AS suite FROM documents
+       WHERE doc_id % {DECON_BENCH_MOD} = 0),
+rep AS (
+  SELECT bd.suite,
+         CASE WHEN coalesce(h.shared, 0) >= 1 THEN 1 ELSE 0 END AS comp
+  FROM bd LEFT JOIN hits h ON h.doc_id = bd.doc_id
+)
+SELECT suite, count(*)::BIGINT AS n_bench_docs,
+       CAST(sum(comp) AS BIGINT) AS n_compromised,
+       ((CAST(sum(comp) AS BIGINT) * 1000000) // count(*)) / 1e6
+         AS contamination_rate
+FROM rep GROUP BY suite ORDER BY suite
+"""
+    # PSI numeric drift: exact integer-cent binning (clamp BEFORE the
+    # floor-division so // only sees non-negative operands), add-one
+    # smoothing over total + n_bins, round 7 (the corpus_drift recipe)
+    _psi_w = int(round((PSI_HI - PSI_LO) * 100)) // PSI_BINS
+    _psi_hi_c = int(round(PSI_HI * 100))
+    _psi_lo_c = int(round(PSI_LO * 100))
+    d["psi_drift"] = f"""
+WITH src AS (
+  SELECT CASE WHEN ts < TIMESTAMP '{PSI_CUT}' THEN 1 ELSE 0 END AS a,
+         least({_psi_hi_c - 1}, greatest({_psi_lo_c},
+           CAST(floor(value * 100 + 0.5) AS BIGINT))) AS c
+  FROM events
+),
+cnt AS (
+  SELECT (c - {_psi_lo_c}) // {_psi_w} AS bin,
+         CAST(sum(a) AS BIGINT) AS a_cnt,
+         CAST(sum(1 - a) AS BIGINT) AS b_cnt
+  FROM src GROUP BY 1
+),
+spine AS (SELECT CAST(range AS INT) AS bin FROM range({PSI_BINS})),
+dense AS (
+  SELECT s.bin, coalesce(a_cnt, 0)::BIGINT AS a_cnt,
+         coalesce(b_cnt, 0)::BIGINT AS b_cnt
+  FROM spine s LEFT JOIN cnt ON cnt.bin = s.bin
+),
+tot AS (
+  SELECT CAST(sum(a_cnt) + {PSI_BINS} AS DOUBLE) AS ta,
+         CAST(sum(b_cnt) + {PSI_BINS} AS DOUBLE) AS tb
+  FROM dense
+)
+SELECT bin, a_cnt, b_cnt,
+       round(((a_cnt + 1) / ta - (b_cnt + 1) / tb)
+             * ln(((a_cnt + 1) / ta) / ((b_cnt + 1) / tb)), 7) AS psi_c
+FROM dense, tot ORDER BY bin
+"""
+    # per-user burstiness: the lag-window gap profile in exact int64
+    # seconds; sqrt/divisions over the exact sums, round 6
+    d["burstiness"] = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts))) // 1000000 AS gap
+  FROM events
+),
+a AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         count(gap)::BIGINT AS n_gaps,
+         coalesce(sum(gap), 0)::BIGINT AS s,
+         coalesce(sum(gap * gap), 0)::BIGINT AS q
+  FROM g GROUP BY 1
+)
+SELECT user_id, n_events, n_gaps,
+       ((s * 1000000) // n_gaps) / 1e6 AS mean_gap_s,
+       CASE WHEN s > 0 THEN
+         round(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / s, 6) END AS cv,
+       CASE WHEN s > 0 THEN
+         round((sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - s)
+               / (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + s), 6)
+       END AS burstiness
+FROM a WHERE n_gaps >= 2 ORDER BY user_id
+"""
+    # per-day KMV DAU: naive distinct-rank twin of the day-keyed
+    # sketch; 2^60 = the md5_hash64 space (functions/hashing.py)
+    _dau_h = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    d["dau_kmv"] = f"""
+WITH dh AS (
+  SELECT DISTINCT date_trunc('day', ts)::DATE AS day, {_dau_h} AS h
+  FROM events
+),
+rk AS (
+  SELECT day, h,
+         row_number() OVER (PARTITION BY day ORDER BY h ASC) AS r
+  FROM dh
+)
+SELECT day, count(*)::BIGINT AS k_used,
+       round((count(*) - 1) / (max(h) / {float(1 << 60)!r}), 6) AS est_dau
+FROM rk WHERE r <= 256 GROUP BY day ORDER BY day
+"""
     return d
 
 
@@ -8588,7 +8767,7 @@ FROM topu
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ordering = driver verification rotation (round 11).
+    """Registry ordering = driver verification rotation (round 12).
 
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy: never-driver-green keys
@@ -8596,102 +8775,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry order); `python dev/rotation.py --check` enforces the hard
     rule (never-green keys must be in-window) with exit 1.
 
-    STALENESS ARITHMETIC (re-stated per policy): at 172 keys the full
-    cycle is ceil(172/50) = FOUR rounds — the SAME as at 156 keys, so
-    registering the r10 verdict's 11 queued operators AND the five
-    r11-new operators costs ZERO extra staleness (the r10 verdict's
-    own arithmetic). The compensating control is unchanged and
-    mandatory: EVERY round runs the full local `dev/compare.py` sf0.01
-    sweep over ALL keys (recorded in STATUS), so out-of-window keys are
-    never unverified — only unverified BY THE DRIVER. Do not grow the
+    STALENESS ARITHMETIC (re-stated per policy): at 176 keys the full
+    cycle is ceil(176/50) = FOUR rounds — the SAME as at 156 and 172,
+    so registering the four r12-new operators costs ZERO extra
+    staleness. The compensating control is unchanged and mandatory:
+    EVERY round runs the full local `dev/compare.py` sf0.01 sweep over
+    ALL keys (recorded in STATUS), so out-of-window keys are never
+    unverified — only unverified BY THE DRIVER. Do not grow the
     registry without re-stating this arithmetic.
 
-    Round 11 window (dev/rotation.py's recommendation after r10, with
+    Round 12 window (dev/rotation.py's recommendation after r11, with
     the never-green-first rule):
-    - positions 1-16: the SIXTEEN keys new this round — the r10
-      verdict's #1 in full: scd2_as_of, funnel_windowed,
-      attribution_multitouch, survival_curve, association_rules,
-      cusum_changepoints, table_profile, fk_check,
-      personalized_pagerank, graph_profile, session_metrics (operators
-      shipped pytest-pinned in r10; keys + DuckDB oracles land this
-      round) — plus the five operators NEW in r11, landing WITH their
-      keys per the r10 verdict's #7: soft_dedup (SoftDedup
-      inverse-duplication weights), active_users (rolling DAU/WAU),
-      unimax_mix (UniMax water-fill language budgets), ngram_novelty
-      (per-doc boilerplate-assembly signal), corpus_jaccard
-      (cross-corpus KMV similarity sketch).
-    - positions 17-22: the six r7-green due-backs the r10 reorder
-      displaced (pool_embeddings, repetition, pii_redact, line_dedup,
-      perplexity, curation_sweep) — stalest first, exactly as the r10
-      docstring promised.
-    - positions 23-50: the first 28 r8-green keys in rotation order
-      (tpch_q3 .. bm25_topk).
-    - out-of-window tail (51+): the remaining 22 r8 keys (due r12),
-      then the 50 r9-green keys, then the 50 r10-green keys (newest —
-      scd2_apply .. semdedup).
-
-    The r10 registry-candidate queue is EMPTY as of this round (all 11
-    registered), and the three r11 operators landed with their keys in
-    the same round — the standing rule from here on.
+    - positions 1-4: the FOUR keys new this round, landing WITH their
+      operators per the standing rule: contamination_rate (benchmark-
+      side decontamination signoff rollup), psi_drift (Population
+      Stability Index over numeric bins — corpus_drift's BI twin),
+      burstiness (Goh-Barabási inter-event gap profile), dau_kmv
+      (per-day KMV active users — the bounded-state batch anchor of
+      streaming dau_stream).
+    - positions 5-26: the 22 r8-green keys the r11 boundary displaced
+      (knn_l2 .. canonical_projection) — the stalest driver-green
+      cohort, due back exactly as the r11 verdict scheduled.
+    - positions 27-50: the first 24 r9-green keys in rotation order
+      (knn_cosine .. funnel_bucketed).
+    - out-of-window tail (51+): the remaining 26 r9 keys (due r13),
+      then the 50 r10-green keys, then the 50 r11-green keys (newest —
+      soft_dedup .. bm25_topk, due back r14).
     """
     _ensure_assets_seeded()
     return {
-        # -- window 1-16: NEW this round (never driver-green) ----------
-        "soft_dedup": q_soft_dedup,
-        "active_users": q_active_users,
-        "unimax_mix": q_unimax_mix,
-        "ngram_novelty": q_ngram_novelty,
-        "corpus_jaccard": q_corpus_jaccard,
-        "scd2_as_of": q_scd2_as_of,
-        "funnel_windowed": q_funnel_windowed,
-        "attribution_multitouch": q_attribution_multitouch,
-        "survival_curve": q_survival_curve,
-        "association_rules": q_association_rules,
-        "cusum_changepoints": q_cusum_changepoints,
-        "table_profile": q_table_profile,
-        "fk_check": q_fk_check,
-        "personalized_pagerank": q_personalized_pagerank,
-        "graph_profile": q_graph_profile,
-        "session_metrics": q_session_metrics,
-        # -- window 17-22: the six stalest r7-green due-backs ------------
-        "pool_embeddings": q_pool_embeddings,
-        "repetition": q_repetition,
-        "pii_redact": q_pii_redact,
-        "line_dedup": q_line_dedup,
-        "perplexity": q_perplexity,
-        "curation_sweep": q_curation_sweep,
-        # -- window 23-50: the 28 stalest r8-green keys (rotation order);
-        # the window boundary falls after bm25_topk ----------------------
-        "tpch_q3": q_tpch_q3,
-        "spell_correct": q_spell_correct,
-        "fuzzy_search": q_fuzzy_search,
-        "suggest_prefix": q_suggest_prefix,
-        "ir_metrics": q_ir_metrics,
-        "cube_agg": q_cube_agg,
-        "tpch_q18": q_tpch_q18,
-        "trending_terms": q_trending_terms,
-        "bm25f": q_bm25f,
-        "zorder_key": q_zorder_key,
-        "tpch_q5": q_tpch_q5,
-        "heavy_hitters": q_heavy_hitters,
-        "perplexity_bigram": q_perplexity_bigram,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "ann_batch": q_ann_batch,
-        "quality_classifier": q_quality_classifier,
-        "quality_classifier_text": q_quality_classifier_text,
-        "gopher_rules": q_gopher_rules,
-        "late_interaction": q_late_interaction,
-        "mmr_rerank": q_mmr_rerank,
-        "topic_model": q_topic_model,
-        "corpus_prep": q_corpus_prep,
-        "token_counts": q_token_counts,
-        "ivf_ann": q_ivf_ann,
-        "pq_adc": q_pq_adc,
-        "postings_build": q_postings_build,
-        "bm25_topk": q_bm25_topk,
-        # ---- window boundary: first 50 keys end here ------------------
-        # -- remaining 22 r8-green keys (due back r12) -------------------
+        # -- window 1-4: NEW this round (never driver-green) -----------
+        "contamination_rate": q_contamination_rate,
+        "psi_drift": q_psi_drift,
+        "burstiness": q_burstiness,
+        "dau_kmv": q_dau_kmv,
+        # -- window 5-26: the 22 r8-green keys, due back this round ------
         "knn_l2": q_knn_l2,
         "ann_lsh": q_ann_lsh,
         "rrf_hybrid": q_rrf_hybrid,
@@ -8714,7 +8832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_join": q_revenue_join,
         "sessionize": q_sessionize,
         "canonical_projection": q_canonical_projection,
-        # -- r9-green tail (due back r12) --------------------------------
+        # -- window 27-50: the 24 stalest r9-green keys (rotation
+        # order); the window boundary falls after funnel_bucketed --------
         "knn_cosine": q_knn_cosine,
         "knn_l2_filtered": q_knn_l2_filtered,
         "sq8_ann": q_sq8_ann,
@@ -8739,6 +8858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "skew_report": q_skew_report,
         "funnel_bucketed": q_funnel_bucketed,
+        # ---- window boundary: first 50 keys end here ------------------
+        # -- remaining 26 r9-green keys (due back r13) -------------------
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -8765,7 +8886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
-        # -- r10-green tail (newest; due back r13) ------------------------
+        # -- r10-green tail (due back r13/r14) ----------------------------
         "scd2_apply": q_scd2_apply,
         "mlt_vector": q_mlt_vector,
         "tpch_q2": q_tpch_q2,
@@ -8816,6 +8937,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cross_embed_dedup": q_cross_embed_dedup,
         "semdedup": q_semdedup,
+        # -- r11-green tail (newest; due back r14) ------------------------
+        "soft_dedup": q_soft_dedup,
+        "active_users": q_active_users,
+        "unimax_mix": q_unimax_mix,
+        "ngram_novelty": q_ngram_novelty,
+        "corpus_jaccard": q_corpus_jaccard,
+        "scd2_as_of": q_scd2_as_of,
+        "funnel_windowed": q_funnel_windowed,
+        "attribution_multitouch": q_attribution_multitouch,
+        "survival_curve": q_survival_curve,
+        "association_rules": q_association_rules,
+        "cusum_changepoints": q_cusum_changepoints,
+        "table_profile": q_table_profile,
+        "fk_check": q_fk_check,
+        "personalized_pagerank": q_personalized_pagerank,
+        "graph_profile": q_graph_profile,
+        "session_metrics": q_session_metrics,
+        "pool_embeddings": q_pool_embeddings,
+        "repetition": q_repetition,
+        "pii_redact": q_pii_redact,
+        "line_dedup": q_line_dedup,
+        "perplexity": q_perplexity,
+        "curation_sweep": q_curation_sweep,
+        "tpch_q3": q_tpch_q3,
+        "spell_correct": q_spell_correct,
+        "fuzzy_search": q_fuzzy_search,
+        "suggest_prefix": q_suggest_prefix,
+        "ir_metrics": q_ir_metrics,
+        "cube_agg": q_cube_agg,
+        "tpch_q18": q_tpch_q18,
+        "trending_terms": q_trending_terms,
+        "bm25f": q_bm25f,
+        "zorder_key": q_zorder_key,
+        "tpch_q5": q_tpch_q5,
+        "heavy_hitters": q_heavy_hitters,
+        "perplexity_bigram": q_perplexity_bigram,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "ann_batch": q_ann_batch,
+        "quality_classifier": q_quality_classifier,
+        "quality_classifier_text": q_quality_classifier_text,
+        "gopher_rules": q_gopher_rules,
+        "late_interaction": q_late_interaction,
+        "mmr_rerank": q_mmr_rerank,
+        "topic_model": q_topic_model,
+        "corpus_prep": q_corpus_prep,
+        "token_counts": q_token_counts,
+        "ivf_ann": q_ivf_ann,
+        "pq_adc": q_pq_adc,
+        "postings_build": q_postings_build,
+        "bm25_topk": q_bm25_topk,
     }
 
 
