@@ -989,13 +989,39 @@ def cmd_fk(args) -> int:
 
 def cmd_dau(args) -> int:
     """Rolling DAU/WAU active-user curve over an events parquet
-    (operators/timeseries.py::active_users)."""
+    (operators/timeseries.py::active_users); ``--kmv K`` switches to
+    the bounded-state KMV estimate (dau_kmv — the batch anchor of the
+    streaming dau_stream twin)."""
     from documents_vector_search_spark.operators.timeseries import (
         active_users,
+        dau_kmv,
     )
     from documents_vector_search_spark.session import get_spark
 
     spark = get_spark()
+    if args.kmv:
+        rows = dau_kmv(
+            spark.read.parquet(args.path),
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            k=args.kmv,
+        ).collect()
+        print(_format(
+            {
+                "path": args.path,
+                "k": args.kmv,
+                "days": [
+                    {
+                        "day": str(r["day"]),
+                        "kUsed": r["k_used"],
+                        "estDau": r["est_dau"],
+                    }
+                    for r in rows
+                ],
+            },
+            args.format,
+        ))
+        return 0
     rows = active_users(
         spark.read.parquet(args.path),
         window_days=args.window_days,
@@ -1014,6 +1040,126 @@ def cmd_dau(args) -> int:
         args.format,
     ))
     return 0
+
+
+def cmd_psi(args) -> int:
+    """Population Stability Index between two time slices of an events
+    parquet (operators/drift.py::psi_report): side A is everything
+    before ``--cut``; exits 1 when total PSI exceeds ``--max-psi``
+    (the doctor/fk gate convention — 0.25 is the classic 'drifted'
+    threshold)."""
+    from pyspark.sql import functions as F
+
+    from documents_vector_search_spark.operators.drift import psi_report
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    rows = psi_report(
+        spark.read.parquet(args.path),
+        F.col(args.ts_col) < F.to_timestamp(F.lit(args.cut)),
+        value_col=args.value_col,
+        n_bins=args.bins,
+        lo=args.lo,
+        hi=args.hi,
+    ).collect()
+    total = round(sum(r["psi_c"] for r in rows), 7)
+    print(_format(
+        {
+            "path": args.path,
+            "cut": args.cut,
+            "totalPsi": total,
+            "bins": [
+                {
+                    "bin": r["bin"],
+                    "aCnt": r["a_cnt"],
+                    "bCnt": r["b_cnt"],
+                    "psi": r["psi_c"],
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 1 if total > args.max_psi else 0
+
+
+def cmd_burst(args) -> int:
+    """Per-user burstiness profile over an events parquet
+    (operators/timeseries.py::user_burstiness), top users by
+    Goh-Barabási B descending — the bot-triage shortlist."""
+    from documents_vector_search_spark.operators.timeseries import (
+        user_burstiness,
+    )
+    from documents_vector_search_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    rows = (
+        user_burstiness(
+            spark.read.parquet(args.path),
+            user_col=args.user_col,
+            ts_col=args.ts_col,
+            min_gaps=args.min_gaps,
+        )
+        .orderBy(F.col("burstiness").desc_nulls_last(), F.col("user"))
+        .limit(args.top)
+        .collect()
+    )
+    print(_format(
+        {
+            "path": args.path,
+            "top": [
+                {
+                    "user": str(r["user"]),
+                    "nEvents": r["n_events"],
+                    "meanGapS": r["mean_gap_s"],
+                    "cv": r["cv"],
+                    "burstiness": r["burstiness"],
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    return 0
+
+
+def cmd_decon_rate(args) -> int:
+    """Per-suite benchmark contamination rate (operators/
+    decontamination.py::benchmark_contamination_rate) between a
+    training parquet and a benchmark parquet; exits 1 when any suite's
+    rate exceeds ``--max-rate`` (the signoff gate)."""
+    from documents_vector_search_spark.operators.decontamination import (
+        benchmark_contamination_rate,
+    )
+    from documents_vector_search_spark.session import get_spark
+
+    spark = get_spark()
+    rows = benchmark_contamination_rate(
+        spark.read.parquet(args.train),
+        spark.read.parquet(args.bench),
+        n=args.n,
+        min_hits=args.min_hits,
+        suite_col=args.suite_col,
+    ).collect()
+    print(_format(
+        {
+            "train": args.train,
+            "bench": args.bench,
+            "suites": [
+                {
+                    "suite": str(r["suite"]),
+                    "nBenchDocs": r["n_bench_docs"],
+                    "nCompromised": r["n_compromised"],
+                    "rate": r["contamination_rate"],
+                }
+                for r in rows
+            ],
+        },
+        args.format,
+    ))
+    worst = max((r["contamination_rate"] for r in rows), default=0.0)
+    return 1 if worst > args.max_rate else 0
 
 
 def cmd_unimax(args) -> int:
@@ -1720,9 +1866,64 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--window-days", type=int, default=7)
     sp.add_argument("--user-col", default="user_id")
     sp.add_argument("--ts-col", default="ts")
+    sp.add_argument(
+        "--kmv",
+        type=int,
+        default=0,
+        metavar="K",
+        help="bounded-state KMV estimate with sketch size K instead"
+        " of the exact DAU/WAU curve",
+    )
     sp.add_argument("--format", default="json",
                     choices=["json", "indent", "toon"])
     sp.set_defaults(func=cmd_dau)
+
+    sp = sub.add_parser("psi")
+    sp.add_argument("path", help="events parquet path")
+    sp.add_argument("--cut", required=True,
+                    help="timestamp literal splitting side A (before)"
+                    " from side B")
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--bins", type=int, default=20)
+    sp.add_argument("--lo", type=float, default=0.0)
+    sp.add_argument("--hi", type=float, default=600.0)
+    sp.add_argument(
+        "--max-psi",
+        type=float,
+        default=float("inf"),
+        help="exit 1 when total PSI exceeds this (0.25 = classic"
+        " drifted threshold)",
+    )
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_psi)
+
+    sp = sub.add_parser("burst")
+    sp.add_argument("path", help="events parquet path")
+    sp.add_argument("--user-col", default="user_id")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--min-gaps", type=int, default=2)
+    sp.add_argument("--top", type=int, default=10)
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_burst)
+
+    sp = sub.add_parser("decon-rate")
+    sp.add_argument("train", help="training documents parquet path")
+    sp.add_argument("bench", help="benchmark documents parquet path")
+    sp.add_argument("-n", type=int, default=5, help="gram size")
+    sp.add_argument("--min-hits", type=int, default=1)
+    sp.add_argument("--suite-col", default="suite")
+    sp.add_argument(
+        "--max-rate",
+        type=float,
+        default=float("inf"),
+        help="exit 1 when any suite's contamination rate exceeds this",
+    )
+    sp.add_argument("--format", default="json",
+                    choices=["json", "indent", "toon"])
+    sp.set_defaults(func=cmd_decon_rate)
 
     sp = sub.add_parser("unimax")
     sp.add_argument("path", help="documents parquet path")

@@ -1506,3 +1506,115 @@ class TestUnimaxCli:
         assert langs["en"]["allocTokens"] == 8
         assert langs["fr"]["allocTokens"] == 4
         assert langs["fr"]["epochsUsed"] == 2.0
+
+
+class TestPsiCli:
+    def test_gate_and_report(self, spark, tmp_path, capsys):
+        import datetime as dt
+
+        p = str(tmp_path / "psi_ev")
+        # side A all low values, side B all high: maximal drift
+        rows = [
+            (i, dt.datetime(2024, 1, 1), "u", "click", 5.0)
+            for i in range(20)
+        ] + [
+            (100 + i, dt.datetime(2024, 2, 1), "u", "click", 95.0)
+            for i in range(20)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id string,"
+            " event_type string, value double",
+        ).write.parquet(p)
+        rc = cli.main(
+            ["psi", p, "--cut", "2024-01-16", "--bins", "10",
+             "--lo", "0", "--hi", "100", "--max-psi", "0.25"]
+        )
+        assert rc == 1  # drifted past the gate
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["totalPsi"] > 0.25
+        assert len(out["bins"]) == 10
+        bins = {b["bin"]: b for b in out["bins"]}
+        assert bins[0]["aCnt"] == 20 and bins[9]["bCnt"] == 20
+        # identical gate but permissive threshold passes
+        rc = cli.main(
+            ["psi", p, "--cut", "2024-01-16", "--bins", "10",
+             "--lo", "0", "--hi", "100"]
+        )
+        assert rc == 0
+        capsys.readouterr()
+
+
+class TestBurstCli:
+    def test_top_ranking(self, spark, tmp_path, capsys):
+        import datetime as dt
+
+        p = str(tmp_path / "burst_ev")
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=s), "metro", "a", 1.0)
+            for i, s in enumerate([0, 10, 20, 30])
+        ] + [
+            (10 + i, base + dt.timedelta(seconds=s), "burst", "a", 1.0)
+            for i, s in enumerate([0, 1, 2, 102])
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id string,"
+            " event_type string, value double",
+        ).write.parquet(p)
+        rc = cli.main(["burst", p, "--top", "1"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["top"]) == 1
+        assert out["top"][0]["user"] == "burst"  # highest B first
+        assert out["top"][0]["burstiness"] > 0
+
+
+class TestDauKmvCli:
+    def test_kmv_flag(self, spark, tmp_path, capsys):
+        import datetime as dt
+
+        p = str(tmp_path / "kmv_ev")
+        rows = [
+            (i, dt.datetime(2024, 1, 1), f"u{i}", "click", 1.0)
+            for i in range(6)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id string,"
+            " event_type string, value double",
+        ).write.parquet(p)
+        rc = cli.main(["dau", p, "--kmv", "4"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["days"][0]["kUsed"] == 4  # sketch capped
+        assert out["days"][0]["estDau"] > 0
+
+
+class TestDeconRateCli:
+    def test_signoff_gate(self, spark, tmp_path, capsys):
+        train_p = str(tmp_path / "train_docs")
+        bench_p = str(tmp_path / "bench_docs")
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        ).write.parquet(train_p)
+        spark.createDataFrame(
+            [
+                (100, "the quick brown fox jumps high", "s1"),
+                (101, "nothing matching in this sentence at all", "s1"),
+            ],
+            ["doc_id", "text", "suite"],
+        ).write.parquet(bench_p)
+        rc = cli.main(
+            ["decon-rate", train_p, bench_p, "--max-rate", "0.4"]
+        )
+        assert rc == 1  # s1 rate 0.5 > 0.4
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["suites"][0]["rate"] == 0.5
+        rc = cli.main(
+            ["decon-rate", train_p, bench_p, "--max-rate", "0.6"]
+        )
+        assert rc == 0
+        capsys.readouterr()
