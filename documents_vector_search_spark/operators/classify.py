@@ -213,28 +213,20 @@ def text_gram_buckets_py(
 
 def _ngram_strings(toks: Column, n: int) -> Column:
     """Space-joined word n-grams with word_shingles' short-doc
-    convention (fewer than n tokens → ONE gram of all tokens), built by
-    zipping n offset slices instead of transform+get — the per-element
-    interpreted ``get``/``array_join`` lookups made gram construction
-    the text probe's dominant cost (measured 3.7s of the 4.5s warm
-    scoring pass at sf0.1; this form is ~1.1s) while producing
-    byte-identical gram VALUES, so the DuckDB oracle is untouched."""
+    convention (fewer than n tokens → ONE gram of all tokens). For
+    n >= 2 the semantics are exactly ``functions/text.word_shingles``
+    (short docs give one gram of all tokens, "" for empty docs — the
+    caller's empty-string filter drops it), so this delegates to its
+    one-pass regex form: the previous zip_with-over-offset-slices build
+    referenced ``toks`` n+1 times, re-evaluating an inline
+    ``tokenize(text)`` argument that many times per row (measured 2.3x
+    on the gram-staging projection at sf0.1). Gram VALUES are
+    byte-identical, so the DuckDB oracle is untouched."""
     if n == 1:
         return toks
-    size = F.size(toks)
-    win = F.greatest(size - F.lit(n - 1), F.lit(0))
-    zipped = F.slice(toks, 1, win)
-    for i in range(1, n):
-        zipped = F.zip_with(
-            zipped,
-            F.slice(toks, i + 1, win),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    # short docs: one shingle of all tokens ("" for empty docs — the
-    # caller's empty-string filter drops it)
-    return F.when(size >= n, zipped).otherwise(
-        F.array(F.array_join(toks, " "))
-    )
+    from documents_vector_search_spark.functions.text import word_shingles
+
+    return word_shingles(toks, n)
 
 
 def _gram_array(text_col: Column, max_n: int) -> Column:

@@ -89,19 +89,21 @@ def fit_dsir_log_ratios(
     ]
 
 
-def dsir_log_weight_expr(
-    text_col: Column,
+def dsir_log_weight_from_grams(
+    grams: Column,
     log_ratios: list[float],
-    max_n: int = DSIR_MAX_N,
     round_to: int = 6,
 ) -> Column:
-    """Mean per-gram log importance ratio as a pure Column expression
-    (mean, not sum, so the weight is length-invariant — same convention
-    as the text probe's averaged gram features). Gram-less documents
-    weigh 0 (= the neutral ratio)."""
+    """:func:`dsir_log_weight_expr` over an ALREADY-STAGED gram array
+    column. The expression references ``grams`` three times (fold
+    input + two size() checks); when those references point at a
+    materialized column the accesses are O(1), but an inline
+    ``_gram_array(text)`` argument would be re-evaluated per reference
+    (tokenize + gram build ×3 per row — measured 2.12s vs 1.20s for
+    the sf0.1 scoring projection). Callers on the 100 TB path must
+    project the gram array first (see :func:`dsir_select`)."""
     n_buckets = len(log_ratios)
     table = lit_double_array(log_ratios)
-    grams = _gram_array(text_col, max_n)
     total = F.aggregate(
         grams,
         F.lit(0.0),
@@ -115,6 +117,23 @@ def dsir_log_weight_expr(
             F.lit(0.0)
         ),
         round_to,
+    )
+
+
+def dsir_log_weight_expr(
+    text_col: Column,
+    log_ratios: list[float],
+    max_n: int = DSIR_MAX_N,
+    round_to: int = 6,
+) -> Column:
+    """Mean per-gram log importance ratio as a pure Column expression
+    (mean, not sum, so the weight is length-invariant — same convention
+    as the text probe's averaged gram features). Gram-less documents
+    weigh 0 (= the neutral ratio). Convenience single-Column form; hot
+    paths should stage the gram array and use
+    :func:`dsir_log_weight_from_grams`."""
+    return dsir_log_weight_from_grams(
+        _gram_array(text_col, max_n), log_ratios, round_to
     )
 
 
@@ -138,11 +157,19 @@ def dsir_select(
         ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(_GUMBEL_MOD))
-    logw = dsir_log_weight_expr(F.col(text_col), log_ratios, max_n)
-    # two-step projection: the gram fold is evaluated once into `logw`,
-    # then the selection key derives from the materialized column
+    # three-step projection: the gram ARRAY is staged first (the weight
+    # fold references it three times, and only a materialized column
+    # makes those references O(1) — see dsir_log_weight_from_grams),
+    # then the fold lands in `logw`, then the selection key derives
+    # from the materialized logw
     scored = docs.select(
-        F.col(id_col), logw.alias("logw"), u.alias("_u")
+        F.col(id_col),
+        _gram_array(F.col(text_col), max_n).alias("_g"),
+        u.alias("_u"),
+    ).select(
+        F.col(id_col),
+        dsir_log_weight_from_grams(F.col("_g"), log_ratios).alias("logw"),
+        F.col("_u"),
     ).select(
         F.col(id_col),
         "logw",
