@@ -3803,7 +3803,14 @@ def q_corpus_prep(
     # the gate already tokenized every surviving doc — the
     # decontamination stage shingles those tokens instead of paying the
     # regex tokenize a second time over the corpus
-    decon = decontaminate(gated, bench, n=DECON_N, tokens_col="_toks").drop(
+    # broadcast=True: the bench subset is docs with id % 50 == 0 by
+    # construction (2% of the corpus — an eval-suite-sized gram set),
+    # so the operator's size-estimate job (an extra pass over the
+    # bench side per plan construction) is skipped; the auto cutover
+    # stays the operator default for callers without that knowledge
+    decon = decontaminate(
+        gated, bench, n=DECON_N, tokens_col="_toks", broadcast=True
+    ).drop(
         "_toks"
     )
     w = Window.partitionBy(md5_hash64(F.col("text"))).orderBy(
@@ -4348,7 +4355,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    report = contamination_report(docs, bench, n=DECON_N)
+    # broadcast=True skips the operator's eager size-estimate job —
+    # the id % 50 bench subset is eval-suite-sized by construction
+    report = contamination_report(docs, bench, n=DECON_N, broadcast=True)
     return report.select(
         "doc_id",
         F.col("contaminated_ngrams").cast("bigint").alias("contaminated_ngrams"),
