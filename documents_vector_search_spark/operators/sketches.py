@@ -306,6 +306,7 @@ def cms_build(
     value: Column,
     depth: int = 4,
     width: int = 256,
+    weight: Column | None = None,
 ) -> DataFrame:
     """Count-min sketch of ``value`` frequencies — ``(d, bucket, cnt)``
     with depth × width counters (Cormode & Muthukrishnan, "An improved
@@ -323,8 +324,18 @@ def cms_build(
     ``depth`` (row, bucket) coordinates + ONE aggregation whose key
     space is depth × width — map-side combinable into a tiny bounded
     reduce, the same shape however large the stream. The sketch is
-    mergeable across corpora by summing counters."""
+    mergeable across corpora by summing counters.
+
+    ``weight``: each row contributes that int64 amount to its cells
+    instead of 1 — pass PRE-AGGREGATED ``(value, count)`` rows so the
+    ``depth`` md5 hashes run once per DISTINCT value rather than once
+    per occurrence (identical counters by linearity of the sketch; the
+    occurrence→distinct pre-aggregation is the cheaper shuffle
+    whenever values repeat, and the hash work drops by the repeat
+    factor)."""
+    w = F.lit(1).cast("bigint") if weight is None else weight.cast("bigint")
     coords = df.select(
+        w.alias("_w"),
         F.posexplode(
             F.array(
                 *[
@@ -334,10 +345,10 @@ def cms_build(
                     for d in range(depth)
                 ]
             )
-        ).alias("d", "bucket")
+        ).alias("d", "bucket"),
     )
     return coords.groupBy("d", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
+        F.sum("_w").cast("bigint").alias("cnt")
     )
 
 

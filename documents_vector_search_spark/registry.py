@@ -3156,13 +3156,21 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         F.explode_outer(tokenize("text")).alias("term")
     ).filter(F.col("term").isNotNull())
-    truth = (
-        terms.groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("true_n"))
-        .orderBy(F.col("true_n").desc(), F.col("term").asc())
-        .limit(20)
+    # ONE occurrence→distinct aggregation feeds BOTH consumers: the
+    # top-20 truth AND the sketch (cms_build weight form — the depth×
+    # md5 hashes run per DISTINCT term, not per occurrence, and the
+    # two branches share the same groupBy exchange). Counters are
+    # identical by sketch linearity.
+    term_counts = terms.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("true_n")
     )
-    cms = cms_build(terms, F.col("term"), depth=4, width=256)
+    truth = term_counts.orderBy(
+        F.col("true_n").desc(), F.col("term").asc()
+    ).limit(20)
+    cms = cms_build(
+        term_counts, F.col("term"), depth=4, width=256,
+        weight=F.col("true_n"),
+    )
     est = cms_estimate(cms, truth.select("term"), item_col="term",
                        depth=4, width=256)
     return (
@@ -3358,7 +3366,11 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    postings = build_postings(docs)
+    # materialize the postings ONCE: both the ranking and the qrels
+    # derivation consume them, and without the checkpoint the whole
+    # tokenize+explode+aggregate build runs twice (the corpus_prep
+    # staging rationale; batch-bounded here by the corpus size)
+    postings = build_postings(docs).localCheckpoint()
     ranking = bm25_topk_batch(
         BM25_BATCH_QUERIES, 20, postings, doc_stats=build_doc_stats(docs)
     ).withColumn(
