@@ -49,6 +49,38 @@ class TestShingles:
         got = one(spark, word_shingles(F.array(F.lit("a"), F.lit("b")), 3))
         assert got == ["a b"]
 
+    def test_regex_form_matches_slice_reference(self, spark):
+        """The r12 one-pass regex form must agree with the positional
+        slice+array_join reference on every (tokens, n) shape: empty,
+        short-doc padding, exact-length, long, multi-char tokens,
+        digits, repeated tokens — over tokenize-style inputs (the
+        documented precondition: space-free, non-null elements)."""
+        texts = [
+            "",
+            "one",
+            "one two",
+            "one two three",
+            "one two three four five",
+            "a1 b2 c3 d4 e5 f6 g7",
+            "dup dup dup dup",
+            "x " * 40,
+        ]
+        for n in (1, 2, 3, 5):
+            for txt in texts:
+                toks = tokenize(F.lit(txt))
+                got = one(spark, word_shingles(toks, n))
+                ref_count = F.greatest(
+                    F.size(toks) - F.lit(n - 1), F.lit(1)
+                )
+                ref = one(
+                    spark,
+                    F.transform(
+                        F.sequence(F.lit(1), ref_count),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "),
+                    ),
+                )
+                assert got == ref, (txt, n, got, ref)
+
 
 class TestHashing:
     def test_matches_duckdb(self, spark):

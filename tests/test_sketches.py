@@ -189,6 +189,36 @@ class TestCountMinSketch:
         }
         assert est_w == truth
 
+    def test_weighted_build_equals_occurrence_build(self, spark):
+        """The r12 weighted form (pre-aggregated (value, count) rows,
+        hash per DISTINCT value) must produce counter-for-counter the
+        same sketch as the per-occurrence stream — the linearity
+        property the cms_counts registry key now relies on."""
+        from documents_vector_search_spark.operators.sketches import (
+            cms_build,
+        )
+
+        truth = {f"t{i}": (i * 13) % 9 + 1 for i in range(50)}
+        occ = self._stream(spark, truth)
+        pre = spark.createDataFrame(
+            list(truth.items()), "v string, n long"
+        )
+        for width in (8, 256):
+            a = {
+                (r.d, r.bucket): r.cnt
+                for r in cms_build(
+                    occ, F.col("v"), depth=4, width=width
+                ).collect()
+            }
+            b = {
+                (r.d, r.bucket): r.cnt
+                for r in cms_build(
+                    pre, F.col("v"), depth=4, width=width,
+                    weight=F.col("n"),
+                ).collect()
+            }
+            assert a == b
+
     def test_unseen_item_estimates_from_empty_buckets(self, spark):
         from documents_vector_search_spark.operators.sketches import (
             cms_build,
