@@ -95,7 +95,23 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()
+    # ONE driver action answers both loop-shaping questions — node
+    # count and does-any-dangling-node-exist — instead of a count()
+    # plus a dangling.head(1): each driver action is a full barrier
+    # (plan + schedule + run), so fusing them halves the construct-time
+    # sync points of the loop setup. The left-join aggregate
+    # additionally materializes the lazy e/nodes checkpoints exactly
+    # like count() did; the trajectory inputs are bit-identical.
+    src_nodes = e.select(F.col("_src").alias("node")).distinct()
+    _stats = (
+        nodes.join(src_nodes.withColumn("_has_out", F.lit(1)), "node", "left")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_has_out").alias("_n_out"),
+        )
+        .first()
+    )
+    n_nodes = _stats["_n"]
     if n_nodes == 0:
         return nodes.select(
             "node",
@@ -105,16 +121,17 @@ def pagerank(
     base = (PR_SCALE * (100 - damping_pct)) // (100 * n_nodes)
     init = PR_SCALE // n_nodes
 
-    # dangling = nodes with no (positive-weight) out-edge; computed once.
-    # If the set is EMPTY (every node has an out-edge — common for
+    # dangling = nodes with no (positive-weight) out-edge; computed once
+    # (lazily — it materializes with the first iteration's action). If
+    # the set is EMPTY (every node has an out-edge — common for
     # transition graphs), the per-iteration mass term is identically 0,
     # so skip its aggregate entirely: the trajectory is unchanged and
     # the rank frame is referenced once per iteration instead of twice
     # (measured 2× on the registry's event graph).
-    dangling = nodes.join(
-        e.select(F.col("_src").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint(eager=False)
-    has_dangling = bool(dangling.head(1))
+    dangling = nodes.join(src_nodes, "node", "left_anti").localCheckpoint(
+        eager=False
+    )
+    has_dangling = _stats["_n_out"] < n_nodes
 
     ranks = nodes.select("node", F.lit(init).cast("bigint").alias("r"))
     for i in range(iterations):
@@ -331,16 +348,29 @@ def personalized_pagerank(
         .localCheckpoint(eager=False)
     )
     is_seed = F.col("node").isin(list(seeds))
-    n_seeds = nodes.filter(is_seed).count()
+    # ONE driver action for both loop-shaping facts (seed count in the
+    # node set + does-any-dangling-node-exist) — same fused-barrier
+    # rationale as :func:`pagerank`; trajectory inputs bit-identical.
+    src_nodes = e.select(F.col("_src").alias("node")).distinct()
+    _stats = (
+        nodes.join(src_nodes.withColumn("_has_out", F.lit(1)), "node", "left")
+        .agg(
+            F.count(F.when(is_seed, 1)).alias("_n_seeds"),
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_has_out").alias("_n_out"),
+        )
+        .first()
+    )
+    n_seeds = _stats["_n_seeds"]
     if n_seeds == 0:
         raise ValueError("no seed appears in the graph's node set")
     base = (PR_SCALE * (100 - damping_pct)) // (100 * n_seeds)
     init = PR_SCALE // n_seeds
 
-    dangling = nodes.join(
-        e.select(F.col("_src").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint(eager=False)
-    has_dangling = bool(dangling.head(1))
+    dangling = nodes.join(src_nodes, "node", "left_anti").localCheckpoint(
+        eager=False
+    )
+    has_dangling = _stats["_n_out"] < _stats["_n"]
 
     ranks = nodes.select(
         "node",
