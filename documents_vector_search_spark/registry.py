@@ -3366,11 +3366,28 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    # materialize the postings ONCE: both the ranking and the qrels
-    # derivation consume them, and without the checkpoint the whole
-    # tokenize+explode+aggregate build runs twice (the corpus_prep
-    # staging rationale; batch-bounded here by the corpus size)
-    postings = build_postings(docs).localCheckpoint()
+    qterm_rows = [
+        (qid, t, len(_query_terms(q)))
+        for qid, q in sorted(BM25_BATCH_QUERIES.items())
+        for t in _query_terms(q)
+    ]
+    # materialize ONLY the query-term postings rows, ONCE: both the
+    # ranking (bm25_topk_batch prunes to the union of query terms and
+    # computes per-term df from those rows alone) and the qrels
+    # derivation (term-keyed join with the query map) ever read rows
+    # whose term is in the batch — corpus-level statistics come from
+    # build_doc_stats, not from this frame. The term filter pushes
+    # through the (term, doc) aggregate into the gram explode, so the
+    # one corpus pass shuffles and checkpoints O(query terms × docs)
+    # rows instead of the full postings table (which the previous form
+    # materialized wholesale for two consumers that both discard
+    # ~everything in it).
+    _q_term_set = sorted({t for _, t, _n in qterm_rows})
+    postings = (
+        build_postings(docs)
+        .filter(F.col("term").isin(_q_term_set))
+        .localCheckpoint()
+    )
     ranking = bm25_topk_batch(
         BM25_BATCH_QUERIES, 20, postings, doc_stats=build_doc_stats(docs)
     ).withColumn(
@@ -3381,11 +3398,6 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    qterm_rows = [
-        (qid, t, len(_query_terms(q)))
-        for qid, q in sorted(BM25_BATCH_QUERIES.items())
-        for t in _query_terms(q)
-    ]
     qdf = spark.createDataFrame(qterm_rows, "qid string, term string, n_terms int")
     qrels = (
         postings.join(F.broadcast(qdf), "term")
