@@ -477,46 +477,58 @@ def create_collection(
             partition_by=["term_bucket", UPDATE_PB_COL],
         )
 
-    def _gather_stats():
-        from documents_vector_search_spark.functions.text import tokenize
-
-        # one job per table: the doc count, the watermark, and the
-        # per-field length stats (BM25F avgfl numerator/denominator,
-        # persisted so serving never runs a corpus-stats job) fuse into
-        # a single aggregate (driver-action count dominates small builds)
-        field_aggs = []
-        for name, col in field_text_exprs(title_col, title_from_text).items():
-            fl = F.size(tokenize(col))
-            # docs where the field is non-empty (bm25f_topk's avgfl
-            # convention) + their total field length
-            field_aggs.append(
-                F.count(F.when(fl > 0, True)).alias(f"_fn_{name}")
-            )
-            field_aggs.append(
-                F.coalesce(F.sum(F.when(fl > 0, fl)), F.lit(0)).alias(
-                    f"_fs_{name}"
-                )
-            )
-        doc_row = docs.agg(
+    def _gather_doc_header():
+        # doc count + watermark only — a two-column scan. The manifest's
+        # tokenize-derived stats (avgdl, per-field BM25F stats) are NOT
+        # recomputed from the corpus: the doc_stats and field_postings
+        # builds already tokenized it, so those stats are read back from
+        # the written index tables (_chunk_stats / _field_stats below),
+        # value-identically and without 3 extra corpus tokenize passes.
+        return docs.agg(
             F.count("*").alias("n"),
             F.max("last_modified_at").alias("wm"),
-            *field_aggs,
         ).first()
-        chunk_row = chunks.agg(
-            F.count("*").alias("n"),
-            F.max("chunk_id").alias("last"),
-            # BM25 avgdl, persisted in the manifest so serving never
-            # runs a corpus-stats job (searcher._bm25_corpus_stats)
-            F.avg(F.size(tokenize("indexed_data"))).alias("avgdl"),
-        ).first()
-        field_stats = {
-            name: {
-                "docs": int(doc_row[f"_fn_{name}"]),
-                "sumFl": int(doc_row[f"_fs_{name}"]),
-            }
-            for name in ("title", "body")
-        }
-        return int(doc_row["n"]), chunk_row, doc_row["wm"], field_stats
+
+    def _chunk_stats():
+        # chunk count / max id / BM25 avgdl from the doc_stats TABLE
+        # (one row per chunk, dl = size(tokenize(indexed_data)) written
+        # by _write_doc_stats): avg over the same int column in any
+        # order is the same double (exact int64 sum / exact count), so
+        # the manifest value is bit-identical to re-tokenizing chunks —
+        # persisted so serving never runs a corpus-stats job
+        # (searcher._bm25_corpus_stats).
+        return (
+            collection.read("doc_stats")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("chunk_id").alias("last"),
+                F.avg("dl").alias("avgdl"),
+            )
+            .first()
+        )
+
+    def _field_stats():
+        # per-field BM25F stats (avgfl numerator/denominator) from the
+        # field_postings TABLE: a field's posting rows exist exactly for
+        # documents where the field is non-empty, Σtf over a document's
+        # rows is its fl, so per field docs = countDistinct(document_id)
+        # and sumFl = sum(tf) — integer-exact equals of the old
+        # count(fl > 0) / sum(fl) aggregate over re-tokenized documents.
+        # The aggregate reads two slim columns of the index table
+        # instead of tokenizing every document a second time.
+        rows = (
+            collection.read("field_postings")
+            .groupBy("field")
+            .agg(
+                F.countDistinct("document_id").alias("_fn"),
+                F.sum("tf").alias("_fs"),
+            )
+            .collect()
+        )
+        stats = {name: {"docs": 0, "sumFl": 0} for name in ("title", "body")}
+        for r in rows:
+            stats[r["field"]] = {"docs": int(r["_fn"]), "sumFl": int(r["_fs"])}
+        return stats
 
     # the three index builds + the manifest stats all read the SAME
     # materialized chunk table and are independent — run them as
@@ -530,22 +542,29 @@ def create_collection(
         with _timer.stage(name):
             return fn()
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         f_emb = pool.submit(_timed_call, "embeddings", _write_embeddings)
         f_post = pool.submit(_timed_call, "postings", _write_postings)
         f_ds = pool.submit(_timed_call, "doc_stats", _write_doc_stats)
         f_fp = pool.submit(
             _timed_call, "field_postings", _write_field_postings
         )
-        f_stats = pool.submit(_timed_call, "manifest_stats", _gather_stats)
+        f_hdr = pool.submit(_timed_call, "manifest_stats", _gather_doc_header)
+        # the read-back aggregates chain onto their table writes so they
+        # overlap the long postings build instead of serializing after it
+        f_ds.result()
+        f_cs = pool.submit(_timed_call, "chunk_stats", _chunk_stats)
+        f_fp.result()
+        f_fs = pool.submit(_timed_call, "field_stats", _field_stats)
         emb_result = f_emb.result()
         ivf_centroids = emb_result.get("centroids")
         pq_codebooks = emb_result.get("codebooks")
         sq8_bounds = emb_result.get("sq8")
         f_post.result()
-        f_ds.result()
-        f_fp.result()
-        n_docs, stats, watermark, field_stats = f_stats.result()
+        doc_row = f_hdr.result()
+        n_docs, watermark = int(doc_row["n"]), doc_row["wm"]
+        stats = f_cs.result()
+        field_stats = f_fs.result()
     if fuzzy_dictionary:
         from documents_vector_search_spark.collection.fuzzy_artifacts import (
             write_fuzzy_artifacts,

@@ -45,6 +45,74 @@ def collection(spark, canonical_docs, tmp_path_factory):
 
 
 class TestCreate:
+    def test_manifest_stats_match_corpus_recompute(
+        self, spark, tmp_path_factory
+    ):
+        """The r12 optimization derives the manifest's tokenize-based
+        stats from the written index tables (avgdl from doc_stats,
+        BM25F fieldStats from field_postings) instead of re-tokenizing
+        the corpus. Pin that derivation against the definition those
+        stats always had — aggregates over tokenize() of the documents
+        — on a corpus that includes an EMPTY body (title_from_text doc
+        with no blank-line separator), the edge the fl>0 docs-count
+        convention exists for."""
+        from documents_vector_search_spark.functions.text import tokenize
+        from documents_vector_search_spark.operators.bm25 import (
+            field_text_exprs,
+        )
+
+        rows = [
+            ("d0", "Title only no separator"),  # body empty under the split
+            ("d1", "A title line\n\nbody text with several tokens here"),
+            ("d2", "Second title\n\nmore body words"),
+            ("d3", "Third\n\nshared tokens body body body"),
+        ]
+        docs = spark.createDataFrame(rows, "id string, text string").select(
+            "id",
+            F.concat(F.lit("mem://"), F.col("id")).alias("url"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+            "text",
+            F.lit("2024-03-01 00:00:00")
+            .cast("timestamp")
+            .alias("last_modified_at"),
+            F.lit("test").alias("source_type"),
+        )
+        base = str(tmp_path_factory.mktemp("manifest_stats"))
+        coll = Collection(spark, base, "mstats")
+        create_collection(
+            coll, docs, chunk_size=30, chunk_overlap=5, title_from_text=True
+        )
+        m = coll.manifest()
+
+        # old definition, recomputed from the corpus
+        field_aggs = []
+        for name, col in field_text_exprs(None, True).items():
+            fl = F.size(tokenize(col))
+            field_aggs.append(F.count(F.when(fl > 0, True)).alias(f"_fn_{name}"))
+            field_aggs.append(
+                F.coalesce(F.sum(F.when(fl > 0, fl)), F.lit(0)).alias(
+                    f"_fs_{name}"
+                )
+            )
+        doc_row = docs.agg(*field_aggs).first()
+        expected_fields = {
+            name: {
+                "docs": int(doc_row[f"_fn_{name}"]),
+                "sumFl": int(doc_row[f"_fs_{name}"]),
+            }
+            for name in ("title", "body")
+        }
+        assert m.fieldStats == expected_fields
+        assert expected_fields["body"]["docs"] == 3  # d0's body is empty
+
+        chunks = coll.read("chunks")
+        expected_avgdl = chunks.agg(
+            F.avg(F.size(tokenize("indexed_data")))
+        ).first()[0]
+        assert m.avgChunkLength == expected_avgdl
+        assert m.numberOfChunks == chunks.count()
+        assert m.numberOfDocuments == 4
+
     def test_tables_and_manifest(self, collection):
         m = collection.manifest()
         assert m.numberOfDocuments == 100
