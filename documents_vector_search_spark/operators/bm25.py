@@ -81,7 +81,23 @@ def build_postings(
     (operators/phrase.py). tf stays, derived as size(positions); the
     build remains ONE shuffle. BM25 reads are unaffected: Parquet is
     columnar, so scoring scans that project (term, tf, dl) never read
-    the positions bytes."""
+    the positions bytes.
+
+    ``with_dl`` builds keep the whole plan on ONE exchange: the token
+    stream is hash-repartitioned by ``id_col`` alone, which satisfies
+    the (id, term) groupBy's clustering requirement (hash on a subset
+    of the grouping keys co-locates every (id, term) group) AND the dl
+    window's partitioning — without it the plan pays a second
+    postings-sized exchange (and for the positional layout that second
+    exchange re-ships the heavy positions arrays). The trade is the
+    map-side partial aggregation before the exchange (raw tokens ship
+    instead of combined (id, term) rows — avg-tf× more rows, one less
+    full barrier + sort); measured 1.15× faster on both sf0.1 layouts
+    (tf-only 0.81→0.70s, positional 0.88→0.76s, same-session A/B
+    medians), and the saved exchange grows with the positions payload.
+    Skew exposure is unchanged: the dl window already required each
+    document's postings on one partition, so both forms are bounded by
+    the largest single document."""
     from pyspark.sql import Window
 
     carry = list(carry_cols or [])
@@ -91,6 +107,8 @@ def build_postings(
             *[F.col(c) for c in carry],
             F.posexplode_outer(tokenize(text_col)).alias("pos", "term"),
         ).filter(F.col("term").isNotNull())
+        if with_dl:
+            tokens = tokens.repartition(F.col(id_col))
         postings = tokens.groupBy(id_col, *carry, "term").agg(
             F.sort_array(F.collect_list("pos")).alias("positions")
         ).withColumn("tf", F.size("positions").cast("bigint")).select(
@@ -109,6 +127,8 @@ def build_postings(
         *[F.col(c) for c in carry],
         F.explode_outer(tokenize(text_col)).alias("term"),
     ).filter(F.col("term").isNotNull())
+    if with_dl:
+        tokens = tokens.repartition(F.col(id_col))
     postings = tokens.groupBy(id_col, *carry, "term").agg(
         F.count("*").alias("tf")
     )
@@ -188,38 +208,54 @@ def build_field_postings(
     documents where the field is non-empty — exactly
     :func:`bm25f_topk`'s ``avgfl`` convention.
 
-    Scale shape: one explode + one (document, term) groupBy per field,
-    unioned — the same single-shuffle family as build_postings; callers
-    partition the write by (term_bucket, _pb) so query terms prune
-    partitions and incremental updates rewrite only affected buckets.
-    Row count is bounded by the plain postings table's (per-document
-    aggregation, no chunk duplication)."""
+    Scale shape: ONE corpus scan and ONE (document, field, term)
+    groupBy for ALL fields — each field's tokenize runs once per row
+    inside a single generator (a per-field explode + union would scan
+    and tokenize the corpus once per field); callers partition the
+    write by (term_bucket, _pb) so query terms prune partitions and
+    incremental updates rewrite only affected buckets. Row count is
+    bounded by the plain postings table's (per-document aggregation, no
+    chunk duplication)."""
     from pyspark.sql import Window
 
     carry = list(carry_cols or [])
     fields = field_text_exprs(title_col, title_from_text, text_col=text_col)
-    per_field = []
-    for name, col in fields.items():
-        tokens = docs.select(
-            F.col(id_col).alias("document_id"),
-            *[F.col(c) for c in carry],
-            F.explode_outer(tokenize(col)).alias("term"),
-        ).filter(F.col("term").isNotNull())
-        tf = (
-            tokens.groupBy("document_id", *carry, "term")
-            .agg(F.count("*").cast("bigint").alias("tf"))
-            .withColumn(
-                "fl",
-                F.sum("tf")
-                .over(Window.partitionBy("document_id"))
-                .cast("bigint"),
-            )
-            .withColumn("field", F.lit(name))
+    names = list(fields)
+    # stage 1: one row per (document, field) carrying that field's
+    # token array. posexplode_outer over the array-of-token-arrays
+    # evaluates each field's tokenize exactly once per document (the
+    # _outer form dodges InferFiltersFromGenerate re-inlining the
+    # tokenize tree into a scan-side size() pre-filter — the
+    # build_postings rationale); the field NAME derives from the
+    # generator position, so no per-element struct building.
+    per_field_tokens = docs.select(
+        F.col(id_col).alias("document_id"),
+        *[F.col(c) for c in carry],
+        F.posexplode_outer(
+            F.array(*[tokenize(fields[n]) for n in names])
+        ).alias("_fi", "_ftoks"),
+    )
+    field_name = F.element_at(
+        F.array(*[F.lit(n) for n in names]), F.col("_fi") + 1
+    )
+    # stage 2: explode the field's tokens (a plain column ref — nothing
+    # to re-evaluate) and aggregate all fields in one shuffle
+    tokens = per_field_tokens.select(
+        "document_id",
+        *carry,
+        field_name.alias("field"),
+        F.explode_outer("_ftoks").alias("term"),
+    ).filter(F.col("term").isNotNull())
+    out = (
+        tokens.groupBy("document_id", "field", *carry, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "fl",
+            F.sum("tf")
+            .over(Window.partitionBy("document_id", "field"))
+            .cast("bigint"),
         )
-        per_field.append(tf)
-    out = per_field[0]
-    for t in per_field[1:]:
-        out = out.unionByName(t)
+    )
     return out.select("document_id", "field", "term", "tf", "fl", *carry)
 
 

@@ -128,6 +128,89 @@ class TestBM25:
         assert "c" not in by_qid  # conjunctive: terms never co-occur
         assert "d" not in by_qid  # empty query omitted
 
+    def test_with_dl_repartition_parity(self, tiny_docs):
+        """The r12 one-exchange with_dl build (pre-repartition by id)
+        must emit exactly the rows of the unhinted form for both the
+        tf-only and positional layouts — including the zero-length doc,
+        which yields no postings either way."""
+        from pyspark.sql import Window
+
+        for with_positions in (False, True):
+            with_dl = build_postings(
+                tiny_docs, with_dl=True, with_positions=with_positions
+            )
+            got = sorted(map(tuple, with_dl.collect()))
+            want = sorted(
+                map(
+                    tuple,
+                    build_postings(tiny_docs, with_positions=with_positions)
+                    .withColumn(
+                        "dl",
+                        F.sum("tf")
+                        .over(Window.partitionBy("doc_id"))
+                        .cast("bigint"),
+                    )
+                    .select(*with_dl.columns)
+                    .collect(),
+                )
+            )
+            assert got == want and got
+
+    def test_field_postings_single_scan_parity(self, spark):
+        """The r12 one-scan build_field_postings (one generator over
+        all fields, one groupBy) must equal the naive per-field
+        explode+union reference — per (doc, field, term) tf and per
+        (doc, field) fl — for both title conventions, including docs
+        with no blank-line separator, an empty body, and an empty
+        title column."""
+        from documents_vector_search_spark.operators.bm25 import (
+            build_field_postings,
+            field_text_exprs,
+        )
+        from documents_vector_search_spark.functions.text import tokenize
+
+        rows = [
+            ("d1", "Spark Joins", "spark hash join\n\nsort merge join spark"),
+            ("d2", "", "no separator here just words"),
+            ("d3", "Empty Body", "title only\n\n"),
+            ("d4", "x", ""),
+        ]
+        docs = spark.createDataFrame(rows, ["id", "src_title", "text"])
+        for kwargs in (
+            {"title_col": "src_title"},
+            {"title_from_text": True},
+        ):
+            got = sorted(
+                map(tuple, build_field_postings(docs, **kwargs).collect())
+            )
+            # naive reference: one explode + groupBy per field, unioned
+            fields = field_text_exprs(**kwargs)
+            parts = []
+            for name, col in fields.items():
+                toks = docs.select(
+                    F.col("id").alias("document_id"),
+                    F.explode_outer(tokenize(col)).alias("term"),
+                ).filter(F.col("term").isNotNull())
+                from pyspark.sql import Window
+
+                parts.append(
+                    toks.groupBy("document_id", "term")
+                    .agg(F.count("*").cast("bigint").alias("tf"))
+                    .withColumn(
+                        "fl",
+                        F.sum("tf")
+                        .over(Window.partitionBy("document_id"))
+                        .cast("bigint"),
+                    )
+                    .withColumn("field", F.lit(name))
+                    .select("document_id", "field", "term", "tf", "fl")
+                )
+            ref = parts[0]
+            for p in parts[1:]:
+                ref = ref.unionByName(p)
+            want = sorted(map(tuple, ref.collect()))
+            assert got == want and got
+
 
 class TestKNN:
     def test_exact_match_first(self, spark):
