@@ -39,7 +39,6 @@ from documents_vector_search_spark.operators.bm25 import (
     build_field_postings,
     build_postings,
     field_text_exprs,
-    term_bucket,
 )
 from documents_vector_search_spark.operators.chunking import (
     assign_chunk_ids,
@@ -440,16 +439,20 @@ def create_collection(
     def _write_postings() -> None:
         # postings partitioned by term-hash bucket: a query's term
         # lookup becomes Parquet partition pruning (operators/bm25.py).
-        # The repartition keys the write so each bucket lands in few
-        # files instead of (tasks × buckets) shards.
+        # bucket_partitions pushes the term_bucket repartition INTO the
+        # build: one exchange serves both the (id, term) aggregation
+        # and the write layout (build_postings docstring), so each
+        # bucket still lands in few files without a second
+        # postings-sized exchange.
         postings_df = build_postings(
             chunks, id_col="chunk_id", text_col="indexed_data", with_dl=True,
             carry_cols=[UPDATE_PB_COL],  # owning doc's bucket, see emb_df
             with_positions=positional_postings,
-        ).withColumn("term_bucket", term_bucket(F.col("term")))
+            bucket_partitions=N_TERM_BUCKETS,
+        )
         collection.write(
             "postings",
-            postings_df.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
+            postings_df,
             partition_by=["term_bucket", UPDATE_PB_COL],
         )
 
@@ -467,13 +470,15 @@ def create_collection(
         # document-level field postings built from the DOCUMENT text:
         # the BM25F serving index, exact under any chunk_overlap (see
         # build_field_postings — chunk-derived field tf/fl double-count
-        # overlap regions). Same pruning layout as postings.
+        # overlap regions). Same pruning layout AND same single-exchange
+        # bucket fusion as postings.
         fp = build_field_postings(
             docs, title_col, title_from_text, carry_cols=[UPDATE_PB_COL],
-        ).withColumn("term_bucket", term_bucket(F.col("term")))
+            bucket_partitions=N_TERM_BUCKETS,
+        )
         collection.write(
             "field_postings",
-            fp.repartition(N_TERM_BUCKETS, F.col("term_bucket")),
+            fp,
             partition_by=["term_bucket", UPDATE_PB_COL],
         )
 

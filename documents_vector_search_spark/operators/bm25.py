@@ -65,6 +65,7 @@ def build_postings(
     with_dl: bool = False,
     carry_cols: list[str] | None = None,
     with_positions: bool = False,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """``(id, term, tf)`` postings from a document/chunk table (E4).
 
@@ -83,60 +84,92 @@ def build_postings(
     columnar, so scoring scans that project (term, tf, dl) never read
     the positions bytes.
 
-    ``with_dl`` builds keep the whole plan on ONE exchange: the token
-    stream is hash-repartitioned by ``id_col`` alone, which satisfies
-    the (id, term) groupBy's clustering requirement (hash on a subset
-    of the grouping keys co-locates every (id, term) group) AND the dl
-    window's partitioning — without it the plan pays a second
-    postings-sized exchange (and for the positional layout that second
-    exchange re-ships the heavy positions arrays). The trade is the
-    map-side partial aggregation before the exchange (raw tokens ship
-    instead of combined (id, term) rows — avg-tf× more rows, one less
-    full barrier + sort); measured 1.15× faster on both sf0.1 layouts
-    (tf-only 0.81→0.70s, positional 0.88→0.76s, same-session A/B
-    medians), and the saved exchange grows with the positions payload.
-    Skew exposure is unchanged: the dl window already required each
-    document's postings on one partition, so both forms are bounded by
-    the largest single document."""
-    from pyspark.sql import Window
+    ``with_dl`` builds need ZERO id-keyed data movement: ``dl`` is
+    ``size(tokenize(text))`` — ``tokenize`` never emits empty/null
+    tokens, so the array length IS the token count the old
+    ``sum(tf) over (partition by id)`` window summed — computed BEFORE
+    the explode and carried through it as a grouping column (it is
+    functionally dependent on ``id_col``, the ``carry_cols`` pattern).
+    That removes both the hash-repartition by id and the window of the
+    previous form, restores map-side partial aggregation before the one
+    remaining (id, term)-keyed exchange, and drops the per-document
+    skew bound (no operator needs a whole document's postings on one
+    partition any more). The token array is staged as a GENERATOR
+    output (``explode_outer(array(tokenize(..)))`` — one row per doc)
+    so the optimizer cannot re-inline the tokenize tree into both the
+    ``size()`` and the explode (CollapseProject would otherwise
+    re-tokenize every row twice; same family as the
+    InferFiltersFromGenerate dodge below).
 
+    ``bucket_partitions`` (index-layout writers): additionally derive
+    ``term_bucket`` per token and hash-repartition the TOKEN stream by
+    it before the aggregation — term_bucket joins the groupBy keys, so
+    that single exchange satisfies the aggregation's clustering AND
+    leaves the output partitioned exactly as the partitioned index
+    write needs it (the caller's ``repartition(N, term_bucket)``
+    becomes redundant). Trade: map-side combining is forgone (raw
+    tokens cross, same bytes as the previous committed form's first
+    exchange) but the second full-postings exchange — which re-shipped
+    the positions payload — disappears. Parallelism and skew are
+    bounded by the bucket count and the hottest bucket, identical to
+    the write repartition this replaces."""
     carry = list(carry_cols or [])
-    if with_positions:
-        tokens = docs.select(
+    group_cols = list(carry)
+    if with_dl:
+        # stage the token array as a generator output, then dl rides
+        # every token row into the groupBy keys
+        staged = docs.select(
             F.col(id_col),
             *[F.col(c) for c in carry],
-            F.posexplode_outer(tokenize(text_col)).alias("pos", "term"),
+            F.explode_outer(F.array(tokenize(text_col))).alias("_toks"),
+        )
+        gen = (
+            F.posexplode_outer("_toks").alias("pos", "term")
+            if with_positions
+            else F.explode_outer("_toks").alias("term")
+        )
+        tokens = staged.select(
+            F.col(id_col),
+            *carry,
+            F.size("_toks").cast("bigint").alias("dl"),
+            gen,
         ).filter(F.col("term").isNotNull())
-        if with_dl:
-            tokens = tokens.repartition(F.col(id_col))
-        postings = tokens.groupBy(id_col, *carry, "term").agg(
-            F.sort_array(F.collect_list("pos")).alias("positions")
-        ).withColumn("tf", F.size("positions").cast("bigint")).select(
-            id_col, *carry, "term", "tf", "positions"
+        group_cols.append("dl")
+    else:
+        gen = (
+            F.posexplode_outer(tokenize(text_col)).alias("pos", "term")
+            if with_positions
+            # explode_outer + IsNotNull: plain explode triggers
+            # InferFiltersFromGenerate, which re-evaluates the tokenize
+            # tree twice more per row (size>0 + isnotnull pre-filters)
+            else F.explode_outer(tokenize(text_col)).alias("term")
         )
-        if with_dl:
-            postings = postings.withColumn(
-                "dl", F.sum("tf").over(Window.partitionBy(id_col))
-            )
-        return postings
-    tokens = docs.select(
-        # explode_outer + IsNotNull: plain explode triggers
-        # InferFiltersFromGenerate, which re-evaluates the tokenize
-        # tree twice more per row (size>0 + isnotnull pre-filters)
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        F.explode_outer(tokenize(text_col)).alias("term"),
-    ).filter(F.col("term").isNotNull())
-    if with_dl:
-        tokens = tokens.repartition(F.col(id_col))
-    postings = tokens.groupBy(id_col, *carry, "term").agg(
-        F.count("*").alias("tf")
-    )
-    if with_dl:
-        postings = postings.withColumn(
-            "dl", F.sum("tf").over(Window.partitionBy(id_col))
+        tokens = docs.select(
+            F.col(id_col), *[F.col(c) for c in carry], gen
+        ).filter(F.col("term").isNotNull())
+    out_cols = [id_col, *carry, "term", "tf"]
+    if bucket_partitions:
+        tokens = tokens.withColumn(
+            "term_bucket", term_bucket(F.col("term"))
+        ).repartition(bucket_partitions, F.col("term_bucket"))
+        group_cols.append("term_bucket")
+        out_cols.append("term_bucket")
+    if with_positions:
+        postings = (
+            tokens.groupBy(id_col, *group_cols, "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions").cast("bigint"))
         )
-    return postings
+        out_cols.insert(out_cols.index("tf") + 1, "positions")
+    else:
+        postings = tokens.groupBy(id_col, *group_cols, "term").agg(
+            F.count("*").alias("tf")
+        )
+    if with_dl:
+        out_cols.insert(
+            out_cols.index("positions" if with_positions else "tf") + 1, "dl"
+        )
+    return postings.select(*out_cols)
 
 
 def build_doc_stats(
@@ -191,6 +224,7 @@ def build_field_postings(
     id_col: str = "id",
     text_col: str = "text",
     carry_cols: list[str] | None = None,
+    bucket_partitions: int | None = None,
 ) -> DataFrame:
     """Document-LEVEL field postings ``(document_id, field, term, tf,
     fl)`` — the BM25F serving index (searcher.search_documents_bm25f).
@@ -216,8 +250,6 @@ def build_field_postings(
     incremental updates rewrite only affected buckets. Row count is
     bounded by the plain postings table's (per-document aggregation, no
     chunk duplication)."""
-    from pyspark.sql import Window
-
     carry = list(carry_cols or [])
     fields = field_text_exprs(title_col, title_from_text, text_col=text_col)
     names = list(fields)
@@ -239,24 +271,35 @@ def build_field_postings(
         F.array(*[F.lit(n) for n in names]), F.col("_fi") + 1
     )
     # stage 2: explode the field's tokens (a plain column ref — nothing
-    # to re-evaluate) and aggregate all fields in one shuffle
+    # to re-evaluate) and aggregate all fields in one shuffle. fl =
+    # size(_ftoks): tokenize never emits empty/null tokens, so the
+    # array length IS the Σtf the old (document, field) window summed —
+    # computed pre-explode and carried as a grouping column
+    # (functionally dependent on (document_id, field)), which removes
+    # the window and its exchange outright.
     tokens = per_field_tokens.select(
         "document_id",
         *carry,
         field_name.alias("field"),
+        F.size("_ftoks").cast("bigint").alias("fl"),
         F.explode_outer("_ftoks").alias("term"),
     ).filter(F.col("term").isNotNull())
-    out = (
-        tokens.groupBy("document_id", "field", *carry, "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-        .withColumn(
-            "fl",
-            F.sum("tf")
-            .over(Window.partitionBy("document_id", "field"))
-            .cast("bigint"),
-        )
+    group_cols = ["document_id", "field", "fl", *carry, "term"]
+    out_cols = ["document_id", "field", "term", "tf", "fl", *carry]
+    if bucket_partitions:
+        # same single-exchange fusion as build_postings: the token
+        # stream repartitions by term_bucket once, satisfying both the
+        # aggregation's clustering (term_bucket joins the keys) and the
+        # partitioned index write's layout
+        tokens = tokens.withColumn(
+            "term_bucket", term_bucket(F.col("term"))
+        ).repartition(bucket_partitions, F.col("term_bucket"))
+        group_cols.append("term_bucket")
+        out_cols.append("term_bucket")
+    out = tokens.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("tf")
     )
-    return out.select("document_id", "field", "term", "tf", "fl", *carry)
+    return out.select(*out_cols)
 
 
 def _attach_term_df(matched: DataFrame, via_aggregate: bool) -> DataFrame:

@@ -129,11 +129,17 @@ class TestBM25:
         assert "d" not in by_qid  # empty query omitted
 
     def test_with_dl_repartition_parity(self, tiny_docs):
-        """The r12 one-exchange with_dl build (pre-repartition by id)
-        must emit exactly the rows of the unhinted form for both the
-        tf-only and positional layouts — including the zero-length doc,
-        which yields no postings either way."""
+        """The r12 zero-exchange with_dl build (dl = pre-explode token
+        array size carried as a grouping column) must emit exactly the
+        rows of the windowed form for both the tf-only and positional
+        layouts — including the zero-length doc, which yields no
+        postings either way — and the bucket_partitions fusion must add
+        exactly the term_bucket column with unchanged values."""
         from pyspark.sql import Window
+
+        from documents_vector_search_spark.operators.bm25 import (
+            term_bucket,
+        )
 
         for with_positions in (False, True):
             with_dl = build_postings(
@@ -155,6 +161,27 @@ class TestBM25:
                 )
             )
             assert got == want and got
+            bucketed = build_postings(
+                tiny_docs,
+                with_dl=True,
+                with_positions=with_positions,
+                bucket_partitions=4,
+            )
+            assert bucketed.columns == with_dl.columns + ["term_bucket"]
+            got_b = sorted(map(tuple, bucketed.collect()))
+            want_b = sorted(
+                map(
+                    tuple,
+                    build_postings(
+                        tiny_docs,
+                        with_dl=True,
+                        with_positions=with_positions,
+                    )
+                    .withColumn("term_bucket", term_bucket(F.col("term")))
+                    .collect(),
+                )
+            )
+            assert got_b == want_b
 
     def test_field_postings_single_scan_parity(self, spark):
         """The r12 one-scan build_field_postings (one generator over
