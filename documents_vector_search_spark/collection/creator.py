@@ -547,7 +547,20 @@ def create_collection(
         with _timer.stage(name):
             return fn()
 
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    def _fuzzy_chain(post_future) -> None:
+        # chains onto the postings write (its only input) so the
+        # vocabulary aggregate + deletion-index explode overlap the
+        # embeddings/field_postings tails instead of serializing after
+        # the whole fan-out
+        from documents_vector_search_spark.collection.fuzzy_artifacts import (
+            write_fuzzy_artifacts,
+        )
+
+        post_future.result()
+        with _timer.stage("fuzzy_artifacts"):
+            write_fuzzy_artifacts(collection)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
         f_emb = pool.submit(_timed_call, "embeddings", _write_embeddings)
         f_post = pool.submit(_timed_call, "postings", _write_postings)
         f_ds = pool.submit(_timed_call, "doc_stats", _write_doc_stats)
@@ -555,6 +568,9 @@ def create_collection(
             _timed_call, "field_postings", _write_field_postings
         )
         f_hdr = pool.submit(_timed_call, "manifest_stats", _gather_doc_header)
+        f_fuzzy = (
+            pool.submit(_fuzzy_chain, f_post) if fuzzy_dictionary else None
+        )
         # the read-back aggregates chain onto their table writes so they
         # overlap the long postings build instead of serializing after it
         f_ds.result()
@@ -570,15 +586,8 @@ def create_collection(
         n_docs, watermark = int(doc_row["n"]), doc_row["wm"]
         stats = f_cs.result()
         field_stats = f_fs.result()
-    if fuzzy_dictionary:
-        from documents_vector_search_spark.collection.fuzzy_artifacts import (
-            write_fuzzy_artifacts,
-        )
-
-        # reads the postings table just written (vocabulary aggregate +
-        # vocabulary-sized deletion-index explode)
-        with _timer.stage("fuzzy_artifacts"):
-            write_fuzzy_artifacts(collection)
+        if f_fuzzy is not None:
+            f_fuzzy.result()
     n_chunks, last_id = stats["n"], stats["last"]
     # lastIndexItemId is only meaningful under the counter strategy
     # (updates continue from it); hash ids record -1

@@ -123,22 +123,38 @@ def write_fuzzy_artifacts(
     absorbs everything)."""
     if postings is None:
         postings = collection.read("postings")
-    vocab = build_term_dictionary(postings).withColumn(
-        "term_bucket", term_bucket(F.col("term"))
+    # materialize the vocabulary aggregate ONCE (localCheckpoint — the
+    # same decoupling the old write-then-read-back parquet round trip
+    # bought, without the round trip), then write the two artifact
+    # tables as CONCURRENT driver-thread jobs: the deletion-index
+    # explode no longer waits for the vocab parquet commit (the
+    # creator's fan-out pattern; a cluster run pairs it with FAIR pools)
+    from concurrent.futures import ThreadPoolExecutor
+
+    vocab = (
+        build_term_dictionary(postings)
+        .withColumn("term_bucket", term_bucket(F.col("term")))
+        .localCheckpoint()
     )
-    collection.write(
-        VOCAB_TABLE,
-        vocab.repartition(N_VARIANT_BUCKETS, F.col("term_bucket")),
-        partition_by=["term_bucket"],
-    )
-    didx = deletion_index_df(
-        collection.read(VOCAB_TABLE).drop("term_bucket"), max_edits
-    )
-    collection.write(
-        DELETION_INDEX_TABLE,
-        didx.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")),
-        partition_by=["variant_bucket"],
-    )
+
+    def _write_vocab() -> None:
+        collection.write(
+            VOCAB_TABLE,
+            vocab.repartition(N_VARIANT_BUCKETS, F.col("term_bucket")),
+            partition_by=["term_bucket"],
+        )
+
+    def _write_didx() -> None:
+        didx = deletion_index_df(vocab.drop("term_bucket"), max_edits)
+        collection.write(
+            DELETION_INDEX_TABLE,
+            didx.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")),
+            partition_by=["variant_bucket"],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv, fd = pool.submit(_write_vocab), pool.submit(_write_didx)
+        fv.result(), fd.result()
     for table in (VOCAB_TABLE, DELETION_INDEX_TABLE):
         _write_state(Path(collection.table_path(table)), 0)
     for table in (VOCAB_DELTAS_TABLE, DELETION_INDEX_DELTAS_TABLE):
@@ -158,26 +174,36 @@ def compact_fuzzy_artifacts(
     ``refit-fuzzy`` enable/recovery path."""
     high = _next_batch_id(collection) - 1
     postings = collection.read("postings")
-    vocab = build_term_dictionary(postings).withColumn(
-        "term_bucket", term_bucket(F.col("term"))
+    # one materialized vocabulary feeds both staged writes concurrently
+    # (same fan-out as write_fuzzy_artifacts)
+    from concurrent.futures import ThreadPoolExecutor
+
+    vocab = (
+        build_term_dictionary(postings)
+        .withColumn("term_bucket", term_bucket(F.col("term")))
+        .localCheckpoint()
     )
     staged: list[tuple[str, Path]] = []
     vocab_tmp = Path(collection.table_path(f"{VOCAB_TABLE}__tmp"))
-    vocab.repartition(N_VARIANT_BUCKETS, F.col("term_bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("term_bucket").parquet(str(vocab_tmp))
-    _write_state(vocab_tmp, high)
-    staged.append((VOCAB_TABLE, vocab_tmp))
-
-    didx = deletion_index_df(
-        collection.spark.read.parquet(str(vocab_tmp)).drop("term_bucket"),
-        max_edits,
-    )
     didx_tmp = Path(collection.table_path(f"{DELETION_INDEX_TABLE}__tmp"))
-    didx.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("variant_bucket").parquet(str(didx_tmp))
-    _write_state(didx_tmp, high)
+
+    def _stage_vocab() -> None:
+        vocab.repartition(N_VARIANT_BUCKETS, F.col("term_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(str(vocab_tmp))
+        _write_state(vocab_tmp, high)
+
+    def _stage_didx() -> None:
+        didx = deletion_index_df(vocab.drop("term_bucket"), max_edits)
+        didx.repartition(N_VARIANT_BUCKETS, F.col("variant_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("variant_bucket").parquet(str(didx_tmp))
+        _write_state(didx_tmp, high)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fv, fd = pool.submit(_stage_vocab), pool.submit(_stage_didx)
+        fv.result(), fd.result()
+    staged.append((VOCAB_TABLE, vocab_tmp))
     staged.append((DELETION_INDEX_TABLE, didx_tmp))
 
     for table, tmp in staged:
