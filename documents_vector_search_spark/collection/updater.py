@@ -95,8 +95,12 @@ def _swap_all(
     directories. Used only for collections whose manifest predates
     ``updateBuckets``."""
     for table, df in merged.items():
-        writer = df.write.mode("overwrite")
         cols = (partition_cols or {}).get(table, [])
+        if cols:
+            # cluster rows by partition values before the partitioned
+            # write — same file-spray rationale as _swap_partitions
+            df = df.repartition(*[F.col(c) for c in cols])
+        writer = df.write.mode("overwrite")
         if cols:
             # one call with every level: DataFrameWriter.partitionBy
             # REPLACES the column list on each call, so a per-column
@@ -147,9 +151,21 @@ def _swap_partitions(
     def _stage(item) -> None:
         table, df = item
         with _timer.stage(f"stage_write:{table}"):
+            cols = partition_cols[table]
+            if cols:
+                # cluster the staged rows by their partition values
+                # first: without it every write task sprays one file
+                # into every (term_bucket, _pb) directory it holds rows
+                # for — the creator measured the same partitioned write
+                # at 2,047 files / 6.3s unclustered vs 64 files / 0.7s
+                # clustered (write_fuzzy_artifacts docstring); with the
+                # repartition each partition directory gets exactly the
+                # tasks that own its hash, so file count ≈ directory
+                # count and the commit protocol stays cheap
+                df = df.repartition(*[F.col(c) for c in cols])
             writer = df.write.mode("overwrite")
-            if partition_cols[table]:
-                writer = writer.partitionBy(*partition_cols[table])
+            if cols:
+                writer = writer.partitionBy(*cols)
             writer.parquet(
                 str(Path(collection.table_path(f"{table}__tmp")))
             )
