@@ -794,11 +794,19 @@ def rm3_expansion_weights(
     if not q_terms:
         raise ValueError("rm3 needs a non-empty query")
 
-    fb = bm25_topk(docs, query, k_fb, id_col, text_col).select(
-        F.col(id_col),
-        F.floor(F.col("score") * _RM3_S_SCALE + F.lit(0.5))
-        .cast("bigint")
-        .alias("_s6"),
+    # materialize the ≤k_fb-row feedback set ONCE: it is referenced
+    # twice below (the normalization total and the per-doc weights),
+    # and without the cut each reference re-runs the whole conjunctive
+    # BM25 retrieval — a full corpus scan chain — inside the same plan
+    fb = (
+        bm25_topk(docs, query, k_fb, id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.floor(F.col("score") * _RM3_S_SCALE + F.lit(0.5))
+            .cast("bigint")
+            .alias("_s6"),
+        )
+        .localCheckpoint()
     )
     tot = fb.agg(F.sum("_s6").alias("_tot"))
     fbw = fb.crossJoin(F.broadcast(tot)).select(
@@ -828,11 +836,16 @@ def rm3_expansion_weights(
         * F.lit(_RM3_C_SCALE)
         + F.lit(0.5)
     ).cast("bigint")
+    # materialize the candidate relevance model (≤ feedback-set vocab
+    # rows): rm1 feeds BOTH the df-guard's broadcast candidate list and
+    # the final mass join — inlined, each reference would re-fetch and
+    # re-tokenize the feedback documents' text (a docs-table pass each)
     rm1 = (
         fb_tf.select("term", contrib.alias("_c"))
         .groupBy("term")
         .agg(F.sum("_c").alias("rm1_c"))
         .filter(~F.col("term").isin(q_terms))
+        .localCheckpoint()
     )
     # stopword guard: corpus df per candidate term (broadcast the
     # candidate list; map-side partial agg bounds the shuffle at
