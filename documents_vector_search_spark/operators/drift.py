@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from documents_vector_search_spark.operators.classify import _gram_array
+from documents_vector_search_spark.functions.text import tokenize
+from documents_vector_search_spark.operators.classify import (
+    _gram_array_from_tokens,
+)
 from documents_vector_search_spark.operators.dsir import _bucket_expr
 
 DRIFT_BUCKETS = 256
@@ -131,14 +134,29 @@ def corpus_drift_report(
     complement, descending (ties on bucket). ``sum(js_c)`` over ALL
     buckets is the total JS divergence; the returned slice localizes
     it. Add-one smoothing keeps every bucket defined on both sides."""
-    occ = docs.select(
-        in_side_a.alias("_a"),
-        F.explode(_gram_array(F.col(text_col), max_n)).alias("_g"),
-    ).select("_a", _bucket_expr(F.col("_g"), n_buckets).alias("bucket"))
+    # tokens staged as a generator output (see
+    # classify._gram_array_from_tokens — Generate gets no codegen
+    # subexpression elimination, so an inline tokenize would re-run
+    # once per reference in the gram build)
+    occ = (
+        docs.select(
+            in_side_a.alias("_a"),
+            F.explode_outer(F.array(tokenize(text_col))).alias("_toks"),
+        )
+        .select(
+            "_a",
+            F.explode(
+                _gram_array_from_tokens(F.col("_toks"), max_n)
+            ).alias("_g"),
+        )
+        .select("_a", _bucket_expr(F.col("_g"), n_buckets).alias("bucket"))
+    )
+    # ≤ n_buckets rows, referenced TWICE below (the totals broadcast
+    # and the join) — materialize so the corpus gram pass runs once
     counts = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("_a"), 1).otherwise(0)).alias("a_cnt"),
         F.sum(F.when(F.col("_a"), 0).otherwise(1)).alias("b_cnt"),
-    )
+    ).localCheckpoint()
     totals = counts.agg(
         (F.sum("a_cnt") + F.lit(n_buckets)).alias("_ta"),
         (F.sum("b_cnt") + F.lit(n_buckets)).alias("_tb"),

@@ -33,8 +33,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from documents_vector_search_spark.functions.hashing import md5_hash64
+from documents_vector_search_spark.functions.text import tokenize
 from documents_vector_search_spark.functions.vectors import lit_double_array
-from documents_vector_search_spark.operators.classify import _gram_array
+from documents_vector_search_spark.operators.classify import (
+    _gram_array,
+    _gram_array_from_tokens,
+)
 
 DSIR_BUCKETS = 256
 DSIR_MAX_N = 2
@@ -61,10 +65,23 @@ def fit_dsir_log_ratios(
     add-one smoothing; ``p_raw`` is the WHOLE corpus (the paper fits
     raw on the pool being selected from). Distributed counting, a
     ``n_buckets``-row collect, driver-side ln."""
-    occ = docs.select(
-        is_target.alias("_t"),
-        F.explode(_gram_array(F.col(text_col), max_n)).alias("_g"),
-    ).select("_t", _bucket_expr(F.col("_g"), n_buckets).alias("_b"))
+    # tokens staged as a generator output: the gram build then reads an
+    # attribute instead of re-running tokenize per reference inside the
+    # explode (Generate nodes get no codegen subexpression elimination —
+    # see classify._gram_array_from_tokens)
+    occ = (
+        docs.select(
+            is_target.alias("_t"),
+            F.explode_outer(F.array(tokenize(text_col))).alias("_toks"),
+        )
+        .select(
+            "_t",
+            F.explode(
+                _gram_array_from_tokens(F.col("_toks"), max_n)
+            ).alias("_g"),
+        )
+        .select("_t", _bucket_expr(F.col("_g"), n_buckets).alias("_b"))
+    )
     counts = (
         occ.groupBy("_b")
         .agg(

@@ -3382,9 +3382,13 @@ def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows instead of the full postings table (which the previous form
     # materialized wholesale for two consumers that both discard
     # ~everything in it).
+    # with_dl=True: every pruned posting row carries its document's dl
+    # (one bigint per row over tens-of-terms × docs), so the scorer
+    # skips the corpus-sized doc_stats dl join entirely — doc_stats
+    # below feeds only the one-row (N, avgdl) aggregate
     _q_term_set = sorted({t for _, t, _n in qterm_rows})
     postings = (
-        build_postings(docs)
+        build_postings(docs, with_dl=True)
         .filter(F.col("term").isin(_q_term_set))
         .localCheckpoint()
     )
