@@ -162,7 +162,27 @@ def spell_corrections(
             didx = didx.filter(F.col("variant_bucket").isin(buckets))
         didx = didx.filter(F.col("variant").isin([v for _, v in qrows]))
     else:
-        didx = build_deletion_index(vocab, term_col=term_col, max_edits=max_edits)
+        # implied predicate of the variant equi-join: a term of length
+        # L only produces variants of lengths [L-max_edits, L], so it
+        # can only match some query term q when
+        # L ∈ [len(q)-max_edits, len(q)+max_edits]. Filtering the
+        # vocabulary to that length set BEFORE the deletion explode
+        # prunes the vocabulary-sized variant expansion to a sliver,
+        # and (length(term) being a function of the grouping key) the
+        # predicate pushes below the vocab aggregate into the token
+        # stream. Value-identical: excluded terms could never join.
+        lengths = sorted(
+            {
+                len(q) + d
+                for q in lowered
+                for d in range(-max_edits, max_edits + 1)
+                if len(q) + d > 0
+            }
+        )
+        pruned = vocab.filter(F.length(F.col(term_col)).isin(lengths))
+        didx = build_deletion_index(
+            pruned, term_col=term_col, max_edits=max_edits
+        )
     spark = (vocab if vocab is not None else deletion_index).sparkSession
     probes = spark.createDataFrame(qrows, "qraw string, variant string")
     cand = (
