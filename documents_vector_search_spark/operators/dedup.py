@@ -859,7 +859,15 @@ def repeated_span_report(
     from documents_vector_search_spark.functions.text import tokenize
 
     k = span_tokens
-    staged = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    # token array staged as a GENERATOR output: the Project form gets
+    # merged by CollapseProject into downstream consumers, so the
+    # size() pre-filter and the span projection each re-evaluated
+    # tokenize once per row (3 occurrences in the plan); the generator
+    # attribute is computed once (classify._gram_array_from_tokens
+    # rationale)
+    staged = docs.select(
+        F.col(id_col), F.explode_outer(F.array(tokenize(text_col))).alias("_toks")
+    )
     spans = staged.filter(F.size("_toks") > 0).select(
         F.col(id_col),
         F.explode(
