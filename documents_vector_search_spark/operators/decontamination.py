@@ -70,6 +70,27 @@ def estimate_gram_bytes(
     return est_grams * per_gram
 
 
+def _shingle_rows(
+    df: DataFrame, carry: list, text_col: str, n: int
+) -> DataFrame:
+    """``(*carry, gram)`` — one row per distinct-in-document n-gram
+    shingle, with the token array staged as a GENERATOR output so
+    tokenize runs once per row: Generate nodes get no codegen
+    subexpression elimination, and ``word_shingles`` references its
+    token argument three times (short-doc CASE + two array_joins), so
+    the inline form re-tokenized every row ~3× inside the explode
+    (same fix as classify._gram_array_from_tokens)."""
+    staged = df.select(
+        *carry, F.explode_outer(F.array(tokenize(text_col))).alias("_stoks")
+    )
+    return staged.select(
+        *carry,
+        F.explode(
+            F.array_distinct(word_shingles(F.col("_stoks"), n))
+        ).alias("gram"),
+    )
+
+
 def benchmark_ngrams(
     benchmark: DataFrame,
     n: int = 5,
@@ -84,10 +105,7 @@ def benchmark_ngrams(
     13-gram set broadcasts as 8 bytes/gram instead of the raw strings
     (~4-8× smaller), at a ~n²/2⁶⁴ false-collision risk — the standard
     trade at scale. Both sides must use the same setting."""
-    gram = F.explode(
-        F.array_distinct(word_shingles(tokenize(text_col), n))
-    ).alias("gram")
-    out = benchmark.select(gram)
+    out = _shingle_rows(benchmark, [], text_col, n)
     if hash_grams:
         from documents_vector_search_spark.functions.hashing import (
             md5_hash64,
@@ -153,11 +171,17 @@ def contamination_report(
     drifts from the oracle.
     """
     grams = benchmark_ngrams(benchmark, n, bench_text_col, hash_grams)
-    toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
-    doc_gram = F.explode(
-        F.array_distinct(word_shingles(toks, n))
-    ).alias("gram")
-    doc_grams = docs.select(F.col(id_col), doc_gram)
+    if tokens_col:
+        # upstream already tokenized: word_shingles references the
+        # materialized column (O(1) per reference), no staging needed
+        doc_grams = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(F.col(tokens_col), n))
+            ).alias("gram"),
+        )
+    else:
+        doc_grams = _shingle_rows(docs, [F.col(id_col)], text_col, n)
     if hash_grams:
         from documents_vector_search_spark.functions.hashing import (
             md5_hash64,
@@ -226,17 +250,8 @@ def benchmark_hit_report(
     bench_cols = [F.col(bench_id_col)] + (
         [F.col(suite_col)] if suite_col else []
     )
-    bd_grams = benchmark.select(
-        *bench_cols,
-        F.explode(
-            F.array_distinct(word_shingles(tokenize(bench_text_col), n))
-        ).alias("gram"),
-    )
-    train_grams = docs.select(
-        F.explode(F.array_distinct(word_shingles(tokenize(text_col), n))).alias(
-            "gram"
-        )
-    )
+    bd_grams = _shingle_rows(benchmark, bench_cols, bench_text_col, n)
+    train_grams = _shingle_rows(docs, [], text_col, n)
     if hash_grams:
         from documents_vector_search_spark.functions.hashing import (
             md5_hash64,
