@@ -145,6 +145,11 @@ def compact_collection(
             {table: rewritten},
             partition_cols={table: pcols},
             affected_pbs={table: frag},
+            # `rewritten` already carries its deliberate layout (the
+            # Z-order file assignment or the salted per-dir split) —
+            # the swap's default pre-clustering repartition would
+            # destroy it
+            no_cluster=frozenset({table}),
         )
         after = bucket_file_counts(Path(collection.table_path(table)))
         report[table] = {

@@ -83,10 +83,22 @@ def _recover_orphans(collection: Collection, tables: list[str]) -> None:
                 shutil.rmtree(orphan)
 
 
+def _zorder_tables(manifest: Manifest) -> frozenset[str]:
+    """Tables whose manifest records a Z-order layout. Their staged
+    merge writes must NOT be pre-clustered by partition value: the
+    plain (multi-file) write is what makes a rewritten bucket's
+    degraded clustering DETECTABLE by compact_collection's
+    file-count heuristic, which then re-clusters it from the manifest
+    record — the documented ingest-then-OPTIMIZE lifecycle."""
+    zcfg = manifest.converter.get("zorder") or {}
+    return frozenset({zcfg["table"]}) if zcfg else frozenset()
+
+
 def _swap_all(
     collection: Collection,
     merged: dict[str, DataFrame],
     partition_cols: dict[str, list[str]] | None = None,
+    no_cluster: frozenset[str] = frozenset(),
 ) -> None:
     """Legacy two-phase FULL table rewrite: FIRST materialize every
     merged table to a __tmp dir (all plans still read the intact
@@ -96,7 +108,7 @@ def _swap_all(
     ``updateBuckets``."""
     for table, df in merged.items():
         cols = (partition_cols or {}).get(table, [])
-        if cols:
+        if cols and table not in no_cluster:
             # cluster rows by partition values before the partitioned
             # write — same file-spray rationale as _swap_partitions
             df = df.repartition(*[F.col(c) for c in cols])
@@ -124,6 +136,7 @@ def _swap_partitions(
     partition_cols: dict[str, list[str]],
     affected_pbs: dict[str, list[int]],
     swap_cols: dict[str, str] | None = None,
+    no_cluster: frozenset[str] = frozenset(),
 ) -> None:
     """Two-phase PARTITION-scoped swap. Phase A stages every merged
     table (affected partitions only) under ``<table>__tmp`` while all
@@ -152,7 +165,7 @@ def _swap_partitions(
         table, df = item
         with _timer.stage(f"stage_write:{table}"):
             cols = partition_cols[table]
-            if cols:
+            if cols and table not in no_cluster:
                 # cluster the staged rows by their partition values
                 # first: without it every write task sprays one file
                 # into every (term_bucket, _pb) directory it holds rows
@@ -809,6 +822,7 @@ def update_collection(
                         for t, cols in layout_cols.items()
                     },
                     affected_pbs={t: doc_pbs for t in merged},
+                    no_cluster=_zorder_tables(manifest),
                 )
                 fuzzy_staged = f_fuzzy_staged.result()
 
@@ -853,6 +867,7 @@ def update_collection(
         collection,
         merged,
         partition_cols={t: cols for t, cols in layout_cols.items() if cols},
+        no_cluster=_zorder_tables(manifest),
     )
     _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
 
@@ -1106,6 +1121,7 @@ def delete_documents(
                     for t, cols in layout_cols.items()
                 },
                 affected_pbs={t: doc_pbs for t in merged},
+                no_cluster=_zorder_tables(manifest),
             )
             fuzzy_staged = f_fuzzy_staged.result()
         if not partial_recovery:
@@ -1134,6 +1150,7 @@ def delete_documents(
         partition_cols={
             t: cols for t, cols in layout_cols.items() if cols
         },
+        no_cluster=_zorder_tables(manifest),
     )
     # legacy path: exact recount
     _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
