@@ -96,14 +96,31 @@ def compact_collection(
         if not root.exists():
             continue
         counts = bucket_file_counts(root)
+        zcfg = _zorder_config(collection, table)
+        # Z-order tables: updates pre-cluster their rewritten buckets
+        # like every other table (one file per directory — optimal
+        # between compactions), so file counts cannot signal their
+        # DEGRADED CLUSTERING; the updater records the rewritten
+        # buckets in the manifest instead (updater.
+        # _record_zorder_degraded) and compaction re-clusters exactly
+        # those, clearing the record below.
+        degraded = (
+            [pb for pb in zcfg.get("degraded_pbs", []) if pb in counts]
+            if zcfg
+            else []
+        )
         frag = sorted(
-            pb for pb, c in counts.items() if c["max_per_dir"] > max_files_per_dir
+            {
+                pb
+                for pb, c in counts.items()
+                if c["max_per_dir"] > max_files_per_dir
+            }
+            | set(degraded)
         )
         if not frag:
             continue
         df = collection.read(table).filter(F.col(UPDATE_PB_COL).isin(frag))
         pcols = [c for c in _LAYOUT_COLS if c in df.columns] + [UPDATE_PB_COL]
-        zcfg = _zorder_config(collection, table)
         if zcfg:
             # the manifest records a Z-order layout for this table:
             # re-cluster the fragmented buckets instead of a plain
@@ -151,6 +168,23 @@ def compact_collection(
             # destroy it
             no_cluster=frozenset({table}),
         )
+        if zcfg and zcfg.get("degraded_pbs"):
+            # clustering restored for every compacted bucket: clear
+            # them from the degraded record (buckets no longer on disk
+            # drop too) and persist
+            manifest = collection.manifest()
+            mz = manifest.converter.get("zorder") or {}
+            remaining = sorted(
+                pb
+                for pb in mz.get("degraded_pbs", [])
+                if pb in counts and pb not in frag
+            )
+            if remaining:
+                mz["degraded_pbs"] = remaining
+            else:
+                mz.pop("degraded_pbs", None)
+            manifest.converter["zorder"] = mz
+            collection.save_manifest(manifest)
         after = bucket_file_counts(Path(collection.table_path(table)))
         report[table] = {
             "buckets": frag,

@@ -96,6 +96,34 @@ class CollectionSearcher:
         self._sq_cfg: dict | None | str = "_unset"
         self._corpus_stats: tuple[int, float] | None = None
         self._bm25f_stats: dict[str, float] | None = None
+        if cache_tables:
+            self._warm_cache()
+
+    def _warm_cache(self) -> None:
+        """Materialize every serving table's executor-memory cache NOW,
+        as concurrent driver-thread jobs — the serving-process startup
+        pattern (pay at construction, not on the first query). Without
+        this the first search's job materializes each persisted table
+        lazily and SERIALLY as its plan first touches it; the fan-out
+        overlaps the table scans exactly like the creator's build
+        fan-out. One cheap count() per table forces the InMemoryRelation
+        to cache all partitions (the cache stores the full table row
+        set; count on top of it is free)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from documents_vector_search_spark.collection.catalog import TABLES
+
+        root = self.collection.root
+        present = [
+            t
+            for t in TABLES
+            if (root / t).exists() or (root / f"{t}__old").exists()
+        ]
+        # plan construction (and the _cached dict fill) stays serial —
+        # _read is not thread-safe; only the materialization fans out
+        frames = [self._read(t) for t in present]
+        with ThreadPoolExecutor(max_workers=max(1, len(frames))) as pool:
+            list(pool.map(lambda df: df.count(), frames))
 
     @property
     def embedding_dim(self) -> int:
@@ -419,6 +447,11 @@ class CollectionSearcher:
             doc_stats=doc_stats,
             candidates=allowed,
             corpus_stats=self._bm25_corpus_stats(),
+            # cached serving tables: per-term df via aggregate+broadcast
+            # (the matched slice re-reads from executor memory) instead
+            # of sort-shuffling every matched postings row by term —
+            # _attach_term_df documents the scale analysis
+            df_via_aggregate=self._cache_tables,
         )
         return hits.select("chunk_id", "score")
 
@@ -1202,6 +1235,7 @@ class CollectionSearcher:
             candidates=allowed,
             corpus_stats=self._bm25_corpus_stats(),
             doc_stats=self._read("doc_stats"),
+            df_via_aggregate=self._cache_tables,
         ).select("chunk_id", "score")
 
     # -- public ----------------------------------------------------------
@@ -1641,6 +1675,7 @@ class CollectionSearcher:
                     doc_stats=self._read("doc_stats"),
                     corpus_stats=self._bm25_corpus_stats(),
                     candidates=allowed,
+                    df_via_aggregate=self._cache_tables,
                 )
             scored.append(bm.withColumn("_src", F.lit("b")))
         if "phrase" in indexes:

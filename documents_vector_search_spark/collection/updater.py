@@ -84,14 +84,38 @@ def _recover_orphans(collection: Collection, tables: list[str]) -> None:
 
 
 def _zorder_tables(manifest: Manifest) -> frozenset[str]:
-    """Tables whose manifest records a Z-order layout. Their staged
-    merge writes must NOT be pre-clustered by partition value: the
-    plain (multi-file) write is what makes a rewritten bucket's
-    degraded clustering DETECTABLE by compact_collection's
-    file-count heuristic, which then re-clusters it from the manifest
-    record — the documented ingest-then-OPTIMIZE lifecycle."""
+    """Tables whose manifest records a Z-order layout."""
     zcfg = manifest.converter.get("zorder") or {}
-    return frozenset({zcfg["table"]}) if zcfg else frozenset()
+    table = zcfg.get("table")
+    return frozenset({table}) if table else frozenset()
+
+
+def _record_zorder_degraded(
+    collection: Collection, manifest: Manifest, pbs: list[int]
+) -> None:
+    """Record the update/delete-rewritten ``_pb`` buckets of the
+    manifest's Z-order table as CLUSTERING-DEGRADED, and persist the
+    manifest immediately (before the swap: over-recording after a
+    crash costs one redundant re-cluster; under-recording would leave
+    a degraded bucket invisible to OPTIMIZE forever).
+
+    The staged merge write pre-clusters by partition values like every
+    other table — ONE file per rewritten directory, the optimal
+    between-compaction layout (guide §6: the earlier design sprayed
+    one file per write-task×directory purely so the compactor's
+    file-count heuristic would notice the bucket; that signal was
+    unbounded on an update-heavy collection). compact_collection reads
+    this list, re-clusters the buckets from the manifest's zorder
+    record, and clears them."""
+    zcfg = manifest.converter.get("zorder") or {}
+    if not zcfg.get("table") or not pbs:
+        return
+    prev = set(zcfg.get("degraded_pbs") or [])
+    new = prev | {int(pb) for pb in pbs}
+    if new != prev:
+        zcfg["degraded_pbs"] = sorted(new)
+        manifest.converter["zorder"] = zcfg
+        collection.save_manifest(manifest)
 
 
 def _swap_all(
@@ -814,6 +838,7 @@ def update_collection(
                 f_fuzzy_staged = _sp.submit(
                     _stage_fuzzy_delta, collection, manifest, fuzzy_delta_path
                 )
+                _record_zorder_degraded(collection, manifest, doc_pbs)
                 _swap_partitions(
                     collection,
                     merged,
@@ -822,7 +847,6 @@ def update_collection(
                         for t, cols in layout_cols.items()
                     },
                     affected_pbs={t: doc_pbs for t in merged},
-                    no_cluster=_zorder_tables(manifest),
                 )
                 fuzzy_staged = f_fuzzy_staged.result()
 
@@ -867,7 +891,6 @@ def update_collection(
         collection,
         merged,
         partition_cols={t: cols for t, cols in layout_cols.items() if cols},
-        no_cluster=_zorder_tables(manifest),
     )
     _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)
 
@@ -1113,6 +1136,7 @@ def delete_documents(
             f_fuzzy_staged = _sp.submit(
                 _stage_fuzzy_delta, collection, manifest, fuzzy_delta_path
             )
+            _record_zorder_degraded(collection, manifest, doc_pbs)
             _swap_partitions(
                 collection,
                 merged,
@@ -1121,7 +1145,6 @@ def delete_documents(
                     for t, cols in layout_cols.items()
                 },
                 affected_pbs={t: doc_pbs for t in merged},
-                no_cluster=_zorder_tables(manifest),
             )
             fuzzy_staged = f_fuzzy_staged.result()
         if not partial_recovery:
@@ -1150,7 +1173,6 @@ def delete_documents(
         partition_cols={
             t: cols for t, cols in layout_cols.items() if cols
         },
-        no_cluster=_zorder_tables(manifest),
     )
     # legacy path: exact recount
     _apply_fuzzy_delta(collection, manifest, fuzzy_delta_path)

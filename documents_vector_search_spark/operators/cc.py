@@ -35,7 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -71,13 +71,19 @@ def connected_components(
         pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).persist()
 
+    # convergence sums ride the checkpoint materialization job via
+    # observe(): the eager localCheckpoint fires QueryExecutionListener
+    # metrics, so the per-round scalar aggregate costs ZERO extra jobs
+    # (previously each round ran materialize + a separate sum job)
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = obs0.get["s"]
 
     try:
         for _ in range(max_rounds):
@@ -88,6 +94,7 @@ def connected_components(
             )
             # localCheckpoint (eager) truncates the lineage: round N's
             # plan starts from materialized rows, not N nested joins
+            obs = Observation()
             labels = (
                 labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
                 .select(
@@ -97,9 +104,10 @@ def connected_components(
                         F.coalesce(F.col("nbr_label"), F.col("label")),
                     ).alias("label"),
                 )
+                .observe(obs, F.sum("label").alias("s"))
                 .localCheckpoint()
             )
-            new_sum = labels.agg(F.sum("label")).first()[0]
+            new_sum = obs.get["s"]
             if new_sum == prev_sum:  # fixed point: no label decreased
                 return labels.select("id", F.col("label").alias("cluster_id"))
             prev_sum = new_sum
@@ -176,8 +184,11 @@ def connected_components_star(
             .distinct()
         )
         # SMALL-STAR over the (child ≥ parent) edges: every child and
-        # not-larger neighbor repoints at the local minimum
+        # not-larger neighbor repoints at the local minimum.
+        # The convergence aggregate rides the checkpoint job via
+        # observe() — same zero-extra-jobs trick as the label loop.
         m = _min_nbr(edges)
+        obs = Observation()
         edges = (
             edges.join(m, "u")
             .select(F.col("u"), F.col("m").alias("v"))
@@ -188,11 +199,12 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(
+                obs, F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+            )
             .localCheckpoint()
         )
-        new_sum = edges.agg(
-            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-        ).first()
+        new_sum = obs.get
         key = (new_sum["s"], new_sum["n"])
         if key == prev_sum:  # fixed point: star forest reached
             roots = edges.select(F.col("v").alias("id")).subtract(

@@ -83,12 +83,18 @@ def _shingle_rows(
     staged = df.select(
         *carry, F.explode_outer(F.array(tokenize(text_col))).alias("_stoks")
     )
+    # explode_outer + isNotNull instead of plain explode: explode
+    # triggers InferFiltersFromGenerate, whose inferred size(...)>0
+    # pre-filter re-evaluates the whole word_shingles regex tree once
+    # more per row below the Generate (same dodge as build_postings).
+    # Shingle elements are never NULL (array_join/regexp_extract_all
+    # outputs), so the filtered result is row-identical.
     return staged.select(
         *carry,
-        F.explode(
+        F.explode_outer(
             F.array_distinct(word_shingles(F.col("_stoks"), n))
         ).alias("gram"),
-    )
+    ).filter(F.col("gram").isNotNull())
 
 
 def benchmark_ngrams(

@@ -534,22 +534,41 @@ def simhash_pairs(
         F.collect_list(F.struct("id", "simhash")).alias("_members")
     )
     pairs = (
-        buckets.select(F.explode("_members").alias("a"), F.col("_members"))
-        .select("a", F.explode("_members").alias("b"))
+        buckets.select(
+            F.col("band_index"),
+            F.explode("_members").alias("a"),
+            F.col("_members"),
+        )
+        .select("band_index", "a", F.explode("_members").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
     )
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("bigint")
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor).cast("bigint")
+    out = pairs.select(
+        F.col("band_index"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming.alias("hamming"),
+        xor.alias("_xor"),
+    ).filter(F.col("hamming") <= max_hamming)
+    if max_bucket_size is None:
+        # a pair agreeing on k bands is generated in k buckets; emit it
+        # only from the FIRST agreeing band (no earlier xor byte is
+        # zero) — pairs are unique by construction and the distinct()
+        # exchange over every candidate pair disappears. Only valid
+        # uncapped: with max_bucket_size an earlier band's bucket may
+        # have been dropped, and the pair must then survive via a
+        # later surviving bucket.
+        earlier_agrees = F.lit(False)
+        for b in range(3):
+            byte_b = F.shiftright(F.col("_xor"), 8 * b).bitwiseAND(
+                F.lit(255)
+            )
+            earlier_agrees = earlier_agrees | (
+                (F.col("band_index") > b) & (byte_b == 0)
+            )
+        return out.filter(~earlier_agrees).select("id_a", "id_b", "hamming")
+    return out.select("id_a", "id_b", "hamming").distinct()
 
 
 def ngram_jaccard_pairs(

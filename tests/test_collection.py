@@ -998,12 +998,15 @@ class TestDeleteDocuments:
 
         real_swap = upd._swap_partitions
 
-        def dying_swap(collection, merged, partition_cols, affected_pbs):
+        def dying_swap(
+            collection, merged, partition_cols, affected_pbs, **kwargs
+        ):
             partial = {t: df for t, df in merged.items() if t != "documents"}
             real_swap(
                 collection, partial,
                 {t: partition_cols[t] for t in partial},
                 {t: affected_pbs[t] for t in partial},
+                **kwargs,
             )
             raise RuntimeError("simulated crash before the documents swap")
 

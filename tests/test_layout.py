@@ -6,6 +6,8 @@ single-column sort."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -553,6 +555,89 @@ class TestZorderCollection:
         )
         assert frac < 1.0, frac
         assert coll.read("documents").count() == 4096
+
+    def test_zorder_update_staging_is_bounded_and_compactable(
+        self, spark, tmp_path
+    ):
+        """The full z-order lifecycle: create → update/delete → compact.
+        Updates pre-cluster the z-order table's rewritten buckets like
+        every other table — ONE file per partition directory, so the
+        between-compaction file count is bounded at the optimum — and
+        record the rewritten buckets as clustering-degraded in the
+        manifest (updater._record_zorder_degraded). compact_collection
+        must (a) keep results exactly identical, (b) detect the
+        degraded buckets from the manifest record (file counts can no
+        longer signal them), (c) restore the z-order clustering, and
+        (d) clear the record."""
+        from documents_vector_search_spark.collection import (
+            Collection,
+            create_collection,
+            delete_documents,
+            update_collection,
+        )
+        from documents_vector_search_spark.collection.compactor import (
+            bucket_file_counts,
+            compact_collection,
+        )
+
+        docs = self._grid_docs(spark)
+        coll = Collection(spark, str(tmp_path), "zb")
+        create_collection(
+            coll, docs, update_buckets=2, zorder_by=("x", "y"),
+            zorder_files=16,
+        )
+        batch = self._grid_docs(spark).filter(F.col("x") < 4).withColumn(
+            "text", F.concat(F.lit("v2 "), F.col("text"))
+        ).withColumn(
+            "last_modified_at",
+            F.to_timestamp(F.lit("2024-03-02 00:00:00")),
+        )
+        update_collection(coll, batch)
+
+        # merge semantics: updated rows carry the new text, row set
+        # complete
+        got = coll.read("documents")
+        assert got.count() == 4096
+        assert (
+            got.filter(F.col("text").startswith("v2 ")).count()
+            == batch.count()
+        )
+
+        # bounded staging: every rewritten bucket directory holds ONE
+        # file (the same pre-clustered write every other table gets)
+        counts = bucket_file_counts(
+            Path(coll.table_path("documents"))
+        )
+        assert max(c["max_per_dir"] for c in counts.values()) == 1, counts
+        # ...and the rewritten buckets are recorded for OPTIMIZE
+        degraded = coll.manifest().converter["zorder"]["degraded_pbs"]
+        assert degraded, "update must record its buckets as degraded"
+
+        # a follow-up delete keeps the bound and extends the record
+        victim = [r.id for r in batch.select("id").limit(5).collect()]
+        delete_documents(coll, victim)
+        counts = bucket_file_counts(
+            Path(coll.table_path("documents"))
+        )
+        assert max(c["max_per_dir"] for c in counts.values()) == 1, counts
+        recorded = coll.manifest().converter["zorder"]["degraded_pbs"]
+        assert set(degraded) <= set(recorded)
+
+        # compaction detects the degraded buckets from the manifest
+        # (all dirs are 1-file, so the file-count heuristic alone would
+        # miss them), restores clustering, and clears the record
+        report = compact_collection(
+            coll, tables=["documents"], max_files_per_dir=1,
+        )
+        assert "documents" in report
+        assert set(recorded) <= set(report["documents"]["buckets"])
+        box = dict(col_a="x", lo_a=32, hi_a=47, col_b="y", lo_b=32, hi_b=47)
+        frac = file_minmax_overlap_fraction(
+            coll.table_path("documents"), **box
+        )
+        assert frac < 1.0, frac
+        assert coll.read("documents").count() == 4096 - 5
+        assert "degraded_pbs" not in coll.manifest().converter["zorder"]
 
 
 class TestZorderCLI:
