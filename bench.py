@@ -343,7 +343,17 @@ def _bench_collection(
     timings["collection_build"] = round(time.time() - t0, 3)
     build_breakdown["collection_build_fuzzy"] = timings["collection_build"]
 
+    # r13: CollectionSearcher(cache_tables=True) now warms every table
+    # cache CONCURRENTLY at construction (the serving-startup pattern),
+    # so the cost the old cold indexed_search_hybrid key carried
+    # (lazy serial cache materialization inside the first search) moved
+    # into construction. Time construction as its OWN key so the bench
+    # still accounts for every second — indexed_search_hybrid now
+    # measures first-query latency against warmed caches, which is what
+    # a deployment's first user sees after startup.
+    t0 = time.time()
     searcher = CollectionSearcher(coll, cache_tables=True)
+    timings["searcher_init"] = round(time.time() - t0, 3)
 
     def _serve(qname, fn, warm_and_median=True):
         """Time a serving call: one untimed warm run, then median of 3

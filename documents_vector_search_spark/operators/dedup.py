@@ -180,6 +180,7 @@ def minhash_band_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry_shingles: bool = False,
+    hashed_carry: bool = False,
 ) -> DataFrame:
     """``(id[, shingles], band_index, band_value)`` — one row per
     (document, LSH band): the map-only front half of MinHash-LSH,
@@ -187,7 +188,17 @@ def minhash_band_rows(
     carries the shingle arrays for exact verification) and the
     streaming admission gate (streaming/neardup.py, which matches on
     band values alone and must NOT pay the shingle-array shuffle
-    weight)."""
+    weight).
+
+    ``hashed_carry`` replaces each carried shingle STRING with the
+    64-bit key already derived for the MinHash seeds (the two 32-bit
+    md5 halves of the staged ``_ab`` struct, packed) — zero extra
+    hashing, and the band shuffle ships 8 bytes per shingle instead of
+    the string payload (the ``bands`` copies of every document's
+    shingle array are the dominant shuffle bytes of the pair finders).
+    Set-intersection/size verification over the packed keys equals the
+    string form unless two distinct shingles collide in the first 64
+    md5 bits (~n²/2⁶⁴ — the decontamination ``hash_grams`` trade)."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -211,6 +222,16 @@ def minhash_band_rows(
     def fam(i: int):
         return lambda e: minhash_from_ab(e, i)
 
+    if carry_shingles and hashed_carry:
+        # pack the staged (a, b) md5 halves into one int64 per shingle
+        # — pure arithmetic over the already-computed seeds
+        ab = ab.select(
+            "id",
+            F.transform(
+                "_ab", lambda e: F.shiftleft(e["a"], 32).bitwiseOR(e["b"])
+            ).alias("shingles"),
+            "_ab",
+        )
     carry = ["id", "shingles"] if carry_shingles else ["id"]
     sig = ab.select(
         *carry,
@@ -284,7 +305,11 @@ def minhash_lsh_pairs(
     """
     banded = minhash_band_rows(
         docs, num_hashes, bands, shingle_words, id_col, text_col,
-        carry_shingles=True,
+        # verification rides 64-bit packed shingle keys (free from the
+        # minhash seeds) — the band shuffle ships 8 bytes/shingle
+        # instead of strings and the Jaccard intersections compare
+        # longs (guide §2.3: shuffle fewer bytes)
+        carry_shingles=True, hashed_carry=True,
     )
 
     if max_bucket_size is not None:
@@ -390,14 +415,14 @@ def minhash_lsh_pairs_between(
     """
     left = minhash_band_rows(
         new_docs, num_hashes, bands, shingle_words, id_col, text_col,
-        carry_shingles=True,
+        carry_shingles=True, hashed_carry=True,
     ).select(
         F.col("id").alias("_nid"), F.col("shingles").alias("_nsh"),
         "band_index", "band_value",
     )
     right = minhash_band_rows(
         corpus_docs, num_hashes, bands, shingle_words, id_col, text_col,
-        carry_shingles=True,
+        carry_shingles=True, hashed_carry=True,
     ).select(
         F.col("id").alias("_cid"), F.col("shingles").alias("_csh"),
         "band_index", "band_value",
