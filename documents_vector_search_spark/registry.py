@@ -8804,7 +8804,7 @@ FROM rk WHERE r <= 256 GROUP BY day ORDER BY day
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry ordering = driver verification rotation (round 12).
+    """Registry ordering = driver verification rotation (round 13).
 
     The driver's correctness gate records the FIRST 50 entries, so dict
     order is a verification budget. Policy: never-driver-green keys
@@ -8813,90 +8813,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rule (never-green keys must be in-window) with exit 1.
 
     STALENESS ARITHMETIC (re-stated per policy): at 176 keys the full
-    cycle is ceil(176/50) = FOUR rounds — the SAME as at 156 and 172,
-    so registering the four r12-new operators costs ZERO extra
-    staleness. The compensating control is unchanged and mandatory:
-    EVERY round runs the full local `dev/compare.py` sf0.01 sweep over
-    ALL keys (recorded in STATUS), so out-of-window keys are never
-    unverified — only unverified BY THE DRIVER. Do not grow the
-    registry without re-stating this arithmetic.
+    cycle is ceil(176/50) = FOUR rounds. No keys were added this round
+    (optimization only). The compensating control is unchanged and
+    mandatory: EVERY round runs the full local `dev/compare.py` sf0.01
+    sweep over ALL keys (recorded in STATUS/OPTIMIZATION), so
+    out-of-window keys are never unverified — only unverified BY THE
+    DRIVER. Do not grow the registry without re-stating this
+    arithmetic.
 
-    Round 12 window (dev/rotation.py's recommendation after r11, with
-    the never-green-first rule):
-    - positions 1-4: the FOUR keys new this round, landing WITH their
-      operators per the standing rule: contamination_rate (benchmark-
-      side decontamination signoff rollup), psi_drift (Population
-      Stability Index over numeric bins — corpus_drift's BI twin),
-      burstiness (Goh-Barabási inter-event gap profile), dau_kmv
-      (per-day KMV active users — the bounded-state batch anchor of
-      streaming dau_stream).
-    - positions 5-26: the 22 r8-green keys the r11 boundary displaced
-      (knn_l2 .. canonical_projection) — the stalest driver-green
-      cohort, due back exactly as the r11 verdict scheduled.
-    - positions 27-50: the first 24 r9-green keys in rotation order
-      (knn_cosine .. funnel_bucketed).
-    - out-of-window tail (51+): the remaining 26 r9 keys (due r13),
-      then the 50 r10-green keys, then the 50 r11-green keys (newest —
-      soft_dedup .. bm25_topk, due back r14).
+    Round 13 window (dev/rotation.py's recommendation after r12; no
+    never-green keys exist):
+    - positions 1-26: the remaining r9-green keys, due back exactly as
+      the r12 ordering scheduled (tpch_q7 .. pagerank).
+    - positions 27-50: the 24 stalest r10-green keys in rotation order
+      (scd2_apply .. rollup) — which puts the driver's verification on
+      several keys this optimization round touched or re-shaped
+      (ql_dirichlet, binary_ann, snippets, bm25_rm3, dsir_select,
+      corpus_prep_gopher, cluster_split, phrase_search).
+    - out-of-window tail (51+): the remaining r10 keys, the r11
+      cohort, then the displaced r12-green window (newest — due back
+      r15+), each in staleness order.
     """
     _ensure_assets_seeded()
     return {
-        # -- window 1-4: NEW this round (never driver-green) -----------
-        "contamination_rate": q_contamination_rate,
-        "psi_drift": q_psi_drift,
-        "burstiness": q_burstiness,
-        "dau_kmv": q_dau_kmv,
-        # -- window 5-26: the 22 r8-green keys, due back this round ------
-        "knn_l2": q_knn_l2,
-        "ann_lsh": q_ann_lsh,
-        "rrf_hybrid": q_rrf_hybrid,
-        "group_hits": q_group_hits,
-        "chunk_split": q_chunk_split,
-        "filter_docs": q_filter_docs,
-        "incremental_merge": q_incremental_merge,
-        "dedup_exact": q_dedup_exact,
-        "minhash_sig": q_minhash_sig,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_apply": q_dedup_apply,
-        "embedding_neardup": q_embedding_neardup,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "fingerprint": q_fingerprint,
-        "kmv_distinct": q_kmv_distinct,
-        "value_percentiles": q_value_percentiles,
-        "decontaminate": q_decontaminate,
-        "tpch_q1": q_tpch_q1,
-        "revenue_join": q_revenue_join,
-        "sessionize": q_sessionize,
-        "canonical_projection": q_canonical_projection,
-        # -- window 27-50: the 24 stalest r9-green keys (rotation
-        # order); the window boundary falls after funnel_bucketed --------
-        "knn_cosine": q_knn_cosine,
-        "knn_l2_filtered": q_knn_l2_filtered,
-        "sq8_ann": q_sq8_ann,
-        "vocab_stats": q_vocab_stats,
-        "dataset_ingest": q_dataset_ingest,
-        "recursive_chunk": q_recursive_chunk,
-        "span_dedup": q_span_dedup,
-        "events_pivot": q_events_pivot,
-        "ivfpq_search": q_ivfpq_search,
-        "topic_terms": q_topic_terms,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram": q_dedup_ngram,
-        "events_window": q_events_window,
-        "topk_per_group": q_topk_per_group,
-        "fetch_slice": q_fetch_slice,
-        "tpch_q10": q_tpch_q10,
-        "event_paths": q_event_paths,
-        "cms_counts": q_cms_counts,
-        "tfidf_keywords": q_tfidf_keywords,
-        "field_postings": q_field_postings,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "skew_report": q_skew_report,
-        "funnel_bucketed": q_funnel_bucketed,
-        # ---- window boundary: first 50 keys end here ------------------
-        # -- remaining 26 r9-green keys (due back r13) -------------------
+        # -- window 1-50: rotation r13 — the 26 remaining r9-green
+        # keys, then the 24 stalest r10-green keys (dev/rotation.py
+        # recommendation after r12) ----------------------------------
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
@@ -8923,7 +8865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "snapshot_diff": q_snapshot_diff,
         "pagerank": q_pagerank,
-        # -- r10-green tail (due back r13/r14) ----------------------------
         "scd2_apply": q_scd2_apply,
         "mlt_vector": q_mlt_vector,
         "tpch_q2": q_tpch_q2,
@@ -8948,6 +8889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "cluster_split": q_cluster_split,
         "rollup": q_rollup,
+        # ---- window boundary: first 50 keys end here ------------------
+        # -- remaining keys, stalest first (r10 tail, r11 cohort), then
+        # the displaced r12-green window (newest, due back r15+) --------
         "set_ops": q_set_ops,
         "median_price": q_median_price,
         "multimodal": q_multimodal,
@@ -8974,7 +8918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "cross_embed_dedup": q_cross_embed_dedup,
         "semdedup": q_semdedup,
-        # -- r11-green tail (newest; due back r14) ------------------------
         "soft_dedup": q_soft_dedup,
         "active_users": q_active_users,
         "unimax_mix": q_unimax_mix,
@@ -9025,6 +8968,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "postings_build": q_postings_build,
         "bm25_topk": q_bm25_topk,
+        "contamination_rate": q_contamination_rate,
+        "psi_drift": q_psi_drift,
+        "burstiness": q_burstiness,
+        "dau_kmv": q_dau_kmv,
+        "knn_l2": q_knn_l2,
+        "ann_lsh": q_ann_lsh,
+        "rrf_hybrid": q_rrf_hybrid,
+        "group_hits": q_group_hits,
+        "chunk_split": q_chunk_split,
+        "filter_docs": q_filter_docs,
+        "incremental_merge": q_incremental_merge,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_apply": q_dedup_apply,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "kmv_distinct": q_kmv_distinct,
+        "value_percentiles": q_value_percentiles,
+        "decontaminate": q_decontaminate,
+        "tpch_q1": q_tpch_q1,
+        "revenue_join": q_revenue_join,
+        "sessionize": q_sessionize,
+        "canonical_projection": q_canonical_projection,
+        "knn_cosine": q_knn_cosine,
+        "knn_l2_filtered": q_knn_l2_filtered,
+        "sq8_ann": q_sq8_ann,
+        "vocab_stats": q_vocab_stats,
+        "dataset_ingest": q_dataset_ingest,
+        "recursive_chunk": q_recursive_chunk,
+        "span_dedup": q_span_dedup,
+        "events_pivot": q_events_pivot,
+        "ivfpq_search": q_ivfpq_search,
+        "topic_terms": q_topic_terms,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "events_window": q_events_window,
+        "topk_per_group": q_topk_per_group,
+        "fetch_slice": q_fetch_slice,
+        "tpch_q10": q_tpch_q10,
+        "event_paths": q_event_paths,
+        "cms_counts": q_cms_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "field_postings": q_field_postings,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "skew_report": q_skew_report,
+        "funnel_bucketed": q_funnel_bucketed,
     }
 
 
